@@ -1,0 +1,223 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The point-pipeline algebra of the reference's `select` statement:
+  * `select f1(..) => f2(..) ... from <match> ...` — each stage consumes
+  * the previous stage's points per series
+  * (src/siri/db/aggregate.c; chain loop src/siri/db/listener.c:5676-5695).
+  *
+  * Every stage is a declarative DataFrame transform over the long table
+  * (series, ts, val [, pid]), so Catalyst gets full plans: bucketed
+  * aggregates become 2-phase HashAggregate keyed on (series, bucket);
+  * pairwise stages become a single window per series. All stages key on
+  * `series`, so chained stages reuse one shuffle partitioning.
+  */
+object Pipeline {
+
+  sealed trait AggFn { def name: String }
+  case object Count extends AggFn { val name = "count" }
+  case object Sum extends AggFn { val name = "sum" }
+  case object Mean extends AggFn { val name = "mean" }
+  case object Median extends AggFn { val name = "median" }
+  case object MedianLow extends AggFn { val name = "median_low" }
+  case object MedianHigh extends AggFn { val name = "median_high" }
+  case object Min extends AggFn { val name = "min" }
+  case object Max extends AggFn { val name = "max" }
+  case object Variance extends AggFn { val name = "variance" }
+  case object PVariance extends AggFn { val name = "pvariance" }
+  case object Stddev extends AggFn { val name = "stddev" }
+  case object First extends AggFn { val name = "first" }
+  case object Last extends AggFn { val name = "last" }
+  case object DifferenceAgg extends AggFn { val name = "difference" }
+  final case class DerivativeAgg(unit: Long) extends AggFn { val name = "derivative" }
+
+  sealed trait Stage
+  /** Bucketed aggregate (`fn(gb)`), or whole-series collapse (`fn()`)
+    * when groupBy is None — AGGREGATE_group_by / AGGREGATE_to_one. */
+  final case class Agg(fn: AggFn, groupBy: Option[Long], offset: Long = 0) extends Stage
+  /** Pairwise delta vs previous point — AGGREGATE_difference
+    * (aggregate.c:760-836). */
+  case object Difference extends Stage
+  /** Pairwise (v-v_prev)/(ts-ts_prev)*unit — AGGREGATE_derivative
+    * (aggregate.c:696-758). */
+  final case class Derivative(unit: Double) extends Stage
+  /** ts - ts_prev — AGGREGATE_interval (aggregate.c:838-876). */
+  case object Interval extends Stage
+  /** value := ts — AGGREGATE_timeval (aggregate.c:878-910). */
+  case object Timeval extends Stage
+  /** Point-value predicate — AGGREGATE_filter (aggregate.c:926-1066).
+    * op ∈ == != < > <= >= ~ !~ (~ only for string series). */
+  final case class FilterNum(op: String, value: Double) extends Stage
+  final case class FilterStr(op: String, value: String) extends Stage
+  /** First/last N points per series (grammar head_expr/tail_expr). */
+  final case class Head(n: Int) extends Stage
+  final case class Tail(n: Int) extends Stage
+  /** `limit(N, fn)`: if a series has more than N points, re-bucket with
+    * gb = span/N + 1, offset = (first_ts - 1) % gb (aggregate.c:677-694). */
+  final case class LimitFn(n: Int, fn: AggFn) extends Stage
+  /** Time-range restriction: after (>=), before (<), between [A,B). */
+  final case class TimeRange(after: Option[Long], before: Option[Long]) extends Stage
+
+  /** Right-aligned bucket label — GROUP_TS macro
+    * (src/siri/db/aggregate.c:41-43):
+    * (ts + gb - 1) / gb * gb + offset, integer division. */
+  def bucket(gb: Long, offset: Long = 0): Column =
+    expr(s"((ts + ${gb - 1L}) div $gb) * $gb" + (if (offset != 0) s" + $offset" else ""))
+
+  /** DuckDB SQL for the same bucket label (oracle parity). */
+  def bucketSql(gb: Long, offset: Long = 0): String =
+    s"((ts + ${gb - 1L}) // $gb) * $gb" + (if (offset != 0) s" + $offset" else "")
+
+  private def hasPid(df: DataFrame) = df.columns.contains("pid")
+
+  /** Deterministic per-series point order: ts, then ingest order for
+    * equal timestamps (points.c:226-245 keeps insertion order). */
+  private def seriesOrder(df: DataFrame) = {
+    val w = Window.partitionBy(col("series"))
+    if (hasPid(df)) w.orderBy(col("ts"), col("pid")) else w.orderBy(col("ts"))
+  }
+
+  /** The aggregate value expression for a bucket/whole-series group.
+    * After any aggregate stage (series, ts) is unique, so the pid
+    * tie-break is only needed on the raw table. */
+  private def aggValue(fn: AggFn, withPid: Boolean): Column = {
+    val ord = if (withPid) "struct(ts, pid)" else "ts"
+    fn match {
+      case First => expr(s"min_by(val, $ord)")
+      case Last => expr(s"max_by(val, $ord)")
+      case DifferenceAgg | DerivativeAgg(_) =>
+        expr(s"max_by(val, $ord) - min_by(val, $ord)")
+      case other => aggValueSimple(other)
+    }
+  }
+
+  private def aggValueSimple(fn: AggFn): Column = fn match {
+    case Count => count(lit(1)).cast("double")
+    case Sum => sum(col("val"))
+    case Mean => avg(col("val"))
+    case Median => expr("percentile(val, 0.5)")
+    // sorted-element medians — median.c:42-165: low = elem (n-1)/2,
+    // high = elem n/2 (0-based)
+    case MedianLow =>
+      expr("element_at(sort_array(collect_list(val)), cast((count(val) + 1) div 2 as int))")
+    case MedianHigh =>
+      expr("element_at(sort_array(collect_list(val)), cast(count(val) div 2 + 1 as int))")
+    case Min => min(col("val"))
+    case Max => max(col("val"))
+    // sample variance, 0.0 when n == 1 (variance.c:9-52; Spark: NULL)
+    case Variance => coalesce(var_samp(col("val")), lit(0.0))
+    case PVariance => var_pop(col("val"))
+    case Stddev => coalesce(stddev_samp(col("val")), lit(0.0))
+    case other => throw new IllegalArgumentException(s"order-dependent agg: ${other.name}")
+  }
+
+  /** Output timestamp of a whole-series collapse: last point's ts
+    * (first point's for first()) — AGGREGATE_to_one. */
+  private def toOneTs(fn: AggFn): Column =
+    if (fn == First) min(col("ts")) else max(col("ts"))
+
+  def applyStage(df: DataFrame, stage: Stage): DataFrame = stage match {
+    case Agg(fn, Some(gb), off) =>
+      val v0 = aggValue(fn, hasPid(df))
+      val v = fn match {
+        case DerivativeAgg(unit) => v0 * lit(unit.toDouble) / lit(gb.toDouble)
+        case _ => v0
+      }
+      df.groupBy(col("series"), bucket(gb, off).as("ts"))
+        .agg(v.as("val"))
+    case Agg(fn, None, _) =>
+      val v0 = aggValue(fn, hasPid(df))
+      df.groupBy(col("series"))
+        .agg(toOneTs(fn).as("ts"), v0.as("val"))
+        .select(col("series"), col("ts"), col("val"))
+    case Difference =>
+      val w = seriesOrder(df)
+      df.withColumn("prev", lag(col("val"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("series"), col("ts"), (col("val") - col("prev")).as("val"))
+    case Derivative(unit) =>
+      val w = seriesOrder(df)
+      df.withColumn("pv", lag(col("val"), 1).over(w))
+        .withColumn("pt", lag(col("ts"), 1).over(w))
+        .where(col("pv").isNotNull)
+        .select(col("series"), col("ts"),
+          ((col("val") - col("pv")) * lit(unit) /
+            (col("ts") - col("pt")).cast("double")).as("val"))
+    case Interval =>
+      val w = seriesOrder(df)
+      df.withColumn("pt", lag(col("ts"), 1).over(w))
+        .where(col("pt").isNotNull)
+        .select(col("series"), col("ts"), (col("ts") - col("pt")).cast("double").as("val"))
+    case Timeval =>
+      df.select(col("series"), col("ts"), col("ts").cast("double").as("val"))
+    case FilterNum(op, v) =>
+      df.where(cmp(col("val"), op, lit(v)))
+    case FilterStr(op, v) => op match {
+      case "~" => df.where(col("val").contains(v))
+      case "!~" => df.where(!col("val").contains(v))
+      case _ => df.where(cmp(col("val"), op, lit(v)))
+    }
+    case Head(n) =>
+      val w = seriesOrder(df)
+      df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
+    case Tail(n) =>
+      val descCols =
+        if (hasPid(df)) Seq(col("ts").desc, col("pid").desc) else Seq(col("ts").desc)
+      val wDesc = Window.partitionBy(col("series")).orderBy(descCols: _*)
+      df.withColumn("__rn", row_number().over(wDesc)).where(col("__rn") <= n).drop("__rn")
+    case LimitFn(n, fn) =>
+      // per-series span decides the bucket width; series with <= n
+      // points pass through unchanged (aggregate.c:677-694):
+      //   gb = (last_ts - first_ts) / n + 1; offset = (first_ts-1) % gb
+      // The span pre-aggregation is tiny (one row per series) so it
+      // broadcasts; at scale this is a cheap 2-phase agg + bcast join.
+      val spans = df.groupBy(col("series")).agg(
+        count(lit(1)).as("__len"), min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
+        .withColumn("__gb", expr(s"(__t1 - __t0) div ${n.toLong} + 1"))
+        .withColumn("__off", expr("(__t0 - 1) % __gb"))
+        .select(col("series"), col("__len"), col("__gb"), col("__off"))
+      val joined = df.join(broadcast(spans), Seq("series"))
+      val small = joined.where(col("__len") <= n)
+        .select(col("series"), col("ts"), col("val"))
+      val bucketed = joined.where(col("__len") > n)
+        .groupBy(col("series"),
+          (expr("((ts + __gb - 1) div __gb) * __gb") + col("__off")).as("ts"))
+        .agg(aggValue(fn, hasPid(df)).as("val"))
+      small.unionByName(bucketed)
+    case TimeRange(after, before) =>
+      val f1 = after.map(a => col("ts") >= a).getOrElse(lit(true))
+      val f2 = before.map(b => col("ts") < b).getOrElse(lit(true))
+      df.where(f1 && f2)
+  }
+
+  private def cmp(c: Column, op: String, v: Column): Column = op match {
+    case "==" => c === v
+    case "!=" => c =!= v
+    case "<" => c < v
+    case ">" => c > v
+    case "<=" => c <= v
+    case ">=" => c >= v
+    case other => throw new IllegalArgumentException(s"bad filter op: $other")
+  }
+
+  /** Run a full chain. Pairwise/window stages need pid only on the raw
+    * table; aggregate outputs are unique per (series, ts) so later
+    * stages order by ts alone. */
+  def apply(points: DataFrame, stages: Seq[Stage]): DataFrame =
+    stages.foldLeft(points)(applyStage).select(col("series"), col("ts"), col("val"))
+
+  /** `merge as "name" [using fn]` — all selected series become one
+    * series (src/siri/db/points.c:338-451; listener.c:6727-6810).
+    * Duplicated timestamps survive the merge until an aggregate
+    * collapses them. */
+  def merge(points: DataFrame, name: String, using: Option[Stage]): DataFrame = {
+    val one = points.withColumn("series", lit(name))
+    using match {
+      case Some(st) => applyStage(one, st).select(col("series"), col("ts"), col("val"))
+      case None => one.select(col("series"), col("ts"), col("val"))
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Series selection — the reference's FROM clause is set algebra over
+  * series names (grammar series_match, grammar/grammar.py:449-464):
+  * four selectors (name literal, `*`, /regex/, `group`/`tag`) combined
+  * with union `,`/`|`, intersection `&`, difference `-`, symmetric
+  * difference `^`, and parentheses (imap set ops, src/imap/imap.c:474-744).
+  *
+  * Selections are DataFrames with a single `series` column, evaluated
+  * against the catalog. The result is joined (left_semi, broadcast —
+  * the name set is tiny vs the points table) against the points scan,
+  * which mirrors the reference's pool pruning (listener.c:1311-1457):
+  * Spark prunes scan partitions on the hash(series) key.
+  */
+object SeriesMatch {
+
+  sealed trait Sel
+  final case class Name(name: String) extends Sel
+  case object All extends Sel
+  /** /regex/ or /regex/i on the series name. The reference uses PCRE2
+    * (src/siri/db/re.c); we translate to Java regex — the subset used
+    * in practice (literals, classes, anchors, quantifiers) agrees. */
+  final case class Regex(pattern: String, caseInsensitive: Boolean = false) extends Sel
+  /** Saved group (a stored regex, src/siri/db/groups.c) or tag (an
+    * explicit membership set, src/siri/db/tags.c). */
+  final case class GroupTag(name: String) extends Sel
+  final case class SetOp(op: String, l: Sel, r: Sel) extends Sel // , & - ^
+
+  /** Stored groups: name -> regex (re-evaluated against the catalog on
+    * demand; the reference re-evaluates in a 2 s background loop —
+    * src/siri/db/groups.c:44). Stored tags: explicit (tag, series) sets. */
+  final case class Env(
+      catalog: DataFrame,
+      groups: Map[String, String] = Map.empty,
+      tags: DataFrame => DataFrame = df => df.limit(0))
+
+  def eval(sel: Sel, env: Env): DataFrame = {
+    val names = env.catalog.select(col("series"))
+    sel match {
+      case Name(n) => names.where(col("series") === n)
+      case All => names
+      case Regex(p, ci) =>
+        val jp = if (ci) "(?i)" + p else p
+        names.where(col("series").rlike(jp))
+      case GroupTag(g) =>
+        env.groups.get(g) match {
+          case Some(re) => names.where(col("series").rlike(re))
+          case None => // tag membership
+            names.join(env.tags(env.catalog).where(col("tag") === g)
+              .select(col("series")), Seq("series"), "left_semi")
+        }
+      case SetOp(op, l, r) =>
+        val a = eval(l, env); val b = eval(r, env)
+        op match {
+          case "," | "|" => a.union(b).distinct()
+          case "&" => a.intersect(b)
+          case "-" => a.except(b)
+          case "^" => a.union(b).distinct().except(a.intersect(b))
+          case other => throw new IllegalArgumentException(s"bad set op: $other")
+        }
+    }
+  }
+
+  /** Restrict a points table to a selection. The selection side is a
+    * few thousand names at most (it comes from the catalog), so it
+    * broadcasts; the points scan keeps its partitioning. */
+  def select(points: DataFrame, sel: Sel, env: Env): DataFrame = sel match {
+    case All => points
+    case Name(n) => points.where(col("series") === n) // partition-prunable
+    case Regex(p, ci) =>
+      points.where(col("series").rlike(if (ci) "(?i)" + p else p))
+    case other => points.join(broadcast(eval(other, env)), Seq("series"), "left_semi")
+  }
+}
