@@ -3,17 +3,26 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** The point-pipeline algebra of the reference's `select` statement:
   * `select f1(..) => f2(..) ... from <match> ...` — each stage consumes
   * the previous stage's points per series
   * (src/siri/db/aggregate.c; chain loop src/siri/db/listener.c:5676-5695).
   *
-  * Every stage is a declarative DataFrame transform over the long table
-  * (series, ts, val [, pid]), so Catalyst gets full plans: bucketed
-  * aggregates become 2-phase HashAggregate keyed on (series, bucket);
-  * pairwise stages become a single window per series. All stages key on
-  * `series`, so chained stages reuse one shuffle partitioning.
+  * Every stage is a declarative DataFrame transform over a typed long
+  * table (series, ts, val [, pid]), so Catalyst gets full plans:
+  * bucketed aggregates become 2-phase HashAggregate keyed on
+  * (series, bucket); pairwise stages become a single window per series.
+  * All stages key on `series`, so chained stages reuse one shuffle
+  * partitioning.
+  *
+  * Value typing follows the input frame (LONG for integer series,
+  * DOUBLE for float, STRING for log series), which reproduces the
+  * reference's per-function output-type matrix (SURVEY §2.5): count is
+  * int64, sum/min/max/first/last preserve the input type,
+  * mean/median/variance/stddev/derivative are float, timeval/interval
+  * are int64 (aggregate.c:838-910).
   */
 object Pipeline {
 
@@ -46,12 +55,17 @@ object Pipeline {
   final case class Derivative(unit: Double) extends Stage
   /** ts - ts_prev — AGGREGATE_interval (aggregate.c:838-876). */
   case object Interval extends Stage
-  /** value := ts — AGGREGATE_timeval (aggregate.c:878-910). */
+  /** value := ts (int64 output) — AGGREGATE_timeval (aggregate.c:878-910). */
   case object Timeval extends Stage
   /** Point-value predicate — AGGREGATE_filter (aggregate.c:926-1066).
-    * op ∈ == != < > <= >= ~ !~ (~ only for string series). */
+    * op ∈ == != < > <= >= (numeric); on an integer series a fractional
+    * literal is truncated toward zero first (aggregate.c:952). */
   final case class FilterNum(op: String, value: Double) extends Stage
+  /** String-series filter: == != < > <= >= plus ~ (contains) and
+    * !~ (not-contains) — aggregate.c:596-675. */
   final case class FilterStr(op: String, value: String) extends Stage
+  /** filter(/regex/[i]) on a string series. */
+  final case class FilterRegex(pattern: String, caseInsensitive: Boolean = false) extends Stage
   /** First/last N points per series (grammar head_expr/tail_expr). */
   final case class Head(n: Int) extends Stage
   final case class Tail(n: Int) extends Stage
@@ -72,6 +86,7 @@ object Pipeline {
     s"((ts + ${gb - 1L}) // $gb) * $gb" + (if (offset != 0) s" + $offset" else "")
 
   private def hasPid(df: DataFrame) = df.columns.contains("pid")
+  private def isIntSeries(df: DataFrame) = df.schema("val").dataType == LongType
 
   /** Deterministic per-series point order: ts, then ingest order for
     * equal timestamps (points.c:226-245 keeps insertion order). */
@@ -79,6 +94,12 @@ object Pipeline {
     val w = Window.partitionBy(col("series"))
     if (hasPid(df)) w.orderBy(col("ts"), col("pid")) else w.orderBy(col("ts"))
   }
+
+  /** Columns to carry through a row-preserving stage (pid is kept so a
+    * later order-dependent stage still has a deterministic tie-break). */
+  private def carry(df: DataFrame, v: Column): Seq[Column] =
+    if (hasPid(df)) Seq(col("series"), col("ts"), v.as("val"), col("pid"))
+    else Seq(col("series"), col("ts"), v.as("val"))
 
   /** The aggregate value expression for a bucket/whole-series group.
     * After any aggregate stage (series, ts) is unique, so the pid
@@ -95,7 +116,7 @@ object Pipeline {
   }
 
   private def aggValueSimple(fn: AggFn): Column = fn match {
-    case Count => count(lit(1)).cast("double")
+    case Count => count(lit(1))
     case Sum => sum(col("val"))
     case Mean => avg(col("val"))
     case Median => expr("percentile(val, 0.5)")
@@ -135,31 +156,37 @@ object Pipeline {
         .select(col("series"), col("ts"), col("val"))
     case Difference =>
       val w = seriesOrder(df)
-      df.withColumn("prev", lag(col("val"), 1).over(w))
-        .where(col("prev").isNotNull)
-        .select(col("series"), col("ts"), (col("val") - col("prev")).as("val"))
+      val stepped = df.withColumn("__prev", lag(col("val"), 1).over(w))
+        .where(col("__prev").isNotNull)
+      stepped.select(carry(stepped, col("val") - col("__prev")): _*)
     case Derivative(unit) =>
       val w = seriesOrder(df)
-      df.withColumn("pv", lag(col("val"), 1).over(w))
-        .withColumn("pt", lag(col("ts"), 1).over(w))
-        .where(col("pv").isNotNull)
-        .select(col("series"), col("ts"),
-          ((col("val") - col("pv")) * lit(unit) /
-            (col("ts") - col("pt")).cast("double")).as("val"))
+      val stepped = df
+        .withColumn("__pv", lag(col("val"), 1).over(w))
+        .withColumn("__pt", lag(col("ts"), 1).over(w))
+        .where(col("__pv").isNotNull)
+      stepped.select(carry(stepped,
+        (col("val") - col("__pv")) * lit(unit) /
+          (col("ts") - col("__pt")).cast("double")): _*)
     case Interval =>
       val w = seriesOrder(df)
-      df.withColumn("pt", lag(col("ts"), 1).over(w))
-        .where(col("pt").isNotNull)
-        .select(col("series"), col("ts"), (col("ts") - col("pt")).cast("double").as("val"))
+      val stepped = df.withColumn("__pt", lag(col("ts"), 1).over(w))
+        .where(col("__pt").isNotNull)
+      stepped.select(carry(stepped, col("ts") - col("__pt")): _*)
     case Timeval =>
-      df.select(col("series"), col("ts"), col("ts").cast("double").as("val"))
+      df.select(carry(df, col("ts")): _*)
     case FilterNum(op, v) =>
-      df.where(cmp(col("val"), op, lit(v)))
+      // integer series truncate the literal toward zero
+      // (AGGREGATE_filter, aggregate.c:952: value.int64 = (int64_t) real)
+      val litv: Column = if (isIntSeries(df)) lit(v.toLong) else lit(v)
+      df.where(cmp(col("val"), op, litv))
     case FilterStr(op, v) => op match {
       case "~" => df.where(col("val").contains(v))
       case "!~" => df.where(!col("val").contains(v))
       case _ => df.where(cmp(col("val"), op, lit(v)))
     }
+    case FilterRegex(p, ci) =>
+      df.where(col("val").rlike(if (ci) "(?i)" + p else p))
     case Head(n) =>
       val w = seriesOrder(df)
       df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
@@ -172,14 +199,16 @@ object Pipeline {
       // per-series span decides the bucket width; series with <= n
       // points pass through unchanged (aggregate.c:677-694):
       //   gb = (last_ts - first_ts) / n + 1; offset = (first_ts-1) % gb
-      // The span pre-aggregation is tiny (one row per series) so it
-      // broadcasts; at scale this is a cheap 2-phase agg + bcast join.
+      // spans is one row per series — at 10M+ series that is too large
+      // to force-broadcast; both sides hash on `series` (the table's
+      // partitioning key) so this is a co-partitioned shuffle join and
+      // AQE may still choose broadcast when small.
       val spans = df.groupBy(col("series")).agg(
         count(lit(1)).as("__len"), min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
         .withColumn("__gb", expr(s"(__t1 - __t0) div ${n.toLong} + 1"))
         .withColumn("__off", expr("(__t0 - 1) % __gb"))
         .select(col("series"), col("__len"), col("__gb"), col("__off"))
-      val joined = df.join(broadcast(spans), Seq("series"))
+      val joined = df.join(spans, Seq("series"))
       val small = joined.where(col("__len") <= n)
         .select(col("series"), col("ts"), col("val"))
       val bucketed = joined.where(col("__len") > n)
@@ -203,21 +232,18 @@ object Pipeline {
     case other => throw new IllegalArgumentException(s"bad filter op: $other")
   }
 
-  /** Run a full chain. Pairwise/window stages need pid only on the raw
-    * table; aggregate outputs are unique per (series, ts) so later
-    * stages order by ts alone. */
+  /** Run a full chain. Pairwise/window stages carry pid through so any
+    * later order-dependent stage keeps a deterministic tie-break
+    * (points.c:226-245 insertion order); aggregate outputs are unique
+    * per (series, ts) so they drop it. */
   def apply(points: DataFrame, stages: Seq[Stage]): DataFrame =
     stages.foldLeft(points)(applyStage).select(col("series"), col("ts"), col("val"))
 
-  /** `merge as "name" [using fn]` — all selected series become one
-    * series (src/siri/db/points.c:338-451; listener.c:6727-6810).
+  /** `merge as "name" [using <chain>]` — all selected series become one
+    * series (src/siri/db/points.c:338-451); the full `using` aggregate
+    * chain is applied after the merge (listener.c:6727-6810).
     * Duplicated timestamps survive the merge until an aggregate
     * collapses them. */
-  def merge(points: DataFrame, name: String, using: Option[Stage]): DataFrame = {
-    val one = points.withColumn("series", lit(name))
-    using match {
-      case Some(st) => applyStage(one, st).select(col("series"), col("ts"), col("val"))
-      case None => one.select(col("series"), col("ts"), col("val"))
-    }
-  }
+  def merge(points: DataFrame, name: String, using: Seq[Stage] = Nil): DataFrame =
+    apply(points.withColumn("series", lit(name)), using)
 }

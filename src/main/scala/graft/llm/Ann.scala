@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * `cosineTopK` is the exact brute-force baseline: the (small) query
+  * set is broadcast against the corpus — a broadcast-nested-loop with
+  * NO shuffle of the corpus, linear in corpus size, which is the right
+  * plan for exact search at any scale (the corpus side never moves).
+  *
+  * `lshTopK` is the approximate scale path: random-hyperplane LSH
+  * signatures bucket the corpus; each query only scores vectors in
+  * matching buckets (multi-probe over `tables` independent tables),
+  * turning the per-query cost from O(N) into O(N / 2^bits * tables).
+  *
+  * Similarities are computed in double (the float embeddings are
+  * upcast first) with a sequential fold, so results are deterministic.
+  */
+object Ann {
+
+  /** (vec_id, v: array<double>, nrm) with precomputed L2 norm. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+
+  private val dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+
+  /** Exact cosine top-k: for every query vector (vec_id < nQueries),
+    * the k nearest corpus vectors (self excluded). Output
+    * (query_id, rank, neighbor_id); rank breaks similarity ties by
+    * neighbor id. Similarity is rounded to 9 decimals before ranking
+    * so the ordering is robust to summation-order ulps. */
+  def cosineTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= theta, via the same broadcast pattern over a blocked
+    * self-join on a coarse LSH bit prefix (sign bits of the first
+    * `blockBits` dimensions) — near-identical vectors agree on sign
+    * bits with high probability, so each block joins locally. For the
+    * exact variant (oracle-checkable) set blockBits = 0 (plain a<b
+    * join). */
+  def cosinePairs(emb: DataFrame, theta: Double, blockBits: Int = 0): DataFrame = {
+    val e = withNorm(emb)
+    val keyed =
+      if (blockBits <= 0) e.withColumn("blk", lit(0))
+      else e.withColumn("blk", expr(
+        s"aggregate(transform(slice(v, 1, $blockBits), x -> CASE WHEN x >= 0 THEN 1L ELSE 0L END), 0L, (a, x) -> a * 2 + x)"))
+    val a = keyed.select(col("blk"), col("vec_id").as("id_a"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = keyed.select(col("blk"), col("vec_id").as("id_b"),
+      col("v").as("v"), col("nrm").as("nrm"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+      .where(col("sim") >= theta)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH. Hyperplane
+    * components are deterministic pseudo-randoms derived from
+    * xxhash64(table, bit, dim) so the operator needs no state. Each
+    * (table, signature) bucket joins query-to-corpus; per-query
+    * candidates are scored exactly and ranked. Recall is tested in
+    * AnnSpec against [[cosineTopK]]. */
+  def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      bits: Int = 8, tables: Int = 8): DataFrame = {
+    val e = withNorm(emb)
+    // signature per (vec, table): `bits` sign bits of hyperplane dots
+    def sigs(df: DataFrame) = df.select(col("*"), explode(expr(
+      s"""transform(sequence(0, ${tables - 1}), t -> struct(t AS t,
+         |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
+         |    acc * 2 + CASE WHEN aggregate(sequence(0, size(v) - 1), 0D,
+         |      (s, i) -> s + v[i] * (CAST(pmod(xxhash64(t, b, i), 2000) AS double) / 1000.0 - 1.0)) >= 0
+         |    THEN 1L ELSE 0L END) AS sig))""".stripMargin)).as("ts"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val corpus = sigs(e)
+    val queries = sigs(e.where(col("vec_id") < nQueries))
+      .select(col("t"), col("sig"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cands = corpus.join(queries, Seq("t", "sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id"), col("v"), col("nrm")).distinct()
+    val scored = cands.withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines,
+  * over a corpus DataFrame with (doc_id LONG, text STRING, ...).
+  *
+  * All operators are bucketed/blocked — no all-pairs crossJoin
+  * anywhere: exact dedup is a hash groupBy; n-gram Jaccard uses an
+  * inverted shingle index (join keyed on shingle); MinHash-LSH joins
+  * on (band, band-signature) buckets. At 100 TB each join key is
+  * high-cardinality, so the shuffles partition evenly; candidate
+  * verification only touches candidate pairs.
+  */
+object Dedup {
+
+  /** Whitespace tokenization of a text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+        .as("shingle"))
+
+  /** Exact duplicate groups by content hash: one row per distinct
+    * content with the canonical (lowest) doc_id and the group size. */
+  def exactGroups(docs: DataFrame, normalize: Boolean = false): DataFrame = {
+    val content =
+      if (normalize) regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      else col("text")
+    docs.select(col("doc_id"), md5(content).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index: join on shingle, count co-occurrences, Jaccard from the
+    * per-doc distinct-shingle counts. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b and jaccard >= theta, rounded to 6 decimals. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, theta: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .where(col("jaccard") >= theta)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash + banded LSH near-duplicate pairs — the 100 TB scale path:
+    * per-doc minhash signature (numHashes hash functions via seeded
+    * xxhash64), split into `bands` bands; docs sharing any band
+    * signature become candidates (join keyed on the band bucket, never
+    * all-pairs); candidates are then verified with EXACT Jaccard
+    * restricted to candidate pairs. With 128 hashes / 32 bands of 4
+    * rows, P(miss | jaccard=0.7) = (1-0.7^4)^32 ≈ 1.5e-4 and ≈4e-8 at
+    * 0.9, so verified output matches the exact pair set.
+    * Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]]. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, theta: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sh = shingles(docs, n)
+    // one row per (doc, hash function): h_j(shingle) = xxhash64(shingle, j)
+    val hashed = sh.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, ${numHashes - 1}), j -> struct(j AS j, xxhash64(shingle, j) AS h))"))
+      .as("x"))
+      .select(col("doc_id"), col("x.j").as("j"), col("x.h").as("h"))
+    val sig = hashed.groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("mh"))
+    // band signature = hash of the band's minhash values in j order
+    val bandKeys = sig
+      .withColumn("band", (col("j") / rows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(expr("concat_ws(',', transform(sort_array(collect_list(struct(j, mh))), s -> cast(s.mh AS string)))"))
+        .as("bkey"))
+    val cands = bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification restricted to candidate pairs
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("sa.doc_id") === col("id_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("id_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .where(col("jaccard") >= theta)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document from md5-derived token hashes
+    * (portable: the same hash is computable in ANSI SQL). Bit j of the
+    * simhash is 1 iff the sum over tokens of (2*bit_j(md5(token))-1)
+    * is positive. Token multiplicity counts. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      // low 60 bits of md5 as a LONG (15 hex digits — portable)
+      .withColumn("h", expr("cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint)"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 59), j -> struct(j AS j, CASE WHEN (h div shiftleft(1L, j)) % 2 = 1 THEN 1 ELSE -1 END AS s))"))
+        .as("x"))
+      .groupBy(col("doc_id"), col("x.j"))
+      .agg(sum(col("x.s")).as("tot"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tot") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+}

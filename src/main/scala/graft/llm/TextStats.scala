@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * documents table (doc_id, text, lang, source, n_chars). All are
+  * single-pass narrow transforms or one hash aggregation — fully
+  * codegen-friendly, no UDFs, trivially scalable to 100 TB.
+  */
+object TextStats {
+
+  private val tok = "split(trim(text), '\\\\s+')"
+
+  /** Per-document token statistics: token count, char count, average
+    * token length, lexical diversity (distinct/total tokens). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"CAST(size($tok) AS bigint)").as("n_tokens"),
+      col("n_chars"),
+      expr(s"round(aggregate(transform($tok, t -> length(t)), 0L, (a, x) -> a + x) / CAST(size($tok) AS double), 6)")
+        .as("avg_token_len"),
+      expr(s"round(CAST(size(array_distinct($tok)) AS double) / size($tok), 6)")
+        .as("lexical_diversity"))
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks — a cheap proxy for a BPE tokenizer's
+    * pre-tokenization. */
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS bigint)")
+        .as("n_bpe"))
+
+  /** Corpus language distribution with size stats. */
+  def langDist(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("n_chars")), 6).as("avg_chars"),
+      max(col("n_chars")).as("max_chars"))
+
+  /** Quality score in [0,1]: lexical diversity blended with a length
+    * prior (docs under ~100 tokens are down-weighted). */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"""round(0.5 * (CAST(size(array_distinct($tok)) AS double) / size($tok))
+              |    + 0.5 * least(1.0, CAST(size($tok) AS double) / 100.0), 6)""".stripMargin)
+        .as("quality"))
+
+  /** Stopword-vote language ID (n-gram-free heuristic): counts hits
+    * against tiny per-language stopword lists; deterministic argmax
+    * with fixed tie-break order en > de > es > fr > zh. */
+  def langId(docs: DataFrame): DataFrame = {
+    def votes(words: Seq[String]) = {
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      s"CAST(size(filter($tok, t -> array_contains($arr, t))) AS bigint)"
+    }
+    docs.select(col("doc_id"),
+      expr(votes(Seq("the", "a", "of", "and", "in", "to", "is"))).as("v_en"),
+      expr(votes(Seq("der", "die", "das", "und", "ist", "ein"))).as("v_de"),
+      expr(votes(Seq("el", "la", "de", "los", "y", "es"))).as("v_es"),
+      expr(votes(Seq("le", "la", "les", "et", "est", "un"))).as("v_fr"),
+      expr(votes(Seq("的", "是", "在", "了"))).as("v_zh"))
+      .withColumn("pred_lang",
+        expr("""CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr AND v_en >= v_zh THEN 'en'
+                |     WHEN v_de >= v_es AND v_de >= v_fr AND v_de >= v_zh THEN 'de'
+                |     WHEN v_es >= v_fr AND v_es >= v_zh THEN 'es'
+                |     WHEN v_fr >= v_zh THEN 'fr'
+                |     ELSE 'zh' END""".stripMargin))
+      .select(col("doc_id"), col("pred_lang"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase
+    * text (the exact-dedup key, exposed as an operator). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.{Ann, Dedup, Multimodal, TextStats}
+
+/** Driver-contract registrations for the LLM-training-data pipeline
+  * operators (dedup, similarity search, text analysis, multimodal) over
+  * the shipped `documents` / `embeddings` tables. Same conventions as
+  * EngineQueries: ordered output, floats rounded on both sides.
+  */
+object DataOpsQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+
+  /** DuckDB shingle CTE shared by the jaccard oracles. */
+  private val SH =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+      |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+      |       FROM toks WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)""".stripMargin
+
+  private val JACCARD_SQL =
+    s"""WITH $SH
+       |SELECT id_a, id_b, round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+       |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+    // ---- deduplication ----
+    Entry("dedup_exact",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.exactGroups(docs(s, d)))
+    },
+    Entry("dedup_exact_norm",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.exactGroups(docs(s, d), normalize = true))
+    },
+    Entry("dedup_ngram_jaccard", JACCARD_SQL) {
+      (s, d) => ordered(Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5))
+    },
+    // LSH-bucketed scale path; candidates are exactly verified, and at
+    // the planted-pair similarities (>= 0.9) the 32x4-band miss
+    // probability is ~4e-8, so the output equals the exact pair set.
+    Entry("dedup_minhash_lsh", JACCARD_SQL) {
+      (s, d) => ordered(Dedup.minhashLshPairs(docs(s, d), n = 3,
+        numHashes = 128, bands = 32, theta = 0.5))
+    },
+    Entry.weak("dedup_simhash") { // portable-hash simhash; pinned by DedupSpec
+      (s, d) => ordered(Dedup.simhash(docs(s, d)))
+    },
+
+    // ---- similarity search over embeddings ----
+    Entry("ann_cosine_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, n.vec_id,
+        |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 9) AS sim
+        |      FROM q, n WHERE n.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id
+        |FROM p QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.cosineTopK(emb(s, d), nQueries = 10, k = 5))
+    },
+    Entry("ann_cosine_pairs",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS sim
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.cosinePairs(emb(s, d), theta = 0.45))
+    },
+    Entry.weak("ann_lsh_topk") { // approximate; recall pinned by AnnSpec
+      (s, d) => ordered(Ann.lshTopK(emb(s, d), nQueries = 10, k = 5))
+    },
+
+    // ---- text analysis ----
+    Entry("text_token_stats",
+      """WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n_tokens, n_chars,
+        |       round(list_sum(list_transform(w, s -> length(s))) / CAST(len(w) AS DOUBLE), 6) AS avg_token_len,
+        |       round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS lexical_diversity
+        |FROM t ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.tokenStats(docs(s, d)))
+    },
+    Entry("text_bpe_count",
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.bpeTokenCount(docs(s, d)))
+    },
+    Entry("text_lang_dist",
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.langDist(docs(s, d)))
+    },
+    Entry("text_quality",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, round(0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+        |                   + 0.5 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0), 6) AS quality
+        |FROM t ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.qualityScore(docs(s, d)))
+    },
+    Entry("text_lang_id",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |v AS (SELECT doc_id,
+        |  len(list_filter(w, s -> list_contains(['the','a','of','and','in','to','is'], s))) AS v_en,
+        |  len(list_filter(w, s -> list_contains(['der','die','das','und','ist','ein'], s))) AS v_de,
+        |  len(list_filter(w, s -> list_contains(['el','la','de','los','y','es'], s))) AS v_es,
+        |  len(list_filter(w, s -> list_contains(['le','la','les','et','est','un'], s))) AS v_fr,
+        |  len(list_filter(w, s -> list_contains(['的','是','在','了'], s))) AS v_zh
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr AND v_en >= v_zh THEN 'en'
+        |       WHEN v_de >= v_es AND v_de >= v_fr AND v_de >= v_zh THEN 'de'
+        |       WHEN v_es >= v_fr AND v_es >= v_zh THEN 'es'
+        |       WHEN v_fr >= v_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM v ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.langId(docs(s, d)))
+    },
+    Entry("doc_fingerprint",
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.fingerprint(docs(s, d)))
+    },
+
+    // ---- multimodal plumbing (decode stubbed; see Multimodal.scala) ----
+    Entry("mm_decode_stub",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       n_chars % 640 AS width, (n_chars * 7) % 480 AS height,
+        |       1 + doc_id % 3 AS n_frames
+        |FROM documents ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.decodeMedia(docs(s, d)).toDF())
+    })
+}

@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Pipeline, SeriesMatch, SeriesStore}
+import graft.engine.Pipeline._
+import graft.engine.SeriesMatch._
+
+/** Driver-contract registrations for the SiriDB-equivalent engine
+  * operators (SURVEY §2.2-§2.7): one Entry per operator, each with a
+  * DuckDB oracle reproducing the same semantics over the same parquet.
+  *
+  * Conventions shared by Spark and oracle sides:
+  *  - outputs are ordered by all columns (the driver's hash compare is
+  *    then order-insensitive either way);
+  *  - float-valued aggregates whose result depends on summation order
+  *    (mean/variance/sum-of-doubles/derivative-of-mean, ...) are
+  *    rounded to 6 decimals on BOTH sides — the engine itself never
+  *    rounds, this is declared output formatting for the differential
+  *    test; integer-family results are exact and never rounded.
+  */
+object EngineQueries {
+
+  // mid-range time splits for after/before/between (events span
+  // 2024-01-01..2024-01-31 in seconds at every sf)
+  private val A = 1705000000L
+  private val B = 1706000000L
+
+  private val PF = SeriesStore.pointsFSql
+  private val PI = SeriesStore.pointsISql
+  private val PS = SeriesStore.pointsSSql
+  private val PM = SeriesStore.pointsSql
+  private val PUS = SeriesStore.pointsUsSql
+  private val CAT = SeriesStore.catalogAllSql
+  private val ORD = "ORDER BY ts, pid"
+
+  private def F(s: SparkSession, d: String) = SeriesStore.pointsF(s, d)
+  private def I(s: SparkSession, d: String) = SeriesStore.pointsI(s, d)
+  private def S(s: SparkSession, d: String) = SeriesStore.pointsS(s, d)
+  private def M(s: SparkSession, d: String) = SeriesStore.points(s, d)
+
+  private def env(s: SparkSession, d: String): Env = Env(
+    catalog = SeriesStore.catalogAll(s, d),
+    groups = Map("clicks" -> "^f\\.click\\."),
+    tags = cat => cat.where(col("pool") === 2)
+      .select(lit("pool2").as("tag"), col("series")))
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+
+  /** Chain output with the float value rounded for oracle compare. */
+  private def rounded(df: DataFrame): DataFrame =
+    df.select(col("series"), col("ts"), round(col("val"), 6).as("val"))
+
+  private def chain(points: DataFrame, stages: Stage*): DataFrame =
+    ordered(Pipeline(points, stages))
+
+  private def chainR(points: DataFrame, stages: Stage*): DataFrame =
+    ordered(rounded(Pipeline(points, stages)))
+
+  private def bkt(gb: Long, off: Long = 0) = Pipeline.bucketSql(gb, off)
+
+  def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
+    toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata
+
+  // ---- §2.2 series selection: set algebra over series names ----
+
+  private def selection = Seq(
+    Entry("sel_name_points",
+      s"""SELECT series, ts, val FROM ($PF) WHERE series = 'f.click.0' ORDER BY ALL""") {
+      (s, d) => chain(SeriesMatch.select(F(s, d), Name("f.click.0"), env(s, d)))
+    },
+    Entry("sel_regex_points",
+      s"""SELECT series, ts, val FROM ($PF)
+         |WHERE regexp_matches(series, '^f\\.(click|view)\\.[0-3]$$') ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(SeriesMatch.select(F(s, d),
+        Regex("^f\\.(click|view)\\.[0-3]$"), env(s, d)))
+    },
+    Entry("sel_union",
+      s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.')
+         |UNION SELECT series FROM ($CAT) WHERE series = 'i.error.3' ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(SeriesMatch.eval(
+        SetOp(",", Regex("^f\\.click\\."), Name("i.error.3")), env(s, d)))
+    },
+    Entry("sel_intersect",
+      s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\..*\\.0$$')
+         |INTERSECT SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.') ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(SeriesMatch.eval(
+        SetOp("&", Regex("^f\\..*\\.0$"), Regex("^f\\.click\\.")), env(s, d)))
+    },
+    Entry("sel_difference",
+      s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.')
+         |EXCEPT SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\..*\\.[0-3]$$') ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(SeriesMatch.eval(
+        SetOp("-", Regex("^f\\.click\\."), Regex("^f\\..*\\.[0-3]$")), env(s, d)))
+    },
+    Entry("sel_symdiff",
+      s"""WITH a AS (SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.')),
+         |     b AS (SELECT series FROM ($CAT) WHERE regexp_matches(series, '^[fi]\\..*\\.[0-1]$$'))
+         |SELECT series FROM ((SELECT * FROM a EXCEPT SELECT * FROM b)
+         |UNION ALL (SELECT * FROM b EXCEPT SELECT * FROM a)) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(SeriesMatch.eval(
+        SetOp("^", Regex("^f\\.click\\."), Regex("^[fi]\\..*\\.[0-1]$")), env(s, d)))
+    },
+    Entry("sel_group",
+      s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.') ORDER BY ALL""") {
+      (s, d) => ordered(SeriesMatch.eval(GroupTag("clicks"), env(s, d)))
+    },
+    Entry("sel_tag",
+      s"""SELECT series FROM ($CAT) WHERE pool = 2 ORDER BY ALL""") {
+      (s, d) => ordered(SeriesMatch.eval(GroupTag("pool2"), env(s, d)))
+    })
+
+  // ---- §2.4 time-range + head/tail ----
+
+  private def timeRange = Seq(
+    Entry("tr_between",
+      s"""SELECT series, ts, val FROM ($PI) WHERE ts >= $A AND ts < $B ORDER BY ALL""") {
+      (s, d) => chain(I(s, d), TimeRange(Some(A), Some(B)))
+    },
+    Entry("tr_after_head",
+      s"""SELECT series, ts, val FROM ($PF) WHERE ts >= $A
+         |QUALIFY row_number() OVER (PARTITION BY series $ORD) <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(F(s, d), TimeRange(Some(A), None), Head(5))
+    },
+    Entry("tr_before_tail",
+      s"""SELECT series, ts, val FROM ($PF) WHERE ts < $B
+         |QUALIFY row_number() OVER (PARTITION BY series ORDER BY ts DESC, pid DESC) <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(F(s, d), TimeRange(None, Some(B)), Tail(5))
+    })
+
+  // ---- §2.5 bucketed aggregates (right-aligned GROUP_TS labels) ----
+
+  private def aggSql(from: String, gb: Long, valExpr: String, off: Long = 0) =
+    s"""SELECT series, ${bkt(gb, off)} AS ts, $valExpr AS val
+       |FROM ($from) GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+
+  private def bucketedAggs = Seq(
+    Entry("agg_count_1h", aggSql(PI, 3600, "count(*)")) {
+      (s, d) => chain(I(s, d), Agg(Count, Some(3600)))
+    },
+    Entry("agg_sum_1h", aggSql(PI, 3600, "CAST(sum(val) AS BIGINT)")) {
+      (s, d) => chain(I(s, d), Agg(Sum, Some(3600)))
+    },
+    Entry("agg_min_1h", aggSql(PI, 3600, "min(val)")) {
+      (s, d) => chain(I(s, d), Agg(Min, Some(3600)))
+    },
+    Entry("agg_max_1h", aggSql(PI, 3600, "max(val)")) {
+      (s, d) => chain(I(s, d), Agg(Max, Some(3600)))
+    },
+    Entry("agg_first_1h", aggSql(PI, 3600, s"first(val $ORD)")) {
+      (s, d) => chain(I(s, d), Agg(First, Some(3600)))
+    },
+    Entry("agg_last_1h", aggSql(PI, 3600, s"last(val $ORD)")) {
+      (s, d) => chain(I(s, d), Agg(Last, Some(3600)))
+    },
+    Entry("agg_median_low_1h",
+      aggSql(PI, 3600, "list_sort(list(val))[(count(val) + 1) // 2]")) {
+      (s, d) => chain(I(s, d), Agg(MedianLow, Some(3600)))
+    },
+    Entry("agg_median_high_1h",
+      aggSql(PI, 3600, "list_sort(list(val))[count(val) // 2 + 1]")) {
+      (s, d) => chain(I(s, d), Agg(MedianHigh, Some(3600)))
+    },
+    Entry("agg_difference_1h",
+      aggSql(PI, 3600, s"last(val $ORD) - first(val $ORD)")) {
+      (s, d) => chain(I(s, d), Agg(DifferenceAgg, Some(3600)))
+    },
+    Entry("agg_derivative_1h_1d",
+      aggSql(PI, 86400, s"(last(val $ORD) - first(val $ORD)) * 3600.0 / 86400.0")) {
+      (s, d) => chain(I(s, d), Agg(DerivativeAgg(3600), Some(86400)))
+    },
+    Entry("agg_mean_6h", aggSql(PF, 21600, "round(avg(val), 6)")) {
+      (s, d) => chainR(F(s, d), Agg(Mean, Some(21600)))
+    },
+    Entry("agg_median_6h", aggSql(PF, 21600, "round(quantile_cont(val, 0.5), 6)")) {
+      (s, d) => chainR(F(s, d), Agg(Median, Some(21600)))
+    },
+    Entry("agg_variance_6h",
+      aggSql(PF, 21600, "round(coalesce(var_samp(val), 0.0), 6)")) {
+      (s, d) => chainR(F(s, d), Agg(Variance, Some(21600)))
+    },
+    Entry("agg_pvariance_6h", aggSql(PF, 21600, "round(var_pop(val), 6)")) {
+      (s, d) => chainR(F(s, d), Agg(PVariance, Some(21600)))
+    },
+    Entry("agg_stddev_6h",
+      aggSql(PF, 21600, "round(coalesce(stddev_samp(val), 0.0), 6)")) {
+      (s, d) => chainR(F(s, d), Agg(Stddev, Some(21600)))
+    },
+    Entry("agg_offset_sum_1h", aggSql(PI, 3600, "CAST(sum(val) AS BIGINT)", off = 600)) {
+      (s, d) => chain(I(s, d), Agg(Sum, Some(3600), offset = 600))
+    })
+
+  // ---- §2.5 whole-series collapse (AGGREGATE_to_one) ----
+
+  private def toOneAggs = Seq(
+    Entry("agg_count_all",
+      s"""SELECT series, max(ts) AS ts, count(*) AS val FROM ($PI) GROUP BY 1 ORDER BY ALL""") {
+      (s, d) => chain(I(s, d), Agg(Count, None))
+    },
+    Entry("agg_sum_all",
+      s"""SELECT series, max(ts) AS ts, CAST(sum(val) AS BIGINT) AS val FROM ($PI) GROUP BY 1 ORDER BY ALL""") {
+      (s, d) => chain(I(s, d), Agg(Sum, None))
+    },
+    Entry("agg_first_all",
+      s"""SELECT series, min(ts) AS ts, first(val $ORD) AS val FROM ($PF) GROUP BY 1 ORDER BY ALL""") {
+      (s, d) => chain(F(s, d), Agg(First, None))
+    },
+    Entry("agg_last_all",
+      s"""SELECT series, max(ts) AS ts, last(val $ORD) AS val FROM ($PF) GROUP BY 1 ORDER BY ALL""") {
+      (s, d) => chain(F(s, d), Agg(Last, None))
+    })
+
+  // ---- §2.5 pairwise / projection stages ----
+
+  private def pairwise = Seq(
+    Entry("pw_difference",
+      s"""SELECT series, ts, val - prev AS val FROM (
+         |  SELECT series, ts, val, lag(val) OVER (PARTITION BY series $ORD) AS prev FROM ($PI)
+         |) WHERE prev IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(I(s, d), Difference)
+    },
+    Entry("pw_interval",
+      s"""SELECT series, ts, ts - pt AS val FROM (
+         |  SELECT series, ts, lag(ts) OVER (PARTITION BY series $ORD) AS pt FROM ($PI)
+         |) WHERE pt IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(I(s, d), Interval)
+    },
+    Entry("pw_timeval",
+      s"""SELECT series, ts, ts AS val FROM ($PF) ORDER BY ALL""") {
+      (s, d) => chain(F(s, d), Timeval)
+    },
+    Entry("us_tail",
+      s"""SELECT series, ts, val FROM ($PUS)
+         |QUALIFY row_number() OVER (PARTITION BY series ORDER BY ts DESC, pid DESC) <= 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(SeriesStore.pointsUs(s, d), Tail(2))
+    })
+
+  // ---- §2.5 filter() ----
+
+  private def filters = Seq(
+    // fractional literal on an integer series truncates toward zero
+    // (aggregate.c:952): >= 24500.7 behaves as >= 24500
+    Entry("flt_trunc_int",
+      s"""SELECT series, ts, val FROM ($PI) WHERE val >= 24500 ORDER BY ALL""") {
+      (s, d) => chain(I(s, d), FilterNum(">=", 24500.7))
+    },
+    Entry("flt_lt_float",
+      s"""SELECT series, ts, val FROM ($PF) WHERE val < 1.0 ORDER BY ALL""") {
+      (s, d) => chain(F(s, d), FilterNum("<", 1.0))
+    },
+    Entry("flt_str_contains",
+      s"""SELECT series, ts, val FROM ($PS) WHERE contains(val, '"k": 9') ORDER BY ALL""") {
+      (s, d) => chain(S(s, d), FilterStr("~", "\"k\": 9"))
+    },
+    Entry("flt_str_regex",
+      s"""SELECT series, ts, val FROM ($PS) WHERE regexp_matches(val, '"k": 1[0-9]\\}') ORDER BY ALL""") {
+      (s, d) => chain(S(s, d), FilterRegex("\"k\": 1[0-9]\\}"))
+    },
+    Entry("str_first_1d", aggSql(PS, 86400, s"first(val $ORD)")) {
+      (s, d) => chain(S(s, d), Agg(First, Some(86400)))
+    },
+    Entry("str_count_all",
+      s"""SELECT series, max(ts) AS ts, count(*) AS val FROM ($PS) GROUP BY 1 ORDER BY ALL""") {
+      (s, d) => chain(S(s, d), Agg(Count, None))
+    })
+
+  // ---- §2.5 chained `=>` stages + limit(N, fn) ----
+
+  private def chains = Seq(
+    Entry("chain_sum1h_diff",
+      s"""WITH b AS (SELECT series, ${bkt(3600)} AS ts, CAST(sum(val) AS BIGINT) AS val
+         |           FROM ($PI) GROUP BY 1, 2)
+         |SELECT series, ts, val - prev AS val FROM (
+         |  SELECT series, ts, val, lag(val) OVER (PARTITION BY series ORDER BY ts) AS prev FROM b
+         |) WHERE prev IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(I(s, d), Agg(Sum, Some(3600)), Difference)
+    },
+    Entry("chain_mean6h_deriv",
+      s"""WITH m AS (SELECT series, ${bkt(21600)} AS ts, avg(val) AS val
+         |           FROM ($PF) GROUP BY 1, 2),
+         |w AS (SELECT series, ts,
+         |        (val - lag(val) OVER (PARTITION BY series ORDER BY ts)) * 21600.0
+         |          / CAST(ts - lag(ts) OVER (PARTITION BY series ORDER BY ts) AS DOUBLE) AS val
+         |      FROM m)
+         |SELECT series, ts, round(val, 6) AS val FROM w WHERE val IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => chainR(F(s, d), Agg(Mean, Some(21600)), Derivative(21600.0))
+    },
+    Entry("chain_flt_sum1d",
+      s"""SELECT series, ${bkt(86400)} AS ts, CAST(sum(val) AS BIGINT) AS val
+         |FROM ($PI) WHERE val >= 100 GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(I(s, d), FilterNum(">=", 100), Agg(Sum, Some(86400)))
+    },
+    Entry("limit_fn_mean",
+      s"""WITH p AS ($PF),
+         |s AS (SELECT series, count(*) AS len, min(ts) AS t0, max(ts) AS t1 FROM p GROUP BY 1),
+         |g AS (SELECT series, len, (t1 - t0) // 50 + 1 AS gb,
+         |             (t0 - 1) % ((t1 - t0) // 50 + 1) AS off FROM s),
+         |j AS (SELECT p.series, p.ts, p.val, g.len, g.gb, g.off FROM p JOIN g USING (series)),
+         |small AS (SELECT series, ts, val FROM j WHERE len <= 50),
+         |big AS (SELECT series, ((ts + gb - 1) // gb) * gb + off AS ts, avg(val) AS val
+         |        FROM j WHERE len > 50 GROUP BY 1, 2)
+         |SELECT series, ts, round(val, 6) AS val
+         |FROM (SELECT * FROM small UNION ALL SELECT * FROM big) ORDER BY ALL""".stripMargin) {
+      (s, d) => chainR(F(s, d), LimitFn(50, Mean))
+    })
+
+  // ---- §2.6 merge as "name" [using <chain>] ----
+
+  private def merges = Seq(
+    Entry("merge_sum_1d",
+      s"""SELECT 'clicks' AS series, ${bkt(86400)} AS ts, round(sum(val), 6) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.click\\.')
+         |GROUP BY 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(rounded(Pipeline.merge(
+        SeriesMatch.select(F(s, d), Regex("^f\\.click\\."), env(s, d)),
+        "clicks", Seq(Agg(Sum, Some(86400))))))
+    },
+    // int+float mix promotes to double (points.c:368-376)
+    Entry("merge_mixed_mean_1d",
+      s"""SELECT 'purchase-all' AS series, ${bkt(86400)} AS ts, round(avg(val), 6) AS val
+         |FROM ($PM) WHERE regexp_matches(series, '^[fi]\\.purchase\\.')
+         |GROUP BY 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(rounded(Pipeline.merge(
+        SeriesMatch.select(M(s, d), Regex("^[fi]\\.purchase\\."), env(s, d)),
+        "purchase-all", Seq(Agg(Mean, Some(86400))))))
+    })
+
+  // ---- §2.7 list / count metadata queries over the catalog ----
+
+  private def metadata = Seq(
+    Entry("list_series",
+      s"""SELECT series, "length", "start", "end", "type", pool FROM ($CAT) ORDER BY ALL""") {
+      (s, d) => ordered(SeriesStore.catalogAll(s, d)
+        .select(col("series"), col("length"), col("start"), col("end"), col("type"), col("pool")))
+    },
+    Entry("count_series",
+      s"""SELECT count(*) AS n FROM ($CAT)""") {
+      (s, d) => SeriesStore.catalogAll(s, d).agg(count(lit(1)).as("n"))
+    },
+    Entry("count_series_length",
+      s"""SELECT CAST(sum("length") AS BIGINT) AS n FROM ($CAT)""") {
+      (s, d) => SeriesStore.catalogAll(s, d).agg(sum(col("length")).as("n"))
+    },
+    // `list series where ...` — cexpr predicates on catalog props
+    // (src/cexpr/cexpr.c; siridb_series_cexpr_cb series.c:85-112)
+    Entry("list_series_where",
+      s"""SELECT series, "length", "type" FROM ($CAT)
+         |WHERE "length" > 250 AND "type" = 'integer' AND contains(series, 'click') ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(SeriesStore.catalogAll(s, d)
+        .where(col("length") > 250 && col("type") === "integer" && col("series").contains("click"))
+        .select(col("series"), col("length"), col("type")))
+    },
+    Entry("count_series_where",
+      s"""SELECT count(*) AS n FROM ($CAT) WHERE "length" > 250 AND pool = 1""") {
+      (s, d) => SeriesStore.catalogAll(s, d)
+        .where(col("length") > 250 && col("pool") === 1)
+        .agg(count(lit(1)).as("n"))
+    })
+}

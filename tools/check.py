@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local pre-check mirroring the driver's DuckDB differential test.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify) and
+the oracle_sql.json, runs every oracle in DuckDB with the sf tables
+registered as views, and compares: row count, schema (column names +
+coarse types, sorted by name), and values (rows sorted by all columns).
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_type(t):
+    t = str(t).upper()
+    if t in ("BIGINT", "INT64", "LONG", "HUGEINT", "INTEGER", "INT32", "INT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT64", "REAL", "FLOAT"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("VARCHAR", "STRING", "TEXT", "UTF8", "LARGE_STRING"):
+        return "str"
+    return t.lower()
+
+
+def canon_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        res = {"ok": False}
+        try:
+            mine = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            mine_desc = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description
+            ref = con.execute(sql)
+            ref_desc = ref.description
+            ref_rows = ref.fetchall()
+            my_cols = [d[0] for d in mine_desc]
+            ref_cols = [d[0] for d in ref_desc]
+            res["rows"] = (len(mine), len(ref_rows))
+            res["rows_match"] = len(mine) == len(ref_rows)
+            # schema compare: names sorted; coarse types via a probe query
+            my_types = dict(zip(my_cols, [canon_type(con.execute(
+                f'SELECT typeof("{c}") FROM \'{out_dir}/{name}/*.parquet\' LIMIT 1').fetchone()[0])
+                for c in my_cols])) if mine else {}
+            ref_t = con.execute(f"SELECT * FROM ({sql}) LIMIT 1")
+            ref_types = {}
+            if ref_rows:
+                for c in ref_cols:
+                    ref_types[c] = canon_type(con.execute(
+                        f'SELECT typeof("{c}") FROM ({sql}) LIMIT 1').fetchone()[0])
+            res["schema"] = (sorted(my_cols), sorted(ref_cols))
+            res["schema_match"] = sorted(my_cols) == sorted(ref_cols) and (
+                not mine or not ref_rows or
+                all(my_types.get(c) == ref_types.get(c) for c in my_cols))
+            if not res["schema_match"]:
+                res["types"] = (my_types, ref_types)
+            # value compare: reorder columns by sorted name, sort rows
+            def norm(rows, cols):
+                idx = [cols.index(c) for c in sorted(cols)]
+                return sorted(tuple(canon_val(r[i]) for i in idx) for r in rows)
+            a, b = norm(mine, my_cols), norm(ref_rows, ref_cols)
+            res["hash_match"] = a == b
+            if not res["hash_match"] and res["rows_match"]:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                res["first_diffs"] = diffs
+            res["ok"] = res["rows_match"] and res["schema_match"] and res["hash_match"]
+        except Exception as e:
+            res["err"] = str(e)[:500]
+        results[name] = res
+        flag = "OK " if res["ok"] else "FAIL"
+        print(f"[{flag}] {name} " + (res.get("err", "") or
+              ("" if res["ok"] else json.dumps({k: v for k, v in res.items() if k != 'ok'}, default=str)[:400])))
+    n_ok = sum(r["ok"] for r in results.values())
+    print(f"\n{n_ok}/{len(results)} queries match")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
