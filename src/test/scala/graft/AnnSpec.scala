@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.Ann
+
+/** Pins the similarity-search operators on a deterministic clustered
+  * corpus: brute-force top-k is exact; hyperplane-LSH top-k must reach
+  * recall@5 >= 0.6 against it (it only searches matching buckets). */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 120 vectors in 16 dims, 6 well-separated clusters with
+  // deterministic per-vector jitter
+  private def corpus = {
+    val rows = (0 until 120).map { i =>
+      val c = i % 6
+      val v = Array.tabulate(16) { d =>
+        val base = if (d % 6 == c) 1.0f else 0.0f
+        val jitter = (((i * 31 + d * 17) % 13) - 6) / 40.0f
+        base + jitter
+      }
+      (i.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force cosine top-k ranks same-cluster vectors first") {
+    val top = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.length === 30)
+    // for each query, the top-1 neighbor is in the query's cluster
+    val labelOf = (id: Long) => id % 6
+    top.filter(_._2 == 1L).foreach { case (q, _, n) =>
+      assert(labelOf(n) === labelOf(q), s"query $q top-1 $n")
+    }
+  }
+
+  test("LSH top-k recall@5 >= 0.6 vs brute force") {
+    val exact = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.lshTopK(corpus, nQueries = 6, k = 5,
+      bits = 4, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("cosine pairs: blocked variant finds the same high-sim pairs as exact") {
+    val exact = Ann.cosinePairs(corpus, theta = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    exact.foreach { case (a, b) => assert(a % 6 === b % 6) }
+  }
+}

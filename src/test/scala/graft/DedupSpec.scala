@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Dedup
+
+/** Pins the dedup operators on a corpus with planted near-duplicates:
+  * exact Jaccard finds exactly the planted pairs, MinHash-LSH (the
+  * scale path) reproduces the exact result, simhash separates
+  * near-dups from unrelated docs. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic corpus: 20 base docs of 40 tokens with per-doc
+  // disjoint vocabularies (zero cross-doc shingle overlap); docs
+  // 100..104 are near-copies of docs 0..4 with one token changed
+  private def baseText(d: Int) =
+    (0 until 40).map(k => s"t${d}_$k").mkString(" ")
+  private def corpus = {
+    val bases = (0 until 20).map(d => (d.toLong, baseText(d)))
+    val dups = (0 until 5).map { d =>
+      val toks = baseText(d).split(" ").toVector.updated(20, "CHANGED")
+      (100L + d, toks.mkString(" "))
+    }
+    (bases ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exact n-gram Jaccard finds exactly the planted pairs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, theta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 5).map(d => (d.toLong, 100L + d)).toSet)
+  }
+
+  test("MinHash-LSH pairs == exact pairs (scale path, verified candidates)") {
+    val exact = Dedup.ngramJaccardPairs(corpus, n = 3, theta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, n = 3, numHashes = 128,
+      bands = 32, theta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("exact groups: identical content collapses, hash is stable") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("simhash: near-dup hamming distance < unrelated hamming distance") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hashes = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = ham(hashes(0L), hashes(100L))
+    val far = ham(hashes(0L), hashes(13L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 15)
+  }
+}
