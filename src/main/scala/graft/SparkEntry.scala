@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataOpsQueries, EngineQueries, Entry}
+import graft.queries.{DataOpsQueries, EngineQueries, Entry, QlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY §2 (and the LLM-data-ops
@@ -10,7 +10,8 @@ import graft.queries.{DataOpsQueries, EngineQueries, Entry}
   */
 object SparkEntry {
 
-  def all: Seq[Entry] = EngineQueries.entries ++ DataOpsQueries.entries
+  def all: Seq[Entry] =
+    EngineQueries.entries ++ DataOpsQueries.entries ++ QlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,63 @@
+package graft.parser
+
+import graft.engine.Pipeline.Stage
+import graft.engine.SeriesMatch.Sel
+
+/** Query error with a user-facing message (the reference surfaces
+  * parse/semantic errors as query errors — src/siri/db/query.c:630-646). */
+final case class QueryError(msg: String) extends RuntimeException(msg)
+
+/** AST of the SiriDB query language (grammar START rule,
+  * /root/reference/grammar/grammar.py:877-892). Time/int expressions
+  * are already constant-folded by the parser (the reference folds them
+  * during the parse walk — src/siri/db/query.c:715-850), so the AST
+  * carries only resolved constants.
+  */
+sealed trait Statement
+
+/** One select column: an aggregate chain plus prefix/suffix naming
+  * (grammar select_aggregate :602-605). */
+final case class SelectChain(stages: Seq[Stage], prefix: String = "", suffix: String = "")
+
+/** `merge as "name" [using <chain>]` (grammar :609-613). */
+final case class MergeAs(name: String, using: Seq[Stage] = Nil)
+
+/** `select <chains> from <match> [where <cexpr>]
+  * [after/before/between/head/tail] [merge as ...]` (grammar :818-831). */
+final case class SelectStmt(
+    chains: Seq[SelectChain],
+    sel: Sel,
+    where: Option[Cexpr] = None,
+    range: Option[Stage] = None,
+    merge: Option[MergeAs] = None) extends Statement
+
+/** `list series [cols] [match] [where] [limit N]` (grammar :803-812). */
+final case class ListSeriesStmt(
+    cols: Seq[String],
+    sel: Option[Sel] = None,
+    where: Option[Cexpr] = None,
+    limit: Option[Long] = None) extends Statement
+
+/** `count series [match] [where]` / `count series length ...`
+  * (grammar :772-785). */
+final case class CountStmt(
+    target: String, // "series" | "series_length" | "groups" | "tags" | "pools"
+    sel: Option[Sel] = None,
+    where: Option[Cexpr] = None) extends Statement
+
+/** Bare time expression — the calc statement (grammar :770). */
+final case class CalcStmt(value: Long) extends Statement
+
+/** `show [prop, ...]` (grammar :833-871). */
+final case class ShowStmt(props: Seq[String]) extends Statement
+
+/** `timeit <query>` prefix (grammar :873). */
+final case class TimeitStmt(inner: Statement) extends Statement
+
+/** Entity predicate tree — the cexpr mini-language
+  * (src/cexpr/cexpr.c; grammar where_series :350-366). */
+sealed trait Cexpr
+final case class CAnd(l: Cexpr, r: Cexpr) extends Cexpr
+final case class COr(l: Cexpr, r: Cexpr) extends Cexpr
+/** prop <op> value; value is a folded long or a string. */
+final case class CCmp(prop: String, op: String, value: Either[Long, String]) extends Cexpr

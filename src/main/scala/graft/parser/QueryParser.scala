@@ -1,0 +1,514 @@
+package graft.parser
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import scala.util.matching.Regex
+
+import graft.engine.Pipeline
+import graft.engine.Pipeline._
+import graft.engine.SeriesMatch
+import graft.engine.SeriesMatch.{All, GroupTag, Name, Regex => SelRegex, Sel, SetOp}
+
+/** Scannerless recursive-descent parser for the SiriDB query language,
+  * transliterating the libcleri grammar
+  * (/root/reference/grammar/grammar.py: START :877-892, select_stmt
+  * :818-831, series_match :449-464, aggregate_functions :577-600,
+  * where_series :350-366, int_expr/time_expr :227-239).
+  *
+  * Time and integer expressions are evaluated here with int64
+  * truncating semantics and div/mod-by-zero query errors
+  * (src/expr/expr.c:17-100); `now` is captured once per query
+  * (src/siri/db/query.c:109,592-595); time-unit suffixes [smhdw]
+  * multiply out per src/siri/db/time.c:34-54 and are then scaled by
+  * the database precision factor (include/siri/db/time.h:30-34);
+  * ISO8601 date strings parse in UTC (src/siri/db/query.c:916-945).
+  */
+final class QueryParser(input: String, now: Long, factor: Long = 1L) {
+  private var p = 0
+
+  private def err(m: String): Nothing = throw QueryError(m)
+
+  // ---- lexing helpers ----
+
+  private def ws(): Unit = {
+    while (p < input.length &&
+        (input(p).isWhitespace || input(p) == '#')) {
+      if (input(p) == '#') while (p < input.length && input(p) != '\n') p += 1
+      else p += 1
+    }
+  }
+
+  private def eof: Boolean = { ws(); p >= input.length }
+
+  /** Literal token like `(`, `=>`, `,`, `<=` … */
+  private def tryLit(s: String): Boolean = {
+    ws()
+    if (input.startsWith(s, p)) { p += s.length; true } else false
+  }
+
+  private def expectLit(s: String): Unit =
+    if (!tryLit(s)) err(s"expecting '$s' at position $p")
+
+  private val word: Regex = "[a-z_]+".r
+
+  private def peekWord: Option[String] = {
+    ws()
+    word.findPrefixOf(input.substring(p))
+  }
+
+  private def tryKw(kw: String): Boolean = {
+    ws()
+    if (peekWord.contains(kw)) { p += kw.length; true } else false
+  }
+
+  private def expectKw(kw: String): Unit =
+    if (!tryKw(kw)) err(s"expecting '$kw' at position $p")
+
+  /** Quoted string; adjacent quoted fragments concatenate
+    * (grammar r_singleq_str / r_doubleq_str :37-39). */
+  private def tryString(): Option[String] = {
+    ws()
+    if (p >= input.length || (input(p) != '\'' && input(p) != '"')) return None
+    val sb = new StringBuilder
+    var more = true
+    while (more) {
+      val q = input(p); p += 1
+      val end = input.indexOf(q, p)
+      if (end < 0) err("unterminated string literal")
+      sb.append(input.substring(p, end))
+      p = end + 1
+      ws()
+      more = p < input.length && (input(p) == '\'' || input(p) == '"')
+    }
+    Some(sb.toString)
+  }
+
+  private def expectString(): String =
+    tryString().getOrElse(err(s"expecting a string literal at position $p"))
+
+  private def tryGrave(): Option[String] = {
+    ws()
+    if (p >= input.length || input(p) != '`') return None
+    p += 1
+    val end = input.indexOf('`', p)
+    if (end < 0) err("unterminated grave-quoted name")
+    val s = input.substring(p, end); p = end + 1
+    Some(s)
+  }
+
+  /** /regex/ or /regex/i (grammar r_regex :44). */
+  private def tryRegexTok(): Option[(String, Boolean)] = {
+    ws()
+    if (p >= input.length || input(p) != '/') return None
+    val start = p + 1
+    var i = start
+    while (i < input.length && input(i) != '/') {
+      if (input(i) == '\\') i += 1
+      i += 1
+    }
+    if (i >= input.length) err("unterminated regular expression")
+    val pat = input.substring(start, i)
+    p = i + 1
+    val ci = p < input.length && input(p) == 'i' && { p += 1; true }
+    Some((pat, ci))
+  }
+
+  private val numRe: Regex = "[0-9]+".r
+
+  private def tryUInt(): Option[Long] = {
+    ws()
+    numRe.findPrefixOf(input.substring(p)).map { s =>
+      // [0-9]+[smhdw] is a time string, not a bare integer
+      p += s.length; s.toLong
+    }
+  }
+
+  // ---- int_expr / time_expr (evaluated while parsing) ----
+
+  private def applyOp(a: Long, op: Char, b: Long): Long = op match {
+    case '+' => a + b
+    case '-' => a - b
+    case '*' => a * b
+    case '/' =>
+      if (b == 0) err("Division by zero error") else a / b // expr.c:58-61
+    case '%' =>
+      if (b == 0) err("Modulo by zero error") else a % b // expr.c:53-56
+  }
+
+  private def binExpr(primary: () => Long): Long = {
+    def term(): Long = {
+      var a = primary()
+      var done = false
+      while (!done) {
+        ws()
+        if (p < input.length && (input(p) == '*' || input(p) == '/' || input(p) == '%')) {
+          val op = input(p); p += 1
+          a = applyOp(a, op, primary())
+        } else done = true
+      }
+      a
+    }
+    var a = term()
+    var done = false
+    while (!done) {
+      ws()
+      if (p < input.length && (input(p) == '+' || input(p) == '-')) {
+        val op = input(p); p += 1
+        a = applyOp(a, op, term())
+      } else done = true
+    }
+    a
+  }
+
+  private def intPrimary(): Long = {
+    ws()
+    if (tryLit("(")) { val v = binExpr(() => intPrimary()); expectLit(")"); v }
+    else if (tryLit("-")) -intPrimary()
+    else if (tryLit("+")) intPrimary()
+    else tryUInt().getOrElse(err(s"expecting an integer at position $p"))
+  }
+
+  def parseIntExpr(): Long = binExpr(() => intPrimary())
+
+  private val unitSecs = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L,
+    'd' -> 86400L, 'w' -> 604800L) // time.c:34-54
+
+  private def timePrimary(): Long = {
+    ws()
+    if (tryLit("(")) { val v = binExpr(() => timePrimary()); expectLit(")"); v }
+    else if (tryLit("-")) -timePrimary()
+    else if (tryKw("now")) now
+    else if (p < input.length && (input(p) == '\'' || input(p) == '"'))
+      parseDate(expectString()) * factor
+    else {
+      val n = tryUInt().getOrElse(err(s"expecting a time value at position $p"))
+      if (p < input.length && unitSecs.contains(input(p)) &&
+          !word.findPrefixOf(input.substring(p)).exists(_.length > 1)) {
+        val u = input(p); p += 1
+        n * unitSecs(u) * factor
+      } else n
+    }
+  }
+
+  def parseTimeExpr(): Long = binExpr(() => timePrimary())
+
+  /** ISO8601 in UTC (the db's default NAIVE timezone —
+    * src/siri/db/query.c:916-945, src/iso8601/iso8601.c). */
+  private def parseDate(s: String): Long = {
+    val t = s.trim.replace("T", " ").stripSuffix("Z")
+    try {
+      if (t.length <= 10) LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC).toEpochSecond
+      else {
+        val norm = if (t.count(_ == ':') == 1) t + ":00" else t
+        LocalDateTime.parse(norm.replace(" ", "T")).toEpochSecond(ZoneOffset.UTC)
+      }
+    } catch {
+      case _: Exception => err(s"unable to parse date/time string '$s'")
+    }
+  }
+
+  // ---- series_match (grammar :449-464) ----
+
+  private def seriesOperand(): Sel = {
+    ws()
+    if (tryLit("(")) { val s = seriesMatch(); expectLit(")"); s }
+    else if (tryLit("*")) All
+    else if (tryKw("all")) All
+    else tryRegexTok().map { case (pat, ci) => SelRegex(pat, ci): Sel }
+      .orElse(tryGrave().map(GroupTag(_): Sel))
+      .orElse(tryString().map(Name(_): Sel))
+      .getOrElse(err(s"expecting a series name, *, /regex/ or `group` at position $p"))
+  }
+
+  private def trySetOpr(): Option[String] = {
+    ws()
+    if (tryLit(",") || tryLit("|")) Some(",")
+    else if (tryLit("&")) Some("&")
+    else if (tryLit("-")) Some("-")
+    else if (tryLit("^")) Some("^")
+    else if (tryKw("union")) Some(",")
+    else if (tryKw("intersection")) Some("&")
+    else if (tryKw("difference")) Some("-")
+    else if (tryKw("symmetric_difference")) Some("^")
+    else None
+  }
+
+  def seriesMatch(): Sel = {
+    var acc = seriesOperand()
+    var op = trySetOpr()
+    while (op.isDefined) { // left-to-right fold (listener.c:1559-1565)
+      acc = SetOp(op.get, acc, seriesOperand())
+      op = trySetOpr()
+    }
+    acc
+  }
+
+  // ---- aggregate_functions (grammar :577-600) ----
+
+  private val simpleAggs: Map[String, AggFn] = Map(
+    "count" -> Count, "sum" -> Sum, "mean" -> Mean, "median" -> Median,
+    "median_low" -> MedianLow, "median_high" -> MedianHigh, "min" -> Min,
+    "max" -> Max, "variance" -> Variance, "pvariance" -> PVariance,
+    "stddev" -> Stddev, "first" -> First, "last" -> Last)
+
+  private def optTimeArg(): Option[Long] = {
+    expectLit("(")
+    val v = if (tryLit(")")) None else { val t = parseTimeExpr(); expectLit(")"); Some(t) }
+    v.foreach(gb => if (gb <= 0) err("group by time must be a positive value"))
+    v
+  }
+
+  /** One function; Right(ts) is an offset() marker that folds into the
+    * preceding bucketed aggregate below. */
+  private def aggrFn(): Seq[Either[Stage, Long]] = {
+    ws()
+    if (tryLit("*") || tryKw("all") || tryKw("points")) return Nil // passthrough
+    val w = peekWord.getOrElse(err(s"expecting an aggregation function at position $p"))
+    w match {
+      case f if simpleAggs.contains(f) =>
+        p += f.length
+        Seq(Left(Agg(simpleAggs(f), optTimeArg())))
+      case "difference" =>
+        p += w.length
+        optTimeArg() match {
+          case Some(gb) => Seq(Left(Agg(DifferenceAgg, Some(gb))))
+          case None => Seq(Left(Difference))
+        }
+      case "derivative" =>
+        p += w.length
+        expectLit("(")
+        if (tryLit(")")) Seq(Left(Derivative(1.0)))
+        else {
+          val unit = parseTimeExpr()
+          if (tryLit(",")) {
+            val gb = parseTimeExpr(); expectLit(")")
+            Seq(Left(Agg(DerivativeAgg(unit), Some(gb)))) // aggregate.c:370-411
+          } else { expectLit(")"); Seq(Left(Derivative(unit.toDouble))) }
+        }
+      case "timeval" =>
+        p += w.length; expectLit("("); expectLit(")"); Seq(Left(Timeval))
+      case "interval" =>
+        p += w.length; expectLit("("); expectLit(")"); Seq(Left(Interval))
+      case "filter" =>
+        p += w.length; expectLit("(")
+        val op = Seq("==", "!=", "<=", ">=", "<", ">", "!~", "~")
+          .find(tryLit).getOrElse("==")
+        val st: Stage =
+          tryRegexTok().map { case (pat, ci) =>
+            if (op != "==") err("filter with a regular expression requires '=='")
+            FilterRegex(pat, ci): Stage
+          }.orElse(tryString().map(FilterStr(op, _): Stage))
+            .getOrElse {
+              if (tryKw("nan")) FilterNum(op, Double.NaN)
+              else if (tryKw("inf")) FilterNum(op, Double.PositiveInfinity)
+              else if (tryLit("-") && tryKw("inf")) FilterNum(op, Double.NegativeInfinity)
+              else FilterNum(op, parseFloatLit())
+            }
+        expectLit(")")
+        Seq(Left(st))
+      case "limit" =>
+        p += w.length; expectLit("(")
+        val n = parseIntExpr()
+        if (n <= 0) err("limit must be a positive value")
+        expectLit(",")
+        val fw = peekWord.filter(simpleAggs.contains)
+          .getOrElse(err(s"expecting an aggregation function at position $p"))
+        p += fw.length
+        expectLit(")")
+        Seq(Left(LimitFn(n.toInt, simpleAggs(fw))))
+      case "offset" =>
+        p += w.length; expectLit("(")
+        val ts = parseTimeExpr(); expectLit(")")
+        Seq(Right(ts))
+      case other => err(s"unknown aggregation function '$other'")
+    }
+  }
+
+  private val floatRe: Regex = "[-+]?[0-9]*\\.?[0-9]+".r
+
+  private def parseFloatLit(): Double = {
+    ws()
+    floatRe.findPrefixOf(input.substring(p)) match {
+      case Some(s) => p += s.length; s.toDouble
+      case None => err(s"expecting a number at position $p")
+    }
+  }
+
+  /** Chain of functions joined by `=>`; offset() folds into the
+    * preceding bucketed aggregate (aggregate.c:224-236). */
+  def aggregateFunctions(): Seq[Stage] = {
+    var stages = aggrFn()
+    while (tryLit("=>")) stages ++= aggrFn()
+    stages.foldLeft(Vector.empty[Stage]) {
+      case (acc :+ Agg(fn, Some(gb), _), Right(ts)) =>
+        acc :+ Agg(fn, Some(gb), ts % gb)
+      case (_, Right(_)) =>
+        err("offset() must follow an aggregation function with a time argument")
+      case (acc, Left(st)) => acc :+ st
+    }
+  }
+
+  // ---- where cexpr (grammar where_series :350-366) ----
+
+  private val intProps = Set("length", "pool")
+  private val timeProps = Set("start", "end", "shard_duration")
+
+  private def cexprCmp(): Cexpr = {
+    ws()
+    if (tryLit("(")) { val c = cexprOr(); expectLit(")"); return c }
+    val prop = peekWord.getOrElse(err(s"expecting a property name at position $p"))
+    p += prop.length
+    val op = Seq("==", "!=", "<=", ">=", "<", ">", "!~", "~")
+      .find(tryLit).getOrElse(err(s"expecting a comparison operator at position $p"))
+    if (intProps(prop)) CCmp(prop, op, Left(parseIntExpr()))
+    else if (timeProps(prop)) CCmp(prop, op, Left(parseTimeExpr()))
+    else if (prop == "name") CCmp(prop, op, Right(expectString()))
+    else if (prop == "type") {
+      if (op != "==" && op != "!=") err("type supports only == and !=")
+      val t = peekWord.filter(Set("string", "integer", "float"))
+        .getOrElse(err("expecting string, integer or float"))
+      p += t.length
+      CCmp(prop, op, Right(t))
+    } else err(s"unknown series property '$prop'")
+  }
+
+  private def cexprAnd(): Cexpr = {
+    var a = cexprCmp()
+    while (tryKw("and")) a = CAnd(a, cexprCmp())
+    a
+  }
+
+  private def cexprOr(): Cexpr = {
+    var a = cexprAnd()
+    while (tryKw("or")) a = COr(a, cexprAnd())
+    a
+  }
+
+  private def tryWhere(): Option[Cexpr] =
+    if (tryKw("where")) Some(cexprOr()) else None
+
+  // ---- statements ----
+
+  private def selectStmt(): SelectStmt = {
+    def chain(): SelectChain = {
+      val stages = aggregateFunctions()
+      val prefix = if (tryKw("prefix")) expectString() else ""
+      val suffix = if (tryKw("suffix")) expectString() else ""
+      SelectChain(stages, prefix, suffix)
+    }
+    // select_aggregates is ','-separated, but ',' after `from` belongs
+    // to series_match — the chain list ends at `from`
+    val chains = Vector.newBuilder[SelectChain]
+    chains += chain()
+    while (tryLit(",")) chains += chain()
+    expectKw("from")
+    val sel = seriesMatch()
+    val where = tryWhere()
+    val range: Option[Stage] =
+      if (tryKw("after")) Some(TimeRange(Some(parseTimeExpr()), None))
+      else if (tryKw("between")) {
+        val a = parseTimeExpr(); expectKw("and")
+        Some(TimeRange(Some(a), Some(parseTimeExpr())))
+      }
+      else if (tryKw("before")) Some(TimeRange(None, Some(parseTimeExpr())))
+      else if (tryKw("head")) Some(Head(parseIntExpr().toInt))
+      else if (tryKw("tail")) Some(Tail(parseIntExpr().toInt))
+      else None
+    val merge =
+      if (tryKw("merge")) {
+        expectKw("as")
+        val name = expectString()
+        val using = if (tryKw("using")) aggregateFunctions() else Nil
+        Some(MergeAs(name, using))
+      } else None
+    val result = chains.result()
+    // prefix/suffix must give every select column a unique name
+    // (listener.c:3992-3999)
+    if (result.size > 1 &&
+        result.map(c => (c.prefix, c.suffix)).distinct.size != result.size)
+      err("When selecting multiple aggregations, add a prefix and/or suffix to make the series names unique")
+    SelectStmt(result, sel, where, range, merge)
+  }
+
+  private val seriesCols = Set("name", "type", "length", "start", "end",
+    "shard_duration", "pool")
+
+  private def listStmt(): Statement = {
+    expectKw("list")
+    expectKw("series") // other entities are answered by the catalog views
+    val cols = Vector.newBuilder[String]
+    var more = peekWord.exists(seriesCols)
+    while (more) {
+      val c = peekWord.get; p += c.length
+      cols += c
+      more = tryLit(",") // a ',' continues the column list only if a
+      if (more && !peekWord.exists(seriesCols)) { p -= 1; more = false }
+    }
+    val sel = peekSeriesMatchStart().map(_ => seriesMatch())
+    val where = tryWhere()
+    val limit = if (tryKw("limit")) Some(parseIntExpr()) else None
+    val c = cols.result()
+    ListSeriesStmt(if (c.isEmpty) Seq("name") else c, sel, where, limit)
+  }
+
+  private def peekSeriesMatchStart(): Option[Unit] = {
+    ws()
+    if (p < input.length &&
+        (input(p) == '\'' || input(p) == '"' || input(p) == '/' ||
+          input(p) == '`' || input(p) == '*' || input(p) == '(' ||
+          peekWord.contains("all"))) Some(())
+    else None
+  }
+
+  private def countStmt(): Statement = {
+    expectKw("count")
+    if (tryKw("series")) {
+      // `count series length` vs `count series [match]` — length wins
+      // unless followed by a comparison operator (then it's a where prop;
+      // not valid here, so keyword check suffices)
+      if (tryKw("length")) {
+        val sel = peekSeriesMatchStart().map(_ => seriesMatch())
+        CountStmt("series_length", sel, tryWhere())
+      } else {
+        val sel = peekSeriesMatchStart().map(_ => seriesMatch())
+        CountStmt("series", sel, tryWhere())
+      }
+    }
+    else if (tryKw("groups")) CountStmt("groups", None, tryWhere())
+    else if (tryKw("tags")) CountStmt("tags", None, tryWhere())
+    else if (tryKw("pools")) CountStmt("pools", None, tryWhere())
+    else err("expecting series, groups, tags or pools after 'count'")
+  }
+
+  private def showStmt(): Statement = {
+    expectKw("show")
+    val props = Vector.newBuilder[String]
+    var w = peekWord
+    while (w.isDefined) {
+      props += w.get; p += w.get.length
+      w = if (tryLit(",")) peekWord else None
+    }
+    ShowStmt(props.result())
+  }
+
+  def parse(): Statement = {
+    val timeit = tryKw("timeit")
+    val stmt: Statement = peekWord match {
+      case Some("select") => expectKw("select"); selectStmt()
+      case Some("list") => listStmt()
+      case Some("count") => countStmt()
+      case Some("show") => showStmt()
+      case Some("help") => err("help is served statically") // help/*.md
+      case _ => CalcStmt(parseTimeExpr()) // calc_stmt (grammar :770)
+    }
+    ws()
+    if (p < input.length) err(s"unexpected input at position $p: '${input.substring(p).take(20)}'")
+    if (timeit) TimeitStmt(stmt) else stmt
+  }
+}
+
+object QueryParser {
+  /** Parse with `now` captured once (query.c:109,592-595). */
+  def parse(q: String, now: Long = System.currentTimeMillis() / 1000,
+      factor: Long = 1L): Statement =
+    new QueryParser(q, now, factor).parse()
+}

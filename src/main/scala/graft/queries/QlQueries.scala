@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Pipeline, SeriesStore}
+import graft.parser.{EngineEnv, Planner}
+
+/** End-to-end query-language entries: each runs a real SiriDB query
+  * string through QueryParser → Planner → Catalyst, checked against a
+  * hand-written DuckDB oracle. This is the surface a reference user
+  * actually types (SURVEY §3.1).
+  */
+object QlQueries {
+
+  private val PF = SeriesStore.pointsFSql
+  private val PI = SeriesStore.pointsISql
+  private val PS = SeriesStore.pointsSSql
+  private val CAT = SeriesStore.catalogAllSql
+  private val ORD = "ORDER BY ts, pid"
+
+  private def env(s: SparkSession, d: String) = EngineEnv(s, d,
+    groups = Map("clicks" -> "^f\\.click\\."),
+    tags = Map("firstpool" -> Seq("i.view.1", "i.view.2", "f.view.1")))
+
+  private def ql(s: SparkSession, d: String, q: String): DataFrame =
+    Planner.query(q, env(s, d), now = Some(1706659200L))
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+
+  private def rounded(df: DataFrame): DataFrame =
+    df.select(col("series"), col("ts"), round(col("val"), 6).as("val"))
+
+  private def bkt(gb: Long, off: Long = 0) = Pipeline.bucketSql(gb, off)
+
+  def entries: Seq[Entry] = Seq(
+    // calc statement: parse-time int64 folding with units
+    // (expr.c:17-100, time.c:34-54)
+    Entry("ql_calc",
+      "SELECT CAST(1447249033 + 7200 - 1800 AS BIGINT) AS calc") {
+      (s, d) => ql(s, d, "(1447249033 + 2h) - 30m")
+    },
+    // `now` is captured once per query (query.c:109,592-595); entry
+    // pins it via the injected now
+    Entry("ql_calc_now",
+      "SELECT CAST(1706659200 - 1706659200 % 86400 AS BIGINT) AS calc") {
+      (s, d) => ql(s, d, "now - now % 1d")
+    },
+    Entry("ql_calc_date",
+      "SELECT CAST(1479081600 AS BIGINT) AS calc") {
+      (s, d) => ql(s, d, "'2016-11-14'")
+    },
+    Entry("ql_select_sum_between",
+      s"""SELECT series, ${bkt(3600)} AS ts, CAST(sum(val) AS BIGINT) AS val
+         |FROM ($PI) WHERE regexp_matches(series, '^i\\.click\\.')
+         |  AND ts >= 1705000000 AND ts < 1706000000
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d,
+        "select sum(1h) from /^i\\.click\\./ between 1705000000 and 1706000000"))
+    },
+    Entry("ql_select_chain",
+      s"""WITH b AS (SELECT series, ${bkt(7200)} AS ts, CAST(max(val) AS BIGINT) AS val
+         |           FROM ($PI) WHERE regexp_matches(series, '^i\\.view\\.') GROUP BY 1, 2)
+         |SELECT series, ts, val - prev AS val FROM (
+         |  SELECT series, ts, val, lag(val) OVER (PARTITION BY series ORDER BY ts) AS prev FROM b
+         |) WHERE prev IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select max(2h) => difference() from /^i\\.view\\./"))
+    },
+    Entry("ql_select_presuf",
+      s"""WITH p AS (SELECT * FROM ($PI) WHERE regexp_matches(series, '^i\\.error\\.')),
+         |mn AS (SELECT 'min-' || series AS series, ${bkt(21600)} AS ts, min(val) AS val FROM p GROUP BY 2, series),
+         |mx AS (SELECT 'max-' || series AS series, ${bkt(21600)} AS ts, max(val) AS val FROM p GROUP BY 2, series)
+         |SELECT * FROM (SELECT * FROM mn UNION ALL SELECT * FROM mx) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d,
+        "select min(6h) prefix 'min-', max(6h) prefix 'max-' from /^i\\.error\\./"))
+    },
+    Entry("ql_select_head",
+      s"""SELECT series, ts, val FROM ($PI) WHERE series = 'i.click.0'
+         |QUALIFY row_number() OVER (PARTITION BY series $ORD) <= 3 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select * from 'i.click.0' head 3"))
+    },
+    Entry("ql_select_filter_merge",
+      s"""SELECT 'big purchases' AS series, ${bkt(86400)} AS ts, CAST(sum(val) AS BIGINT) AS val
+         |FROM (SELECT series AS orig, ${bkt(86400)} AS ts, val
+         |      FROM ($PI) WHERE regexp_matches(series, '^i\\.purchase\\.') AND val >= 10000)
+         |GROUP BY 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d,
+        "select filter(>= 10000) => sum(1d) from /^i\\.purchase\\./ merge as 'big purchases' using sum(1d)"))
+    },
+    Entry("ql_select_group_union",
+      s"""SELECT series, max(ts) AS ts, count(*) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.click\\.') OR series = 'f.signup.0'
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select count() from `clicks`, 'f.signup.0'"))
+    },
+    Entry("ql_select_where",
+      s"""SELECT series, max(ts) AS ts, count(*) AS val FROM ($PI)
+         |WHERE series IN (SELECT series FROM ($CAT)
+         |                 WHERE "type" = 'integer' AND "length" > 250 AND contains(series, 'view'))
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d,
+        "select count() from /^i\\./ where length > 250 and name ~ 'view'"))
+    },
+    Entry("ql_select_str_first",
+      s"""SELECT series, ${bkt(86400)} AS ts, first(val $ORD) AS val
+         |FROM ($PS) WHERE series = 's.signup.3' GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select first(1d) from 's.signup.3'"))
+    },
+    Entry("ql_list_series_where",
+      s"""SELECT series AS name, "length" FROM ($CAT)
+         |WHERE contains(series, 'click') AND "length" > 250 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d,
+        "list series name, length where name ~ 'click' and length > 250"))
+    },
+    Entry("ql_list_series_match",
+      s"""SELECT series AS name, "type", pool FROM ($CAT)
+         |WHERE regexp_matches(series, '^s\\.') ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "list series name, type, pool /^s\\./"))
+    },
+    Entry("ql_count_series",
+      s"""SELECT count(*) AS series FROM ($CAT) WHERE regexp_matches(series, '^f\\.')""") {
+      (s, d) => ql(s, d, "count series /^f\\./")
+    },
+    Entry("ql_count_series_length",
+      s"""SELECT CAST(sum("length") AS BIGINT) AS series_length FROM ($CAT)
+         |WHERE "type" = 'integer'""".stripMargin) {
+      (s, d) => ql(s, d, "count series length where type == integer")
+    },
+    Entry("ql_select_tag_mean",
+      s"""SELECT series, ${bkt(43200)} AS ts, round(avg(val), 6) AS val
+         |FROM (${SeriesStore.pointsSql})
+         |WHERE series IN ('i.view.1', 'i.view.2', 'f.view.1')
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      // tag mixes int+float series → values promote to double
+      // (points.c:368-376)
+      (s, d) => ordered(rounded(ql(s, d, "select mean(12h) from `firstpool`")))
+    },
+    Entry("ql_timeit_count",
+      s"""SELECT count(*) AS series FROM ($CAT)""") {
+      (s, d) => ql(s, d, "timeit count series")
+    })
+}
