@@ -101,16 +101,40 @@ object Pipeline {
     if (hasPid(df)) Seq(col("series"), col("ts"), v.as("val"), col("pid"))
     else Seq(col("series"), col("ts"), v.as("val"))
 
+  /** int64 sum with the reference's overflow error
+    * (aggregate.c:1646-1652): the partials accumulate in DECIMAL —
+    * exact far past int64, still whole-stage-codegen'd — and the final
+    * value errors instead of wrapping when it leaves int64 range. */
+  private def checkedSumLong: Column = {
+    val s = sum(col("val").cast("decimal(20,0)"))
+    when(s > lit(Long.MaxValue) || s < lit(Long.MinValue),
+      raise_error(lit("Overflow detected while using sum().")))
+      .otherwise(s.cast("long"))
+  }
+
+  /** a - b with the reference's overflow error (aggregate.c:804,1332):
+    * try_subtract yields NULL exactly on int64 overflow (operands are
+    * never null on this path), which becomes the reference's error. */
+  private def checkedSubLong(a: Column, b: Column): Column = {
+    val d = try_subtract(a, b)
+    when(d.isNull,
+      raise_error(lit("Overflow detected while using difference().")))
+      .otherwise(d)
+  }
+
   /** The aggregate value expression for a bucket/whole-series group.
     * After any aggregate stage (series, ts) is unique, so the pid
     * tie-break is only needed on the raw table. */
-  private def aggValue(fn: AggFn, withPid: Boolean): Column = {
+  private def aggValue(fn: AggFn, withPid: Boolean, intSeries: Boolean): Column = {
     val ord = if (withPid) "struct(ts, pid)" else "ts"
     fn match {
       case First => expr(s"min_by(val, $ord)")
       case Last => expr(s"max_by(val, $ord)")
+      case DifferenceAgg | DerivativeAgg(_) if intSeries =>
+        checkedSubLong(expr(s"max_by(val, $ord)"), expr(s"min_by(val, $ord)"))
       case DifferenceAgg | DerivativeAgg(_) =>
         expr(s"max_by(val, $ord) - min_by(val, $ord)")
+      case Sum if intSeries => checkedSumLong
       case other => aggValueSimple(other)
     }
   }
@@ -142,7 +166,7 @@ object Pipeline {
 
   def applyStage(df: DataFrame, stage: Stage): DataFrame = stage match {
     case Agg(fn, Some(gb), off) =>
-      val v0 = aggValue(fn, hasPid(df))
+      val v0 = aggValue(fn, hasPid(df), isIntSeries(df))
       val v = fn match {
         case DerivativeAgg(unit) => v0 * lit(unit.toDouble) / lit(gb.toDouble)
         case _ => v0
@@ -150,7 +174,7 @@ object Pipeline {
       df.groupBy(col("series"), bucket(gb, off).as("ts"))
         .agg(v.as("val"))
     case Agg(fn, None, _) =>
-      val v0 = aggValue(fn, hasPid(df))
+      val v0 = aggValue(fn, hasPid(df), isIntSeries(df))
       df.groupBy(col("series"))
         .agg(toOneTs(fn).as("ts"), v0.as("val"))
         .select(col("series"), col("ts"), col("val"))
@@ -158,7 +182,10 @@ object Pipeline {
       val w = seriesOrder(df)
       val stepped = df.withColumn("__prev", lag(col("val"), 1).over(w))
         .where(col("__prev").isNotNull)
-      stepped.select(carry(stepped, col("val") - col("__prev")): _*)
+      val delta =
+        if (isIntSeries(df)) checkedSubLong(col("val"), col("__prev"))
+        else col("val") - col("__prev")
+      stepped.select(carry(stepped, delta): _*)
     case Derivative(unit) =>
       val w = seriesOrder(df)
       val stepped = df
@@ -214,7 +241,7 @@ object Pipeline {
       val bucketed = joined.where(col("__len") > n)
         .groupBy(col("series"),
           (expr("((ts + __gb - 1) div __gb) * __gb") + col("__off")).as("ts"))
-        .agg(aggValue(fn, hasPid(df)).as("val"))
+        .agg(aggValue(fn, hasPid(df), isIntSeries(df)).as("val"))
       small.unionByName(bucketed)
     case TimeRange(after, before) =>
       val f1 = after.map(a => col("ts") >= a).getOrElse(lit(true))

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.SeriesStore
+
+/** Continuous ingest with SiriDB's semantics (SURVEY §2.10): no
+  * watermark — out-of-order and duplicate timestamps are accepted at
+  * any time (sorted insert src/siri/db/points.c:226-245), and queries
+  * always see every ingested point (read = buffer ∪ shards,
+  * src/siri/db/series.c:914-996).
+  *
+  * Layout under `storeDir`:
+  *   points/shard=<ts div shardDuration>/...parquet  — the fact table,
+  *     time-bucketed like the reference's shards (src/siri/db/shard.c)
+  *     so ts-range queries prune whole directories;
+  *   catalog.parquet — (series, type, length, start, end, pool),
+  *     upserted incrementally per micro-batch (the analog of the
+  *     reference's series.dat); `list`/`count series length` and the
+  *     bare count()/first()/last() skip-points fast path read ONLY
+  *     this — never the fact table (aggregate.c:495-510).
+  *
+  * At scale each micro-batch append is a partitioned parquet write and
+  * the catalog upsert aggregates only the batch (plus a catalog-sized
+  * merge) — nothing re-scans history.
+  */
+object Ingest {
+
+  /** Wire form of one inserted point (insert.c:93-126 validates the
+    * same shape: series name, integer ts, numeric value). */
+  final case class PointIn(series: String, ts: Long, val_num: Double,
+      tp: String, pid: Long)
+
+  def pointsPath(dir: String) = s"$dir/points"
+  def catalogPath(dir: String) = s"$dir/catalog.parquet"
+
+  /** Start the ingest stream: any streaming source with PointIn rows →
+    * shard-partitioned append + incremental catalog upsert. */
+  def start(src: DataFrame, storeDir: String, checkpoint: String,
+      shardDuration: Long = 86400L): StreamingQuery =
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(batch, storeDir, shardDuration)
+      }
+      .start()
+
+  /** One micro-batch: append points, merge the batch's per-series
+    * stats into the catalog. Runs sequentially per stream (Spark
+    * serializes foreachBatch calls). */
+  def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long): Unit = {
+    val spark = batch.sparkSession
+    val pts = batch.select(col("series"), col("ts"), col("val_num").as("val"),
+      col("tp"), col("pid"))
+    pts.withColumn("shard", expr(s"ts div $shardDuration"))
+      .write.mode("append").partitionBy("shard").parquet(pointsPath(storeDir))
+
+    val delta = pts.groupBy(col("series"))
+      .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
+        max(col("ts")).as("end"), first(col("tp")).as("type"))
+    val catPath = catalogPath(storeDir)
+    val fs = new Path(storeDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(new Path(catPath))) spark.read.parquet(catPath)
+      else spark.emptyDataFrame
+        .select(lit("").as("series"), lit(0L).as("length"),
+          lit(0L).as("start"), lit(0L).as("end"), lit("").as("type"))
+        .limit(0)
+    val merged = existing.select("series", "length", "start", "end", "type")
+      .unionByName(delta)
+      .groupBy(col("series"))
+      .agg(sum(col("length")).cast("long").as("length"),
+        min(col("start")).as("start"), max(col("end")).as("end"),
+        // first inserted point fixes the series type (series.c:72-76)
+        first(col("type")).as("type"))
+      .withColumn("pool", SeriesStore.poolOf("series"))
+    val tmp = new Path(catPath + ".tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new Path(catPath), true)
+    fs.rename(tmp, new Path(catPath))
+  }
+
+  /** The queryable store: all ingested points (buffer ∪ shards). */
+  def points(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(pointsPath(storeDir))
+      .select(col("series"), col("ts"), col("val"), col("pid"))
+
+  /** The incrementally-maintained catalog — answers metadata queries
+    * without touching point data. */
+  def catalog(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(catalogPath(storeDir))
+}

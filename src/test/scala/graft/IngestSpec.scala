@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.engine.Pipeline
+import graft.engine.Pipeline._
+import graft.streaming.Ingest
+import graft.streaming.Ingest.PointIn
+
+/** Out-of-order-tolerant continuous ingest (points.c:226-245): later
+  * batches may carry older and duplicate timestamps; queries see all
+  * points, and the incrementally-upserted catalog matches the data. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("out-of-order batches land, queries see everything, catalog upserts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    val mem = MemoryStream[PointIn]
+    val q = Ingest.start(mem.toDF(), dir, ckpt, shardDuration = 100L)
+    try {
+      // batch 1: in-order
+      mem.addData(
+        PointIn("cpu", 100L, 1.0, "float", 1),
+        PointIn("cpu", 200L, 2.0, "float", 2),
+        PointIn("mem", 150L, 5.0, "float", 3))
+      q.processAllAvailable()
+      // batch 2: OLDER timestamps + a duplicate ts — accepted, no
+      // watermark drops anything
+      mem.addData(
+        PointIn("cpu", 50L, 0.5, "float", 4),
+        PointIn("cpu", 200L, 2.5, "float", 5),
+        PointIn("mem", 10L, 4.0, "float", 6))
+      q.processAllAvailable()
+
+      val pts = Ingest.points(spark, dir)
+      assert(pts.count() === 6)
+      // query sees all points in ts order, duplicates preserved
+      val cpu = Pipeline(pts.where(col("series") === "cpu"), Nil)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(identity)
+      assert(cpu.toSeq === Seq((50L, 0.5), (100L, 1.0), (200L, 2.0), (200L, 2.5)))
+      // equal-ts insertion order via pid: last() takes pid 5
+      val last = Pipeline(pts.where(col("series") === "cpu"), Seq(Agg(Last, None)))
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(last.toSeq === Seq((200L, 2.5)))
+
+      // catalog was maintained incrementally — length/start/end merged
+      // across batches without re-scanning the fact table
+      val cat = Ingest.catalog(spark, dir)
+        .orderBy("series").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(cat.toSeq === Seq(("cpu", 4L, 50L, 200L), ("mem", 2L, 10L, 150L)))
+
+      // shard partitioning (ts div 100) prunes time-range scans
+      val shards = new java.io.File(s"$dir/points").listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(shards.toSeq === Seq("shard=0", "shard=1", "shard=2"))
+    } finally q.stop()
+  }
+}

@@ -176,6 +176,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(small === TS.zip(VALS)) // untouched passthrough
   }
 
+  test("int64 sum/difference overflow is an error, not a wrap — aggregate.c:1646-1652") {
+    // the itest 'huge' fixture: values at int64 max must not wrap
+    val huge = Seq(("huge", 1L, Long.MaxValue, 0L), ("huge", 2L, Long.MaxValue - 1, 1L))
+      .toDF("series", "ts", "val", "pid")
+    val e1 = intercept[Exception](Pipeline(huge, Seq(Agg(Sum, None))).collect())
+    assert(e1.getMessage.contains("Overflow detected while using sum()"))
+    val neg = Seq(("huge", 1L, Long.MaxValue, 0L), ("huge", 2L, -10L, 1L))
+      .toDF("series", "ts", "val", "pid")
+    val e2 = intercept[Exception](Pipeline(neg, Seq(Difference)).collect())
+    assert(e2.getMessage.contains("Overflow detected while using difference()"))
+    // non-overflowing values still flow through the checked paths
+    assert(runL(fixture, Agg(Sum, None)) === Seq((27L, 35L)))
+    assert(runL(fixture, Agg(DifferenceAgg, Some(30))) === Seq((30L, 2L)))
+  }
+
   test("merge applies the using-chain after the union — listener.c:6727-6810") {
     val two = Seq(("a", 1L, 1L, 0L), ("a", 5L, 2L, 1L),
       ("b", 1L, 10L, 2L), ("b", 6L, 20L, 3L))
