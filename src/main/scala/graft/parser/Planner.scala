@@ -15,18 +15,25 @@ import graft.engine.SeriesMatch.{All, Env, Name, Sel, Regex => SelRegex}
   * presuf naming); scan pruning, partial aggregation, join strategy
   * etc. stay with Catalyst.
   */
+/** Typed point frames + catalog backing a query session; defaults to
+  * the driver's events-derived families, overridable (e.g. with an
+  * Ingest store — see graft.server.HttpApi). */
+final case class Frames(
+    f: DataFrame, i: DataFrame, s: DataFrame, m: DataFrame, cat: DataFrame)
+
 final case class EngineEnv(
     spark: SparkSession,
     dir: String,
     groups: Map[String, String] = Map.empty,
     tags: Map[String, Seq[String]] = Map.empty,
-    factor: Long = 1L) {
+    factor: Long = 1L,
+    frames: Option[Frames] = None) {
 
-  lazy val pointsF: DataFrame = SeriesStore.pointsF(spark, dir)
-  lazy val pointsI: DataFrame = SeriesStore.pointsI(spark, dir)
-  lazy val pointsS: DataFrame = SeriesStore.pointsS(spark, dir)
-  lazy val pointsM: DataFrame = SeriesStore.points(spark, dir)
-  lazy val catalog: DataFrame = SeriesStore.catalogAll(spark, dir)
+  lazy val pointsF: DataFrame = frames.map(_.f).getOrElse(SeriesStore.pointsF(spark, dir))
+  lazy val pointsI: DataFrame = frames.map(_.i).getOrElse(SeriesStore.pointsI(spark, dir))
+  lazy val pointsS: DataFrame = frames.map(_.s).getOrElse(SeriesStore.pointsS(spark, dir))
+  lazy val pointsM: DataFrame = frames.map(_.m).getOrElse(SeriesStore.points(spark, dir))
+  lazy val catalog: DataFrame = frames.map(_.cat).getOrElse(SeriesStore.catalogAll(spark, dir))
 
   lazy val matchEnv: Env = Env(
     catalog = catalog,

@@ -58,7 +58,18 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.minhashLshPairs(docs(s, d), n = 3,
         numHashes = 128, bands = 32, theta = 0.5))
     },
-    Entry.weak("dedup_simhash") { // portable-hash simhash; pinned by DedupSpec
+    // simhash is fully portable (md5-derived token hashes), so the
+    // oracle recomputes the identical 60-bit signature in SQL
+    Entry("dedup_simhash",
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(15), k ->
+        |        CAST(strpos('0123456789abcdef', substring(md5(tok), k+1, 1)) - 1 AS BIGINT)
+        |          << (4*(14-k)))) AS BIGINT) AS hv
+        |      FROM t),
+        |b AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+        |      FROM h, range(60) r(j) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(CASE WHEN tot > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+        |FROM b GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Dedup.simhash(docs(s, d)))
     },
 

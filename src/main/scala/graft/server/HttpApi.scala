@@ -1,0 +1,201 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.parser.{EngineEnv, Frames, Planner, QueryError, SelectStmt, TimeitStmt, QueryParser}
+import graft.streaming.Ingest
+
+/** Thin HTTP façade over the engine — the Spark analog of the
+  * reference's HTTP API (src/siri/api.c:233-292):
+  *
+  *   POST /query/<db>   {"q": "<siridb query>"}
+  *   POST /insert/<db>  {"name": [[ts,val],...], ...}        (map form)
+  *                      [{"name": "x", "points": [[ts,v]..]}] (array form)
+  *
+  * Select results use the reference's encoding
+  * {series: [[ts,val],...], ...} with points sorted by ts
+  * (siridb_points_pack, src/siri/db/points.c:250-288); metadata
+  * queries return {columns: [...], rows: [[...]]}; inserts reply
+  * {"success_msg": "Successfully inserted N point(s)."}
+  * (itest/test_select.py:103-106). `timeit` wraps the result with
+  * __timeit__ info (listener.c:5026-5064).
+  *
+  * Inserted data lands in an Ingest store (shard-partitioned parquet +
+  * incrementally-upserted catalog) and is immediately queryable.
+  */
+final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  /** select_points_limit guard (include/siri/db/db.h:16). */
+  var selectPointsLimit: Long = 1000000L
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/query/", exchange(handleQuery))
+  server.createContext("/insert/", exchange(handleInsert))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  // ---- engine binding: typed frames over the ingest store ----
+
+  private def env: EngineEnv = {
+    val pts = Ingest.points(spark, storeDir)
+    val cat = Ingest.catalog(spark, storeDir)
+    val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
+    val f = typed.where(col("type") === "float").drop("type")
+    val i = typed.where(col("type") === "integer").drop("type")
+      .withColumn("val", col("val").cast("long"))
+    val s = typed.where(col("type") === "string").drop("type").limit(0)
+      .withColumn("val", col("val").cast("string"))
+    EngineEnv(spark, storeDir,
+      frames = Some(Frames(f, i, s, pts, cat)))
+  }
+
+  // ---- handlers ----
+
+  private def exchange(h: JsonNode => (Int, JsonNode))(ex: HttpExchange): Unit = {
+    val (code, body) =
+      try {
+        if (ex.getRequestMethod != "POST")
+          (405, errNode("only POST is supported"))
+        else {
+          val in = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          h(mapper.readTree(in))
+        }
+      } catch {
+        case e: QueryError => (400, errNode(e.msg))
+        case e: Exception =>
+          val m = Option(e.getMessage).getOrElse(e.toString).linesIterator.next()
+          (500, errNode(m))
+      }
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def errNode(m: String): JsonNode =
+    mapper.createObjectNode().put("error_msg", m)
+
+  private def handleQuery(req: JsonNode): (Int, JsonNode) = {
+    val q = Option(req.get("q")).map(_.asText())
+      .getOrElse(throw QueryError("expecting a 'q' field with the query"))
+    val t0 = System.nanoTime()
+    val stmt = QueryParser.parse(q)
+    val df = Planner.run(stmt, env)
+    val isSelect = (stmt match {
+      case TimeitStmt(s) => s
+      case s => s
+    }).isInstanceOf[SelectStmt]
+    val node =
+      if (isSelect) encodeSelect(df)
+      else encodeTable(df)
+    stmt match {
+      case TimeitStmt(_) =>
+        val timeit = mapper.createArrayNode()
+        val entry = mapper.createObjectNode()
+        entry.put("server", "local")
+        entry.put("time", (System.nanoTime() - t0) / 1e9)
+        timeit.add(entry)
+        node.asInstanceOf[ObjectNode].set[JsonNode]("__timeit__", timeit)
+      case _ => ()
+    }
+    (200, node)
+  }
+
+  /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
+    * order (points.c:250-288). */
+  private def encodeSelect(df: DataFrame): JsonNode = {
+    val n = df.count()
+    if (n > selectPointsLimit)
+      throw QueryError(
+        s"Query returns more than $selectPointsLimit points — use an aggregate or a time range")
+    val valType = df.schema("val").dataType
+    val rows = df.orderBy(col("series"), col("ts")).collect()
+    val out = mapper.createObjectNode()
+    rows.foreach { r =>
+      val series = r.getString(0)
+      val arr = out.get(series) match {
+        case a: ArrayNode => a
+        case _ => val a = mapper.createArrayNode(); out.set[JsonNode](series, a); a
+      }
+      val point = mapper.createArrayNode()
+      point.add(r.getLong(1))
+      valType match {
+        case LongType => point.add(r.getLong(2))
+        case DoubleType => point.add(r.getDouble(2))
+        case StringType => point.add(r.getString(2))
+        case _ => point.add(r.get(2).toString)
+      }
+      arr.add(point)
+    }
+    out
+  }
+
+  /** {columns: [...], rows: [[...]]} for list/count/show/calc. */
+  private def encodeTable(df: DataFrame): ObjectNode = {
+    val out = mapper.createObjectNode()
+    val cols = out.putArray("columns")
+    df.columns.foreach(cols.add)
+    val rows = out.putArray("rows")
+    df.limit(10001).collect().foreach { r =>
+      val arr = rows.addArray()
+      r.toSeq.foreach {
+        case l: Long => arr.add(l)
+        case d: Double => arr.add(d)
+        case s: String => arr.add(s)
+        case i: Int => arr.add(i)
+        case null => arr.addNull()
+        case other => arr.add(other.toString)
+      }
+    }
+    out
+  }
+
+  /** Both insert wire forms (src/siri/db/insert.c:77-126); type is
+    * inferred from the first point's value like the reference infers
+    * from the qpack type (series.c). */
+  private def handleInsert(req: JsonNode): (Int, JsonNode) = {
+    val points = Vector.newBuilder[Ingest.PointIn]
+    var pid = System.nanoTime() // monotonic-enough insertion ids
+    def addSeries(name: String, pts: JsonNode): Unit = {
+      if (!pts.isArray) throw QueryError(s"expecting an array of points for '$name'")
+      pts.asScala.foreach { pt =>
+        if (!pt.isArray || pt.size() != 2 || !pt.get(0).canConvertToLong)
+          throw QueryError("expecting points like [timestamp, value]")
+        val ts = pt.get(0).asLong()
+        if (ts < 0) throw QueryError("timestamps must be >= 0")
+        val v = pt.get(1)
+        val tp = if (v.isIntegralNumber) "integer"
+          else if (v.isNumber) "float"
+          else throw QueryError("expecting an integer or float value")
+        points += Ingest.PointIn(name, ts, v.asDouble(), tp, { pid += 1; pid })
+      }
+    }
+    if (req.isObject) // map form
+      req.fields().asScala.foreach(e => addSeries(e.getKey, e.getValue))
+    else if (req.isArray) // array form
+      req.asScala.foreach { o =>
+        val name = Option(o.get("name")).map(_.asText())
+          .getOrElse(throw QueryError("expecting a 'name' field"))
+        addSeries(name, o.get("points"))
+      }
+    else throw QueryError("expecting a map or array insert body")
+    val rows = points.result()
+    import spark.implicits._
+    Ingest.appendBatch(rows.toDF(), storeDir, shardDuration = 86400L)
+    val ok = mapper.createObjectNode()
+    ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")
+    (200, ok)
+  }
+}
