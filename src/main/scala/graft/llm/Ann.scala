@@ -90,12 +90,18 @@ object Ann {
       .select(col("vec_id"), col("v"), col("nrm"), col("ts.t").as("t"), col("ts.sig").as("sig"))
     val corpus = sigs(e)
     val queries = sigs(e.where(col("vec_id") < nQueries))
-      .select(col("t"), col("sig"), col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
-    val cands = corpus.join(queries, Seq("t", "sig"))
+      .select(col("t"), col("sig"), col("vec_id").as("query_id"))
+    // dedupe candidate PAIRS (two longs) before re-attaching the
+    // embedding arrays — shuffling and distinct-ing the vectors
+    // themselves is the expensive anti-pattern
+    val pairs = corpus.select(col("t"), col("sig"), col("vec_id"))
+      .join(queries, Seq("t", "sig"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("vec_id"), col("v"), col("nrm")).distinct()
+      .select(col("query_id"), col("vec_id")).distinct()
+    val cands = pairs
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
     val scored = cands.withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)

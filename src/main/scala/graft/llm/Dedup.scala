@@ -71,19 +71,21 @@ object Dedup {
       bands: Int = 32, theta: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sh = shingles(docs, n)
-    // one row per (doc, hash function): h_j(shingle) = xxhash64(shingle, j)
-    val hashed = sh.select(col("doc_id"), explode(expr(
-      s"transform(sequence(0, ${numHashes - 1}), j -> struct(j AS j, xxhash64(shingle, j) AS h))"))
-      .as("x"))
-      .select(col("doc_id"), col("x.j").as("j"), col("x.h").as("h"))
-    val sig = hashed.groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("mh"))
-    // band signature = hash of the band's minhash values in j order
-    val bandKeys = sig
-      .withColumn("band", (col("j") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(expr("concat_ws(',', transform(sort_array(collect_list(struct(j, mh))), s -> cast(s.mh AS string)))"))
-        .as("bkey"))
+    // hash each shingle string ONCE; the hash family then works over
+    // that long (seeded re-hash), so the signature is one aggregation
+    // with numHashes min() buffers — no row explosion, map-side
+    // combine keeps the shuffle at #docs rows
+    val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
+    val minCols = (0 until numHashes)
+      .map(j => min(xxhash64(col("h0"), lit(j))).as(s"m$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // band key = hash of the band's minhash values (one long per band)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*).as(s"b$b")
+    }
+    val stackExpr = (0 until bands).map(b => s"$b, b$b").mkString(", ")
+    val bandKeys = sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bkey)")
     val cands = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

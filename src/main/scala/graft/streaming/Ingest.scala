@@ -88,6 +88,22 @@ object Ingest {
     spark.read.parquet(pointsPath(storeDir))
       .select(col("series"), col("ts"), col("val"), col("pid"))
 
+  /** Time-range read with shard pruning: the ts predicate is pushed
+    * into the parquet row groups AND translated to a predicate on the
+    * `shard` partition column, so out-of-range shard directories are
+    * never listed — the analog of the reference's shard index pruning
+    * (src/siri/db/series.c:927-938). */
+  def pointsRange(spark: SparkSession, storeDir: String,
+      after: Option[Long], before: Option[Long],
+      shardDuration: Long = 86400L): DataFrame = {
+    val df = spark.read.parquet(pointsPath(storeDir))
+    val filters = Seq(
+      after.map(a => col("ts") >= a && col("shard") >= a / shardDuration),
+      before.map(b => col("ts") < b && col("shard") <= b / shardDuration)).flatten
+    filters.foldLeft(df)(_ where _)
+      .select(col("series"), col("ts"), col("val"), col("pid"))
+  }
+
   /** The incrementally-maintained catalog — answers metadata queries
     * without touching point data. */
   def catalog(spark: SparkSession, storeDir: String): DataFrame =

@@ -61,6 +61,14 @@ class IngestSpec extends AnyFunSuite {
       val shards = new java.io.File(s"$dir/points").listFiles()
         .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
       assert(shards.toSeq === Seq("shard=0", "shard=1", "shard=2"))
+
+      // pointsRange: same rows, but the plan prunes shard directories
+      val ranged = Ingest.pointsRange(spark, dir, Some(100L), Some(201L),
+        shardDuration = 100L)
+      assert(ranged.count() === 4)
+      val plan = ranged.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") || plan.contains("shard"),
+        s"expected shard partition pruning in plan:\n$plan")
     } finally q.stop()
   }
 }
