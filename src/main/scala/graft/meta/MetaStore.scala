@@ -1,0 +1,51 @@
+package graft.meta
+
+import scala.collection.concurrent.TrieMap
+
+/** Mutable database metadata — the Spark-side analog of the
+  * reference's groups.dat / tags.dat / users.dat + database config
+  * (src/siri/db/groups.c, tags.c, users.c, db.c). Thread-safe; state
+  * is per-engine-instance (a production deployment would persist this
+  * like the catalog — one tiny parquet/JSON per entity).
+  */
+final class MetaStore {
+
+  final case class User(password: String, access: Set[String])
+
+  /** group name -> saved regex (continuously re-evaluated against the
+    * catalog on use — the reference re-evaluates on a 2 s loop,
+    * src/siri/db/groups.c:44). */
+  val groups = TrieMap[String, String]()
+  /** tag name -> explicit member series (src/siri/db/tags.c). */
+  val tags = TrieMap[String, Set[String]]()
+  val users = TrieMap[String, User]()
+  /** dropped series (tombstones — the analog of dropped-series purge,
+    * src/siri/optimize.c). */
+  val dropped = TrieMap[String, Unit]()
+
+  /** alterable database config (db.h:15-17 defaults). */
+  val config = TrieMap[String, String](
+    "drop_threshold" -> "1.0",
+    "list_limit" -> "10000",
+    "select_points_limit" -> "1000000",
+    "timezone" -> "NAIVE",
+    "tee" -> "false")
+
+  def dropThreshold: Double = config("drop_threshold").toDouble
+  def listLimit: Int = config("list_limit").toInt
+  def selectPointsLimit: Long = config("select_points_limit").toLong
+
+  def tagSeries(tag: String, series: Seq[String]): Int = {
+    val cur = tags.getOrElse(tag, Set.empty)
+    val added = series.toSet -- cur
+    tags.put(tag, cur ++ added)
+    added.size
+  }
+
+  def untagSeries(tag: String, series: Seq[String]): Int = {
+    val cur = tags.getOrElse(tag, Set.empty)
+    val removed = cur intersect series.toSet
+    tags.put(tag, cur -- removed)
+    removed.size
+  }
+}

@@ -54,6 +54,38 @@ final case class ShowStmt(props: Seq[String]) extends Statement
 /** `timeit <query>` prefix (grammar :873). */
 final case class TimeitStmt(inner: Statement) extends Statement
 
+/** `list groups/tags/users/pools/shards/servers [where]`
+  * (grammar :739-757). */
+final case class ListEntityStmt(entity: String, where: Option[Cexpr] = None)
+  extends Statement
+
+/** `help [topic]` (grammar :897-945; topics from the help markdown set). */
+final case class HelpStmt(topic: Option[String]) extends Statement
+
+// ---- DDL / DML / admin (grammar :716-768; SURVEY §2.8) ----
+
+sealed trait DdlStmt extends Statement
+final case class CreateGroup(name: String, regex: String) extends DdlStmt
+final case class CreateUser(name: String, password: String) extends DdlStmt
+final case class DropGroup(name: String) extends DdlStmt
+final case class DropTag(name: String) extends DdlStmt
+final case class DropUser(name: String) extends DdlStmt
+/** guarded by drop_threshold (db.h:15) unless ignoreThreshold. */
+final case class DropSeries(sel: Option[Sel], where: Option[Cexpr],
+    ignoreThreshold: Boolean) extends DdlStmt
+final case class DropShards(where: Option[Cexpr],
+    ignoreThreshold: Boolean) extends DdlStmt
+/** `alter series <match> [where] tag/untag `t`` (listener.c:1699,5011,5066). */
+final case class AlterSeriesTag(sel: Sel, where: Option[Cexpr],
+    tag: String, untag: Boolean) extends DdlStmt
+final case class AlterUser(name: String, password: String) extends DdlStmt
+final case class AlterGroup(name: String, regex: String) extends DdlStmt
+final case class AlterTag(name: String, newName: String) extends DdlStmt
+final case class AlterDatabase(prop: String, value: String) extends DdlStmt
+final case class GrantUser(access: Seq[String], name: String,
+    password: Option[String]) extends DdlStmt
+final case class RevokeUser(access: Seq[String], name: String) extends DdlStmt
+
 /** Entity predicate tree — the cexpr mini-language
   * (src/cexpr/cexpr.c; grammar where_series :350-366). */
 sealed trait Cexpr

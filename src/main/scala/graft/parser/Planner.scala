@@ -27,7 +27,12 @@ final case class EngineEnv(
     groups: Map[String, String] = Map.empty,
     tags: Map[String, Seq[String]] = Map.empty,
     factor: Long = 1L,
-    frames: Option[Frames] = None) {
+    frames: Option[Frames] = None,
+    meta: graft.meta.MetaStore = new graft.meta.MetaStore) {
+
+  // seed the metastore from the convenience constructor args
+  groups.foreach { case (g, re) => meta.groups.put(g, re) }
+  tags.foreach { case (t, ss) => meta.tags.put(t, ss.toSet) }
 
   lazy val pointsF: DataFrame = frames.map(_.f).getOrElse(SeriesStore.pointsF(spark, dir))
   lazy val pointsI: DataFrame = frames.map(_.i).getOrElse(SeriesStore.pointsI(spark, dir))
@@ -35,13 +40,20 @@ final case class EngineEnv(
   lazy val pointsM: DataFrame = frames.map(_.m).getOrElse(SeriesStore.points(spark, dir))
   lazy val catalog: DataFrame = frames.map(_.cat).getOrElse(SeriesStore.catalogAll(spark, dir))
 
-  lazy val matchEnv: Env = Env(
-    catalog = catalog,
-    groups = groups,
-    tags = cat => {
+  /** Snapshot of the (mutable) metastore for series matching. */
+  def matchEnv: Env = Env(
+    catalog = catalogLive,
+    groups = meta.groups.toMap,
+    tags = _ => {
       import spark.implicits._
-      tags.toSeq.flatMap { case (t, ss) => ss.map(t -> _) }.toDF("tag", "series")
+      meta.tags.toSeq.flatMap { case (t, ss) => ss.map(t -> _) }.toDF("tag", "series")
     })
+
+  /** Catalog minus dropped series (tombstones held in the metastore;
+    * a persistent deployment anti-joins a tombstone table instead). */
+  def catalogLive: DataFrame =
+    if (meta.dropped.isEmpty) catalog
+    else catalog.where(!col("series").isInCollection(meta.dropped.keys.toSeq))
 }
 
 object Planner {
@@ -54,33 +66,90 @@ object Planner {
     case p => col(p) // length, pool, start, end, type
   }
 
+  private def cmpCol(pc: Column, op: String, v: Either[Long, String]): Column = {
+    val lv: Column = v.fold(lit(_), lit(_))
+    op match {
+      case "==" => pc === lv
+      case "!=" => pc =!= lv
+      case "<" => pc < lv
+      case ">" => pc > lv
+      case "<=" => pc <= lv
+      case ">=" => pc >= lv
+      case "~" => pc.contains(v.toOption.get) // string-contains (cexpr.h:11-20)
+      case "!~" => !pc.contains(v.toOption.get)
+    }
+  }
+
   private def cexprCol(c: Cexpr, env: EngineEnv): Column = c match {
     case CAnd(l, r) => cexprCol(l, env) && cexprCol(r, env)
     case COr(l, r) => cexprCol(l, env) || cexprCol(r, env)
-    case CCmp(prop, op, v) =>
-      val pc = propCol(prop, env)
-      val lv: Column = v.fold(lit(_), lit(_))
-      op match {
-        case "==" => pc === lv
-        case "!=" => pc =!= lv
-        case "<" => pc < lv
-        case ">" => pc > lv
-        case "<=" => pc <= lv
-        case ">=" => pc >= lv
-        case "~" => pc.contains(v.toOption.get) // string-contains (cexpr.h:11-20)
-        case "!~" => !pc.contains(v.toOption.get)
-      }
+    case CCmp(prop, op, v) => cmpCol(propCol(prop, env), op, v)
+  }
+
+  /** cexpr over an entity view whose props are plain columns. */
+  private def cexprPlain(c: Cexpr): Column = c match {
+    case CAnd(l, r) => cexprPlain(l) && cexprPlain(r)
+    case COr(l, r) => cexprPlain(l) || cexprPlain(r)
+    case CCmp(prop, op, v) => cmpCol(col(prop), op, v)
+  }
+
+  private def ok(env: EngineEnv, msg: String): DataFrame = {
+    import env.spark.implicits._
+    Seq(msg).toDF("success_msg")
+  }
+
+  /** Entity views for list/count (grammar :739-757; prop emitters
+    * src/siri/db/props.c, group.c, tag.c, pools.c). */
+  private def entityDf(entity: String, env: EngineEnv, where: Option[Cexpr]): DataFrame = {
+    import env.spark.implicits._
+    val base: DataFrame = entity match {
+      case "groups" =>
+        val gdf = env.meta.groups.toSeq.toDF("name", "expression")
+        if (env.meta.groups.isEmpty)
+          gdf.withColumn("series", lit(0L))
+        else {
+          // one job for all member counts: broadcast the (tiny) group
+          // list and regex-match against the catalog
+          val counts = env.catalogLive
+            .crossJoin(broadcast(gdf))
+            .where(expr("regexp_like(series, expression)"))
+            .groupBy(col("name")).agg(count(lit(1)).as("series"))
+          gdf.join(counts, Seq("name"), "left")
+            .withColumn("series", coalesce(col("series"), lit(0L)))
+        }
+      case "tags" =>
+        env.meta.tags.toSeq.map { case (t, ss) => (t, ss.size.toLong) }
+          .toDF("name", "series")
+      case "users" =>
+        env.meta.users.toSeq
+          .map { case (n, u) => (n, u.access.toSeq.sorted.mkString(",")) }
+          .toDF("name", "access")
+      case "pools" =>
+        env.catalogLive.groupBy(col("pool"))
+          .agg(lit(1L).as("servers"), count(lit(1)).as("series"))
+      case "shards" =>
+        // time-bucketed view over the points (shard.c's sid/size/start/end)
+        env.pointsM
+          .groupBy(expr("ts div 604800").as("sid"))
+          .agg(lit(0L).as("pool"), (count(lit(1)) * 16).as("size"),
+            min(col("ts")).as("start"), max(col("ts")).as("end"))
+      case "servers" =>
+        Seq(("local", "running", 0L, "2.0.55")).toDF("name", "status", "pool", "version")
+      case other => throw QueryError(s"list $other is not supported")
+    }
+    where.map(w => base.where(cexprPlain(w))).getOrElse(base)
   }
 
   /** Catalog rows matching a series selection + where predicate. */
   private def selCatalog(sel: Option[Sel], where: Option[Cexpr], env: EngineEnv): DataFrame = {
+    val cat = env.catalogLive
     val base = sel match {
-      case None | Some(All) => env.catalog
-      case Some(Name(n)) => env.catalog.where(col("series") === n)
+      case None | Some(All) => cat
+      case Some(Name(n)) => cat.where(col("series") === n)
       case Some(SelRegex(pat, ci)) =>
-        env.catalog.where(col("series").rlike(if (ci) "(?i)" + pat else pat))
+        cat.where(col("series").rlike(if (ci) "(?i)" + pat else pat))
       case Some(s) =>
-        env.catalog.join(SeriesMatch.eval(s, env.matchEnv), Seq("series"), "left_semi")
+        cat.join(SeriesMatch.eval(s, env.matchEnv), Seq("series"), "left_semi")
     }
     where.map(w => base.where(cexprCol(w, env))).getOrElse(base)
   }
@@ -98,12 +167,10 @@ object Planner {
       else if (types.subsetOf(Set("integer", "float"))) env.pointsM // int→double promotion (points.c:368-376)
       else throw QueryError("Cannot use string and number series in one selection")
     val matched = SeriesMatch.select(frame, sel, env.matchEnv)
-    where match {
-      case Some(w) =>
-        matched.join(selCatalog(Some(sel), where, env).select(col("series")),
-          Seq("series"), "left_semi")
-      case None => matched
-    }
+    if (where.isDefined || env.meta.dropped.nonEmpty)
+      matched.join(selCatalog(Some(sel), where, env).select(col("series")),
+        Seq("series"), "left_semi")
+    else matched
   }
 
   /** Functions allowed on string ("log") series; everything else is a
@@ -137,8 +204,7 @@ object Planner {
       val known = Map(
         "dbname" -> "graft", "time_precision" -> "s", "version" -> "2.0.55",
         "timezone" -> "NAIVE", "who_am_i" -> "graft", "server" -> "local",
-        "status" -> "running", "list_limit" -> "10000",
-        "select_points_limit" -> "1000000", "drop_threshold" -> "1.0")
+        "status" -> "running") ++ env.meta.config
       val sel = if (props.isEmpty) known.keys.toSeq.sorted else props
       sel.map(pp => (pp, known.getOrElse(pp, "unknown"))).toDF("name", "value")
 
@@ -150,7 +216,7 @@ object Planner {
       }
       selCatalog(sel, where, env)
         .select(outCols: _*)
-        .limit(limit.getOrElse(10000L).toInt) // list_limit default (db.h:17)
+        .limit(limit.map(_.toInt).getOrElse(env.meta.listLimit)) // list_limit (db.h:17)
 
     case CountStmt("series", sel, where) =>
       selCatalog(sel, where, env).agg(count(lit(1)).as("series"))
@@ -160,19 +226,145 @@ object Planner {
       // point data (siridb_aggregate_can_skip, aggregate.c:495-510)
       selCatalog(sel, where, env).agg(sum(col("length")).as("series_length"))
 
-    case CountStmt("groups", _, _) =>
+    case CountStmt("groups", _, where) =>
       import env.spark.implicits._
-      Seq(env.groups.size.toLong).toDF("groups")
+      Seq(entityDf("groups", env, where).count()).toDF("groups")
 
-    case CountStmt("tags", _, _) =>
+    case CountStmt("tags", _, where) =>
       import env.spark.implicits._
-      Seq(env.tags.size.toLong).toDF("tags")
+      Seq(entityDf("tags", env, where).count()).toDF("tags")
+
+    case CountStmt("users", _, where) =>
+      import env.spark.implicits._
+      Seq(entityDf("users", env, where).count()).toDF("users")
+
+    case CountStmt("servers", _, _) =>
+      import env.spark.implicits._
+      Seq(1L).toDF("servers")
 
     case CountStmt("pools", _, _) =>
-      env.catalog.select(col("pool")).distinct().agg(count(lit(1)).as("pools"))
+      env.catalogLive.select(col("pool")).distinct().agg(count(lit(1)).as("pools"))
+
+    case CountStmt("shards", _, where) =>
+      import env.spark.implicits._
+      Seq(entityDf("shards", env, where).count()).toDF("shards")
+
+    case CountStmt("shards_size", _, where) =>
+      entityDf("shards", env, where).agg(sum(col("size")).cast("long").as("size"))
 
     case CountStmt(other, _, _) =>
       throw QueryError(s"count $other is not supported")
+
+    case ListEntityStmt(entity, where) =>
+      entityDf(entity, env, where)
+
+    case HelpStmt(topic) =>
+      import env.spark.implicits._
+      val all = Map(
+        "select" -> "select <fn(..)> [=> fn(..)] from <series> [where ...] [after|before|between|head|tail] [merge as 'name' [using fn(..)]]",
+        "list" -> "list series|groups|tags|users|pools|shards|servers [columns] [match] [where ...] [limit n]",
+        "count" -> "count series [length]|groups|tags|users|pools|shards [size]|servers [where ...]",
+        "create" -> "create group `name` for /regex/ | create user 'name' set password '...'",
+        "drop" -> "drop series <match> [where] [set ignore_threshold true] | drop group|tag|user ...",
+        "alter" -> "alter series <match> tag|untag `t` | alter user|group|tag|database set ...",
+        "grant" -> "grant read|write|modify|full to user 'name'",
+        "revoke" -> "revoke read|write|modify|full from user 'name'",
+        "show" -> "show [property, ...]",
+        "timeit" -> "timeit <any query> — adds __timeit__ timing info")
+      topic match {
+        case Some(t) =>
+          Seq((t, all.getOrElse(t, s"no help for '$t'"))).toDF("topic", "help")
+        case None => all.toSeq.sorted.toDF("topic", "help")
+      }
+
+    // ---- DDL / admin (SURVEY §2.8; success messages mirror
+    //      listener.c:150-204) ----
+
+    case CreateGroup(name, regex) =>
+      if (env.meta.groups.contains(name))
+        throw QueryError(s"group '$name' already exists")
+      java.util.regex.Pattern.compile(regex) // validate eagerly
+      env.meta.groups.put(name, regex)
+      ok(env, s"Successfully created group '$name'.")
+
+    case CreateUser(name, password) =>
+      if (env.meta.users.contains(name))
+        throw QueryError(s"user '$name' already exists")
+      env.meta.users.put(name, env.meta.User(password, Set.empty))
+      ok(env, s"Successfully created user '$name'.")
+
+    case DropGroup(name) =>
+      if (env.meta.groups.remove(name).isEmpty)
+        throw QueryError(s"group '$name' does not exist")
+      ok(env, s"Successfully dropped group '$name'.")
+
+    case DropTag(name) =>
+      if (env.meta.tags.remove(name).isEmpty)
+        throw QueryError(s"tag '$name' does not exist")
+      ok(env, s"Successfully dropped tag '$name'.")
+
+    case DropUser(name) =>
+      if (env.meta.users.remove(name).isEmpty)
+        throw QueryError(s"user '$name' does not exist")
+      ok(env, s"Successfully dropped user '$name'.")
+
+    case DropSeries(sel, where, ignoreThreshold) =>
+      val names = selCatalog(sel, where, env)
+        .select(col("series")).collect().map(_.getString(0))
+      val total = env.catalogLive.count()
+      val frac = if (total == 0) 0.0 else names.length.toDouble / total
+      if (!ignoreThreshold && frac > env.meta.dropThreshold)
+        throw QueryError(
+          f"This query would drop ${frac * 100}%.2f%% of the series. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
+      names.foreach(n => env.meta.dropped.put(n, ()))
+      ok(env, s"Successfully dropped ${names.length} series.")
+
+    case AlterSeriesTag(sel, where, tag, untag) =>
+      val names = selCatalog(Some(sel), where, env)
+        .select(col("series")).collect().map(_.getString(0)).toSeq
+      if (untag) ok(env, s"Successfully untagged ${env.meta.untagSeries(tag, names)} series.")
+      else ok(env, s"Successfully tagged ${env.meta.tagSeries(tag, names)} series.")
+
+    case AlterUser(name, password) =>
+      val u = env.meta.users.getOrElse(name,
+        throw QueryError(s"user '$name' does not exist"))
+      env.meta.users.put(name, u.copy(password = password))
+      ok(env, s"Successfully updated user '$name'.")
+
+    case AlterGroup(name, regex) =>
+      if (!env.meta.groups.contains(name))
+        throw QueryError(s"group '$name' does not exist")
+      java.util.regex.Pattern.compile(regex)
+      env.meta.groups.put(name, regex)
+      ok(env, s"Successfully updated group '$name'.")
+
+    case AlterTag(name, newName) =>
+      val members = env.meta.tags.remove(name)
+        .getOrElse(throw QueryError(s"tag '$name' does not exist"))
+      env.meta.tags.put(newName, members)
+      ok(env, s"Successfully updated tag '$name'.")
+
+    case AlterDatabase(prop, value) =>
+      val old = env.meta.config.getOrElse(prop, "")
+      env.meta.config.put(prop, value)
+      ok(env, s"Successfully changed $prop from '$old' to '$value'.")
+
+    case GrantUser(access, name, pw) =>
+      val u = env.meta.users.getOrElse(name,
+        throw QueryError(s"user '$name' does not exist"))
+      env.meta.users.put(name,
+        u.copy(access = u.access ++ access,
+          password = pw.getOrElse(u.password)))
+      ok(env, s"Successfully granted permissions to user '$name'.")
+
+    case RevokeUser(access, name) =>
+      val u = env.meta.users.getOrElse(name,
+        throw QueryError(s"user '$name' does not exist"))
+      env.meta.users.put(name, u.copy(access = u.access -- access))
+      ok(env, s"Successfully revoked permissions from user '$name'.")
+
+    case DropShards(_, _) =>
+      throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
 
     case SelectStmt(chains, sel, where, range, merge) =>
       val base0 = baseFrame(sel, where, env)

@@ -347,44 +347,55 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
     }
   }
 
-  // ---- where cexpr (grammar where_series :350-366) ----
+  // ---- where cexpr (grammar where_series :350-366 and the per-entity
+  //      variants :319-431); prop kinds: i=int expr, t=time expr,
+  //      s=string, y=series-type keyword ----
 
-  private val intProps = Set("length", "pool")
-  private val timeProps = Set("start", "end", "shard_duration")
+  /** where_series props (siridb_series_cexpr_cb, series.c:85-112). */
+  private val seriesProps = Map("length" -> 'i', "pool" -> 'i',
+    "start" -> 't', "end" -> 't', "shard_duration" -> 't',
+    "name" -> 's', "type" -> 'y')
+  private val groupProps = Map("name" -> 's', "expression" -> 's', "series" -> 'i')
+  private val tagProps = Map("name" -> 's', "series" -> 'i')
+  private val userProps = Map("name" -> 's', "access" -> 's')
+  private val poolProps = Map("pool" -> 'i', "servers" -> 'i', "series" -> 'i')
+  private val shardProps = Map("sid" -> 'i', "pool" -> 'i', "size" -> 'i',
+    "start" -> 't', "end" -> 't')
 
-  private def cexprCmp(): Cexpr = {
+  private def cexprCmp(props: Map[String, Char]): Cexpr = {
     ws()
-    if (tryLit("(")) { val c = cexprOr(); expectLit(")"); return c }
+    if (tryLit("(")) { val c = cexprOr(props); expectLit(")"); return c }
     val prop = peekWord.getOrElse(err(s"expecting a property name at position $p"))
     p += prop.length
     val op = Seq("==", "!=", "<=", ">=", "<", ">", "!~", "~")
       .find(tryLit).getOrElse(err(s"expecting a comparison operator at position $p"))
-    if (intProps(prop)) CCmp(prop, op, Left(parseIntExpr()))
-    else if (timeProps(prop)) CCmp(prop, op, Left(parseTimeExpr()))
-    else if (prop == "name") CCmp(prop, op, Right(expectString()))
-    else if (prop == "type") {
-      if (op != "==" && op != "!=") err("type supports only == and !=")
-      val t = peekWord.filter(Set("string", "integer", "float"))
-        .getOrElse(err("expecting string, integer or float"))
-      p += t.length
-      CCmp(prop, op, Right(t))
-    } else err(s"unknown series property '$prop'")
+    props.getOrElse(prop, err(s"unknown property '$prop'")) match {
+      case 'i' => CCmp(prop, op, Left(parseIntExpr()))
+      case 't' => CCmp(prop, op, Left(parseTimeExpr()))
+      case 's' => CCmp(prop, op, Right(expectString()))
+      case 'y' =>
+        if (op != "==" && op != "!=") err("type supports only == and !=")
+        val t = peekWord.filter(Set("string", "integer", "float"))
+          .getOrElse(err("expecting string, integer or float"))
+        p += t.length
+        CCmp(prop, op, Right(t))
+    }
   }
 
-  private def cexprAnd(): Cexpr = {
-    var a = cexprCmp()
-    while (tryKw("and")) a = CAnd(a, cexprCmp())
+  private def cexprAnd(props: Map[String, Char]): Cexpr = {
+    var a = cexprCmp(props)
+    while (tryKw("and")) a = CAnd(a, cexprCmp(props))
     a
   }
 
-  private def cexprOr(): Cexpr = {
-    var a = cexprAnd()
-    while (tryKw("or")) a = COr(a, cexprAnd())
+  private def cexprOr(props: Map[String, Char]): Cexpr = {
+    var a = cexprAnd(props)
+    while (tryKw("or")) a = COr(a, cexprAnd(props))
     a
   }
 
-  private def tryWhere(): Option[Cexpr] =
-    if (tryKw("where")) Some(cexprOr()) else None
+  private def tryWhere(props: Map[String, Char] = seriesProps): Option[Cexpr] =
+    if (tryKw("where")) Some(cexprOr(props)) else None
 
   // ---- statements ----
 
@@ -434,7 +445,13 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
 
   private def listStmt(): Statement = {
     expectKw("list")
-    expectKw("series") // other entities are answered by the catalog views
+    if (tryKw("groups")) return ListEntityStmt("groups", tryWhere(groupProps))
+    if (tryKw("tags")) return ListEntityStmt("tags", tryWhere(tagProps))
+    if (tryKw("users")) return ListEntityStmt("users", tryWhere(userProps))
+    if (tryKw("pools")) return ListEntityStmt("pools", tryWhere(poolProps))
+    if (tryKw("shards")) return ListEntityStmt("shards", tryWhere(shardProps))
+    if (tryKw("servers")) return ListEntityStmt("servers", None)
+    expectKw("series")
     val cols = Vector.newBuilder[String]
     var more = peekWord.exists(seriesCols)
     while (more) {
@@ -473,10 +490,133 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
         CountStmt("series", sel, tryWhere())
       }
     }
-    else if (tryKw("groups")) CountStmt("groups", None, tryWhere())
-    else if (tryKw("tags")) CountStmt("tags", None, tryWhere())
-    else if (tryKw("pools")) CountStmt("pools", None, tryWhere())
-    else err("expecting series, groups, tags or pools after 'count'")
+    else if (tryKw("groups")) CountStmt("groups", None, tryWhere(groupProps))
+    else if (tryKw("tags")) CountStmt("tags", None, tryWhere(tagProps))
+    else if (tryKw("pools")) CountStmt("pools", None, tryWhere(poolProps))
+    else if (tryKw("users")) CountStmt("users", None, tryWhere(userProps))
+    else if (tryKw("servers")) CountStmt("servers", None, None)
+    else if (tryKw("shards")) {
+      if (tryKw("size")) CountStmt("shards_size", None, tryWhere(shardProps))
+      else CountStmt("shards", None, tryWhere(shardProps))
+    }
+    else err("expecting series, groups, tags, pools, users, servers or shards after 'count'")
+  }
+
+  // ---- DDL / admin (grammar :716-768) ----
+
+  private def expectGrave(): String =
+    tryGrave().getOrElse(err(s"expecting a `grave-quoted` name at position $p"))
+
+  private def expectRegex(): String =
+    tryRegexTok().map(_._1).getOrElse(err(s"expecting a /regex/ at position $p"))
+
+  private def setPassword(): String = {
+    expectKw("set"); expectKw("password"); expectString()
+  }
+
+  private def createStmt(): Statement = {
+    expectKw("create")
+    if (tryKw("group")) {
+      val name = expectGrave(); expectKw("for")
+      CreateGroup(name, expectRegex())
+    } else if (tryKw("user")) {
+      val name = expectString()
+      CreateUser(name, setPassword())
+    } else err("expecting group or user after 'create'")
+  }
+
+  private def dropStmt(): Statement = {
+    expectKw("drop")
+    if (tryKw("group")) DropGroup(expectGrave())
+    else if (tryKw("tag")) DropTag(expectGrave())
+    else if (tryKw("user")) DropUser(expectString())
+    else if (tryKw("series")) {
+      val sel = peekSeriesMatchStart().map(_ => seriesMatch())
+      val where = tryWhere()
+      if (sel.isEmpty && where.isEmpty)
+        err("drop series requires a series match and/or where statement")
+      DropSeries(sel, where, tryIgnoreThreshold())
+    }
+    else if (tryKw("shards"))
+      DropShards(tryWhere(shardProps), tryIgnoreThreshold())
+    else err("expecting group, tag, user, series or shards after 'drop'")
+  }
+
+  private def tryIgnoreThreshold(): Boolean =
+    if (tryKw("set")) {
+      expectKw("ignore_threshold")
+      if (tryKw("true")) true
+      else if (tryKw("false")) false
+      else err("expecting true or false")
+    } else false
+
+  private def alterStmt(): Statement = {
+    expectKw("alter")
+    if (tryKw("series")) {
+      val sel = seriesMatch()
+      val where = tryWhere()
+      if (tryKw("tag")) AlterSeriesTag(sel, where, expectGrave(), untag = false)
+      else if (tryKw("untag")) AlterSeriesTag(sel, where, expectGrave(), untag = true)
+      else err("expecting tag or untag")
+    } else if (tryKw("user")) {
+      val name = expectString()
+      AlterUser(name, setPassword())
+    } else if (tryKw("group")) {
+      val name = expectGrave()
+      expectKw("set"); expectKw("expression")
+      AlterGroup(name, expectRegex())
+    } else if (tryKw("tag")) {
+      val name = expectGrave()
+      expectKw("set"); expectKw("name")
+      AlterTag(name, expectGrave())
+    } else if (tryKw("database")) {
+      expectKw("set")
+      val prop = peekWord.getOrElse(err("expecting a database property"))
+      p += prop.length
+      val value = prop match {
+        case "drop_threshold" => parseFloatLit().toString
+        case "list_limit" | "select_points_limit" => parseIntExpr().toString
+        case "expiration_num" | "expiration_log" => parseTimeExpr().toString
+        case "timezone" => expectString()
+        case "tee" => if (tryKw("false")) "false" else expectString()
+        case other => err(s"unknown database property '$other'")
+      }
+      AlterDatabase(prop, value)
+    } else err("expecting series, user, group, tag or database after 'alter'")
+  }
+
+  /** access_expr (grammar :200-215, :465): comma list of access keywords. */
+  private val accessKws = Set("read", "write", "modify", "full",
+    "select", "show", "list", "count", "create", "insert", "drop",
+    "grant", "revoke", "alter")
+
+  private def accessExpr(): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var more = true
+    while (more) {
+      val w = peekWord.filter(accessKws)
+        .getOrElse(err(s"expecting an access keyword at position $p"))
+      p += w.length
+      out += w
+      more = tryLit(",")
+    }
+    out.result()
+  }
+
+  private def grantStmt(): Statement = {
+    expectKw("grant")
+    val access = accessExpr()
+    expectKw("to"); expectKw("user")
+    val name = expectString()
+    val pw = if (tryKw("set")) { expectKw("password"); Some(expectString()) } else None
+    GrantUser(access, name, pw)
+  }
+
+  private def revokeStmt(): Statement = {
+    expectKw("revoke")
+    val access = accessExpr()
+    expectKw("from"); expectKw("user")
+    RevokeUser(access, expectString())
   }
 
   private def showStmt(): Statement = {
@@ -497,7 +637,14 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
       case Some("list") => listStmt()
       case Some("count") => countStmt()
       case Some("show") => showStmt()
-      case Some("help") => err("help is served statically") // help/*.md
+      case Some("create") => createStmt()
+      case Some("drop") => dropStmt()
+      case Some("alter") => alterStmt()
+      case Some("grant") => grantStmt()
+      case Some("revoke") => revokeStmt()
+      case Some("help") =>
+        expectKw("help")
+        HelpStmt(peekWord.map { w => p += w.length; w })
       case _ => CalcStmt(parseTimeExpr()) // calc_stmt (grammar :770)
     }
     ws()

@@ -138,5 +138,31 @@ object QlQueries {
     Entry("ql_timeit_count",
       s"""SELECT count(*) AS series FROM ($CAT)""") {
       (s, d) => ql(s, d, "timeit count series")
+    },
+    // DDL round-trips: mutations execute eagerly on a fresh metastore,
+    // the returned query reads the mutated state
+    Entry("ql_ddl_group_roundtrip",
+      s"""SELECT series, max(ts) AS ts, count(*) AS val FROM ($PI)
+         |WHERE regexp_matches(series, '^i\\.signup\\.')
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        val e = EngineEnv(s, d)
+        Planner.query("create group `signups` for /^i\\.signup\\./", e)
+        ordered(Planner.query("select count() from `signups`", e))
+    },
+    Entry("ql_ddl_tag_roundtrip",
+      s"""SELECT series, ts, val FROM ($PI)
+         |WHERE series IN ('i.view.0', 'i.view.1') AND ts >= 1706000000 ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        val e = EngineEnv(s, d)
+        Planner.query("alter series 'i.view.0' | 'i.view.1' tag `watch`", e)
+        ordered(Planner.query("select * from `watch` after 1706000000", e))
+    },
+    Entry("ql_ddl_drop_where",
+      s"""SELECT count(*) AS series FROM ($CAT) WHERE NOT "length" > 260""") {
+      (s, d) =>
+        val e = EngineEnv(s, d)
+        Planner.query("drop series where length > 260 set ignore_threshold true", e)
+        Planner.query("count series", e)
     })
 }

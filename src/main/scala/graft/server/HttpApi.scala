@@ -35,8 +35,6 @@ import graft.streaming.Ingest
 final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
 
   private val mapper = new ObjectMapper()
-  /** select_points_limit guard (include/siri/db/db.h:16). */
-  var selectPointsLimit: Long = 1000000L
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/query/", exchange(handleQuery))
@@ -46,6 +44,12 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
   def stop(): Unit = server.stop(0)
 
   // ---- engine binding: typed frames over the ingest store ----
+
+  /** One metastore per server instance: DDL state (groups, tags,
+    * users, tombstones, config) must survive across requests — the
+    * frames below are rebuilt per request (data grows), the metadata
+    * is not. */
+  private val meta = new graft.meta.MetaStore
 
   private def env: EngineEnv = {
     val pts = Ingest.points(spark, storeDir)
@@ -57,7 +61,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
     val s = typed.where(col("type") === "string").drop("type").limit(0)
       .withColumn("val", col("val").cast("string"))
     EngineEnv(spark, storeDir,
-      frames = Some(Frames(f, i, s, pts, cat)))
+      frames = Some(Frames(f, i, s, pts, cat)), meta = meta)
   }
 
   // ---- handlers ----
@@ -116,10 +120,13 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
   /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
     * order (points.c:250-288). */
   private def encodeSelect(df: DataFrame): JsonNode = {
+    // select_points_limit guard (db.h:16), alterable via
+    // `alter database set select_points_limit N`
+    val limit = meta.selectPointsLimit
     val n = df.count()
-    if (n > selectPointsLimit)
+    if (n > limit)
       throw QueryError(
-        s"Query returns more than $selectPointsLimit points — use an aggregate or a time range")
+        s"Query returns more than $limit points — use an aggregate or a time range")
     val valType = df.schema("val").dataType
     val rows = df.orderBy(col("series"), col("ts")).collect()
     val out = mapper.createObjectNode()

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parser.{EngineEnv, Planner, QueryError}
+
+/** DDL/admin statements end-to-end through the query surface
+  * (SURVEY §2.8; success messages mirror listener.c:150-204). */
+class DdlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(env: EngineEnv, s: String): Seq[Seq[Any]] =
+    Planner.query(s, env, now = Some(1706659200L))
+      .collect().map(_.toSeq.toVector).toVector
+
+  private def msg(env: EngineEnv, s: String): String =
+    q(env, s).head.head.toString
+
+  test("groups: create, list with member counts, select via `group`, alter, drop") {
+    val env = EngineEnv(spark, dir)
+    assert(msg(env, "create group `clicks` for /^f\\.click\\./") ===
+      "Successfully created group 'clicks'.")
+    assertThrows[QueryError](q(env, "create group `clicks` for /x/"))
+    assert(q(env, "list groups") === Seq(Seq("clicks", "^f\\.click\\.", 8L)))
+    assert(q(env, "count series `clicks`").head.head === 8L)
+    assert(msg(env, "alter group `clicks` set expression /^f\\.click\\.0/") ===
+      "Successfully updated group 'clicks'.")
+    assert(q(env, "count series `clicks`").head.head === 1L)
+    assert(msg(env, "drop group `clicks`") === "Successfully dropped group 'clicks'.")
+    assertThrows[QueryError](q(env, "drop group `clicks`"))
+  }
+
+  test("tags: alter series tag/untag, list tags, select via `tag`") {
+    val env = EngineEnv(spark, dir)
+    assert(msg(env, "alter series /^i\\.error\\.[0-2]$/ tag `bad`") ===
+      "Successfully tagged 3 series.")
+    // tagging again adds nothing new
+    assert(msg(env, "alter series /^i\\.error\\.[0-2]$/ tag `bad`") ===
+      "Successfully tagged 0 series.")
+    assert(q(env, "list tags") === Seq(Seq("bad", 3L)))
+    assert(q(env, "count series `bad`").head.head === 3L)
+    assert(msg(env, "alter series 'i.error.0' untag `bad`") ===
+      "Successfully untagged 1 series.")
+    assert(q(env, "count series `bad`").head.head === 2L)
+  }
+
+  test("users: create, grant, revoke, alter, list, count, drop") {
+    val env = EngineEnv(spark, dir)
+    assert(msg(env, "create user 'alice' set password 'pw1'") ===
+      "Successfully created user 'alice'.")
+    assert(msg(env, "grant read, write to user 'alice'") ===
+      "Successfully granted permissions to user 'alice'.")
+    assert(q(env, "list users") === Seq(Seq("alice", "read,write")))
+    assert(msg(env, "revoke write from user 'alice'") ===
+      "Successfully revoked permissions from user 'alice'.")
+    assert(q(env, "list users") === Seq(Seq("alice", "read")))
+    assert(msg(env, "alter user 'alice' set password 'pw2'") ===
+      "Successfully updated user 'alice'.")
+    assert(q(env, "count users").head.head === 1L)
+    assert(msg(env, "drop user 'alice'") === "Successfully dropped user 'alice'.")
+    assert(q(env, "count users").head.head === 0L)
+  }
+
+  test("drop series: threshold guard + tombstones hide data everywhere") {
+    val env = EngineEnv(spark, dir)
+    val total = q(env, "count series").head.head.asInstanceOf[Long]
+    // tighten the threshold, then a 1/3-of-catalog drop must be refused
+    q(env, "alter database set drop_threshold 0.1")
+    val e = intercept[QueryError](q(env, "drop series /^f\\./"))
+    assert(e.msg.contains("ignore_threshold"))
+    assert(msg(env, "drop series /^f\\./ set ignore_threshold true")
+      .startsWith("Successfully dropped"))
+    assert(q(env, "count series").head.head === total - 40L)
+    // dropped series are invisible to selects and lists
+    assert(q(env, "list series /^f\\./").isEmpty)
+    assert(q(env, "select count() from /^f\\./").isEmpty)
+  }
+
+  test("alter database set list_limit caps list output") {
+    val env = EngineEnv(spark, dir)
+    q(env, "alter database set list_limit 2")
+    assert(q(env, "list series").size === 2)
+    assert(q(env, "show list_limit") === Seq(Seq("list_limit", "2")))
+  }
+
+  test("entity views: pools, shards, servers, help") {
+    val env = EngineEnv(spark, dir)
+    assert(q(env, "list pools").nonEmpty)
+    assert(q(env, "count shards").head.head.asInstanceOf[Long] > 0L)
+    assert(q(env, "list servers").head.head === "local")
+    assert(q(env, "help select").head(1).toString.contains("merge"))
+    assert(q(env, "help").size >= 8)
+  }
+}

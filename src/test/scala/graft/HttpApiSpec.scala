@@ -65,6 +65,20 @@ class HttpApiSpec extends AnyFunSuite {
       assert(c10 === 400)
       val (c11, b11) = post(s"$base/query/db", """{"nope": 1}""")
       assert(c11 === 400 && b11.contains("'q'"))
+
+      // DDL state persists ACROSS requests (one metastore per server)
+      val (_, d1) = post(s"$base/query/db", """{"q": "create user 'bob' set password 'pw'"}""")
+      assert(d1.contains("Successfully created user 'bob'."))
+      val (_, d2) = post(s"$base/query/db", """{"q": "grant read to user 'bob'"}""")
+      assert(d2.contains("granted"), d2)
+      val (_, d3) = post(s"$base/query/db", """{"q": "create group `cpus` for /^cpu/"}""")
+      assert(d3.contains("created group"))
+      val (_, d4) = post(s"$base/query/db", """{"q": "list groups"}""")
+      assert(d4.contains(""""cpus","^cpu",1"""), d4)
+      // threshold guard uses the persisted config
+      post(s"$base/query/db", """{"q": "alter database set drop_threshold 0.2"}""")
+      val (c12, d5) = post(s"$base/query/db", """{"q": "drop series 'mem'"}""")
+      assert(c12 === 400 && d5.contains("ignore_threshold"), d5)
     } finally api.stop()
   }
 }
