@@ -31,6 +31,11 @@ final class MetaStore {
     "timezone" -> "NAIVE",
     "tee" -> "false")
 
+  /** Server point counters (the reference's received_points /
+    * selected_points server stats — src/siri/db/props.c). */
+  val receivedPoints = new java.util.concurrent.atomic.AtomicLong(0)
+  val selectedPoints = new java.util.concurrent.atomic.AtomicLong(0)
+
   def dropThreshold: Double = config("drop_threshold").toDouble
   def listLimit: Int = config("list_limit").toInt
   def selectPointsLimit: Long = config("select_points_limit").toLong

@@ -242,6 +242,14 @@ object Planner {
       import env.spark.implicits._
       Seq(1L).toDF("servers")
 
+    case CountStmt("servers_received", _, _) =>
+      import env.spark.implicits._
+      Seq(env.meta.receivedPoints.get()).toDF("servers_received_points")
+
+    case CountStmt("servers_selected", _, _) =>
+      import env.spark.implicits._
+      Seq(env.meta.selectedPoints.get()).toDF("servers_selected_points")
+
     case CountStmt("pools", _, _) =>
       env.catalogLive.select(col("pool")).distinct().agg(count(lit(1)).as("pools"))
 
@@ -363,8 +371,53 @@ object Planner {
       env.meta.users.put(name, u.copy(access = u.access -- access))
       ok(env, s"Successfully revoked permissions from user '$name'.")
 
-    case DropShards(_, _) =>
-      throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
+    // time-range shard deletion (exit_drop_shards, listener.c:3052-3152)
+    // — only meaningful on a writable Ingest store, where shards are
+    // physical directories
+    case DropShards(where, _) =>
+      if (env.frames.isEmpty)
+        throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
+      val shardsDir = new org.apache.hadoop.fs.Path(
+        graft.streaming.Ingest.pointsPath(env.dir))
+      val fs = shardsDir.getFileSystem(env.spark.sessionState.newHadoopConf())
+      val all = fs.listStatus(shardsDir).toSeq
+        .filter(_.getPath.getName.startsWith("shard="))
+      val matching = where match {
+        case None => all
+        case Some(w) =>
+          // evaluate the cexpr per shard dir on its sid
+          def eval(c: Cexpr, sid: Long): Boolean = c match {
+            case CAnd(l, r) => eval(l, sid) && eval(r, sid)
+            case COr(l, r) => eval(l, sid) || eval(r, sid)
+            case CCmp("sid", op, Left(v)) => op match {
+              case "==" => sid == v
+              case "!=" => sid != v
+              case "<" => sid < v
+              case ">" => sid > v
+              case "<=" => sid <= v
+              case ">=" => sid >= v
+              case _ => throw QueryError(s"bad shard operator '$op'")
+            }
+            case CCmp("start", op, Left(v)) => eval(CCmp("sid", op, Left(v / 86400L)), sid)
+            case CCmp("end", op, Left(v)) => eval(CCmp("sid", op, Left(v / 86400L)), sid)
+            case CCmp(p, _, _) => throw QueryError(s"unsupported shard property '$p'")
+          }
+          all.filter(st => eval(w, st.getPath.getName.stripPrefix("shard=").toLong))
+      }
+      matching.foreach(st => fs.delete(st.getPath, true))
+      ok(env, s"Successfully dropped ${matching.size} shards. (this number does not include replica shards)")
+
+    // skip-points fast path: a bare `select count() from ...` (no
+    // range, no other stages, no merge) never reads point data — the
+    // catalog's length/end answer it (siridb_aggregate_can_skip,
+    // aggregate.c:495-510; async_no_points_aggregate listener.c:5447-5586)
+    case SelectStmt(Seq(SelectChain(Seq(Agg(Count, None, _)), pre, suf)),
+        sel, where, None, None) =>
+      val out = selCatalog(Some(sel), where, env)
+        .select(col("series"), col("end").as("ts"), col("length").as("val"))
+      if (pre.nonEmpty || suf.nonEmpty)
+        out.withColumn("series", concat(lit(pre), col("series"), lit(suf)))
+      else out
 
     case SelectStmt(chains, sel, where, range, merge) =>
       val base0 = baseFrame(sel, where, env)

@@ -494,7 +494,11 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
     else if (tryKw("tags")) CountStmt("tags", None, tryWhere(tagProps))
     else if (tryKw("pools")) CountStmt("pools", None, tryWhere(poolProps))
     else if (tryKw("users")) CountStmt("users", None, tryWhere(userProps))
-    else if (tryKw("servers")) CountStmt("servers", None, None)
+    else if (tryKw("servers")) {
+      if (tryKw("received_points")) CountStmt("servers_received", None, None)
+      else if (tryKw("selected_points")) CountStmt("servers_selected", None, None)
+      else CountStmt("servers", None, None)
+    }
     else if (tryKw("shards")) {
       if (tryKw("size")) CountStmt("shards_size", None, tryWhere(shardProps))
       else CountStmt("shards", None, tryWhere(shardProps))

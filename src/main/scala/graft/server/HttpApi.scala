@@ -66,14 +66,20 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
 
   // ---- handlers ----
 
-  private def exchange(h: JsonNode => (Int, JsonNode))(ex: HttpExchange): Unit = {
+  private def exchange(h: (JsonNode, Map[String, String]) => (Int, JsonNode))(ex: HttpExchange): Unit = {
     val (code, body) =
       try {
         if (ex.getRequestMethod != "POST")
           (405, errNode("only POST is supported"))
         else {
           val in = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          h(mapper.readTree(in))
+          val params = Option(ex.getRequestURI.getQuery).toSeq
+            .flatMap(_.split("&").toSeq)
+            .flatMap(_.split("=", 2) match {
+              case Array(k, v) => Some(k -> v)
+              case _ => None
+            }).toMap
+          h(mapper.readTree(in), params)
         }
       } catch {
         case e: QueryError => (400, errNode(e.msg))
@@ -91,9 +97,20 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
   private def errNode(m: String): JsonNode =
     mapper.createObjectNode().put("error_msg", m)
 
-  private def handleQuery(req: JsonNode): (Int, JsonNode) = {
+  /** Output timestamp precision correction: the client may ask for
+    * another precision via ?t=s|ms|us|ns and output ts values are
+    * scaled by the factor ratio (clserver.c:480-505,
+    * siridb_points_ts_correction points.c:291). */
+  private val outFactors = Map("s" -> 1L, "ms" -> 1000L,
+    "us" -> 1000000L, "ns" -> 1000000000L)
+
+  private def handleQuery(req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
     val q = Option(req.get("q")).map(_.asText())
       .getOrElse(throw QueryError("expecting a 'q' field with the query"))
+    val tsFactor = params.get("t")
+      .map(t => outFactors.getOrElse(t,
+        throw QueryError(s"unknown time precision '$t' (use s, ms, us or ns)")))
+      .getOrElse(1L)
     val t0 = System.nanoTime()
     val stmt = QueryParser.parse(q)
     val df = Planner.run(stmt, env)
@@ -102,7 +119,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
       case s => s
     }).isInstanceOf[SelectStmt]
     val node =
-      if (isSelect) encodeSelect(df)
+      if (isSelect) encodeSelect(df, tsFactor)
       else encodeTable(df)
     stmt match {
       case TimeitStmt(_) =>
@@ -119,7 +136,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
 
   /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
     * order (points.c:250-288). */
-  private def encodeSelect(df: DataFrame): JsonNode = {
+  private def encodeSelect(df: DataFrame, tsFactor: Long = 1L): JsonNode = {
     // select_points_limit guard (db.h:16), alterable via
     // `alter database set select_points_limit N`
     val limit = meta.selectPointsLimit
@@ -127,6 +144,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
     if (n > limit)
       throw QueryError(
         s"Query returns more than $limit points — use an aggregate or a time range")
+    meta.selectedPoints.addAndGet(n)
     val valType = df.schema("val").dataType
     val rows = df.orderBy(col("series"), col("ts")).collect()
     val out = mapper.createObjectNode()
@@ -137,7 +155,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
         case _ => val a = mapper.createArrayNode(); out.set[JsonNode](series, a); a
       }
       val point = mapper.createArrayNode()
-      point.add(r.getLong(1))
+      point.add(r.getLong(1) * tsFactor)
       valType match {
         case LongType => point.add(r.getLong(2))
         case DoubleType => point.add(r.getDouble(2))
@@ -172,7 +190,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
   /** Both insert wire forms (src/siri/db/insert.c:77-126); type is
     * inferred from the first point's value like the reference infers
     * from the qpack type (series.c). */
-  private def handleInsert(req: JsonNode): (Int, JsonNode) = {
+  private def handleInsert(req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
     val points = Vector.newBuilder[Ingest.PointIn]
     var pid = System.nanoTime() // monotonic-enough insertion ids
     def addSeries(name: String, pts: JsonNode): Unit = {
@@ -201,6 +219,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
     val rows = points.result()
     import spark.implicits._
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration = 86400L)
+    meta.receivedPoints.addAndGet(rows.size)
     val ok = mapper.createObjectNode()
     ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")
     (200, ok)

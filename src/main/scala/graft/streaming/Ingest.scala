@@ -38,13 +38,19 @@ object Ingest {
   def catalogPath(dir: String) = s"$dir/catalog.parquet"
 
   /** Start the ingest stream: any streaming source with PointIn rows →
-    * shard-partitioned append + incremental catalog upsert. */
+    * shard-partitioned append + incremental catalog upsert. `tee`
+    * mirrors every inserted batch to a second location, the analog of
+    * the reference's tee pipe (src/siri/db/tee.c). */
   def start(src: DataFrame, storeDir: String, checkpoint: String,
-      shardDuration: Long = 86400L): StreamingQuery =
+      shardDuration: Long = 86400L, tee: Option[String] = None): StreamingQuery =
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendBatch(batch, storeDir, shardDuration)
+        val b = if (tee.isDefined) batch.persist() else batch
+        tee.foreach(t => b.write.mode("append").parquet(t))
+        appendBatch(b, storeDir, shardDuration)
+        if (tee.isDefined) b.unpersist()
+        ()
       }
       .start()
 
@@ -83,9 +89,24 @@ object Ingest {
     fs.rename(tmp, new Path(catPath))
   }
 
-  /** The queryable store: all ingested points (buffer ∪ shards). */
+  /** True when the path holds actual data (shard dirs or parquet
+    * parts) — an existing dir with only _SUCCESS markers left after
+    * `drop shards` counts as empty. */
+  private def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.getPath.getName.startsWith("shard=") ||
+        st.getPath.getName.endsWith(".parquet")
+    }
+  }
+
+  /** The queryable store: all ingested points (buffer ∪ shards). A
+    * fresh or fully-dropped store is an empty frame, not an error. */
   def points(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(pointsPath(storeDir))
+    if (!existsNonEmpty(spark, pointsPath(storeDir)))
+      spark.sql("SELECT '' AS series, 0L AS ts, 0D AS val, 0L AS pid").limit(0)
+    else spark.read.parquet(pointsPath(storeDir))
       .select(col("series"), col("ts"), col("val"), col("pid"))
 
   /** Time-range read with shard pruning: the ts predicate is pushed
@@ -107,5 +128,9 @@ object Ingest {
   /** The incrementally-maintained catalog — answers metadata queries
     * without touching point data. */
   def catalog(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(catalogPath(storeDir))
+    if (!existsNonEmpty(spark, catalogPath(storeDir)))
+      spark.sql(
+        "SELECT '' AS series, 0L AS `length`, 0L AS `start`, 0L AS `end`, '' AS `type`, 0L AS pool")
+        .limit(0)
+    else spark.read.parquet(catalogPath(storeDir))
 }

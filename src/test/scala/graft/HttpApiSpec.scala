@@ -79,6 +79,25 @@ class HttpApiSpec extends AnyFunSuite {
       post(s"$base/query/db", """{"q": "alter database set drop_threshold 0.2"}""")
       val (c12, d5) = post(s"$base/query/db", """{"q": "drop series 'mem'"}""")
       assert(c12 === 400 && d5.contains("ignore_threshold"), d5)
+
+      // output ts precision correction (?t=ms) — clserver.c:480-505
+      val (_, p1) = post(s"$base/query/db?t=ms", """{"q": "select * from 'mem'"}""")
+      assert(p1.contains("[100000,7]"), p1)
+      val (c13, p2) = post(s"$base/query/db?t=fortnight", """{"q": "select * from 'mem'"}""")
+      assert(c13 === 400 && p2.contains("unknown time precision"))
+
+      // server point counters
+      val (_, p3) = post(s"$base/query/db", """{"q": "count servers received_points"}""")
+      assert(p3.contains("[5]"), p3) // 4 + 1 inserted above
+      val (_, p4) = post(s"$base/query/db", """{"q": "count servers selected_points"}""")
+      assert(p4.contains("selected_points"))
+
+      // drop shards on the writable store (listener.c:3052-3152)
+      val (_, p5) = post(s"$base/query/db", """{"q": "count shards"}""")
+      val (_, p6) = post(s"$base/query/db", """{"q": "drop shards where sid < 0"}""")
+      assert(p6.contains("Successfully dropped 0 shards"), p6)
+      val (_, p7) = post(s"$base/query/db", """{"q": "drop shards"}""")
+      assert(p7.contains("Successfully dropped"), p7)
     } finally api.stop()
   }
 }

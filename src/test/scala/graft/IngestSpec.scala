@@ -71,4 +71,22 @@ class IngestSpec extends AnyFunSuite {
         s"expected shard partition pruning in plan:\n$plan")
     } finally q.stop()
   }
+
+  test("tee mirrors every inserted batch to a second location — tee.c") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-tee-store").toString
+    val ckpt = Files.createTempDirectory("graft-tee-ckpt").toString
+    val mirror = Files.createTempDirectory("graft-tee-mirror").toString + "/tee"
+    val mem = MemoryStream[PointIn]
+    val q = Ingest.start(mem.toDF(), dir, ckpt, shardDuration = 100L,
+      tee = Some(mirror))
+    try {
+      mem.addData(PointIn("cpu", 1L, 1.0, "float", 1),
+        PointIn("cpu", 2L, 2.0, "float", 2))
+      q.processAllAvailable()
+      assert(Ingest.points(spark, dir).count() === 2)
+      assert(spark.read.parquet(mirror).count() === 2)
+    } finally q.stop()
+  }
 }
