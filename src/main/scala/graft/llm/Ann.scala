@@ -71,6 +71,50 @@ object Ann {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Approximate top-k via IVF (inverted-file) coarse quantization:
+    * corpus vectors are bucketed into `nlist` coarse cells (here the
+    * precomputed `label` column acts as the coarse quantizer — a
+    * k-means assignment precomputed upstream, the standard IVF setup);
+    * each query scores only the `nprobe` cells whose centroids are
+    * nearest, cutting per-query work to ~nprobe/nlist of the corpus.
+    * Centroids are derived per cell with one aggregation; the probe
+    * selection is a tiny broadcast join. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v"),
+      col("label").as("cell"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    // cell centroids: elementwise mean via posexplode + re-assemble
+    val cent = e.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cv"))
+      .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // probe the nprobe nearest cells per query (centroid table is tiny)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("qn") * col("cnrm")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    // score only vectors in probed cells
+    val scored = probes.join(e, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH. Hyperplane
     * components are deterministic pseudo-randoms derived from
     * xxhash64(table, bit, dim) so the operator needs no state. Each

@@ -98,6 +98,9 @@ object DataOpsQueries {
     Entry.weak("ann_lsh_topk") { // approximate; recall pinned by AnnSpec
       (s, d) => ordered(Ann.lshTopK(emb(s, d), nQueries = 10, k = 5))
     },
+    Entry.weak("ann_ivf_topk") { // approximate; recall pinned by AnnSpec
+      (s, d) => ordered(Ann.ivfTopK(emb(s, d), nQueries = 10, k = 5))
+    },
 
     // ---- text analysis ----
     Entry("text_token_stats",

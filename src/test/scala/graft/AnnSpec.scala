@@ -47,6 +47,15 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF top-k recall@5 >= 0.8 vs brute force (label cells + 3 probes)") {
+    val exact = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(corpus, nQueries = 6, k = 5, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("cosine pairs: blocked variant finds the same high-sim pairs as exact") {
     val exact = Ann.cosinePairs(corpus, theta = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
