@@ -78,7 +78,10 @@ object Ann {
     * each query scores only the `nprobe` cells whose centroids are
     * nearest, cutting per-query work to ~nprobe/nlist of the corpus.
     * Centroids are derived per cell with one aggregation; the probe
-    * selection is a tiny broadcast join. */
+    * selection is a tiny broadcast join. Recall tracks how well the
+    * coarse cells capture locality: high on clustered corpora
+    * (AnnSpec: >=0.8), ~nprobe/nlist on structure-free random vectors
+    * — the expected IVF behavior, not an implementation artifact. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"),
@@ -120,9 +123,15 @@ object Ann {
     * xxhash64(table, bit, dim) so the operator needs no state. Each
     * (table, signature) bucket joins query-to-corpus; per-query
     * candidates are scored exactly and ranked. Recall is tested in
-    * AnnSpec against [[cosineTopK]]. */
+    * AnnSpec against [[cosineTopK]].
+    *
+    * Size `bits` to the corpus: expected bucket occupancy is
+    * N / 2^bits, and recall collapses once buckets shrink to a couple
+    * of vectors — use roughly log2(N / 30). Measured on the driver's
+    * 500-vector near-random embeddings: bits=8/tables=8 → recall 0.08;
+    * bits=4/tables=16 → 0.94. */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      bits: Int = 8, tables: Int = 8): DataFrame = {
+      bits: Int = 4, tables: Int = 16): DataFrame = {
     val e = withNorm(emb)
     // signature per (vec, table): `bits` sign bits of hyperplane dots
     def sigs(df: DataFrame) = df.select(col("*"), explode(expr(

@@ -125,6 +125,43 @@ object Ingest {
       .select(col("series"), col("ts"), col("val"), col("pid"))
   }
 
+  /** Shard expiration (TTL) — the retention job behind
+    * `alter database set expiration_num <t>`
+    * (src/siri/db/db.c:865-878, itest/test_expiration.py): deletes
+    * whole shard directories whose time range ended before
+    * `now - expiration`, then rebuilds the catalog from the surviving
+    * shards (the reference likewise re-indexes after expiry). Returns
+    * the number of dropped shards. */
+  def expire(spark: SparkSession, storeDir: String, expiration: Long,
+      now: Long, shardDuration: Long = 86400L): Int = {
+    val cutoffShard = (now - expiration) / shardDuration
+    val dir = new Path(pointsPath(storeDir))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0
+    val old = fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("shard="))
+      .filter(_.getPath.getName.stripPrefix("shard=").toLong < cutoffShard)
+    old.foreach(st => fs.delete(st.getPath, true))
+    if (old.nonEmpty) {
+      // rebuild catalog stats from what survives (one pass, off the
+      // ingest hot path — expiry is a maintenance job)
+      val pts = points(spark, storeDir)
+      val cat = catalog(spark, storeDir).select(col("series"), col("type"))
+      val rebuilt = pts.groupBy(col("series"))
+        .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
+          max(col("ts")).as("end"))
+        .join(cat, Seq("series"), "left")
+        .withColumn("type", coalesce(col("type"), lit("float")))
+        .withColumn("pool", SeriesStore.poolOf("series"))
+      val catPath = new Path(catalogPath(storeDir))
+      val tmp = new Path(catalogPath(storeDir) + ".tmp")
+      rebuilt.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(catPath, true)
+      fs.rename(tmp, catPath)
+    }
+    old.length
+  }
+
   /** The incrementally-maintained catalog — answers metadata queries
     * without touching point data. */
   def catalog(spark: SparkSession, storeDir: String): DataFrame =

@@ -72,6 +72,30 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("shard expiration deletes old shards and rebuilds the catalog — db.c:865-878") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-exp").toString
+    val batch = Seq(
+      PointIn("cpu", 50L, 1.0, "float", 1), // shard 0 — expires
+      PointIn("cpu", 150L, 2.0, "float", 2), // shard 1 — expires
+      PointIn("cpu", 250L, 3.0, "float", 3), // shard 2 — survives
+      PointIn("mem", 40L, 9.0, "float", 4)) // shard 0 — series fully expires
+      .toDF()
+    Ingest.appendBatch(batch, dir, shardDuration = 100L)
+    // now=400, expiration=200 → cutoff shard = (400-200)/100 = 2
+    val dropped = Ingest.expire(spark, dir, expiration = 200L, now = 400L,
+      shardDuration = 100L)
+    assert(dropped === 2)
+    val pts = Ingest.points(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pts === Set(("cpu", 250L)))
+    val cat = Ingest.catalog(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cat.toSeq === Seq(("cpu", 1L, 250L, 250L)))
+    // idempotent: nothing more to expire
+    assert(Ingest.expire(spark, dir, 200L, 400L, 100L) === 0)
+  }
+
   test("tee mirrors every inserted batch to a second location — tee.c") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
