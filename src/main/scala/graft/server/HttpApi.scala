@@ -55,13 +55,17 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
     val pts = Ingest.points(spark, storeDir)
     val cat = Ingest.catalog(spark, storeDir)
     val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
-    val f = typed.where(col("type") === "float").drop("type")
-    val i = typed.where(col("type") === "integer").drop("type")
-      .withColumn("val", col("val").cast("long"))
-    val s = typed.where(col("type") === "string").drop("type").limit(0)
-      .withColumn("val", col("val").cast("string"))
+    val f = typed.where(col("type") === "float")
+      .select(col("series"), col("ts"), col("val"), col("pid"))
+    // integer series read the exact int64 column (values past 2^53
+    // never pass through a double)
+    val i = typed.where(col("type") === "integer")
+      .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
+    val s = typed.where(col("type") === "string").limit(0)
+      .select(col("series"), col("ts"), col("val").cast("string").as("val"), col("pid"))
+    val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
     EngineEnv(spark, storeDir,
-      frames = Some(Frames(f, i, s, pts, cat)), meta = meta)
+      frames = Some(Frames(f, i, s, m, cat)), meta = meta)
   }
 
   // ---- handlers ----
@@ -204,7 +208,8 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
         val tp = if (v.isIntegralNumber) "integer"
           else if (v.isNumber) "float"
           else throw QueryError("expecting an integer or float value")
-        points += Ingest.PointIn(name, ts, v.asDouble(), tp, { pid += 1; pid })
+        points += Ingest.PointIn(name, ts, v.asDouble(), tp, { pid += 1; pid },
+          val_int = if (v.isIntegralNumber) v.asLong() else 0L)
       }
     }
     if (req.isObject) // map form

@@ -30,9 +30,12 @@ import graft.engine.SeriesStore
 object Ingest {
 
   /** Wire form of one inserted point (insert.c:93-126 validates the
-    * same shape: series name, integer ts, numeric value). */
+    * same shape: series name, integer ts, numeric value). Integer
+    * values ride in `val_int` so int64 stays exact past 2^53 — the
+    * reference's integer type is true int64 (points.h:9-14) and the
+    * itest `huge` fixture pins values at Long.MaxValue. */
   final case class PointIn(series: String, ts: Long, val_num: Double,
-      tp: String, pid: Long)
+      tp: String, pid: Long, val_int: Long = 0L)
 
   def pointsPath(dir: String) = s"$dir/points"
   def catalogPath(dir: String) = s"$dir/catalog.parquet"
@@ -59,8 +62,11 @@ object Ingest {
     * serializes foreachBatch calls). */
   def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long): Unit = {
     val spark = batch.sparkSession
-    val pts = batch.select(col("series"), col("ts"), col("val_num").as("val"),
-      col("tp"), col("pid"))
+    val withInt =
+      if (batch.columns.contains("val_int")) batch
+      else batch.withColumn("val_int", lit(0L))
+    val pts = withInt.select(col("series"), col("ts"),
+      col("val_num").as("val"), col("val_int"), col("tp"), col("pid"))
     pts.withColumn("shard", expr(s"ts div $shardDuration"))
       .write.mode("append").partitionBy("shard").parquet(pointsPath(storeDir))
 
@@ -102,12 +108,15 @@ object Ingest {
   }
 
   /** The queryable store: all ingested points (buffer ∪ shards). A
-    * fresh or fully-dropped store is an empty frame, not an error. */
+    * fresh or fully-dropped store is an empty frame, not an error.
+    * `val` is the numeric view (double); `val_int` carries the exact
+    * int64 for integer series. */
   def points(spark: SparkSession, storeDir: String): DataFrame =
     if (!existsNonEmpty(spark, pointsPath(storeDir)))
-      spark.sql("SELECT '' AS series, 0L AS ts, 0D AS val, 0L AS pid").limit(0)
+      spark.sql("SELECT '' AS series, 0L AS ts, 0D AS val, 0L AS val_int, 0L AS pid")
+        .limit(0)
     else spark.read.parquet(pointsPath(storeDir))
-      .select(col("series"), col("ts"), col("val"), col("pid"))
+      .select(col("series"), col("ts"), col("val"), col("val_int"), col("pid"))
 
   /** Time-range read with shard pruning: the ts predicate is pushed
     * into the parquet row groups AND translated to a predicate on the
@@ -122,7 +131,7 @@ object Ingest {
       after.map(a => col("ts") >= a && col("shard") >= a / shardDuration),
       before.map(b => col("ts") < b && col("shard") <= b / shardDuration)).flatten
     filters.foldLeft(df)(_ where _)
-      .select(col("series"), col("ts"), col("val"), col("pid"))
+      .select(col("series"), col("ts"), col("val"), col("val_int"), col("pid"))
   }
 
   /** Shard expiration (TTL) — the retention job behind
