@@ -139,6 +139,12 @@ object QlQueries {
       s"""SELECT count(*) AS series FROM ($CAT)""") {
       (s, d) => ql(s, d, "timeit count series")
     },
+    Entry("ql_list_shards",
+      s"""SELECT ts // 604800 AS sid, CAST(0 AS BIGINT) AS pool,
+         |       count(*) * 16 AS size, min(ts) AS start, max(ts) AS "end"
+         |FROM (${SeriesStore.pointsSql}) GROUP BY 1 HAVING count(*) * 16 > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "list shards where size > 0"))
+    },
     // DDL round-trips: mutations execute eagerly on a fresh metastore,
     // the returned query reads the mutated state
     Entry("ql_ddl_group_roundtrip",
