@@ -70,6 +70,18 @@ object TextStats {
       .select(col("doc_id"), col("pred_lang"))
   }
 
+  /** Corpus-wide word n-gram frequencies (multiplicity counted),
+    * thresholded — one explode + one hash aggregation, the standard
+    * n-gram-LM / contamination-scan primitive. */
+  def ngramFreq(docs: DataFrame, n: Int = 2, minFreq: Long = 5): DataFrame =
+    docs.select(expr(tok).as("w"))
+      .where(size(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minFreq)
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase
     * text (the exact-dedup key, exposed as an operator). */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -147,6 +147,15 @@ object DataOpsQueries {
         |FROM v ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.langId(docs(s, d)))
     },
+    Entry("text_ngram_freq",
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |b AS (SELECT unnest(list_transform(range(len(w) - 1),
+        |        i -> array_to_string(w[i+1:i+2], ' '))) AS ngram
+        |      FROM t WHERE len(w) >= 2)
+        |SELECT ngram, count(*) AS freq FROM b GROUP BY 1
+        |HAVING count(*) >= 20 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.ngramFreq(docs(s, d), n = 2, minFreq = 20))
+    },
     Entry("doc_fingerprint",
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY ALL""".stripMargin) {

@@ -134,6 +134,33 @@ object Ingest {
       .select(col("series"), col("ts"), col("val"), col("val_int"), col("pid"))
   }
 
+  /** Shard compaction — the analog of the reference's background
+    * optimize (src/siri/optimize.c): every micro-batch append leaves
+    * one file per shard per batch; this maintenance job rewrites each
+    * shard directory that has accumulated more than `maxFiles`
+    * fragments into a single sorted file (series, ts, pid order — the
+    * read-side ordering), so scans stay sequential as a store ages.
+    * Returns the number of compacted shards. */
+  def compact(spark: SparkSession, storeDir: String, maxFiles: Int = 4): Int = {
+    val dir = new Path(pointsPath(storeDir))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0
+    val shards = fs.listStatus(dir).filter(_.getPath.getName.startsWith("shard="))
+    val fragmented = shards.filter { st =>
+      fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+    }
+    fragmented.foreach { st =>
+      val tmp = new Path(st.getPath.toString + ".compact")
+      spark.read.parquet(st.getPath.toString)
+        .sort(col("series"), col("ts"), col("pid"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(st.getPath, true)
+      fs.rename(tmp, st.getPath)
+    }
+    fragmented.length
+  }
+
   /** Shard expiration (TTL) — the retention job behind
     * `alter database set expiration_num <t>`
     * (src/siri/db/db.c:865-878, itest/test_expiration.py): deletes

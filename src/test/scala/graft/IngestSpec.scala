@@ -96,6 +96,27 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.expire(spark, dir, 200L, 400L, 100L) === 0)
   }
 
+  test("compaction merges per-batch fragments into one sorted file — optimize.c") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    (1 to 6).foreach { b =>
+      Ingest.appendBatch(
+        Seq(PointIn("cpu", b * 10L, b.toDouble, "float", b)).toDF(),
+        dir, shardDuration = 1000L)
+    }
+    val shard = new java.io.File(s"$dir/points/shard=0")
+    def parts = shard.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts === 6)
+    assert(Ingest.compact(spark, dir, maxFiles = 4) === 1)
+    assert(parts === 1)
+    // data survives compaction byte-for-byte
+    val pts = Ingest.points(spark, dir).orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(pts.toSeq === (1 to 6).map(b => (b * 10L, b.toDouble)))
+    // below the threshold nothing is rewritten
+    assert(Ingest.compact(spark, dir, maxFiles = 4) === 0)
+  }
+
   test("tee mirrors every inserted batch to a second location — tee.c") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
