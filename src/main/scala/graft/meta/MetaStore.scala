@@ -29,6 +29,7 @@ final class MetaStore {
     "list_limit" -> "10000",
     "select_points_limit" -> "1000000",
     "timezone" -> "NAIVE",
+    "log_level" -> "info",
     "tee" -> "false")
 
   /** Server point counters (the reference's received_points /

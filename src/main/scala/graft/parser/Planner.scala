@@ -201,10 +201,25 @@ object Planner {
 
     case ShowStmt(props) =>
       import env.spark.implicits._
+      val rt = Runtime.getRuntime
       val known = Map(
         "dbname" -> "graft", "time_precision" -> "s", "version" -> "2.0.55",
         "timezone" -> "NAIVE", "who_am_i" -> "graft", "server" -> "local",
-        "status" -> "running") ++ env.meta.config
+        "status" -> "running", "pool" -> "0", "ip_support" -> "ALL",
+        "active_handles" -> "1", "active_tasks" -> "1", "fifo_files" -> "0",
+        "startup_time" -> "0", "sync_progress" -> "synced",
+        "reindex_progress" -> "none", "libuv" -> "n/a (Spark engine)",
+        "uptime" -> ((System.nanoTime() / 1000000000L) % 1000000).toString,
+        "mem_usage" -> ((rt.totalMemory() - rt.freeMemory()) / 1024 / 1024).toString,
+        "max_open_files" -> "65536", "open_files" -> "0",
+        "received_points" -> env.meta.receivedPoints.get().toString,
+        "selected_points" -> env.meta.selectedPoints.get().toString,
+        "buffer_size" -> "1024", "buffer_path" -> env.dir,
+        "dbpath" -> env.dir, "duration_num" -> "604800",
+        "duration_log" -> "86400", "expiration_num" -> "0",
+        "expiration_log" -> "0", "log_level" -> "info",
+        "idle_percentage" -> "0", "idle_time" -> "0",
+        "uuid" -> "local") ++ env.meta.config
       val sel = if (props.isEmpty) known.keys.toSeq.sorted else props
       sel.map(pp => (pp, known.getOrElse(pp, "unknown"))).toDF("name", "value")
 

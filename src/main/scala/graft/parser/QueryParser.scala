@@ -573,6 +573,14 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
       val name = expectGrave()
       expectKw("set"); expectKw("name")
       AlterTag(name, expectGrave())
+    } else if (tryKw("server") || tryKw("servers")) {
+      // single-node deployment: the "cluster" is this server
+      if (!tryKw("set")) { tryString(); expectKw("set") } // optional uuid/name
+      expectKw("log_level")
+      val lvl = peekWord.filter(Set("debug", "info", "warning", "error", "critical"))
+        .getOrElse(err("expecting a log level (debug, info, warning, error, critical)"))
+      p += lvl.length
+      AlterDatabase("log_level", lvl)
     } else if (tryKw("database")) {
       expectKw("set")
       val prop = peekWord.getOrElse(err("expecting a database property"))

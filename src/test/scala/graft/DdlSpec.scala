@@ -83,6 +83,16 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "show list_limit") === Seq(Seq("list_limit", "2")))
   }
 
+  test("alter server set log_level; show exposes ~30 server props") {
+    val env = EngineEnv(spark, dir)
+    assert(msg(env, "alter server set log_level debug")
+      .contains("log_level"))
+    assert(q(env, "show log_level") === Seq(Seq("log_level", "debug")))
+    assertThrows[QueryError](q(env, "alter server set log_level loud"))
+    assert(q(env, "show").size >= 25)
+    assert(q(env, "show time_precision, version, mem_usage").size === 3)
+  }
+
   test("entity views: pools, shards, servers, help") {
     val env = EngineEnv(spark, dir)
     assert(q(env, "list pools").nonEmpty)
