@@ -61,8 +61,8 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
     // never pass through a double)
     val i = typed.where(col("type") === "integer")
       .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
-    val s = typed.where(col("type") === "string").limit(0)
-      .select(col("series"), col("ts"), col("val").cast("string").as("val"), col("pid"))
+    val s = typed.where(col("type") === "string")
+      .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
     val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
     EngineEnv(spark, storeDir,
       frames = Some(Frames(f, i, s, m, cat)), meta = meta)
@@ -207,9 +207,11 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
         val v = pt.get(1)
         val tp = if (v.isIntegralNumber) "integer"
           else if (v.isNumber) "float"
-          else throw QueryError("expecting an integer or float value")
+          else if (v.isTextual) "string" // "log" series (points.h:9-14)
+          else throw QueryError("expecting an integer, float or string value")
         points += Ingest.PointIn(name, ts, v.asDouble(), tp, { pid += 1; pid },
-          val_int = if (v.isIntegralNumber) v.asLong() else 0L)
+          val_int = if (v.isIntegralNumber) v.asLong() else 0L,
+          val_str = if (v.isTextual) v.asText() else "")
       }
     }
     if (req.isObject) // map form

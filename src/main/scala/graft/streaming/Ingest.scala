@@ -35,7 +35,7 @@ object Ingest {
     * reference's integer type is true int64 (points.h:9-14) and the
     * itest `huge` fixture pins values at Long.MaxValue. */
   final case class PointIn(series: String, ts: Long, val_num: Double,
-      tp: String, pid: Long, val_int: Long = 0L)
+      tp: String, pid: Long, val_int: Long = 0L, val_str: String = "")
 
   def pointsPath(dir: String) = s"$dir/points"
   def catalogPath(dir: String) = s"$dir/catalog.parquet"
@@ -62,11 +62,13 @@ object Ingest {
     * serializes foreachBatch calls). */
   def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long): Unit = {
     val spark = batch.sparkSession
-    val withInt =
-      if (batch.columns.contains("val_int")) batch
-      else batch.withColumn("val_int", lit(0L))
-    val pts = withInt.select(col("series"), col("ts"),
-      col("val_num").as("val"), col("val_int"), col("tp"), col("pid"))
+    val withExtra = Seq("val_int" -> lit(0L), "val_str" -> lit(""))
+      .foldLeft(batch) { case (df, (c, d)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, d)
+      }
+    val pts = withExtra.select(col("series"), col("ts"),
+      col("val_num").as("val"), col("val_int"), col("val_str"),
+      col("tp"), col("pid"))
     pts.withColumn("shard", expr(s"ts div $shardDuration"))
       .write.mode("append").partitionBy("shard").parquet(pointsPath(storeDir))
 
@@ -113,10 +115,12 @@ object Ingest {
     * int64 for integer series. */
   def points(spark: SparkSession, storeDir: String): DataFrame =
     if (!existsNonEmpty(spark, pointsPath(storeDir)))
-      spark.sql("SELECT '' AS series, 0L AS ts, 0D AS val, 0L AS val_int, 0L AS pid")
+      spark.sql(
+        "SELECT '' AS series, 0L AS ts, 0D AS val, 0L AS val_int, '' AS val_str, 0L AS pid")
         .limit(0)
     else spark.read.parquet(pointsPath(storeDir))
-      .select(col("series"), col("ts"), col("val"), col("val_int"), col("pid"))
+      .select(col("series"), col("ts"), col("val"), col("val_int"),
+        col("val_str"), col("pid"))
 
   /** Time-range read with shard pruning: the ts predicate is pushed
     * into the parquet row groups AND translated to a predicate on the
@@ -131,7 +135,8 @@ object Ingest {
       after.map(a => col("ts") >= a && col("shard") >= a / shardDuration),
       before.map(b => col("ts") < b && col("shard") <= b / shardDuration)).flatten
     filters.foldLeft(df)(_ where _)
-      .select(col("series"), col("ts"), col("val"), col("val_int"), col("pid"))
+      .select(col("series"), col("ts"), col("val"), col("val_int"),
+        col("val_str"), col("pid"))
   }
 
   /** Shard compaction — the analog of the reference's background

@@ -66,6 +66,19 @@ class GoldenSliceSpec extends AnyFunSuite {
         """{"huge":[[1471254705,9223372036854775807],[1471254706,9223372036854775806]]}""")
       val overflow = post(s"$base/query/db", """{"q": "select sum(1h) from 'huge'"}""")
       assert(overflow.contains("Overflow detected while using sum()"), overflow)
+
+      // string ("log") series over the wire (itest/test_log.py shape):
+      // insert text values, filter with ~, type errors for numeric fns
+      val insLog = post(s"$base/insert/db",
+        """{"app log": [[100, "started"], [200, "error: disk"], [300, "stopped"]]}""")
+      assert(insLog.contains("3 point(s)"))
+      val logSel = post(s"$base/query/db",
+        """{"q": "select filter(~ 'error') from 'app log'"}""")
+      assert(logSel === """{"app log":[[200,"error: disk"]]}""")
+      val logType = post(s"$base/query/db", """{"q": "select sum(1h) from 'app log'"}""")
+      assert(logType.contains("Cannot use sum() on string type."), logType)
+      val logLast = post(s"$base/query/db", """{"q": "select last() from 'app log'"}""")
+      assert(logLast === """{"app log":[[300,"stopped"]]}""")
     } finally api.stop()
   }
 }
