@@ -202,6 +202,14 @@ object EngineQueries {
       s"""SELECT series, max(ts) AS ts, CAST(sum(val) AS BIGINT) AS val FROM ($PI) GROUP BY 1 ORDER BY ALL""") {
       (s, d) => chain(I(s, d), Agg(Sum, None))
     },
+    Entry("agg_min_all",
+      s"""SELECT series, max(ts) AS ts, min(val) AS val FROM ($PI) GROUP BY 1 ORDER BY ALL""") {
+      (s, d) => chain(I(s, d), Agg(Min, None))
+    },
+    Entry("agg_max_all",
+      s"""SELECT series, max(ts) AS ts, max(val) AS val FROM ($PI) GROUP BY 1 ORDER BY ALL""") {
+      (s, d) => chain(I(s, d), Agg(Max, None))
+    },
     Entry("agg_first_all",
       s"""SELECT series, min(ts) AS ts, first(val $ORD) AS val FROM ($PF) GROUP BY 1 ORDER BY ALL""") {
       (s, d) => chain(F(s, d), Agg(First, None))
@@ -290,6 +298,18 @@ object EngineQueries {
       s"""SELECT series, ${bkt(86400)} AS ts, CAST(sum(val) AS BIGINT) AS val
          |FROM ($PI) WHERE val >= 100 GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) => chain(I(s, d), FilterNum(">=", 100), Agg(Sum, Some(86400)))
+    },
+    // chained pairwise stages re-window the PREVIOUS stage's output
+    // (SURVEY §7.4 hard part 2: difference() => difference())
+    Entry("chain_diff_diff",
+      s"""WITH d1 AS (
+         |  SELECT series, ts, val - prev AS val, pid FROM (
+         |    SELECT series, ts, val, pid, lag(val) OVER (PARTITION BY series $ORD) AS prev FROM ($PI)
+         |  ) WHERE prev IS NOT NULL)
+         |SELECT series, ts, val - prev AS val FROM (
+         |  SELECT series, ts, val, lag(val) OVER (PARTITION BY series $ORD) AS prev FROM d1
+         |) WHERE prev IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => chain(I(s, d), Difference, Difference)
     },
     Entry("limit_fn_mean",
       s"""WITH p AS ($PF),
