@@ -262,15 +262,22 @@ object Pipeline {
   /** Run a full chain. Pairwise/window stages carry pid through so any
     * later order-dependent stage keeps a deterministic tie-break
     * (points.c:226-245 insertion order); aggregate outputs are unique
-    * per (series, ts) so they drop it. */
-  def apply(points: DataFrame, stages: Seq[Stage]): DataFrame =
-    stages.foldLeft(points)(applyStage).select(col("series"), col("ts"), col("val"))
+    * per (series, ts) so they drop it. With `keepPid` a row-preserving
+    * chain exposes pid to the caller (the transports order duplicate-ts
+    * points by insertion id — points.c:250-288). */
+  def apply(points: DataFrame, stages: Seq[Stage], keepPid: Boolean = false): DataFrame = {
+    val out = stages.foldLeft(points)(applyStage)
+    if (keepPid && hasPid(out))
+      out.select(col("series"), col("ts"), col("val"), col("pid"))
+    else out.select(col("series"), col("ts"), col("val"))
+  }
 
   /** `merge as "name" [using <chain>]` — all selected series become one
     * series (src/siri/db/points.c:338-451); the full `using` aggregate
     * chain is applied after the merge (listener.c:6727-6810).
     * Duplicated timestamps survive the merge until an aggregate
     * collapses them. */
-  def merge(points: DataFrame, name: String, using: Seq[Stage] = Nil): DataFrame =
-    apply(points.withColumn("series", lit(name)), using)
+  def merge(points: DataFrame, name: String, using: Seq[Stage] = Nil,
+      keepPid: Boolean = false): DataFrame =
+    apply(points.withColumn("series", lit(name)), using, keepPid)
 }

@@ -111,7 +111,14 @@ object SeriesStore {
       .agg(
         count(lit(1)).as("length"),
         min(col("ts")).as("start"),
-        max(col("ts")).as("end"))
+        max(col("ts")).as("end"),
+        // canonical string form of the first/last value by (ts, pid) —
+        // long/double round-trip through string exactly, so the bare
+        // first()/last() skip path re-casts without loss
+        min_by(col("val").cast("string"), struct(col("ts"), col("pid")))
+          .as("first_val"),
+        max_by(col("val").cast("string"), struct(col("ts"), col("pid")))
+          .as("last_val"))
       .withColumn("type", lit(tp))
       .withColumn("pool", poolOf("series"))
 

@@ -19,9 +19,19 @@ final class MetaStore {
   /** tag name -> explicit member series (src/siri/db/tags.c). */
   val tags = TrieMap[String, Set[String]]()
   val users = TrieMap[String, User]()
-  /** dropped series (tombstones — the analog of dropped-series purge,
-    * src/siri/optimize.c). */
-  val dropped = TrieMap[String, Unit]()
+
+  /** Dropped-series tombstones (the analog of dropped-series purge,
+    * src/siri/optimize.c) as a materialized name frame — anti-joined
+    * against the catalog, so drops never put series names on the
+    * driver. `localCheckpoint` pins the point-in-time snapshot. */
+  @volatile var droppedDf: Option[org.apache.spark.sql.DataFrame] = None
+
+  def addDropped(names: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    val snap = names.localCheckpoint(true)
+    droppedDf = Some(droppedDf
+      .map(_.unionByName(snap).distinct().localCheckpoint(true))
+      .getOrElse(snap))
+  }
 
   /** alterable database config (db.h:15-17 defaults). */
   val config = TrieMap[String, String](

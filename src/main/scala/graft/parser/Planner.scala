@@ -28,7 +28,13 @@ final case class EngineEnv(
     tags: Map[String, Seq[String]] = Map.empty,
     factor: Long = 1L,
     frames: Option[Frames] = None,
-    meta: graft.meta.MetaStore = new graft.meta.MetaStore) {
+    meta: graft.meta.MetaStore = new graft.meta.MetaStore,
+    /** One shard duration everywhere: the `shards` entity view, the
+      * `shard_duration` series prop, `drop shards` start/end mapping
+      * and `show duration_num` all derive from this single constant
+      * (reference duration defaults: include/siri/db/db.h, shard.c).
+      * An Ingest-backed env must pass the store's physical duration. */
+    shardDuration: Long = 604800L) {
 
   // seed the metastore from the convenience constructor args
   groups.foreach { case (g, re) => meta.groups.put(g, re) }
@@ -38,7 +44,18 @@ final case class EngineEnv(
   lazy val pointsI: DataFrame = frames.map(_.i).getOrElse(SeriesStore.pointsI(spark, dir))
   lazy val pointsS: DataFrame = frames.map(_.s).getOrElse(SeriesStore.pointsS(spark, dir))
   lazy val pointsM: DataFrame = frames.map(_.m).getOrElse(SeriesStore.points(spark, dir))
-  lazy val catalog: DataFrame = frames.map(_.cat).getOrElse(SeriesStore.catalogAll(spark, dir))
+
+  /** Series catalog. The parquet-derived path is a full aggregation
+    * over all points, so it is persisted on first use — every query
+    * consults the catalog at least twice (type dispatch + where/sel
+    * filtering) and a 100 TB store must not pay a full scan per
+    * consult. Catalog size is O(#series), safely cacheable. The
+    * Ingest path is already a tiny incrementally-maintained parquet. */
+  lazy val catalog: DataFrame = frames.map(_.cat).getOrElse {
+    val c = SeriesStore.catalogAll(spark, dir)
+    c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c
+  }
 
   /** Snapshot of the (mutable) metastore for series matching. */
   def matchEnv: Env = Env(
@@ -49,11 +66,11 @@ final case class EngineEnv(
       meta.tags.toSeq.flatMap { case (t, ss) => ss.map(t -> _) }.toDF("tag", "series")
     })
 
-  /** Catalog minus dropped series (tombstones held in the metastore;
-    * a persistent deployment anti-joins a tombstone table instead). */
+  /** Catalog minus dropped series: anti-join against the materialized
+    * tombstone frame — never a driver-side name list, so a drop of
+    * every series at 10M series stays distributed. */
   def catalogLive: DataFrame =
-    if (meta.dropped.isEmpty) catalog
-    else catalog.where(!col("series").isInCollection(meta.dropped.keys.toSeq))
+    meta.droppedDf.fold(catalog)(d => catalog.join(d, Seq("series"), "left_anti"))
 }
 
 object Planner {
@@ -62,7 +79,7 @@ object Planner {
     * (siridb_series_cexpr_cb, src/siri/db/series.c:85-112). */
   private def propCol(prop: String, env: EngineEnv): Column = prop match {
     case "name" => col("series")
-    case "shard_duration" => lit(604800L * env.factor) // emulated constant
+    case "shard_duration" => lit(env.shardDuration * env.factor)
     case p => col(p) // length, pool, start, end, type
   }
 
@@ -130,7 +147,7 @@ object Planner {
       case "shards" =>
         // time-bucketed view over the points (shard.c's sid/size/start/end)
         env.pointsM
-          .groupBy(expr("ts div 604800").as("sid"))
+          .groupBy(expr(s"ts div ${env.shardDuration}").as("sid"))
           .agg(lit(0L).as("pool"), (count(lit(1)) * 16).as("size"),
             min(col("ts")).as("start"), max(col("ts")).as("end"))
       case "servers" =>
@@ -167,7 +184,7 @@ object Planner {
       else if (types.subsetOf(Set("integer", "float"))) env.pointsM // int→double promotion (points.c:368-376)
       else throw QueryError("Cannot use string and number series in one selection")
     val matched = SeriesMatch.select(frame, sel, env.matchEnv)
-    if (where.isDefined || env.meta.dropped.nonEmpty)
+    if (where.isDefined || env.meta.droppedDf.isDefined)
       matched.join(selCatalog(Some(sel), where, env).select(col("series")),
         Seq("series"), "left_semi")
     else matched
@@ -192,8 +209,12 @@ object Planner {
   private def isStringFrame(df: DataFrame): Boolean =
     df.schema("val").dataType == StringType
 
-  def run(stmt: Statement, env: EngineEnv): DataFrame = stmt match {
-    case TimeitStmt(inner) => run(inner, env) // wall-clock handled by caller
+  /** `keepPid = true` (the transports) exposes the insertion-id column
+    * on row-preserving selects so duplicate-ts points can be emitted in
+    * insertion order (points.c:250-288); the default contract stays
+    * (series, ts, val). */
+  def run(stmt: Statement, env: EngineEnv, keepPid: Boolean = false): DataFrame = stmt match {
+    case TimeitStmt(inner) => run(inner, env, keepPid) // wall-clock handled by caller
 
     case CalcStmt(v) =>
       import env.spark.implicits._
@@ -215,7 +236,7 @@ object Planner {
         "received_points" -> env.meta.receivedPoints.get().toString,
         "selected_points" -> env.meta.selectedPoints.get().toString,
         "buffer_size" -> "1024", "buffer_path" -> env.dir,
-        "dbpath" -> env.dir, "duration_num" -> "604800",
+        "dbpath" -> env.dir, "duration_num" -> env.shardDuration.toString,
         "duration_log" -> "86400", "expiration_num" -> "0",
         "expiration_log" -> "0", "log_level" -> "info",
         "idle_percentage" -> "0", "idle_time" -> "0",
@@ -226,7 +247,7 @@ object Planner {
     case ListSeriesStmt(cols, sel, where, limit) =>
       val outCols = cols.map {
         case "name" => col("series").as("name")
-        case "shard_duration" => lit(604800L * env.factor).as("shard_duration")
+        case "shard_duration" => lit(env.shardDuration * env.factor).as("shard_duration")
         case c => col(c)
       }
       selCatalog(sel, where, env)
@@ -332,15 +353,19 @@ object Planner {
       ok(env, s"Successfully dropped user '$name'.")
 
     case DropSeries(sel, where, ignoreThreshold) =>
-      val names = selCatalog(sel, where, env)
-        .select(col("series")).collect().map(_.getString(0))
+      // never collect the names: count distributed, then materialize
+      // the matched set as a tombstone frame (point-in-time snapshot
+      // via localCheckpoint — later inserts re-matching the selection
+      // are NOT retroactively dropped)
+      val matched = selCatalog(sel, where, env).select(col("series"))
+      val n = matched.count()
       val total = env.catalogLive.count()
-      val frac = if (total == 0) 0.0 else names.length.toDouble / total
+      val frac = if (total == 0) 0.0 else n.toDouble / total
       if (!ignoreThreshold && frac > env.meta.dropThreshold)
         throw QueryError(
           f"This query would drop ${frac * 100}%.2f%% of the series. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
-      names.foreach(n => env.meta.dropped.put(n, ()))
-      ok(env, s"Successfully dropped ${names.length} series.")
+      if (n > 0) env.meta.addDropped(matched)
+      ok(env, s"Successfully dropped $n series.")
 
     case AlterSeriesTag(sel, where, tag, untag) =>
       val names = selCatalog(Some(sel), where, env)
@@ -413,8 +438,10 @@ object Planner {
               case ">=" => sid >= v
               case _ => throw QueryError(s"bad shard operator '$op'")
             }
-            case CCmp("start", op, Left(v)) => eval(CCmp("sid", op, Left(v / 86400L)), sid)
-            case CCmp("end", op, Left(v)) => eval(CCmp("sid", op, Left(v / 86400L)), sid)
+            case CCmp("start", op, Left(v)) =>
+              eval(CCmp("sid", op, Left(v / env.shardDuration)), sid)
+            case CCmp("end", op, Left(v)) =>
+              eval(CCmp("sid", op, Left(v / env.shardDuration)), sid)
             case CCmp(p, _, _) => throw QueryError(s"unsupported shard property '$p'")
           }
           all.filter(st => eval(w, st.getPath.getName.stripPrefix("shard=").toLong))
@@ -442,7 +469,7 @@ object Planner {
       val base = if (chains.size > 1) base0.cache() else base0
       val outs = chains.map { c =>
         if (stringSeries) checkStringOk(c.stages)
-        val piped = Pipeline(base, range.toSeq ++ c.stages)
+        val piped = Pipeline(base, range.toSeq ++ c.stages, keepPid)
         if (c.prefix.nonEmpty || c.suffix.nonEmpty)
           piped.withColumn("series",
             concat(lit(c.prefix), col("series"), lit(c.suffix)))
@@ -451,14 +478,20 @@ object Planner {
       // unify value types across chains (count->int vs mean->float)
       val needDouble = outs.exists(_.schema("val").dataType == DoubleType) &&
         outs.exists(_.schema("val").dataType == LongType)
-      val unified = if (needDouble)
+      val unified0 = if (needDouble)
         outs.map(o => o.withColumn("val", col("val").cast("double")))
       else outs
+      // unify pid presence across chains (aggregated chains lost it)
+      val anyPid = unified0.exists(_.columns.contains("pid"))
+      val unified = if (!anyPid) unified0 else unified0.map { o =>
+        if (o.columns.contains("pid")) o
+        else o.withColumn("pid", lit(null).cast("long"))
+      }
       val selected = unified.reduce(_.unionByName(_))
       merge match {
         case Some(MergeAs(name, using)) =>
           if (stringSeries) checkStringOk(using)
-          Pipeline.merge(selected, name, using)
+          Pipeline.merge(selected, name, using, keepPid)
         case None => selected
       }
   }

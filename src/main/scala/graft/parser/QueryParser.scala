@@ -300,8 +300,14 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
             .getOrElse {
               if (tryKw("nan")) FilterNum(op, Double.NaN)
               else if (tryKw("inf")) FilterNum(op, Double.PositiveInfinity)
-              else if (tryLit("-") && tryKw("inf")) FilterNum(op, Double.NegativeInfinity)
-              else FilterNum(op, parseFloatLit())
+              else {
+                // signed literals per grammar r_integer/r_float
+                // (grammar.py:34-35); '-inf' is a keyword form, but a
+                // '-' followed by digits must stay with the number
+                val save = p
+                if (tryLit("-") && tryKw("inf")) FilterNum(op, Double.NegativeInfinity)
+                else { p = save; FilterNum(op, parseFloatLit()) }
+              }
             }
         expectLit(")")
         Seq(Left(st))
@@ -369,7 +375,11 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
     p += prop.length
     val op = Seq("==", "!=", "<=", ">=", "<", ">", "!~", "~")
       .find(tryLit).getOrElse(err(s"expecting a comparison operator at position $p"))
-    props.getOrElse(prop, err(s"unknown property '$prop'")) match {
+    val kind = props.getOrElse(prop, err(s"unknown property '$prop'"))
+    // grammar permits ~ / !~ only on string props (grammar.py :350-366)
+    if ((op == "~" || op == "!~") && kind != 's')
+      err(s"cannot use '$op' on property '$prop'")
+    kind match {
       case 'i' => CCmp(prop, op, Left(parseIntExpr()))
       case 't' => CCmp(prop, op, Left(parseTimeExpr()))
       case 's' => CCmp(prop, op, Right(expectString()))

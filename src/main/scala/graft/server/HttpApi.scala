@@ -34,6 +34,10 @@ import graft.streaming.Ingest
   */
 final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
 
+  /** Physical shard granularity of this server's Ingest store; also
+    * drives the shards view / drop shards mapping via EngineEnv. */
+  private val shardDuration = 86400L
+
   private val mapper = new ObjectMapper()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -65,7 +69,8 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
       .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
     val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
     EngineEnv(spark, storeDir,
-      frames = Some(Frames(f, i, s, m, cat)), meta = meta)
+      frames = Some(Frames(f, i, s, m, cat)), meta = meta,
+      shardDuration = shardDuration)
   }
 
   // ---- handlers ----
@@ -117,7 +122,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
       .getOrElse(1L)
     val t0 = System.nanoTime()
     val stmt = QueryParser.parse(q)
-    val df = Planner.run(stmt, env)
+    val df = Planner.run(stmt, env, keepPid = true)
     val isSelect = (stmt match {
       case TimeitStmt(s) => s
       case s => s
@@ -139,18 +144,24 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
   }
 
   /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
-    * order (points.c:250-288). */
+    * order (points.c:250-288; pid is the insertion-order tie-break for
+    * duplicate timestamps). */
   private def encodeSelect(df: DataFrame, tsFactor: Long = 1L): JsonNode = {
     // select_points_limit guard (db.h:16), alterable via
-    // `alter database set select_points_limit N`
+    // `alter database set select_points_limit N` — checked by
+    // collecting limit+1 rows so the plan executes exactly once
     val limit = meta.selectPointsLimit
-    val n = df.count()
-    if (n > limit)
+    val valType = df.schema("val").dataType
+    val ord =
+      if (df.columns.contains("pid")) Seq(col("series"), col("ts"), col("pid"))
+      else Seq(col("series"), col("ts"))
+    val rows = df.orderBy(ord: _*)
+      .select(col("series"), col("ts"), col("val"))
+      .limit((limit + 1).min(Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > limit)
       throw QueryError(
         s"Query returns more than $limit points — use an aggregate or a time range")
-    meta.selectedPoints.addAndGet(n)
-    val valType = df.schema("val").dataType
-    val rows = df.orderBy(col("series"), col("ts")).collect()
+    meta.selectedPoints.addAndGet(rows.length)
     val out = mapper.createObjectNode()
     rows.foreach { r =>
       val series = r.getString(0)
@@ -225,7 +236,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
     else throw QueryError("expecting a map or array insert body")
     val rows = points.result()
     import spark.implicits._
-    Ingest.appendBatch(rows.toDF(), storeDir, shardDuration = 86400L)
+    Ingest.appendBatch(rows.toDF(), storeDir, shardDuration)
     meta.receivedPoints.addAndGet(rows.size)
     val ok = mapper.createObjectNode()
     ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")

@@ -57,39 +57,93 @@ object Ingest {
       }
       .start()
 
-  /** One micro-batch: append points, merge the batch's per-series
-    * stats into the catalog. Runs sequentially per stream (Spark
-    * serializes foreachBatch calls). */
+  /** One micro-batch: coerce values to the series' established type,
+    * append points, merge the batch's per-series stats into the
+    * catalog. Runs sequentially per stream (Spark serializes
+    * foreachBatch calls).
+    *
+    * Type rule (siridb_series_ensure_type, src/siri/db/series.c:1141):
+    * the FIRST point ever inserted fixes a series' type; later points
+    * of another type are coerced to it (int<->double casts, strings
+    * parsed leniently), never rejected — so the catalog type can never
+    * silently flip. */
   def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long): Unit = {
     val spark = batch.sparkSession
     val withExtra = Seq("val_int" -> lit(0L), "val_str" -> lit(""))
       .foldLeft(batch) { case (df, (c, d)) =>
         if (df.columns.contains(c)) df else df.withColumn(c, d)
       }
-    val pts = withExtra.select(col("series"), col("ts"),
+    val raw = withExtra.select(col("series"), col("ts"),
       col("val_num").as("val"), col("val_int"), col("val_str"),
       col("tp"), col("pid"))
-    pts.withColumn("shard", expr(s"ts div $shardDuration"))
-      .write.mode("append").partitionBy("shard").parquet(pointsPath(storeDir))
 
-    val delta = pts.groupBy(col("series"))
-      .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
-        max(col("ts")).as("end"), first(col("tp")).as("type"))
     val catPath = catalogPath(storeDir)
     val fs = new Path(storeDir).getFileSystem(spark.sessionState.newHadoopConf())
     val existing =
       if (fs.exists(new Path(catPath))) spark.read.parquet(catPath)
-      else spark.emptyDataFrame
-        .select(lit("").as("series"), lit(0L).as("length"),
-          lit(0L).as("start"), lit(0L).as("end"), lit("").as("type"))
+      else spark.sql(
+        """SELECT '' AS series, 0L AS `length`, 0L AS `start`, 0L AS `end`,
+          |'' AS `type`, 0L AS pool, '' AS first_val, '' AS last_val""".stripMargin)
         .limit(0)
-    val merged = existing.select("series", "length", "start", "end", "type")
-      .unionByName(delta)
+
+    // established type = existing catalog type, else the type of the
+    // series' first point within this batch (deterministic by ts, pid)
+    val batchTypes = raw.groupBy(col("series"))
+      .agg(min_by(col("tp"), struct(col("ts"), col("pid"))).as("batch_tp"))
+    val pts = raw
+      .join(existing.select(col("series"), col("type").as("ex_tp")), Seq("series"), "left")
+      .join(batchTypes, Seq("series"))
+      .withColumn("etp", coalesce(col("ex_tp"), col("batch_tp")))
+      .withColumn("c_int", when(col("etp") === "integer",
+        when(col("tp") === "integer", col("val_int"))
+          .when(col("tp") === "float", col("val").cast("long"))
+          .otherwise(coalesce(expr("try_cast(val_str AS BIGINT)"), lit(0L))))
+        .otherwise(lit(0L)))
+      .withColumn("c_num", when(col("etp") === "float",
+        when(col("tp") === "float", col("val"))
+          .when(col("tp") === "integer", col("val_int").cast("double"))
+          .otherwise(coalesce(expr("try_cast(val_str AS DOUBLE)"), lit(0.0))))
+        .when(col("etp") === "integer", col("c_int").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("c_str", when(col("etp") === "string",
+        when(col("tp") === "string", col("val_str"))
+          .when(col("tp") === "integer", col("val_int").cast("string"))
+          .otherwise(col("val").cast("string")))
+        .otherwise(lit("")))
+      .select(col("series"), col("ts"), col("c_num").as("val"),
+        col("c_int").as("val_int"), col("c_str").as("val_str"),
+        col("etp").as("tp"), col("pid"))
+
+    pts.withColumn("shard", expr(s"ts div $shardDuration"))
+      .write.mode("append").partitionBy("shard").parquet(pointsPath(storeDir))
+
+    // canonical string form of the typed value — carried in the
+    // catalog so bare first()/last() never read point data
+    // (aggregate.c:495-510); long/double round-trip exactly
+    val vstr = when(col("tp") === "integer", col("val_int").cast("string"))
+      .when(col("tp") === "string", col("val_str"))
+      .otherwise(col("val").cast("string"))
+    val ord = struct(col("ts"), col("pid"))
+    val delta = pts.withColumn("vstr", vstr)
       .groupBy(col("series"))
-      .agg(sum(col("length")).cast("long").as("length"),
-        min(col("start")).as("start"), max(col("end")).as("end"),
-        // first inserted point fixes the series type (series.c:72-76)
-        first(col("type")).as("type"))
+      .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
+        max(col("ts")).as("end"), first(col("tp")).as("type"),
+        min_by(col("vstr"), ord).as("first_val"),
+        max_by(col("vstr"), ord).as("last_val"))
+
+    // catalog-sized full-outer merge; the delta side is one batch
+    val merged = existing.alias("e")
+      .join(delta.alias("d"), Seq("series"), "full_outer")
+      .select(col("series"),
+        (coalesce(col("e.length"), lit(0L)) + coalesce(col("d.length"), lit(0L)))
+          .cast("long").as("length"),
+        least(col("e.start"), col("d.start")).as("start"),
+        greatest(col("e.end"), col("d.end")).as("end"),
+        coalesce(col("e.type"), col("d.type")).as("type"),
+        when(col("e.start").isNull || col("d.start") < col("e.start"),
+          col("d.first_val")).otherwise(col("e.first_val")).as("first_val"),
+        when(col("e.end").isNull || col("d.end") >= col("e.end"),
+          col("d.last_val")).otherwise(col("e.last_val")).as("last_val"))
       .withColumn("pool", SeriesStore.poolOf("series"))
     val tmp = new Path(catPath + ".tmp")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -188,11 +242,18 @@ object Ingest {
       // ingest hot path — expiry is a maintenance job)
       val pts = points(spark, storeDir)
       val cat = catalog(spark, storeDir).select(col("series"), col("type"))
-      val rebuilt = pts.groupBy(col("series"))
-        .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
-          max(col("ts")).as("end"))
-        .join(cat, Seq("series"), "left")
+      val typed = pts.join(cat, Seq("series"), "left")
         .withColumn("type", coalesce(col("type"), lit("float")))
+      val vstr = when(col("type") === "integer", col("val_int").cast("string"))
+        .when(col("type") === "string", col("val_str"))
+        .otherwise(col("val").cast("string"))
+      val ord = struct(col("ts"), col("pid"))
+      val rebuilt = typed.withColumn("vstr", vstr)
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
+          max(col("ts")).as("end"), first(col("type")).as("type"),
+          min_by(col("vstr"), ord).as("first_val"),
+          max_by(col("vstr"), ord).as("last_val"))
         .withColumn("pool", SeriesStore.poolOf("series"))
       val catPath = new Path(catalogPath(storeDir))
       val tmp = new Path(catalogPath(storeDir) + ".tmp")
@@ -208,7 +269,8 @@ object Ingest {
   def catalog(spark: SparkSession, storeDir: String): DataFrame =
     if (!existsNonEmpty(spark, catalogPath(storeDir)))
       spark.sql(
-        "SELECT '' AS series, 0L AS `length`, 0L AS `start`, 0L AS `end`, '' AS `type`, 0L AS pool")
+        """SELECT '' AS series, 0L AS `length`, 0L AS `start`, 0L AS `end`,
+          |'' AS `type`, 0L AS pool, '' AS first_val, '' AS last_val""".stripMargin)
         .limit(0)
     else spark.read.parquet(catalogPath(storeDir))
 }

@@ -126,6 +126,23 @@ class QueryParserSpec extends AnyFunSuite {
     assert(stages("select filter(!= nan) from 'a' head 1").toString.contains("NaN"))
     assert(stages("select filter(== inf) from 'a' head 1") ===
       Seq(FilterNum("==", Double.PositiveInfinity)))
+    assert(stages("select filter(== -inf) from 'a' head 1") ===
+      Seq(FilterNum("==", Double.NegativeInfinity)))
+  }
+
+  test("filter: signed numeric literals keep their sign — grammar r_integer/r_float :34-35") {
+    def stages(q: String) =
+      parse(q).asInstanceOf[SelectStmt].chains.head.stages
+    assert(stages("select filter(> -5) from 'a' head 1") === Seq(FilterNum(">", -5.0)))
+    assert(stages("select filter(<= -2.5) from 'a' head 1") ===
+      Seq(FilterNum("<=", -2.5)))
+  }
+
+  test("where cexpr: ~ and !~ are string-prop-only — grammar :350-366") {
+    assertThrows[QueryError](parse("list series where length ~ 5"))
+    assertThrows[QueryError](parse("list series where start !~ 100"))
+    // still fine on a string prop
+    parse("list series where name !~ 'x'")
   }
 
   test("adjacent quoted fragments concatenate — grammar :38-39") {
