@@ -10,7 +10,7 @@ import scala.collection.concurrent.TrieMap
   */
 final class MetaStore {
 
-  final case class User(password: String, access: Set[String])
+  final case class User(password: String, access: Int)
 
   /** group name -> saved regex (continuously re-evaluated against the
     * catalog on use — the reference re-evaluates on a 2 s loop,
@@ -18,7 +18,17 @@ final class MetaStore {
   val groups = TrieMap[String, String]()
   /** tag name -> explicit member series (src/siri/db/tags.c). */
   val tags = TrieMap[String, Set[String]]()
-  val users = TrieMap[String, User]()
+  /** seeded with the reference's default database user
+    * (users.c:70-85: 'iris'/'siri', full profile). */
+  val users = TrieMap[String, User]("iris" -> User("siri", Access.Full))
+
+  /** None when the user holds every requested bit, else the
+    * reference's denial message (user.c:195-218). */
+  def checkAccess(user: String, bit: Int): Option[String] = {
+    val have = users.get(user).map(_.access).getOrElse(0)
+    if ((have & bit) == bit) None
+    else Some(s"Access denied. User '$user' has no '${Access.toStr(bit)}' privileges.")
+  }
 
   /** Dropped-series tombstones (the analog of dropped-series purge,
     * src/siri/optimize.c) as a materialized name frame — anti-joined

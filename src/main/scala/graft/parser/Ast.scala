@@ -7,6 +7,10 @@ import graft.engine.SeriesMatch.Sel
   * parse/semantic errors as query errors — src/siri/db/query.c:630-646). */
 final case class QueryError(msg: String) extends RuntimeException(msg)
 
+/** Authorization failure — the reference's CPROTO_ERR_USER_ACCESS
+  * surface (src/siri/db/user.c:195-218, listener.c:433). */
+final case class AccessError(msg: String) extends RuntimeException(msg)
+
 /** AST of the SiriDB query language (grammar START rule,
   * /root/reference/grammar/grammar.py:877-892). Time/int expressions
   * are already constant-folded by the parser (the reference folds them

@@ -29,6 +29,9 @@ final case class EngineEnv(
     factor: Long = 1L,
     frames: Option[Frames] = None,
     meta: graft.meta.MetaStore = new graft.meta.MetaStore,
+    /** Authenticated user for access-bit enforcement; None (internal
+      * callers, specs, Verify) bypasses the check. */
+    user: Option[String] = None,
     /** One shard duration everywhere: the `shards` entity view, the
       * `shard_duration` series prop, `drop shards` start/end mapping
       * and `show duration_num` all derive from this single constant
@@ -139,7 +142,7 @@ object Planner {
           .toDF("name", "series")
       case "users" =>
         env.meta.users.toSeq
-          .map { case (n, u) => (n, u.access.toSeq.sorted.mkString(",")) }
+          .map { case (n, u) => (n, graft.meta.Access.toStr(u.access)) }
           .toDF("name", "access")
       case "pools" =>
         env.catalogLive.groupBy(col("pool"))
@@ -209,12 +212,44 @@ object Planner {
   private def isStringFrame(df: DataFrame): Boolean =
     df.schema("val").dataType == StringType
 
+  /** Access bit a statement needs, per the reference's per-statement
+    * enter_* checks (listener.c:692-1147,4949; access.h:8-17).
+    * calc/help/timeit carry no bit. */
+  private def requiredAccess(stmt: Statement): Int = {
+    import graft.meta.Access
+    stmt match {
+      case TimeitStmt(inner) => requiredAccess(inner)
+      case _: SelectStmt => Access.Select
+      case _: ListSeriesStmt | _: ListEntityStmt => Access.List
+      case _: CountStmt => Access.Count
+      case _: ShowStmt => Access.Show
+      case _: CreateGroup | _: CreateUser => Access.Create
+      case _: DropGroup | _: DropTag | _: DropUser |
+           _: DropSeries | _: DropShards => Access.Drop
+      case _: AlterSeriesTag | _: AlterUser | _: AlterGroup |
+           _: AlterTag | _: AlterDatabase => Access.Alter
+      case _: GrantUser => Access.Grant
+      case _: RevokeUser => Access.Revoke
+      case _ => 0
+    }
+  }
+
   /** `keepPid = true` (the transports) exposes the insertion-id column
     * on row-preserving selects so duplicate-ts points can be emitted in
     * insertion order (points.c:250-288); the default contract stays
-    * (series, ts, val). */
-  def run(stmt: Statement, env: EngineEnv, keepPid: Boolean = false): DataFrame = stmt match {
-    case TimeitStmt(inner) => run(inner, env, keepPid) // wall-clock handled by caller
+    * (series, ts, val). When the env carries an authenticated user the
+    * statement's access bit is enforced first (listener.c:433). */
+  def run(stmt: Statement, env: EngineEnv, keepPid: Boolean = false): DataFrame = {
+    env.user.foreach { u =>
+      val bit = requiredAccess(stmt)
+      if (bit != 0)
+        env.meta.checkAccess(u, bit).foreach(m => throw AccessError(m))
+    }
+    runStmt(stmt, env, keepPid)
+  }
+
+  private def runStmt(stmt: Statement, env: EngineEnv, keepPid: Boolean): DataFrame = stmt match {
+    case TimeitStmt(inner) => runStmt(inner, env, keepPid) // wall-clock handled by caller
 
     case CalcStmt(v) =>
       import env.spark.implicits._
@@ -334,7 +369,7 @@ object Planner {
     case CreateUser(name, password) =>
       if (env.meta.users.contains(name))
         throw QueryError(s"user '$name' already exists")
-      env.meta.users.put(name, env.meta.User(password, Set.empty))
+      env.meta.users.put(name, env.meta.User(password, 0))
       ok(env, s"Successfully created user '$name'.")
 
     case DropGroup(name) =>
@@ -401,14 +436,15 @@ object Planner {
       val u = env.meta.users.getOrElse(name,
         throw QueryError(s"user '$name' does not exist"))
       env.meta.users.put(name,
-        u.copy(access = u.access ++ access,
+        u.copy(access = u.access | graft.meta.Access.fromKeywords(access),
           password = pw.getOrElse(u.password)))
       ok(env, s"Successfully granted permissions to user '$name'.")
 
     case RevokeUser(access, name) =>
       val u = env.meta.users.getOrElse(name,
         throw QueryError(s"user '$name' does not exist"))
-      env.meta.users.put(name, u.copy(access = u.access -- access))
+      env.meta.users.put(name,
+        u.copy(access = u.access & ~graft.meta.Access.fromKeywords(access)))
       ok(env, s"Successfully revoked permissions from user '$name'.")
 
     // time-range shard deletion (exit_drop_shards, listener.c:3052-3152)

@@ -1,0 +1,192 @@
+package graft.server
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.meta.Access
+import graft.parser.{AccessError, EngineEnv, Frames, Planner, QueryError, QueryParser, SelectStmt, TimeitStmt}
+import graft.streaming.Ingest
+
+/** Transport-agnostic engine binding shared by the HTTP and TCP
+  * (CPROTO) façades: one metastore + Ingest store per server, query
+  * and insert handlers over Jackson trees, with the reference's result
+  * encodings and per-user access enforcement
+  * (clserver.c:516-540 insert access, listener.c:433 query access).
+  */
+final class ApiCore(spark: SparkSession, storeDir: String) {
+
+  /** Physical shard granularity of this server's Ingest store; also
+    * drives the shards view / drop shards mapping via EngineEnv. */
+  val shardDuration = 86400L
+
+  /** The reference's database name for this deployment (REQ_AUTH
+    * carries (user, password, dbname) — auth.c:17-60). */
+  val dbName = "graft"
+
+  private val mapper = new ObjectMapper()
+
+  /** One metastore per server instance: DDL state (groups, tags,
+    * users, tombstones, config) must survive across requests — the
+    * frames below are rebuilt per request (data grows), the metadata
+    * is not. */
+  val meta = new graft.meta.MetaStore
+
+  /** Validate credentials (auth.c:17-60). */
+  def authenticate(user: String, password: String): Boolean =
+    meta.users.get(user).exists(_.password == password)
+
+  private def env(user: String): EngineEnv = {
+    val pts = Ingest.points(spark, storeDir)
+    val cat = Ingest.catalog(spark, storeDir)
+    val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
+    val f = typed.where(col("type") === "float")
+      .select(col("series"), col("ts"), col("val"), col("pid"))
+    // integer series read the exact int64 column (values past 2^53
+    // never pass through a double)
+    val i = typed.where(col("type") === "integer")
+      .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
+    val s = typed.where(col("type") === "string")
+      .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
+    val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
+    EngineEnv(spark, storeDir,
+      frames = Some(Frames(f, i, s, m, cat)), meta = meta,
+      user = Some(user), shardDuration = shardDuration)
+  }
+
+  /** Run one query; select results use the reference's
+    * {series: [[ts,val],...]} encoding with output timestamps scaled
+    * by `tsFactor` (points ts correction, clserver.c:480-505),
+    * metadata queries the {columns, rows} table encoding, timeit wraps
+    * with __timeit__ (listener.c:5026-5064). Throws QueryError /
+    * AccessError for the transports to map. */
+  def runQuery(q: String, tsFactor: Long, user: String): JsonNode = {
+    val t0 = System.nanoTime()
+    val stmt = QueryParser.parse(q)
+    val df = Planner.run(stmt, env(user), keepPid = true)
+    val isSelect = (stmt match {
+      case TimeitStmt(s) => s
+      case s => s
+    }).isInstanceOf[SelectStmt]
+    val node =
+      if (isSelect) encodeSelect(df, tsFactor)
+      else encodeTable(df)
+    stmt match {
+      case TimeitStmt(_) =>
+        val timeit = mapper.createArrayNode()
+        val entry = mapper.createObjectNode()
+        entry.put("server", "local")
+        entry.put("time", (System.nanoTime() - t0) / 1e9)
+        timeit.add(entry)
+        node.asInstanceOf[ObjectNode].set[JsonNode]("__timeit__", timeit)
+      case _ => ()
+    }
+    node
+  }
+
+  /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
+    * order (points.c:250-288; pid is the insertion-order tie-break for
+    * duplicate timestamps). */
+  private def encodeSelect(df: DataFrame, tsFactor: Long): JsonNode = {
+    // select_points_limit guard (db.h:16), alterable via
+    // `alter database set select_points_limit N` — checked by
+    // collecting limit+1 rows so the plan executes exactly once
+    val limit = meta.selectPointsLimit
+    val valType = df.schema("val").dataType
+    val ord =
+      if (df.columns.contains("pid")) Seq(col("series"), col("ts"), col("pid"))
+      else Seq(col("series"), col("ts"))
+    val rows = df.orderBy(ord: _*)
+      .select(col("series"), col("ts"), col("val"))
+      .limit((limit + 1).min(Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > limit)
+      throw QueryError(
+        s"Query returns more than $limit points — use an aggregate or a time range")
+    meta.selectedPoints.addAndGet(rows.length)
+    val out = mapper.createObjectNode()
+    rows.foreach { r =>
+      val series = r.getString(0)
+      val arr = out.get(series) match {
+        case a: ArrayNode => a
+        case _ => val a = mapper.createArrayNode(); out.set[JsonNode](series, a); a
+      }
+      val point = mapper.createArrayNode()
+      point.add(r.getLong(1) * tsFactor)
+      valType match {
+        case LongType => point.add(r.getLong(2))
+        case DoubleType => point.add(r.getDouble(2))
+        case StringType => point.add(r.getString(2))
+        case _ => point.add(r.get(2).toString)
+      }
+      arr.add(point)
+    }
+    out
+  }
+
+  /** {columns: [...], rows: [[...]]} for list/count/show/calc. */
+  private def encodeTable(df: DataFrame): ObjectNode = {
+    val out = mapper.createObjectNode()
+    val cols = out.putArray("columns")
+    df.columns.foreach(cols.add)
+    val rows = out.putArray("rows")
+    df.limit(10001).collect().foreach { r =>
+      val arr = rows.addArray()
+      r.toSeq.foreach {
+        case l: Long => arr.add(l)
+        case d: Double => arr.add(d)
+        case s: String => arr.add(s)
+        case i: Int => arr.add(i)
+        case null => arr.addNull()
+        case other => arr.add(other.toString)
+      }
+    }
+    out
+  }
+
+  /** Both insert wire forms (src/siri/db/insert.c:77-126); type is
+    * inferred from the first point's value like the reference infers
+    * from the qpack type (series.c); requires the insert access bit
+    * (clserver.c:516-540). */
+  def runInsert(req: JsonNode, user: String): JsonNode = {
+    meta.checkAccess(user, Access.Insert).foreach(m => throw AccessError(m))
+    val points = Vector.newBuilder[Ingest.PointIn]
+    var pid = System.nanoTime() // monotonic-enough insertion ids
+    def addSeries(name: String, pts: JsonNode): Unit = {
+      if (!pts.isArray) throw QueryError(s"expecting an array of points for '$name'")
+      pts.asScala.foreach { pt =>
+        if (!pt.isArray || pt.size() != 2 || !pt.get(0).canConvertToLong)
+          throw QueryError("expecting points like [timestamp, value]")
+        val ts = pt.get(0).asLong()
+        if (ts < 0) throw QueryError("timestamps must be >= 0")
+        val v = pt.get(1)
+        val tp = if (v.isIntegralNumber) "integer"
+          else if (v.isNumber) "float"
+          else if (v.isTextual) "string" // "log" series (points.h:9-14)
+          else throw QueryError("expecting an integer, float or string value")
+        points += Ingest.PointIn(name, ts, v.asDouble(), tp, { pid += 1; pid },
+          val_int = if (v.isIntegralNumber) v.asLong() else 0L,
+          val_str = if (v.isTextual) v.asText() else "")
+      }
+    }
+    if (req.isObject) // map form
+      req.fields().asScala.foreach(e => addSeries(e.getKey, e.getValue))
+    else if (req.isArray) // array form
+      req.asScala.foreach { o =>
+        val name = Option(o.get("name")).map(_.asText())
+          .getOrElse(throw QueryError("expecting a 'name' field"))
+        addSeries(name, o.get("points"))
+      }
+    else throw QueryError("expecting a map or array insert body")
+    val rows = points.result()
+    import spark.implicits._
+    Ingest.appendBatch(rows.toDF(), storeDir, shardDuration)
+    meta.receivedPoints.addAndGet(rows.size)
+    val ok = mapper.createObjectNode()
+    ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")
+    ok
+  }
+}

@@ -2,17 +2,13 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import scala.jdk.CollectionConverters._
+import java.util.Base64
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
 
-import graft.parser.{EngineEnv, Frames, Planner, QueryError, SelectStmt, TimeitStmt, QueryParser}
-import graft.streaming.Ingest
+import graft.parser.{AccessError, QueryError}
 
 /** Thin HTTP façade over the engine — the Spark analog of the
   * reference's HTTP API (src/siri/api.c:233-292):
@@ -21,23 +17,18 @@ import graft.streaming.Ingest
   *   POST /insert/<db>  {"name": [[ts,val],...], ...}        (map form)
   *                      [{"name": "x", "points": [[ts,v]..]}] (array form)
   *
-  * Select results use the reference's encoding
-  * {series: [[ts,val],...], ...} with points sorted by ts
-  * (siridb_points_pack, src/siri/db/points.c:250-288); metadata
-  * queries return {columns: [...], rows: [[...]]}; inserts reply
-  * {"success_msg": "Successfully inserted N point(s)."}
-  * (itest/test_select.py:103-106). `timeit` wraps the result with
-  * __timeit__ info (listener.c:5026-5064).
+  * Credentials ride an HTTP basic Authorization header like the
+  * reference (api.c authentication); a request without one runs as the
+  * seeded default user 'iris' (users.c:70-85) so local tooling works
+  * out of the box. Access bits are enforced per statement either way.
   *
-  * Inserted data lands in an Ingest store (shard-partitioned parquet +
-  * incrementally-upserted catalog) and is immediately queryable.
+  * Handlers and encodings live in [[ApiCore]], shared with the
+  * TCP/qpack transport ([[TcpApi]]).
   */
-final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
+final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
+    sharedCore: Option[ApiCore] = None) {
 
-  /** Physical shard granularity of this server's Ingest store; also
-    * drives the shards view / drop shards mapping via EngineEnv. */
-  private val shardDuration = 86400L
-
+  private val core = sharedCore.getOrElse(new ApiCore(spark, storeDir))
   private val mapper = new ObjectMapper()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -47,35 +38,30 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
 
-  // ---- engine binding: typed frames over the ingest store ----
-
-  /** One metastore per server instance: DDL state (groups, tags,
-    * users, tombstones, config) must survive across requests — the
-    * frames below are rebuilt per request (data grows), the metadata
-    * is not. */
-  private val meta = new graft.meta.MetaStore
-
-  private def env: EngineEnv = {
-    val pts = Ingest.points(spark, storeDir)
-    val cat = Ingest.catalog(spark, storeDir)
-    val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
-    val f = typed.where(col("type") === "float")
-      .select(col("series"), col("ts"), col("val"), col("pid"))
-    // integer series read the exact int64 column (values past 2^53
-    // never pass through a double)
-    val i = typed.where(col("type") === "integer")
-      .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
-    val s = typed.where(col("type") === "string")
-      .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
-    val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
-    EngineEnv(spark, storeDir,
-      frames = Some(Frames(f, i, s, m, cat)), meta = meta,
-      shardDuration = shardDuration)
-  }
+  /** Metastore shared with the core (exposed for specs). */
+  def meta: graft.meta.MetaStore = core.meta
 
   // ---- handlers ----
 
-  private def exchange(h: (JsonNode, Map[String, String]) => (Int, JsonNode))(ex: HttpExchange): Unit = {
+  private final case class HttpError(code: Int, msg: String)
+    extends RuntimeException(msg)
+
+  /** Basic-auth credentials when present; default user otherwise. */
+  private def userOf(ex: HttpExchange): String = {
+    Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+      case Some(h) if h.startsWith("Basic ") =>
+        val dec = new String(Base64.getDecoder.decode(h.stripPrefix("Basic ")),
+          StandardCharsets.UTF_8)
+        dec.split(":", 2) match {
+          case Array(u, p) if core.authenticate(u, p) => u
+          case _ => throw HttpError(401, "Invalid credentials")
+        }
+      case Some(_) => throw HttpError(401, "Invalid authorization header")
+      case None => "iris"
+    }
+  }
+
+  private def exchange(h: (HttpExchange, JsonNode, Map[String, String]) => (Int, JsonNode))(ex: HttpExchange): Unit = {
     val (code, body) =
       try {
         if (ex.getRequestMethod != "POST")
@@ -88,9 +74,11 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
               case Array(k, v) => Some(k -> v)
               case _ => None
             }).toMap
-          h(mapper.readTree(in), params)
+          h(ex, mapper.readTree(in), params)
         }
       } catch {
+        case e: HttpError => (e.code, errNode(e.msg))
+        case e: AccessError => (403, errNode(e.msg))
         case e: QueryError => (400, errNode(e.msg))
         case e: Exception =>
           val m = Option(e.getMessage).getOrElse(e.toString).linesIterator.next()
@@ -113,133 +101,17 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0) {
   private val outFactors = Map("s" -> 1L, "ms" -> 1000L,
     "us" -> 1000000L, "ns" -> 1000000000L)
 
-  private def handleQuery(req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
+  private def handleQuery(ex: HttpExchange, req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
+    val user = userOf(ex)
     val q = Option(req.get("q")).map(_.asText())
       .getOrElse(throw QueryError("expecting a 'q' field with the query"))
     val tsFactor = params.get("t")
       .map(t => outFactors.getOrElse(t,
         throw QueryError(s"unknown time precision '$t' (use s, ms, us or ns)")))
       .getOrElse(1L)
-    val t0 = System.nanoTime()
-    val stmt = QueryParser.parse(q)
-    val df = Planner.run(stmt, env, keepPid = true)
-    val isSelect = (stmt match {
-      case TimeitStmt(s) => s
-      case s => s
-    }).isInstanceOf[SelectStmt]
-    val node =
-      if (isSelect) encodeSelect(df, tsFactor)
-      else encodeTable(df)
-    stmt match {
-      case TimeitStmt(_) =>
-        val timeit = mapper.createArrayNode()
-        val entry = mapper.createObjectNode()
-        entry.put("server", "local")
-        entry.put("time", (System.nanoTime() - t0) / 1e9)
-        timeit.add(entry)
-        node.asInstanceOf[ObjectNode].set[JsonNode]("__timeit__", timeit)
-      case _ => ()
-    }
-    (200, node)
+    (200, core.runQuery(q, tsFactor, user))
   }
 
-  /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
-    * order (points.c:250-288; pid is the insertion-order tie-break for
-    * duplicate timestamps). */
-  private def encodeSelect(df: DataFrame, tsFactor: Long = 1L): JsonNode = {
-    // select_points_limit guard (db.h:16), alterable via
-    // `alter database set select_points_limit N` — checked by
-    // collecting limit+1 rows so the plan executes exactly once
-    val limit = meta.selectPointsLimit
-    val valType = df.schema("val").dataType
-    val ord =
-      if (df.columns.contains("pid")) Seq(col("series"), col("ts"), col("pid"))
-      else Seq(col("series"), col("ts"))
-    val rows = df.orderBy(ord: _*)
-      .select(col("series"), col("ts"), col("val"))
-      .limit((limit + 1).min(Int.MaxValue.toLong).toInt).collect()
-    if (rows.length > limit)
-      throw QueryError(
-        s"Query returns more than $limit points — use an aggregate or a time range")
-    meta.selectedPoints.addAndGet(rows.length)
-    val out = mapper.createObjectNode()
-    rows.foreach { r =>
-      val series = r.getString(0)
-      val arr = out.get(series) match {
-        case a: ArrayNode => a
-        case _ => val a = mapper.createArrayNode(); out.set[JsonNode](series, a); a
-      }
-      val point = mapper.createArrayNode()
-      point.add(r.getLong(1) * tsFactor)
-      valType match {
-        case LongType => point.add(r.getLong(2))
-        case DoubleType => point.add(r.getDouble(2))
-        case StringType => point.add(r.getString(2))
-        case _ => point.add(r.get(2).toString)
-      }
-      arr.add(point)
-    }
-    out
-  }
-
-  /** {columns: [...], rows: [[...]]} for list/count/show/calc. */
-  private def encodeTable(df: DataFrame): ObjectNode = {
-    val out = mapper.createObjectNode()
-    val cols = out.putArray("columns")
-    df.columns.foreach(cols.add)
-    val rows = out.putArray("rows")
-    df.limit(10001).collect().foreach { r =>
-      val arr = rows.addArray()
-      r.toSeq.foreach {
-        case l: Long => arr.add(l)
-        case d: Double => arr.add(d)
-        case s: String => arr.add(s)
-        case i: Int => arr.add(i)
-        case null => arr.addNull()
-        case other => arr.add(other.toString)
-      }
-    }
-    out
-  }
-
-  /** Both insert wire forms (src/siri/db/insert.c:77-126); type is
-    * inferred from the first point's value like the reference infers
-    * from the qpack type (series.c). */
-  private def handleInsert(req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
-    val points = Vector.newBuilder[Ingest.PointIn]
-    var pid = System.nanoTime() // monotonic-enough insertion ids
-    def addSeries(name: String, pts: JsonNode): Unit = {
-      if (!pts.isArray) throw QueryError(s"expecting an array of points for '$name'")
-      pts.asScala.foreach { pt =>
-        if (!pt.isArray || pt.size() != 2 || !pt.get(0).canConvertToLong)
-          throw QueryError("expecting points like [timestamp, value]")
-        val ts = pt.get(0).asLong()
-        if (ts < 0) throw QueryError("timestamps must be >= 0")
-        val v = pt.get(1)
-        val tp = if (v.isIntegralNumber) "integer"
-          else if (v.isNumber) "float"
-          else if (v.isTextual) "string" // "log" series (points.h:9-14)
-          else throw QueryError("expecting an integer, float or string value")
-        points += Ingest.PointIn(name, ts, v.asDouble(), tp, { pid += 1; pid },
-          val_int = if (v.isIntegralNumber) v.asLong() else 0L,
-          val_str = if (v.isTextual) v.asText() else "")
-      }
-    }
-    if (req.isObject) // map form
-      req.fields().asScala.foreach(e => addSeries(e.getKey, e.getValue))
-    else if (req.isArray) // array form
-      req.asScala.foreach { o =>
-        val name = Option(o.get("name")).map(_.asText())
-          .getOrElse(throw QueryError("expecting a 'name' field"))
-        addSeries(name, o.get("points"))
-      }
-    else throw QueryError("expecting a map or array insert body")
-    val rows = points.result()
-    import spark.implicits._
-    Ingest.appendBatch(rows.toDF(), storeDir, shardDuration)
-    meta.receivedPoints.addAndGet(rows.size)
-    val ok = mapper.createObjectNode()
-    ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")
-    (200, ok)
-  }
+  private def handleInsert(ex: HttpExchange, req: JsonNode, params: Map[String, String]): (Int, JsonNode) =
+    (200, core.runInsert(req, userOf(ex)))
 }

@@ -48,17 +48,43 @@ class DdlSpec extends AnyFunSuite {
     val env = EngineEnv(spark, dir)
     assert(msg(env, "create user 'alice' set password 'pw1'") ===
       "Successfully created user 'alice'.")
-    assert(msg(env, "grant read, write to user 'alice'") ===
+    // access folds to the largest profile repr (access.c:70-95):
+    // read+insert has no full profile, so it prints "read and insert"
+    assert(msg(env, "grant read, insert to user 'alice'") ===
       "Successfully granted permissions to user 'alice'.")
-    assert(q(env, "list users") === Seq(Seq("alice", "read,write")))
-    assert(msg(env, "revoke write from user 'alice'") ===
+    assert(q(env, "list users").toSet contains Seq("alice", "read and insert"))
+    assert(msg(env, "revoke insert from user 'alice'") ===
       "Successfully revoked permissions from user 'alice'.")
-    assert(q(env, "list users") === Seq(Seq("alice", "read")))
+    assert(q(env, "list users").toSet contains Seq("alice", "read"))
     assert(msg(env, "alter user 'alice' set password 'pw2'") ===
       "Successfully updated user 'alice'.")
-    assert(q(env, "count users").head.head === 1L)
+    // the seeded default user iris (users.c:70-85) counts too
+    assert(q(env, "count users").head.head === 2L)
     assert(msg(env, "drop user 'alice'") === "Successfully dropped user 'alice'.")
-    assert(q(env, "count users").head.head === 0L)
+    assert(q(env, "count users").head.head === 1L)
+  }
+
+  test("access bits are enforced when the env carries a user — listener.c:433") {
+    import graft.parser.AccessError
+    val env0 = EngineEnv(spark, dir)
+    q(env0, "create user 'bob' set password 'pw'")
+    q(env0, "grant read to user 'bob'")
+    val bob = env0.copy(user = Some("bob"))
+    // read profile: select/list/count/show pass
+    assert(q(bob, "count series").head.head.asInstanceOf[Long] > 0L)
+    assert(q(bob, "list series limit 1").size === 1)
+    // write-side statements are denied with the reference message
+    val e1 = intercept[AccessError](q(bob, "drop series /^f\\./ set ignore_threshold true"))
+    assert(e1.msg === "Access denied. User 'bob' has no 'drop' privileges.")
+    val e2 = intercept[AccessError](q(bob, "create group `g1` for /x/"))
+    assert(e2.msg === "Access denied. User 'bob' has no 'create' privileges.")
+    val e3 = intercept[AccessError](q(bob, "grant full to user 'bob'"))
+    assert(e3.msg === "Access denied. User 'bob' has no 'grant' privileges.")
+    // full-access default user passes everything
+    val iris = env0.copy(user = Some("iris"))
+    assert(q(iris, "count series").nonEmpty)
+    assert(msg(iris, "create group `g2` for /^f\\./")
+      .startsWith("Successfully created"))
   }
 
   test("drop series: threshold guard + tombstones hide data everywhere") {
