@@ -29,6 +29,34 @@ object Ann {
 
   private val dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
 
+  /** Two-phase exact top-k over a scored candidate set, replacing a
+    * global `Window.partitionBy(query_id)` (which funnels every scored
+    * row for a query into ONE task's sort — a scale-killer at 100×
+    * corpus). Phase 1 reduces each (query, source-partition) group to
+    * its k best with a bounded array_sort — the group lives wholly
+    * inside one input partition, so partial aggregation completes
+    * map-side, and only narrow (sim, vec_id) structs ever shuffle
+    * (never the embedding arrays). Phase 2 ranks the <= k * P
+    * survivors per query. Identical output to the single-window plan
+    * (sim desc, vec_id asc tie-break). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val local = scored
+      .select(col("query_id"), col("sim"), col("vec_id"))
+      .groupBy(col("query_id"), spark_partition_id().as("part"))
+      .agg(expr(
+        s"slice(array_sort(collect_list(struct(-sim AS ns, vec_id))), 1, $k)")
+        .as("top"))
+    val merged = local
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.ns").as("ns"), col("c.vec_id").as("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ns").asc, col("vec_id").asc)
+    merged.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
   /** Exact cosine top-k: for every query vector (vec_id < nQueries),
     * the k nearest corpus vectors (self excluded). Output
     * (query_id, rank, neighbor_id); rank breaks similarity ties by
@@ -40,12 +68,7 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"))
+    topK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
@@ -110,12 +133,7 @@ object Ann {
     val scored = probes.join(e, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"))
+    topK(scored, k)
   }
 
   /** Approximate top-k via random-hyperplane LSH. Hyperplane
@@ -156,11 +174,6 @@ object Ann {
         col("nrm").as("qn")), Seq("query_id"))
       .join(e, Seq("vec_id"))
     val scored = cands.withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"))
+    topK(scored, k)
   }
 }

@@ -40,12 +40,35 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
     * index: join on shingle, count co-occurrences, Jaccard from the
     * per-doc distinct-shingle counts. Returns (id_a, id_b, jaccard)
-    * with id_a < id_b and jaccard >= theta, rounded to 6 decimals. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, theta: Double = 0.5): DataFrame = {
+    * with id_a < id_b and jaccard >= theta, rounded to 6 decimals.
+    *
+    * `maxDf` caps a shingle's document frequency before the self-join:
+    * one hot shingle in d documents makes d² candidate rows, so a
+    * stop-phrase trigram is a skew-killer at scale. Dropping shingles
+    * with df > maxDf bounds each join key's fan-out at maxDf² while
+    * losing only pairs whose ONLY overlap is ubiquitous phrases —
+    * which sit far below any useful theta anyway (their Jaccard is
+    * ~1/|union|). maxDf <= 0 disables the cap (the exact oracle
+    * setting); at scale prefer [[minhashLshPairs]], which has no hot
+    * key by construction. Sizes still count ALL shingles, so a
+    * reported pair's jaccard stays exact (intersection undercounts by
+    * at most the dropped common shingles — a lower bound that cannot
+    * create false positives). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, theta: Double = 0.5,
+      maxDf: Long = 0L): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    val idx =
+      if (maxDf <= 0) sh
+      else {
+        // df per shingle is one hash aggregation; the anti-join drops
+        // hot keys before they can fan out
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select(col("shingle"))
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val inter = idx.as("a")
+      .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

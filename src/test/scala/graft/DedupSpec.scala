@@ -40,6 +40,26 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("hot-shingle df-cap bounds the candidate fan-out, keeps real pairs") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    // plant one ubiquitous phrase in EVERY doc: without a df-cap the
+    // inverted index fans out 25² candidate rows on that one shingle
+    val hot = corpus.select($"doc_id",
+      concat($"text", lit(" the end of doc")).as("text"))
+    // at theta=0 every candidate pair is reported, so the pair count
+    // exposes the fan-out directly: uncapped sees all 25*24/2 pairs
+    // through the hot shingle, capped only the 5 real-overlap pairs
+    val uncapped = Dedup.ngramJaccardPairs(hot, n = 3, theta = 0.0).count()
+    assert(uncapped === 300L)
+    val capped = Dedup.ngramJaccardPairs(hot, n = 3, theta = 0.0, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === (0 until 5).map(d => (d.toLong, 100L + d)).toSet)
+    // real pairs also survive the cap at the usual threshold
+    val atTheta = Dedup.ngramJaccardPairs(hot, n = 3, theta = 0.5, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atTheta === (0 until 5).map(d => (d.toLong, 100L + d)).toSet)
+  }
+
   test("exact groups: identical content collapses, hash is stable") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")
