@@ -89,6 +89,13 @@ final case class AlterDatabase(prop: String, value: String) extends DdlStmt
 final case class GrantUser(access: Seq[String], name: String,
     password: Option[String]) extends DdlStmt
 final case class RevokeUser(access: Seq[String], name: String) extends DdlStmt
+/** `drop server <uuid|'name'>` (grammar :734, listener.c:2983-3050). */
+final case class DropServer(server: String) extends DdlStmt
+/** `alter server <ref> set log_level|backup_mode|address|port ...` /
+  * `alter servers set ...` (grammar :615-671; server=None is the
+  * all-servers form; listener.c:4145-4287,4618). */
+final case class AlterServer(server: Option[String], prop: String,
+    value: String) extends DdlStmt
 
 /** Entity predicate tree — the cexpr mini-language
   * (src/cexpr/cexpr.c; grammar where_series :350-366). */

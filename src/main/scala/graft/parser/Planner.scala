@@ -225,9 +225,9 @@ object Planner {
       case _: ShowStmt => Access.Show
       case _: CreateGroup | _: CreateUser => Access.Create
       case _: DropGroup | _: DropTag | _: DropUser |
-           _: DropSeries | _: DropShards => Access.Drop
+           _: DropSeries | _: DropShards | _: DropServer => Access.Drop
       case _: AlterSeriesTag | _: AlterUser | _: AlterGroup |
-           _: AlterTag | _: AlterDatabase => Access.Alter
+           _: AlterTag | _: AlterDatabase | _: AlterServer => Access.Alter
       case _: GrantUser => Access.Grant
       case _: RevokeUser => Access.Revoke
       case _ => 0
@@ -429,8 +429,48 @@ object Planner {
 
     case AlterDatabase(prop, value) =>
       val old = env.meta.config.getOrElse(prop, "")
+      if (prop == "timezone") { // exit_set_timezone (listener.c:4879-4930)
+        if (value != "NAIVE" &&
+            scala.util.Try(java.time.ZoneId.of(value)).isFailure)
+          throw QueryError(s"Unknown time zone: '$value'. (see 'help timezones' for a list of valid time zones)")
+        if (old == value)
+          throw QueryError(s"Database 'graft' is already set to time-zone '$value'.")
+      }
       env.meta.config.put(prop, value)
       ok(env, s"Successfully changed $prop from '$old' to '$value'.")
+
+    // single-node deployment: the fleet is exactly this server
+    // ('local'); dropping it is refused like the reference refuses to
+    // drop a pool's only server (exit_drop_server, listener.c:2983-3050)
+    case DropServer(name) =>
+      if (name != "local")
+        throw QueryError(s"Cannot find server: $name")
+      throw QueryError(
+        "Cannot remove server 'local' because this is the only server for pool 0")
+
+    case AlterServer(ref, prop, value) =>
+      ref.filter(_ != "local")
+        .foreach(r => throw QueryError(s"Cannot find server: $r"))
+      prop match {
+        case "log_level" => // exit_set_log_level (listener.c:4618)
+          env.meta.config.put("log_level", value)
+          ref match {
+            case Some(_) => ok(env, s"Successfully set log level to '$value' on 'local'.")
+            case None => ok(env, s"Successfully set log level to '$value' on 1 servers.")
+          }
+        case "backup_mode" => // exit_set_backup_mode (listener.c:4189-4287)
+          val enable = value == "true"
+          val cur = env.meta.config.getOrElse("backup_mode", "false") == "true"
+          if (cur == enable)
+            throw QueryError(s"Backup mode is already ${if (enable) "enabled" else "disabled"} on 'local'.")
+          env.meta.config.put("backup_mode", value)
+          ok(env, s"Successfully ${if (enable) "enabled" else "disabled"} backup mode on 'local'.")
+        case "address" | "port" => // exit_set_address/port: the live
+          // server cannot re-address itself (MSG_ERR_SERVER_ADDRESS)
+          throw QueryError(
+            "Its only possible to change a servers address or port when the server is not connected.")
+        case other => throw QueryError(s"unknown server property '$other'")
+      }
 
     case GrantUser(access, name, pw) =>
       val u = env.meta.users.getOrElse(name,
@@ -497,6 +537,32 @@ object Planner {
         out.withColumn("series", concat(lit(pre), col("series"), lit(suf)))
       else out
 
+    // same skip-points path for bare first()/last(): the catalog's
+    // first_val/last_val (canonical string form, maintained by
+    // Ingest.appendBatch / derived in SeriesStore.catalog) answer them
+    // without reading point data (aggregate.c:495-510, series.c:1006+);
+    // the cast back to the family type is exact (long/double round-trip
+    // through string losslessly)
+    case SelectStmt(Seq(SelectChain(Seq(Agg(fn, None, _)), pre, suf)),
+        sel, where, None, None)
+        if (fn == First || fn == Last) && env.catalog.columns.contains("first_val") =>
+      val cat = selCatalog(Some(sel), where, env)
+      val types = cat.select(col("type")).distinct().collect()
+        .map(_.getString(0)).toSet
+      val valT =
+        if (types == Set("integer")) "long"
+        else if (types == Set("string")) "string"
+        else if (types.subsetOf(Set("integer", "float"))) "double"
+        else throw QueryError("Cannot use string and number series in one selection")
+      val (tsCol, vCol) =
+        if (fn == First) (col("start"), col("first_val"))
+        else (col("end"), col("last_val"))
+      val out = cat.select(col("series"), tsCol.as("ts"),
+        vCol.cast(valT).as("val"))
+      if (pre.nonEmpty || suf.nonEmpty)
+        out.withColumn("series", concat(lit(pre), col("series"), lit(suf)))
+      else out
+
     case SelectStmt(chains, sel, where, range, merge) =>
       val base0 = baseFrame(sel, where, env)
       val stringSeries = isStringFrame(base0)
@@ -532,9 +598,11 @@ object Planner {
       }
   }
 
-  /** Parse + plan in one step (the engine's `/query` entry point). */
+  /** Parse + plan in one step (the engine's `/query` entry point);
+    * the configured database timezone drives ISO8601 parsing. */
   def query(q: String, env: EngineEnv, now: Option[Long] = None): DataFrame = {
     val nowTs = now.getOrElse(System.currentTimeMillis() / 1000 * env.factor)
-    run(QueryParser.parse(q, nowTs, env.factor), env)
+    val tz = env.meta.config.getOrElse("timezone", "NAIVE")
+    run(QueryParser.parse(q, nowTs, env.factor, tz), env)
   }
 }

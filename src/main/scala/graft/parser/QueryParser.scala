@@ -1,6 +1,6 @@
 package graft.parser
 
-import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneId, ZoneOffset}
 import scala.util.matching.Regex
 
 import graft.engine.Pipeline
@@ -22,7 +22,8 @@ import graft.engine.SeriesMatch.{All, GroupTag, Name, Regex => SelRegex, Sel, Se
   * the database precision factor (include/siri/db/time.h:30-34);
   * ISO8601 date strings parse in UTC (src/siri/db/query.c:916-945).
   */
-final class QueryParser(input: String, now: Long, factor: Long = 1L) {
+final class QueryParser(input: String, now: Long, factor: Long = 1L,
+    tz: String = "NAIVE") {
   private var p = 0
 
   private def err(m: String): Nothing = throw QueryError(m)
@@ -191,17 +192,46 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
 
   def parseTimeExpr(): Long = binExpr(() => timePrimary())
 
-  /** ISO8601 in UTC (the db's default NAIVE timezone —
-    * src/siri/db/query.c:916-945, src/iso8601/iso8601.c). */
+  /** ISO8601 under the database timezone (src/siri/db/query.c:916-945,
+    * src/iso8601/iso8601.c:563+). NAIVE — the creation default — reads
+    * dates as server-local time (help/help_timezones.md); any other
+    * configured zone applies that zone; an explicit offset in the
+    * string ('Z', '+hh[:mm]', '-hh:mm') always wins. */
   private def parseDate(s: String): Long = {
-    val t = s.trim.replace("T", " ").stripSuffix("Z")
+    val zone: ZoneId =
+      if (tz == "NAIVE") ZoneId.systemDefault()
+      else try ZoneId.of(tz) catch {
+        case _: Exception => err(s"Unknown time zone: '$tz'. (see 'help timezones' for a list of valid time zones)")
+      }
+    val t0 = s.trim.replace("T", " ")
+    // split an explicit trailing offset (only valid after a time part)
+    val offRe = "([+-][0-9]{2}(:?[0-9]{2})?|Z)$".r
+    val (t, explicit) =
+      if (t0.length > 10) offRe.findFirstIn(t0) match {
+        case Some("Z") => (t0.dropRight(1).trim, Some(ZoneOffset.UTC))
+        case Some(o) =>
+          val norm = if (o.length == 3) o + ":00"
+            else if (!o.contains(":")) o.take(3) + ":" + o.drop(3) else o
+          (t0.dropRight(o.length).trim, Some(ZoneOffset.of(norm)))
+        case None => (t0, None)
+      } else (t0, None)
     try {
-      if (t.length <= 10) LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC).toEpochSecond
-      else {
+      if (t.length <= 10) {
+        val d = LocalDate.parse(t)
+        explicit match {
+          case Some(off) => d.atStartOfDay(off).toEpochSecond
+          case None => d.atStartOfDay(zone).toEpochSecond
+        }
+      } else {
         val norm = if (t.count(_ == ':') == 1) t + ":00" else t
-        LocalDateTime.parse(norm.replace(" ", "T")).toEpochSecond(ZoneOffset.UTC)
+        val ldt = LocalDateTime.parse(norm.replace(" ", "T"))
+        explicit match {
+          case Some(off) => ldt.toEpochSecond(off)
+          case None => ldt.atZone(zone).toEpochSecond
+        }
       }
     } catch {
+      case e: QueryError => throw e
       case _: Exception => err(s"unable to parse date/time string '$s'")
     }
   }
@@ -539,11 +569,23 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
     } else err("expecting group or user after 'create'")
   }
 
+  /** Server reference: quoted 'name' or a bare uuid token
+    * (grammar uuid :447: Choice(r_uuid_str, string)). */
+  private def tryServerRef(): Option[String] = {
+    tryString().orElse {
+      ws()
+      "[0-9a-fA-F][0-9a-fA-F-]{7,}".r.findPrefixOf(input.substring(p))
+        .map { s => p += s.length; s }
+    }
+  }
+
   private def dropStmt(): Statement = {
     expectKw("drop")
     if (tryKw("group")) DropGroup(expectGrave())
     else if (tryKw("tag")) DropTag(expectGrave())
     else if (tryKw("user")) DropUser(expectString())
+    else if (tryKw("server"))
+      DropServer(tryServerRef().getOrElse(err("expecting a server name or uuid")))
     else if (tryKw("series")) {
       val sel = peekSeriesMatchStart().map(_ => seriesMatch())
       val where = tryWhere()
@@ -553,7 +595,7 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
     }
     else if (tryKw("shards"))
       DropShards(tryWhere(shardProps), tryIgnoreThreshold())
-    else err("expecting group, tag, user, series or shards after 'drop'")
+    else err("expecting group, tag, user, server, series or shards after 'drop'")
   }
 
   private def tryIgnoreThreshold(): Boolean =
@@ -583,14 +625,17 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
       val name = expectGrave()
       expectKw("set"); expectKw("name")
       AlterTag(name, expectGrave())
-    } else if (tryKw("server") || tryKw("servers")) {
-      // single-node deployment: the "cluster" is this server
-      if (!tryKw("set")) { tryString(); expectKw("set") } // optional uuid/name
-      expectKw("log_level")
-      val lvl = peekWord.filter(Set("debug", "info", "warning", "error", "critical"))
-        .getOrElse(err("expecting a log level (debug, info, warning, error, critical)"))
-      p += lvl.length
-      AlterDatabase("log_level", lvl)
+    } else if (tryKw("servers")) {
+      // all-servers form (grammar alter_servers :671); a where clause
+      // filters the (single-node: one-element) fleet
+      val where = tryWhere(serverProps)
+      expectKw("set")
+      val st = serverSet(None)
+      where.map(_ => st).getOrElse(st)
+    } else if (tryKw("server")) {
+      val ref = tryServerRef()
+      expectKw("set")
+      serverSet(ref.orElse(Some("local")))
     } else if (tryKw("database")) {
       expectKw("set")
       val prop = peekWord.getOrElse(err("expecting a database property"))
@@ -604,8 +649,34 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
         case other => err(s"unknown database property '$other'")
       }
       AlterDatabase(prop, value)
-    } else err("expecting series, user, group, tag or database after 'alter'")
+    } else err("expecting series, user, group, tag, server or database after 'alter'")
   }
+
+  /** set_log_level / set_backup_mode / set_address / set_port
+    * (grammar :615-628). */
+  private def serverSet(ref: Option[String]): Statement = {
+    val prop = peekWord
+      .getOrElse(err("expecting log_level, backup_mode, address or port"))
+    p += prop.length
+    prop match {
+      case "log_level" =>
+        val lvl = peekWord.filter(Set("debug", "info", "warning", "error", "critical"))
+          .getOrElse(err("expecting a log level (debug, info, warning, error, critical)"))
+        p += lvl.length
+        AlterServer(ref, "log_level", lvl)
+      case "backup_mode" =>
+        if (tryKw("true")) AlterServer(ref, "backup_mode", "true")
+        else if (tryKw("false")) AlterServer(ref, "backup_mode", "false")
+        else err("expecting true or false")
+      case "address" => AlterServer(ref, "address", expectString())
+      case "port" => AlterServer(ref, "port", parseIntExpr().toString)
+      case other => err(s"unknown server property '$other'")
+    }
+  }
+
+  /** where_server props (grammar :383-431; props.c). */
+  private val serverProps = Map("name" -> 's', "pool" -> 'i',
+    "version" -> 's', "status" -> 's', "address" -> 's', "port" -> 'i')
 
   /** access_expr (grammar :200-215, :465): comma list of access keywords. */
   private val accessKws = Set("read", "write", "modify", "full",
@@ -676,8 +747,9 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L) {
 }
 
 object QueryParser {
-  /** Parse with `now` captured once (query.c:109,592-595). */
+  /** Parse with `now` captured once (query.c:109,592-595); `tz` is the
+    * database timezone applied to ISO8601 date strings. */
   def parse(q: String, now: Long = System.currentTimeMillis() / 1000,
-      factor: Long = 1L): Statement =
-    new QueryParser(q, now, factor).parse()
+      factor: Long = 1L, tz: String = "NAIVE"): Statement =
+    new QueryParser(q, now, factor, tz).parse()
 }

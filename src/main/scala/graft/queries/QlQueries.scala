@@ -50,6 +50,16 @@ object QlQueries {
       "SELECT CAST(1479081600 AS BIGINT) AS calc") {
       (s, d) => ql(s, d, "'2016-11-14'")
     },
+    // `alter database set timezone` changes ISO8601 interpretation
+    // (query.c:916-945, listener.c:4879-4930): midnight Amsterdam
+    // (CET, +01:00 on that date) is one hour before midnight UTC
+    Entry("ql_calc_tz",
+      "SELECT CAST(1479081600 - 3600 AS BIGINT) AS calc") {
+      (s, d) =>
+        val e = EngineEnv(s, d)
+        Planner.query("alter database set timezone 'Europe/Amsterdam'", e)
+        Planner.query("'2016-11-14'", e)
+    },
     Entry("ql_select_sum_between",
       s"""SELECT series, ${bkt(3600)} AS ts, CAST(sum(val) AS BIGINT) AS val
          |FROM ($PI) WHERE regexp_matches(series, '^i\\.click\\.')
@@ -100,6 +110,23 @@ object QlQueries {
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d,
         "select count() from /^i\\./ where length > 250 and name ~ 'view'"))
+    },
+    // bare first()/last() answer from the catalog's first_val/last_val
+    // without reading point data (aggregate.c:495-510); the oracle
+    // computes them straight from the points, pinning that the
+    // skip-path round-trip (typed value -> canonical string -> typed
+    // value) is lossless
+    Entry("ql_select_first_skip",
+      s"""SELECT series, min(ts) AS ts, first(val $ORD) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.')
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select first() from /^f\\./"))
+    },
+    Entry("ql_select_last_skip",
+      s"""SELECT series, max(ts) AS ts, last(val $ORD) AS val
+         |FROM ($PI) WHERE regexp_matches(series, '^i\\.')
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select last() from /^i\\./"))
     },
     Entry("ql_select_str_first",
       s"""SELECT series, ${bkt(86400)} AS ts, first(val $ORD) AS val

@@ -40,7 +40,7 @@ final class ApiCore(spark: SparkSession, storeDir: String) {
   def authenticate(user: String, password: String): Boolean =
     meta.users.get(user).exists(_.password == password)
 
-  private def env(user: String): EngineEnv = {
+  private[graft] def env(user: String): EngineEnv = {
     val pts = Ingest.points(spark, storeDir)
     val cat = Ingest.catalog(spark, storeDir)
     val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
@@ -66,7 +66,8 @@ final class ApiCore(spark: SparkSession, storeDir: String) {
     * AccessError for the transports to map. */
   def runQuery(q: String, tsFactor: Long, user: String): JsonNode = {
     val t0 = System.nanoTime()
-    val stmt = QueryParser.parse(q)
+    val stmt = QueryParser.parse(q,
+      tz = meta.config.getOrElse("timezone", "NAIVE"))
     val df = Planner.run(stmt, env(user), keepPid = true)
     val isSelect = (stmt match {
       case TimeitStmt(s) => s

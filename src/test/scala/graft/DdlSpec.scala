@@ -102,6 +102,25 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "select count() from /^f\\./").isEmpty)
   }
 
+  test("alter database set timezone drives date parsing — listener.c:4879-4930") {
+    val env = EngineEnv(spark, dir)
+    assert(msg(env, "alter database set timezone 'Europe/Amsterdam'") ===
+      "Successfully changed timezone from 'NAIVE' to 'Europe/Amsterdam'.")
+    // CET (+01:00) on 2016-11-14; CEST (+02:00) on 2016-07-01 (DST)
+    assert(q(env, "'2016-11-14'").head.head === 1479081600L - 3600L)
+    assert(q(env, "'2016-07-01 12:00:00'").head.head === 1467374400L - 7200L)
+    // explicit offsets in the string win over the database zone
+    assert(q(env, "'2016-11-14 00:00:00Z'").head.head === 1479081600L)
+    assert(q(env, "'2016-11-14 00:00:00+05:30'").head.head ===
+      1479081600L - 5L * 3600L - 1800L)
+    // reference errors: unknown zone, already-set zone
+    val e1 = intercept[QueryError](q(env, "alter database set timezone 'Mars/Olympus'"))
+    assert(e1.msg.contains("Unknown time zone"))
+    val e2 = intercept[QueryError](q(env, "alter database set timezone 'Europe/Amsterdam'"))
+    assert(e2.msg.contains("already set"))
+    assert(q(env, "show timezone") === Seq(Seq("timezone", "Europe/Amsterdam")))
+  }
+
   test("alter database set list_limit caps list output") {
     val env = EngineEnv(spark, dir)
     q(env, "alter database set list_limit 2")
@@ -109,12 +128,34 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "show list_limit") === Seq(Seq("list_limit", "2")))
   }
 
-  test("alter server set log_level; show exposes ~30 server props") {
+  test("alter server set log_level/backup_mode/address/port; drop server") {
     val env = EngineEnv(spark, dir)
-    assert(msg(env, "alter server set log_level debug")
-      .contains("log_level"))
+    assert(msg(env, "alter server set log_level debug") ===
+      "Successfully set log level to 'debug' on 'local'.")
     assert(q(env, "show log_level") === Seq(Seq("log_level", "debug")))
+    assert(msg(env, "alter servers set log_level info") ===
+      "Successfully set log level to 'info' on 1 servers.")
     assertThrows[QueryError](q(env, "alter server set log_level loud"))
+    // backup mode round-trip with the reference messages
+    assert(msg(env, "alter server set backup_mode true") ===
+      "Successfully enabled backup mode on 'local'.")
+    val e1 = intercept[QueryError](q(env, "alter server set backup_mode true"))
+    assert(e1.msg === "Backup mode is already enabled on 'local'.")
+    assert(msg(env, "alter server set backup_mode false") ===
+      "Successfully disabled backup mode on 'local'.")
+    // the live server cannot re-address itself (MSG_ERR_SERVER_ADDRESS)
+    val e2 = intercept[QueryError](q(env, "alter server 'local' set address 'else'"))
+    assert(e2.msg.contains("not connected"))
+    assertThrows[QueryError](q(env, "alter server 'local' set port 9999"))
+    // drop server: unknown ref vs the only-server guard (listener.c:2983)
+    val e3 = intercept[QueryError](q(env, "drop server 'other'"))
+    assert(e3.msg === "Cannot find server: other")
+    val e4 = intercept[QueryError](q(env, "drop server 'local'"))
+    assert(e4.msg.contains("only server for pool 0"))
+  }
+
+  test("show exposes ~30 server props") {
+    val env = EngineEnv(spark, dir)
     assert(q(env, "show").size >= 25)
     assert(q(env, "show time_precision, version, mem_usage").size === 3)
   }

@@ -16,6 +16,55 @@ import graft.streaming.Ingest.PointIn
 class IngestSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("bare first()/last() answer from the catalog, never the points — aggregate.c:495-510") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-skip").toString
+    Ingest.appendBatch(Seq(
+      PointIn("cpu", 300L, 2.5, "float", 2),
+      PointIn("cpu", 100L, 1.5, "float", 1),
+      PointIn("cpu", 200L, 9.0, "float", 3),
+      PointIn("req", 100L, 0, "integer", 4, val_int = 7L),
+      PointIn("req", 500L, 0, "integer", 5, val_int = 9223372036854775807L))
+      .toDF(), dir, shardDuration = 100L)
+    val env = new graft.server.ApiCore(spark, dir).env("iris")
+    val first = graft.parser.Planner.query("select first() from 'cpu'", env)
+    assert(first.collect().map(_.toSeq).toSeq === Seq(Seq("cpu", 100L, 1.5)))
+    // the physical plan reads only catalog.parquet — no points scan
+    val plan = first.queryExecution.executedPlan.toString
+    assert(!plan.contains("/points"), plan)
+    // integer series stay exact int64 through the canonical-string form
+    val last = graft.parser.Planner.query("select last() from 'req'", env)
+    assert(last.collect().map(_.toSeq).toSeq ===
+      Seq(Seq("req", 500L, Long.MaxValue)))
+  }
+
+  test("insert coerces to the established series type — series.c:1141") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-coerce").toString
+    // first point fixes 'cpu' as float, 'n' as integer
+    Ingest.appendBatch(Seq(
+      PointIn("cpu", 100L, 1.5, "float", 1),
+      PointIn("n", 100L, 0, "integer", 2, val_int = 10L)).toDF(),
+      dir, shardDuration = 100L)
+    // later mismatched points coerce, they don't flip the type
+    Ingest.appendBatch(Seq(
+      PointIn("cpu", 200L, 0, "integer", 3, val_int = 7L),
+      PointIn("n", 200L, 2.9, "float", 4),
+      PointIn("n", 300L, 0, "string", 5, val_str = "12")).toDF(),
+      dir, shardDuration = 100L)
+    val cat = Ingest.catalog(spark, dir)
+      .select("series", "type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cat === Map("cpu" -> "float", "n" -> "integer"))
+    val pts = Ingest.points(spark, dir)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    // cpu: integer 7 became 7.0 (float family); n: 2.9 truncated to 2,
+    // "12" parsed to 12 (strtoll/strtod-style lenient parse)
+    assert(pts.map(r => (r(0), r(1), r(2), r(3))).toSeq === Seq(
+      ("cpu", 100L, 1.5, 0L), ("cpu", 200L, 7.0, 0L),
+      ("n", 100L, 10.0, 10L), ("n", 200L, 2.0, 2L), ("n", 300L, 12.0, 12L)))
+  }
+
   test("out-of-order batches land, queries see everything, catalog upserts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
