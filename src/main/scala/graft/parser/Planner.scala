@@ -153,12 +153,54 @@ object Planner {
           .groupBy(expr(s"ts div ${env.shardDuration}").as("sid"))
           .agg(lit(0L).as("pool"), (count(lit(1)) * 16).as("size"),
             min(col("ts")).as("start"), max(col("ts")).as("end"))
-      case "servers" =>
-        Seq(("local", "running", 0L, "2.0.55")).toDF("name", "status", "pool", "version")
+      case "servers" => serversDf(env)
       case other => throw QueryError(s"list $other is not supported")
     }
     where.map(w => base.where(cexprPlain(w))).getOrElse(base)
   }
+
+  /** Live single-row servers view with the full prop set the reference
+    * emits per server (src/siri/db/props.c:204-286) — `list servers`
+    * columns and where clauses both work across it. */
+  private def serversDf(env: EngineEnv): DataFrame = {
+    val rt = Runtime.getRuntime
+    val backup = env.meta.config.getOrElse("backup_mode", "false") == "true"
+    val props: Seq[(String, Column)] = Seq(
+      "name" -> lit("local"),
+      "address" -> lit("127.0.0.1"),
+      "port" -> lit(9000L),
+      "uuid" -> lit("local"),
+      "pool" -> lit(0L),
+      "version" -> lit("2.0.55"),
+      "online" -> lit("true"),
+      "status" -> lit(if (backup) "running | backup-mode" else "running"),
+      "active_handles" -> lit(1L),
+      "active_tasks" -> lit(1L),
+      "buffer_path" -> lit(env.dir),
+      "buffer_size" -> lit(1024L),
+      "dbpath" -> lit(env.dir),
+      "fifo_files" -> lit(0L),
+      "idle_percentage" -> lit(0L),
+      "idle_time" -> lit(0L),
+      "ip_support" -> lit("ALL"),
+      "libuv" -> lit("n/a (Spark engine)"),
+      "list_limit" -> lit(env.meta.listLimit.toLong),
+      "log_level" -> lit(env.meta.config.getOrElse("log_level", "info")),
+      "max_open_files" -> lit(65536L),
+      "mem_usage" -> lit((rt.totalMemory() - rt.freeMemory()) / 1024 / 1024),
+      "open_files" -> lit(0L),
+      "received_points" -> lit(env.meta.receivedPoints.get()),
+      "reindex_progress" -> lit("none"),
+      "selected_points" -> lit(env.meta.selectedPoints.get()),
+      "select_points_limit" -> lit(env.meta.selectPointsLimit),
+      "startup_time" -> lit(0L),
+      "sync_progress" -> lit("synced"),
+      "uptime" -> lit((System.nanoTime() / 1000000000L) % 1000000))
+    env.spark.range(1).select(props.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Default list servers columns (reference list_servers default). */
+  private val serverDefaultCols = Seq("name", "pool", "version", "online", "status")
 
   /** Catalog rows matching a series selection + where predicate. */
   private def selCatalog(sel: Option[Sel], where: Option[Cexpr], env: EngineEnv): DataFrame = {
@@ -334,26 +376,26 @@ object Planner {
     case CountStmt(other, _, _) =>
       throw QueryError(s"count $other is not supported")
 
-    case ListEntityStmt(entity, where) =>
+    case ListEntityStmt("servers", where, cols) =>
+      val filtered = where.map(w => serversDf(env).where(cexprPlain(w)))
+        .getOrElse(serversDf(env))
+      filtered.select(
+        (if (cols.isEmpty) serverDefaultCols else cols).map(col): _*)
+
+    case ListEntityStmt(entity, where, _) =>
       entityDf(entity, env, where)
 
     case HelpStmt(topic) =>
       import env.spark.implicits._
-      val all = Map(
-        "select" -> "select <fn(..)> [=> fn(..)] from <series> [where ...] [after|before|between|head|tail] [merge as 'name' [using fn(..)]]",
-        "list" -> "list series|groups|tags|users|pools|shards|servers [columns] [match] [where ...] [limit n]",
-        "count" -> "count series [length]|groups|tags|users|pools|shards [size]|servers [where ...]",
-        "create" -> "create group `name` for /regex/ | create user 'name' set password '...'",
-        "drop" -> "drop series <match> [where] [set ignore_threshold true] | drop group|tag|user ...",
-        "alter" -> "alter series <match> tag|untag `t` | alter user|group|tag|database set ...",
-        "grant" -> "grant read|write|modify|full to user 'name'",
-        "revoke" -> "revoke read|write|modify|full from user 'name'",
-        "show" -> "show [property, ...]",
-        "timeit" -> "timeit <any query> — adds __timeit__ timing info")
+      import graft.meta.HelpTopics
       topic match {
         case Some(t) =>
-          Seq((t, all.getOrElse(t, s"no help for '$t'"))).toDF("topic", "help")
-        case None => all.toSeq.sorted.toDF("topic", "help")
+          val text = HelpTopics.topics.getOrElse(t,
+            s"no help for '$t' — try 'help' for the topic list")
+          Seq((t, text)).toDF("topic", "help")
+        case None =>
+          HelpTopics.index.map(t => (t, HelpTopics.topics(t).linesIterator.next()))
+            .toDF("topic", "help")
       }
 
     // ---- DDL / admin (SURVEY §2.8; success messages mirror

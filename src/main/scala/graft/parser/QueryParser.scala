@@ -490,7 +490,17 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     if (tryKw("users")) return ListEntityStmt("users", tryWhere(userProps))
     if (tryKw("pools")) return ListEntityStmt("pools", tryWhere(poolProps))
     if (tryKw("shards")) return ListEntityStmt("shards", tryWhere(shardProps))
-    if (tryKw("servers")) return ListEntityStmt("servers", None)
+    if (tryKw("servers")) { // list_servers (grammar :751-752)
+      val cols = Vector.newBuilder[String]
+      var more = peekWord.exists(serverProps.contains)
+      while (more) {
+        val c = peekWord.get; p += c.length
+        cols += c
+        more = tryLit(",")
+        if (more && !peekWord.exists(serverProps.contains)) { p -= 1; more = false }
+      }
+      return ListEntityStmt("servers", tryWhere(serverProps), cols.result())
+    }
     expectKw("series")
     val cols = Vector.newBuilder[String]
     var more = peekWord.exists(seriesCols)
@@ -674,9 +684,19 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     }
   }
 
-  /** where_server props (grammar :383-431; props.c). */
-  private val serverProps = Map("name" -> 's', "pool" -> 'i',
-    "version" -> 's', "status" -> 's', "address" -> 's', "port" -> 'i')
+  /** where_server / server_columns props (grammar :369-431;
+    * src/siri/db/props.c:204-286). */
+  private val serverProps = Map(
+    "name" -> 's', "address" -> 's', "port" -> 'i', "uuid" -> 's',
+    "pool" -> 'i', "version" -> 's', "online" -> 's', "status" -> 's',
+    "active_handles" -> 'i', "active_tasks" -> 'i', "buffer_path" -> 's',
+    "buffer_size" -> 'i', "dbpath" -> 's', "fifo_files" -> 'i',
+    "idle_percentage" -> 'i', "idle_time" -> 'i', "ip_support" -> 's',
+    "libuv" -> 's', "list_limit" -> 'i', "log_level" -> 's',
+    "max_open_files" -> 'i', "mem_usage" -> 'i', "open_files" -> 'i',
+    "received_points" -> 'i', "reindex_progress" -> 's',
+    "selected_points" -> 'i', "select_points_limit" -> 'i',
+    "startup_time" -> 'i', "sync_progress" -> 's', "uptime" -> 'i')
 
   /** access_expr (grammar :200-215, :465): comma list of access keywords. */
   private val accessKws = Set("read", "write", "modify", "full",
@@ -737,7 +757,12 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
       case Some("revoke") => revokeStmt()
       case Some("help") =>
         expectKw("help")
-        HelpStmt(peekWord.map { w => p += w.length; w })
+        // topics can be multi-word ('help alter database')
+        val words = Vector.newBuilder[String]
+        var w = peekWord
+        while (w.isDefined) { words += w.get; p += w.get.length; w = peekWord }
+        val t = words.result()
+        HelpStmt(if (t.isEmpty) None else Some(t.mkString(" ")))
       case _ => CalcStmt(parseTimeExpr()) // calc_stmt (grammar :770)
     }
     ws()

@@ -168,4 +168,31 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "help select").head(1).toString.contains("merge"))
     assert(q(env, "help").size >= 8)
   }
+
+  test("list servers: full prop columns and where across them — props.c:204-286") {
+    val env = EngineEnv(spark, dir)
+    // default columns (name, pool, version, online, status)
+    assert(q(env, "list servers").head ===
+      Seq("local", 0L, "2.0.55", "true", "running"))
+    // explicit column selection over the full prop set
+    assert(q(env, "list servers name, log_level, max_open_files").head ===
+      Seq("local", "info", 65536L))
+    // where works on both string and int props
+    assert(q(env, "list servers name where status ~ 'run' and port == 9000").head.head === "local")
+    assert(q(env, "list servers where pool > 0").isEmpty)
+    // backup mode surfaces in the status prop
+    q(env, "alter server set backup_mode true")
+    assert(q(env, "list servers status").head.head === "running | backup-mode")
+  }
+
+  test("help: full multi-word topics with usage depth — help/*.md") {
+    val env = EngineEnv(spark, dir)
+    val sel = q(env, "help select").head(1).toString
+    assert(sel.contains("prefix") && sel.contains("between") &&
+      sel.contains("merge as") && sel.contains("=>"))
+    assert(q(env, "help alter database").head(1).toString.contains("timezone"))
+    assert(q(env, "help timezones").head(1).toString.contains("NAIVE"))
+    assert(q(env, "help functions").head(1).toString.contains("derivative"))
+    assert(q(env, "help").size >= 25)
+  }
 }
