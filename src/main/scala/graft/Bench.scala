@@ -46,7 +46,7 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","note":"r3: action changed from count() to xxhash64-over-all-columns so narrow plans cannot skip value materialization"}""")
     spark.stop()
   }
 }

@@ -18,15 +18,14 @@ import graft.streaming.Ingest
   * encodings and per-user access enforcement
   * (clserver.c:516-540 insert access, listener.c:433 query access).
   */
-final class ApiCore(spark: SparkSession, storeDir: String) {
+final class ApiCore(spark: SparkSession, storeDir: String,
+    /** Database name carried by REQ_AUTH (auth.c:17-60) and the HTTP
+      * /query/<db> path. */
+    val dbName: String = "graft") {
 
   /** Physical shard granularity of this server's Ingest store; also
     * drives the shards view / drop shards mapping via EngineEnv. */
   val shardDuration = 86400L
-
-  /** The reference's database name for this deployment (REQ_AUTH
-    * carries (user, password, dbname) — auth.c:17-60). */
-  val dbName = "graft"
 
   private val mapper = new ObjectMapper()
 

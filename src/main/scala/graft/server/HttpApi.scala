@@ -17,48 +17,76 @@ import graft.parser.{AccessError, QueryError}
   *   POST /insert/<db>  {"name": [[ts,val],...], ...}        (map form)
   *                      [{"name": "x", "points": [[ts,v]..]}] (array form)
   *
+  * plus the service API (service-account authenticated):
+  *   POST /get-version /get-accounts /get-databases
+  *   POST /new-account /change-password /drop-account
+  *   POST /new-database /drop-database /new-pool /new-replica
+  *
   * Credentials ride an HTTP basic Authorization header like the
   * reference (api.c authentication); a request without one runs as the
-  * seeded default user 'iris' (users.c:70-85) so local tooling works
-  * out of the box. Access bits are enforced per statement either way.
+  * seeded default user 'iris' (users.c:70-85) — or the default service
+  * account 'sa' for service endpoints — so local tooling works out of
+  * the box. Access bits are enforced per statement either way.
   *
-  * Handlers and encodings live in [[ApiCore]], shared with the
-  * TCP/qpack transport ([[TcpApi]]).
+  * Handlers and encodings live in [[ApiCore]] (one per database in the
+  * [[ServerRegistry]]), shared with the TCP ([[TcpApi]]) and pipe
+  * ([[PipeApi]]) transports.
   */
 final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
-    sharedCore: Option[ApiCore] = None) {
+    sharedRegistry: Option[ServerRegistry] = None) {
 
-  private val core = sharedCore.getOrElse(new ApiCore(spark, storeDir))
+  private val reg = sharedRegistry
+    .getOrElse(new ServerRegistry(spark, "graft", storeDir))
   private val mapper = new ObjectMapper()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/query/", exchange(handleQuery))
   server.createContext("/insert/", exchange(handleInsert))
+  Seq("get-version", "get-accounts", "get-databases", "new-account",
+    "change-password", "drop-account", "new-database", "drop-database",
+    "new-pool", "new-replica").foreach { svc =>
+    server.createContext(s"/$svc", exchange(handleService(svc)))
+  }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
 
-  /** Metastore shared with the core (exposed for specs). */
-  def meta: graft.meta.MetaStore = core.meta
+  def registry: ServerRegistry = reg
+
+  /** Metastore of the default database (exposed for specs). */
+  def meta: graft.meta.MetaStore = reg.db("graft").get.meta
 
   // ---- handlers ----
 
   private final case class HttpError(code: Int, msg: String)
     extends RuntimeException(msg)
 
-  /** Basic-auth credentials when present; default user otherwise. */
-  private def userOf(ex: HttpExchange): String = {
-    Option(ex.getRequestHeaders.getFirst("Authorization")) match {
-      case Some(h) if h.startsWith("Basic ") =>
-        val dec = new String(Base64.getDecoder.decode(h.stripPrefix("Basic ")),
-          StandardCharsets.UTF_8)
-        dec.split(":", 2) match {
-          case Array(u, p) if core.authenticate(u, p) => u
-          case _ => throw HttpError(401, "Invalid credentials")
+  private def credentials(ex: HttpExchange): Option[(String, String)] =
+    Option(ex.getRequestHeaders.getFirst("Authorization")).map {
+      case h if h.startsWith("Basic ") =>
+        new String(Base64.getDecoder.decode(h.stripPrefix("Basic ")),
+          StandardCharsets.UTF_8).split(":", 2) match {
+          case Array(u, p) => (u, p)
+          case _ => throw HttpError(401, "Invalid authorization header")
         }
-      case Some(_) => throw HttpError(401, "Invalid authorization header")
+      case _ => throw HttpError(401, "Invalid authorization header")
+    }
+
+  /** Database-user auth: basic credentials when present (validated
+    * against the addressed database), default user otherwise. */
+  private def userOf(ex: HttpExchange, core: ApiCore): String =
+    credentials(ex) match {
+      case Some((u, p)) if core.authenticate(u, p) => u
+      case Some(_) => throw HttpError(401, "Invalid credentials")
       case None => "iris"
     }
+
+  /** Database addressed by the /query/<db> path (api__get_siridb). */
+  private def dbOf(ex: HttpExchange, prefix: String): ApiCore = {
+    val name = ex.getRequestURI.getPath.stripPrefix(prefix)
+      .takeWhile(_ != '/')
+    reg.db(name).getOrElse(
+      throw HttpError(404, s"database '$name' not found"))
   }
 
   private def exchange(h: (HttpExchange, JsonNode, Map[String, String]) => (Int, JsonNode))(ex: HttpExchange): Unit = {
@@ -102,7 +130,8 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
     "us" -> 1000000L, "ns" -> 1000000000L)
 
   private def handleQuery(ex: HttpExchange, req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
-    val user = userOf(ex)
+    val core = dbOf(ex, "/query/")
+    val user = userOf(ex, core)
     val q = Option(req.get("q")).map(_.asText())
       .getOrElse(throw QueryError("expecting a 'q' field with the query"))
     val tsFactor = params.get("t")
@@ -112,6 +141,20 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
     (200, core.runQuery(q, tsFactor, user))
   }
 
-  private def handleInsert(ex: HttpExchange, req: JsonNode, params: Map[String, String]): (Int, JsonNode) =
-    (200, core.runInsert(req, userOf(ex)))
+  private def handleInsert(ex: HttpExchange, req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
+    val core = dbOf(ex, "/insert/")
+    (200, core.runInsert(req, userOf(ex, core)))
+  }
+
+  /** Service endpoints authenticate against service accounts
+    * (request.h: default sa/siri), not database users. */
+  private def handleService(svc: String)(ex: HttpExchange, req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
+    credentials(ex) match {
+      case Some((u, p)) if !reg.authAccount(u, p) =>
+        throw HttpError(401, "Invalid service account credentials")
+      case _ => () // absent → default account, like /query's default user
+    }
+    val (isErr, body) = reg.service(svc, req)
+    (if (isErr) 400 else 200, body)
+  }
 }

@@ -1,0 +1,144 @@
+package graft.server
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+
+/** Server-level state shared by every transport: service accounts and
+  * the database registry — the analog of the reference's service API
+  * (src/siri/api.c:233-292, src/siri/service/request.h: NEW_ACCOUNT=0,
+  * CHANGE_PASSWORD=1, DROP_ACCOUNT=2, NEW_DATABASE=3, DROP_DATABASE=6,
+  * GET_VERSION=64, GET_ACCOUNTS=65, GET_DATABASES=66; default service
+  * account 'sa'/'siri').
+  *
+  * Databases are sibling store directories under one root; each gets
+  * its own [[ApiCore]] (metastore + Ingest store). The pool/replica
+  * requests (NEW_POOL/NEW_REPLICA) are cluster-membership operations
+  * with no analog here — Spark owns data placement — and return the
+  * service error the reference uses for unsupported requests.
+  */
+final class ServerRegistry(spark: SparkSession, defaultDb: String,
+    defaultDir: String) {
+
+  private val mapper = new ObjectMapper()
+
+  /** Service accounts (request.h; default account sa/siri). */
+  val accounts = TrieMap("sa" -> "siri")
+
+  val dbs = TrieMap(defaultDb -> new ApiCore(spark, defaultDir, defaultDb))
+
+  /** New databases land next to the default store. */
+  private val root: Path =
+    Option(Paths.get(defaultDir).toAbsolutePath.getParent)
+      .getOrElse(Paths.get("/tmp"))
+
+  def authAccount(user: String, password: String): Boolean =
+    accounts.get(user).contains(password)
+
+  def db(name: String): Option[ApiCore] = dbs.get(name)
+
+  private def err(msg: String): JsonNode =
+    mapper.createObjectNode().put("error_msg", msg)
+
+  private def okMsg(msg: String): JsonNode =
+    mapper.createObjectNode().put("success_msg", msg)
+
+  private val nameRe = "[a-zA-Z0-9_-]{1,128}".r
+
+  /** One service request by name; returns (isError, body). Request
+    * names mirror the HTTP paths (api.c:233-292). */
+  def service(request: String, body: JsonNode): (Boolean, JsonNode) = {
+    def field(k: String): Option[String] =
+      Option(body).flatMap(b => Option(b.get(k))).map(_.asText())
+    request match {
+      case "get-version" =>
+        val a = mapper.createArrayNode(); a.add("2.0.55"); (false, a)
+      case "get-accounts" =>
+        val a = mapper.createArrayNode()
+        accounts.keys.toSeq.sorted.foreach(a.add)
+        (false, a)
+      case "get-databases" =>
+        val a = mapper.createArrayNode()
+        dbs.keys.toSeq.sorted.foreach(a.add)
+        (false, a)
+      case "new-account" =>
+        (field("account"), field("password")) match {
+          case (Some(u), Some(p)) if u.nonEmpty && p.nonEmpty =>
+            if (accounts.putIfAbsent(u, p).isDefined)
+              (true, err(s"Service account '$u' already exists"))
+            else (false, okMsg(s"Successfully created service account '$u'."))
+          case _ => (true, err("expecting an 'account' and 'password' field"))
+        }
+      case "change-password" =>
+        (field("account"), field("password")) match {
+          case (Some(u), Some(p)) if accounts.contains(u) =>
+            accounts.put(u, p)
+            (false, okMsg(s"Successfully updated service account '$u'."))
+          case (Some(u), _) => (true, err(s"Service account '$u' does not exist"))
+          case _ => (true, err("expecting an 'account' and 'password' field"))
+        }
+      case "drop-account" =>
+        field("account") match {
+          case Some(u) if accounts.size == 1 =>
+            (true, err("Cannot drop the last service account"))
+          case Some(u) =>
+            if (accounts.remove(u).isEmpty)
+              (true, err(s"Service account '$u' does not exist"))
+            else (false, okMsg(s"Successfully dropped service account '$u'."))
+          case None => (true, err("expecting an 'account' field"))
+        }
+      case "new-database" =>
+        field("dbname") match {
+          case Some(name) if nameRe.matches(name) =>
+            if (dbs.contains(name))
+              (true, err(s"Database '$name' already exists"))
+            else {
+              val dir = root.resolve(s"graft-db-$name")
+              Files.createDirectories(dir)
+              dbs.put(name, new ApiCore(spark, dir.toString, name))
+              (false, okMsg(s"Successfully created database '$name'."))
+            }
+          case Some(name) => (true, err(s"Invalid database name: '$name'"))
+          case None => (true, err("expecting a 'dbname' field"))
+        }
+      case "drop-database" =>
+        field("dbname") match {
+          case Some(name) if name == defaultDb =>
+            (true, err(s"Cannot drop the default database '$name'"))
+          case Some(name) =>
+            dbs.remove(name) match {
+              case Some(_) =>
+                val dir = root.resolve(s"graft-db-$name")
+                if (Files.exists(dir))
+                  Files.walk(dir).iterator().asScala.toSeq.reverse
+                    .foreach(Files.deleteIfExists(_))
+                (false, okMsg(s"Successfully dropped database '$name'."))
+              case None => (true, err(s"Database '$name' does not exist"))
+            }
+          case None => (true, err("expecting a 'dbname' field"))
+        }
+      case "new-pool" | "new-replica" =>
+        (true, err(s"'$request' is a cluster-membership request; data placement is handled by the execution engine"))
+      case other =>
+        (true, err(s"unknown service request '$other'"))
+    }
+  }
+
+  /** CPROTO_REQ_SERVICE numeric request ids (request.h:9-16). */
+  def serviceName(id: Long): Option[String] = id match {
+    case 0 => Some("new-account")
+    case 1 => Some("change-password")
+    case 2 => Some("drop-account")
+    case 3 => Some("new-database")
+    case 4 => Some("new-pool")
+    case 5 => Some("new-replica")
+    case 6 => Some("drop-database")
+    case 64 => Some("get-version")
+    case 65 => Some("get-accounts")
+    case 66 => Some("get-databases")
+    case _ => None
+  }
+}

@@ -1,46 +1,27 @@
 package graft.server
 
-import java.io.{DataInputStream, EOFException, IOException, OutputStream}
+import java.io.IOException
 import java.net.{InetAddress, ServerSocket, Socket}
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.SparkSession
 
-import graft.parser.{AccessError, QueryError}
-
-/** The reference's primary client transport: CPROTO over TCP with
-  * qpack payloads (src/siri/net/clserver.c:274-510).
-  *
-  * Wire framing (include/siri/net/pkg.h:37-45): an 8-byte header —
-  * data length u32 LE, pid u16 LE (echoed on the response), type u8,
-  * checkbit u8 = type ^ 255 (pkg.c:212) — followed by the qpack data.
-  *
-  * Requests (include/siri/net/protocol.h:10-23):
-  *   REQ_QUERY=0  (query [, time_precision])    → RES_QUERY=0 {data}
-  *   REQ_INSERT=1 map/array of series points    → RES_INSERT=1 {success_msg}
-  *   REQ_AUTH=2   (user, password, dbname)      → RES_AUTH_SUCCESS=2 empty
-  *   REQ_PING=3   empty                         → RES_ACK=3 empty
-  * Errors: ERR_QUERY=65 / ERR_INSERT=66 {error_msg},
-  * ERR_USER_ACCESS=69 {error_msg}, ERR_NOT_AUTHENTICATED=71,
-  * ERR_AUTH_CREDENTIALS=72, ERR_AUTH_UNKNOWN_DB=73 (all empty).
-  *
-  * Auth state is per connection (clserver.c:349 on_auth_request):
-  * query/insert before a successful REQ_AUTH get
-  * ERR_NOT_AUTHENTICATED (the CHECK_SIRIDB macro, clserver.c:44-57).
-  *
-  * The transport front is plain blocking-socket threads — all data
-  * work happens in Spark jobs; this layer only frames and decodes.
-  */
+/** The reference's primary client transport: CPROTO over TCP
+  * (src/siri/net/clserver.c uv_tcp path). Framing, dispatch and auth
+  * live in [[Cproto]]; this layer only accepts sockets — all data work
+  * happens in Spark jobs, so plain blocking-socket threads suffice. */
 final class TcpApi(spark: SparkSession, storeDir: String, port: Int = 0,
-    sharedCore: Option[ApiCore] = None) {
+    sharedRegistry: Option[ServerRegistry] = None) {
 
-  private val core = sharedCore.getOrElse(new ApiCore(spark, storeDir))
-  private val mapper = new ObjectMapper()
+  private val reg = sharedRegistry
+    .getOrElse(new ServerRegistry(spark, "graft", storeDir))
 
   private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
   @volatile private var running = false
 
-  def meta: graft.meta.MetaStore = core.meta
+  def registry: ServerRegistry = reg
+
+  /** Metastore of the default database (exposed for specs). */
+  def meta: graft.meta.MetaStore = reg.db("graft").get.meta
 
   def start(): Int = {
     running = true
@@ -63,101 +44,7 @@ final class TcpApi(spark: SparkSession, storeDir: String, port: Int = 0,
 
   def stop(): Unit = { running = false; server.close() }
 
-  // ---- framing ----
-
-  private def readPkg(in: DataInputStream): (Int, Int, Array[Byte]) = {
-    val header = new Array[Byte](8)
-    in.readFully(header)
-    def u8(i: Int) = header(i) & 0xFF
-    val len = u8(0) | (u8(1) << 8) | (u8(2) << 16) | (u8(3) << 24)
-    val pid = u8(4) | (u8(5) << 8)
-    val tp = u8(6)
-    val checkbit = u8(7)
-    if (checkbit != (tp ^ 255))
-      throw new IOException(s"bad checkbit for package type $tp")
-    val data = new Array[Byte](len)
-    in.readFully(data)
-    (pid, tp, data)
-  }
-
-  private def sendPkg(out: OutputStream, pid: Int, tp: Int, data: Array[Byte]): Unit = {
-    val h = new Array[Byte](8)
-    val len = data.length
-    h(0) = (len & 0xFF).toByte; h(1) = ((len >> 8) & 0xFF).toByte
-    h(2) = ((len >> 16) & 0xFF).toByte; h(3) = ((len >> 24) & 0xFF).toByte
-    h(4) = (pid & 0xFF).toByte; h(5) = ((pid >> 8) & 0xFF).toByte
-    h(6) = tp.toByte; h(7) = (tp ^ 255).toByte
-    out.write(h); out.write(data); out.flush()
-  }
-
-  private def errData(msg: String): Array[Byte] =
-    QPack.encode(mapper.createObjectNode().put("error_msg", msg))
-
-  // ---- dispatch (clserver.c:274-310) ----
-
-  private def serve(sock: Socket): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = sock.getOutputStream
-    var user: Option[String] = None // connection auth state
-    try {
-      while (true) {
-        val (pid, tp, data) = readPkg(in)
-        val (resTp, resData): (Int, Array[Byte]) = tp match {
-          case 3 => (3, Array.emptyByteArray) // PING → ACK
-          case 2 => // AUTH (user, password, dbname)
-            val arr = QPack.decode(data)
-            if (!arr.isArray || arr.size() < 3) (72, Array.emptyByteArray)
-            else if (arr.get(2).asText() != core.dbName)
-              (73, Array.emptyByteArray) // ERR_AUTH_UNKNOWN_DB
-            else if (core.authenticate(arr.get(0).asText(), arr.get(1).asText())) {
-              user = Some(arr.get(0).asText())
-              (2, Array.emptyByteArray) // RES_AUTH_SUCCESS
-            } else (72, Array.emptyByteArray) // ERR_AUTH_CREDENTIALS
-          case 0 => user match { // QUERY
-            case None => (71, Array.emptyByteArray) // ERR_NOT_AUTHENTICATED
-            case Some(u) =>
-              try {
-                val arr = QPack.decode(data)
-                if (!arr.isArray || arr.size() < 1)
-                  (65, errData("Incorrect query package received."))
-                else {
-                  val q = arr.get(0).asText()
-                  // optional time_precision (time.h:9-14: s=0 ms=1
-                  // us=2 ns=3); db precision is seconds, so the output
-                  // ts factor is 1000^tp (clserver.c:480-505)
-                  val tsFactor = Option(arr.get(1))
-                    .filter(_.isIntegralNumber).map(_.asLong())
-                    .filter(t => t >= 0 && t <= 3)
-                    .map(t => math.pow(1000.0, t.toDouble).toLong)
-                    .getOrElse(1L)
-                  (0, QPack.encode(core.runQuery(q, tsFactor, u)))
-                }
-              } catch {
-                case e: AccessError => (69, errData(e.msg))
-                case e: QueryError => (65, errData(e.msg))
-                case e: Exception =>
-                  (65, errData(Option(e.getMessage).getOrElse(e.toString)
-                    .linesIterator.next()))
-              }
-          }
-          case 1 => user match { // INSERT
-            case None => (71, Array.emptyByteArray)
-            case Some(u) =>
-              try (1, QPack.encode(core.runInsert(QPack.decode(data), u)))
-              catch {
-                case e: AccessError => (69, errData(e.msg))
-                case e: QueryError => (66, errData(e.msg))
-                case e: Exception =>
-                  (66, errData(Option(e.getMessage).getOrElse(e.toString)
-                    .linesIterator.next()))
-              }
-          }
-          case _ => (70, Array.emptyByteArray) // CPROTO_ERR
-        }
-        sendPkg(out, pid, resTp, resData)
-      }
-    } catch {
-      case _: EOFException | _: IOException => () // client went away
-    } finally sock.close()
-  }
+  private def serve(sock: Socket): Unit =
+    try Cproto.serve(reg, sock.getInputStream, sock.getOutputStream)
+    finally sock.close()
 }

@@ -36,21 +36,21 @@ class GoldenSliceSpec extends AnyFunSuite {
         (1447254149, 532), (1447252649, 528), (1447252968, 531),
         (1447254449, 533), (1447254748, 537))
       val points = aggr.map { case (t, v) => s"[$t, $v]" }.mkString(",")
-      val ins = post(s"$base/insert/db", s"""{"aggr": [$points]}""")
+      val ins = post(s"$base/insert/graft", s"""{"aggr": [$points]}""")
       assert(ins.contains("Successfully inserted 20 point(s)."))
 
       // itest/test_select.py:166-170
-      val sum = post(s"$base/query/db", """{"q": "select sum(1h) from 'aggr'"}""")
+      val sum = post(s"$base/query/graft", """{"q": "select sum(1h) from 'aggr'"}""")
       assert(sum ===
         """{"aggr":[[1447250400,2663],[1447254000,5409],[1447257600,1602]]}""")
 
       // itest/test_select.py:172-175
-      val cnt = post(s"$base/query/db", """{"q": "select count(1h) from 'aggr'"}""")
+      val cnt = post(s"$base/query/graft", """{"q": "select count(1h) from 'aggr'"}""")
       assert(cnt ===
         """{"aggr":[[1447250400,5],[1447254000,12],[1447257600,3]]}""")
 
       // the between-form of the slice restricts to [A, B)
-      val between = post(s"$base/query/db",
+      val between = post(s"$base/query/graft",
         """{"q": "select sum(1h) from 'aggr' between 1447249033 and 1447254749"}""")
       assert(between ===
         """{"aggr":[[1447250400,2663],[1447254000,5409],[1447257600,1602]]}""")
@@ -58,26 +58,26 @@ class GoldenSliceSpec extends AnyFunSuite {
       // the huge fixture (itest/test_select.py): int64-max values stay
       // exact through insert + select, and sum() errors instead of
       // wrapping (aggregate.c:1646-1652)
-      val insHuge = post(s"$base/insert/db",
+      val insHuge = post(s"$base/insert/graft",
         """{"huge": [[1471254705, 9223372036854775807], [1471254706, 9223372036854775806]]}""")
       assert(insHuge.contains("2 point(s)"))
-      val huge = post(s"$base/query/db", """{"q": "select * from 'huge'"}""")
+      val huge = post(s"$base/query/graft", """{"q": "select * from 'huge'"}""")
       assert(huge ===
         """{"huge":[[1471254705,9223372036854775807],[1471254706,9223372036854775806]]}""")
-      val overflow = post(s"$base/query/db", """{"q": "select sum(1h) from 'huge'"}""")
+      val overflow = post(s"$base/query/graft", """{"q": "select sum(1h) from 'huge'"}""")
       assert(overflow.contains("Overflow detected while using sum()"), overflow)
 
       // string ("log") series over the wire (itest/test_log.py shape):
       // insert text values, filter with ~, type errors for numeric fns
-      val insLog = post(s"$base/insert/db",
+      val insLog = post(s"$base/insert/graft",
         """{"app log": [[100, "started"], [200, "error: disk"], [300, "stopped"]]}""")
       assert(insLog.contains("3 point(s)"))
-      val logSel = post(s"$base/query/db",
+      val logSel = post(s"$base/query/graft",
         """{"q": "select filter(~ 'error') from 'app log'"}""")
       assert(logSel === """{"app log":[[200,"error: disk"]]}""")
-      val logType = post(s"$base/query/db", """{"q": "select sum(1h) from 'app log'"}""")
+      val logType = post(s"$base/query/graft", """{"q": "select sum(1h) from 'app log'"}""")
       assert(logType.contains("Cannot use sum() on string type."), logType)
-      val logLast = post(s"$base/query/db", """{"q": "select last() from 'app log'"}""")
+      val logLast = post(s"$base/query/graft", """{"q": "select last() from 'app log'"}""")
       assert(logLast === """{"app log":[[300,"stopped"]]}""")
     } finally api.stop()
   }

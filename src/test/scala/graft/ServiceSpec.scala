@@ -1,0 +1,97 @@
+package graft
+
+import java.io.DataInputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.{StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, SocketChannel}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.{HttpApi, PipeApi, QPack}
+
+/** The named-pipe transport (src/siri/net/pipe.c,
+  * itest/test_pipe_support.py) and the service API
+  * (src/siri/api.c:233-292, src/siri/service/request.h): accounts,
+  * databases, and a full insert+query round-trip into a service-created
+  * second database. */
+class ServiceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  private def post(url: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val res = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("CPROTO over the named pipe: auth, insert, golden query — pipe.c") {
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    val sock = Files.createTempDirectory("graft-sock").resolve("graft.sock").toString
+    val api = new PipeApi(spark, dir, sock)
+    api.start()
+    val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+    ch.connect(UnixDomainSocketAddress.of(sock))
+    val in = new DataInputStream(Channels.newInputStream(ch))
+    val out = Channels.newOutputStream(ch)
+    var pid = 0
+    def request(tp: Int, json: String): (Int, Array[Byte]) = {
+      pid += 1
+      val data = if (json.isEmpty) Array.emptyByteArray
+        else QPack.encode(mapper.readTree(json))
+      graft.server.Cproto.sendPkg(out, pid, tp, data)
+      val (rpid, rtp, rdata) = graft.server.Cproto.readPkg(in)
+      assert(rpid === pid)
+      (rtp, rdata)
+    }
+    try {
+      assert(request(3, "")._1 === 3) // ping over the pipe
+      assert(request(2, """["iris", "siri", "graft"]""")._1 === 2)
+      assert(request(1, """{"aggr": [[1447249033, 531], [1447250868, 530]]}""")._1 === 1)
+      val (tp, body) = request(0, """["select count() from 'aggr'"]""")
+      assert(tp === 0)
+      assert(QPack.decode(body).toString === """{"aggr":[[1447250868,2]]}""")
+    } finally { ch.close(); api.stop() }
+  }
+
+  test("service API over HTTP: accounts and database lifecycle — api.c:233-292") {
+    val dir = Files.createTempDirectory("graft-svc").toString
+    val api = new HttpApi(spark, dir)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      // version + default account + default database
+      assert(post(s"$base/get-version", "{}")._2.contains("2.0.55"))
+      assert(post(s"$base/get-accounts", "{}")._2 === """["sa"]""")
+      assert(post(s"$base/get-databases", "{}")._2 === """["graft"]""")
+      // account lifecycle
+      assert(post(s"$base/new-account",
+        """{"account": "ops", "password": "pw"}""")._1 === 200)
+      assert(post(s"$base/get-accounts", "{}")._2 === """["ops","sa"]""")
+      assert(post(s"$base/change-password",
+        """{"account": "ops", "password": "pw2"}""")._1 === 200)
+      assert(post(s"$base/drop-account", """{"account": "ops"}""")._1 === 200)
+      val (lastCode, lastBody) = post(s"$base/drop-account", """{"account": "sa"}""")
+      assert(lastCode === 400 && lastBody.contains("last service account"))
+      // database lifecycle: create, insert+query into it, unknown-db 404
+      assert(post(s"$base/new-database", """{"dbname": "metrics"}""")._1 === 200)
+      assert(post(s"$base/get-databases", "{}")._2 === """["graft","metrics"]""")
+      val (ic, ib) = post(s"$base/insert/metrics", """{"cpu": [[100, 1.5]]}""")
+      assert(ic === 200 && ib.contains("1 point(s)"), ib)
+      val (qc, qb) = post(s"$base/query/metrics", """{"q": "select * from 'cpu'"}""")
+      assert(qc === 200 && qb === """{"cpu":[[100,1.5]]}""")
+      // databases are isolated: 'graft' does not see 'metrics' series
+      val (_, g) = post(s"$base/query/graft", """{"q": "count series"}""")
+      assert(g.contains("[0]"), g)
+      assert(post(s"$base/query/nosuchdb", """{"q": "count series"}""")._1 === 404)
+      assert(post(s"$base/drop-database", """{"dbname": "metrics"}""")._1 === 200)
+      assert(post(s"$base/query/metrics", """{"q": "1"}""")._1 === 404)
+      // pool/replica are engine-owned placement → service error
+      assert(post(s"$base/new-pool", """{"dbname": "graft"}""")._1 === 400)
+    } finally api.stop()
+  }
+}
