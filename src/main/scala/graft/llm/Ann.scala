@@ -136,12 +136,14 @@ object Ann {
     topK(scored, k)
   }
 
-  /** Approximate top-k via random-hyperplane LSH. Hyperplane
-    * components are deterministic pseudo-randoms derived from
-    * xxhash64(table, bit, dim) so the operator needs no state. Each
-    * (table, signature) bucket joins query-to-corpus; per-query
-    * candidates are scored exactly and ranked. Recall is tested in
-    * AnnSpec against [[cosineTopK]].
+  /** Approximate top-k via random-hyperplane LSH. Hyperplanes are a
+    * seeded pseudo-random constant, built ONCE on the driver and
+    * shipped as a broadcast literal array — per vector the signature
+    * costs tables*bits*dim multiply-adds with plain array lookups,
+    * never per-element hash evaluations. Each (table, signature)
+    * bucket joins query-to-corpus; per-query candidates are scored
+    * exactly and ranked. Recall is tested in AnnSpec against
+    * [[cosineTopK]].
     *
     * Size `bits` to the corpus: expected bucket occupancy is
     * N / 2^bits, and recall collapses once buckets shrink to a couple
@@ -151,13 +153,21 @@ object Ann {
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       bits: Int = 4, tables: Int = 16): DataFrame = {
     val e = withNorm(emb)
+    // one metadata-sized lookup for the dimensionality, then a flat
+    // (tables*bits*dim) hyperplane constant, indexed as
+    // H[(t*bits + b)*dim + i]
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val rnd = new scala.util.Random(0x517a5eedL)
+    val planes = IndexedSeq.fill(tables * bits * dim)(rnd.nextDouble() * 2 - 1)
     // signature per (vec, table): `bits` sign bits of hyperplane dots
-    def sigs(df: DataFrame) = df.select(col("*"), explode(expr(
-      s"""transform(sequence(0, ${tables - 1}), t -> struct(t AS t,
-         |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
-         |    acc * 2 + CASE WHEN aggregate(sequence(0, size(v) - 1), 0D,
-         |      (s, i) -> s + v[i] * (CAST(pmod(xxhash64(t, b, i), 2000) AS double) / 1000.0 - 1.0)) >= 0
-         |    THEN 1L ELSE 0L END) AS sig))""".stripMargin)).as("ts"))
+    def sigs(df: DataFrame) = df
+      .withColumn("hp", typedLit(planes))
+      .select(col("*"), explode(expr(
+        s"""transform(sequence(0, ${tables - 1}), t -> struct(t AS t,
+           |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
+           |    acc * 2 + CASE WHEN aggregate(sequence(0, ${dim - 1}), 0D,
+           |      (s, i) -> s + v[i] * hp[(t * $bits + b) * $dim + i]) >= 0
+           |    THEN 1L ELSE 0L END) AS sig))""".stripMargin)).as("ts"))
       .select(col("vec_id"), col("v"), col("nrm"), col("ts.t").as("t"), col("ts.sig").as("sig"))
     val corpus = sigs(e)
     val queries = sigs(e.where(col("vec_id") < nQueries))

@@ -132,6 +132,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-duplicate cluster assignment: connected components over a
+    * near-dup pair set, so a dedup pipeline can keep ONE document per
+    * duplicate cluster (not just one per pair). Labels propagate by
+    * iterated min over neighbors — a distributed label-propagation
+    * loop whose per-iteration cost is one co-partitioned join + one
+    * hash aggregation on the (small) pair-graph, converging in
+    * O(cluster diameter) rounds; dup clusters are near-cliques, so a
+    * handful of rounds suffice. Lineage is cut per round with
+    * localCheckpoint so plans stay flat at scale.
+    *
+    * Input: (id_a, id_b [, ...]) pairs. Output one row per document
+    * that appears in any pair: (doc_id, cluster_id, keep) where
+    * cluster_id is the component's minimum doc_id and keep marks the
+    * canonical representative. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .where(col("lbl") < col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
   /** 64-bit SimHash per document from md5-derived token hashes
     * (portable: the same hash is computable in ANSI SQL). Bit j of the
     * simhash is 1 iff the sum over tokens of (2*bit_j(md5(token))-1)

@@ -32,6 +32,25 @@ object TextStats {
       expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS bigint)")
         .as("n_bpe"))
 
+  /** Deterministic stratified sampling — the training-mix operator: a
+    * per-document uniform draw derived from md5(doc_id) (portable,
+    * reproducible across engines and runs — no RNG state, no seed
+    * files) is compared against a per-stratum rate, so e.g. 'keep all
+    * zh, half of en, 10% of the rest' is one narrow filter with no
+    * shuffle, and re-running the pipeline reproduces the exact sample.
+    * The draw uses the top 60 bits of the md5 as hv in [0, 2^60):
+    * keep iff hv < rate * 2^60. */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double, keyCol: String = "lang"): DataFrame = {
+    val hv = expr(
+      "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(keyCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.where(hv < rate * lit(1152921504606846976.0)) // 2^60
+      .select(col("doc_id"), col(keyCol))
+  }
+
   /** Corpus language distribution with size stats. */
   def langDist(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(

@@ -58,6 +58,41 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.minhashLshPairs(docs(s, d), n = 3,
         numHashes = 128, bands = 32, theta = 0.5))
     },
+    // connected components over the near-dup pair set: one keeper per
+    // duplicate CLUSTER (not per pair); the oracle walks the same
+    // graph with a recursive CTE
+    Entry("dedup_clusters",
+      s"""WITH RECURSIVE $SH,
+         |p AS (SELECT id_a, id_b FROM it
+         |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |walk(id, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, w.lbl FROM e JOIN walk w ON w.id = e.dst)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id, (id = min(lbl)) AS keep
+         |FROM walk GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5)))
+    },
+    // deterministic stratified sampling: md5(doc_id)-derived uniform
+    // draw vs per-language rates — reproducible across engines, which
+    // is exactly what the bit-identical oracle pins
+    Entry("sample_stratified",
+      """WITH h AS (SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(range(15), k ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |      << (4*(14-k)))) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h
+        |WHERE CAST(hv AS DOUBLE) <
+        |  (CASE lang WHEN 'zh' THEN 1.0 WHEN 'en' THEN 0.5 ELSE 0.1 END) * 1152921504606846976.0
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.sampleStratified(docs(s, d),
+        Map("zh" -> 1.0, "en" -> 0.5), defaultRate = 0.1))
+    },
     // simhash is fully portable (md5-derived token hashes), so the
     // oracle recomputes the identical 60-bit signature in SQL
     Entry("dedup_simhash",

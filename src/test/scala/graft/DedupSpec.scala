@@ -60,6 +60,20 @@ class DedupSpec extends AnyFunSuite {
     assert(atTheta === (0 until 5).map(d => (d.toLong, 100L + d)).toSet)
   }
 
+  test("dup clusters: transitive pairs collapse to one keeper per component") {
+    import spark.implicits._
+    // components: {1,2,3,9} via a chain (1-2, 2-3, 3-9), {5,6}, and
+    // 7-8 plus 8-4 merging into {4,7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 8L), (4L, 8L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false),
+      (4L, 4L, true), (7L, 4L, false), (8L, 4L, false)))
+  }
+
   test("exact groups: identical content collapses, hash is stable") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")
