@@ -148,11 +148,17 @@ object Planner {
         env.catalogLive.groupBy(col("pool"))
           .agg(lit(1L).as("servers"), count(lit(1)).as("series"))
       case "shards" =>
-        // time-bucketed view over the points (shard.c's sid/size/start/end)
+        // time-bucketed view over the points (shard.c's sid/size/start/
+        // end); server/status/type are where-filterable single-node
+        // constants, projected away from list output (oracle-pinned
+        // default columns)
         env.pointsM
           .groupBy(expr(s"ts div ${env.shardDuration}").as("sid"))
           .agg(lit(0L).as("pool"), (count(lit(1)) * 16).as("size"),
             min(col("ts")).as("start"), max(col("ts")).as("end"))
+          .withColumn("server", lit("local"))
+          .withColumn("status", lit("ok"))
+          .withColumn("type", lit("number"))
       case "servers" => serversDf(env)
       case other => throw QueryError(s"list $other is not supported")
     }
@@ -381,6 +387,11 @@ object Planner {
         .getOrElse(serversDf(env))
       filtered.select(
         (if (cols.isEmpty) serverDefaultCols else cols).map(col): _*)
+
+    case ListEntityStmt("shards", where, _) =>
+      // default shard columns; server/status/type stay where-only
+      entityDf("shards", env, where)
+        .select(col("sid"), col("pool"), col("size"), col("start"), col("end"))
 
     case ListEntityStmt(entity, where, _) =>
       entityDf(entity, env, where)

@@ -396,7 +396,8 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
   private val userProps = Map("name" -> 's', "access" -> 's')
   private val poolProps = Map("pool" -> 'i', "servers" -> 'i', "series" -> 'i')
   private val shardProps = Map("sid" -> 'i', "pool" -> 'i', "size" -> 'i',
-    "start" -> 't', "end" -> 't')
+    "start" -> 't', "end" -> 't', "server" -> 's', "status" -> 's',
+    "type" -> 'z') // type is the number|log keyword pair (grammar :407-423)
 
   private def cexprCmp(props: Map[String, Char]): Cexpr = {
     ws()
@@ -417,6 +418,12 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
         if (op != "==" && op != "!=") err("type supports only == and !=")
         val t = peekWord.filter(Set("string", "integer", "float"))
           .getOrElse(err("expecting string, integer or float"))
+        p += t.length
+        CCmp(prop, op, Right(t))
+      case 'z' => // shard type keywords (grammar :407-423)
+        if (op != "==" && op != "!=") err("type supports only == and !=")
+        val t = peekWord.filter(Set("number", "log"))
+          .getOrElse(err("expecting number or log"))
         p += t.length
         CCmp(prop, op, Right(t))
     }

@@ -164,6 +164,11 @@ class DdlSpec extends AnyFunSuite {
     val env = EngineEnv(spark, dir)
     assert(q(env, "list pools").nonEmpty)
     assert(q(env, "count shards").head.head.asInstanceOf[Long] > 0L)
+    // full where_shard prop set incl. the number|log type keywords
+    assert(q(env, "list shards where type == number and server ~ 'loc'").nonEmpty)
+    assert(q(env, "list shards where type == log").isEmpty)
+    assert(q(env, "count shards where status == 'ok'").head.head
+      .asInstanceOf[Long] > 0L)
     assert(q(env, "list servers").head.head === "local")
     assert(q(env, "help select").head(1).toString.contains("merge"))
     assert(q(env, "help").size >= 8)
