@@ -141,9 +141,11 @@ object Planner {
         env.meta.tags.toSeq.map { case (t, ss) => (t, ss.size.toLong) }
           .toDF("name", "series")
       case "users" =>
+        // access displays as the folded profile string; access_bits is
+        // the where-only numeric form (user.c cexpr: int compare)
         env.meta.users.toSeq
-          .map { case (n, u) => (n, graft.meta.Access.toStr(u.access)) }
-          .toDF("name", "access")
+          .map { case (n, u) => (n, graft.meta.Access.toStr(u.access), u.access.toLong) }
+          .toDF("name", "access", "access_bits")
       case "pools" =>
         env.catalogLive.groupBy(col("pool"))
           .agg(lit(1L).as("servers"), count(lit(1)).as("series"))
@@ -387,6 +389,9 @@ object Planner {
         .getOrElse(serversDf(env))
       filtered.select(
         (if (cols.isEmpty) serverDefaultCols else cols).map(col): _*)
+
+    case ListEntityStmt("users", where, _) =>
+      entityDf("users", env, where).select(col("name"), col("access"))
 
     case ListEntityStmt("shards", where, _) =>
       // default shard columns; server/status/type stay where-only

@@ -393,7 +393,7 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     "name" -> 's', "type" -> 'y')
   private val groupProps = Map("name" -> 's', "expression" -> 's', "series" -> 'i')
   private val tagProps = Map("name" -> 's', "series" -> 'i')
-  private val userProps = Map("name" -> 's', "access" -> 's')
+  private val userProps = Map("name" -> 's', "access" -> 'a')
   private val poolProps = Map("pool" -> 'i', "servers" -> 'i', "series" -> 'i')
   private val shardProps = Map("sid" -> 'i', "pool" -> 'i', "size" -> 'i',
     "start" -> 't', "end" -> 't', "server" -> 's', "status" -> 's',
@@ -426,6 +426,13 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
           .getOrElse(err("expecting number or log"))
         p += t.length
         CCmp(prop, op, Right(t))
+      case 'a' => // access compares as BITS against an access keyword
+        // with int operators (grammar :427: k_access int_operator
+        // access_keywords)
+        val kw = peekWord.filter(accessKws)
+          .getOrElse(err(s"expecting an access keyword at position $p"))
+        p += kw.length
+        CCmp("access_bits", op, Left(graft.meta.Access.fromKeyword(kw).toLong))
     }
   }
 

@@ -58,6 +58,11 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "list users").toSet contains Seq("alice", "read"))
     assert(msg(env, "alter user 'alice' set password 'pw2'") ===
       "Successfully updated user 'alice'.")
+    // where access compares BITS with int operators (grammar :427)
+    assert(q(env, "list users where access == full").map(_.head) === Seq("iris"))
+    assert(q(env, "list users where access >= read").map(_.head).toSet ===
+      Set("iris", "alice"))
+    assert(q(env, "list users where access < read").isEmpty)
     // the seeded default user iris (users.c:70-85) counts too
     assert(q(env, "count users").head.head === 2L)
     assert(msg(env, "drop user 'alice'") === "Successfully dropped user 'alice'.")
