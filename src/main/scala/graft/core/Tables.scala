@@ -32,10 +32,14 @@ object Tables {
   /** Session defaults shared by Verify / Bench / tests. Tuned for
     * local[N] but scale-safe: AQE handles skew + partition coalescing
     * on a real cluster; shuffle.partitions is overridden per-env.
+    * The custom optimizer rule derives parquet-pushable raw-column
+    * bounds from `ts div F` range predicates (row-group pruning on the
+    * dominant access pattern — see graft.plans.DivComparisonPushdown).
     */
   def sessionBuilder(master: String, cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(_.injectOptimizerRule(_ => new graft.plans.DivComparisonPushdown))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
