@@ -97,9 +97,15 @@ object Dedup {
     // hash each shingle string ONCE; the hash family then works over
     // that long (seeded re-hash), so the signature is one aggregation
     // with numHashes min() buffers — no row explosion, map-side
-    // combine keeps the shuffle at #docs rows
+    // combine keeps the shuffle at #docs rows. The shingle frame is
+    // persisted because three consumers need it (signature pass +
+    // both sides of the verify join) — shingling is the expensive
+    // narrow stage and must not recompute per consumer.
     val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
-    val minCols = (0 until numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc distinct-shingle counts ride the same aggregation as the
+    // signature instead of a second pass over the shingles
+    val minCols = count(lit(1)).as("sz") +: (0 until numHashes)
       .map(j => min(xxhash64(col("h0"), lit(j))).as(s"m$j"))
     val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     // band key = hash of the band's minhash values (one long per band)
@@ -116,7 +122,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // exact verification restricted to candidate pairs
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = sig.select(col("doc_id"), col("sz"))
     val inter = cands
       .join(sh.as("sa"), col("sa.doc_id") === col("id_a"))
       .join(sh.as("sb"),
