@@ -166,6 +166,25 @@ object QlQueries {
       s"""SELECT count(*) AS series FROM ($CAT)""") {
       (s, d) => ql(s, d, "timeit count series")
     },
+    // the servers view's default columns are deterministic constants
+    // on a single-node deployment — oracle-checkable as literals
+    Entry("ql_list_servers",
+      """SELECT 'local' AS name, CAST(0 AS BIGINT) AS pool,
+        |'2.0.55' AS version, 'true' AS online, 'running' AS status""".stripMargin) {
+      (s, d) => ql(s, d, "list servers")
+    },
+    // users listing with the bit-compare where clause; the seeded
+    // default user plus a granted one (access.c fold reprs)
+    Entry("ql_list_users_access",
+      """SELECT * FROM (
+        |  SELECT 'iris' AS name, 'full' AS access
+        |  UNION ALL SELECT 'ops', 'read and insert') ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        val e = EngineEnv(s, d)
+        Planner.query("create user 'ops' set password 'pw'", e)
+        Planner.query("grant read, insert to user 'ops'", e)
+        ordered(Planner.query("list users where access >= show", e))
+    },
     Entry("ql_list_shards",
       s"""SELECT ts // 604800 AS sid, CAST(0 AS BIGINT) AS pool,
          |       count(*) * 16 AS size, min(ts) AS start, max(ts) AS "end"
