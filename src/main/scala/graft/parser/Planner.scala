@@ -295,6 +295,25 @@ object Planner {
       if (bit != 0)
         env.meta.checkAccess(u, bit).foreach(m => throw AccessError(m))
     }
+    // backup mode blocks every mutating statement (the reference's
+    // MASTER_CHECK_ACCESSIBLE on the alter/create/drop/grant/revoke
+    // handlers, listener.c:98-115) — except leaving backup mode
+    // itself (exit_set_backup_mode carries no accessibility check)
+    if (env.meta.config.getOrElse("backup_mode", "false") == "true") {
+      import graft.meta.Access
+      val mutating = (requiredAccess(stmt) &
+        (Access.Create | Access.Alter | Access.Drop | Access.Grant | Access.Revoke)) != 0
+      val isBackupToggle = (stmt match {
+        case TimeitStmt(inner) => inner
+        case s => s
+      }) match {
+        case AlterServer(_, "backup_mode", _) => true
+        case _ => false
+      }
+      if (mutating && !isBackupToggle)
+        throw QueryError(
+          "Server 'local' is currently not accessible to process this request")
+    }
     runStmt(stmt, env, keepPid)
   }
 
@@ -311,7 +330,9 @@ object Planner {
       val known = Map(
         "dbname" -> "graft", "time_precision" -> "s", "version" -> "2.0.55",
         "timezone" -> "NAIVE", "who_am_i" -> "graft", "server" -> "local",
-        "status" -> "running", "pool" -> "0", "ip_support" -> "ALL",
+        "status" -> (if (env.meta.config.getOrElse("backup_mode", "false") == "true")
+          "running | backup-mode" else "running"),
+        "pool" -> "0", "ip_support" -> "ALL",
         "active_handles" -> "1", "active_tasks" -> "1", "fifo_files" -> "0",
         "startup_time" -> "0", "sync_progress" -> "synced",
         "reindex_progress" -> "none", "libuv" -> "n/a (Spark engine)",

@@ -153,6 +153,12 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * (clserver.c:516-540). */
   def runInsert(req: JsonNode, user: String): JsonNode = {
     meta.checkAccess(user, Access.Insert).foreach(m => throw AccessError(m))
+    // backup mode drops the running-only flag set; inserts are
+    // refused with the reference's status message (clserver.c:
+    // CLSERVER_send_server_error; flags running|backup = 9)
+    if (meta.config.getOrElse("backup_mode", "false") == "true")
+      throw QueryError(
+        "Server 'local' is not accepting the request because of having status: 9")
     val points = Vector.newBuilder[Ingest.PointIn]
     var pid = System.nanoTime() // monotonic-enough insertion ids
     def addSeries(name: String, pts: JsonNode): Unit = {

@@ -89,20 +89,33 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
       throw HttpError(404, s"database '$name' not found"))
   }
 
+  /** qpack content negotiation like the reference HTTP API
+    * (api.c:351-365 accepts application/qpack and x-qpack and answers
+    * in kind; JSON otherwise). */
+  private def isQpack(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Content-Type")).exists { ct =>
+      val t = ct.toLowerCase
+      t.startsWith("application/qpack") || t.startsWith("application/x-qpack")
+    }
+
   private def exchange(h: (HttpExchange, JsonNode, Map[String, String]) => (Int, JsonNode))(ex: HttpExchange): Unit = {
+    val qpack = isQpack(ex)
     val (code, body) =
       try {
         if (ex.getRequestMethod != "POST")
           (405, errNode("only POST is supported"))
         else {
-          val in = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val raw = ex.getRequestBody.readAllBytes()
           val params = Option(ex.getRequestURI.getQuery).toSeq
             .flatMap(_.split("&").toSeq)
             .flatMap(_.split("=", 2) match {
               case Array(k, v) => Some(k -> v)
               case _ => None
             }).toMap
-          h(ex, mapper.readTree(in), params)
+          val node =
+            if (qpack) QPack.decode(raw)
+            else mapper.readTree(new String(raw, StandardCharsets.UTF_8))
+          h(ex, node, params)
         }
       } catch {
         case e: HttpError => (e.code, errNode(e.msg))
@@ -112,8 +125,10 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
           val m = Option(e.getMessage).getOrElse(e.toString).linesIterator.next()
           (500, errNode(m))
       }
-    val bytes = mapper.writeValueAsBytes(body)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    val bytes =
+      if (qpack) QPack.encode(body) else mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type",
+      if (qpack) "application/qpack" else "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()

@@ -152,6 +152,17 @@ class DdlSpec extends AnyFunSuite {
     val e2 = intercept[QueryError](q(env, "alter server 'local' set address 'else'"))
     assert(e2.msg.contains("not connected"))
     assertThrows[QueryError](q(env, "alter server 'local' set port 9999"))
+    // backup mode gates every mutating statement except leaving backup
+    // mode (MASTER_CHECK_ACCESSIBLE, listener.c:98-115); reads still work
+    q(env, "alter server set backup_mode true")
+    val eb = intercept[QueryError](q(env, "create group `g9` for /x/"))
+    assert(eb.msg === "Server 'local' is currently not accessible to process this request")
+    assertThrows[QueryError](q(env, "drop series 'x' set ignore_threshold true"))
+    assert(q(env, "count series").nonEmpty) // reads unaffected
+    assert(q(env, "show status") === Seq(Seq("status", "running | backup-mode")))
+    q(env, "alter server set backup_mode false") // toggle always allowed
+    assert(msg(env, "create group `g9` for /x/").startsWith("Successfully"))
+    q(env, "drop group `g9`")
     // drop server: unknown ref vs the only-server guard (listener.c:2983)
     val e3 = intercept[QueryError](q(env, "drop server 'other'"))
     assert(e3.msg === "Cannot find server: other")

@@ -58,6 +58,30 @@ class ServiceSpec extends AnyFunSuite {
     } finally { ch.close(); api.stop() }
   }
 
+  test("qpack content-type over HTTP round-trips — api.c:351-365") {
+    val dir = Files.createTempDirectory("graft-qp").toString
+    val api = new HttpApi(spark, dir)
+    val port = api.start()
+    try {
+      def postQp(path: String, json: String): Array[Byte] = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(
+            QPack.encode(mapper.readTree(json))))
+          .header("Content-Type", "application/qpack").build()
+        val res = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        assert(res.headers().firstValue("Content-Type").orElse("") ===
+          "application/qpack")
+        res.body()
+      }
+      val ins = QPack.decode(postQp("/insert/graft",
+        """{"cpu": [[100, 1.5], [200, 2.5]]}"""))
+      assert(ins.get("success_msg").asText().contains("2 point(s)"))
+      val sel = QPack.decode(postQp("/query/graft",
+        """{"q": "select * from 'cpu'"}"""))
+      assert(sel.toString === """{"cpu":[[100,1.5],[200,2.5]]}""")
+    } finally api.stop()
+  }
+
   test("service API over HTTP: accounts and database lifecycle — api.c:233-292") {
     val dir = Files.createTempDirectory("graft-svc").toString
     val api = new HttpApi(spark, dir)

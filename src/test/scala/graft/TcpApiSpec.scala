@@ -167,4 +167,18 @@ class TcpApiSpec extends AnyFunSuite {
       assert(QPack.decode(dbody).get("error_msg").asText().contains("no 'drop'"))
     }
   }
+
+  test("backup mode refuses inserts with the server-status error") {
+    withServer { (c, api) =>
+      assert(c.request(2, c.json("""["iris", "siri", "graft"]"""))._1 === 2)
+      assert(c.request(1, c.json("""{"s": [[1, 1]]}"""))._1 === 1)
+      api.meta.config.put("backup_mode", "true")
+      val (tp, body) = c.request(1, c.json("""{"s": [[2, 2]]}"""))
+      assert(tp === 66) // ERR_INSERT
+      assert(QPack.decode(body).get("error_msg").asText() ===
+        "Server 'local' is not accepting the request because of having status: 9")
+      api.meta.config.put("backup_mode", "false")
+      assert(c.request(1, c.json("""{"s": [[2, 2]]}"""))._1 === 1)
+    }
+  }
 }
