@@ -49,6 +49,48 @@ class GoldenSliceSpec extends AnyFunSuite {
       assert(cnt ===
         """{"aggr":[[1447250400,5],[1447254000,12],[1447257600,3]]}""")
 
+      // the remaining aggregation goldens over the same fixture
+      // (itest/test_select.py:176-250), compared numerically with the
+      // itest's assertAlmostEqual tolerance for float buckets
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def golden(q: String, want: Seq[(Long, Double)]): Unit = {
+        val res = mapper.readTree(post(s"$base/query/graft", s"""{"q": "$q"}"""))
+        val got = res.get("aggr")
+        assert(got != null && got.size() === want.size, s"$q → $res")
+        want.zipWithIndex.foreach { case ((ts, v), i) =>
+          assert(got.get(i).get(0).asLong() === ts, s"$q bucket $i ts")
+          assert(math.abs(got.get(i).get(1).asDouble() - v) < 1e-9,
+            s"$q bucket $i val: ${got.get(i).get(1).asDouble()} vs $v")
+        }
+      }
+      golden("select mean(1h) from 'aggr'", Seq(
+        1447250400L -> 532.6, 1447254000L -> 450.75, 1447257600L -> 534.0))
+      golden("select median(1h) from 'aggr'", Seq(
+        1447250400L -> 532.0, 1447254000L -> 530.5, 1447257600L -> 533.0))
+      golden("select median_low(1h) from 'aggr'", Seq(
+        1447250400L -> 532, 1447254000L -> 530, 1447257600L -> 533))
+      golden("select median_high(1h) from 'aggr'", Seq(
+        1447250400L -> 532, 1447254000L -> 531, 1447257600L -> 533))
+      golden("select min(1h) from 'aggr'", Seq(
+        1447250400L -> 531, 1447254000L -> 54, 1447257600L -> 532))
+      golden("select max(1h) from 'aggr'", Seq(
+        1447250400L -> 535, 1447254000L -> 538, 1447257600L -> 537))
+      golden("select variance(1h) from 'aggr'", Seq(
+        1447250400L -> 3.3, 1447254000L -> 34396.931818181816,
+        1447257600L -> 7.0))
+      golden("select pvariance(1h) from 'aggr'", Seq(
+        1447250400L -> 2.6399999999999997, 1447254000L -> 31530.520833333332,
+        1447257600L -> 4.666666666666667))
+      golden("select difference(1h) from 'aggr'", Seq(
+        1447250400L -> 1, 1447254000L -> -3, 1447257600L -> 5))
+      golden("select derivative(1, 1h) from 'aggr'", Seq(
+        1447250400L -> 0.0002777777777777778,
+        1447254000L -> -0.0008333333333333333,
+        1447257600L -> 0.001388888888888889))
+      val filt = post(s"$base/query/graft", """{"q": "select filter(>534) from 'aggr'"}""")
+      assert(filt ===
+        """{"aggr":[[1447249633,535],[1447250549,537],[1447252349,537],[1447253549,538],[1447254748,537]]}""")
+
       // the between-form of the slice restricts to [A, B)
       val between = post(s"$base/query/graft",
         """{"q": "select sum(1h) from 'aggr' between 1447249033 and 1447254749"}""")
