@@ -57,6 +57,12 @@ final class MetaStore {
   val receivedPoints = new java.util.concurrent.atomic.AtomicLong(0)
   val selectedPoints = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Bumped whenever the physical store changes (insert batches,
+    * drop shards) so transports can cache store-derived frames —
+    * parquet file listings are not free at scale — and invalidate
+    * exactly when the file set moves. */
+  val storeGeneration = new java.util.concurrent.atomic.AtomicLong(0)
+
   def dropThreshold: Double = config("drop_threshold").toDouble
   def listLimit: Int = config("list_limit").toInt
   def selectPointsLimit: Long = config("select_points_limit").toLong

@@ -602,6 +602,7 @@ object Planner {
           all.filter(st => eval(w, st.getPath.getName.stripPrefix("shard=").toLong))
       }
       matching.foreach(st => fs.delete(st.getPath, true))
+      env.meta.storeGeneration.incrementAndGet() // invalidate cached frames
       ok(env, s"Successfully dropped ${matching.size} shards. (this number does not include replica shards)")
 
     // skip-points fast path: a bare `select count() from ...` (no

@@ -39,23 +39,39 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   def authenticate(user: String, password: String): Boolean =
     meta.users.get(user).exists(_.password == password)
 
-  private[graft] def env(user: String): EngineEnv = {
-    val pts = Ingest.points(spark, storeDir)
-    val cat = Ingest.catalog(spark, storeDir)
-    val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
-    val f = typed.where(col("type") === "float")
-      .select(col("series"), col("ts"), col("val"), col("pid"))
-    // integer series read the exact int64 column (values past 2^53
-    // never pass through a double)
-    val i = typed.where(col("type") === "integer")
-      .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
-    val s = typed.where(col("type") === "string")
-      .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
-    val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
-    EngineEnv(spark, storeDir,
-      frames = Some(Frames(f, i, s, m, cat)), meta = meta,
-      user = Some(user), shardDuration = shardDuration)
+  /** Typed frames over the Ingest store, cached per store generation:
+    * building a frame lists parquet files (not free at scale, and it
+    * freezes the file set), so the cache is invalidated exactly when
+    * the store mutates (inserts here, drop shards in the planner). */
+  @volatile private var framesCache: (Long, Frames) = null
+
+  private def frames(): Frames = {
+    val gen = meta.storeGeneration.get()
+    val c = framesCache
+    if (c != null && c._1 == gen) c._2
+    else {
+      val pts = Ingest.points(spark, storeDir)
+      val cat = Ingest.catalog(spark, storeDir)
+      val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
+      val f = typed.where(col("type") === "float")
+        .select(col("series"), col("ts"), col("val"), col("pid"))
+      // integer series read the exact int64 column (values past 2^53
+      // never pass through a double)
+      val i = typed.where(col("type") === "integer")
+        .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
+      val s = typed.where(col("type") === "string")
+        .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
+      val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
+      val built = Frames(f, i, s, m, cat)
+      framesCache = (gen, built)
+      built
+    }
   }
+
+  private[graft] def env(user: String): EngineEnv =
+    EngineEnv(spark, storeDir,
+      frames = Some(frames()), meta = meta,
+      user = Some(user), shardDuration = shardDuration)
 
   /** Run one query; select results use the reference's
     * {series: [[ts,val],...]} encoding with output timestamps scaled
@@ -191,6 +207,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     import spark.implicits._
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration)
     meta.receivedPoints.addAndGet(rows.size)
+    meta.storeGeneration.incrementAndGet()
     val ok = mapper.createObjectNode()
     ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")
     ok
