@@ -147,9 +147,10 @@ object Ann {
     *
     * Size `bits` to the corpus: expected bucket occupancy is
     * N / 2^bits, and recall collapses once buckets shrink to a couple
-    * of vectors — use roughly log2(N / 30). Measured on the driver's
-    * 500-vector near-random embeddings: bits=8/tables=8 → recall 0.08;
-    * bits=4/tables=16 → 0.94. */
+    * of vectors — use roughly log2(N / 30); bits=4/tables=16 holds
+    * recall well above AnnSpec's 0.6 floor on the driver's 500-vector
+    * near-random embeddings, while bits=8 there collapses buckets to
+    * ~2 vectors and recall with them. */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       bits: Int = 4, tables: Int = 16): DataFrame = {
     val e = withNorm(emb)

@@ -89,6 +89,19 @@ object QlQueries {
          |QUALIFY row_number() OVER (PARTITION BY series $ORD) <= 3 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d, "select * from 'i.click.0' head 3"))
     },
+    Entry("ql_select_tail",
+      s"""SELECT series, ts, val FROM ($PI) WHERE series = 'i.click.0'
+         |QUALIFY row_number() OVER (PARTITION BY series ORDER BY ts DESC, pid DESC) <= 4 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select * from 'i.click.0' tail 4"))
+    },
+    // deterministic show props are oracle-checkable as literals
+    Entry("ql_show",
+      """SELECT * FROM (
+        |  SELECT 'dbname' AS name, 'graft' AS value
+        |  UNION ALL SELECT 'time_precision', 's'
+        |  UNION ALL SELECT 'version', '2.0.55') ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "show dbname, time_precision, version"))
+    },
     Entry("ql_select_filter_merge",
       s"""SELECT 'big purchases' AS series, ${bkt(86400)} AS ts, CAST(sum(val) AS BIGINT) AS val
          |FROM (SELECT series AS orig, ${bkt(86400)} AS ts, val

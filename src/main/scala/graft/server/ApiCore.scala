@@ -195,7 +195,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       }
     }
     if (req.isObject) // map form
-      req.fields().asScala.foreach(e => addSeries(e.getKey, e.getValue))
+      req.properties().asScala.foreach(e => addSeries(e.getKey, e.getValue))
     else if (req.isArray) // array form
       req.asScala.foreach { o =>
         val name = Option(o.get("name")).map(_.asText())

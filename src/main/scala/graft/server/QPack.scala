@@ -42,7 +42,7 @@ object QPack {
       out.write(254)
     case o: ObjectNode =>
       out.write(253)
-      o.fields().forEachRemaining { e =>
+      o.properties().forEach { e =>
         writeRaw(out, e.getKey.getBytes(StandardCharsets.UTF_8))
         write(out, e.getValue)
       }
