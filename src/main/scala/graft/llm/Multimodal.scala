@@ -50,4 +50,52 @@ object Multimodal {
       }
     }
   }
+
+  /** One resized payload per input (doc_id, dims, bytes kept). */
+  final case class Resized(doc_id: Long, width: Long, height: Long,
+      n_bytes: Long, payload: Array[Byte])
+
+  /** Batched 1→1 media transform (the resize/resample shape): binary
+    * in, binary out, partition-parallel, no shuffle. The codec step is
+    * STUBBED like [[decodeMedia]] — the "resized" payload is a
+    * deterministic byte prefix capped at width*height/64 so the
+    * contract (batching, binary-out schema, size bound) is testable
+    * without codecs. */
+  def resizeMedia(docs: DataFrame, width: Int, height: Int): Dataset[Resized] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = width * height / 64
+    asMedia(docs).as[Payload].mapPartitions { batch =>
+      batch.map { p =>
+        // STUB: a real implementation decodes + resamples to the
+        // target dims; the byte-prefix fake keeps output size bounded
+        // by the requested resolution like a real resize would
+        val out = java.util.Arrays.copyOf(p.payload, math.min(p.payload.length, cap))
+        Resized(p.doc_id, width.toLong, height.toLong, out.length.toLong, out)
+      }
+    }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Batched 1→N media transform (the video frame-sampling shape):
+    * every `everyN`-th frame of each payload becomes its own row, so
+    * downstream per-frame ops (embedding, dedup) stay relational.
+    * Frame count and content are STUBBED from the decode metadata;
+    * the 1→N iterator plumbing is the real contract. */
+  def sampleFrames(docs: DataFrame, everyN: Int = 2): Dataset[Frame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMedia(docs).as[Payload].mapPartitions { batch =>
+      batch.flatMap { p =>
+        val nFrames = 1 + p.doc_id % 3 // matches decodeMedia's stub meta
+        (0L until nFrames by everyN.toLong).iterator.map { idx =>
+          // STUB: a real implementation seeks + decodes frame `idx`
+          val slice = java.util.Arrays.copyOf(p.payload,
+            math.min(p.payload.length, 64))
+          Frame(p.doc_id, idx, slice)
+        }
+      }
+    }
+  }
 }

@@ -204,5 +204,22 @@ object DataOpsQueries {
         |       1 + doc_id % 3 AS n_frames
         |FROM documents ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Multimodal.decodeMedia(docs(s, d)).toDF())
+    },
+    // 1→1 batched binary transform (resize shape): the oracle pins the
+    // size bound the stubbed resample guarantees
+    Entry("mm_resize_stub",
+      """SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.resizeMedia(docs(s, d), 64, 64).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes")))
+    },
+    // 1→N batched explode (video frame-sampling shape): one row per
+    // sampled frame index
+    Entry("mm_frame_sample",
+      """SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 3, 2)) AS BIGINT) AS frame_idx
+        |FROM documents ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.sampleFrames(docs(s, d), everyN = 2).toDF()
+        .select(col("doc_id"), col("frame_idx")))
     })
 }
