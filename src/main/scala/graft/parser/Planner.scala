@@ -405,22 +405,18 @@ object Planner {
     case CountStmt(other, _, _) =>
       throw QueryError(s"count $other is not supported")
 
-    case ListEntityStmt("servers", where, cols) =>
-      val filtered = where.map(w => serversDf(env).where(cexprPlain(w)))
-        .getOrElse(serversDf(env))
-      filtered.select(
-        (if (cols.isEmpty) serverDefaultCols else cols).map(col): _*)
-
-    case ListEntityStmt("users", where, _) =>
-      entityDf("users", env, where).select(col("name"), col("access"))
-
-    case ListEntityStmt("shards", where, _) =>
-      // default shard columns; server/status/type stay where-only
-      entityDf("shards", env, where)
-        .select(col("sid"), col("pool"), col("size"), col("start"), col("end"))
-
-    case ListEntityStmt(entity, where, _) =>
-      entityDf(entity, env, where)
+    case ListEntityStmt(entity, where, cols) =>
+      // per-entity default projections (grammar *_columns defaults);
+      // Nil = all view columns; explicit columns always win
+      val defaults: Seq[String] = entity match {
+        case "servers" => serverDefaultCols
+        case "shards" => Seq("sid", "pool", "size", "start", "end")
+        case "users" => Seq("name", "access") // access_bits is where-only
+        case _ => Nil
+      }
+      val base = entityDf(entity, env, where)
+      val out = if (cols.nonEmpty) cols else defaults
+      if (out.isEmpty) base else base.select(out.map(col): _*)
 
     case HelpStmt(topic) =>
       import env.spark.implicits._

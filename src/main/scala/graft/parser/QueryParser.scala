@@ -497,24 +497,32 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
   private val seriesCols = Set("name", "type", "length", "start", "end",
     "shard_duration", "pool")
 
+  /** Optional per-entity column list (grammar *_columns :242-317). */
+  private def entityCols(props: Map[String, Char]): Seq[String] = {
+    val cols = Vector.newBuilder[String]
+    var more = peekWord.exists(props.contains)
+    while (more) {
+      val c = peekWord.get; p += c.length
+      cols += c
+      more = tryLit(",")
+      if (more && !peekWord.exists(props.contains)) { p -= 1; more = false }
+    }
+    cols.result()
+  }
+
+  private def listEntity(entity: String, props: Map[String, Char]): Statement = {
+    val cols = entityCols(props)
+    ListEntityStmt(entity, tryWhere(props), cols)
+  }
+
   private def listStmt(): Statement = {
     expectKw("list")
-    if (tryKw("groups")) return ListEntityStmt("groups", tryWhere(groupProps))
-    if (tryKw("tags")) return ListEntityStmt("tags", tryWhere(tagProps))
-    if (tryKw("users")) return ListEntityStmt("users", tryWhere(userProps))
-    if (tryKw("pools")) return ListEntityStmt("pools", tryWhere(poolProps))
-    if (tryKw("shards")) return ListEntityStmt("shards", tryWhere(shardProps))
-    if (tryKw("servers")) { // list_servers (grammar :751-752)
-      val cols = Vector.newBuilder[String]
-      var more = peekWord.exists(serverProps.contains)
-      while (more) {
-        val c = peekWord.get; p += c.length
-        cols += c
-        more = tryLit(",")
-        if (more && !peekWord.exists(serverProps.contains)) { p -= 1; more = false }
-      }
-      return ListEntityStmt("servers", tryWhere(serverProps), cols.result())
-    }
+    if (tryKw("groups")) return listEntity("groups", groupProps)
+    if (tryKw("tags")) return listEntity("tags", tagProps)
+    if (tryKw("users")) return listEntity("users", userProps)
+    if (tryKw("pools")) return listEntity("pools", poolProps)
+    if (tryKw("shards")) return listEntity("shards", shardProps)
+    if (tryKw("servers")) return listEntity("servers", serverProps)
     expectKw("series")
     val cols = Vector.newBuilder[String]
     var more = peekWord.exists(seriesCols)

@@ -38,6 +38,9 @@ class DdlSpec extends AnyFunSuite {
     assert(msg(env, "alter series /^i\\.error\\.[0-2]$/ tag `bad`") ===
       "Successfully tagged 0 series.")
     assert(q(env, "list tags") === Seq(Seq("bad", 3L)))
+    // entity column selection (grammar tag_columns)
+    assert(q(env, "list tags name") === Seq(Seq("bad")))
+    assert(q(env, "list tags series, name") === Seq(Seq(3L, "bad")))
     assert(q(env, "count series `bad`").head.head === 3L)
     assert(msg(env, "alter series 'i.error.0' untag `bad`") ===
       "Successfully untagged 1 series.")
