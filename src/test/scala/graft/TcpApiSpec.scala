@@ -168,6 +168,30 @@ class TcpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent connections keep isolated auth state") {
+    val dir = Files.createTempDirectory("graft-tcp2").toString
+    val api = new TcpApi(spark, dir)
+    val port = api.start()
+    val c1 = new Client(port)
+    val c2 = new Client(port)
+    try {
+      // only c1 authenticates; c2 must stay locked out on the same server
+      assert(c1.request(2, c1.json("""["iris", "siri", "graft"]"""))._1 === 2)
+      assert(c2.request(0, c2.json("""["count series"]"""))._1 === 71)
+      assert(c1.request(1, c1.json("""{"s": [[1, 1]]}"""))._1 === 1)
+      assert(c1.request(0, c1.json("""["count series"]"""))._1 === 0)
+      // parallel authenticated clients interleave cleanly
+      assert(c2.request(2, c2.json("""["iris", "siri", "graft"]"""))._1 === 2)
+      val threads = Seq(c1, c2).zipWithIndex.map { case (c, i) =>
+        new Thread(() => (1 to 5).foreach { k =>
+          val (tp, _) = c.request(0, c.json("""["count series"]"""))
+          assert(tp === 0, s"client $i round $k")
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    } finally { c1.close(); c2.close(); api.stop() }
+  }
+
   test("backup mode refuses inserts with the server-status error") {
     withServer { (c, api) =>
       assert(c.request(2, c.json("""["iris", "siri", "graft"]"""))._1 === 2)
