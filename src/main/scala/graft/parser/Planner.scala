@@ -28,6 +28,13 @@ final case class EngineEnv(
     tags: Map[String, Seq[String]] = Map.empty,
     factor: Long = 1L,
     frames: Option[Frames] = None,
+    /** Optional range-aware frame builder: given the query's
+      * (after, before) bounds, returns frames whose scan prunes at the
+      * storage-partition level (the Ingest store's shard directories —
+      * src/siri/db/series.c:927-938's shard index pruning). The
+      * planner uses it for time-ranged selects; everything else reads
+      * the plain frames. */
+    rangedFrames: Option[(Option[Long], Option[Long]) => Frames] = None,
     meta: graft.meta.MetaStore = new graft.meta.MetaStore,
     /** Authenticated user for access-bit enforcement; None (internal
       * callers, specs, Verify) bypasses the check. */
@@ -640,7 +647,16 @@ object Planner {
       else out
 
     case SelectStmt(chains, sel, where, range, merge) =>
-      val base0 = baseFrame(sel, where, env)
+      // a time-ranged select on a shard-partitioned store reads only
+      // the shard directories overlapping the range (the reference's
+      // shard index pruning); the precise ts filter still applies in
+      // the pipeline below
+      val envForScan = range match {
+        case Some(TimeRange(a, b)) if env.rangedFrames.isDefined =>
+          env.copy(frames = Some(env.rangedFrames.get(a, b)))
+        case _ => env
+      }
+      val base0 = baseFrame(sel, where, envForScan)
       val stringSeries = isStringFrame(base0)
       // multiple chains share one scan — the reference's points_map
       // cache (listener.c:5626-5658)

@@ -45,24 +45,28 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * the store mutates (inserts here, drop shards in the planner). */
   @volatile private var framesCache: (Long, Frames) = null
 
+  /** Typed family frames over an arbitrary point source. */
+  private def typedFrames(pts: DataFrame): Frames = {
+    val cat = Ingest.catalog(spark, storeDir)
+    val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
+    val f = typed.where(col("type") === "float")
+      .select(col("series"), col("ts"), col("val"), col("pid"))
+    // integer series read the exact int64 column (values past 2^53
+    // never pass through a double)
+    val i = typed.where(col("type") === "integer")
+      .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
+    val s = typed.where(col("type") === "string")
+      .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
+    val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
+    Frames(f, i, s, m, cat)
+  }
+
   private def frames(): Frames = {
     val gen = meta.storeGeneration.get()
     val c = framesCache
     if (c != null && c._1 == gen) c._2
     else {
-      val pts = Ingest.points(spark, storeDir)
-      val cat = Ingest.catalog(spark, storeDir)
-      val typed = pts.join(cat.select(col("series"), col("type")), Seq("series"))
-      val f = typed.where(col("type") === "float")
-        .select(col("series"), col("ts"), col("val"), col("pid"))
-      // integer series read the exact int64 column (values past 2^53
-      // never pass through a double)
-      val i = typed.where(col("type") === "integer")
-        .select(col("series"), col("ts"), col("val_int").as("val"), col("pid"))
-      val s = typed.where(col("type") === "string")
-        .select(col("series"), col("ts"), col("val_str").as("val"), col("pid"))
-      val m = typed.select(col("series"), col("ts"), col("val"), col("pid"))
-      val built = Frames(f, i, s, m, cat)
+      val built = typedFrames(Ingest.points(spark, storeDir))
       framesCache = (gen, built)
       built
     }
@@ -71,7 +75,12 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   private[graft] def env(user: String): EngineEnv =
     EngineEnv(spark, storeDir,
       frames = Some(frames()), meta = meta,
-      user = Some(user), shardDuration = shardDuration)
+      user = Some(user), shardDuration = shardDuration,
+      // time-ranged selects prune whole shard directories
+      // (Ingest.pointsRange translates ts bounds onto the shard
+      // partition column)
+      rangedFrames = Some((a, b) => typedFrames(
+        Ingest.pointsRange(spark, storeDir, a, b, shardDuration))))
 
   /** Run one query; select results use the reference's
     * {series: [[ts,val],...]} encoding with output timestamps scaled

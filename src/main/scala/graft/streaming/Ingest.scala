@@ -184,6 +184,8 @@ object Ingest {
   def pointsRange(spark: SparkSession, storeDir: String,
       after: Option[Long], before: Option[Long],
       shardDuration: Long = 86400L): DataFrame = {
+    if (!existsNonEmpty(spark, pointsPath(storeDir)))
+      return points(spark, storeDir) // empty frame with the right schema
     val df = spark.read.parquet(pointsPath(storeDir))
     val filters = Seq(
       after.map(a => col("ts") >= a && col("shard") >= a / shardDuration),

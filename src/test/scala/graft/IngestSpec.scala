@@ -38,6 +38,26 @@ class IngestSpec extends AnyFunSuite {
       Seq(Seq("req", 500L, Long.MaxValue)))
   }
 
+  test("ranged selects prune whole shard directories — series.c:927-938") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-prune").toString
+    // five day-shards at the server's 86400 granularity
+    Ingest.appendBatch((0 until 40).map(i =>
+      PointIn("cpu", i.toLong * 10000, i.toDouble, "float", i.toLong)).toDF(),
+      dir, shardDuration = 86400L)
+    val env = new graft.server.ApiCore(spark, dir).env("iris")
+    val df = graft.parser.Planner.query(
+      "select * from 'cpu' between 110000 and 190000", env)
+    val rows = df.collect().map(_.getLong(1)).sorted
+    assert(rows.toSeq === (110000L to 180000L by 10000L))
+    // the scan carries shard partition filters, so only the matching
+    // shard directory is read
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("shard"), plan)
+    assert(pf.replaceAll("\\s", "").matches(".*PartitionFilters:\\[[^\\]]*shard.*"), pf)
+  }
+
   test("insert coerces to the established series type — series.c:1141") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-coerce").toString
