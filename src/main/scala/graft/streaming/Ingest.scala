@@ -201,19 +201,26 @@ object Ingest {
     * shard directory that has accumulated more than `maxFiles`
     * fragments into a single sorted file (series, ts, pid order — the
     * read-side ordering), so scans stay sequential as a store ages.
+    * `dropped` (the tombstone name frame from `drop series`) is
+    * anti-joined during the rewrite, physically purging dropped
+    * series the way the reference's optimize drops their blocks.
     * Returns the number of compacted shards. */
-  def compact(spark: SparkSession, storeDir: String, maxFiles: Int = 4): Int = {
+  def compact(spark: SparkSession, storeDir: String, maxFiles: Int = 4,
+      dropped: Option[DataFrame] = None): Int = {
     val dir = new Path(pointsPath(storeDir))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return 0
     val shards = fs.listStatus(dir).filter(_.getPath.getName.startsWith("shard="))
     val fragmented = shards.filter { st =>
-      fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      val n = fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      n > maxFiles || (dropped.isDefined && n > 0)
     }
     fragmented.foreach { st =>
       val tmp = new Path(st.getPath.toString + ".compact")
-      spark.read.parquet(st.getPath.toString)
-        .sort(col("series"), col("ts"), col("pid"))
+      val raw = spark.read.parquet(st.getPath.toString)
+      val kept = dropped.fold(raw)(d =>
+        raw.join(d.select(col("series")), Seq("series"), "left_anti"))
+      kept.sort(col("series"), col("ts"), col("pid"))
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(st.getPath, true)

@@ -58,6 +58,21 @@ class IngestSpec extends AnyFunSuite {
     assert(pf.replaceAll("\\s", "").matches(".*PartitionFilters:\\[[^\\]]*shard.*"), pf)
   }
 
+  test("compaction purges tombstoned series physically — optimize.c drop purge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-purge").toString
+    Ingest.appendBatch(Seq(
+      PointIn("keep", 10L, 1.0, "float", 1),
+      PointIn("gone", 20L, 2.0, "float", 2),
+      PointIn("keep", 30L, 3.0, "float", 3)).toDF(),
+      dir, shardDuration = 100L)
+    val tombstones = Seq("gone").toDF("series")
+    assert(Ingest.compact(spark, dir, maxFiles = 4, dropped = Some(tombstones)) === 1)
+    val left = Ingest.points(spark, dir).select("series").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(left === Set("keep"))
+  }
+
   test("insert coerces to the established series type — series.c:1141") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-coerce").toString
