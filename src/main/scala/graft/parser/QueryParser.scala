@@ -472,11 +472,23 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
       if (tryKw("after")) Some(TimeRange(Some(parseTimeExpr()), None))
       else if (tryKw("between")) {
         val a = parseTimeExpr(); expectKw("and")
-        Some(TimeRange(Some(a), Some(parseTimeExpr())))
+        val b = parseTimeExpr()
+        if (a > b) // exit_between_expr (listener.c:2115-2123)
+          err(s"Start time ($a) should not be greater than end time ($b)")
+        Some(TimeRange(Some(a), Some(b)))
       }
       else if (tryKw("before")) Some(TimeRange(None, Some(parseTimeExpr())))
-      else if (tryKw("head")) Some(Head(parseIntExpr().toInt))
-      else if (tryKw("tail")) Some(Tail(parseIntExpr().toInt))
+      else if (tryKw("head")) {
+        val n = parseIntExpr() // 1..MAX_HEADTAIL (siri.h:21, listener.c:1972)
+        if (n <= 0 || n > 1000000L)
+          err(s"Head must be a value between 1 and 1000000, got $n")
+        Some(Head(n.toInt))
+      } else if (tryKw("tail")) {
+        val n = parseIntExpr() // listener.c:1993
+        if (n <= 0 || n > 1000000L)
+          err(s"Tail must be a value between 1 and 1000000, got $n")
+        Some(Tail(n.toInt))
+      }
       else None
     val merge =
       if (tryKw("merge")) {

@@ -145,6 +145,20 @@ class QueryParserSpec extends AnyFunSuite {
     parse("list series where name !~ 'x'")
   }
 
+  test("head/tail bounds: 1..1000000 — siri.h:21, listener.c:1972,1993") {
+    val e = intercept[QueryError](parse("select * from 'a' head 0"))
+    assert(e.msg === "Head must be a value between 1 and 1000000, got 0")
+    assertThrows[QueryError](parse("select * from 'a' tail 1000001"))
+    parse("select * from 'a' head 1000000")
+  }
+
+  test("between with start > end is a query error — listener.c:2115-2123") {
+    val e = intercept[QueryError](
+      parse("select * from 'a' between 200 and 100"))
+    assert(e.msg === "Start time (200) should not be greater than end time (100)")
+    parse("select * from 'a' between 100 and 100") // equal bounds allowed
+  }
+
   test("adjacent quoted fragments concatenate — grammar :38-39") {
     assert(parse("select * from 'se' 'ries' head 1")
       .asInstanceOf[SelectStmt].sel === Name("series"))
