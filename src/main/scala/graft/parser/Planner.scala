@@ -358,6 +358,11 @@ object Planner {
       sel.map(pp => (pp, known.getOrElse(pp, "unknown"))).toDF("name", "value")
 
     case ListSeriesStmt(cols, sel, where, limit) =>
+      limit.filter(l => l <= 0 || l > env.meta.listLimit).foreach { l =>
+        // enter_limit_expr (listener.c:1006-1023)
+        throw QueryError(
+          s"Limit must be a value between 1 and ${env.meta.listLimit} but received: $l (optionally the limit can be changed, see 'help alter database')")
+      }
       val outCols = cols.map {
         case "name" => col("series").as("name")
         case "shard_duration" => lit(env.shardDuration * env.factor).as("shard_duration")

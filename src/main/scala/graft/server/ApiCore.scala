@@ -216,6 +216,13 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     import spark.implicits._
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration)
     meta.receivedPoints.addAndGet(rows.size)
+    // retention: `alter database set expiration_num <t>` takes effect
+    // on the write path (the reference expires continuously —
+    // db.c:865-878, itest/test_expiration.py)
+    meta.config.get("expiration_num").map(_.toLong).filter(_ > 0).foreach { exp =>
+      Ingest.expire(spark, storeDir, exp,
+        now = System.currentTimeMillis() / 1000, shardDuration)
+    }
     meta.storeGeneration.incrementAndGet()
     val ok = mapper.createObjectNode()
     ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")

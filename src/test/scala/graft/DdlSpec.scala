@@ -134,6 +134,10 @@ class DdlSpec extends AnyFunSuite {
     q(env, "alter database set list_limit 2")
     assert(q(env, "list series").size === 2)
     assert(q(env, "show list_limit") === Seq(Seq("list_limit", "2")))
+    // an explicit limit above list_limit errors (listener.c:1006-1023)
+    val e = intercept[QueryError](q(env, "list series limit 5"))
+    assert(e.msg.startsWith("Limit must be a value between 1 and 2"))
+    assert(q(env, "list series limit 1").size === 1)
   }
 
   test("alter server set log_level/backup_mode/address/port; drop server") {

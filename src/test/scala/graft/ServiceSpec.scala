@@ -82,6 +82,26 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("expiration_num takes effect on the write path — itest/test_expiration.py") {
+    val dir = Files.createTempDirectory("graft-exp").toString
+    val api = new HttpApi(spark, dir)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      val now = System.currentTimeMillis() / 1000
+      assert(post(s"$base/insert/graft",
+        s"""{"old": [[100, 1.0]], "new": [[$now, 2.0]]}""")._1 === 200)
+      assert(post(s"$base/query/graft",
+        """{"q": "alter database set expiration_num 1w"}""")._1 === 200)
+      // the next insert runs the retention job: the 1970-era shard
+      // falls past the window and its series leaves the catalog
+      assert(post(s"$base/insert/graft",
+        s"""{"new": [[${now + 1}, 3.0]]}""")._1 === 200)
+      val (_, names) = post(s"$base/query/graft", """{"q": "list series"}""")
+      assert(names.contains("\"new\"") && !names.contains("\"old\""), names)
+    } finally api.stop()
+  }
+
   test("service API over HTTP: accounts and database lifecycle — api.c:233-292") {
     val dir = Files.createTempDirectory("graft-svc").toString
     val api = new HttpApi(spark, dir)
