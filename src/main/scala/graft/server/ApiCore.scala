@@ -129,8 +129,8 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       .select(col("series"), col("ts"), col("val"))
       .limit((limit + 1).min(Int.MaxValue.toLong).toInt).collect()
     if (rows.length > limit)
-      throw QueryError(
-        s"Query returns more than $limit points — use an aggregate or a time range")
+      throw QueryError( // async_select_aggregate (listener.c:5598-5610)
+        s"Query has reached the maximum number of selected points ($limit). Please use another time window, an aggregation function or select less series to reduce the number of points.")
     meta.selectedPoints.addAndGet(rows.length)
     val out = mapper.createObjectNode()
     rows.foreach { r =>

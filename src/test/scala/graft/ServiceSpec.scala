@@ -82,6 +82,26 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("select_points_limit guard carries the reference message — listener.c:5598") {
+    val dir = Files.createTempDirectory("graft-spl").toString
+    val api = new HttpApi(spark, dir)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      assert(post(s"$base/insert/graft",
+        """{"s": [[1, 1], [2, 2], [3, 3]]}""")._1 === 200)
+      assert(post(s"$base/query/graft",
+        """{"q": "alter database set select_points_limit 2"}""")._1 === 200)
+      val (code, body) = post(s"$base/query/graft", """{"q": "select * from 's'"}""")
+      assert(code === 400)
+      assert(body.contains(
+        "Query has reached the maximum number of selected points (2)."), body)
+      // aggregated output under the cap passes
+      assert(post(s"$base/query/graft",
+        """{"q": "select count() from 's'"}""")._1 === 200)
+    } finally api.stop()
+  }
+
   test("expiration_num takes effect on the write path — itest/test_expiration.py") {
     val dir = Files.createTempDirectory("graft-exp").toString
     val api = new HttpApi(spark, dir)
