@@ -32,6 +32,11 @@ private[graft] object Cproto {
 
   private val mapper = new ObjectMapper()
 
+  /** Upper bound on one package's data (the reference warns above
+    * 1 MB — clserver.c WARNING_PKG_SIZE; this caps a hostile length
+    * field before the allocation). */
+  private val MaxPkgSize = 256 * 1024 * 1024
+
   def readPkg(in: DataInputStream): (Int, Int, Array[Byte]) = {
     val header = new Array[Byte](8)
     in.readFully(header)
@@ -42,6 +47,8 @@ private[graft] object Cproto {
     val checkbit = u8(7)
     if (checkbit != (tp ^ 255))
       throw new IOException(s"bad checkbit for package type $tp")
+    if (len < 0 || len > MaxPkgSize)
+      throw new IOException(s"package size $len out of bounds")
     val data = new Array[Byte](len)
     in.readFully(data)
     (pid, tp, data)
@@ -72,7 +79,10 @@ private[graft] object Cproto {
         val (resTp, resData): (Int, Array[Byte]) = tp match {
           case 3 => (3, Array.emptyByteArray) // PING → ACK
           case 2 => // AUTH (user, password, dbname)
-            val arr = QPack.decode(data)
+            // malformed qpack must not kill the connection thread
+            val arr = try QPack.decode(data) catch {
+              case _: Exception => mapper.nullNode()
+            }
             if (!arr.isArray || arr.size() < 3) (72, Array.emptyByteArray)
             else reg.db(arr.get(2).asText()) match {
               case None => (73, Array.emptyByteArray) // ERR_AUTH_UNKNOWN_DB
@@ -124,23 +134,29 @@ private[graft] object Cproto {
           case 32 => // REQ_SERVICE (user, password, request, {...})
             // (protocol.h:22, request.h) — service-account auth, not
             // database users
-            val arr = QPack.decode(data)
-            if (!arr.isArray || arr.size() < 3)
-              (97, Array.emptyByteArray) // ERR_SERVICE_INVALID_REQUEST
-            else if (!reg.authAccount(arr.get(0).asText(), arr.get(1).asText()))
-              (96, errData("Invalid service account credentials"))
-            else {
-              val reqName =
-                if (arr.get(2).isIntegralNumber) reg.serviceName(arr.get(2).asLong())
-                else Some(arr.get(2).asText())
-              reqName match {
-                case None => (97, Array.emptyByteArray)
-                case Some(r) =>
-                  val (isErr, body) = reg.service(r, arr.get(3))
-                  if (isErr) (96, QPack.encode(body)) // ERR_SERVICE
-                  else if (body.isArray) (33, QPack.encode(body)) // ACK_SERVICE_DATA
-                  else (32, Array.emptyByteArray) // ACK_SERVICE
+            try {
+              val arr = QPack.decode(data)
+              if (!arr.isArray || arr.size() < 3)
+                (97, Array.emptyByteArray) // ERR_SERVICE_INVALID_REQUEST
+              else if (!reg.authAccount(arr.get(0).asText(), arr.get(1).asText()))
+                (96, errData("Invalid service account credentials"))
+              else {
+                val reqName =
+                  if (arr.get(2).isIntegralNumber) reg.serviceName(arr.get(2).asLong())
+                  else Some(arr.get(2).asText())
+                reqName match {
+                  case None => (97, Array.emptyByteArray)
+                  case Some(r) =>
+                    val (isErr, body) = reg.service(r, arr.get(3))
+                    if (isErr) (96, QPack.encode(body)) // ERR_SERVICE
+                    else if (body.isArray) (33, QPack.encode(body)) // ACK_SERVICE_DATA
+                    else (32, Array.emptyByteArray) // ACK_SERVICE
+                }
               }
+            } catch {
+              case e: Exception =>
+                (96, errData(Option(e.getMessage).getOrElse(e.toString)
+                  .linesIterator.next()))
             }
           case _ => (70, Array.emptyByteArray) // CPROTO_ERR
         }

@@ -192,6 +192,20 @@ class TcpApiSpec extends AnyFunSuite {
     } finally { c1.close(); c2.close(); api.stop() }
   }
 
+  test("malformed packages never kill the connection") {
+    withServer { (c, _) =>
+      // truncated raw in the auth payload → clean credential error
+      assert(c.request(2, Array[Byte](228.toByte, 50))._1 === 72)
+      // garbage in a query payload after auth → clean query error
+      assert(c.request(2, c.json("""["iris", "siri", "graft"]"""))._1 === 2)
+      val (tp, _) = c.request(0, Array[Byte](0xFF.toByte))
+      assert(tp === 65)
+      // the connection still serves afterwards
+      assert(c.request(3, Array.emptyByteArray)._1 === 3)
+      assert(c.request(0, c.json("""["count series"]"""))._1 === 0)
+    }
+  }
+
   test("backup mode refuses inserts with the server-status error") {
     withServer { (c, api) =>
       assert(c.request(2, c.json("""["iris", "siri", "graft"]"""))._1 === 2)
