@@ -29,24 +29,34 @@ object Bench {
     Seq("events", "documents", "embeddings")
       .foreach(t => graft.core.Tables.load(spark, sfDir, t).count())
     val qs = SparkEntry.queries
+    var failed = List.empty[String]
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      // the action hashes every column of every row, so Spark cannot
-      // skip materializing value columns for narrow plans the way a
-      // bare count() can — keeps round-over-round numbers honest
+      // the action hashes every column of every row so Spark cannot
+      // skip materializing value columns the way a bare count() can;
+      // bit_xor is associative/commutative and can never overflow
+      // (sum(xxhash64) overflowed int64 under ANSI mode — BENCH_r03)
       try {
         val df = qs(name)(spark, sfDir)
         df.select(org.apache.spark.sql.functions
           .xxhash64(df.columns.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*).as("h"))
-          .agg(org.apache.spark.sql.functions.sum("h")).collect()
-      } catch { case _: Throwable => -1L }
+          .agg(org.apache.spark.sql.functions.bit_xor(
+            org.apache.spark.sql.functions.col("h"))).collect()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE in $name: $e")
+          e.printStackTrace()
+          failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","note":"r3: action changed from count() to xxhash64-over-all-columns so narrow plans cannot skip value materialization"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","failed":$failedJson,"note":"action = bit_xor(xxhash64(all columns)): full materialization, overflow-free"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
