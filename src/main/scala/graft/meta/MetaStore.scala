@@ -16,8 +16,13 @@ final class MetaStore {
     * catalog on use — the reference re-evaluates on a 2 s loop,
     * src/siri/db/groups.c:44). */
   val groups = TrieMap[String, String]()
-  /** tag name -> explicit member series (src/siri/db/tags.c). */
-  val tags = TrieMap[String, Set[String]]()
+  /** tag name -> explicit member-series frame, single `series` column
+    * (src/siri/db/tags.c). Membership never lives on the driver — a
+    * tag spanning 10M series stays a distributed frame, upserted with
+    * union/anti-join exactly like the drop tombstones below. Counts
+    * ride along for `list tags` / `count tags`. */
+  val tagFrames = TrieMap[String, org.apache.spark.sql.DataFrame]()
+  val tagCounts = TrieMap[String, Long]()
   /** seeded with the reference's default database user
     * (users.c:70-85: 'iris'/'siri', full profile). */
   val users = TrieMap[String, User]("iris" -> User("siri", Access.Full))
@@ -67,17 +72,42 @@ final class MetaStore {
   def listLimit: Int = config("list_limit").toInt
   def selectPointsLimit: Long = config("select_points_limit").toLong
 
-  def tagSeries(tag: String, series: Seq[String]): Int = {
-    val cur = tags.getOrElse(tag, Set.empty)
-    val added = series.toSet -- cur
-    tags.put(tag, cur ++ added)
-    added.size
+  /** Constructor seeding: `members` is a tiny local relation, so no
+    * checkpoint job is paid at env-construction time. */
+  def seedTag(tag: String, members: org.apache.spark.sql.DataFrame, n: Long): Unit = {
+    tagFrames.put(tag, members)
+    tagCounts.put(tag, n)
   }
 
-  def untagSeries(tag: String, series: Seq[String]): Int = {
-    val cur = tags.getOrElse(tag, Set.empty)
-    val removed = cur intersect series.toSet
-    tags.put(tag, cur -- removed)
-    removed.size
+  /** Add a (distributed) selection of series names to a tag; returns
+    * how many were newly tagged. One localCheckpoint job per DDL call;
+    * the stored frame is always distinct and checkpointed, so the plan
+    * depth stays O(1) across repeated tag/untag operations. */
+  def tagSeries(tag: String, names: org.apache.spark.sql.DataFrame): Long = synchronized {
+    import org.apache.spark.sql.functions.col
+    val dn = names.select(col("series")).distinct()
+    val added = tagFrames.get(tag).fold(dn)(cur => dn.join(cur, Seq("series"), "left_anti"))
+    val merged = tagFrames.get(tag).fold(added)(_.unionByName(added)).localCheckpoint(true)
+    val n = merged.count()
+    val prev = tagCounts.getOrElse(tag, 0L)
+    tagFrames.put(tag, merged)
+    tagCounts.put(tag, n)
+    n - prev
+  }
+
+  def untagSeries(tag: String, names: org.apache.spark.sql.DataFrame): Long = synchronized {
+    import org.apache.spark.sql.functions.col
+    tagFrames.get(tag) match {
+      case None => 0L
+      case Some(cur) =>
+        val remaining = cur
+          .join(names.select(col("series")).distinct(), Seq("series"), "left_anti")
+          .localCheckpoint(true)
+        val n = remaining.count()
+        val prev = tagCounts.getOrElse(tag, 0L)
+        tagFrames.put(tag, remaining)
+        tagCounts.put(tag, n)
+        prev - n
+    }
   }
 }

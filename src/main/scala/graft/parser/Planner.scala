@@ -35,6 +35,12 @@ final case class EngineEnv(
       * planner uses it for time-ranged selects; everything else reads
       * the plain frames. */
     rangedFrames: Option[(Option[Long], Option[Long]) => Frames] = None,
+    /** Optional metadata-backed shards view (sid, start, end, size):
+      * an Ingest-backed env answers `list/count shards` from shard
+      * directory file statuses, never a point scan — the reference
+      * reads shard file headers (src/siri/db/shard.c). The
+      * parquet-demo env falls back to a time-bucketed aggregate. */
+    shardsView: Option[() => DataFrame] = None,
     meta: graft.meta.MetaStore = new graft.meta.MetaStore,
     /** Authenticated user for access-bit enforcement; None (internal
       * callers, specs, Verify) bypasses the check. */
@@ -48,7 +54,10 @@ final case class EngineEnv(
 
   // seed the metastore from the convenience constructor args
   groups.foreach { case (g, re) => meta.groups.put(g, re) }
-  tags.foreach { case (t, ss) => meta.tags.put(t, ss.toSet) }
+  tags.foreach { case (t, ss) =>
+    import spark.implicits._
+    meta.seedTag(t, ss.distinct.toDF("series"), ss.distinct.size.toLong)
+  }
 
   lazy val pointsF: DataFrame = frames.map(_.f).getOrElse(SeriesStore.pointsF(spark, dir))
   lazy val pointsI: DataFrame = frames.map(_.i).getOrElse(SeriesStore.pointsI(spark, dir))
@@ -73,7 +82,10 @@ final case class EngineEnv(
     groups = meta.groups.toMap,
     tags = _ => {
       import spark.implicits._
-      meta.tags.toSeq.flatMap { case (t, ss) => ss.map(t -> _) }.toDF("tag", "series")
+      meta.tagFrames.toSeq
+        .map { case (t, df) => df.select(lit(t).as("tag"), col("series")) }
+        .reduceOption(_ unionByName _)
+        .getOrElse(Seq.empty[(String, String)].toDF("tag", "series"))
     })
 
   /** Catalog minus dropped series: anti-join against the materialized
@@ -145,8 +157,7 @@ object Planner {
             .withColumn("series", coalesce(col("series"), lit(0L)))
         }
       case "tags" =>
-        env.meta.tags.toSeq.map { case (t, ss) => (t, ss.size.toLong) }
-          .toDF("name", "series")
+        env.meta.tagCounts.toSeq.toDF("name", "series")
       case "users" =>
         // access displays as the folded profile string; access_bits is
         // the where-only numeric form (user.c cexpr: int compare)
@@ -157,14 +168,25 @@ object Planner {
         env.catalogLive.groupBy(col("pool"))
           .agg(lit(1L).as("servers"), count(lit(1)).as("series"))
       case "shards" =>
-        // time-bucketed view over the points (shard.c's sid/size/start/
-        // end); server/status/type are where-filterable single-node
-        // constants, projected away from list output (oracle-pinned
-        // default columns)
-        env.pointsM
-          .groupBy(expr(s"ts div ${env.shardDuration}").as("sid"))
-          .agg(lit(0L).as("pool"), (count(lit(1)) * 16).as("size"),
-            min(col("ts")).as("start"), max(col("ts")).as("end"))
+        // shard view (shard.c's sid/size/start/end; start/end are the
+        // bucket bounds, listener.c:2553-2554); server/status/type are
+        // where-filterable single-node constants, projected away from
+        // list output (oracle-pinned default columns). Ingest-backed
+        // envs answer from shard-file metadata — zero point reads.
+        val core = env.shardsView match {
+          case Some(v) =>
+            v().select(col("sid"), lit(0L).as("pool"), col("size"),
+              col("start"), col("end"))
+          case None =>
+            env.pointsM
+              .groupBy(expr(s"ts div ${env.shardDuration}").as("sid"))
+              .agg(lit(0L).as("pool"), (count(lit(1)) * 16).as("size"))
+              .withColumn("start", col("sid") * env.shardDuration)
+              .withColumn("end", (col("sid") + 1) * env.shardDuration)
+              .select(col("sid"), col("pool"), col("size"),
+                col("start"), col("end"))
+        }
+        core
           .withColumn("server", lit("local"))
           .withColumn("status", lit("ok"))
           .withColumn("type", lit("number"))
@@ -465,8 +487,9 @@ object Planner {
       ok(env, s"Successfully dropped group '$name'.")
 
     case DropTag(name) =>
-      if (env.meta.tags.remove(name).isEmpty)
+      if (env.meta.tagFrames.remove(name).isEmpty)
         throw QueryError(s"tag '$name' does not exist")
+      env.meta.tagCounts.remove(name)
       ok(env, s"Successfully dropped tag '$name'.")
 
     case DropUser(name) =>
@@ -490,10 +513,12 @@ object Planner {
       ok(env, s"Successfully dropped $n series.")
 
     case AlterSeriesTag(sel, where, tag, untag) =>
-      val names = selCatalog(Some(sel), where, env)
-        .select(col("series")).collect().map(_.getString(0)).toSeq
-      if (untag) ok(env, s"Successfully untagged ${env.meta.untagSeries(tag, names)} series.")
-      else ok(env, s"Successfully tagged ${env.meta.tagSeries(tag, names)} series.")
+      // membership stays distributed: hand the matched selection to
+      // the metastore as a frame — no name list on the driver (same
+      // pattern as DropSeries tombstones)
+      val matched = selCatalog(Some(sel), where, env).select(col("series"))
+      if (untag) ok(env, s"Successfully untagged ${env.meta.untagSeries(tag, matched)} series.")
+      else ok(env, s"Successfully tagged ${env.meta.tagSeries(tag, matched)} series.")
 
     case AlterUser(name, password) =>
       val u = env.meta.users.getOrElse(name,
@@ -509,9 +534,10 @@ object Planner {
       ok(env, s"Successfully updated group '$name'.")
 
     case AlterTag(name, newName) =>
-      val members = env.meta.tags.remove(name)
+      val members = env.meta.tagFrames.remove(name)
         .getOrElse(throw QueryError(s"tag '$name' does not exist"))
-      env.meta.tags.put(newName, members)
+      env.meta.tagFrames.put(newName, members)
+      env.meta.tagCounts.put(newName, env.meta.tagCounts.remove(name).getOrElse(0L))
       ok(env, s"Successfully updated tag '$name'.")
 
     case AlterDatabase(prop, value) =>

@@ -198,10 +198,15 @@ object QlQueries {
         Planner.query("grant read, insert to user 'ops'", e)
         ordered(Planner.query("list users where access >= show", e))
     },
+    // start/end are the shard bucket bounds (listener.c:2553-2554),
+    // not the min/max point ts
     Entry("ql_list_shards",
-      s"""SELECT ts // 604800 AS sid, CAST(0 AS BIGINT) AS pool,
-         |       count(*) * 16 AS size, min(ts) AS start, max(ts) AS "end"
-         |FROM (${SeriesStore.pointsSql}) GROUP BY 1 HAVING count(*) * 16 > 0 ORDER BY ALL""".stripMargin) {
+      s"""SELECT sid, pool, size, sid * 604800 AS start,
+         |       (sid + 1) * 604800 AS "end"
+         |FROM (SELECT ts // 604800 AS sid, CAST(0 AS BIGINT) AS pool,
+         |      count(*) * 16 AS size
+         |      FROM (${SeriesStore.pointsSql}) GROUP BY 1)
+         |WHERE size > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d, "list shards where size > 0"))
     },
     // DDL round-trips: mutations execute eagerly on a fresh metastore,

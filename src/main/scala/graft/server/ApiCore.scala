@@ -80,7 +80,9 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       // (Ingest.pointsRange translates ts bounds onto the shard
       // partition column)
       rangedFrames = Some((a, b) => typedFrames(
-        Ingest.pointsRange(spark, storeDir, a, b, shardDuration))))
+        Ingest.pointsRange(spark, storeDir, a, b, shardDuration))),
+      // list/count shards answers from shard-file metadata, not points
+      shardsView = Some(() => Ingest.shardsMeta(spark, storeDir, shardDuration)))
 
   /** Run one query; select results use the reference's
     * {series: [[ts,val],...]} encoding with output timestamps scaled

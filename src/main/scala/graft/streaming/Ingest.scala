@@ -273,6 +273,33 @@ object Ingest {
     old.length
   }
 
+  /** Shards metadata from file statuses alone — `list shards` /
+    * `count shards [size]` never touch point data, mirroring the
+    * reference which answers these from shard headers
+    * (src/siri/db/shard.c siridb_shard_cexpr_cb: size = file length,
+    * start/end = bucket bounds, listener.c:2553-2554). The listing is
+    * O(#shards) driver work — the same cost the reference pays walking
+    * its shard list — and stays trivial even at 100 TB (a shard per
+    * day for 30 years is ~11k rows). */
+  def shardsMeta(spark: SparkSession, storeDir: String,
+      shardDuration: Long = 86400L): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(pointsPath(storeDir))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith("shard="))
+        .map { st =>
+          val sid = st.getPath.getName.stripPrefix("shard=").toLong
+          val size = fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+          (sid, sid * shardDuration, (sid + 1) * shardDuration, size)
+        }
+    rows.toDF("sid", "start", "end", "size")
+  }
+
   /** The incrementally-maintained catalog — answers metadata queries
     * without touching point data. */
   def catalog(spark: SparkSession, storeDir: String): DataFrame =

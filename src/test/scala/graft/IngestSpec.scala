@@ -58,6 +58,30 @@ class IngestSpec extends AnyFunSuite {
     assert(pf.replaceAll("\\s", "").matches(".*PartitionFilters:\\[[^\\]]*shard.*"), pf)
   }
 
+  test("list/count shards answer from shard-file metadata, zero point reads — shard.c") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shardmeta").toString
+    Ingest.appendBatch((0 until 30).map(i =>
+      PointIn("cpu", i.toLong * 10000, i.toDouble, "float", i.toLong)).toDF(),
+      dir, shardDuration = 86400L)
+    val env = new graft.server.ApiCore(spark, dir).env("iris")
+    val df = graft.parser.Planner.query("list shards", env)
+    val rows = df.collect()
+    // four day-shards (ts 0..290000 → sid 0..3); start/end are the
+    // bucket bounds, size the real file bytes
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(r => r.getLong(3) === r.getLong(0) * 86400L &&
+      r.getLong(4) === (r.getLong(0) + 1) * 86400L))
+    assert(rows.forall(_.getLong(2) > 0L))
+    // built from file statuses: the plan is a local relation over the
+    // listing — the points directory is never scanned
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("/points"), plan)
+    assert(!plan.contains("FileScan"), plan)
+    val n = graft.parser.Planner.query("count shards", env).collect().head.getLong(0)
+    assert(n === 4L)
+  }
+
   test("compaction purges tombstoned series physically — optimize.c drop purge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-purge").toString

@@ -75,4 +75,21 @@ class PlanSpec extends AnyFunSuite {
     // the skip path never references the val column of the points
     assert(!p.contains("val#") || !p.contains("pointsI"), p)
   }
+
+  test("tag membership stays distributed: tagging every series puts no name list on the driver") {
+    val env = EngineEnv(spark, dir)
+    val total = env.catalogLive.count()
+    val msg = Planner.query("alter series /.*/ tag `everything`", env)
+      .collect().head.getString(0)
+    assert(msg === s"Successfully tagged $total series.")
+    // the stored membership frame is a checkpointed distributed RDD
+    // scan, never a LocalRelation built from collected driver rows
+    val stored = env.meta.tagFrames("everything")
+    val lp = stored.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("LocalRelation"), lp)
+    assert(lp.contains("LogicalRDD") || lp.contains("Scan ExistingRDD"), lp)
+    // and selection through the tag still answers
+    val n = Planner.query("count series `everything`", env).collect().head.getLong(0)
+    assert(n === total)
+  }
 }
