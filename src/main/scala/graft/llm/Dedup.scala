@@ -129,13 +129,19 @@ object Dedup {
         col("sb.doc_id") === col("id_b") && col("sb.shingle") === col("sa.shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
       .withColumn("jaccard",
         round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
       .where(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // the verified pair set is tiny (near-dup pairs only): pin it and
+    // release the shingle cache NOW — a long-lived server must not
+    // leak one MEMORY_AND_DISK entry per call
+    val out = pairs.localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
+    out
   }
 
   /** Near-duplicate cluster assignment: connected components over a

@@ -2,6 +2,11 @@ package graft.meta
 
 import scala.collection.concurrent.TrieMap
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
 /** Mutable database metadata — the Spark-side analog of the
   * reference's groups.dat / tags.dat / users.dat + database config
   * (src/siri/db/groups.c, tags.c, users.c, db.c). Thread-safe; state
@@ -93,6 +98,104 @@ final class MetaStore {
     tagFrames.put(tag, merged)
     tagCounts.put(tag, n)
     n - prev
+  }
+
+  /** Persist all DDL state under `<dir>/meta` — the analog of the
+    * reference's users.dat / groups.dat / tags.dat + database config
+    * (src/siri/db/users.c, groups.c, tags.c, db.c). Small entities are
+    * single JSON files written atomically (tmp + rename); tag
+    * membership and drop tombstones — the two frames that can span
+    * millions of series — are parquet, written distributed. Called by
+    * the server after every successful DDL statement. */
+  def persistTo(spark: SparkSession, dir: String): Unit = synchronized {
+    val base = new Path(s"$dir/meta")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(base)
+    val mapper = new ObjectMapper()
+    def writeJson(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = new Path(base, name + ".tmp"); val dst = new Path(base, name)
+      val os = fs.create(tmp, true)
+      os.write(bytes); os.close()
+      fs.delete(dst, false); fs.rename(tmp, dst)
+    }
+    val uj = mapper.createObjectNode()
+    users.foreach { case (n, u) =>
+      val o = uj.putObject(n); o.put("password", u.password); o.put("access", u.access)
+    }
+    writeJson("users.json", mapper.writeValueAsBytes(uj))
+    val gj = mapper.createObjectNode()
+    groups.foreach { case (n, re) => gj.put(n, re) }
+    writeJson("groups.json", mapper.writeValueAsBytes(gj))
+    val cj = mapper.createObjectNode()
+    config.foreach { case (k, v) => cj.put(k, v) }
+    writeJson("config.json", mapper.writeValueAsBytes(cj))
+    // tag names + counts ride in JSON (a tag may be empty); membership
+    // is one (tag, series) parquet
+    val tj = mapper.createObjectNode()
+    tagCounts.foreach { case (t, n) => tj.put(t, n) }
+    writeJson("tagnames.json", mapper.writeValueAsBytes(tj))
+    import spark.implicits._
+    val tagsDf = tagFrames.toSeq
+      .map { case (t, df) => df.select(lit(t).as("tag"), col("series")) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, String)].toDF("tag", "series"))
+    tagsDf.write.mode("overwrite").parquet(new Path(base, "tags.parquet").toString)
+    droppedDf match {
+      case Some(d) => d.write.mode("overwrite")
+        .parquet(new Path(base, "dropped.parquet").toString)
+      case None => fs.delete(new Path(base, "dropped.parquet"), true)
+    }
+  }
+
+  /** Reload persisted DDL state; no-op when nothing was persisted.
+    * Loaded frames are checkpointed so a later persist can overwrite
+    * the files they came from. */
+  def loadFrom(spark: SparkSession, dir: String): Unit = synchronized {
+    val base = new Path(s"$dir/meta")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    val mapper = new ObjectMapper()
+    def readJson(name: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val p = new Path(base, name)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(mapper.readTree(in)) finally in.close()
+      }
+    }
+    readJson("users.json").foreach { n =>
+      users.clear()
+      n.fields().forEachRemaining { e =>
+        users.put(e.getKey,
+          User(e.getValue.get("password").asText(), e.getValue.get("access").asInt()))
+      }
+    }
+    readJson("groups.json").foreach { n =>
+      groups.clear()
+      n.fields().forEachRemaining(e => groups.put(e.getKey, e.getValue.asText()))
+    }
+    readJson("config.json").foreach { n =>
+      n.fields().forEachRemaining(e => config.put(e.getKey, e.getValue.asText()))
+    }
+    readJson("tagnames.json").foreach { n =>
+      tagFrames.clear(); tagCounts.clear()
+      val tagsPath = new Path(base, "tags.parquet")
+      val all =
+        if (fs.exists(tagsPath)) Some(spark.read.parquet(tagsPath.toString))
+        else None
+      n.fields().forEachRemaining { e =>
+        val t = e.getKey
+        import spark.implicits._
+        val members = all
+          .map(_.where(col("tag") === t).select(col("series")).localCheckpoint(true))
+          .getOrElse(Seq.empty[String].toDF("series"))
+        tagFrames.put(t, members)
+        tagCounts.put(t, e.getValue.asLong())
+      }
+    }
+    val droppedPath = new Path(base, "dropped.parquet")
+    if (fs.exists(droppedPath))
+      droppedDf = Some(spark.read.parquet(droppedPath.toString).localCheckpoint(true))
   }
 
   def untagSeries(tag: String, names: org.apache.spark.sql.DataFrame): Long = synchronized {

@@ -70,11 +70,8 @@ final case class EngineEnv(
     * filtering) and a 100 TB store must not pay a full scan per
     * consult. Catalog size is O(#series), safely cacheable. The
     * Ingest path is already a tiny incrementally-maintained parquet. */
-  lazy val catalog: DataFrame = frames.map(_.cat).getOrElse {
-    val c = SeriesStore.catalogAll(spark, dir)
-    c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    c
-  }
+  lazy val catalog: DataFrame =
+    frames.map(_.cat).getOrElse(Planner.cachedCatalog(spark, dir))
 
   /** Snapshot of the (mutable) metastore for series matching. */
   def matchEnv: Env = Env(
@@ -96,6 +93,21 @@ final case class EngineEnv(
 }
 
 object Planner {
+
+  /** Process-level owner of the persisted parquet-demo catalog:
+    * EngineEnvs are constructed per query, so the persist must belong
+    * to a registry keyed by (session, dir) — one cache entry per
+    * distinct store, however many envs are built over it. (The Ingest
+    * path maintains its own tiny catalog parquet and never persists.) */
+  private val catalogRegistry = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def cachedCatalog(spark: SparkSession, dir: String): DataFrame =
+    catalogRegistry.getOrElseUpdate((spark, dir), {
+      val c = SeriesStore.catalogAll(spark, dir)
+      c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c
+    })
 
   /** Props usable in `where` on series → catalog columns
     * (siridb_series_cexpr_cb, src/siri/db/series.c:85-112). */

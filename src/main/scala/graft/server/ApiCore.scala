@@ -32,8 +32,14 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   /** One metastore per server instance: DDL state (groups, tags,
     * users, tombstones, config) must survive across requests — the
     * frames below are rebuilt per request (data grows), the metadata
-    * is not. */
-  val meta = new graft.meta.MetaStore
+    * is not. Persisted state (the analog of users.dat / groups.dat /
+    * tags.dat, src/siri/db/users.c, groups.c, tags.c) is reloaded from
+    * `<storeDir>/meta` so DDL survives server restarts. */
+  val meta = {
+    val m = new graft.meta.MetaStore
+    m.loadFrom(spark, storeDir)
+    m
+  }
 
   /** Validate credentials (auth.c:17-60). */
   def authenticate(user: String, password: String): Boolean =
@@ -95,10 +101,15 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     val stmt = QueryParser.parse(q,
       tz = meta.config.getOrElse("timezone", "NAIVE"))
     val df = Planner.run(stmt, env(user), keepPid = true)
-    val isSelect = (stmt match {
+    val inner = stmt match {
       case TimeitStmt(s) => s
       case s => s
-    }).isInstanceOf[SelectStmt]
+    }
+    // DDL mutations are durable: flush the metastore like the
+    // reference writes users.dat/groups.dat/tags.dat on change
+    if (inner.isInstanceOf[graft.parser.DdlStmt])
+      meta.persistTo(spark, storeDir)
+    val isSelect = inner.isInstanceOf[SelectStmt]
     val node =
       if (isSelect) encodeSelect(df, tsFactor)
       else encodeTable(df)

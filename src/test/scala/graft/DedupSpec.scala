@@ -74,6 +74,19 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, true), (7L, 4L, false), (8L, 4L, false)))
   }
 
+  test("minhash LSH releases its shingle cache — storage does not grow across calls") {
+    val q = SparkEntry.queries("dedup_minhash_lsh")
+    def bigCached: Int = spark.sparkContext.getRDDStorageInfo
+      .count(i => i.memSize + i.diskSize > (1L << 20))
+    q(spark, "/root/testdata/sf0.01").count()
+    q(spark, "/root/testdata/sf0.01").count()
+    // the shingle frame (the one large persist in the pipeline) was
+    // unpersisted before the entry returned; only the tiny checkpointed
+    // pair sets may remain
+    assert(bigCached === 0,
+      spark.sparkContext.getRDDStorageInfo.map(i => (i.name, i.memSize, i.diskSize)).mkString("\n"))
+  }
+
   test("exact groups: identical content collapses, hash is stable") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")

@@ -122,6 +122,44 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("metastore survives a server restart — users.dat/groups.dat/tags.dat") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-restart").toString
+    graft.streaming.Ingest.appendBatch(Seq(
+      graft.streaming.Ingest.PointIn("cpu.0", 100L, 1.5, "float", 1),
+      graft.streaming.Ingest.PointIn("cpu.1", 200L, 2.5, "float", 2),
+      graft.streaming.Ingest.PointIn("mem.0", 300L, 3.5, "float", 3))
+      .toDF(), dir, shardDuration = 86400L)
+    val api1 = new graft.server.ApiCore(spark, dir)
+    def q1(s: String) = api1.runQuery(s, 1L, "iris")
+    q1("create user 'alice' set password 'pw'")
+    q1("grant read, show to user 'alice'")
+    q1("create group `cpus` for /^cpu\\./")
+    q1("alter series /^cpu\\./ tag `hot`")
+    q1("alter database set list_limit 5000")
+    q1("drop series 'mem.0' set ignore_threshold true")
+    // a fresh ApiCore over the same storeDir = a server restart
+    val api2 = new graft.server.ApiCore(spark, dir)
+    assert(api2.authenticate("alice", "pw"))
+    val users = api2.runQuery("list users where access >= show", 1L, "iris").toString
+    assert(users.contains("alice"), users)
+    val tagged = api2.runQuery("select * from `hot`", 1L, "iris").toString
+    assert(tagged.contains("cpu.0") && tagged.contains("cpu.1"), tagged)
+    val grouped = api2.runQuery("count series `cpus`", 1L, "iris").toString
+    assert(grouped.contains("[2]"), grouped)
+    assert(api2.meta.config("list_limit") === "5000")
+    // tombstones survive: the dropped series stays invisible
+    val total = api2.runQuery("count series", 1L, "iris").toString
+    assert(total.contains("[2]"), total)
+    // DDL after restart keeps working and persisting (tag upsert path)
+    api2.runQuery("alter series 'cpu.0' untag `hot`", 1L, "iris")
+    val api3 = new graft.server.ApiCore(spark, dir)
+    assert(api3.meta.tagCounts("hot") === 1L)
+    assert(api3.meta.tagFrames("hot").select(col("series")).collect()
+      .map(_.getString(0)).toSeq === Seq("cpu.1"))
+  }
+
   test("service API over HTTP: accounts and database lifecycle — api.c:233-292") {
     val dir = Files.createTempDirectory("graft-svc").toString
     val api = new HttpApi(spark, dir)
