@@ -50,7 +50,10 @@ final case class EngineEnv(
       * and `show duration_num` all derive from this single constant
       * (reference duration defaults: include/siri/db/db.h, shard.c).
       * An Ingest-backed env must pass the store's physical duration. */
-    shardDuration: Long = 604800L) {
+    shardDuration: Long = 604800L,
+    /** Shard duration for string ("log") series — kept separately from
+      * the numeric duration like the reference (db.c:395-424). */
+    durationLog: Long = 86400L) {
 
   // seed the metastore from the convenience constructor args
   groups.foreach { case (g, re) => meta.groups.put(g, re) }
@@ -188,7 +191,7 @@ object Planner {
         val core = env.shardsView match {
           case Some(v) =>
             v().select(col("sid"), lit(0L).as("pool"), col("size"),
-              col("start"), col("end"))
+              col("start"), col("end"), col("type"))
           case None =>
             env.pointsM
               .groupBy(expr(s"ts div ${env.shardDuration}").as("sid"))
@@ -196,12 +199,11 @@ object Planner {
               .withColumn("start", col("sid") * env.shardDuration)
               .withColumn("end", (col("sid") + 1) * env.shardDuration)
               .select(col("sid"), col("pool"), col("size"),
-                col("start"), col("end"))
+                col("start"), col("end"), lit("number").as("type"))
         }
         core
           .withColumn("server", lit("local"))
           .withColumn("status", lit("ok"))
-          .withColumn("type", lit("number"))
       case "servers" => serversDf(env)
       case other => throw QueryError(s"list $other is not supported")
     }
@@ -384,7 +386,7 @@ object Planner {
         "selected_points" -> env.meta.selectedPoints.get().toString,
         "buffer_size" -> "1024", "buffer_path" -> env.dir,
         "dbpath" -> env.dir, "duration_num" -> env.shardDuration.toString,
-        "duration_log" -> "86400", "expiration_num" -> "0",
+        "duration_log" -> env.durationLog.toString, "expiration_num" -> "0",
         "expiration_log" -> "0", "log_level" -> "info",
         "idle_percentage" -> "0", "idle_time" -> "0",
         "uuid" -> "local") ++ env.meta.config
@@ -618,18 +620,19 @@ object Planner {
     case DropShards(where, _) =>
       if (env.frames.isEmpty)
         throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
-      val shardsDir = new org.apache.hadoop.fs.Path(
+      val fs = new org.apache.hadoop.fs.Path(
         graft.streaming.Ingest.pointsPath(env.dir))
-      val fs = shardsDir.getFileSystem(env.spark.sessionState.newHadoopConf())
-      val all = fs.listStatus(shardsDir).toSeq
-        .filter(_.getPath.getName.startsWith("shard="))
+        .getFileSystem(env.spark.sessionState.newHadoopConf())
+      val all = graft.streaming.Ingest.shardDirs(env.spark, env.dir)
       val matching = where match {
         case None => all
         case Some(w) =>
-          // evaluate the cexpr per shard dir on its sid
-          def eval(c: Cexpr, sid: Long): Boolean = c match {
-            case CAnd(l, r) => eval(l, sid) && eval(r, sid)
-            case COr(l, r) => eval(l, sid) || eval(r, sid)
+          // evaluate the cexpr per shard dir on its sid; start/end map
+          // through the dir's OWN duration (num vs log shards bucket
+          // at different durations — db.c:395-424)
+          def eval(c: Cexpr, sid: Long, dur: Long): Boolean = c match {
+            case CAnd(l, r) => eval(l, sid, dur) && eval(r, sid, dur)
+            case COr(l, r) => eval(l, sid, dur) || eval(r, sid, dur)
             case CCmp("sid", op, Left(v)) => op match {
               case "==" => sid == v
               case "!=" => sid != v
@@ -640,14 +643,16 @@ object Planner {
               case _ => throw QueryError(s"bad shard operator '$op'")
             }
             case CCmp("start", op, Left(v)) =>
-              eval(CCmp("sid", op, Left(v / env.shardDuration)), sid)
+              eval(CCmp("sid", op, Left(v / dur)), sid, dur)
             case CCmp("end", op, Left(v)) =>
-              eval(CCmp("sid", op, Left(v / env.shardDuration)), sid)
+              eval(CCmp("sid", op, Left(v / dur)), sid, dur)
             case CCmp(p, _, _) => throw QueryError(s"unsupported shard property '$p'")
           }
-          all.filter(st => eval(w, st.getPath.getName.stripPrefix("shard=").toLong))
+          all.filter { case (g, sid, _) =>
+            eval(w, sid, if (g == "log") env.durationLog else env.shardDuration)
+          }
       }
-      matching.foreach(st => fs.delete(st.getPath, true))
+      matching.foreach { case (_, _, p) => fs.delete(p, true) }
       env.meta.storeGeneration.incrementAndGet() // invalidate cached frames
       ok(env, s"Successfully dropped ${matching.size} shards. (this number does not include replica shards)")
 

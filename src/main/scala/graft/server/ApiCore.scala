@@ -24,8 +24,11 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     val dbName: String = "graft") {
 
   /** Physical shard granularity of this server's Ingest store; also
-    * drives the shards view / drop shards mapping via EngineEnv. */
+    * drives the shards view / drop shards mapping via EngineEnv.
+    * Numeric and log (string) series keep separate durations like the
+    * reference (src/siri/db/db.c:395-424; defaults db.h). */
   val shardDuration = 86400L
+  val durationLog = 86400L
 
   private val mapper = new ObjectMapper()
 
@@ -82,13 +85,15 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     EngineEnv(spark, storeDir,
       frames = Some(frames()), meta = meta,
       user = Some(user), shardDuration = shardDuration,
+      durationLog = durationLog,
       // time-ranged selects prune whole shard directories
       // (Ingest.pointsRange translates ts bounds onto the shard
       // partition column)
       rangedFrames = Some((a, b) => typedFrames(
-        Ingest.pointsRange(spark, storeDir, a, b, shardDuration))),
+        Ingest.pointsRange(spark, storeDir, a, b, shardDuration, durationLog))),
       // list/count shards answers from shard-file metadata, not points
-      shardsView = Some(() => Ingest.shardsMeta(spark, storeDir, shardDuration)))
+      shardsView = Some(() =>
+        Ingest.shardsMeta(spark, storeDir, shardDuration, durationLog)))
 
   /** Run one query; select results use the reference's
     * {series: [[ts,val],...]} encoding with output timestamps scaled
@@ -227,14 +232,19 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     else throw QueryError("expecting a map or array insert body")
     val rows = points.result()
     import spark.implicits._
-    Ingest.appendBatch(rows.toDF(), storeDir, shardDuration)
+    Ingest.appendBatch(rows.toDF(), storeDir, shardDuration, durationLog)
     meta.receivedPoints.addAndGet(rows.size)
-    // retention: `alter database set expiration_num <t>` takes effect
-    // on the write path (the reference expires continuously —
-    // db.c:865-878, itest/test_expiration.py)
-    meta.config.get("expiration_num").map(_.toLong).filter(_ > 0).foreach { exp =>
-      Ingest.expire(spark, storeDir, exp,
-        now = System.currentTimeMillis() / 1000, shardDuration)
+    // retention: `alter database set expiration_num/expiration_log <t>`
+    // takes effect on the write path (the reference expires
+    // continuously — db.c:865-878, itest/test_expiration.py);
+    // expiration_num covers numeric shards, expiration_log log shards
+    Seq("expiration_num" -> "num", "expiration_log" -> "log").foreach {
+      case (prop, group) =>
+        meta.config.get(prop).map(_.toLong).filter(_ > 0).foreach { exp =>
+          Ingest.expire(spark, storeDir, exp,
+            now = System.currentTimeMillis() / 1000, shardDuration,
+            durationLog, group)
+        }
     }
     meta.storeGeneration.incrementAndGet()
     val ok = mapper.createObjectNode()

@@ -14,9 +14,13 @@ import graft.engine.SeriesStore
   * src/siri/db/series.c:914-996).
   *
   * Layout under `storeDir`:
-  *   points/shard=<ts div shardDuration>/...parquet  — the fact table,
-  *     time-bucketed like the reference's shards (src/siri/db/shard.c)
-  *     so ts-range queries prune whole directories;
+  *   points/sgroup=<num|log>/shard=<ts div duration>/...parquet — the
+  *     fact table, time-bucketed like the reference's shards
+  *     (src/siri/db/shard.c) so ts-range queries prune whole
+  *     directories. Numeric series bucket at `shardDuration`
+  *     (duration_num), string ("log") series at `durationLog` — the
+  *     reference keeps the two durations separately
+  *     (src/siri/db/db.c:395-424);
   *   catalog.parquet — (series, type, length, start, end, pool),
   *     upserted incrementally per micro-batch (the analog of the
   *     reference's series.dat); `list`/`count series length` and the
@@ -45,13 +49,14 @@ object Ingest {
     * mirrors every inserted batch to a second location, the analog of
     * the reference's tee pipe (src/siri/db/tee.c). */
   def start(src: DataFrame, storeDir: String, checkpoint: String,
-      shardDuration: Long = 86400L, tee: Option[String] = None): StreamingQuery =
+      shardDuration: Long = 86400L, tee: Option[String] = None,
+      durationLog: Long = 86400L): StreamingQuery =
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = if (tee.isDefined) batch.persist() else batch
         tee.foreach(t => b.write.mode("append").parquet(t))
-        appendBatch(b, storeDir, shardDuration)
+        appendBatch(b, storeDir, shardDuration, durationLog)
         if (tee.isDefined) b.unpersist()
         ()
       }
@@ -67,7 +72,8 @@ object Ingest {
     * of another type are coerced to it (int<->double casts, strings
     * parsed leniently), never rejected — so the catalog type can never
     * silently flip. */
-  def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long): Unit = {
+  def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long,
+      durationLog: Long = 86400L): Unit = {
     val spark = batch.sparkSession
     val withExtra = Seq("val_int" -> lit(0L), "val_str" -> lit(""))
       .foldLeft(batch) { case (df, (c, d)) =>
@@ -114,8 +120,14 @@ object Ingest {
         col("c_int").as("val_int"), col("c_str").as("val_str"),
         col("etp").as("tp"), col("pid"))
 
-    pts.withColumn("shard", expr(s"ts div $shardDuration"))
-      .write.mode("append").partitionBy("shard").parquet(pointsPath(storeDir))
+    // string ("log") series shard at their own duration
+    // (src/siri/db/db.c:395-424: duration_num vs duration_log)
+    pts.withColumn("sgroup",
+        when(col("tp") === "string", lit("log")).otherwise(lit("num")))
+      .withColumn("shard", when(col("tp") === "string",
+        expr(s"ts div $durationLog")).otherwise(expr(s"ts div $shardDuration")))
+      .write.mode("append").partitionBy("sgroup", "shard")
+      .parquet(pointsPath(storeDir))
 
     // canonical string form of the typed value — carried in the
     // catalog so bare first()/last() never read point data
@@ -158,9 +170,27 @@ object Ingest {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(p) && fs.listStatus(p).exists { st =>
-      st.getPath.getName.startsWith("shard=") ||
+      st.getPath.getName.startsWith("sgroup=") ||
+        st.getPath.getName.startsWith("shard=") ||
         st.getPath.getName.endsWith(".parquet")
     }
+  }
+
+  /** All shard directories of a store as (sgroup, sid, path). */
+  private[graft] def shardDirs(spark: SparkSession, storeDir: String)
+      : Seq[(String, Long, Path)] = {
+    val dir = new Path(pointsPath(storeDir))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("sgroup="))
+      .flatMap { g =>
+        val sgroup = g.getPath.getName.stripPrefix("sgroup=")
+        fs.listStatus(g.getPath)
+          .filter(_.getPath.getName.startsWith("shard="))
+          .map(st => (sgroup,
+            st.getPath.getName.stripPrefix("shard=").toLong, st.getPath))
+      }
   }
 
   /** The queryable store: all ingested points (buffer ∪ shards). A
@@ -183,13 +213,19 @@ object Ingest {
     * (src/siri/db/series.c:927-938). */
   def pointsRange(spark: SparkSession, storeDir: String,
       after: Option[Long], before: Option[Long],
-      shardDuration: Long = 86400L): DataFrame = {
+      shardDuration: Long = 86400L, durationLog: Long = 86400L): DataFrame = {
     if (!existsNonEmpty(spark, pointsPath(storeDir)))
       return points(spark, storeDir) // empty frame with the right schema
     val df = spark.read.parquet(pointsPath(storeDir))
+    // the shard bound is per group (num and log shard at different
+    // durations); both disjuncts touch only partition columns, so the
+    // OR still prunes directories
+    def shardBound(cmp: (org.apache.spark.sql.Column, Long) => org.apache.spark.sql.Column, v: Long) =
+      (col("sgroup") === "log" && cmp(col("shard"), v / durationLog)) ||
+        (col("sgroup") =!= "log" && cmp(col("shard"), v / shardDuration))
     val filters = Seq(
-      after.map(a => col("ts") >= a && col("shard") >= a / shardDuration),
-      before.map(b => col("ts") < b && col("shard") <= b / shardDuration)).flatten
+      after.map(a => col("ts") >= a && shardBound(_ >= _, a)),
+      before.map(b => col("ts") < b && shardBound(_ <= _, b))).flatten
     filters.foldLeft(df)(_ where _)
       .select(col("series"), col("ts"), col("val"), col("val_int"),
         col("val_str"), col("pid"))
@@ -207,24 +243,22 @@ object Ingest {
     * Returns the number of compacted shards. */
   def compact(spark: SparkSession, storeDir: String, maxFiles: Int = 4,
       dropped: Option[DataFrame] = None): Int = {
-    val dir = new Path(pointsPath(storeDir))
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) return 0
-    val shards = fs.listStatus(dir).filter(_.getPath.getName.startsWith("shard="))
-    val fragmented = shards.filter { st =>
-      val n = fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet"))
+    val fs = new Path(pointsPath(storeDir))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fragmented = shardDirs(spark, storeDir).filter { case (_, _, p) =>
+      val n = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
       n > maxFiles || (dropped.isDefined && n > 0)
     }
-    fragmented.foreach { st =>
-      val tmp = new Path(st.getPath.toString + ".compact")
-      val raw = spark.read.parquet(st.getPath.toString)
+    fragmented.foreach { case (_, _, p) =>
+      val tmp = new Path(p.toString + ".compact")
+      val raw = spark.read.parquet(p.toString)
       val kept = dropped.fold(raw)(d =>
         raw.join(d.select(col("series")), Seq("series"), "left_anti"))
       kept.sort(col("series"), col("ts"), col("pid"))
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(st.getPath, true)
-      fs.rename(tmp, st.getPath)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
     }
     fragmented.length
   }
@@ -237,15 +271,18 @@ object Ingest {
     * shards (the reference likewise re-indexes after expiry). Returns
     * the number of dropped shards. */
   def expire(spark: SparkSession, storeDir: String, expiration: Long,
-      now: Long, shardDuration: Long = 86400L): Int = {
-    val cutoffShard = (now - expiration) / shardDuration
-    val dir = new Path(pointsPath(storeDir))
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) return 0
-    val old = fs.listStatus(dir)
-      .filter(_.getPath.getName.startsWith("shard="))
-      .filter(_.getPath.getName.stripPrefix("shard=").toLong < cutoffShard)
-    old.foreach(st => fs.delete(st.getPath, true))
+      now: Long, shardDuration: Long = 86400L, durationLog: Long = 86400L,
+      /** which shard group the expiration applies to: expiration_num
+        * expires numeric shards, expiration_log log shards (db.c). */
+      group: String = "num"): Int = {
+    val duration = if (group == "log") durationLog else shardDuration
+    val cutoffShard = (now - expiration) / duration
+    val fs = new Path(pointsPath(storeDir))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = shardDirs(spark, storeDir)
+      .filter { case (g, sid, _) => g == group && sid < cutoffShard }
+      .map(_._3)
+    old.foreach(p => fs.delete(p, true))
     if (old.nonEmpty) {
       // rebuild catalog stats from what survives (one pass, off the
       // ingest hot path — expiry is a maintenance job)
@@ -282,22 +319,19 @@ object Ingest {
     * its shard list — and stays trivial even at 100 TB (a shard per
     * day for 30 years is ~11k rows). */
   def shardsMeta(spark: SparkSession, storeDir: String,
-      shardDuration: Long = 86400L): DataFrame = {
+      shardDuration: Long = 86400L, durationLog: Long = 86400L): DataFrame = {
     import spark.implicits._
-    val dir = new Path(pointsPath(storeDir))
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val rows =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.startsWith("shard="))
-        .map { st =>
-          val sid = st.getPath.getName.stripPrefix("shard=").toLong
-          val size = fs.listStatus(st.getPath)
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .map(_.getLen).sum
-          (sid, sid * shardDuration, (sid + 1) * shardDuration, size)
-        }
-    rows.toDF("sid", "start", "end", "size")
+    val fs = new Path(pointsPath(storeDir))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = shardDirs(spark, storeDir).map { case (g, sid, p) =>
+      val duration = if (g == "log") durationLog else shardDuration
+      val size = fs.listStatus(p)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      (sid, sid * duration, (sid + 1) * duration, size,
+        if (g == "log") "log" else "number")
+    }
+    rows.toDF("sid", "start", "end", "size", "type")
   }
 
   /** The incrementally-maintained catalog — answers metadata queries

@@ -166,7 +166,7 @@ class IngestSpec extends AnyFunSuite {
       assert(cat.toSeq === Seq(("cpu", 4L, 50L, 200L), ("mem", 2L, 10L, 150L)))
 
       // shard partitioning (ts div 100) prunes time-range scans
-      val shards = new java.io.File(s"$dir/points").listFiles()
+      val shards = new java.io.File(s"$dir/points/sgroup=num").listFiles()
         .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
       assert(shards.toSeq === Seq("shard=0", "shard=1", "shard=2"))
 
@@ -212,7 +212,7 @@ class IngestSpec extends AnyFunSuite {
         Seq(PointIn("cpu", b * 10L, b.toDouble, "float", b)).toDF(),
         dir, shardDuration = 1000L)
     }
-    val shard = new java.io.File(s"$dir/points/shard=0")
+    val shard = new java.io.File(s"$dir/points/sgroup=num/shard=0")
     def parts = shard.listFiles().count(_.getName.endsWith(".parquet"))
     assert(parts === 6)
     assert(Ingest.compact(spark, dir, maxFiles = 4) === 1)
@@ -223,6 +223,42 @@ class IngestSpec extends AnyFunSuite {
     assert(pts.toSeq === (1 to 6).map(b => (b * 10L, b.toDouble)))
     // below the threshold nothing is rewritten
     assert(Ingest.compact(spark, dir, maxFiles = 4) === 0)
+  }
+
+  test("string series shard at duration_log, numbers at duration_num — db.c:395-424") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-durlog").toString
+    // duration_num=1000, duration_log=100: same timestamps land in
+    // different shard buckets per family
+    Ingest.appendBatch(Seq(
+      PointIn("cpu", 250L, 1.5, "float", 1),
+      PointIn("cpu", 1250L, 2.5, "float", 2),
+      PointIn("log.a", 250L, 0, "string", 3, val_str = "boot"),
+      PointIn("log.a", 1250L, 0, "string", 4, val_str = "crash"))
+      .toDF(), dir, shardDuration = 1000L, durationLog = 100L)
+    val num = new java.io.File(s"$dir/points/sgroup=num").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    val log = new java.io.File(s"$dir/points/sgroup=log").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(num.toSeq === Seq("shard=0", "shard=1"))
+    assert(log.toSeq === Seq("shard=12", "shard=2"))
+    // shardsMeta carries per-type durations and the shard type
+    val metaRows = Ingest.shardsMeta(spark, dir, 1000L, 100L).collect()
+      .map(r => (r.getString(4), r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(metaRows.toSeq === Seq(
+      ("log", 2L, 200L, 300L), ("log", 12L, 1200L, 1300L),
+      ("number", 0L, 0L, 1000L), ("number", 1L, 1000L, 2000L)))
+    // both families read back correctly through a ranged scan
+    val ranged = Ingest.pointsRange(spark, dir, Some(200L), Some(300L),
+      shardDuration = 1000L, durationLog = 100L)
+    val got = ranged.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("cpu", 250L), ("log.a", 250L)))
+    // expiration_log expires only log shards
+    assert(Ingest.expire(spark, dir, expiration = 1000L, now = 1500L,
+      shardDuration = 1000L, durationLog = 100L, group = "log") === 1)
+    val left = Ingest.points(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(left === Set(("cpu", 250L), ("cpu", 1250L), ("log.a", 1250L)))
   }
 
   test("tee mirrors every inserted batch to a second location — tee.c") {
