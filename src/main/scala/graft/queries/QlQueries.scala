@@ -209,6 +209,70 @@ object QlQueries {
          |WHERE size > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d, "list shards where size > 0"))
     },
+    // count shards size sums the shard sizes without a where
+    // (listener.c shards size aggregation)
+    Entry("ql_count_shards_size",
+      s"""SELECT CAST(count(*) * 16 AS BIGINT) AS size
+         |FROM (${SeriesStore.pointsSql})""".stripMargin) {
+      (s, d) => ql(s, d, "count shards size")
+    },
+    // default entity columns: groups (name, expression, series),
+    // tags (name, series), pools (pool, servers, series)
+    Entry("ql_list_groups",
+      s"""SELECT * FROM (
+         |  SELECT 'clicks' AS name, '^f\\.click\\.' AS expression,
+         |         (SELECT count(*) FROM ($CAT)
+         |          WHERE regexp_matches(series, '^f\\.click\\.')) AS series
+         |  UNION ALL
+         |  SELECT 'errors', '^i\\.error\\.',
+         |         (SELECT count(*) FROM ($CAT)
+         |          WHERE regexp_matches(series, '^i\\.error\\.'))
+         |) ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        val e = env(s, d)
+        Planner.query("create group `errors` for /^i\\.error\\./", e)
+        ordered(Planner.query("list groups", e))
+    },
+    Entry("ql_list_tags",
+      "SELECT 'firstpool' AS name, CAST(3 AS BIGINT) AS series") {
+      (s, d) => ordered(ql(s, d, "list tags"))
+    },
+    Entry("ql_list_pools",
+      s"""SELECT pool, CAST(1 AS BIGINT) AS servers, count(*) AS series
+         |FROM ($CAT) GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "list pools"))
+    },
+    // signed infinity / nan literals in filter() (grammar r_float,
+    // filter nan/inf handling — aggregate filter, points.c)
+    Entry("ql_flt_ninf",
+      s"""SELECT series, ts, val FROM ($PF)
+         |WHERE series = 'f.click.0' AND val > CAST('-inf' AS DOUBLE)
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select filter(> -inf) from 'f.click.0'"))
+    },
+    Entry("ql_flt_nan",
+      s"""SELECT series, ts, val FROM ($PF)
+         |WHERE series = 'f.click.0' AND val != CAST('nan' AS DOUBLE)
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "select filter(!= nan) from 'f.click.0'"))
+    },
+    // after + merge + using combination (merge semantics over a
+    // time-bounded selection)
+    Entry("ql_select_after_merge",
+      s"""SELECT 'clicks' AS series, ${bkt(86400)} AS ts, round(sum(val), 6) AS val
+         |FROM ($PF)
+         |WHERE regexp_matches(series, '^f\\.click\\.') AND ts >= 1706000000
+         |GROUP BY 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(rounded(ql(s, d,
+        "select sum(1d) from /^f\\.click\\./ after 1706000000 merge as 'clicks' using sum(1d)")))
+    },
+    // the two shard durations surface through show (db.c:395-424)
+    Entry("ql_show_durations",
+      """SELECT * FROM (
+        |  SELECT 'duration_log' AS name, '86400' AS value
+        |  UNION ALL SELECT 'duration_num', '604800') ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d, "show duration_num, duration_log"))
+    },
     // DDL round-trips: mutations execute eagerly on a fresh metastore,
     // the returned query reads the mutated state
     Entry("ql_ddl_group_roundtrip",
