@@ -213,7 +213,9 @@ object Pipeline {
       case _ => df.where(cmp(col("val"), op, lit(v)))
     }
     case FilterRegex(p, ci) =>
-      df.where(col("val").rlike(if (ci) "(?i)" + p else p))
+      // anchored full match on the value, like every reference regex
+      // (aggregate.c:650 via re.c:31-44)
+      df.where(col("val").rlike(SeriesMatch.anchored(p, ci)))
     case Head(n) =>
       val w = seriesOrder(df)
       df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")

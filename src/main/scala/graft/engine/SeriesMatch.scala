@@ -22,7 +22,7 @@ object SeriesMatch {
   case object All extends Sel
   /** /regex/ or /regex/i on the series name. The reference uses PCRE2
     * (src/siri/db/re.c); we translate to Java regex — the subset used
-    * in practice (literals, classes, anchors, quantifiers) agrees. */
+    * in practice agrees (RegexConformanceSpec pins it). */
   final case class Regex(pattern: String, caseInsensitive: Boolean = false) extends Sel
   /** Saved group (a stored regex, src/siri/db/groups.c) or tag (an
     * explicit membership set, src/siri/db/tags.c). */
@@ -37,17 +37,26 @@ object SeriesMatch {
       groups: Map[String, String] = Map.empty,
       tags: DataFrame => DataFrame = df => df.limit(0))
 
+  /** PCRE2 parity: the reference compiles every /regex/ with a forced
+    * leading '^' and trailing '$' — re.c:31-44 literally overwrites
+    * the slash characters — so selection regexes FULL-match the series
+    * name. Mirror that character-for-character: no grouping is added,
+    * so /a|b/ anchors as ^a|b$, exactly what PCRE2 sees. Group
+    * expressions compile through the same helper (group.c:53,252), as
+    * does filter(/re/) (aggregate.c:650). */
+  def anchored(p: String, ci: Boolean = false): String =
+    (if (ci) "(?i)" else "") + "^" + p + "$"
+
   def eval(sel: Sel, env: Env): DataFrame = {
     val names = env.catalog.select(col("series"))
     sel match {
       case Name(n) => names.where(col("series") === n)
       case All => names
       case Regex(p, ci) =>
-        val jp = if (ci) "(?i)" + p else p
-        names.where(col("series").rlike(jp))
+        names.where(col("series").rlike(anchored(p, ci)))
       case GroupTag(g) =>
         env.groups.get(g) match {
-          case Some(re) => names.where(col("series").rlike(re))
+          case Some(re) => names.where(col("series").rlike(anchored(re)))
           case None => // tag membership
             names.join(env.tags(env.catalog).where(col("tag") === g)
               .select(col("series")), Seq("series"), "left_semi")
@@ -78,7 +87,7 @@ object SeriesMatch {
     case All => points
     case Name(n) => points.where(col("series") === n) // partition-prunable
     case Regex(p, ci) =>
-      points.where(col("series").rlike(if (ci) "(?i)" + p else p))
+      points.where(col("series").rlike(anchored(p, ci)))
     case other => points.join(eval(other, env), Seq("series"), "left_semi")
   }
 }

@@ -166,7 +166,9 @@ object Planner {
           // list and regex-match against the catalog
           val counts = env.catalogLive
             .crossJoin(broadcast(gdf))
-            .where(expr("regexp_like(series, expression)"))
+            // group expressions compile anchored like any /regex/
+            // (group.c:53 via re.c:31-44)
+            .where(expr("regexp_like(series, concat('^', expression, '$'))"))
             .groupBy(col("name")).agg(count(lit(1)).as("series"))
           gdf.join(counts, Seq("name"), "left")
             .withColumn("series", coalesce(col("series"), lit(0L)))
@@ -260,7 +262,7 @@ object Planner {
       case None | Some(All) => cat
       case Some(Name(n)) => cat.where(col("series") === n)
       case Some(SelRegex(pat, ci)) =>
-        cat.where(col("series").rlike(if (ci) "(?i)" + pat else pat))
+        cat.where(col("series").rlike(SeriesMatch.anchored(pat, ci)))
       case Some(s) =>
         cat.join(SeriesMatch.eval(s, env.matchEnv), Seq("series"), "left_semi")
     }

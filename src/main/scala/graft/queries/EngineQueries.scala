@@ -41,7 +41,7 @@ object EngineQueries {
 
   private def env(s: SparkSession, d: String): Env = Env(
     catalog = SeriesStore.catalogAll(s, d),
-    groups = Map("clicks" -> "^f\\.click\\."),
+    groups = Map("clicks" -> "^f\\.click\\..*"),
     tags = cat => cat.where(col("pool") === 2)
       .select(lit("pool2").as("tag"), col("series")))
 
@@ -80,19 +80,19 @@ object EngineQueries {
       s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.')
          |UNION SELECT series FROM ($CAT) WHERE series = 'i.error.3' ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(SeriesMatch.eval(
-        SetOp(",", Regex("^f\\.click\\."), Name("i.error.3")), env(s, d)))
+        SetOp(",", Regex("^f\\.click\\..*"), Name("i.error.3")), env(s, d)))
     },
     Entry("sel_intersect",
       s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\..*\\.0$$')
          |INTERSECT SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.') ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(SeriesMatch.eval(
-        SetOp("&", Regex("^f\\..*\\.0$"), Regex("^f\\.click\\.")), env(s, d)))
+        SetOp("&", Regex("^f\\..*\\.0$"), Regex("^f\\.click\\..*")), env(s, d)))
     },
     Entry("sel_difference",
       s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.')
          |EXCEPT SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\..*\\.[0-3]$$') ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(SeriesMatch.eval(
-        SetOp("-", Regex("^f\\.click\\."), Regex("^f\\..*\\.[0-3]$")), env(s, d)))
+        SetOp("-", Regex("^f\\.click\\..*"), Regex("^f\\..*\\.[0-3]$")), env(s, d)))
     },
     Entry("sel_symdiff",
       s"""WITH a AS (SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.')),
@@ -100,7 +100,7 @@ object EngineQueries {
          |SELECT series FROM ((SELECT * FROM a EXCEPT SELECT * FROM b)
          |UNION ALL (SELECT * FROM b EXCEPT SELECT * FROM a)) ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(SeriesMatch.eval(
-        SetOp("^", Regex("^f\\.click\\."), Regex("^[fi]\\..*\\.[0-1]$")), env(s, d)))
+        SetOp("^", Regex("^f\\.click\\..*"), Regex("^[fi]\\..*\\.[0-1]$")), env(s, d)))
     },
     Entry("sel_group",
       s"""SELECT series FROM ($CAT) WHERE regexp_matches(series, '^f\\.click\\.') ORDER BY ALL""") {
@@ -263,7 +263,7 @@ object EngineQueries {
     },
     Entry("flt_str_regex",
       s"""SELECT series, ts, val FROM ($PS) WHERE regexp_matches(val, '"k": 1[0-9]\\}') ORDER BY ALL""") {
-      (s, d) => chain(S(s, d), FilterRegex("\"k\": 1[0-9]\\}"))
+      (s, d) => chain(S(s, d), FilterRegex(".*\"k\": 1[0-9]\\}.*"))
     },
     Entry("str_first_1d", aggSql(PS, 86400, s"first(val $ORD)")) {
       (s, d) => chain(S(s, d), Agg(First, Some(86400)))
@@ -333,7 +333,7 @@ object EngineQueries {
          |FROM ($PF) WHERE regexp_matches(series, '^f\\.click\\.')
          |GROUP BY 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(rounded(Pipeline.merge(
-        SeriesMatch.select(F(s, d), Regex("^f\\.click\\."), env(s, d)),
+        SeriesMatch.select(F(s, d), Regex("^f\\.click\\..*"), env(s, d)),
         "clicks", Seq(Agg(Sum, Some(86400))))))
     },
     // int+float mix promotes to double (points.c:368-376)
@@ -342,7 +342,7 @@ object EngineQueries {
          |FROM ($PM) WHERE regexp_matches(series, '^[fi]\\.purchase\\.')
          |GROUP BY 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(rounded(Pipeline.merge(
-        SeriesMatch.select(M(s, d), Regex("^[fi]\\.purchase\\."), env(s, d)),
+        SeriesMatch.select(M(s, d), Regex("^[fi]\\.purchase\\..*"), env(s, d)),
         "purchase-all", Seq(Agg(Mean, Some(86400))))))
     })
 

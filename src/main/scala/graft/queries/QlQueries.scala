@@ -19,7 +19,7 @@ object QlQueries {
   private val ORD = "ORDER BY ts, pid"
 
   private def env(s: SparkSession, d: String) = EngineEnv(s, d,
-    groups = Map("clicks" -> "^f\\.click\\."),
+    groups = Map("clicks" -> "^f\\.click\\..*"),
     tags = Map("firstpool" -> Seq("i.view.1", "i.view.2", "f.view.1")))
 
   private def ql(s: SparkSession, d: String, q: String): DataFrame =
@@ -66,7 +66,7 @@ object QlQueries {
          |  AND ts >= 1705000000 AND ts < 1706000000
          |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d,
-        "select sum(1h) from /^i\\.click\\./ between 1705000000 and 1706000000"))
+        "select sum(1h) from /^i\\.click\\..*/ between 1705000000 and 1706000000"))
     },
     Entry("ql_select_chain",
       s"""WITH b AS (SELECT series, ${bkt(7200)} AS ts, CAST(max(val) AS BIGINT) AS val
@@ -74,7 +74,7 @@ object QlQueries {
          |SELECT series, ts, val - prev AS val FROM (
          |  SELECT series, ts, val, lag(val) OVER (PARTITION BY series ORDER BY ts) AS prev FROM b
          |) WHERE prev IS NOT NULL ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(ql(s, d, "select max(2h) => difference() from /^i\\.view\\./"))
+      (s, d) => ordered(ql(s, d, "select max(2h) => difference() from /^i\\.view\\..*/"))
     },
     Entry("ql_select_presuf",
       s"""WITH p AS (SELECT * FROM ($PI) WHERE regexp_matches(series, '^i\\.error\\.')),
@@ -82,7 +82,7 @@ object QlQueries {
          |mx AS (SELECT 'max-' || series AS series, ${bkt(21600)} AS ts, max(val) AS val FROM p GROUP BY 2, series)
          |SELECT * FROM (SELECT * FROM mn UNION ALL SELECT * FROM mx) ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d,
-        "select min(6h) prefix 'min-', max(6h) prefix 'max-' from /^i\\.error\\./"))
+        "select min(6h) prefix 'min-', max(6h) prefix 'max-' from /^i\\.error\\..*/"))
     },
     Entry("ql_select_head",
       s"""SELECT series, ts, val FROM ($PI) WHERE series = 'i.click.0'
@@ -108,7 +108,7 @@ object QlQueries {
          |      FROM ($PI) WHERE regexp_matches(series, '^i\\.purchase\\.') AND val >= 10000)
          |GROUP BY 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d,
-        "select filter(>= 10000) => sum(1d) from /^i\\.purchase\\./ merge as 'big purchases' using sum(1d)"))
+        "select filter(>= 10000) => sum(1d) from /^i\\.purchase\\..*/ merge as 'big purchases' using sum(1d)"))
     },
     Entry("ql_select_group_union",
       s"""SELECT series, max(ts) AS ts, count(*) AS val
@@ -122,7 +122,7 @@ object QlQueries {
          |                 WHERE "type" = 'integer' AND "length" > 250 AND contains(series, 'view'))
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d,
-        "select count() from /^i\\./ where length > 250 and name ~ 'view'"))
+        "select count() from /^i\\..*/ where length > 250 and name ~ 'view'"))
     },
     // bare first()/last() answer from the catalog's first_val/last_val
     // without reading point data (aggregate.c:495-510); the oracle
@@ -133,13 +133,13 @@ object QlQueries {
       s"""SELECT series, min(ts) AS ts, first(val $ORD) AS val
          |FROM ($PF) WHERE regexp_matches(series, '^f\\.')
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(ql(s, d, "select first() from /^f\\./"))
+      (s, d) => ordered(ql(s, d, "select first() from /^f\\..*/"))
     },
     Entry("ql_select_last_skip",
       s"""SELECT series, max(ts) AS ts, last(val $ORD) AS val
          |FROM ($PI) WHERE regexp_matches(series, '^i\\.')
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(ql(s, d, "select last() from /^i\\./"))
+      (s, d) => ordered(ql(s, d, "select last() from /^i\\..*/"))
     },
     Entry("ql_select_str_first",
       s"""SELECT series, ${bkt(86400)} AS ts, first(val $ORD) AS val
@@ -155,11 +155,11 @@ object QlQueries {
     Entry("ql_list_series_match",
       s"""SELECT series AS name, "type", pool FROM ($CAT)
          |WHERE regexp_matches(series, '^s\\.') ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(ql(s, d, "list series name, type, pool /^s\\./"))
+      (s, d) => ordered(ql(s, d, "list series name, type, pool /^s\\..*/"))
     },
     Entry("ql_count_series",
       s"""SELECT count(*) AS series FROM ($CAT) WHERE regexp_matches(series, '^f\\.')""") {
-      (s, d) => ql(s, d, "count series /^f\\./")
+      (s, d) => ql(s, d, "count series /^f\\..*/")
     },
     Entry("ql_count_series_length",
       s"""SELECT CAST(sum("length") AS BIGINT) AS series_length FROM ($CAT)
@@ -220,17 +220,17 @@ object QlQueries {
     // tags (name, series), pools (pool, servers, series)
     Entry("ql_list_groups",
       s"""SELECT * FROM (
-         |  SELECT 'clicks' AS name, '^f\\.click\\.' AS expression,
+         |  SELECT 'clicks' AS name, '^f\\.click\\..*' AS expression,
          |         (SELECT count(*) FROM ($CAT)
          |          WHERE regexp_matches(series, '^f\\.click\\.')) AS series
          |  UNION ALL
-         |  SELECT 'errors', '^i\\.error\\.',
+         |  SELECT 'errors', '^i\\.error\\..*',
          |         (SELECT count(*) FROM ($CAT)
          |          WHERE regexp_matches(series, '^i\\.error\\.'))
          |) ORDER BY ALL""".stripMargin) {
       (s, d) =>
         val e = env(s, d)
-        Planner.query("create group `errors` for /^i\\.error\\./", e)
+        Planner.query("create group `errors` for /^i\\.error\\..*/", e)
         ordered(Planner.query("list groups", e))
     },
     Entry("ql_list_tags",
@@ -264,7 +264,7 @@ object QlQueries {
          |WHERE regexp_matches(series, '^f\\.click\\.') AND ts >= 1706000000
          |GROUP BY 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(rounded(ql(s, d,
-        "select sum(1d) from /^f\\.click\\./ after 1706000000 merge as 'clicks' using sum(1d)")))
+        "select sum(1d) from /^f\\.click\\..*/ after 1706000000 merge as 'clicks' using sum(1d)")))
     },
     // the two shard durations surface through show (db.c:395-424)
     Entry("ql_show_durations",
@@ -281,7 +281,7 @@ object QlQueries {
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) =>
         val e = EngineEnv(s, d)
-        Planner.query("create group `signups` for /^i\\.signup\\./", e)
+        Planner.query("create group `signups` for /^i\\.signup\\..*/", e)
         ordered(Planner.query("select count() from `signups`", e))
     },
     Entry("ql_ddl_tag_roundtrip",

@@ -18,10 +18,10 @@ class DdlSpec extends AnyFunSuite {
 
   test("groups: create, list with member counts, select via `group`, alter, drop") {
     val env = EngineEnv(spark, dir)
-    assert(msg(env, "create group `clicks` for /^f\\.click\\./") ===
+    assert(msg(env, "create group `clicks` for /^f\\.click\\..*/") ===
       "Successfully created group 'clicks'.")
     assertThrows[QueryError](q(env, "create group `clicks` for /x/"))
-    assert(q(env, "list groups") === Seq(Seq("clicks", "^f\\.click\\.", 8L)))
+    assert(q(env, "list groups") === Seq(Seq("clicks", "^f\\.click\\..*", 8L)))
     assert(q(env, "count series `clicks`").head.head === 8L)
     assert(msg(env, "alter group `clicks` set expression /^f\\.click\\.0/") ===
       "Successfully updated group 'clicks'.")
@@ -82,7 +82,7 @@ class DdlSpec extends AnyFunSuite {
     assert(q(bob, "count series").head.head.asInstanceOf[Long] > 0L)
     assert(q(bob, "list series limit 1").size === 1)
     // write-side statements are denied with the reference message
-    val e1 = intercept[AccessError](q(bob, "drop series /^f\\./ set ignore_threshold true"))
+    val e1 = intercept[AccessError](q(bob, "drop series /^f\\..*/ set ignore_threshold true"))
     assert(e1.msg === "Access denied. User 'bob' has no 'drop' privileges.")
     val e2 = intercept[AccessError](q(bob, "create group `g1` for /x/"))
     assert(e2.msg === "Access denied. User 'bob' has no 'create' privileges.")
@@ -91,7 +91,7 @@ class DdlSpec extends AnyFunSuite {
     // full-access default user passes everything
     val iris = env0.copy(user = Some("iris"))
     assert(q(iris, "count series").nonEmpty)
-    assert(msg(iris, "create group `g2` for /^f\\./")
+    assert(msg(iris, "create group `g2` for /^f\\..*/")
       .startsWith("Successfully created"))
   }
 
@@ -100,14 +100,14 @@ class DdlSpec extends AnyFunSuite {
     val total = q(env, "count series").head.head.asInstanceOf[Long]
     // tighten the threshold, then a 1/3-of-catalog drop must be refused
     q(env, "alter database set drop_threshold 0.1")
-    val e = intercept[QueryError](q(env, "drop series /^f\\./"))
+    val e = intercept[QueryError](q(env, "drop series /^f\\..*/"))
     assert(e.msg.contains("ignore_threshold"))
-    assert(msg(env, "drop series /^f\\./ set ignore_threshold true")
+    assert(msg(env, "drop series /^f\\..*/ set ignore_threshold true")
       .startsWith("Successfully dropped"))
     assert(q(env, "count series").head.head === total - 40L)
     // dropped series are invisible to selects and lists
-    assert(q(env, "list series /^f\\./").isEmpty)
-    assert(q(env, "select count() from /^f\\./").isEmpty)
+    assert(q(env, "list series /^f\\..*/").isEmpty)
+    assert(q(env, "select count() from /^f\\..*/").isEmpty)
   }
 
   test("alter database set timezone drives date parsing — listener.c:4879-4930") {

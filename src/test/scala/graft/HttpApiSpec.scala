@@ -71,10 +71,10 @@ class HttpApiSpec extends AnyFunSuite {
       assert(d1.contains("Successfully created user 'bob'."))
       val (_, d2) = post(s"$base/query/graft", """{"q": "grant read to user 'bob'"}""")
       assert(d2.contains("granted"), d2)
-      val (_, d3) = post(s"$base/query/graft", """{"q": "create group `cpus` for /^cpu/"}""")
+      val (_, d3) = post(s"$base/query/graft", """{"q": "create group `cpus` for /^cpu.*/"}""")
       assert(d3.contains("created group"))
       val (_, d4) = post(s"$base/query/graft", """{"q": "list groups"}""")
-      assert(d4.contains(""""cpus","^cpu",1"""), d4)
+      assert(d4.contains(""""cpus","^cpu.*",1"""), d4)
       // threshold guard uses the persisted config
       post(s"$base/query/graft", """{"q": "alter database set drop_threshold 0.2"}""")
       val (c12, d5) = post(s"$base/query/graft", """{"q": "drop series 'mem'"}""")

@@ -41,7 +41,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("derived catalog is persisted: one query consults it via the cache") {
     val env = EngineEnv(spark, dir)
-    val df = Planner.query("select count() from /^f\\./ where length > 10", env)
+    val df = Planner.query("select count() from /^f\\..*/ where length > 10", env)
     df.collect()
     // type dispatch + where-filter both read the InMemoryRelation, not
     // a re-aggregated full scan
@@ -70,7 +70,7 @@ class PlanSpec extends AnyFunSuite {
     // Ingest path must not even list the points directory — pinned in
     // IngestSpec; here we pin the catalog-only shape end-to-end)
     val env = EngineEnv(spark, dir)
-    val df = Planner.query("select count() from /^i\\./", env)
+    val df = Planner.query("select count() from /^i\\..*/", env)
     val p = df.queryExecution.optimizedPlan.toString
     // the skip path never references the val column of the points
     assert(!p.contains("val#") || !p.contains("pointsI"), p)

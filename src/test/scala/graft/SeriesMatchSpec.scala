@@ -16,7 +16,7 @@ class SeriesMatchSpec extends AnyFunSuite {
 
   private def env = Env(
     catalog = cat,
-    groups = Map("cpus" -> "^cpu\\."),
+    groups = Map("cpus" -> "^cpu\\..*"),
     tags = c => Seq(("hot", "cpu.0"), ("hot", "disk.0")).toDF("tag", "series"))
 
   private def names(sel: Sel): Set[String] =
@@ -26,15 +26,15 @@ class SeriesMatchSpec extends AnyFunSuite {
     assert(names(Name("cpu.0")) === Set("cpu.0"))
     assert(names(Name("nope")) === Set.empty)
     assert(names(All) === Set("cpu.0", "cpu.1", "mem.0", "mem.1", "disk.0"))
-    assert(names(Regex("^mem\\.")) === Set("mem.0", "mem.1"))
-    assert(names(Regex("^MEM\\.", caseInsensitive = true)) === Set("mem.0", "mem.1"))
+    assert(names(Regex("^mem\\..*")) === Set("mem.0", "mem.1"))
+    assert(names(Regex("^MEM\\..*", caseInsensitive = true)) === Set("mem.0", "mem.1"))
     assert(names(GroupTag("cpus")) === Set("cpu.0", "cpu.1"))
     assert(names(GroupTag("hot")) === Set("cpu.0", "disk.0"))
   }
 
   test("set operators: union, intersection, difference, symmetric difference") {
-    val cpus = Regex("^cpu\\.")
-    val zeros = Regex("\\.0$")
+    val cpus = Regex("^cpu\\..*")
+    val zeros = Regex(".*\\.0$")
     assert(names(SetOp(",", cpus, zeros)) === Set("cpu.0", "cpu.1", "mem.0", "disk.0"))
     assert(names(SetOp("&", cpus, zeros)) === Set("cpu.0"))
     assert(names(SetOp("-", cpus, zeros)) === Set("cpu.1"))
@@ -43,7 +43,7 @@ class SeriesMatchSpec extends AnyFunSuite {
 
   test("nested expressions evaluate left-to-right with grouping") {
     // (cpu | mem) & .1  ->  {cpu.1, mem.1}
-    val e = SetOp("&", SetOp(",", Regex("^cpu\\."), Regex("^mem\\.")), Regex("\\.1$"))
+    val e = SetOp("&", SetOp(",", Regex("^cpu\\..*"), Regex("^mem\\..*")), Regex(".*\\.1$"))
     assert(names(e) === Set("cpu.1", "mem.1"))
   }
 
@@ -53,7 +53,7 @@ class SeriesMatchSpec extends AnyFunSuite {
     val semi = SeriesMatch.select(pts, SetOp(",", Name("cpu.0"), Name("mem.0")), env)
     assert(semi.select("series").collect().map(_.getString(0)).toSet ===
       Set("cpu.0", "mem.0"))
-    val pred = SeriesMatch.select(pts, Regex("^cpu\\."), env)
+    val pred = SeriesMatch.select(pts, Regex("^cpu\\..*"), env)
     assert(pred.count() === 2)
   }
 }

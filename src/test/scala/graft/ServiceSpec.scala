@@ -135,8 +135,8 @@ class ServiceSpec extends AnyFunSuite {
     def q1(s: String) = api1.runQuery(s, 1L, "iris")
     q1("create user 'alice' set password 'pw'")
     q1("grant read, show to user 'alice'")
-    q1("create group `cpus` for /^cpu\\./")
-    q1("alter series /^cpu\\./ tag `hot`")
+    q1("create group `cpus` for /^cpu\\..*/")
+    q1("alter series /^cpu\\..*/ tag `hot`")
     q1("alter database set list_limit 5000")
     q1("drop series 'mem.0' set ignore_threshold true")
     // a fresh ApiCore over the same storeDir = a server restart
