@@ -565,8 +565,25 @@ object Planner {
         if (old == value)
           throw QueryError(s"Database 'graft' is already set to time-zone '$value'.")
       }
-      env.meta.config.put(prop, value)
-      ok(env, s"Successfully changed $prop from '$old' to '$value'.")
+      if (prop == "tee") { // exit_set_tee (listener.c:4788-4860)
+        if (value != "false") {
+          if (value.isEmpty)
+            throw QueryError("Tee address must not be empty")
+          val hostOk = value.lastIndexOf(':') match {
+            case -1 => value.nonEmpty
+            case i => i > 0 && scala.util.Try(value.substring(i + 1).toInt)
+              .toOption.exists(p => p > 0 && p < 65536)
+          }
+          if (!hostOk)
+            throw QueryError("Invalid tee address; expecting ADDRESS[:PORT]")
+        }
+        env.meta.config.put(prop, value)
+        ok(env, if (value == "false") "Successfully disabled tee."
+          else s"Successfully configured tee to $value.")
+      } else {
+        env.meta.config.put(prop, value)
+        ok(env, s"Successfully changed $prop from '$old' to '$value'.")
+      }
 
     // single-node deployment: the fleet is exactly this server
     // ('local'); dropping it is refused like the reference refuses to

@@ -48,6 +48,10 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   def authenticate(user: String, password: String): Boolean =
     meta.users.get(user).exists(_.password == password)
 
+  /** Live insert tee (src/siri/db/tee.c); target read per insert from
+    * the alterable `tee` setting, so DDL changes apply immediately. */
+  private val tee = new Tee
+
   /** Typed frames over the Ingest store, cached per store generation:
     * building a frame lists parquet files (not free at scale, and it
     * freezes the file set), so the cache is invalidated exactly when
@@ -234,6 +238,9 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     import spark.implicits._
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration, durationLog)
     meta.receivedPoints.addAndGet(rows.size)
+    // live tee: forward the accepted insert body to the configured
+    // endpoint as a CPROTO insert package (insert.c:350 → tee.c)
+    tee.write(meta.config.getOrElse("tee", "false"), QPack.encode(req))
     // retention: `alter database set expiration_num/expiration_log <t>`
     // takes effect on the write path (the reference expires
     // continuously — db.c:865-878, itest/test_expiration.py);

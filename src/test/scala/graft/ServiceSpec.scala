@@ -160,6 +160,44 @@ class ServiceSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("cpu.1"))
   }
 
+  test("tee mirrors inserts to a live endpoint as CPROTO packages — tee.c") {
+    val dir = Files.createTempDirectory("graft-tee").toString
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val api = new graft.server.ApiCore(spark, dir)
+    try {
+      val m1 = api.runQuery(s"alter database set tee '127.0.0.1:$port'", 1L, "iris")
+      assert(m1.toString.contains(s"Successfully configured tee to 127.0.0.1:$port"))
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]
+      val t = new Thread(() => {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        // two mirrored REQ_INSERT frames over one connection
+        (1 to 2).foreach { _ =>
+          val (_, tp, data) = graft.server.Cproto.readPkg(in)
+          got.put(s"$tp|${QPack.decode(data)}")
+        }
+        s.close()
+      })
+      t.start()
+      api.runInsert(mapper.readTree("""{"cpu": [[100, 1.5]]}"""), "iris")
+      api.runInsert(mapper.readTree("""{"mem": [[200, 7]]}"""), "iris")
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) ===
+        """1|{"cpu":[[100,1.5]]}""")
+      assert(got.poll(15, java.util.concurrent.TimeUnit.SECONDS) ===
+        """1|{"mem":[[200,7]]}""")
+      // disabling stops the mirror and a dead tee never fails inserts
+      assert(api.runQuery("alter database set tee false", 1L, "iris")
+        .toString.contains("Successfully disabled tee."))
+      server.close()
+      api.runInsert(mapper.readTree("""{"cpu": [[300, 2.5]]}"""), "iris")
+      val n = api.runQuery("count series", 1L, "iris").toString
+      assert(n.contains("[2]"), n)
+      intercept[graft.parser.QueryError](
+        api.runQuery("alter database set tee ':9104'", 1L, "iris"))
+    } finally { if (!server.isClosed) server.close() }
+  }
+
   test("service API over HTTP: accounts and database lifecycle — api.c:233-292") {
     val dir = Files.createTempDirectory("graft-svc").toString
     val api = new HttpApi(spark, dir)
