@@ -144,6 +144,27 @@ object Dedup {
     out
   }
 
+  /** Train/test contamination check — the decontamination step of a
+    * training-data pipeline: flag documents containing any probe
+    * n-gram (benchmark/eval strings that must not leak into training
+    * data). Probes are shingled with the same word n-grams as the
+    * corpus and matched with a broadcast semi-join on the shingle: the
+    * probe side is benchmark-sized (tiny) at any corpus scale, the
+    * corpus side is the same narrow shingle stage dedup uses, and the
+    * only shuffle is the per-doc hit aggregation. Returns
+    * (doc_id, hits, first_hit) for contaminated documents only. */
+  def contamination(docs: DataFrame, probes: Seq[String], n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probeDocs = probes.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val probeShingles = shingles(probeDocs, n).select(col("shingle")).distinct()
+    shingles(docs, n)
+      .join(broadcast(probeShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"), min(col("shingle")).as("first_hit"))
+  }
+
   /** Near-duplicate cluster assignment: connected components over a
     * near-dup pair set, so a dedup pipeline can keep ONE document per
     * duplicate cluster (not just one per pair). Labels propagate by

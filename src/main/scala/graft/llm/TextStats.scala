@@ -51,6 +51,30 @@ object TextStats {
       .select(col("doc_id"), col(keyCol))
   }
 
+  /** Sequence-packing preparation: assign documents to packing bins by
+    * cumulative token count (greedy contiguous packing at context
+    * length L — the standard prep before example packing). Packing is
+    * inherently ordered, so instead of one global window the corpus is
+    * split into `streams` independent streams (doc_id mod streams) and
+    * each stream packs with a PARTITIONED window — no global sort at
+    * any scale, streams pack in parallel (set streams ≈ cluster
+    * parallelism at 100 TB). A document straddling a boundary starts
+    * in its cumsum bin, as greedy packers do. Returns
+    * (doc_id, stream, bin, n_tokens). */
+  def packBins(docs: DataFrame, contextLen: Int = 4096,
+      streams: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      (col("doc_id") % streams).as("stream"),
+      expr(s"CAST(size($tok) AS bigint)").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    toks.withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / contextLen)
+          .cast("long"))
+      .select(col("doc_id"), col("stream"), col("bin"), col("n_tokens"))
+  }
+
   /** Corpus language distribution with size stats. */
   def langDist(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(

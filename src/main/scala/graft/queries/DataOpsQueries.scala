@@ -51,6 +51,24 @@ object DataOpsQueries {
     Entry("dedup_ngram_jaccard", JACCARD_SQL) {
       (s, d) => ordered(Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5))
     },
+    // decontamination: flag docs sharing any probe n-gram (train/test
+    // leakage check); probe side broadcast, corpus side narrow
+    Entry("dedup_contamination",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |ptoks AS (SELECT string_split_regex(trim(text), '\s+') AS w
+        |          FROM (VALUES ('key agg row scan'), ('batch window spark')) p(text)),
+        |psh AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |        FROM ptoks WHERE len(w) >= 3)
+        |SELECT doc_id, count(*) AS hits, min(shingle) AS first_hit
+        |FROM sh JOIN psh USING (shingle)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.contamination(docs(s, d),
+        Seq("key agg row scan", "batch window spark")))
+    },
     // LSH-bucketed scale path; candidates are exactly verified, and at
     // the planted-pair similarities (>= 0.9) the 32x4-band miss
     // probability is ~4e-8, so the output equals the exact pair set.
@@ -92,6 +110,20 @@ object DataOpsQueries {
         |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.sampleStratified(docs(s, d),
         Map("zh" -> 1.0, "en" -> 0.5), defaultRate = 0.1))
+    },
+    // sequence-packing prep: greedy contiguous bin assignment by
+    // cumulative token count within independent streams (no global
+    // window — each stream packs in parallel)
+    Entry("pack_bins",
+      """SELECT doc_id, doc_id % 8 AS stream,
+        |  CAST(floor((sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n) / 512.0) AS BIGINT) AS bin,
+        |  n AS n_tokens
+        |FROM (SELECT doc_id,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |      FROM documents)
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.packBins(docs(s, d), contextLen = 512))
     },
     // simhash is fully portable (md5-derived token hashes), so the
     // oracle recomputes the identical 60-bit signature in SQL

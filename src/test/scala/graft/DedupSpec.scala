@@ -74,6 +74,17 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, true), (7L, 4L, false), (8L, 4L, false)))
   }
 
+  test("contamination flags exactly the docs sharing probe n-grams") {
+    // probe = first four tokens of doc 0 → two 3-gram shingles; doc 0
+    // and its near-copy 100 (token 20 changed) both contain them
+    val hits = Dedup.contamination(corpus, Seq("t0_0 t0_1 t0_2 t0_3"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet === Set(0L, 100L))
+    assert(hits(0L) === 2L && hits(100L) === 2L)
+    // a probe with no corpus overlap flags nothing
+    assert(Dedup.contamination(corpus, Seq("zz_1 zz_2 zz_3")).count() === 0L)
+  }
+
   test("minhash LSH releases its shingle cache — storage does not grow across calls") {
     val q = SparkEntry.queries("dedup_minhash_lsh")
     def bigCached: Int = spark.sparkContext.getRDDStorageInfo
