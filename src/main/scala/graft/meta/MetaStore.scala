@@ -28,6 +28,10 @@ final class MetaStore {
     * ride along for `list tags` / `count tags`. */
   val tagFrames = TrieMap[String, org.apache.spark.sql.DataFrame]()
   val tagCounts = TrieMap[String, Long]()
+  /** Frame-write dirty flags: a user/group/config DDL must not pay a
+    * Spark write job for unchanged tag membership or tombstones. */
+  @volatile private var tagsDirty = false
+  @volatile private var droppedDirty = false
   /** seeded with the reference's default database user
     * (users.c:70-85: 'iris'/'siri', full profile). */
   val users = TrieMap[String, User]("iris" -> User("siri", Access.Full))
@@ -51,6 +55,7 @@ final class MetaStore {
     droppedDf = Some(droppedDf
       .map(_.unionByName(snap).distinct().localCheckpoint(true))
       .getOrElse(snap))
+    droppedDirty = true
   }
 
   /** alterable database config (db.h:15-17 defaults). */
@@ -82,6 +87,7 @@ final class MetaStore {
   def seedTag(tag: String, members: org.apache.spark.sql.DataFrame, n: Long): Unit = {
     tagFrames.put(tag, members)
     tagCounts.put(tag, n)
+    tagsDirty = true
   }
 
   /** Add a (distributed) selection of series names to a tag; returns
@@ -97,7 +103,26 @@ final class MetaStore {
     val prev = tagCounts.getOrElse(tag, 0L)
     tagFrames.put(tag, merged)
     tagCounts.put(tag, n)
+    tagsDirty = true
     n - prev
+  }
+
+  def dropTag(name: String): Boolean = synchronized {
+    val existed = tagFrames.remove(name).isDefined
+    tagCounts.remove(name)
+    if (existed) tagsDirty = true
+    existed
+  }
+
+  def renameTag(name: String, newName: String): Boolean = synchronized {
+    tagFrames.remove(name) match {
+      case None => false
+      case Some(members) =>
+        tagFrames.put(newName, members)
+        tagCounts.put(newName, tagCounts.remove(name).getOrElse(0L))
+        tagsDirty = true
+        true
+    }
   }
 
   /** Persist all DDL state under `<dir>/meta` — the analog of the
@@ -130,20 +155,26 @@ final class MetaStore {
     config.foreach { case (k, v) => cj.put(k, v) }
     writeJson("config.json", mapper.writeValueAsBytes(cj))
     // tag names + counts ride in JSON (a tag may be empty); membership
-    // is one (tag, series) parquet
+    // is one (tag, series) parquet, rewritten only when it changed
     val tj = mapper.createObjectNode()
     tagCounts.foreach { case (t, n) => tj.put(t, n) }
     writeJson("tagnames.json", mapper.writeValueAsBytes(tj))
-    import spark.implicits._
-    val tagsDf = tagFrames.toSeq
-      .map { case (t, df) => df.select(lit(t).as("tag"), col("series")) }
-      .reduceOption(_ unionByName _)
-      .getOrElse(Seq.empty[(String, String)].toDF("tag", "series"))
-    tagsDf.write.mode("overwrite").parquet(new Path(base, "tags.parquet").toString)
-    droppedDf match {
-      case Some(d) => d.write.mode("overwrite")
-        .parquet(new Path(base, "dropped.parquet").toString)
-      case None => fs.delete(new Path(base, "dropped.parquet"), true)
+    if (tagsDirty) {
+      import spark.implicits._
+      val tagsDf = tagFrames.toSeq
+        .map { case (t, df) => df.select(lit(t).as("tag"), col("series")) }
+        .reduceOption(_ unionByName _)
+        .getOrElse(Seq.empty[(String, String)].toDF("tag", "series"))
+      tagsDf.write.mode("overwrite").parquet(new Path(base, "tags.parquet").toString)
+      tagsDirty = false
+    }
+    if (droppedDirty) {
+      droppedDf match {
+        case Some(d) => d.write.mode("overwrite")
+          .parquet(new Path(base, "dropped.parquet").toString)
+        case None => fs.delete(new Path(base, "dropped.parquet"), true)
+      }
+      droppedDirty = false
     }
   }
 
@@ -210,6 +241,7 @@ final class MetaStore {
         val prev = tagCounts.getOrElse(tag, 0L)
         tagFrames.put(tag, remaining)
         tagCounts.put(tag, n)
+        tagsDirty = true
         prev - n
     }
   }

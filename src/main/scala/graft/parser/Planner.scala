@@ -503,9 +503,8 @@ object Planner {
       ok(env, s"Successfully dropped group '$name'.")
 
     case DropTag(name) =>
-      if (env.meta.tagFrames.remove(name).isEmpty)
+      if (!env.meta.dropTag(name))
         throw QueryError(s"tag '$name' does not exist")
-      env.meta.tagCounts.remove(name)
       ok(env, s"Successfully dropped tag '$name'.")
 
     case DropUser(name) =>
@@ -550,10 +549,8 @@ object Planner {
       ok(env, s"Successfully updated group '$name'.")
 
     case AlterTag(name, newName) =>
-      val members = env.meta.tagFrames.remove(name)
-        .getOrElse(throw QueryError(s"tag '$name' does not exist"))
-      env.meta.tagFrames.put(newName, members)
-      env.meta.tagCounts.put(newName, env.meta.tagCounts.remove(name).getOrElse(0L))
+      if (!env.meta.renameTag(name, newName))
+        throw QueryError(s"tag '$name' does not exist")
       ok(env, s"Successfully updated tag '$name'.")
 
     case AlterDatabase(prop, value) =>

@@ -76,6 +76,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("val#") || !p.contains("pointsI"), p)
   }
 
+  test("contamination broadcasts the probe side; packBins has no global sort") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val cont = graft.llm.Dedup.contamination(docs, Seq("w1 x1 y1 z1"))
+    cont.collect()
+    val cp = plan(cont)
+    // the probe (benchmark) side is broadcast — the corpus never
+    // shuffles for the match, only for the per-doc aggregate
+    assert(cp.contains("BroadcastHashJoin"), cp)
+    val bins = graft.llm.TextStats.packBins(docs, contextLen = 8, streams = 4)
+    bins.collect()
+    val bp = plan(bins)
+    // the packing window hash-partitions on the stream — never a
+    // global range sort of the corpus
+    assert(bp.contains("hashpartitioning(stream"), bp)
+    assert(!bp.contains("rangepartitioning"), bp)
+  }
+
   test("tag membership stays distributed: tagging every series puts no name list on the driver") {
     val env = EngineEnv(spark, dir)
     val total = env.catalogLive.count()
