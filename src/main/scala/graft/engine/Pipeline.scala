@@ -65,7 +65,8 @@ object Pipeline {
     * !~ (not-contains) — aggregate.c:596-675. */
   final case class FilterStr(op: String, value: String) extends Stage
   /** filter(/regex/[i]) on a string series. */
-  final case class FilterRegex(pattern: String, caseInsensitive: Boolean = false) extends Stage
+  final case class FilterRegex(pattern: String, caseInsensitive: Boolean = false,
+      negate: Boolean = false) extends Stage
   /** First/last N points per series (grammar head_expr/tail_expr). */
   final case class Head(n: Int) extends Stage
   final case class Tail(n: Int) extends Stage
@@ -202,20 +203,44 @@ object Pipeline {
       stepped.select(carry(stepped, col("ts") - col("__pt")): _*)
     case Timeval =>
       df.select(carry(df, col("ts")): _*)
+    case FilterNum(op, v) if v.isNaN && !isIntSeries(df) =>
+      // reference NaN semantics (itest/test_select.py:308-330): C
+      // comparisons with NaN are false, and the filter special-cases
+      // equality, so ==/>=/<= nan keep ONLY NaN points, != keeps the
+      // rest, </> keep nothing. Spark's NaN-is-largest total order
+      // would silently differ, so map explicitly.
+      df.where(op match {
+        case "==" | ">=" | "<=" => isnan(col("val"))
+        case "!=" => !isnan(col("val"))
+        case _ => lit(false)
+      })
+    case FilterNum(op, v) if v.isNaN => // int series never hold NaN
+      df.where(if (op == "!=") lit(true) else lit(false))
     case FilterNum(op, v) =>
       // integer series truncate the literal toward zero
       // (AGGREGATE_filter, aggregate.c:952: value.int64 = (int64_t) real)
       val litv: Column = if (isIntSeries(df)) lit(v.toLong) else lit(v)
-      df.where(cmp(col("val"), op, litv))
+      val base = cmp(col("val"), op, litv)
+      // C ordering comparisons are false for NaN operands; Spark sorts
+      // NaN above +inf, so e.g. `filter(> 5)` must not keep NaN points
+      val pred =
+        if (isIntSeries(df)) base
+        else op match {
+          case "<" | "<=" | ">" | ">=" => base && !isnan(col("val"))
+          case _ => base
+        }
+      df.where(pred)
     case FilterStr(op, v) => op match {
       case "~" => df.where(col("val").contains(v))
       case "!~" => df.where(!col("val").contains(v))
       case _ => df.where(cmp(col("val"), op, lit(v)))
     }
-    case FilterRegex(p, ci) =>
+    case FilterRegex(p, ci, negate) =>
       // anchored full match on the value, like every reference regex
-      // (aggregate.c:650 via re.c:31-44)
-      df.where(col("val").rlike(SeriesMatch.anchored(p, ci)))
+      // (aggregate.c:650 via re.c:31-44); != keeps the non-matching
+      // points (itest/test_select.py:260-263)
+      val m = col("val").rlike(SeriesMatch.anchored(p, ci))
+      df.where(if (negate) !m else m)
     case Head(n) =>
       val w = seriesOrder(df)
       df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
@@ -240,9 +265,13 @@ object Pipeline {
       val joined = df.join(spans, Seq("series"))
       val small = joined.where(col("__len") <= n)
         .select(col("series"), col("ts"), col("val"))
+      // label = first bucket end (first_ts + gb - 1) + k*gb: the
+      // offset-aware ceiling reproduces the reference's greedy scan
+      // anchored at the series' first point (aggregate.c:691-692 +
+      // GROUP_TS loop :1188-1210; pinned by the itest limit goldens)
       val bucketed = joined.where(col("__len") > n)
         .groupBy(col("series"),
-          (expr("((ts + __gb - 1) div __gb) * __gb") + col("__off")).as("ts"))
+          (expr("((ts - __off + __gb - 1) div __gb) * __gb") + col("__off")).as("ts"))
         .agg(aggValue(fn, hasPid(df), isIntSeries(df)).as("val"))
       small.unionByName(bucketed)
     case TimeRange(after, before) =>

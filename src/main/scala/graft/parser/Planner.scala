@@ -255,6 +255,19 @@ object Planner {
   /** Default list servers columns (reference list_servers default). */
   private val serverDefaultCols = Seq("name", "pool", "version", "online", "status")
 
+  /** All OUTPUT series names of a select statement — the reference
+    * emits every selected series in the response, including ones whose
+    * points were entirely filtered away (itest/test_select.py expects
+    * `{'name': []}` for an empty chain result). Merge collapses to the
+    * merge name; prefix/suffix apply per chain. */
+  def selectNames(stmt: SelectStmt, env: EngineEnv): Seq[String] = stmt.merge match {
+    case Some(m) => Seq(m.name)
+    case None =>
+      val base = selCatalog(Some(stmt.sel), stmt.where, env)
+        .select(col("series")).collect().map(_.getString(0)).toSeq.sorted
+      stmt.chains.flatMap(c => base.map(n => c.prefix + n + c.suffix)).distinct
+  }
+
   /** Catalog rows matching a series selection + where predicate. */
   private def selCatalog(sel: Option[Sel], where: Option[Cexpr], env: EngineEnv): DataFrame = {
     val cat = env.catalogLive

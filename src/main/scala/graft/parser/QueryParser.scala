@@ -324,8 +324,11 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
           .find(tryLit).getOrElse("==")
         val st: Stage =
           tryRegexTok().map { case (pat, ci) =>
-            if (op != "==") err("filter with a regular expression requires '=='")
-            FilterRegex(pat, ci): Stage
+            // bare /re/ means ==; != keeps the non-matching points
+            // (itest/test_select.py:250-263)
+            if (op != "==" && op != "!=")
+              err("filter with a regular expression requires '==' or '!='")
+            FilterRegex(pat, ci, negate = op == "!="): Stage
           }.orElse(tryString().map(FilterStr(op, _): Stage))
             .getOrElse {
               if (tryKw("nan")) FilterNum(op, Double.NaN)

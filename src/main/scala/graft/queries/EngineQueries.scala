@@ -318,7 +318,7 @@ object EngineQueries {
          |             (t0 - 1) % ((t1 - t0) // 50 + 1) AS off FROM s),
          |j AS (SELECT p.series, p.ts, p.val, g.len, g.gb, g.off FROM p JOIN g USING (series)),
          |small AS (SELECT series, ts, val FROM j WHERE len <= 50),
-         |big AS (SELECT series, ((ts + gb - 1) // gb) * gb + off AS ts, avg(val) AS val
+         |big AS (SELECT series, ((ts - off + gb - 1) // gb) * gb + off AS ts, avg(val) AS val
          |        FROM j WHERE len > 50 GROUP BY 1, 2)
          |SELECT series, ts, round(val, 6) AS val
          |FROM (SELECT * FROM small UNION ALL SELECT * FROM big) ORDER BY ALL""".stripMargin) {

@@ -118,10 +118,14 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     // reference writes users.dat/groups.dat/tags.dat on change
     if (inner.isInstanceOf[graft.parser.DdlStmt])
       meta.persistTo(spark, storeDir)
-    val isSelect = inner.isInstanceOf[SelectStmt]
-    val node =
-      if (isSelect) encodeSelect(df, tsFactor)
-      else encodeTable(df)
+    val node = inner match {
+      case sel: SelectStmt =>
+        // every selected series appears in the response, even with
+        // zero surviving points (points.c encode; itest expects
+        // {'name': []} for an emptied chain)
+        encodeSelect(df, tsFactor, Planner.selectNames(sel, env(user)))
+      case _ => encodeTable(df)
+    }
     stmt match {
       case TimeitStmt(_) =>
         val timeit = mapper.createArrayNode()
@@ -138,7 +142,8 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
     * order (points.c:250-288; pid is the insertion-order tie-break for
     * duplicate timestamps). */
-  private def encodeSelect(df: DataFrame, tsFactor: Long): JsonNode = {
+  private def encodeSelect(df: DataFrame, tsFactor: Long,
+      names: Seq[String]): JsonNode = {
     // select_points_limit guard (db.h:16), alterable via
     // `alter database set select_points_limit N` — checked by
     // collecting limit+1 rows so the plan executes exactly once
@@ -155,6 +160,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         s"Query has reached the maximum number of selected points ($limit). Please use another time window, an aggregation function or select less series to reduce the number of points.")
     meta.selectedPoints.addAndGet(rows.length)
     val out = mapper.createObjectNode()
+    names.foreach(n => out.set[JsonNode](n, mapper.createArrayNode()))
     rows.foreach { r =>
       val series = r.getString(0)
       val arr = out.get(series) match {

@@ -121,6 +121,114 @@ class GoldenSliceSpec extends AnyFunSuite {
       assert(logType.contains("Cannot use sum() on string type."), logType)
       val logLast = post(s"$base/query/graft", """{"q": "select last() from 'app log'"}""")
       assert(logLast === """{"app log":[[300,"stopped"]]}""")
+
+      // limit(N, fn) goldens (itest/test_select.py:265-283): N >=
+      // #points passes raw data through; small N re-buckets
+      val lim300 = post(s"$base/query/graft",
+        """{"q": "select limit(300, mean) from 'aggr'"}""")
+      // raw passthrough (N >= #points); mean output is double, and the
+      // itest's assertEqual(531, 531.0) is likewise numeric
+      val l300 = mapper.readTree(lim300).get("aggr")
+      val got300 = (0 until l300.size())
+        .map(i => (l300.get(i).get(0).asLong(), l300.get(i).get(1).asDouble()))
+      assert(got300 === aggr.sorted.map { case (t, v) => (t.toLong, v.toDouble) }, lim300)
+      val lim1 = post(s"$base/query/graft",
+        """{"q": "select limit(1, sum) from 'aggr'"}""")
+      assert(lim1 === """{"aggr":[[1447254748,9674]]}""", lim1)
+      val lim3 = post(s"$base/query/graft",
+        """{"q": "select limit(3, mean) from 'aggr'"}""")
+      val lm = mapper.readTree(lim3).get("aggr")
+      assert(lm.size() === 3)
+      assert(lm.get(0).get(0).asLong() === 1447250938L &&
+        math.abs(lm.get(0).get(1).asDouble() - 532.8571428571429) < 1e-9, lim3)
+      assert(lm.get(1).get(0).asLong() === 1447252844L &&
+        math.abs(lm.get(1).get(1).asDouble() - 367.6666666666667) < 1e-9, lim3)
+      assert(lm.get(2).get(0).asLong() === 1447254750L &&
+        math.abs(lm.get(2).get(1).asDouble() - 534.0) < 1e-9, lim3)
     } finally api.stop()
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("difference chains and merge-using goldens — test_select.py:112-163") {
+    val dir = Files.createTempDirectory("graft-golden2").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    def q(s: String) = api.runQuery(s, 1L, "iris").toString
+    val ins = mapper.createObjectNode()
+    def series(name: String)(pts: (Long, Double)*): Unit = {
+      val arr = ins.putArray(name)
+      pts.foreach { case (t, v) => val a = arr.addArray(); a.add(t); a.add(v) }
+    }
+    val insI = ins.putArray("series-001 integer")
+    Seq(1471254705L -> 5L, 1471254710L -> -7L, 1471254708L -> -3L).foreach {
+      case (t, v) => val a = insI.addArray(); a.add(t); a.add(v)
+    }
+    series("series-001 float")(1471254707L -> -3.5, 1471254705L -> 1.5,
+      1471254710L -> -7.3)
+    api.runInsert(ins, "iris")
+    assert(q("select difference() from 'series-001 integer'") ===
+      """{"series-001 integer":[[1471254708,-8],[1471254710,-4]]}""")
+    assert(q("select difference() => difference() from 'series-001 integer'") ===
+      """{"series-001 integer":[[1471254710,4]]}""")
+    assert(q("select difference() => difference() => difference() from 'series-001 integer'") ===
+      """{"series-001 integer":[]}""")
+    assert(q("select difference(1500000000) from 'series-001 integer'") ===
+      """{"series-001 integer":[[1500000000,-12]]}""")
+    // merge across the int+float family with an aggregate chain
+    // (values promote to double; element medians over the union)
+    assert(q("select * from /series-001.*/ merge as 'median_low' using median_low(1500000000)") ===
+      """{"median_low":[[1500000000,-3.5]]}""")
+    assert(q("select * from /series-001.*/ merge as 'median_high' using median_high(1500000000)") ===
+      """{"median_high":[[1500000000,-3.0]]}""")
+  }
+
+  test("special nan/inf filter semantics — test_select.py:308-345") {
+    val dir = Files.createTempDirectory("graft-special").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    val ins = mapper.createObjectNode()
+    val arr = ins.putArray("special")
+    Seq(1471254705L -> 0.1, 1471254706L -> Double.NaN,
+      1471254707L -> Double.PositiveInfinity,
+      1471254708L -> Double.NegativeInfinity).foreach {
+      case (t, v) => val a = arr.addArray(); a.add(t); a.add(v)
+    }
+    api.runInsert(ins, "iris")
+    def tss(s: String): Seq[Long] = {
+      val node = api.runQuery(s, 1L, "iris").get("special")
+      if (node == null) Seq.empty
+      else (0 until node.size()).map(i => node.get(i).get(0).asLong())
+    }
+    // C comparisons with NaN are false; the filter special-cases
+    // equality, so ==/>=/<= nan keep only the NaN point
+    assert(tss("select filter(!= nan) from 'special'") ===
+      Seq(1471254705L, 1471254707L, 1471254708L))
+    assert(tss("select filter(== nan) from 'special'") === Seq(1471254706L))
+    assert(tss("select filter(>= nan) from 'special'") === Seq(1471254706L))
+    assert(tss("select filter(<= nan) from 'special'") === Seq(1471254706L))
+    assert(tss("select filter(> nan) from 'special'") === Seq.empty)
+    assert(tss("select filter(== inf) from 'special'") === Seq(1471254707L))
+    assert(tss("select filter(< inf) from 'special'") ===
+      Seq(1471254705L, 1471254708L)) // NaN is NOT below +inf here
+    assert(tss("select filter(> -inf) from 'special'") ===
+      Seq(1471254705L, 1471254707L))
+    assert(tss("select filter(> 0) from 'special'") ===
+      Seq(1471254705L, 1471254707L)) // NaN never passes an ordering
+  }
+
+  test("filter regex ==//!= on string series — test_select.py:250-263") {
+    val dir = Files.createTempDirectory("graft-fre").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    val ins = mapper.createObjectNode()
+    val arr = ins.putArray("log")
+    Seq(1471254710L -> "log line one", 1471254712L -> "log line two",
+      1471254714L -> "another line (three)", 1471254716L -> "and yet one more")
+      .foreach { case (t, v) => val a = arr.addArray(); a.add(t); a.add(v) }
+    api.runInsert(ins, "iris")
+    def q(s: String) = api.runQuery(s, 1L, "iris").toString
+    val matched = """{"log":[[1471254710,"log line one"],[1471254712,"log line two"]]}"""
+    assert(q("select filter(/l.*/) from 'log'") === matched)
+    assert(q("select filter(==/l.*/) from 'log'") === matched)
+    assert(q("select filter(!=/l.*/) from 'log'") ===
+      """{"log":[[1471254714,"another line (three)"],[1471254716,"and yet one more"]]}""")
   }
 }
