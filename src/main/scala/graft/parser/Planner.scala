@@ -317,6 +317,14 @@ object Planner {
     case _ => ()
   }
 
+  /** The converse of [[checkStringOk]]: string/regex filters are
+    * rejected on numeric series (aggregate.c:944). */
+  private def checkNumericOk(stages: Seq[Stage]): Unit = stages.foreach {
+    case FilterStr(_, _) | FilterRegex(_, _, _) =>
+      throw QueryError("Cannot use a string filter on number type.")
+    case _ => ()
+  }
+
   private def isStringFrame(df: DataFrame): Boolean =
     df.schema("val").dataType == StringType
 
@@ -739,7 +747,7 @@ object Planner {
       // cache (listener.c:5626-5658)
       val base = if (chains.size > 1) base0.cache() else base0
       val outs = chains.map { c =>
-        if (stringSeries) checkStringOk(c.stages)
+        if (stringSeries) checkStringOk(c.stages) else checkNumericOk(c.stages)
         val piped = Pipeline(base, range.toSeq ++ c.stages, keepPid)
         if (c.prefix.nonEmpty || c.suffix.nonEmpty)
           piped.withColumn("series",
@@ -761,7 +769,7 @@ object Planner {
       val selected = unified.reduce(_.unionByName(_))
       merge match {
         case Some(MergeAs(name, using)) =>
-          if (stringSeries) checkStringOk(using)
+          if (stringSeries) checkStringOk(using) else checkNumericOk(using)
           Pipeline.merge(selected, name, using, keepPid)
         case None => selected
       }

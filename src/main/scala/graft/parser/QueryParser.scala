@@ -283,7 +283,8 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
   private def optTimeArg(): Option[Long] = {
     expectLit("(")
     val v = if (tryLit(")")) None else { val t = parseTimeExpr(); expectLit(")"); Some(t) }
-    v.foreach(gb => if (gb <= 0) err("group by time must be a positive value"))
+    v.foreach(gb => if (gb <= 0)
+      err("Group by time must be an integer value larger than zero."))
     v
   }
 
@@ -327,7 +328,7 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
             // bare /re/ means ==; != keeps the non-matching points
             // (itest/test_select.py:250-263)
             if (op != "==" && op != "!=")
-              err("filter with a regular expression requires '==' or '!='")
+              err("Regular expressions can only be used with 'equal' (==) or 'not equal' (!=) operator.")
             FilterRegex(pat, ci, negate = op == "!="): Stage
           }.orElse(tryString().map(FilterStr(op, _): Stage))
             .getOrElse {
@@ -347,7 +348,7 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
       case "limit" =>
         p += w.length; expectLit("(")
         val n = parseIntExpr()
-        if (n <= 0) err("limit must be a positive value")
+        if (n <= 0) err("Limit must be an integer value larger than zero.")
         expectLit(",")
         val fw = peekWord.filter(simpleAggs.contains)
           .getOrElse(err(s"expecting an aggregation function at position $p"))

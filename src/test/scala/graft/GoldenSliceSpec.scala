@@ -215,6 +215,35 @@ class GoldenSliceSpec extends AnyFunSuite {
       Seq(1471254705L, 1471254707L)) // NaN never passes an ordering
   }
 
+  test("reference error strings for invalid filters/args — test_select.py:420-470") {
+    val dir = Files.createTempDirectory("graft-errs").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    val ins = mapper.createObjectNode()
+    val na = ins.putArray("aggr"); val a1 = na.addArray(); a1.add(100L); a1.add(5L)
+    val la = ins.putArray("log"); val l1 = la.addArray(); l1.add(100L); l1.add("x")
+    api.runInsert(ins, "iris")
+    def errOf(q: String): String =
+      intercept[graft.parser.QueryError](api.runQuery(q, 1L, "iris")).msg
+    assert(errOf("select filter(~ /x/) from 'log'").startsWith(
+      "Regular expressions can only be used with"))
+    assert(errOf("select filter(/x/) from 'aggr'") ===
+      "Cannot use a string filter on number type.")
+    assert(errOf("select filter('0') from 'aggr'") ===
+      "Cannot use a string filter on number type.")
+    assert(errOf("select * from 'aggr' merge as 't' using filter('0')") ===
+      "Cannot use a string filter on number type.")
+    assert(errOf("select mean(1w) from 'log'") ===
+      "Cannot use mean() on string type.")
+    assert(errOf("select mean(0) from 'aggr'") ===
+      "Group by time must be an integer value larger than zero.")
+    assert(errOf("select limit(6 - 6, mean) from 'aggr'") ===
+      "Limit must be an integer value larger than zero.")
+    assert(errOf("select difference() from 'log'") ===
+      "Cannot use difference() on string type.")
+    assert(errOf("select derivative() from 'log'") ===
+      "Cannot use derivative() on string type.")
+  }
+
   test("filter regex ==//!= on string series — test_select.py:250-263") {
     val dir = Files.createTempDirectory("graft-fre").toString
     val api = new graft.server.ApiCore(spark, dir)
