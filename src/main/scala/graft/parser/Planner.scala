@@ -174,7 +174,21 @@ object Planner {
             .withColumn("series", coalesce(col("series"), lit(0L)))
         }
       case "tags" =>
-        env.meta.tagCounts.toSeq.toDF("name", "series")
+        // live member counts: tags keep only series that still exist —
+        // the reference's tag views shrink when members are dropped
+        // (itest/test_tags.py:219-233); one semi-join + aggregate over
+        // the (small) membership frames, empty tags list with 0
+        val names = env.meta.tagCounts.keys.toSeq.toDF("name")
+        val frames = env.meta.tagFrames.toSeq
+          .map { case (t, df) => df.select(lit(t).as("name"), col("series")) }
+        if (frames.isEmpty) names.withColumn("series", lit(0L))
+        else {
+          val live = frames.reduce(_ unionByName _)
+            .join(env.catalogLive.select(col("series")), Seq("series"), "left_semi")
+            .groupBy(col("name")).agg(count(lit(1)).as("series"))
+          names.join(live, Seq("name"), "left")
+            .withColumn("series", coalesce(col("series"), lit(0L)))
+        }
       case "users" =>
         // access displays as the folded profile string; access_bits is
         // the where-only numeric form (user.c cexpr: int compare)

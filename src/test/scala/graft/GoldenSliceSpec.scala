@@ -244,6 +244,69 @@ class GoldenSliceSpec extends AnyFunSuite {
       "Cannot use derivative() on string type.")
   }
 
+  test("tag membership follows drops and tag set-algebra — test_tags.py") {
+    val dir = Files.createTempDirectory("graft-tags").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    val ins = mapper.createObjectNode()
+    for (n <- Seq("series-001", "series-002", "linux-001", "one")) {
+      val arr = ins.putArray(n)
+      val a = arr.addArray(); a.add(100L); a.add(1L)
+    }
+    api.runInsert(ins, "iris")
+    def q(s: String) = api.runQuery(s, 1L, "iris").toString
+    assert(q("alter series /series.*/ tag `SERIES`").contains(
+      "Successfully tagged 2 series."))
+    assert(q("alter series /.*/ tag `ALL`").contains(
+      "Successfully tagged 4 series."))
+    assert(q("alter series /empty/ tag `EMPTY`").contains(
+      "Successfully tagged 0 series."))
+    // tag set-algebra inside an alter selection
+    assert(q("alter series `ALL` - `SERIES` tag `OTHER`").contains(
+      "Successfully tagged 2 series."))
+    assert(q("alter series 'one' untag `OTHER`").contains(
+      "Successfully untagged 1 series."))
+    def tags(): Seq[(String, Long)] = {
+      val node = api.runQuery("list tags name, series", 1L, "iris").get("rows")
+      (0 until node.size())
+        .map(i => (node.get(i).get(0).asText(), node.get(i).get(1).asLong()))
+        .sorted
+    }
+    assert(tags() === Seq(("ALL", 4L), ("EMPTY", 0L), ("OTHER", 1L), ("SERIES", 2L)))
+    // dropping a series shrinks every tag that contained it
+    // (itest/test_tags.py:219-233)
+    q("drop series 'series-001' set ignore_threshold true")
+    assert(tags() === Seq(("ALL", 3L), ("EMPTY", 0L), ("OTHER", 1L), ("SERIES", 1L)))
+    assert(q("count series `SERIES`").contains("[1]"))
+    assert(q("drop tag `EMPTY`").contains("Successfully dropped tag 'EMPTY'."))
+    assert(tags().map(_._1) === Seq("ALL", "OTHER", "SERIES"))
+  }
+
+  test("set algebra with parentheses through list series — test_parentheses.py") {
+    val dir = Files.createTempDirectory("graft-paren").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    val ins = mapper.createObjectNode()
+    for (fam <- Seq("series", "linux", "windows"); i <- 1 to 4) {
+      val arr = ins.putArray(f"$fam-$i%03d")
+      val a = arr.addArray(); a.add(100L); a.add(1L)
+    }
+    api.runInsert(ins, "iris")
+    def names(q: String): Seq[String] = {
+      val node = api.runQuery(q, 1L, "iris").get("rows")
+      (0 until node.size()).map(node.get(_).get(0).asText()).sorted
+    }
+    assert(names("""list series all - ("series-001" | "series-002" | /windows.*/)""") ===
+      Seq("linux-001", "linux-002", "linux-003", "linux-004",
+        "series-003", "series-004"))
+    assert(names("""list series all - ("series-001" | "series-002" | (/windows.*/ & /.*001/))""") ===
+      Seq("linux-001", "linux-002", "linux-003", "linux-004",
+        "series-003", "series-004", "windows-002", "windows-003", "windows-004"))
+    assert(names("""list series (/.*001/ & /linux.*/) - /.*001/""") === Seq.empty)
+    assert(names("""list series /.*001/ & (/series.*/ | /linux.*/)""") ===
+      Seq("linux-001", "series-001"))
+    assert(names("""list series /.*001/ & ((((/series.*/ | /linux.*/))))""") ===
+      Seq("linux-001", "series-001"))
+  }
+
   test("filter regex ==//!= on string series — test_select.py:250-263") {
     val dir = Files.createTempDirectory("graft-fre").toString
     val api = new graft.server.ApiCore(spark, dir)
