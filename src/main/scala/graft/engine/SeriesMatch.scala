@@ -35,7 +35,11 @@ object SeriesMatch {
   final case class Env(
       catalog: DataFrame,
       groups: Map[String, String] = Map.empty,
-      tags: DataFrame => DataFrame = df => df.limit(0))
+      tags: DataFrame => DataFrame = df => df.limit(0),
+      /** Existence check backing the reference's "Cannot find group or
+        * tag" error (listener.c:911); defaults permissive for direct
+        * engine use. */
+      tagExists: String => Boolean = _ => true)
 
   /** PCRE2 parity: the reference compiles every /regex/ with a forced
     * leading '^' and trailing '$' — re.c:31-44 literally overwrites
@@ -58,6 +62,8 @@ object SeriesMatch {
         env.groups.get(g) match {
           case Some(re) => names.where(col("series").rlike(anchored(re)))
           case None => // tag membership
+            if (!env.tagExists(g))
+              throw graft.parser.QueryError(s"Cannot find group or tag '$g'")
             names.join(env.tags(env.catalog).where(col("tag") === g)
               .select(col("series")), Seq("series"), "left_semi")
         }

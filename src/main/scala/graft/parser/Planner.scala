@@ -80,6 +80,7 @@ final case class EngineEnv(
   def matchEnv: Env = Env(
     catalog = catalogLive,
     groups = meta.groups.toMap,
+    tagExists = meta.tagFrames.contains,
     tags = _ => {
       import spark.implicits._
       meta.tagFrames.toSeq

@@ -242,6 +242,8 @@ class GoldenSliceSpec extends AnyFunSuite {
       "Cannot use difference() on string type.")
     assert(errOf("select derivative() from 'log'") ===
       "Cannot use derivative() on string type.")
+    assert(errOf("select * from `nope`") ===
+      "Cannot find group or tag 'nope'") // listener.c:911
   }
 
   test("tag membership follows drops and tag set-algebra — test_tags.py") {
