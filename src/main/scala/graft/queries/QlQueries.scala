@@ -209,6 +209,45 @@ object QlQueries {
          |WHERE size > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d, "list shards where size > 0"))
     },
+    // aggregate grammar through the ql surface (engine-level oracles
+    // exist per function; these pin the query-string → plan path)
+    Entry("ql_select_median",
+      s"""SELECT series, ${bkt(21600)} AS ts, round(quantile_cont(val, 0.5), 6) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.view\\.')
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(rounded(ql(s, d, "select median(6h) from /^f\\.view\\..*/")))
+    },
+    Entry("ql_select_variance",
+      s"""SELECT series, ${bkt(21600)} AS ts, round(coalesce(var_samp(val), 0.0), 6) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.view\\.')
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(rounded(ql(s, d, "select variance(6h) from /^f\\.view\\..*/")))
+    },
+    Entry("ql_select_limit_fn",
+      s"""WITH p AS (SELECT * FROM ($PF) WHERE regexp_matches(series, '^f\\.click\\.')),
+         |s AS (SELECT series, count(*) AS len, min(ts) AS t0, max(ts) AS t1 FROM p GROUP BY 1),
+         |g AS (SELECT series, len, (t1 - t0) // 40 + 1 AS gb,
+         |             (t0 - 1) % ((t1 - t0) // 40 + 1) AS off FROM s),
+         |j AS (SELECT p.series, p.ts, p.val, g.len, g.gb, g.off FROM p JOIN g USING (series)),
+         |small AS (SELECT series, ts, val FROM j WHERE len <= 40),
+         |big AS (SELECT series, ((ts - off + gb - 1) // gb) * gb + off AS ts, avg(val) AS val
+         |        FROM j WHERE len > 40 GROUP BY 1, 2)
+         |SELECT series, ts, round(val, 6) AS val
+         |FROM (SELECT * FROM small UNION ALL SELECT * FROM big) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(rounded(ql(s, d, "select limit(40, mean) from /^f\\.click\\..*/")))
+    },
+    Entry("ql_count_groups",
+      "SELECT CAST(1 AS BIGINT) AS groups") {
+      (s, d) => ql(s, d, "count groups")
+    },
+    Entry("ql_count_tags",
+      "SELECT CAST(1 AS BIGINT) AS tags") {
+      (s, d) => ql(s, d, "count tags")
+    },
+    Entry("ql_count_pools",
+      s"SELECT CAST(count(DISTINCT pool) AS BIGINT) AS pools FROM ($CAT)") {
+      (s, d) => ql(s, d, "count pools")
+    },
     // count shards size sums the shard sizes without a where
     // (listener.c shards size aggregation)
     Entry("ql_count_shards_size",
