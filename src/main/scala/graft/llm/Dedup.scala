@@ -18,6 +18,36 @@ object Dedup {
   /** Whitespace tokenization of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** One-buffer MinHash signature aggregate: buffer = numHashes mins
+    * updated in a tight loop. Produces bit-identical values to
+    * `min(xxhash64(h0, lit(j)))` — Spark's XxHash64 over (h0, j) is
+    * XXH64.hashLong(j, XXH64.hashLong(h0, seed=42)). */
+  private final class MinHashSig(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], h0: Long): Array[Long] = {
+      val base = XXH64.hashLong(h0, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashLong(j.toLong, base)
+        if (h < buf(j)) buf(j) = h
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < numHashes) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Distinct word n-gram shingles per document: (doc_id, shingle). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("w"))
@@ -104,13 +134,17 @@ object Dedup {
     val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc distinct-shingle counts ride the same aggregation as the
-    // signature instead of a second pass over the shingles
-    val minCols = count(lit(1)).as("sz") +: (0 until numHashes)
-      .map(j => min(xxhash64(col("h0"), lit(j))).as(s"m$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // signature instead of a second pass over the shingles. The
+    // signature itself is ONE array-buffered typed aggregate (a tight
+    // numHashes-wide min loop) instead of numHashes separate min()
+    // buffers whose generated update code bloats at 128 columns; the
+    // hash family is bit-identical to xxhash64(h0, j).
+    val sigAgg = udaf(new MinHashSig(numHashes))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"), sigAgg(col("h0")).as("sig"))
     // band key = hash of the band's minhash values (one long per band)
     val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*).as(s"b$b")
+      xxhash64((b * rows until (b + 1) * rows).map(j => col("sig")(j)): _*).as(s"b$b")
     }
     val stackExpr = (0 until bands).map(b => s"$b, b$b").mkString(", ")
     val bandKeys = sig.select(col("doc_id") +: bandCols: _*)
