@@ -27,7 +27,19 @@ object Ann {
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
 
-  private val dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+  /** Sequential-fold dot product as a tight primitive loop — same
+    * accumulation order as the equivalent
+    * aggregate(zip_with(qv, v, (x,y) -> x*y), 0D, +) expression (so
+    * sims are bit-identical), but without the per-element interpreted
+    * lambda evaluation of higher-order functions, which dominates the
+    * scoring stage at dim multiply-adds per candidate. */
+  private val dotUdf = udf { (q: Seq[Double], v: Seq[Double]) =>
+    val qa = q.toArray; val va = v.toArray
+    var s = 0.0; var i = 0
+    while (i < qa.length) { s += qa(i) * va(i); i += 1 }
+    s
+  }
+  private def dotCol = dotUdf(col("qv"), col("v"))
 
   /** Two-phase exact top-k over a scored candidate set, replacing a
     * global `Window.partitionBy(query_id)` (which funnels every scored
@@ -67,7 +79,7 @@ object Ann {
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
     topK(scored, k)
   }
 
@@ -89,7 +101,7 @@ object Ann {
     val b = keyed.select(col("blk"), col("vec_id").as("id_b"),
       col("v").as("v"), col("nrm").as("nrm"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
       .where(col("sim") >= theta)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -132,7 +144,7 @@ object Ann {
     // score only vectors in probed cells
     val scored = probes.join(e, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
     topK(scored, k)
   }
 
@@ -159,17 +171,38 @@ object Ann {
     // H[(t*bits + b)*dim + i]
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     val rnd = new scala.util.Random(0x517a5eedL)
-    val planes = IndexedSeq.fill(tables * bits * dim)(rnd.nextDouble() * 2 - 1)
-    // signature per (vec, table): `bits` sign bits of hyperplane dots
+    val planes = Array.fill(tables * bits * dim)(rnd.nextDouble() * 2 - 1)
+    // signature per (vec, table): `bits` sign bits of hyperplane dots.
+    // A tight-loop Scala function over primitive arrays (the plane
+    // constant rides the closure, broadcast once per executor) — the
+    // equivalent nested higher-order-function expression evaluates its
+    // lambdas per element interpreted, an order of magnitude slower
+    // for tables*bits*dim multiply-adds per vector. Same sequential
+    // fold order, so the sign bits are bit-identical.
+    val nTables = tables; val nBits = bits
+    val sigUdf = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      val res = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var sig = 0L
+        var b = 0
+        while (b < nBits) {
+          val off = (t * nBits + b) * dim
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += a(i) * planes(off + i); i += 1 }
+          sig = sig * 2 + (if (s >= 0) 1L else 0L)
+          b += 1
+        }
+        res(t) = sig
+        t += 1
+      }
+      res
+    }
     def sigs(df: DataFrame) = df
-      .withColumn("hp", typedLit(planes))
-      .select(col("*"), explode(expr(
-        s"""transform(sequence(0, ${tables - 1}), t -> struct(t AS t,
-           |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
-           |    acc * 2 + CASE WHEN aggregate(sequence(0, ${dim - 1}), 0D,
-           |      (s, i) -> s + v[i] * hp[(t * $bits + b) * $dim + i]) >= 0
-           |    THEN 1L ELSE 0L END) AS sig))""".stripMargin)).as("ts"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .select(col("*"), posexplode(sigUdf(col("v"))).as(Seq("t", "sig")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("t"), col("sig"))
     val corpus = sigs(e)
     val queries = sigs(e.where(col("vec_id") < nQueries))
       .select(col("t"), col("sig"), col("vec_id").as("query_id"))
@@ -184,7 +217,7 @@ object Ann {
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("query_id"))
       .join(e, Seq("vec_id"))
-    val scored = cands.withColumn("sim", round(expr(dot) / (col("qn") * col("nrm")), 9))
+    val scored = cands.withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
     topK(scored, k)
   }
 }

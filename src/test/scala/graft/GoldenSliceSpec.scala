@@ -215,6 +215,32 @@ class GoldenSliceSpec extends AnyFunSuite {
       Seq(1471254705L, 1471254707L)) // NaN never passes an ordering
   }
 
+  test("log series round-trip empty/unicode/long values across restart — test_log.py") {
+    val dir = Files.createTempDirectory("graft-log").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    val long = ("Views of spacetime along the world line of a rapidly " +
+      "accelerating observer in a relativistic universe. ") * 40
+    val ins = mapper.createObjectNode()
+    def put(name: String, pts: Seq[(Long, String)]): Unit = {
+      val arr = ins.putArray(name)
+      pts.foreach { case (t, v) => val a = arr.addArray(); a.add(t); a.add(v) }
+    }
+    put("empty", Seq(1471254710L -> "", 1471254712L -> ""))
+    put("utf16", Seq(1471254710L -> "пример 時間 🕰 ţest"))
+    put("long_log", Seq(1471254710L -> long))
+    api.runInsert(ins, "iris")
+    def check(a: graft.server.ApiCore): Unit = {
+      assert(a.runQuery("select * from 'empty'", 1L, "iris").toString ===
+        """{"empty":[[1471254710,""],[1471254712,""]]}""")
+      val u = a.runQuery("select * from 'utf16'", 1L, "iris")
+      assert(u.get("utf16").get(0).get(1).asText() === "пример 時間 🕰 ţest")
+      val l = a.runQuery("select * from 'long_log'", 1L, "iris")
+      assert(l.get("long_log").get(0).get(1).asText() === long)
+    }
+    check(api)
+    check(new graft.server.ApiCore(spark, dir)) // restart
+  }
+
   test("reference error strings for invalid filters/args — test_select.py:420-470") {
     val dir = Files.createTempDirectory("graft-errs").toString
     val api = new graft.server.ApiCore(spark, dir)
