@@ -140,7 +140,7 @@ object HelpTopics {
         |    alter series <match> [where ...] tag|untag `t`
         |    alter user 'name' set password '...'
         |    alter group `name` set expression /regex/
-        |    alter tag `name` set name `new`
+        |    alter tag `name` set name "new"
         |    alter server [<ref>] set log_level|backup_mode|address|port ...
         |    alter servers [where ...] set log_level ...
         |    alter database set <property> <value>

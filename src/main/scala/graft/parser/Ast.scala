@@ -83,7 +83,11 @@ final case class DropShards(where: Option[Cexpr],
 final case class AlterSeriesTag(sel: Sel, where: Option[Cexpr],
     tag: String, untag: Boolean) extends DdlStmt
 final case class AlterUser(name: String, password: String) extends DdlStmt
+/** `alter user "x" set name "y"` (grammar set_name :626, :677). */
+final case class AlterUserName(name: String, newName: String) extends DdlStmt
 final case class AlterGroup(name: String, regex: String) extends DdlStmt
+/** `alter group `x` set name "y"` (grammar :655-657). */
+final case class AlterGroupName(name: String, newName: String) extends DdlStmt
 final case class AlterTag(name: String, newName: String) extends DdlStmt
 final case class AlterDatabase(prop: String, value: String) extends DdlStmt
 final case class GrantUser(access: Seq[String], name: String,

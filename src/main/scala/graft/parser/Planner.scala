@@ -521,31 +521,39 @@ object Planner {
     //      listener.c:150-204) ----
 
     case CreateGroup(name, regex) =>
+      // name limits + cross-namespace + compile checks exactly as
+      // siridb_group_set_name (group.c:81-110) and re.c:55-67
+      graft.meta.Naming.checkGroupName(name)
       if (env.meta.groups.contains(name))
-        throw QueryError(s"group '$name' already exists")
-      java.util.regex.Pattern.compile(regex) // validate eagerly
+        throw QueryError(s"Group '$name' already exists.")
+      if (env.meta.tagFrames.contains(name))
+        throw QueryError(s"Tag '$name' already exists.")
+      graft.meta.Naming.compileAnchored(graft.engine.SeriesMatch.anchored(regex))
       env.meta.groups.put(name, regex)
       ok(env, s"Successfully created group '$name'.")
 
     case CreateUser(name, password) =>
+      // siridb_user_set_name / set_password (user.c:83-101,146-177)
+      graft.meta.Naming.checkUserName(name)
       if (env.meta.users.contains(name))
-        throw QueryError(s"user '$name' already exists")
+        throw QueryError(s"User '$name' already exists.")
+      graft.meta.Naming.checkPassword(password)
       env.meta.users.put(name, env.meta.User(password, 0))
       ok(env, s"Successfully created user '$name'.")
 
     case DropGroup(name) =>
       if (env.meta.groups.remove(name).isEmpty)
-        throw QueryError(s"group '$name' does not exist")
+        throw QueryError(s"Group '$name' does not exist.") // groups.c:316
       ok(env, s"Successfully dropped group '$name'.")
 
     case DropTag(name) =>
       if (!env.meta.dropTag(name))
-        throw QueryError(s"tag '$name' does not exist")
+        throw QueryError(s"Tag '$name' does not exist.") // tags.c:89
       ok(env, s"Successfully dropped tag '$name'.")
 
     case DropUser(name) =>
       if (env.meta.users.remove(name).isEmpty)
-        throw QueryError(s"user '$name' does not exist")
+        throw QueryError(s"User '$name' does not exist.") // users.c:301
       ok(env, s"Successfully dropped user '$name'.")
 
     case DropSeries(sel, where, ignoreThreshold) =>
@@ -564,6 +572,14 @@ object Planner {
       ok(env, s"Successfully dropped $n series.")
 
     case AlterSeriesTag(sel, where, tag, untag) =>
+      // tagging creates the tag on first use — name limits and the
+      // group-namespace collision check are siridb_tag_set_name
+      // (tag.c:57-70,260-270)
+      if (!untag && !env.meta.tagFrames.contains(tag)) {
+        graft.meta.Naming.checkTagName(tag)
+        if (env.meta.groups.contains(tag))
+          throw QueryError(s"Group '$tag' already exists.")
+      }
       // membership stays distributed: hand the matched selection to
       // the metastore as a frame — no name list on the driver (same
       // pattern as DropSeries tombstones)
@@ -573,21 +589,50 @@ object Planner {
 
     case AlterUser(name, password) =>
       val u = env.meta.users.getOrElse(name,
-        throw QueryError(s"user '$name' does not exist"))
+        throw QueryError(s"Cannot find user: '$name'")) // listener.c:1113
+      graft.meta.Naming.checkPassword(password)
       env.meta.users.put(name, u.copy(password = password))
       ok(env, s"Successfully updated user '$name'.")
 
+    case AlterUserName(name, newName) =>
+      val u = env.meta.users.getOrElse(name,
+        throw QueryError(s"Cannot find user: '$name'")) // listener.c:1113
+      graft.meta.Naming.checkUserName(newName)
+      if (env.meta.users.contains(newName))
+        throw QueryError(s"User '$newName' already exists.") // user.c:172
+      env.meta.users.remove(name)
+      env.meta.users.put(newName, u) // access bits + password survive
+      ok(env, s"Successfully updated user '$newName'.")
+
     case AlterGroup(name, regex) =>
       if (!env.meta.groups.contains(name))
-        throw QueryError(s"group '$name' does not exist")
-      java.util.regex.Pattern.compile(regex)
+        throw QueryError(s"Cannot find group: '$name'") // listener.c:597
+      graft.meta.Naming.compileAnchored(graft.engine.SeriesMatch.anchored(regex))
       env.meta.groups.put(name, regex)
       ok(env, s"Successfully updated group '$name'.")
 
+    case AlterGroupName(name, newName) =>
+      val re = env.meta.groups.getOrElse(name,
+        throw QueryError(s"Cannot find group: '$name'")) // listener.c:597
+      graft.meta.Naming.checkGroupName(newName)
+      if (env.meta.groups.contains(newName))
+        throw QueryError(s"Group '$newName' already exists.") // group.c:99
+      if (env.meta.tagFrames.contains(newName))
+        throw QueryError(s"Tag '$newName' already exists.") // group.c:108
+      env.meta.groups.remove(name)
+      env.meta.groups.put(newName, re)
+      ok(env, s"Successfully updated group '$newName'.")
+
     case AlterTag(name, newName) =>
-      if (!env.meta.renameTag(name, newName))
-        throw QueryError(s"tag '$name' does not exist")
-      ok(env, s"Successfully updated tag '$name'.")
+      if (!env.meta.tagFrames.contains(name))
+        throw QueryError(s"Cannot find tag: '$name'") // listener.c:629
+      graft.meta.Naming.checkTagName(newName)
+      if (env.meta.tagFrames.contains(newName))
+        throw QueryError(s"Tag '$newName' already exists.") // tag.c:260
+      if (env.meta.groups.contains(newName))
+        throw QueryError(s"Group '$newName' already exists.") // tag.c:269
+      env.meta.renameTag(name, newName)
+      ok(env, s"Successfully updated tag '$newName'.")
 
     case AlterDatabase(prop, value) =>
       val old = env.meta.config.getOrElse(prop, "")
@@ -653,7 +698,8 @@ object Planner {
 
     case GrantUser(access, name, pw) =>
       val u = env.meta.users.getOrElse(name,
-        throw QueryError(s"user '$name' does not exist"))
+        throw QueryError(s"Cannot find user: '$name'")) // listener.c:735
+      pw.foreach(graft.meta.Naming.checkPassword)
       env.meta.users.put(name,
         u.copy(access = u.access | graft.meta.Access.fromKeywords(access),
           password = pw.getOrElse(u.password)))
@@ -661,7 +707,7 @@ object Planner {
 
     case RevokeUser(access, name) =>
       val u = env.meta.users.getOrElse(name,
-        throw QueryError(s"user '$name' does not exist"))
+        throw QueryError(s"Cannot find user: '$name'")) // listener.c:861
       env.meta.users.put(name,
         u.copy(access = u.access & ~graft.meta.Access.fromKeywords(access)))
       ok(env, s"Successfully revoked permissions from user '$name'.")

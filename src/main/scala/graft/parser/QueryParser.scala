@@ -663,16 +663,24 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
       else if (tryKw("untag")) AlterSeriesTag(sel, where, expectGrave(), untag = true)
       else err("expecting tag or untag")
     } else if (tryKw("user")) {
+      // grammar alter_user :675-677: set_password | set_name
       val name = expectString()
-      AlterUser(name, setPassword())
+      expectKw("set")
+      if (tryKw("password")) AlterUser(name, expectString())
+      else if (tryKw("name")) AlterUserName(name, expectString())
+      else err("expecting password or name after 'set'")
     } else if (tryKw("group")) {
+      // grammar alter_group :655-657: set_expression | set_name
       val name = expectGrave()
-      expectKw("set"); expectKw("expression")
-      AlterGroup(name, expectRegex())
+      expectKw("set")
+      if (tryKw("expression")) AlterGroup(name, expectRegex())
+      else if (tryKw("name")) AlterGroupName(name, expectString())
+      else err("expecting expression or name after 'set'")
     } else if (tryKw("tag")) {
+      // grammar alter_tag :660-661: set_name takes a string literal
       val name = expectGrave()
       expectKw("set"); expectKw("name")
-      AlterTag(name, expectGrave())
+      AlterTag(name, expectString())
     } else if (tryKw("servers")) {
       // all-servers form (grammar alter_servers :671); a where clause
       // filters the (single-node: one-element) fleet

@@ -194,7 +194,7 @@ object QlQueries {
         |  UNION ALL SELECT 'ops', 'read and insert') ORDER BY ALL""".stripMargin) {
       (s, d) =>
         val e = EngineEnv(s, d)
-        Planner.query("create user 'ops' set password 'pw'", e)
+        Planner.query("create user 'ops' set password 'pw1234'", e)
         Planner.query("grant read, insert to user 'ops'", e)
         ordered(Planner.query("list users where access >= show", e))
     },

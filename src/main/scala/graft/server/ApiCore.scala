@@ -58,6 +58,24 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * the store mutates (inserts here, drop shards in the planner). */
   @volatile private var framesCache: (Long, Frames) = null
 
+  /** Shard metadata listed once per store generation, not per `list
+    * shards` query — the listing is O(#shards) driver filesystem work
+    * the reference pays only on shard open (shard.c keeps headers in
+    * memory), so repeated metadata queries must not re-walk the store. */
+  @volatile private var shardsCache: (Long, DataFrame) = null
+
+  private def shardsMetaCached(): DataFrame = {
+    val gen = meta.storeGeneration.get()
+    val c = shardsCache
+    if (c != null && c._1 == gen) c._2
+    else {
+      val built = Ingest.shardsMeta(spark, storeDir, shardDuration, durationLog)
+        .localCheckpoint(eager = true)
+      shardsCache = (gen, built)
+      built
+    }
+  }
+
   /** Typed family frames over an arbitrary point source. */
   private def typedFrames(pts: DataFrame): Frames = {
     val cat = Ingest.catalog(spark, storeDir)
@@ -96,8 +114,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       rangedFrames = Some((a, b) => typedFrames(
         Ingest.pointsRange(spark, storeDir, a, b, shardDuration, durationLog))),
       // list/count shards answers from shard-file metadata, not points
-      shardsView = Some(() =>
-        Ingest.shardsMeta(spark, storeDir, shardDuration, durationLog)))
+      shardsView = Some(() => shardsMetaCached()))
 
   /** Run one query; select results use the reference's
     * {series: [[ts,val],...]} encoding with output timestamps scaled

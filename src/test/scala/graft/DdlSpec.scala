@@ -49,7 +49,7 @@ class DdlSpec extends AnyFunSuite {
 
   test("users: create, grant, revoke, alter, list, count, drop") {
     val env = EngineEnv(spark, dir)
-    assert(msg(env, "create user 'alice' set password 'pw1'") ===
+    assert(msg(env, "create user 'alice' set password 'pw1234'") ===
       "Successfully created user 'alice'.")
     // access folds to the largest profile repr (access.c:70-95):
     // read+insert has no full profile, so it prints "read and insert"
@@ -59,7 +59,7 @@ class DdlSpec extends AnyFunSuite {
     assert(msg(env, "revoke insert from user 'alice'") ===
       "Successfully revoked permissions from user 'alice'.")
     assert(q(env, "list users").toSet contains Seq("alice", "read"))
-    assert(msg(env, "alter user 'alice' set password 'pw2'") ===
+    assert(msg(env, "alter user 'alice' set password 'pw5678'") ===
       "Successfully updated user 'alice'.")
     // where access compares BITS with int operators (grammar :427)
     assert(q(env, "list users where access == full").map(_.head) === Seq("iris"))
@@ -75,7 +75,7 @@ class DdlSpec extends AnyFunSuite {
   test("access bits are enforced when the env carries a user — listener.c:433") {
     import graft.parser.AccessError
     val env0 = EngineEnv(spark, dir)
-    q(env0, "create user 'bob' set password 'pw'")
+    q(env0, "create user 'bob' set password 'pw1234'")
     q(env0, "grant read to user 'bob'")
     val bob = env0.copy(user = Some("bob"))
     // read profile: select/list/count/show pass
@@ -211,6 +211,77 @@ class DdlSpec extends AnyFunSuite {
     // backup mode surfaces in the status prop
     q(env, "alter server set backup_mode true")
     assert(q(env, "list servers status").head.head === "running | backup-mode")
+  }
+
+  test("entity name/password validation + renames — test_group.py, test_user.py") {
+    val env = EngineEnv(spark, dir)
+    // group name limits (group.c:81-95) and duplicate/cross-namespace
+    // collisions with the reference's exact strings
+    assert(intercept[QueryError](q(env, "create group `` for /c.*/")).msg ===
+      "Group name should be at least 1 characters.")
+    assert(intercept[QueryError](
+      q(env, s"create group `${"a" * 300}` for /c.*/")).msg ===
+      "Group name should be at most 255 characters.")
+    q(env, "create group `ga` for /a.*/")
+    assert(intercept[QueryError](q(env, "create group `ga` for /a.*/")).msg ===
+      "Group 'ga' already exists.")
+    // invalid regex → re.c:55-67 message (anchored pattern form)
+    assert(intercept[QueryError](q(env, "create group `inv` for /(/")).msg
+      .startsWith("Cannot compile regular expression"))
+    assert(intercept[QueryError](
+      q(env, "alter group `ga` set expression /(.*/")).msg
+      .startsWith("Cannot compile regular expression"))
+    // alter group set name (+ trailing # comment parses, test_group.py:159)
+    assert(msg(env, "alter group `ga` set name \"gb\" # bla") ===
+      "Successfully updated group 'gb'.")
+    assert(intercept[QueryError](
+      q(env, "alter group `ga` set expression /x/")).msg ===
+      "Cannot find group: 'ga'")
+    // tag/group namespaces collide both ways (group.c:108, tag.c:269)
+    q(env, "alter series 'f.cpu.0' tag `tx`")
+    assert(intercept[QueryError](q(env, "create group `tx` for /x/")).msg ===
+      "Tag 'tx' already exists.")
+    assert(intercept[QueryError](q(env, "alter series 'f.cpu.0' tag `gb`")).msg ===
+      "Group 'gb' already exists.")
+    assert(intercept[QueryError](q(env, "alter tag `tx` set name \"gb\"")).msg ===
+      "Group 'gb' already exists.")
+    assert(msg(env, "alter tag `tx` set name \"ty\"") ===
+      "Successfully updated tag 'ty'.")
+    assert(intercept[QueryError](q(env, "alter tag `tx` set name \"tz\"")).msg ===
+      "Cannot find tag: 'tx'")
+    // user name/password validation (user.c:83-101,146-177)
+    assert(intercept[QueryError](
+      q(env, "create user 's' set password '123456'")).msg ===
+      "User name should be at least 2 characters.")
+    assert(intercept[QueryError](
+      q(env, "create user '  ' set password '123456'")).msg
+      .startsWith("User name contains illegal characters."))
+    assert(intercept[QueryError](
+      q(env, "create user 'aa' set password '123'")).msg ===
+      "Password should be at least 4 characters.")
+    q(env, "create user 'pee' set password 'hihihaha'")
+    assert(intercept[QueryError](
+      q(env, "alter user 'pee' set password 'dag'")).msg ===
+      "Password should be at least 4 characters.")
+    // renames keep grants; errors use the listener's strings
+    q(env, "grant count to user 'pee'")
+    assert(intercept[QueryError](q(env, "alter user 'pee' set name 'p'")).msg ===
+      "User name should be at least 2 characters.")
+    assert(intercept[QueryError](q(env, "alter user 'pee' set name ' p '")).msg
+      .startsWith("User name contains illegal characters."))
+    assert(intercept[QueryError](q(env, "alter user 'pee' set name 'iris'")).msg ===
+      "User 'iris' already exists.")
+    assert(intercept[QueryError](q(env, "alter user 'Pee' set name 'PPP'")).msg ===
+      "Cannot find user: 'Pee'")
+    assert(msg(env, "alter user 'pee' set name 'Pee'") ===
+      "Successfully updated user 'Pee'.")
+    assert(q(env, "list users where name == 'Pee'").head === Seq("Pee", "count"))
+    assert(intercept[QueryError](q(env, "drop user 'pee'")).msg ===
+      "User 'pee' does not exist.")
+    assert(intercept[QueryError](q(env, "drop group `nope`")).msg ===
+      "Group 'nope' does not exist.")
+    assert(intercept[QueryError](q(env, "grant full to user 'ghost'")).msg ===
+      "Cannot find user: 'ghost'")
   }
 
   test("help: full multi-word topics with usage depth — help/*.md") {

@@ -67,7 +67,7 @@ class HttpApiSpec extends AnyFunSuite {
       assert(c11 === 400 && b11.contains("'q'"))
 
       // DDL state persists ACROSS requests (one metastore per server)
-      val (_, d1) = post(s"$base/query/graft", """{"q": "create user 'bob' set password 'pw'"}""")
+      val (_, d1) = post(s"$base/query/graft", """{"q": "create user 'bob' set password 'pw1234'"}""")
       assert(d1.contains("Successfully created user 'bob'."))
       val (_, d2) = post(s"$base/query/graft", """{"q": "grant read to user 'bob'"}""")
       assert(d2.contains("granted"), d2)

@@ -133,7 +133,7 @@ class ServiceSpec extends AnyFunSuite {
       .toDF(), dir, shardDuration = 86400L)
     val api1 = new graft.server.ApiCore(spark, dir)
     def q1(s: String) = api1.runQuery(s, 1L, "iris")
-    q1("create user 'alice' set password 'pw'")
+    q1("create user 'alice' set password 'pw1234'")
     q1("grant read, show to user 'alice'")
     q1("create group `cpus` for /^cpu\\..*/")
     q1("alter series /^cpu\\..*/ tag `hot`")
@@ -141,7 +141,7 @@ class ServiceSpec extends AnyFunSuite {
     q1("drop series 'mem.0' set ignore_threshold true")
     // a fresh ApiCore over the same storeDir = a server restart
     val api2 = new graft.server.ApiCore(spark, dir)
-    assert(api2.authenticate("alice", "pw"))
+    assert(api2.authenticate("alice", "pw1234"))
     val users = api2.runQuery("list users where access >= show", 1L, "iris").toString
     assert(users.contains("alice"), users)
     val tagged = api2.runQuery("select * from `hot`", 1L, "iris").toString
