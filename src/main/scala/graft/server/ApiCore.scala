@@ -229,20 +229,36 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     if (meta.config.getOrElse("backup_mode", "false") == "true")
       throw QueryError(
         "Server 'local' is not accepting the request because of having status: 9")
+    // validation rules and error strings are the reference's
+    // (siridb_insert_err_msg, insert.c:93-126; name checks
+    // insert.c:513-514,1279-1281: non-empty, < 65535 bytes)
     val points = Vector.newBuilder[Ingest.PointIn]
     var pid = System.nanoTime() // monotonic-enough insertion ids
     def addSeries(name: String, pts: JsonNode): Unit = {
-      if (!pts.isArray) throw QueryError(s"expecting an array of points for '$name'")
+      if (name.isEmpty || name.length >= 65535)
+        throw QueryError(
+          "Expecting a series name (string value) with an array of points " +
+            "where each point should be an integer time-stamp with a value.")
+      if (pts == null || !pts.isArray)
+        throw QueryError("Expecting an array with points.")
+      if (pts.size() == 0)
+        throw QueryError("Expecting a series to have at least one point.")
       pts.asScala.foreach { pt =>
-        if (!pt.isArray || pt.size() != 2 || !pt.get(0).canConvertToLong)
-          throw QueryError("expecting points like [timestamp, value]")
+        if (!pt.isArray || pt.size() != 2)
+          throw QueryError(
+            "Expecting a series name (string value) with an array of points " +
+              "where each point should be an integer time-stamp with a value.")
+        if (!pt.get(0).isIntegralNumber)
+          throw QueryError("Expecting an integer value as time-stamp.")
         val ts = pt.get(0).asLong()
-        if (ts < 0) throw QueryError("timestamps must be >= 0")
+        if (ts < 0)
+          throw QueryError("Received at least one time-stamp which is out-of-range.")
         val v = pt.get(1)
         val tp = if (v.isIntegralNumber) "integer"
           else if (v.isNumber) "float"
           else if (v.isTextual) "string" // "log" series (points.h:9-14)
-          else throw QueryError("expecting an integer, float or string value")
+          else throw QueryError("Unsupported value received. (only integer, " +
+            "float and string values are supported).")
         points += Ingest.PointIn(name, ts, v.asDouble(), tp, { pid += 1; pid },
           val_int = if (v.isIntegralNumber) v.asLong() else 0L,
           val_str = if (v.isTextual) v.asText() else "")
@@ -252,11 +268,12 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       req.properties().asScala.foreach(e => addSeries(e.getKey, e.getValue))
     else if (req.isArray) // array form
       req.asScala.foreach { o =>
-        val name = Option(o.get("name")).map(_.asText())
-          .getOrElse(throw QueryError("expecting a 'name' field"))
-        addSeries(name, o.get("points"))
+        if (!o.isObject || o.get("name") == null || !o.get("name").isTextual ||
+            o.get("points") == null)
+          throw QueryError("Expecting a map with name and points.")
+        addSeries(o.get("name").asText(), o.get("points"))
       }
-    else throw QueryError("expecting a map or array insert body")
+    else throw QueryError("Expecting an array or map containing series and points.")
     val rows = points.result()
     import spark.implicits._
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration, durationLog)

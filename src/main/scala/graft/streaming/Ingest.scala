@@ -100,21 +100,36 @@ object Ingest {
       .join(existing.select(col("series"), col("type").as("ex_tp")), Seq("series"), "left")
       .join(batchTypes, Seq("series"))
       .withColumn("etp", coalesce(col("ex_tp"), col("batch_tp")))
+      // siridb_series_ensure_type coerces with C stdlib semantics
+      // (series.c:1141-1216): strings parse as a strtoll/strtod PREFIX
+      // ("-50%" → -50, "garbage"/"" → 0) with strtoll saturating at
+      // the int64 bounds; doubles truncate toward zero into integers;
+      // numbers render into string series as "%PRId64" / "%f"
+      .withColumn("int_prefix",
+        regexp_extract(col("val_str"), "^\\s*([+-]?[0-9]+)", 1))
+      .withColumn("flt_prefix", regexp_extract(col("val_str"),
+        "^\\s*([+-]?(?:[0-9]+\\.?[0-9]*(?:[eE][+-]?[0-9]+)?|\\.[0-9]+(?:[eE][+-]?[0-9]+)?|[iI][nN][fF](?:inity)?|[nN][aA][nN]))", 1))
       .withColumn("c_int", when(col("etp") === "integer",
         when(col("tp") === "integer", col("val_int"))
-          .when(col("tp") === "float", col("val").cast("long"))
-          .otherwise(coalesce(expr("try_cast(val_str AS BIGINT)"), lit(0L))))
+          .when(col("tp") === "float",
+            when(isnan(col("val")), lit(0L))
+              .otherwise(coalesce(expr("try_cast(val AS BIGINT)"),
+                when(col("val") > 0, lit(Long.MaxValue)).otherwise(lit(Long.MinValue)))))
+          .otherwise(coalesce(expr("try_cast(int_prefix AS BIGINT)"),
+            when(length(col("int_prefix")) === 0, lit(0L))
+              .when(col("int_prefix").startsWith("-"), lit(Long.MinValue))
+              .otherwise(lit(Long.MaxValue)))))
         .otherwise(lit(0L)))
       .withColumn("c_num", when(col("etp") === "float",
         when(col("tp") === "float", col("val"))
           .when(col("tp") === "integer", col("val_int").cast("double"))
-          .otherwise(coalesce(expr("try_cast(val_str AS DOUBLE)"), lit(0.0))))
+          .otherwise(coalesce(expr("try_cast(flt_prefix AS DOUBLE)"), lit(0.0))))
         .when(col("etp") === "integer", col("c_int").cast("double"))
         .otherwise(lit(0.0)))
       .withColumn("c_str", when(col("etp") === "string",
         when(col("tp") === "string", col("val_str"))
           .when(col("tp") === "integer", col("val_int").cast("string"))
-          .otherwise(col("val").cast("string")))
+          .otherwise(format_string("%f", col("val"))))
         .otherwise(lit("")))
       .select(col("series"), col("ts"), col("c_num").as("val"),
         col("c_int").as("val_int"), col("c_str").as("val_str"),

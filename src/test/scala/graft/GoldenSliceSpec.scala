@@ -241,6 +241,38 @@ class GoldenSliceSpec extends AnyFunSuite {
     check(new graft.server.ApiCore(spark, dir)) // restart
   }
 
+  test("insert validation with reference error strings — test_insert.py:97-140") {
+    val dir = Files.createTempDirectory("graft-insval").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    def ins(json: String) = api.runInsert(mapper.readTree(json), "iris")
+    def insErr(json: String): String =
+      intercept[graft.parser.QueryError](ins(json)).msg
+    // empty map / empty array → zero-point success (test_insert.py:71-77)
+    assert(ins("{}").get("success_msg").asText ===
+      "Successfully inserted 0 point(s).")
+    assert(ins("[]").get("success_msg").asText ===
+      "Successfully inserted 0 point(s).")
+    assert(insErr("""[{}]""") === "Expecting a map with name and points.")
+    assert(insErr("""{"None": [[1, null]]}""") ===
+      "Unsupported value received. (only integer, float and string values are supported).")
+    assert(insErr("""{"no points": []}""") ===
+      "Expecting a series to have at least one point.")
+    assert(insErr("""{"no points": [[]]}""").startsWith(
+      "Expecting a series name (string value)"))
+    assert(ins("""{"ts_zero": [[0, 1]]}""").get("success_msg").asText ===
+      "Successfully inserted 1 point(s).") // ts 0 is valid
+    assert(insErr("""{"invalid ts": [[0.5, 6]]}""") ===
+      "Expecting an integer value as time-stamp.")
+    assert(insErr("""{"invalid ts": [[-1, 6]]}""") ===
+      "Received at least one time-stamp which is out-of-range.")
+    assert(insErr("""{"": [[1, 0]]}""").startsWith(
+      "Expecting a series name (string value)"))
+    assert(insErr("""[{"name": "", "points": [[1, 0]]}]""").startsWith(
+      "Expecting a series name (string value)"))
+    assert(insErr(""""[]"""") ===
+      "Expecting an array or map containing series and points.")
+  }
+
   test("reference error strings for invalid filters/args — test_select.py:420-470") {
     val dir = Files.createTempDirectory("graft-errs").toString
     val api = new graft.server.ApiCore(spark, dir)

@@ -124,6 +124,42 @@ class IngestSpec extends AnyFunSuite {
       ("n", 100L, 10.0, 10L), ("n", 200L, 2.0, 2L), ("n", 300L, 12.0, 12L)))
   }
 
+  test("C-stdlib coercion table: prefix parse, saturation, %f — test_series.py") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-coerce2").toString
+    Ingest.appendBatch(Seq(
+      PointIn("string", 1538660000L, 0, "string", 1, val_str = "some string value"),
+      PointIn("string", 1538660010L, 0, "integer", 2, val_int = -123456789L),
+      PointIn("string", 1538660020L, -0.5, "float", 3),
+      PointIn("string", 1538660030L, 1.0 / 3, "float", 4),
+      PointIn("integer", 1538660000L, 0, "integer", 5, val_int = 1L),
+      PointIn("integer", 1538660010L, 35.6, "float", 6),
+      PointIn("integer", 1538660020L, 0, "string", 7, val_str = "-50%"),
+      PointIn("integer", 1538660030L, 0, "string", 8, val_str = ""),
+      PointIn("integer", 1538660035L, 0, "string", 9, val_str = "garbage"),
+      PointIn("integer", 1538660040L, 0, "string", 10, val_str = "18446744073709551616"),
+      PointIn("integer", 1538660050L, 0, "string", 11, val_str = "-18446744073709551616"),
+      PointIn("double", 1538660000L, 1.0, "float", 12),
+      PointIn("double", 1538660010L, 0, "integer", 13, val_int = -35L),
+      PointIn("double", 1538660011L, 0, "string", 14, val_str = "-50%"),
+      PointIn("double", 1538660030L, 0, "string", 15, val_str = ""),
+      PointIn("double", 1538660035L, 0, "string", 16, val_str = "garbage")).toDF(),
+      dir, shardDuration = 604800L)
+    val pts = Ingest.points(spark, dir).orderBy("series", "ts", "pid").collect()
+    def strs(s: String) = pts.filter(_.getString(0) == s).map(_.getString(4)).toSeq
+    def ints(s: String) = pts.filter(_.getString(0) == s).map(_.getLong(3)).toSeq
+    def dbls(s: String) = pts.filter(_.getString(0) == s).map(_.getDouble(2)).toSeq
+    // string series: ints as %PRId64, doubles as %f (series.c:1190-1208;
+    // the itest's comma decimals are its locale, C locale prints '.')
+    assert(strs("string") ===
+      Seq("some string value", "-123456789", "-0.500000", "0.333333"))
+    // integer series: truncation + strtoll prefix parse with saturation
+    assert(ints("integer") === Seq(1L, 35L, -50L, 0L, 0L,
+      Long.MaxValue, Long.MinValue))
+    // double series: strtod prefix parse, garbage/empty → 0.0
+    assert(dbls("double") === Seq(1.0, -35.0, -50.0, 0.0, 0.0))
+  }
+
   test("out-of-order batches land, queries see everything, catalog upserts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
