@@ -48,13 +48,40 @@ object Dedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per document: (doc_id, shingle).
+    * Semantics: whitespace-tokenize the trimmed text, join every
+    * n-token window with single spaces, emit each distinct shingle
+    * once — the same set the equivalent
+    * transform(sequence)/slice/concat_ws/array_distinct expression
+    * produces, but in ONE pass over primitive arrays instead of three
+    * interpreted higher-order-function evaluations (this narrow stage
+    * is the floor of every dedup operator's runtime). */
+  private def shingleUdf(n: Int) = udf { (text: String) =>
+    val w = text.trim.split("\\s+")
+    if (w.length < n) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String](w.length * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= w.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(w(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
+  }
+
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("w"))
-      .where(size(col("w")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
-        .as("shingle"))
+    docs.select(col("doc_id"), explode(shingleUdf(n)(col("text"))).as("shingle"))
 
   /** Exact duplicate groups by content hash: one row per distinct
     * content with the canonical (lowest) doc_id and the group size. */

@@ -65,10 +65,15 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
         dbs.keys.toSeq.sorted.foreach(a.add)
         (false, a)
       case "new-account" =>
+        // limits + messages are service/account.c:119-143
         (field("account"), field("password")) match {
-          case (Some(u), Some(p)) if u.nonEmpty && p.nonEmpty =>
+          case (Some(u), _) if u.length < 2 =>
+            (true, err("service account name should have at least 2 characters"))
+          case (Some(u), Some(p)) if p.length < 2 =>
+            (true, err("service account password should have at least 2 characters"))
+          case (Some(u), Some(p)) =>
             if (accounts.putIfAbsent(u, p).isDefined)
-              (true, err(s"Service account '$u' already exists"))
+              (true, err(s"service account '$u' already exists"))
             else (false, okMsg(s"Successfully created service account '$u'."))
           case _ => (true, err("expecting an 'account' and 'password' field"))
         }

@@ -208,6 +208,15 @@ class ServiceSpec extends AnyFunSuite {
       assert(post(s"$base/get-version", "{}")._2.contains("2.0.55"))
       assert(post(s"$base/get-accounts", "{}")._2 === """["sa"]""")
       assert(post(s"$base/get-databases", "{}")._2 === """["graft"]""")
+      // account name/password limits (service/account.c:129-143)
+      val (vc, vb) = post(s"$base/new-account",
+        """{"account": "t", "password": ""}""")
+      assert(vc === 400 &&
+        vb.contains("service account name should have at least 2 characters"))
+      val (pc, pb) = post(s"$base/new-account",
+        """{"account": "tt", "password": "x"}""")
+      assert(pc === 400 &&
+        pb.contains("service account password should have at least 2 characters"))
       // account lifecycle
       assert(post(s"$base/new-account",
         """{"account": "ops", "password": "pw"}""")._1 === 200)
