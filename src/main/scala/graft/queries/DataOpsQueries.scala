@@ -51,6 +51,28 @@ object DataOpsQueries {
     Entry("dedup_ngram_jaccard", JACCARD_SQL) {
       (s, d) => ordered(Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5))
     },
+    // the SCALE path of the inverted-index join: shingles with
+    // df > maxDf are dropped before the self-join (bounding any join
+    // key's fan-out at maxDf²) while sizes still count all shingles —
+    // this entry pins the capped semantics exactly, not just the
+    // cap-off variant above
+    Entry("dedup_ngram_jaccard_capped",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 10),
+        |idx AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
+        |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5,
+        maxDf = 10L))
+    },
     // decontamination: flag docs sharing any probe n-gram (train/test
     // leakage check); probe side broadcast, corpus side narrow
     Entry("dedup_contamination",

@@ -331,6 +331,37 @@ object QlQueries {
         Planner.query("alter series 'i.view.0' | 'i.view.1' tag `watch`", e)
         ordered(Planner.query("select * from `watch` after 1706000000", e))
     },
+    // renames keep membership and grants (group.c set_name,
+    // user.c:140-191): group rename answers via the new name, user
+    // rename keeps its access bits
+    Entry("ql_ddl_rename_roundtrip",
+      s"""SELECT * FROM (
+         |  SELECT series, max(ts) AS ts, count(*) AS val FROM ($PF)
+         |  WHERE regexp_matches(series, '^f\\.view\\.')
+         |  GROUP BY 1) ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        val e = EngineEnv(s, d)
+        Planner.query("create group `tmpg` for /^f\\.view\\..*/", e)
+        Planner.query("alter group `tmpg` set name 'viewsg'", e)
+        Planner.query("create user 'renameme' set password 'pw1234'", e)
+        Planner.query("grant count to user 'renameme'", e)
+        Planner.query("alter user 'renameme' set name 'renamed'", e)
+        val acc = Planner.query("list users name, access where name == 'renamed'", e)
+          .collect().map(_.toSeq).toSeq
+        require(acc == Seq(Seq("renamed", "count")),
+          s"renamed user lost grants: $acc")
+        ordered(Planner.query("select count() from `viewsg`", e))
+    },
+    // parenthesized set algebra through the ql list surface
+    // (test_parentheses.py: `all - (a | b | /re/)`)
+    Entry("ql_list_series_setops",
+      s"""SELECT series AS name FROM ($CAT)
+         |WHERE NOT (regexp_matches(series, '^f\\.click\\.')
+         |           OR series = 'i.error.3'
+         |           OR regexp_matches(series, '^s\\.')) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(ql(s, d,
+        "list series all - (`clicks` | 'i.error.3' | /^s\\..*/)"))
+    },
     Entry("ql_ddl_drop_where",
       s"""SELECT count(*) AS series FROM ($CAT) WHERE NOT "length" > 260""") {
       (s, d) =>
