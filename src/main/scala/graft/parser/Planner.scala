@@ -410,7 +410,10 @@ object Planner {
       val rt = Runtime.getRuntime
       val known = Map(
         "dbname" -> "graft", "time_precision" -> "s", "version" -> "2.0.55",
-        "timezone" -> "NAIVE", "who_am_i" -> "graft", "server" -> "local",
+        "timezone" -> "NAIVE",
+        // the querying user, not a constant (props.c who_am_i;
+        // test_user.py:120 asserts it after re-authenticating)
+        "who_am_i" -> env.user.getOrElse("iris"), "server" -> "local",
         "status" -> (if (env.meta.config.getOrElse("backup_mode", "false") == "true")
           "running | backup-mode" else "running"),
         "pool" -> "0", "ip_support" -> "ALL",

@@ -46,7 +46,9 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
   private def okMsg(msg: String): JsonNode =
     mapper.createObjectNode().put("success_msg", msg)
 
-  private val nameRe = "[a-zA-Z0-9_-]{1,128}".r
+  /** The reference's database-name rule (service/request.c:199):
+    * 2..20 chars, starts with a letter, ends alphanumeric. */
+  private val nameRe = "[a-zA-Z][a-zA-Z0-9-_]{0,18}[a-zA-Z0-9]".r
 
   /** One service request by name; returns (isError, body). Request
     * names mirror the HTTP paths (api.c:233-292). */
@@ -99,14 +101,14 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
         field("dbname") match {
           case Some(name) if nameRe.matches(name) =>
             if (dbs.contains(name))
-              (true, err(s"Database '$name' already exists"))
+              (true, err(s"database name already exists: '$name'"))
             else {
               val dir = root.resolve(s"graft-db-$name")
               Files.createDirectories(dir)
               dbs.put(name, new ApiCore(spark, dir.toString, name))
               (false, okMsg(s"Successfully created database '$name'."))
             }
-          case Some(name) => (true, err(s"Invalid database name: '$name'"))
+          case Some(name) => (true, err(s"invalid database name: '$name'"))
           case None => (true, err("expecting a 'dbname' field"))
         }
       case "drop-database" =>

@@ -79,6 +79,7 @@ class DdlSpec extends AnyFunSuite {
     q(env0, "grant read to user 'bob'")
     val bob = env0.copy(user = Some("bob"))
     // read profile: select/list/count/show pass
+    assert(q(bob, "show who_am_i").head === Seq("who_am_i", "bob")) // props.c
     assert(q(bob, "count series").head.head.asInstanceOf[Long] > 0L)
     assert(q(bob, "list series limit 1").size === 1)
     // write-side statements are denied with the reference message

@@ -227,6 +227,11 @@ class ServiceSpec extends AnyFunSuite {
       val (lastCode, lastBody) = post(s"$base/drop-account", """{"account": "sa"}""")
       assert(lastCode === 400 && lastBody.contains("last service account"))
       // database lifecycle: create, insert+query into it, unknown-db 404
+      // dbname rule: 2..20 chars, letter start, alnum end (request.c:199)
+      val (nc, nb) = post(s"$base/new-database", """{"dbname": "9bad"}""")
+      assert(nc === 400 && nb.contains("invalid database name: '9bad'"))
+      assert(post(s"$base/new-database",
+        """{"dbname": "name-far-too-long-for-the-rule"}""")._1 === 400)
       assert(post(s"$base/new-database", """{"dbname": "metrics"}""")._1 === 200)
       assert(post(s"$base/get-databases", "{}")._2 === """["graft","metrics"]""")
       val (ic, ib) = post(s"$base/insert/metrics", """{"cpu": [[100, 1.5]]}""")
