@@ -316,6 +316,53 @@ object Planner {
     else matched
   }
 
+  /** Mixed-type selection without merge: the reference evaluates each
+    * series independently, so a select over string+number (or
+    * integer+float) series returns every series with its OWN value
+    * type — integers stay integers (test_series.py:105-113). Each type
+    * family runs the chains on its exact frame; rows carry a `tp`
+    * column and a canonical string `val` (long/double round-trip
+    * losslessly) for the transport encoder to re-type per point. */
+  private def mixedSelect(chains: Seq[SelectChain], sel: Sel,
+      where: Option[Cexpr], range: Option[Stage], types: Set[String],
+      env: EngineEnv, keepPid: Boolean): DataFrame = {
+    val fams = Seq(
+      "integer" -> env.pointsI, "float" -> env.pointsF,
+      "string" -> env.pointsS).filter(f => types.contains(f._1))
+    val outs = for {
+      (tpName, frame) <- fams
+      c <- chains
+    } yield {
+      // per-family type checks — exactly the errors the reference
+      // raises per series (aggregate.c "Cannot use ... on string type.")
+      if (tpName == "string") checkStringOk(c.stages)
+      else checkNumericOk(c.stages)
+      val restricted = SeriesMatch.select(frame, sel, env.matchEnv)
+        .join(selCatalog(Some(sel), where, env)
+            .where(col("type") === tpName).select(col("series")),
+          Seq("series"), "left_semi")
+      val piped = Pipeline(restricted, range.toSeq ++ c.stages, keepPid)
+      val named =
+        if (c.prefix.nonEmpty || c.suffix.nonEmpty)
+          piped.withColumn("series",
+            concat(lit(c.prefix), col("series"), lit(c.suffix)))
+        else piped
+      val outTp = named.schema("val").dataType match {
+        case LongType => "integer"
+        case DoubleType => "float"
+        case _ => "string"
+      }
+      named.withColumn("tp", lit(outTp))
+        .withColumn("val", col("val").cast("string"))
+    }
+    val anyPid = outs.exists(_.columns.contains("pid"))
+    val unified = if (!anyPid) outs else outs.map { o =>
+      if (o.columns.contains("pid")) o
+      else o.withColumn("pid", lit(null).cast("long"))
+    }
+    unified.reduce(_.unionByName(_))
+  }
+
   /** Functions allowed on string ("log") series; everything else is a
     * type error (points.c:368-433, series.c:72-76). */
   private val stringOkFns: Set[AggFn] = Set(Count, First, Last)
@@ -781,16 +828,22 @@ object Planner {
       val cat = selCatalog(Some(sel), where, env)
       val types = cat.select(col("type")).distinct().collect()
         .map(_.getString(0)).toSet
-      val valT =
-        if (types == Set("integer")) "long"
-        else if (types == Set("string")) "string"
-        else if (types.subsetOf(Set("integer", "float"))) "double"
-        else throw QueryError("Cannot use string and number series in one selection")
       val (tsCol, vCol) =
         if (fn == First) (col("start"), col("first_val"))
         else (col("end"), col("last_val"))
-      val out = cat.select(col("series"), tsCol.as("ts"),
-        vCol.cast(valT).as("val"))
+      val out =
+        if (types.size <= 1) {
+          val valT =
+            if (types == Set("integer")) "long"
+            else if (types == Set("string")) "string"
+            else "double"
+          cat.select(col("series"), tsCol.as("ts"), vCol.cast(valT).as("val"))
+        } else
+          // mixed selection: keep the canonical string form and the
+          // per-series type for the encoder (each series answers with
+          // its own type, test_series.py:105-113)
+          cat.select(col("series"), tsCol.as("ts"), vCol.as("val"),
+            col("type").as("tp"))
       if (pre.nonEmpty || suf.nonEmpty)
         out.withColumn("series", concat(lit(pre), col("series"), lit(suf)))
       else out
@@ -805,6 +858,17 @@ object Planner {
           env.copy(frames = Some(env.rangedFrames.get(a, b)))
         case _ => env
       }
+      val selTypes = selCatalog(Some(sel), where, envForScan)
+        .select(col("type")).distinct().collect().map(_.getString(0)).toSet
+      if (selTypes.contains("string") && selTypes.size > 1 && merge.isDefined)
+        throw QueryError("Cannot merge string and number series.") // points.c:372
+      if (selTypes.size > 1 && merge.isEmpty)
+        // the reference evaluates every series independently, so a
+        // mixed-type selection returns each series with its own value
+        // type (test_series.py:105-113: string+integer+double in one
+        // select) — run the chains per type family and tag rows so the
+        // encoder emits the right JSON type per point
+        return mixedSelect(chains, sel, where, range, selTypes, envForScan, keepPid)
       val base0 = baseFrame(sel, where, envForScan)
       val stringSeries = isStringFrame(base0)
       // multiple chains share one scan — the reference's points_map

@@ -166,11 +166,17 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     // collecting limit+1 rows so the plan executes exactly once
     val limit = meta.selectPointsLimit
     val valType = df.schema("val").dataType
+    // mixed-type selections carry a per-row `tp` with the value in
+    // canonical string form (Planner.mixedSelect) — re-type per point
+    val hasTp = df.columns.contains("tp")
     val ord =
       if (df.columns.contains("pid")) Seq(col("series"), col("ts"), col("pid"))
       else Seq(col("series"), col("ts"))
+    val outCols =
+      if (hasTp) Seq(col("series"), col("ts"), col("val"), col("tp"))
+      else Seq(col("series"), col("ts"), col("val"))
     val rows = df.orderBy(ord: _*)
-      .select(col("series"), col("ts"), col("val"))
+      .select(outCols: _*)
       .limit((limit + 1).min(Int.MaxValue.toLong).toInt).collect()
     if (rows.length > limit)
       throw QueryError( // async_select_aggregate (listener.c:5598-5610)
@@ -186,7 +192,12 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       }
       val point = mapper.createArrayNode()
       point.add(r.getLong(1) * tsFactor)
-      valType match {
+      if (hasTp) r.getString(3) match {
+        case "integer" => point.add(r.getString(2).toLong)
+        case "float" => point.add(r.getString(2).toDouble)
+        case _ => point.add(r.getString(2))
+      }
+      else valType match {
         case LongType => point.add(r.getLong(2))
         case DoubleType => point.add(r.getDouble(2))
         case StringType => point.add(r.getString(2))

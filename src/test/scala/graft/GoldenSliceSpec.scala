@@ -241,6 +241,53 @@ class GoldenSliceSpec extends AnyFunSuite {
     check(new graft.server.ApiCore(spark, dir)) // restart
   }
 
+  test("mixed-type select keeps each series' own type — test_series.py:27-113") {
+    val dir = Files.createTempDirectory("graft-mixedsel").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    // the itest's insert table: later points coerce to each series'
+    // established type (first point wins)
+    api.runInsert(mapper.readTree(
+      """{"string": [[1538660000, "some string value"], [1538660010, -123456789],
+        |            [1538660020, -0.5], [1538660030, 0.3333333333333333]],
+        |  "integer": [[1538660000, 1], [1538660010, 35.6], [1538660020, "-50%"],
+        |              [1538660030, ""], [1538660035, "garbage"],
+        |              [1538660040, "18446744073709551616"],
+        |              [1538660050, "-18446744073709551616"]],
+        |  "double": [[1538660000, 1.0], [1538660010, -35], [1538660011, "-50%"],
+        |             [1538660030, ""], [1538660035, "garbage"]]}""".stripMargin
+        .replaceAll("\n\\s*", "")), "iris")
+    // unknown series ('x', 'nexist') are silently omitted — the
+    // SERIESMUSTEXIST branch is not compiled in (listener.c:1336-1347)
+    val r = api.runQuery(
+      """select * from "x", "string", "integer", "double", "nexist"""",
+      1L, "iris")
+    assert(r.toString ===
+      """{"double":[[1538660000,1.0],[1538660010,-35.0],[1538660011,-50.0],""" +
+      """[1538660030,0.0],[1538660035,0.0]],""" +
+      """"integer":[[1538660000,1],[1538660010,35],[1538660020,-50],""" +
+      """[1538660030,0],[1538660035,0],[1538660040,9223372036854775807],""" +
+      """[1538660050,-9223372036854775808]],""" +
+      """"string":[[1538660000,"some string value"],[1538660010,"-123456789"],""" +
+      """[1538660020,"-0.500000"],[1538660030,"0.333333"]]}""")
+    // mixed selections answer aggregates per family: count works on
+    // all; first()/last() skip path keeps types; sum errors via the
+    // string member exactly like the reference
+    val c = api.runQuery("""select count() from "string", "integer"""", 1L, "iris")
+    assert(c.get("string").get(0).get(1).asLong === 4L)
+    assert(c.get("integer").get(0).get(1).asLong === 7L)
+    val f = api.runQuery("""select first() from "string", "double"""", 1L, "iris")
+    assert(f.get("string").get(0).get(1).asText === "some string value")
+    assert(f.get("double").get(0).get(1).asDouble === 1.0)
+    val e = intercept[graft.parser.QueryError](
+      api.runQuery("""select sum(1d) from "string", "integer"""", 1L, "iris"))
+    assert(e.msg === "Cannot use sum() on string type.")
+    val m = intercept[graft.parser.QueryError](
+      api.runQuery(
+        """select * from "string", "integer" merge as "m" using sum(1d)""",
+        1L, "iris"))
+    assert(m.msg === "Cannot merge string and number series.")
+  }
+
   test("insert validation with reference error strings — test_insert.py:97-140") {
     val dir = Files.createTempDirectory("graft-insval").toString
     val api = new graft.server.ApiCore(spark, dir)
