@@ -276,7 +276,8 @@ object Planner {
     * `{'name': []}` for an empty chain result). Merge collapses to the
     * merge name; prefix/suffix apply per chain. */
   def selectNames(stmt: SelectStmt, env: EngineEnv): Seq[String] = stmt.merge match {
-    case Some(m) => Seq(m.name)
+    case Some(m) => // one merged series per chain, presuf'd (listener.c:4008)
+      stmt.chains.map(c => c.prefix + m.name + c.suffix).distinct
     case None =>
       val base = selCatalog(Some(stmt.sel), stmt.where, env)
         .select(col("series")).collect().map(_.getString(0)).toSeq.sorted
@@ -874,13 +875,31 @@ object Planner {
       // multiple chains share one scan — the reference's points_map
       // cache (listener.c:5626-5658)
       val base = if (chains.size > 1) base0.cache() else base0
-      val outs = chains.map { c =>
+      val piped = chains.map { c =>
         if (stringSeries) checkStringOk(c.stages) else checkNumericOk(c.stages)
-        val piped = Pipeline(base, range.toSeq ++ c.stages, keepPid)
-        if (c.prefix.nonEmpty || c.suffix.nonEmpty)
-          piped.withColumn("series",
-            concat(lit(c.prefix), col("series"), lit(c.suffix)))
-        else piped
+        (c, Pipeline(base, range.toSeq ++ c.stages, keepPid))
+      }
+      val outs = merge match {
+        case Some(MergeAs(name, using)) =>
+          if (stringSeries) checkStringOk(using) else checkNumericOk(using)
+          // each chain merges separately into its presuf'd destination
+          // (siridb_presuf_name, listener.c:4008-4020; test_select.py's
+          // prefixed min/max merge yields min-NAME and max-NAME), and
+          // an empty destination is the reference's merge error
+          piped.map { case (c, o) =>
+            val dest = c.prefix + name + c.suffix
+            if (dest.isEmpty || dest.length >= 65535)
+              throw QueryError("Error while merging points. Make sure the " +
+                "destination series name is valid.")
+            Pipeline.merge(o, dest, using, keepPid)
+          }
+        case None =>
+          piped.map { case (c, o) =>
+            if (c.prefix.nonEmpty || c.suffix.nonEmpty)
+              o.withColumn("series",
+                concat(lit(c.prefix), col("series"), lit(c.suffix)))
+            else o
+          }
       }
       // unify value types across chains (count->int vs mean->float)
       val needDouble = outs.exists(_.schema("val").dataType == DoubleType) &&
@@ -894,13 +913,7 @@ object Planner {
         if (o.columns.contains("pid")) o
         else o.withColumn("pid", lit(null).cast("long"))
       }
-      val selected = unified.reduce(_.unionByName(_))
-      merge match {
-        case Some(MergeAs(name, using)) =>
-          if (stringSeries) checkStringOk(using) else checkNumericOk(using)
-          Pipeline.merge(selected, name, using, keepPid)
-        case None => selected
-      }
+      unified.reduce(_.unionByName(_))
   }
 
   /** Parse + plan in one step (the engine's `/query` entry point);

@@ -110,6 +110,10 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     val pat = input.substring(start, i)
     p = i + 1
     val ci = p < input.length && input(p) == 'i' && { p += 1; true }
+    // the reference compiles every /regex/ as it parses (re.c via
+    // enter_series_re / filter) and errors immediately on a bad one
+    graft.meta.Naming.compileAnchored(
+      graft.engine.SeriesMatch.anchored(pat, ci))
     Some((pat, ci))
   }
 
@@ -238,9 +242,20 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
 
   // ---- series_match (grammar :449-464) ----
 
+  /** Series-match paren recursion guard — libcleri caps parse
+    * recursion at 500 and the reference surfaces it as the message
+    * below (query.c:600-611, test_select.py: 501 nested parens). */
+  private var selDepth = 0
+
   private def seriesOperand(): Sel = {
     ws()
-    if (tryLit("(")) { val s = seriesMatch(); expectLit(")"); s }
+    if (tryLit("(")) {
+      selDepth += 1
+      if (selDepth > 500)
+        throw QueryError(
+          "Memory allocation error or maximum recursion depth reached.")
+      val s = seriesMatch(); expectLit(")"); selDepth -= 1; s
+    }
     else if (tryLit("*")) All
     else if (tryKw("all")) All
     else tryRegexTok().map { case (pat, ci) => SelRegex(pat, ci): Sel }
@@ -403,9 +418,19 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     "start" -> 't', "end" -> 't', "server" -> 's', "status" -> 's',
     "type" -> 'z') // type is the number|log keyword pair (grammar :407-423)
 
+  /** Nested-paren depth inside a where expression — the reference's
+    * cexpr builder keeps a fixed stack of CEXPR_MAX_CURLY_DEPTH=6
+    * (cexpr.h:7, cexpr.c:659) and errors when it fills. */
+  private var whereDepth = 0
+
   private def cexprCmp(props: Map[String, Char]): Cexpr = {
     ws()
-    if (tryLit("(")) { val c = cexprOr(props); expectLit(")"); return c }
+    if (tryLit("(")) {
+      whereDepth += 1
+      if (whereDepth >= 6)
+        throw QueryError("Max depth reached in 'where' expression!") // listener.c:1903
+      val c = cexprOr(props); expectLit(")"); whereDepth -= 1; return c
+    }
     val prop = peekWord.getOrElse(err(s"expecting a property name at position $p"))
     p += prop.length
     val op = Seq("==", "!=", "<=", ">=", "<", ">", "!~", "~")
@@ -821,6 +846,9 @@ object QueryParser {
   /** Parse with `now` captured once (query.c:109,592-595); `tz` is the
     * database timezone applied to ISO8601 date strings. */
   def parse(q: String, now: Long = System.currentTimeMillis() / 1000,
-      factor: Long = 1L, tz: String = "NAIVE"): Statement =
+      factor: Long = 1L, tz: String = "NAIVE"): Statement = {
+    // MAX_QUERY_PKG_SIZE (clserver.c:41,454-468)
+    if (q.length > 65535) throw QueryError("Query too long.")
     new QueryParser(q, now, factor, tz).parse()
+  }
 }

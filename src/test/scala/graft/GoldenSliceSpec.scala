@@ -288,6 +288,64 @@ class GoldenSliceSpec extends AnyFunSuite {
     assert(m.msg === "Cannot merge string and number series.")
   }
 
+  test("prefixed per-chain merge golden — test_select.py:505-514") {
+    val dir = Files.createTempDirectory("graft-presufmerge").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    api.runInsert(mapper.readTree(
+      """{"series-001 integer": [[1471254705, 5], [1471254710, -7], [1471254708, -3]],
+        |"series-002 integer": [[1471254705, 4], [1471254708, -1], [1471254710, -8]],
+        |"aggr": [[1447250868, 530], [1447251168, 520], [1447249033, 531],
+        |  [1447249337, 534], [1447249633, 535], [1447249937, 531],
+        |  [1447250249, 532], [1447250549, 537], [1447251449, 54],
+        |  [1447251749, 54], [1447252049, 513], [1447252349, 537],
+        |  [1447253244, 533], [1447253549, 538], [1447253849, 534],
+        |  [1447254149, 532], [1447252649, 528], [1447252968, 531],
+        |  [1447254449, 533], [1447254748, 537]],
+        |"huge": [[1471254705, 9223372036854775807], [1471254706, 9223372036854775806],
+        |  [1471254707, 9223372036854775805], [1471254708, 9223372036854775804]],
+        |"equal ts": [[1471254705, 0], [1471254705, 1], [1471254705, 1],
+        |  [1471254707, 0], [1471254707, 1], [1471254708, 0]],
+        |"filter": [[1471254705, 5], [1471254710, -3], [1471254715, -7], [1471254720, 7]],
+        |"one": [[1471254710, 1]]}""".stripMargin.replaceAll("\n\\s*", "")), "iris")
+    // each chain merges separately into its presuf'd destination
+    val r = api.runQuery(
+      """select min(2h) prefix "min-", max(1h) prefix "max-" from /.*/ """ +
+        """where type == integer and name != "filter" and name != "one" """ +
+        """and name != "series-002 integer" """ +
+        """merge as "int_min_max" using median_low(1) => difference()""",
+      1L, "iris")
+    assert(r.get("max-int_min_max").toString ===
+      "[[1447254000,3],[1447257600,-1],[1471255200,-532]]")
+    assert(r.get("min-int_min_max").toString ===
+      "[[1447257600,-477],[1471255200,-54]]")
+  }
+
+  test("parser limits and merge-name validity — test_select.py:470-501") {
+    val dir = Files.createTempDirectory("graft-limits").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    api.runInsert(mapper.readTree("""{"aggr": [[100, 1], [200, 2]]}"""), "iris")
+    def qerr(q: String): String =
+      intercept[graft.parser.QueryError](api.runQuery(q, 1L, "iris")).msg
+    // 6 nested where-parens overflow the reference's fixed cexpr stack
+    assert(qerr("select * from 'aggr' where ((((((length > 1))))))") ===
+      "Max depth reached in 'where' expression!")
+    assert(api.runQuery("select * from 'aggr' where (((((length > 1)))))",
+      1L, "iris").get("aggr").size === 2) // 5 levels parse fine
+    // libcleri recursion cap at 500 nested series-match parens
+    assert(qerr("select * from " + "(" * 501 + "'aggr'" + ")" * 501) ===
+      "Memory allocation error or maximum recursion depth reached.")
+    assert(api.runQuery("select * from " + "(" * 500 + "'aggr'" + ")" * 500,
+      1L, "iris").get("aggr").size === 2)
+    // MAX_QUERY_PKG_SIZE
+    assert(qerr("select * from \"" + "a" * 65535 + "\"") === "Query too long.")
+    // bad selection regex errors at parse like re.c
+    assert(qerr("select * from /(bla/")
+      .startsWith("Cannot compile regular expression"))
+    // empty merge destination
+    assert(qerr("""select * from 'aggr' merge as """"") ===
+      "Error while merging points. Make sure the destination series name is valid.")
+  }
+
   test("insert validation with reference error strings — test_insert.py:97-140") {
     val dir = Files.createTempDirectory("graft-insval").toString
     val api = new graft.server.ApiCore(spark, dir)
