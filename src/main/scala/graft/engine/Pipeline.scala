@@ -193,9 +193,20 @@ object Pipeline {
         .withColumn("__pv", lag(col("val"), 1).over(w))
         .withColumn("__pt", lag(col("ts"), 1).over(w))
         .where(col("__pv").isNotNull)
-      stepped.select(carry(stepped,
-        (col("val") - col("__pv")) * lit(unit) /
-          (col("ts") - col("__pt")).cast("double")): _*)
+      // the reference subtracts in DOUBLE (aggregate.c:732:
+      // `(double) spt->val.int64 - prev->val.int64`) and C division by
+      // a zero ts-delta yields IEEE inf/nan (duplicate timestamps are
+      // legal, test_select.py:516 runs derivative over "equal ts") —
+      // Spark's ANSI `/` throws instead, so branch the zero divisor
+      val num = (col("val").cast("double") - col("__pv").cast("double")) *
+        lit(unit)
+      val dt = (col("ts") - col("__pt")).cast("double")
+      val deriv = when(dt === 0D,
+        when(num > 0D, lit(Double.PositiveInfinity))
+          .when(num < 0D, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(num / dt)
+      stepped.select(carry(stepped, deriv): _*)
     case Interval =>
       val w = seriesOrder(df)
       val stepped = df.withColumn("__pt", lag(col("ts"), 1).over(w))

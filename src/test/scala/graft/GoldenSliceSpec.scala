@@ -346,6 +346,20 @@ class GoldenSliceSpec extends AnyFunSuite {
       "Error while merging points. Make sure the destination series name is valid.")
   }
 
+  test("derivative over duplicate timestamps yields IEEE inf/nan — test_select.py:516") {
+    val dir = Files.createTempDirectory("graft-eqts").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    api.runInsert(mapper.readTree(
+      """{"equal ts": [[1471254705, 0], [1471254705, 1], [1471254705, 1],
+        |[1471254707, 0], [1471254707, 1], [1471254708, 0]]}"""
+        .stripMargin.replaceAll("\n\\s*", "")), "iris")
+    // C double division by a zero ts-delta is inf/nan, never an error
+    val r = api.runQuery("select derivative() from 'equal ts'", 1L, "iris")
+    val vals = (0 until r.get("equal ts").size)
+      .map(i => r.get("equal ts").get(i).get(1).asText)
+    assert(vals === Seq("Infinity", "NaN", "-0.5", "Infinity", "-1.0"))
+  }
+
   test("insert validation with reference error strings — test_insert.py:97-140") {
     val dir = Files.createTempDirectory("graft-insval").toString
     val api = new graft.server.ApiCore(spark, dir)
