@@ -325,8 +325,12 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
         if (tryLit(")")) Seq(Left(Derivative(1.0)))
         else {
           val unit = parseTimeExpr()
+          if (unit == 0) // aggregate.c:384-388
+            err("Time-span must be an integer value larger than zero.")
           if (tryLit(",")) {
             val gb = parseTimeExpr(); expectLit(")")
+            if (gb == 0) // aggregate.c:397-404
+              err("Group by time must be an integer value larger than zero.")
             Seq(Left(Agg(DerivativeAgg(unit), Some(gb)))) // aggregate.c:370-411
           } else { expectLit(")"); Seq(Left(Derivative(unit.toDouble))) }
         }
@@ -396,8 +400,8 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     stages.foldLeft(Vector.empty[Stage]) {
       case (acc :+ Agg(fn, Some(gb), _), Right(ts)) =>
         acc :+ Agg(fn, Some(gb), ts % gb)
-      case (_, Right(_)) =>
-        err("offset() must follow an aggregation function with a time argument")
+      case (_, Right(_)) => // aggregate.c:225-229
+        err("Offset must be used after an aggregation method.")
       case (acc, Left(st)) => acc :+ st
     }
   }

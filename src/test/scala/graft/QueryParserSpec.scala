@@ -66,7 +66,17 @@ class QueryParserSpec extends AnyFunSuite {
         assert(chain.stages === Seq(Agg(Sum, Some(3600), 600)))
       case other => fail(other.toString)
     }
-    assertThrows[QueryError](parse("select offset(10m) from 'a'"))
+    assert(intercept[QueryError](parse("select offset(10m) from 'a'")).msg ===
+      "Offset must be used after an aggregation method.")
+    // zero time arguments use the reference's exact messages
+    assert(intercept[QueryError](parse("select derivative(0) from 'a'")).msg ===
+      "Time-span must be an integer value larger than zero.")
+    assert(intercept[QueryError](parse("select derivative(1h, 0) from 'a'")).msg ===
+      "Group by time must be an integer value larger than zero.")
+    assert(intercept[QueryError](parse("select sum(6 - 6) from 'a'")).msg ===
+      "Group by time must be an integer value larger than zero.")
+    assert(intercept[QueryError](parse("select limit(6 - 6, mean) from 'a'")).msg ===
+      "Limit must be an integer value larger than zero.")
   }
 
   test("select: head/tail/after/before ranges") {
