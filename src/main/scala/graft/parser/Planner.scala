@@ -616,9 +616,9 @@ object Planner {
       val n = matched.count()
       val total = env.catalogLive.count()
       val frac = if (total == 0) 0.0 else n.toDouble / total
-      if (!ignoreThreshold && frac > env.meta.dropThreshold)
+      if (!ignoreThreshold && n > 0 && frac >= env.meta.dropThreshold)
         throw QueryError(
-          f"This query would drop ${frac * 100}%.2f%% of the series. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
+          f"This query would drop ${frac * 100}%.2f%% of the series in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
       if (n > 0) env.meta.addDropped(matched)
       ok(env, s"Successfully dropped $n series.")
 
@@ -627,9 +627,10 @@ object Planner {
       // group-namespace collision check are siridb_tag_set_name
       // (tag.c:57-70,260-270)
       if (!untag && !env.meta.tagFrames.contains(tag)) {
+        if (env.meta.groups.contains(tag)) // enter_tag_series, listener.c:1718-1725
+          throw QueryError(
+            s"Cannot create tag `$tag` because a group with this name already exist.")
         graft.meta.Naming.checkTagName(tag)
-        if (env.meta.groups.contains(tag))
-          throw QueryError(s"Group '$tag' already exists.")
       }
       // membership stays distributed: hand the matched selection to
       // the metastore as a frame — no name list on the driver (same
@@ -693,6 +694,35 @@ object Planner {
           throw QueryError(s"Unknown time zone: '$value'. (see 'help timezones' for a list of valid time zones)")
         if (old == value)
           throw QueryError(s"Database 'graft' is already set to time-zone '$value'.")
+      }
+      // numeric config bounds with the reference's messages
+      // (exit_set_drop_threshold :4296-4307, exit_set_list_limit
+      // :4477-4487, exit_set_select_points_limit :4735-4745,
+      // exit_set_expiration_* :4370-4381)
+      if (prop == "drop_threshold") {
+        val v = value.toDouble
+        if (v < 0.0 || v > 1.0)
+          throw QueryError(
+            f"Drop threshold should be a value between or equal to 0 and 1.0 but got $v%.3f")
+      }
+      if (prop == "list_limit") {
+        val v = value.toLong
+        if (v < 1000L || v >= 4294967296L)
+          throw QueryError(
+            s"List limit should be a value greater than or equal to 1000 and smaller than 4294967296 but got $v")
+      }
+      if (prop == "select_points_limit") {
+        val v = value.toLong
+        if (v <= 0L || v >= 4294967296L)
+          throw QueryError(
+            s"Select points limit should be a value greater than 0 and smaller than 4294967296 but got $v")
+      }
+      if (prop == "expiration_num" || prop == "expiration_log") {
+        val v = value.toLong
+        val nowTs = System.currentTimeMillis() / 1000 * env.factor
+        if (v < 0L || v >= nowTs)
+          throw QueryError(
+            s"Shard expiration time should be a value greater than or equal to zero (0) and smaller than $nowTs but got $v")
       }
       if (prop == "tee") { // exit_set_tee (listener.c:4788-4860)
         if (value != "false") {
@@ -766,7 +796,7 @@ object Planner {
     // time-range shard deletion (exit_drop_shards, listener.c:3052-3152)
     // — only meaningful on a writable Ingest store, where shards are
     // physical directories
-    case DropShards(where, _) =>
+    case DropShards(where, ignoreThreshold) =>
       if (env.frames.isEmpty)
         throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
       val fs = new org.apache.hadoop.fs.Path(
@@ -801,6 +831,14 @@ object Planner {
             eval(w, sid, if (g == "log") env.durationLog else env.shardDuration)
           }
       }
+      // the same drop_threshold guard as series, on the shard fraction
+      // (exit_drop_shards, listener.c:3107-3125)
+      val shardFrac =
+        if (all.isEmpty) 0.0 else matching.size.toDouble / all.size
+      if (!ignoreThreshold && matching.nonEmpty &&
+          shardFrac >= env.meta.dropThreshold)
+        throw QueryError(
+          f"This query would drop ${shardFrac * 100}%.2f%% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
       matching.foreach { case (_, _, p) => fs.delete(p, true) }
       env.meta.storeGeneration.incrementAndGet() // invalidate cached frames
       ok(env, s"Successfully dropped ${matching.size} shards. (this number does not include replica shards)")

@@ -532,10 +532,11 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
       } else None
     val result = chains.result()
     // prefix/suffix must give every select column a unique name
-    // (listener.c:3992-3999)
+    // (siridb_presuf_is_unique, presuf.c:105-119; listener.c:3992-3999)
     if (result.size > 1 &&
         result.map(c => (c.prefix, c.suffix)).distinct.size != result.size)
-      err("When selecting multiple aggregations, add a prefix and/or suffix to make the series names unique")
+      err("When using multiple select methods, add a prefix " +
+        "and/or suffix to the selection to make them unique.")
     SelectStmt(result, sel, where, range, merge)
   }
 

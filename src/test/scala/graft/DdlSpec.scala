@@ -130,14 +130,22 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "show timezone") === Seq(Seq("timezone", "Europe/Amsterdam")))
   }
 
-  test("alter database set list_limit caps list output") {
+  test("alter database numeric bounds and list_limit capping") {
     val env = EngineEnv(spark, dir)
-    q(env, "alter database set list_limit 2")
-    assert(q(env, "list series").size === 2)
-    assert(q(env, "show list_limit") === Seq(Seq("list_limit", "2")))
+    // reference bounds with exact messages (listener.c:4296-4487,4735)
+    assert(intercept[QueryError](q(env, "alter database set list_limit 2")).msg
+      === "List limit should be a value greater than or equal to 1000 and smaller than 4294967296 but got 2")
+    assert(intercept[QueryError](
+      q(env, "alter database set drop_threshold 1.5")).msg ===
+      "Drop threshold should be a value between or equal to 0 and 1.0 but got 1.500")
+    assert(intercept[QueryError](
+      q(env, "alter database set select_points_limit 0")).msg.startsWith(
+      "Select points limit should be a value greater than 0"))
+    q(env, "alter database set list_limit 1000")
+    assert(q(env, "show list_limit") === Seq(Seq("list_limit", "1000")))
     // an explicit limit above list_limit errors (listener.c:1006-1023)
-    val e = intercept[QueryError](q(env, "list series limit 5"))
-    assert(e.msg.startsWith("Limit must be a value between 1 and 2"))
+    val e = intercept[QueryError](q(env, "list series limit 1001"))
+    assert(e.msg.startsWith("Limit must be a value between 1 and 1000"))
     assert(q(env, "list series limit 1").size === 1)
   }
 
@@ -243,7 +251,7 @@ class DdlSpec extends AnyFunSuite {
     assert(intercept[QueryError](q(env, "create group `tx` for /x/")).msg ===
       "Tag 'tx' already exists.")
     assert(intercept[QueryError](q(env, "alter series 'f.cpu.0' tag `gb`")).msg ===
-      "Group 'gb' already exists.")
+      "Cannot create tag `gb` because a group with this name already exist.")
     assert(intercept[QueryError](q(env, "alter tag `tx` set name \"gb\"")).msg ===
       "Group 'gb' already exists.")
     assert(msg(env, "alter tag `tx` set name \"ty\"") ===

@@ -96,8 +96,13 @@ class HttpApiSpec extends AnyFunSuite {
       val (_, p5) = post(s"$base/query/graft", """{"q": "count shards"}""")
       val (_, p6) = post(s"$base/query/graft", """{"q": "drop shards where sid < 0"}""")
       assert(p6.contains("Successfully dropped 0 shards"), p6)
+      // dropping every shard trips the drop_threshold guard exactly
+      // like drop series (listener.c:3107-3125)
       val (_, p7) = post(s"$base/query/graft", """{"q": "drop shards"}""")
-      assert(p7.contains("Successfully dropped"), p7)
+      assert(p7.contains("would drop 100.00% of the shards in pool 0"), p7)
+      val (_, p8) = post(s"$base/query/graft",
+        """{"q": "drop shards set ignore_threshold true"}""")
+      assert(p8.contains("Successfully dropped"), p8)
     } finally api.stop()
   }
 }
