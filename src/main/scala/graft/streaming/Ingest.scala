@@ -72,8 +72,25 @@ object Ingest {
     * of another type are coerced to it (int<->double casts, strings
     * parsed leniently), never rejected — so the catalog type can never
     * silently flip. */
+  /** One monitor per store: the catalog merge below is a
+    * read-modify-write (tmp + rename), so concurrent transport inserts
+    * must serialize per store exactly like the reference's libuv loop
+    * serializes inserts (clserver.c runs them on one thread). The
+    * streaming path is already serialized by foreachBatch; this guards
+    * the direct HTTP/TCP insert path. Point-file appends commute, so
+    * the lock costs nothing that matters: the catalog merge it guards
+    * is catalog-sized, not points-sized. */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long,
-      durationLog: Long = 86400L): Unit = {
+      durationLog: Long = 86400L): Unit =
+    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
+      appendBatchLocked(batch, storeDir, shardDuration, durationLog)
+    }
+
+  private def appendBatchLocked(batch: DataFrame, storeDir: String,
+      shardDuration: Long, durationLog: Long): Unit = {
     val spark = batch.sparkSession
     val withExtra = Seq("val_int" -> lit(0L), "val_str" -> lit(""))
       .foldLeft(batch) { case (df, (c, d)) =>

@@ -160,6 +160,33 @@ class IngestSpec extends AnyFunSuite {
     assert(dbls("double") === Seq(1.0, -35.0, -50.0, 0.0, 0.0))
   }
 
+  test("concurrent transport inserts serialize per store — test_insert.py:151-166") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-conc").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, dir)
+    // 8 concurrent inserts over overlapping series; the catalog merge
+    // is read-modify-write, so without per-store serialization counts
+    // would be lost
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        val node = mapper.createObjectNode()
+        (0 until 4).foreach { s =>
+          val arr = node.putArray(s"cpu-$s")
+          (0 until 5).foreach { k =>
+            val pt = arr.addArray(); pt.add(i * 1000 + k * 10); pt.add(i * 10 + k)
+          }
+        }
+        api.runInsert(node, "iris")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val cat = Ingest.catalog(spark, dir)
+    assert(cat.agg(org.apache.spark.sql.functions.sum("length")).head.getLong(0)
+      === 8L * 4 * 5)
+    assert(Ingest.points(spark, dir).count() === 8L * 4 * 5)
+  }
+
   test("out-of-order batches land, queries see everything, catalog upserts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
