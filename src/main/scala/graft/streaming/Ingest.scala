@@ -274,7 +274,15 @@ object Ingest {
     * series the way the reference's optimize drops their blocks.
     * Returns the number of compacted shards. */
   def compact(spark: SparkSession, storeDir: String, maxFiles: Int = 4,
-      dropped: Option[DataFrame] = None): Int = {
+      dropped: Option[DataFrame] = None): Int =
+    // shard rewrite (delete + rename) must not interleave with an
+    // append or expiry on the same store
+    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
+      compactLocked(spark, storeDir, maxFiles, dropped)
+    }
+
+  private def compactLocked(spark: SparkSession, storeDir: String,
+      maxFiles: Int, dropped: Option[DataFrame]): Int = {
     val fs = new Path(pointsPath(storeDir))
       .getFileSystem(spark.sessionState.newHadoopConf())
     val fragmented = shardDirs(spark, storeDir).filter { case (_, _, p) =>
@@ -306,7 +314,17 @@ object Ingest {
       now: Long, shardDuration: Long = 86400L, durationLog: Long = 86400L,
       /** which shard group the expiration applies to: expiration_num
         * expires numeric shards, expiration_log log shards (db.c). */
-      group: String = "num"): Int = {
+      group: String = "num"): Int =
+    // expiry deletes shard dirs and rebuilds the catalog — same
+    // read-modify-write as appendBatch, same per-store serialization
+    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
+      expireLocked(spark, storeDir, expiration, now, shardDuration,
+        durationLog, group)
+    }
+
+  private def expireLocked(spark: SparkSession, storeDir: String,
+      expiration: Long, now: Long, shardDuration: Long,
+      durationLog: Long, group: String): Int = {
     val duration = if (group == "log") durationLog else shardDuration
     val cutoffShard = (now - expiration) / duration
     val fs = new Path(pointsPath(storeDir))
