@@ -34,10 +34,13 @@ object Ann {
     * lambda evaluation of higher-order functions, which dominates the
     * scoring stage at dim multiply-adds per candidate. */
   private val dotUdf = udf { (q: Seq[Double], v: Seq[Double]) =>
-    val qa = q.toArray; val va = v.toArray
-    var s = 0.0; var i = 0
-    while (i < qa.length) { s += qa(i) * va(i); i += 1 }
-    s
+    if (q == null || v == null) null.asInstanceOf[java.lang.Double]
+    else { // null embeddings propagate null (dropped by every sim compare)
+      val qa = q.toArray; val va = v.toArray
+      var s = 0.0; var i = 0
+      while (i < qa.length) { s += qa(i) * va(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    }
   }
   private def dotCol = dotUdf(col("qv"), col("v"))
 
@@ -181,6 +184,8 @@ object Ann {
     // fold order, so the sign bits are bit-identical.
     val nTables = tables; val nBits = bits
     val sigUdf = udf { (v: Seq[Double]) =>
+      if (v == null) null // no signatures → posexplode drops the row
+      else {
       val a = v.toArray
       val res = new Array[Long](nTables)
       var t = 0
@@ -199,6 +204,7 @@ object Ann {
         t += 1
       }
       res
+      }
     }
     def sigs(df: DataFrame) = df
       .select(col("*"), posexplode(sigUdf(col("v"))).as(Seq("t", "sig")))

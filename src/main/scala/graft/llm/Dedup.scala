@@ -66,7 +66,9 @@ object Dedup {
     * interpreted higher-order-function evaluations (this narrow stage
     * is the floor of every dedup operator's runtime). */
   private def shingleUdf(n: Int) = udf { (text: String) =>
-    val w = text.trim.split("\\s+")
+    // null text documents emit no shingles (the SQL formulation
+    // propagated null through split and filtered the row)
+    val w = if (text == null) Array.empty[String] else text.trim.split("\\s+")
     if (w.length < n) Array.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String](w.length * 2)
@@ -160,21 +162,21 @@ object Dedup {
       bands: Int = 32, theta: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    // hash each shingle string ONCE; the hash family then works over
-    // that long (seeded re-hash), so the signature is one aggregation
-    // with numHashes min() buffers — no row explosion, map-side
-    // combine keeps the shuffle at #docs rows. The shingle frame is
-    // persisted because three consumers need it (signature pass +
-    // both sides of the verify join) — shingling is the expensive
-    // narrow stage and must not recompute per consumer.
+    // hash each shingle string ONCE; the affine-permutation family in
+    // MinHashSig then works over that long, so the signature is one
+    // aggregation with numHashes min() buffers — no row explosion,
+    // map-side combine keeps the shuffle at #docs rows. The shingle
+    // frame is persisted because three consumers need it (signature
+    // pass + both sides of the verify join) — shingling is the
+    // expensive narrow stage and must not recompute per consumer.
     val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc distinct-shingle counts ride the same aggregation as the
     // signature instead of a second pass over the shingles. The
     // signature itself is ONE array-buffered typed aggregate (a tight
     // numHashes-wide min loop) instead of numHashes separate min()
-    // buffers whose generated update code bloats at 128 columns; the
-    // hash family is bit-identical to xxhash64(h0, j).
+    // buffers whose generated update code bloats at 128 columns; see
+    // MinHashSig for the affine-permutation hash family.
     val sigAgg = udaf(new MinHashSig(numHashes))
     val sig = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"), sigAgg(col("h0")).as("sig"))

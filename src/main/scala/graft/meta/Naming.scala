@@ -11,19 +11,24 @@ import graft.parser.QueryError
   */
 object Naming {
 
+  /** The reference validates with strlen — UTF-8 BYTES, not UTF-16
+    * chars; multibyte names must count the same way. */
+  private def bytes(s: String): Int =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+
   /** group.c:81-95 (SIRIDB_MIN_GROUP_LEN=1, MAX=255). */
   def checkGroupName(name: String): Unit = {
-    if (name.length < 1)
+    if (bytes(name) < 1)
       throw QueryError("Group name should be at least 1 characters.")
-    if (name.length > 255)
+    if (bytes(name) > 255)
       throw QueryError("Group name should be at most 255 characters.")
   }
 
   /** tag.c:57-67 (SIRIDB_MIN_TAG_LEN=1, MAX=255). */
   def checkTagName(name: String): Unit = {
-    if (name.length < 1)
+    if (bytes(name) < 1)
       throw QueryError("Tag name should be at least 1 characters.")
-    if (name.length > 255)
+    if (bytes(name) > 255)
       throw QueryError("Tag name should be at most 255 characters.")
   }
 
@@ -31,9 +36,9 @@ object Naming {
     * graphical — printable ASCII, no spaces). The too-long branch
     * really does say "at least" in the reference (user.c:155). */
   def checkUserName(name: String): Unit = {
-    if (name.length < 2)
+    if (bytes(name) < 2)
       throw QueryError("User name should be at least 2 characters.")
-    if (name.length > 60)
+    if (bytes(name) > 60)
       throw QueryError("User name should be at least 60 characters.")
     if (!name.forall(c => c > 0x20 && c < 0x7f))
       throw QueryError(
@@ -43,9 +48,9 @@ object Naming {
 
   /** user.c:83-101 (SIRIDB_MIN_PASSWORD_LEN=4, MAX=128). */
   def checkPassword(pw: String): Unit = {
-    if (pw.length < 4)
+    if (bytes(pw) < 4)
       throw QueryError("Password should be at least 4 characters.")
-    if (pw.length > 128)
+    if (bytes(pw) > 128)
       throw QueryError("Password should be at most 128 characters.")
   }
 

@@ -301,9 +301,12 @@ object Planner {
   /** Decide the typed base frame for a selection — the engine analog
     * of the reference's per-series type dispatch. Metadata-sized
     * collect: at most 3 distinct type values. */
-  private def baseFrame(sel: Sel, where: Option[Cexpr], env: EngineEnv): DataFrame = {
-    val types = selCatalog(Some(sel), where, env)
-      .select(col("type")).distinct().collect().map(_.getString(0)).toSet
+  private def baseFrame(sel: Sel, where: Option[Cexpr], env: EngineEnv,
+      knownTypes: Option[Set[String]] = None): DataFrame = {
+    // one metadata-sized type collect per query — the caller passes
+    // the set it already computed
+    val types = knownTypes.getOrElse(selCatalog(Some(sel), where, env)
+      .select(col("type")).distinct().collect().map(_.getString(0)).toSet)
     val frame =
       if (types == Set("integer")) env.pointsI
       else if (types == Set("float")) env.pointsF
@@ -330,31 +333,33 @@ object Planner {
     val fams = Seq(
       "integer" -> env.pointsI, "float" -> env.pointsF,
       "string" -> env.pointsS).filter(f => types.contains(f._1))
-    val outs = for {
-      (tpName, frame) <- fams
-      c <- chains
-    } yield {
-      // per-family type checks — exactly the errors the reference
-      // raises per series (aggregate.c "Cannot use ... on string type.")
-      if (tpName == "string") checkStringOk(c.stages)
-      else checkNumericOk(c.stages)
+    val catSel = selCatalog(Some(sel), where, env)
+      .select(col("series"), col("type"))
+    val outs = fams.flatMap { case (tpName, frame) =>
       val restricted = SeriesMatch.select(frame, sel, env.matchEnv)
-        .join(selCatalog(Some(sel), where, env)
-            .where(col("type") === tpName).select(col("series")),
+        .join(catSel.where(col("type") === tpName).select(col("series")),
           Seq("series"), "left_semi")
-      val piped = Pipeline(restricted, range.toSeq ++ c.stages, keepPid)
-      val named =
-        if (c.prefix.nonEmpty || c.suffix.nonEmpty)
-          piped.withColumn("series",
-            concat(lit(c.prefix), col("series"), lit(c.suffix)))
-        else piped
-      val outTp = named.schema("val").dataType match {
-        case LongType => "integer"
-        case DoubleType => "float"
-        case _ => "string"
+      // chains share one scan per family, like the single-type path
+      val base = if (chains.size > 1) restricted.cache() else restricted
+      chains.map { c =>
+        // per-family type checks — exactly the errors the reference
+        // raises per series (aggregate.c "Cannot use ... on string type.")
+        if (tpName == "string") checkStringOk(c.stages)
+        else checkNumericOk(c.stages)
+        val piped = Pipeline(base, range.toSeq ++ c.stages, keepPid)
+        val named =
+          if (c.prefix.nonEmpty || c.suffix.nonEmpty)
+            piped.withColumn("series",
+              concat(lit(c.prefix), col("series"), lit(c.suffix)))
+          else piped
+        val outTp = named.schema("val").dataType match {
+          case LongType => "integer"
+          case DoubleType => "float"
+          case _ => "string"
+        }
+        named.withColumn("tp", lit(outTp))
+          .withColumn("val", col("val").cast("string"))
       }
-      named.withColumn("tp", lit(outTp))
-        .withColumn("val", col("val").cast("string"))
     }
     val anyPid = outs.exists(_.columns.contains("pid"))
     val unified = if (!anyPid) outs else outs.map { o =>
@@ -618,7 +623,9 @@ object Planner {
       val frac = if (total == 0) 0.0 else n.toDouble / total
       if (!ignoreThreshold && n > 0 && frac >= env.meta.dropThreshold)
         throw QueryError(
-          f"This query would drop ${frac * 100}%.2f%% of the series in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
+          String.format(java.util.Locale.ROOT,
+            "This query would drop %.2f%% of the series in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.",
+            Double.box(frac * 100)))
       if (n > 0) env.meta.addDropped(matched)
       ok(env, s"Successfully dropped $n series.")
 
@@ -703,7 +710,9 @@ object Planner {
         val v = value.toDouble
         if (v < 0.0 || v > 1.0)
           throw QueryError(
-            f"Drop threshold should be a value between or equal to 0 and 1.0 but got $v%.3f")
+            String.format(java.util.Locale.ROOT,
+              "Drop threshold should be a value between or equal to 0 and 1.0 but got %.3f",
+              Double.box(v)))
       }
       if (prop == "list_limit") {
         val v = value.toLong
@@ -838,8 +847,14 @@ object Planner {
       if (!ignoreThreshold && matching.nonEmpty &&
           shardFrac >= env.meta.dropThreshold)
         throw QueryError(
-          f"This query would drop ${shardFrac * 100}%.2f%% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
-      matching.foreach { case (_, _, p) => fs.delete(p, true) }
+          String.format(java.util.Locale.ROOT,
+            "This query would drop %.2f%% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.",
+            Double.box(shardFrac * 100)))
+      // shard deletion must not interleave with an insert's in-flight
+      // parquet write into the same directories
+      graft.streaming.Ingest.withStoreLock(env.dir) {
+        matching.foreach { case (_, _, p) => fs.delete(p, true) }
+      }
       env.meta.storeGeneration.incrementAndGet() // invalidate cached frames
       ok(env, s"Successfully dropped ${matching.size} shards. (this number does not include replica shards)")
 
@@ -908,7 +923,7 @@ object Planner {
         // select) — run the chains per type family and tag rows so the
         // encoder emits the right JSON type per point
         return mixedSelect(chains, sel, where, range, selTypes, envForScan, keepPid)
-      val base0 = baseFrame(sel, where, envForScan)
+      val base0 = baseFrame(sel, where, envForScan, Some(selTypes))
       val stringSeries = isStringFrame(base0)
       // multiple chains share one scan — the reference's points_map
       // cache (listener.c:5626-5658)
@@ -939,11 +954,21 @@ object Planner {
             else o
           }
       }
-      // unify value types across chains (count->int vs mean->float)
-      val needDouble = outs.exists(_.schema("val").dataType == DoubleType) &&
-        outs.exists(_.schema("val").dataType == LongType)
-      val unified0 = if (needDouble)
-        outs.map(o => o.withColumn("val", col("val").cast("double")))
+      // chains with different value types (count → int vs mean →
+      // float) keep each chain's OWN type like the reference — tag
+      // rows for the transport encoder instead of promoting longs to
+      // doubles (same per-row tp mechanism as mixedSelect)
+      val mixedOut = outs.map(_.schema("val").dataType).distinct.size > 1
+      val unified0 = if (mixedOut)
+        outs.map { o =>
+          val outTp = o.schema("val").dataType match {
+            case LongType => "integer"
+            case DoubleType => "float"
+            case _ => "string"
+          }
+          o.withColumn("tp", lit(outTp))
+            .withColumn("val", col("val").cast("string"))
+        }
       else outs
       // unify pid presence across chains (aggregated chains lost it)
       val anyPid = unified0.exists(_.columns.contains("pid"))

@@ -852,8 +852,10 @@ object QueryParser {
     * database timezone applied to ISO8601 date strings. */
   def parse(q: String, now: Long = System.currentTimeMillis() / 1000,
       factor: Long = 1L, tz: String = "NAIVE"): Statement = {
-    // MAX_QUERY_PKG_SIZE (clserver.c:41,454-468)
-    if (q.length > 65535) throw QueryError("Query too long.")
+    // MAX_QUERY_PKG_SIZE (clserver.c:41,454-468) — the reference
+    // measures the package in BYTES
+    if (q.getBytes(java.nio.charset.StandardCharsets.UTF_8).length > 65535)
+      throw QueryError("Query too long.")
     new QueryParser(q, now, factor, tz).parse()
   }
 }

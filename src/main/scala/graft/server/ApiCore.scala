@@ -246,7 +246,8 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     val points = Vector.newBuilder[Ingest.PointIn]
     var pid = System.nanoTime() // monotonic-enough insertion ids
     def addSeries(name: String, pts: JsonNode): Unit = {
-      if (name.isEmpty || name.length >= 65535)
+      if (name.isEmpty ||
+          name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length >= 65535)
         throw QueryError(
           "Expecting a series name (string value) with an array of points " +
             "where each point should be an integer time-stamp with a value.")
@@ -261,6 +262,8 @@ final class ApiCore(spark: SparkSession, storeDir: String,
               "where each point should be an integer time-stamp with a value.")
         if (!pt.get(0).isIntegralNumber)
           throw QueryError("Expecting an integer value as time-stamp.")
+        if (!pt.get(0).canConvertToLong) // BigInteger beyond int64 must not wrap
+          throw QueryError("Received at least one time-stamp which is out-of-range.")
         val ts = pt.get(0).asLong()
         if (ts < 0)
           throw QueryError("Received at least one time-stamp which is out-of-range.")

@@ -83,9 +83,15 @@ object Ingest {
   private val storeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Run `f` under the store's mutation monitor — every writer of the
+    * point/catalog files (appendBatch, compact, expire, the planner's
+    * drop shards) must serialize through here. */
+  def withStoreLock[A](storeDir: String)(f: => A): A =
+    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized(f)
+
   def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long,
       durationLog: Long = 86400L): Unit =
-    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
+    withStoreLock(storeDir) {
       appendBatchLocked(batch, storeDir, shardDuration, durationLog)
     }
 
@@ -277,7 +283,7 @@ object Ingest {
       dropped: Option[DataFrame] = None): Int =
     // shard rewrite (delete + rename) must not interleave with an
     // append or expiry on the same store
-    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
+    withStoreLock(storeDir) {
       compactLocked(spark, storeDir, maxFiles, dropped)
     }
 
@@ -317,7 +323,7 @@ object Ingest {
       group: String = "num"): Int =
     // expiry deletes shard dirs and rebuilds the catalog — same
     // read-modify-write as appendBatch, same per-store serialization
-    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
+    withStoreLock(storeDir) {
       expireLocked(spark, storeDir, expiration, now, shardDuration,
         durationLog, group)
     }

@@ -286,6 +286,14 @@ class GoldenSliceSpec extends AnyFunSuite {
         """select * from "string", "integer" merge as "m" using sum(1d)""",
         1L, "iris"))
     assert(m.msg === "Cannot merge string and number series.")
+    // chains of different output types each keep their own type:
+    // count stays an integer even unioned with a float-valued mean
+    val cm = api.runQuery(
+      """select count() prefix "c-", mean() prefix "m-" from "integer"""",
+      1L, "iris")
+    assert(cm.get("c-integer").get(0).get(1).isIntegralNumber)
+    assert(cm.get("c-integer").get(0).get(1).asLong === 7L)
+    assert(cm.get("m-integer").get(0).get(1).isFloatingPointNumber)
   }
 
   test("prefixed per-chain merge golden — test_select.py:505-514") {
