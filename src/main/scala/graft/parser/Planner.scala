@@ -113,6 +113,27 @@ object Planner {
       c
     })
 
+  /** Per-query shared-scan caches (multi-chain selects cache the
+    * selected points once for N chains, listener.c's points_map). A
+    * long-lived server must release them once the response is
+    * materialized, or distinct query shapes accumulate cache entries
+    * forever — the transport drains this after encoding. Thread-local:
+    * each request plans and collects on one thread. */
+  private val queryCaches =
+    ThreadLocal.withInitial[List[DataFrame]](() => Nil)
+
+  private def registerQueryCache(df: DataFrame): DataFrame = {
+    queryCaches.set(df :: queryCaches.get())
+    df
+  }
+
+  /** Unpersist every cache registered by queries planned on this
+    * thread since the last drain. Call AFTER the result is collected. */
+  def drainQueryCaches(): Unit = {
+    queryCaches.get().foreach(_.unpersist(blocking = false))
+    queryCaches.set(Nil)
+  }
+
   /** Props usable in `where` on series → catalog columns
     * (siridb_series_cexpr_cb, src/siri/db/series.c:85-112). */
   private def propCol(prop: String, env: EngineEnv): Column = prop match {
@@ -340,7 +361,9 @@ object Planner {
         .join(catSel.where(col("type") === tpName).select(col("series")),
           Seq("series"), "left_semi")
       // chains share one scan per family, like the single-type path
-      val base = if (chains.size > 1) restricted.cache() else restricted
+      val base =
+        if (chains.size > 1) registerQueryCache(restricted.cache())
+        else restricted
       chains.map { c =>
         // per-family type checks — exactly the errors the reference
         // raises per series (aggregate.c "Cannot use ... on string type.")
@@ -927,7 +950,8 @@ object Planner {
       val stringSeries = isStringFrame(base0)
       // multiple chains share one scan — the reference's points_map
       // cache (listener.c:5626-5658)
-      val base = if (chains.size > 1) base0.cache() else base0
+      val base =
+        if (chains.size > 1) registerQueryCache(base0.cache()) else base0
       val piped = chains.map { c =>
         if (stringSeries) checkStringOk(c.stages) else checkNumericOk(c.stages)
         (c, Pipeline(base, range.toSeq ++ c.stages, keepPid))

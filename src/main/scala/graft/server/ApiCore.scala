@@ -122,7 +122,14 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * metadata queries the {columns, rows} table encoding, timeit wraps
     * with __timeit__ (listener.c:5026-5064). Throws QueryError /
     * AccessError for the transports to map. */
-  def runQuery(q: String, tsFactor: Long, user: String): JsonNode = {
+  def runQuery(q: String, tsFactor: Long, user: String): JsonNode =
+    // release the query's shared-scan caches (multi-chain selects)
+    // once the response is materialized — a long-lived server must not
+    // accumulate one cache entry per distinct query shape
+    try runQueryInner(q, tsFactor, user)
+    finally Planner.drainQueryCaches()
+
+  private def runQueryInner(q: String, tsFactor: Long, user: String): JsonNode = {
     val t0 = System.nanoTime()
     val stmt = QueryParser.parse(q,
       tz = meta.config.getOrElse("timezone", "NAIVE"))

@@ -368,6 +368,25 @@ class GoldenSliceSpec extends AnyFunSuite {
     assert(vals === Seq("Infinity", "NaN", "-0.5", "Infinity", "-1.0"))
   }
 
+  test("multi-chain query caches are released after the response") {
+    val dir = Files.createTempDirectory("graft-cachedrain").toString
+    val api = new graft.server.ApiCore(spark, dir)
+    api.runInsert(mapper.readTree("""{"aggr": [[100, 1], [200, 2]]}"""), "iris")
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    // warm up any lazily-created shared state, then every further
+    // distinct multi-chain shape must not add a lasting cache entry
+    api.runQuery("select count() prefix 'w-', mean() prefix 'wm-' from 'aggr'",
+      1L, "iris")
+    val base = persisted()
+    (1 to 3).foreach { i =>
+      api.runQuery(
+        s"select count() prefix 'c$i-', mean() prefix 'm$i-' from 'aggr'",
+        1L, "iris")
+    }
+    assert(persisted() <= base,
+      s"query caches leaked: $base -> ${persisted()}")
+  }
+
   test("insert validation with reference error strings — test_insert.py:97-140") {
     val dir = Files.createTempDirectory("graft-insval").toString
     val api = new graft.server.ApiCore(spark, dir)
