@@ -48,7 +48,7 @@ object Bench {
           System.err.println(s"BENCH FAILURE in $name: $e")
           e.printStackTrace()
           failed ::= name
-      }
+      } finally graft.parser.Planner.drainQueryCaches()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -56,6 +56,10 @@ object Ann {
     * (sim desc, vec_id asc tie-break). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val local = scored
+      // null sims (null embeddings propagate null through dotUdf) must
+      // be dropped here — array_sort/orderBy rank nulls FIRST, so an
+      // unfiltered null candidate would displace every true neighbor
+      .where(col("sim").isNotNull)
       .select(col("query_id"), col("sim"), col("vec_id"))
       .groupBy(col("query_id"), spark_partition_id().as("part"))
       .agg(expr(

@@ -965,7 +965,8 @@ object Planner {
           // an empty destination is the reference's merge error
           piped.map { case (c, o) =>
             val dest = c.prefix + name + c.suffix
-            if (dest.isEmpty || dest.length >= 65535)
+            if (dest.isEmpty || dest
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8).length >= 65535)
               throw QueryError("Error while merging points. Make sure the " +
                 "destination series name is valid.")
             Pipeline.merge(o, dest, using, keepPid)

@@ -275,6 +275,11 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         if (ts < 0)
           throw QueryError("Received at least one time-stamp which is out-of-range.")
         val v = pt.get(1)
+        if (v.isIntegralNumber && !v.canConvertToLong)
+          // a JSON BigInteger beyond int64 has no wire representation
+          // (qpack tops out at int64) — reject, never wrap
+          throw QueryError("Unsupported value received. (only integer, " +
+            "float and string values are supported).")
         val tp = if (v.isIntegralNumber) "integer"
           else if (v.isNumber) "float"
           else if (v.isTextual) "string" // "log" series (points.h:9-14)
