@@ -37,6 +37,22 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("null embeddings are dropped, never ranked first") {
+    // a null-embedding row used to produce a null sim that array_sort
+    // and the ranking window order FIRST, displacing true neighbors
+    val withNull = corpus.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    val top = Ann.cosineTopK(withNull, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.length === 30)
+    assert(!top.exists(_._3 == 999L), "null-embedding row ranked as a neighbor")
+    // result identical to the clean corpus
+    val clean = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === clean.toSeq)
+  }
+
   test("LSH top-k recall@5 >= 0.6 vs brute force") {
     val exact = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
