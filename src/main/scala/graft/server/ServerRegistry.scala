@@ -128,7 +128,33 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
           case None => (true, err("expecting a 'dbname' field"))
         }
       case "new-pool" | "new-replica" =>
-        (true, err(s"'$request' is a cluster-membership request; data placement is handled by the execution engine"))
+        // cluster-membership requests (SERVICE_on_new_replica_or_pool,
+        // service/request.c:830-900): the reference joins a remote
+        // cluster and starts hosting the database. In a Spark-native
+        // engine data placement belongs to the execution engine, so
+        // "joining" reduces to hosting the database locally; the wire
+        // contract (required fields, port validation, bare "OK") is
+        // preserved (test_http_api.py:83-90 asserts x.json() == 'OK').
+        val required = Seq("dbname", "host", "port", "username", "password") ++
+          (if (request == "new-replica") Seq("pool") else Nil)
+        if (required.exists(k => field(k).isEmpty))
+          (true, err("invalid service request: missing fields"))
+        else {
+          val port = field("port").get
+          val pn = scala.util.Try(port.toLong).getOrElse(-1L)
+          if (pn < 1 || pn > 65535)
+            (true, err(s"invalid port number: $port " +
+              "(expecting a value between 0 and 65536)"))
+          else {
+            val name = field("dbname").get
+            if (!dbs.contains(name)) {
+              val dir = root.resolve(s"graft-db-$name")
+              Files.createDirectories(dir)
+              dbs.put(name, new ApiCore(spark, dir.toString, name))
+            }
+            (false, mapper.getNodeFactory.textNode("OK"))
+          }
+        }
       case other =>
         (true, err(s"unknown service request '$other'"))
     }

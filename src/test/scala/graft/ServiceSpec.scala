@@ -245,7 +245,19 @@ class ServiceSpec extends AnyFunSuite {
       assert(post(s"$base/drop-database", """{"dbname": "metrics"}""")._1 === 200)
       assert(post(s"$base/query/metrics", """{"q": "1"}""")._1 === 404)
       // pool/replica are engine-owned placement → service error
+      // new-pool joins by hosting the database locally and answers the
+      // reference's bare "OK" (test_http_api.py:83-90); missing fields
+      // and bad ports are rejected like request.c:855-878
       assert(post(s"$base/new-pool", """{"dbname": "graft"}""")._1 === 400)
+      val (pc2, pb2) = post(s"$base/new-pool",
+        """{"dbname": "pooled", "host": "localhost", "port": 99999,
+          |"username": "iris", "password": "siri"}""".stripMargin)
+      assert(pc2 === 400 && pb2.contains("invalid port number: 99999"))
+      val (pc3, pb3) = post(s"$base/new-pool",
+        """{"dbname": "pooled", "host": "localhost", "port": 9000,
+          |"username": "iris", "password": "siri"}""".stripMargin)
+      assert(pc3 === 200 && pb3 === "\"OK\"")
+      assert(post(s"$base/get-databases", "{}")._2.contains("pooled"))
     } finally api.stop()
   }
 }
