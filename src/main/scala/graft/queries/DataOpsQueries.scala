@@ -184,10 +184,59 @@ object DataOpsQueries {
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.cosinePairs(emb(s, d), theta = 0.45))
     },
-    Entry.weak("ann_lsh_topk") { // approximate; recall pinned by AnnSpec
+    // approximate search, but fully deterministic: the hyperplanes are
+    // md5-derived (Ann.md5Plane) and the signature dot is a sequential
+    // fold that DuckDB's list_sum reproduces bit-for-bit, so the
+    // oracle recomputes the EXACT signatures, buckets, candidates and
+    // ranks. Recall vs exact search is additionally pinned by AnnSpec.
+    Entry("ann_lsh_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |pj0 AS (SELECT unnest(range(64 * (SELECT len(v) FROM n LIMIT 1))) AS j),
+        |pj AS (SELECT j, CAST(list_sum(list_transform(range(13), k ->
+        |         CAST(strpos('0123456789abcdef', substring(md5('plane:' || CAST(j AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |           << (4*(12-k)))) AS BIGINT) / 2251799813685248.0 - 1.0 AS p
+        |       FROM pj0),
+        |pl AS (SELECT list(p ORDER BY j) AS pls FROM pj),
+        |sg AS (SELECT vec_id, t,
+        |        list_sum(list_transform(range(4), b ->
+        |          CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |            v[i] * pls[(t * 4 + b) * len(v) + i])) >= 0 THEN 1 << (3 - b) ELSE 0 END)) AS sig
+        |       FROM n, pl, range(16) tt(t)),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+        |         FROM sg q JOIN sg c ON q.t = c.t AND q.sig = c.sig
+        |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |sc AS (SELECT ca.query_id, ca.vec_id,
+        |        round(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cn.v[i])) / (qn.nrm * cn.nrm), 9) AS sim
+        |       FROM cand ca JOIN n qn ON qn.vec_id = ca.query_id JOIN n cn ON cn.vec_id = ca.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id
+        |FROM sc QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.lshTopK(emb(s, d), nQueries = 10, k = 5))
     },
-    Entry.weak("ann_ivf_topk") { // approximate; recall pinned by AnnSpec
+    // IVF is deterministic end to end: centroids are per-cell means of
+    // the label quantizer, probe selection uses round-9 sims with a
+    // (csim desc, cell asc) tie-break, scoring is exact — every step
+    // DuckDB-expressible, mirroring the ann_cosine_topk oracle.
+    Entry("ann_ivf_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label AS cell FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, cell, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cp AS (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM n),
+        |cpa AS (SELECT cell, pos, avg(x) AS cx FROM cp GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM cpa GROUP BY 1),
+        |cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cent),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |pr AS (SELECT query_id, qv, qn, cell,
+        |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) / (qn * cnrm), 9) AS csim
+        |       FROM q, cn),
+        |probes AS (SELECT query_id, qv, qn, cell FROM pr
+        |           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) <= 3),
+        |sc AS (SELECT p.query_id, n.vec_id,
+        |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * n.v[i])) / (qn * n.nrm), 9) AS sim
+        |       FROM probes p JOIN n ON n.cell = p.cell AND n.vec_id <> p.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id
+        |FROM sc QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.ivfTopK(emb(s, d), nQueries = 10, k = 5))
     },
 

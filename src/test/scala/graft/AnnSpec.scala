@@ -72,6 +72,29 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("recall on the shipped sf0.01 embeddings (real distribution, default sizing)") {
+    // the synthetic 6-cluster corpus above validates the mechanism;
+    // this pins recall on the ACTUAL embeddings table the driver
+    // ships — the distribution the bits/tables and nprobe defaults
+    // are sized for (see the sizing note on Ann.lshTopK)
+    val path = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(path).exists(), s"$path not present")
+    val emb = spark.read.parquet(path)
+    val exact = Ann.cosineTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.lshTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshRecall = (exact intersect lsh).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"sf0.01 recall@5: lsh=$lshRecall ivf=$ivfRecall")
+    // measured: lsh=0.90, ivf=0.42 (near-random labels make IVF hover
+    // just above its nprobe/nlist=0.3 floor — expected, see ivfTopK doc)
+    assert(lshRecall >= 0.8, s"lsh recall=$lshRecall")
+    assert(ivfRecall >= 0.35, s"ivf recall=$ivfRecall")
+  }
+
   test("cosine pairs: blocked variant finds the same high-sim pairs as exact") {
     val exact = Ann.cosinePairs(corpus, theta = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
