@@ -15,8 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache: `spark.read.parquet` runs a footer/
+    * listing job per call, so a fresh EngineEnv per request would pay
+    * that job on EVERY query. The driver tables are immutable for a
+    * session's lifetime (mutable Ingest stores do not read through
+    * here), so the resolved DataFrame — logical plan + file index —
+    * is safely shared. */
+  private val relations = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relations.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

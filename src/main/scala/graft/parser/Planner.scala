@@ -132,7 +132,24 @@ object Planner {
   def drainQueryCaches(): Unit = {
     queryCaches.get().foreach(_.unpersist(blocking = false))
     queryCaches.set(Nil)
+    selInfoMemo.get().clear()
   }
+
+  /** Per-thread memo of the ONE catalog collect a select needs: the
+    * type set (plan dispatch) and the output name list (response
+    * encoding) both derive from the same response-bounded
+    * (series, type) projection, so a select costs one catalog job,
+    * not two (types at plan time + names at encode time). Keyed by
+    * the selection AST (a request targets one database and runs on
+    * one thread); cleared with the query caches after each response. */
+  private val selInfoMemo = ThreadLocal.withInitial(
+    () => scala.collection.mutable.Map.empty[(Sel, Option[Cexpr]), Array[(String, String)]])
+
+  private def selInfo(sel: Sel, where: Option[Cexpr],
+      env: EngineEnv): Array[(String, String)] =
+    selInfoMemo.get().getOrElseUpdate((sel, where),
+      selCatalog(Some(sel), where, env).select(col("series"), col("type"))
+        .collect().map(r => (r.getString(0), r.getString(1))))
 
   /** Props usable in `where` on series → catalog columns
     * (siridb_series_cexpr_cb, src/siri/db/series.c:85-112). */
@@ -300,8 +317,8 @@ object Planner {
     case Some(m) => // one merged series per chain, presuf'd (listener.c:4008)
       stmt.chains.map(c => c.prefix + m.name + c.suffix).distinct
     case None =>
-      val base = selCatalog(Some(stmt.sel), stmt.where, env)
-        .select(col("series")).collect().map(_.getString(0)).toSeq.sorted
+      // shares the plan-time catalog collect via the selInfo memo
+      val base = selInfo(stmt.sel, stmt.where, env).map(_._1).toSeq.sorted
       stmt.chains.flatMap(c => base.map(n => c.prefix + n + c.suffix)).distinct
   }
 
@@ -323,11 +340,7 @@ object Planner {
     * of the reference's per-series type dispatch. Metadata-sized
     * collect: at most 3 distinct type values. */
   private def baseFrame(sel: Sel, where: Option[Cexpr], env: EngineEnv,
-      knownTypes: Option[Set[String]] = None): DataFrame = {
-    // one metadata-sized type collect per query — the caller passes
-    // the set it already computed
-    val types = knownTypes.getOrElse(selCatalog(Some(sel), where, env)
-      .select(col("type")).distinct().collect().map(_.getString(0)).toSet)
+      types: Set[String]): DataFrame = {
     val frame =
       if (types == Set("integer")) env.pointsI
       else if (types == Set("float")) env.pointsF
@@ -903,8 +916,7 @@ object Planner {
         sel, where, None, None)
         if (fn == First || fn == Last) && env.catalog.columns.contains("first_val") =>
       val cat = selCatalog(Some(sel), where, env)
-      val types = cat.select(col("type")).distinct().collect()
-        .map(_.getString(0)).toSet
+      val types = selInfo(sel, where, env).map(_._2).toSet
       val (tsCol, vCol) =
         if (fn == First) (col("start"), col("first_val"))
         else (col("end"), col("last_val"))
@@ -935,8 +947,9 @@ object Planner {
           env.copy(frames = Some(env.rangedFrames.get(a, b)))
         case _ => env
       }
-      val selTypes = selCatalog(Some(sel), where, envForScan)
-        .select(col("type")).distinct().collect().map(_.getString(0)).toSet
+      // the memoized collect also serves selectNames at encode time —
+      // one catalog job per select, total (pinned by PlanSpec)
+      val selTypes = selInfo(sel, where, envForScan).map(_._2).toSet
       if (selTypes.contains("string") && selTypes.size > 1 && merge.isDefined)
         throw QueryError("Cannot merge string and number series.") // points.c:372
       if (selTypes.size > 1 && merge.isEmpty)
@@ -946,7 +959,7 @@ object Planner {
         // select) — run the chains per type family and tag rows so the
         // encoder emits the right JSON type per point
         return mixedSelect(chains, sel, where, range, selTypes, envForScan, keepPid)
-      val base0 = baseFrame(sel, where, envForScan, Some(selTypes))
+      val base0 = baseFrame(sel, where, envForScan, selTypes)
       val stringSeries = isStringFrame(base0)
       // multiple chains share one scan — the reference's points_map
       // cache (listener.c:5626-5658)

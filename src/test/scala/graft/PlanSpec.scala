@@ -48,6 +48,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(df).contains("InMemoryTableScan"), plan(df))
   }
 
+  test("a select costs exactly one catalog job (plan types + encode names)") {
+    // plan-time type dispatch and encode-time output names both come
+    // from ONE memoized (series, type) collect — a second catalog job
+    // per select was pure overhead the reference never pays
+    val env = EngineEnv(spark, dir)
+    // warm the persisted catalog + parquet footers outside the count
+    Planner.query("select count() from /^f\\..*/", env).collect()
+    Planner.drainQueryCaches()
+    val sc = spark.sparkContext
+    val group = s"one-catalog-job-${System.nanoTime()}"
+    sc.setJobGroup(group, "catalog jobs for one select")
+    try {
+      val stmt = graft.parser.QueryParser
+        .parse("select sum(3600) from /^f\\..*/", 1706000000L)
+        .asInstanceOf[graft.parser.SelectStmt]
+      Planner.run(stmt, env)            // plan: type dispatch
+      Planner.selectNames(stmt, env)    // encode: output names
+    } finally sc.clearJobGroup()
+    // the status store is fed asynchronously — wait for it to settle
+    def jobs() = sc.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.currentTimeMillis() + 5000
+    while (jobs() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    Thread.sleep(300) // catch a late-arriving second job
+    assert(jobs() === 1, "plan+names must share one catalog collect")
+    Planner.drainQueryCaches()
+  }
+
   test("ANN top-k has no global per-query sort of the scored corpus") {
     val df = Ann.cosineTopK(graft.core.Tables.embeddings(spark, dir),
       nQueries = 5, k = 3)
