@@ -13,9 +13,39 @@ import org.apache.spark.sql.functions.{col, lit}
   * is per-engine-instance (a production deployment would persist this
   * like the catalog — one tiny parquet/JSON per entity).
   */
+object MetaStore {
+  /** Salted one-way password hash, mirroring the reference's owcrypt
+    * scheme (user.c:116-123 encrypts at set-password time; users.dat
+    * stores only the salted hash, users.c:230). Neither the in-memory
+    * model nor users.json ever holds a recoverable credential.
+    * Format: "saltHex$sha256Hex(saltHex + password)". */
+  def hashPassword(pw: String): String = {
+    val salt = new Array[Byte](8)
+    new java.security.SecureRandom().nextBytes(salt)
+    val s = salt.map(b => f"$b%02x").mkString
+    s + "$" + sha256Hex(s + pw)
+  }
+
+  /** Constant-format re-hash with the stored salt and compare. */
+  def verifyPassword(pw: String, stored: String): Boolean = {
+    val salt = stored.takeWhile(_ != '$')
+    java.security.MessageDigest.isEqual(
+      stored.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      (salt + "$" + sha256Hex(salt + pw))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+}
+
 final class MetaStore {
 
-  final case class User(password: String, access: Int)
+  /** `pwHash` is always a [[MetaStore.hashPassword]] value — set
+    * sites hash, never store, the cleartext. */
+  final case class User(pwHash: String, access: Int)
 
   /** group name -> saved regex (continuously re-evaluated against the
     * catalog on use — the reference re-evaluates on a 2 s loop,
@@ -34,7 +64,8 @@ final class MetaStore {
   @volatile private var droppedDirty = false
   /** seeded with the reference's default database user
     * (users.c:70-85: 'iris'/'siri', full profile). */
-  val users = TrieMap[String, User]("iris" -> User("siri", Access.Full))
+  val users = TrieMap[String, User](
+    "iris" -> User(MetaStore.hashPassword("siri"), Access.Full))
 
   /** None when the user holds every requested bit, else the
     * reference's denial message (user.c:195-218). */
@@ -145,7 +176,7 @@ final class MetaStore {
     }
     val uj = mapper.createObjectNode()
     users.foreach { case (n, u) =>
-      val o = uj.putObject(n); o.put("password", u.password); o.put("access", u.access)
+      val o = uj.putObject(n); o.put("hash", u.pwHash); o.put("access", u.access)
     }
     writeJson("users.json", mapper.writeValueAsBytes(uj))
     val gj = mapper.createObjectNode()
@@ -197,8 +228,11 @@ final class MetaStore {
     readJson("users.json").foreach { n =>
       users.clear()
       n.fields().forEachRemaining { e =>
-        users.put(e.getKey,
-          User(e.getValue.get("password").asText(), e.getValue.get("access").asInt()))
+        // legacy stores persisted cleartext under "password" — upgrade
+        // one-way on load; the next persist writes only the hash
+        val h = Option(e.getValue.get("hash")).map(_.asText())
+          .getOrElse(MetaStore.hashPassword(e.getValue.get("password").asText()))
+        users.put(e.getKey, User(h, e.getValue.get("access").asInt()))
       }
     }
     readJson("groups.json").foreach { n =>

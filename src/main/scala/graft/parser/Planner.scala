@@ -630,7 +630,8 @@ object Planner {
       if (env.meta.users.contains(name))
         throw QueryError(s"User '$name' already exists.")
       graft.meta.Naming.checkPassword(password)
-      env.meta.users.put(name, env.meta.User(password, 0))
+      env.meta.users.put(name,
+        env.meta.User(graft.meta.MetaStore.hashPassword(password), 0))
       ok(env, s"Successfully created user '$name'.")
 
     case DropGroup(name) =>
@@ -686,7 +687,8 @@ object Planner {
       val u = env.meta.users.getOrElse(name,
         throw QueryError(s"Cannot find user: '$name'")) // listener.c:1113
       graft.meta.Naming.checkPassword(password)
-      env.meta.users.put(name, u.copy(password = password))
+      env.meta.users.put(name,
+        u.copy(pwHash = graft.meta.MetaStore.hashPassword(password)))
       ok(env, s"Successfully updated user '$name'.")
 
     case AlterUserName(name, newName) =>
@@ -828,7 +830,8 @@ object Planner {
       pw.foreach(graft.meta.Naming.checkPassword)
       env.meta.users.put(name,
         u.copy(access = u.access | graft.meta.Access.fromKeywords(access),
-          password = pw.getOrElse(u.password)))
+          pwHash = pw.map(graft.meta.MetaStore.hashPassword)
+            .getOrElse(u.pwHash)))
       ok(env, s"Successfully granted permissions to user '$name'.")
 
     case RevokeUser(access, name) =>

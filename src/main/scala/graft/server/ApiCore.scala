@@ -46,11 +46,22 @@ final class ApiCore(spark: SparkSession, storeDir: String,
 
   /** Validate credentials (auth.c:17-60). */
   def authenticate(user: String, password: String): Boolean =
-    meta.users.get(user).exists(_.password == password)
+    meta.users.get(user)
+      .exists(u => graft.meta.MetaStore.verifyPassword(password, u.pwHash))
 
   /** Live insert tee (src/siri/db/tee.c); target read per insert from
     * the alterable `tee` setting, so DDL changes apply immediately. */
   private val tee = new Tee
+
+  /** Retention gate: the reference expires on a background timer
+    * (db.c:865-878), never per write. Piggybacking on the insert path
+    * keeps us single-threaded, but an O(#shards) directory walk per
+    * batch is a per-insert tax nothing can expire fast enough to
+    * justify — so at most one expiry pass per interval. Any DDL resets
+    * the gate: `alter database set expiration_*` must take effect on
+    * the very next write (itest/test_expiration.py). */
+  private val ExpireIntervalMs = 30000L
+  private val lastExpireMs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Typed frames over the Ingest store, cached per store generation:
     * building a frame lists parquet files (not free at scale, and it
@@ -139,9 +150,13 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       case s => s
     }
     // DDL mutations are durable: flush the metastore like the
-    // reference writes users.dat/groups.dat/tags.dat on change
-    if (inner.isInstanceOf[graft.parser.DdlStmt])
+    // reference writes users.dat/groups.dat/tags.dat on change.
+    // DDL also reopens the retention gate so a changed expiration
+    // applies on the next write, not an interval later.
+    if (inner.isInstanceOf[graft.parser.DdlStmt]) {
       meta.persistTo(spark, storeDir)
+      lastExpireMs.set(0L)
+    }
     val node = inner match {
       case sel: SelectStmt =>
         // every selected series appears in the response, even with
@@ -308,15 +323,20 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     // endpoint as a CPROTO insert package (insert.c:350 → tee.c)
     tee.write(meta.config.getOrElse("tee", "false"), QPack.encode(req))
     // retention: `alter database set expiration_num/expiration_log <t>`
-    // takes effect on the write path (the reference expires
-    // continuously — db.c:865-878, itest/test_expiration.py);
-    // expiration_num covers numeric shards, expiration_log log shards
-    Seq("expiration_num" -> "num", "expiration_log" -> "log").foreach {
-      case (prop, group) =>
-        meta.config.get(prop).map(_.toLong).filter(_ > 0).foreach { exp =>
-          Ingest.expire(spark, storeDir, exp,
-            now = System.currentTimeMillis() / 1000, shardDuration,
-            durationLog, group)
+    // takes effect on the write path (itest/test_expiration.py);
+    // expiration_num covers numeric shards, expiration_log log shards.
+    // Gated to once per ExpireIntervalMs (see lastExpireMs above).
+    val expCfg = Seq("expiration_num" -> "num", "expiration_log" -> "log")
+      .flatMap { case (prop, group) =>
+        meta.config.get(prop).map(_.toLong).filter(_ > 0).map(group -> _) }
+    if (expCfg.nonEmpty) {
+      val nowMs = System.currentTimeMillis()
+      val last = lastExpireMs.get()
+      if (nowMs - last >= ExpireIntervalMs &&
+          lastExpireMs.compareAndSet(last, nowMs))
+        expCfg.foreach { case (group, exp) =>
+          Ingest.expire(spark, storeDir, exp, now = nowMs / 1000,
+            shardDuration, durationLog, group)
         }
     }
     meta.storeGeneration.incrementAndGet()

@@ -151,7 +151,8 @@ class TcpApiSpec extends AnyFunSuite {
     withServer { (c, api) =>
       // a read-only user (grant read ⊂ profile bits, access.h:23-27)
       val m = api.meta
-      m.users.put("reader", m.User("pw", graft.meta.Access.Read))
+      m.users.put("reader",
+        m.User(graft.meta.MetaStore.hashPassword("pw"), graft.meta.Access.Read))
       assert(c.request(2, c.json("""["reader", "pw", "graft"]"""))._1 === 2)
       // reads pass
       assert(c.request(0, c.json("""["count series"]"""))._1 === 0)
