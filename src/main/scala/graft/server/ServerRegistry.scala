@@ -17,8 +17,11 @@ import org.apache.spark.sql.SparkSession
   * Databases are sibling store directories under one root; each gets
   * its own [[ApiCore]] (metastore + Ingest store). The pool/replica
   * requests (NEW_POOL/NEW_REPLICA) are cluster-membership operations
-  * with no analog here — Spark owns data placement — and return the
-  * service error the reference uses for unsupported requests.
+  * whose placement concern Spark owns; after validating the request
+  * fields (dbname/host/port/credentials) they are accepted by hosting
+  * the named database locally and answering the reference's bare
+  * "OK" — a client that expands a cluster gets a working database
+  * either way (see ServiceSpec).
   */
 final class ServerRegistry(spark: SparkSession, defaultDb: String,
     defaultDir: String) {

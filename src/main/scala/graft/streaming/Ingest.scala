@@ -146,7 +146,19 @@ object Ingest {
       .withColumn("c_num", when(col("etp") === "float",
         when(col("tp") === "float", col("val"))
           .when(col("tp") === "integer", col("val_int").cast("double"))
-          .otherwise(coalesce(expr("try_cast(flt_prefix AS DOUBLE)"), lit(0.0))))
+          // try_cast only parses 'Infinity'/'NaN' exactly; C strtod
+          // (series.c:1141-1216) accepts inf/INF/infinity/nan in any
+          // case — map the captured forms explicitly before falling
+          // back (the capture's numeric alternative can never contain
+          // the letter sequences, so the rlike guards are exact)
+          .otherwise(
+            when(col("flt_prefix").rlike("(?i)inf"),
+              when(col("flt_prefix").startsWith("-"),
+                lit(Double.NegativeInfinity))
+                .otherwise(lit(Double.PositiveInfinity)))
+              .when(col("flt_prefix").rlike("(?i)nan"), lit(Double.NaN))
+              .otherwise(coalesce(expr("try_cast(flt_prefix AS DOUBLE)"),
+                lit(0.0)))))
         .when(col("etp") === "integer", col("c_int").cast("double"))
         .otherwise(lit(0.0)))
       .withColumn("c_str", when(col("etp") === "string",
@@ -316,17 +328,23 @@ object Ingest {
     * `now - expiration`, then rebuilds the catalog from the surviving
     * shards (the reference likewise re-indexes after expiry). Returns
     * the number of dropped shards. */
+  /** Count of expiry passes (each is an O(#shards) directory walk) —
+    * lets specs pin that the insert path's retention gate holds. */
+  val expireRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def expire(spark: SparkSession, storeDir: String, expiration: Long,
       now: Long, shardDuration: Long = 86400L, durationLog: Long = 86400L,
       /** which shard group the expiration applies to: expiration_num
         * expires numeric shards, expiration_log log shards (db.c). */
-      group: String = "num"): Int =
+      group: String = "num"): Int = {
+    expireRuns.incrementAndGet()
     // expiry deletes shard dirs and rebuilds the catalog — same
     // read-modify-write as appendBatch, same per-store serialization
     withStoreLock(storeDir) {
       expireLocked(spark, storeDir, expiration, now, shardDuration,
         durationLog, group)
     }
+  }
 
   private def expireLocked(spark: SparkSession, storeDir: String,
       expiration: Long, now: Long, shardDuration: Long,

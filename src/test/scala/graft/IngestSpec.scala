@@ -143,7 +143,14 @@ class IngestSpec extends AnyFunSuite {
       PointIn("double", 1538660010L, 0, "integer", 13, val_int = -35L),
       PointIn("double", 1538660011L, 0, "string", 14, val_str = "-50%"),
       PointIn("double", 1538660030L, 0, "string", 15, val_str = ""),
-      PointIn("double", 1538660035L, 0, "string", 16, val_str = "garbage")).toDF(),
+      PointIn("double", 1538660035L, 0, "string", 16, val_str = "garbage"),
+      // C strtod accepts inf/infinity/nan in ANY case (series.c:1141);
+      // try_cast alone only parses 'Infinity'/'NaN' exactly
+      PointIn("double", 1538660040L, 0, "string", 17, val_str = "inf"),
+      PointIn("double", 1538660050L, 0, "string", 18, val_str = "-INFINITY"),
+      PointIn("double", 1538660060L, 0, "string", 19, val_str = "+inf junk"),
+      PointIn("double", 1538660070L, 0, "string", 20, val_str = "nan"),
+      PointIn("double", 1538660080L, 0, "string", 21, val_str = "NaN")).toDF(),
       dir, shardDuration = 604800L)
     val pts = Ingest.points(spark, dir).orderBy("series", "ts", "pid").collect()
     def strs(s: String) = pts.filter(_.getString(0) == s).map(_.getString(4)).toSeq
@@ -156,8 +163,12 @@ class IngestSpec extends AnyFunSuite {
     // integer series: truncation + strtoll prefix parse with saturation
     assert(ints("integer") === Seq(1L, 35L, -50L, 0L, 0L,
       Long.MaxValue, Long.MinValue))
-    // double series: strtod prefix parse, garbage/empty → 0.0
-    assert(dbls("double") === Seq(1.0, -35.0, -50.0, 0.0, 0.0))
+    // double series: strtod prefix parse, garbage/empty → 0.0,
+    // case-insensitive signed inf/nan forms → IEEE specials
+    val d = dbls("double")
+    assert(d.take(5) === Seq(1.0, -35.0, -50.0, 0.0, 0.0))
+    assert(d(5).isPosInfinity && d(6).isNegInfinity && d(7).isPosInfinity)
+    assert(d(8).isNaN && d(9).isNaN)
   }
 
   test("concurrent transport inserts serialize per store — test_insert.py:151-166") {

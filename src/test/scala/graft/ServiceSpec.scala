@@ -119,6 +119,20 @@ class ServiceSpec extends AnyFunSuite {
         s"""{"new": [[${now + 1}, 3.0]]}""")._1 === 200)
       val (_, names) = post(s"$base/query/graft", """{"q": "list series"}""")
       assert(names.contains("\"new\"") && !names.contains("\"old\""), names)
+      // the retention pass is gated: further inserts within the
+      // interval must NOT pay the O(#shards) walk per batch (the
+      // reference expires on a timer, db.c:865-878)
+      val runs = graft.streaming.Ingest.expireRuns.get()
+      (1 to 3).foreach(i => assert(post(s"$base/insert/graft",
+        s"""{"new": [[${now + 1 + i}, 4.0]]}""")._1 === 200))
+      assert(graft.streaming.Ingest.expireRuns.get() === runs,
+        "insert paid an expiry pass inside the gate interval")
+      // DDL reopens the gate immediately
+      assert(post(s"$base/query/graft",
+        """{"q": "alter database set expiration_num 2w"}""")._1 === 200)
+      assert(post(s"$base/insert/graft",
+        s"""{"new": [[${now + 10}, 5.0]]}""")._1 === 200)
+      assert(graft.streaming.Ingest.expireRuns.get() > runs)
     } finally api.stop()
   }
 
@@ -142,6 +156,14 @@ class ServiceSpec extends AnyFunSuite {
     // a fresh ApiCore over the same storeDir = a server restart
     val api2 = new graft.server.ApiCore(spark, dir)
     assert(api2.authenticate("alice", "pw1234"))
+    assert(!api2.authenticate("alice", "pw12345"))
+    // credentials are persisted as salted hashes, never recoverable
+    // cleartext (the reference's users.dat stores owcrypt output only)
+    val usersJson = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta", "users.json")), "UTF-8")
+    assert(!usersJson.contains("pw1234") && !usersJson.contains("siri"),
+      usersJson)
+    assert(api2.meta.users("alice").pwHash.matches("[0-9a-f]{16}\\$[0-9a-f]{64}"))
     val users = api2.runQuery("list users where access >= show", 1L, "iris").toString
     assert(users.contains("alice"), users)
     val tagged = api2.runQuery("select * from `hot`", 1L, "iris").toString
@@ -196,6 +218,22 @@ class ServiceSpec extends AnyFunSuite {
       intercept[graft.parser.QueryError](
         api.runQuery("alter database set tee ':9104'", 1L, "iris"))
     } finally { if (!server.isClosed) server.close() }
+  }
+
+  test("tee never blocks or taxes the insert path") {
+    val tee = new graft.server.Tee
+    // disabled tee (the default) must not even evaluate the payload —
+    // qpack-encoding every insert body for a disabled mirror was pure
+    // per-request overhead
+    var evaluated = false
+    tee.write("false", { evaluated = true; Array.emptyByteArray })
+    assert(!evaluated)
+    // a dead endpoint: mirrors enqueue or drop, the caller never waits
+    // on connect/backpressure (the reference tee is async libuv and
+    // drops on outage — tee.c)
+    val t0 = System.nanoTime()
+    (1 to 1000).foreach(i => tee.write("127.0.0.1:9", Array[Byte](i.toByte)))
+    assert((System.nanoTime() - t0) < 2e9, "insert path stalled on tee")
   }
 
   test("service API over HTTP: accounts and database lifecycle — api.c:233-292") {
