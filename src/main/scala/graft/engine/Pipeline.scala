@@ -276,10 +276,20 @@ object Pipeline {
       val joined = df.join(spans, Seq("series"))
       val small = joined.where(col("__len") <= n)
         .select(col("series"), col("ts"), col("val"))
-      // label = first bucket end (first_ts + gb - 1) + k*gb: the
-      // offset-aware ceiling reproduces the reference's greedy scan
-      // anchored at the series' first point (aggregate.c:691-692 +
-      // GROUP_TS loop :1188-1210; pinned by the itest limit goldens)
+      // label = smallest grid value ≡ offset (mod gb) that is >= ts.
+      // On gapless series this IS the reference's greedy scan
+      // (aggregate.c:691-692 + GROUP_TS loop :1188-1210): with every
+      // slot occupied, each group's first point is boundary+1, and the
+      // boundary recurrence b' = ceil((b+1)/gb)*gb+off collapses to
+      // b+gb — the fixed grid below. KNOWN DIVERGENCE on sparse
+      // series: the reference labels each group GROUP_TS(first point
+      // AFTER the gap), so a post-gap start s with s mod gb in 1..off
+      // gets label ceil(s/gb)*gb+off — one gb later than this grid —
+      // and that wider greedy bucket may merge points this grid
+      // splits. Exact reproduction needs a sequential per-series scan
+      // (each boundary depends on the previous group's first point —
+      // not window-expressible); PipelineSpec pins both the dense
+      // equivalence and the sparse shape.
       val bucketed = joined.where(col("__len") > n)
         .groupBy(col("series"),
           (expr("((ts - __off + __gb - 1) div __gb) * __gb") + col("__off")).as("ts"))

@@ -176,6 +176,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(small === TS.zip(VALS)) // untouched passthrough
   }
 
+  test("limit(N, fn) equals the reference greedy scan on dense series; sparse shape pinned") {
+    // the reference's per-group label is GROUP_TS(first point of the
+    // group), assigned in a sequential scan (aggregate.c:1188-1210);
+    // this reimplements that scan literally to compare against
+    def greedy(ts: Seq[Long], n: Int): Seq[(Long, Long)] = {
+      val gb = (ts.last - ts.head) / n + 1
+      val off = (ts.head - 1) % gb
+      def gts(p: Long) = (p + gb - 1) / gb * gb + off
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var b = gts(ts.head); var cnt = 0L
+      ts.foreach { p =>
+        if (p > b) { out += ((b, cnt)); b = gts(p); cnt = 0L }
+        cnt += 1
+      }
+      (out += ((b, cnt))).toList
+    }
+    // dense series (every slot occupied): the grid formula IS greedy
+    val denseTs = (3L to 22L)
+    val dense = denseTs.zipWithIndex
+      .map { case (t, i) => ("d", t, 1L, i.toLong) }
+      .toDF("series", "ts", "val", "pid")
+    assert(runL(dense, LimitFn(6, Count)) === greedy(denseTs, 6))
+    // KNOWN sparse divergence (see the LimitFn comment): gb=3 off=2,
+    // points {3,5,7} — greedy emits labels (5,2),(11,1) because the
+    // post-gap start 7 has 7 mod 3 = 1 <= off; the grid labels (5,2),(8,1)
+    val sparse = Seq(("s", 3L, 1L, 0L), ("s", 5L, 1L, 1L), ("s", 7L, 1L, 2L))
+      .toDF("series", "ts", "val", "pid")
+    assert(greedy(Seq(3L, 5L, 7L), 2) === Seq((5L, 2L), (11L, 1L)))
+    assert(runL(sparse, LimitFn(2, Count)) === Seq((5L, 2L), (8L, 1L)))
+  }
+
   test("int64 sum/difference overflow is an error, not a wrap — aggregate.c:1646-1652") {
     // the itest 'huge' fixture: values at int64 max must not wrap
     val huge = Seq(("huge", 1L, Long.MaxValue, 0L), ("huge", 2L, Long.MaxValue - 1, 1L))
