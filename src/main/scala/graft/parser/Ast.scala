@@ -58,10 +58,10 @@ final case class ShowStmt(props: Seq[String]) extends Statement
 /** `timeit <query>` prefix (grammar :873). */
 final case class TimeitStmt(inner: Statement) extends Statement
 
-/** `list groups/tags/users/pools/shards/servers [cols] [where]`
-  * (grammar :739-757). */
+/** `list groups/tags/users/pools/shards/servers [cols] [where] [limit N]`
+  * (grammar :739-757; Optional(limit_expr) closes every list form). */
 final case class ListEntityStmt(entity: String, where: Option[Cexpr] = None,
-    cols: Seq[String] = Nil) extends Statement
+    cols: Seq[String] = Nil, limit: Option[Long] = None) extends Statement
 
 /** `help [topic]` (grammar :897-945; topics from the help markdown set). */
 final case class HelpStmt(topic: Option[String]) extends Statement

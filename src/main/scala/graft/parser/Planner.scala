@@ -292,6 +292,11 @@ object Planner {
       "libuv" -> lit("n/a (Spark engine)"),
       "list_limit" -> lit(env.meta.listLimit.toLong),
       "log_level" -> lit(env.meta.config.getOrElse("log_level", "info")),
+      // where-only ordinal for `where log_level <op> <level>` — the
+      // reference compares the logger int (logger.h:14-18)
+      "log_level_int" -> lit(Map("debug" -> 0L, "info" -> 1L,
+        "warning" -> 2L, "error" -> 3L, "critical" -> 4L)
+        .getOrElse(env.meta.config.getOrElse("log_level", "info"), 1L)),
       "max_open_files" -> lit(65536L),
       "mem_usage" -> lit((rt.totalMemory() - rt.freeMemory()) / 1024 / 1024),
       "open_files" -> lit(0L),
@@ -558,17 +563,22 @@ object Planner {
       import env.spark.implicits._
       Seq(entityDf("users", env, where).count()).toDF("users")
 
-    case CountStmt("servers", _, _) =>
+    case CountStmt("servers", _, where) =>
       import env.spark.implicits._
-      Seq(1L).toDF("servers")
+      Seq(entityDf("servers", env, where).count()).toDF("servers")
 
-    case CountStmt("servers_received", _, _) =>
+    case CountStmt("servers_received", _, where) =>
       import env.spark.implicits._
-      Seq(env.meta.receivedPoints.get()).toDF("servers_received_points")
+      // sum over matching servers (one server here: counter or 0)
+      val matched = where.isEmpty || entityDf("servers", env, where).count() > 0
+      Seq(if (matched) env.meta.receivedPoints.get() else 0L)
+        .toDF("servers_received_points")
 
-    case CountStmt("servers_selected", _, _) =>
+    case CountStmt("servers_selected", _, where) =>
       import env.spark.implicits._
-      Seq(env.meta.selectedPoints.get()).toDF("servers_selected_points")
+      val matched = where.isEmpty || entityDf("servers", env, where).count() > 0
+      Seq(if (matched) env.meta.selectedPoints.get() else 0L)
+        .toDF("servers_selected_points")
 
     case CountStmt("pools", _, _) =>
       env.catalogLive.select(col("pool")).distinct().agg(count(lit(1)).as("pools"))
@@ -583,7 +593,12 @@ object Planner {
     case CountStmt(other, _, _) =>
       throw QueryError(s"count $other is not supported")
 
-    case ListEntityStmt(entity, where, cols) =>
+    case ListEntityStmt(entity, where, cols, limit) =>
+      limit.filter(l => l <= 0 || l > env.meta.listLimit).foreach { l =>
+        // enter_limit_expr (listener.c:1006-1023), same bound as series
+        throw QueryError(
+          s"Limit must be a value between 1 and ${env.meta.listLimit} but received: $l (optionally the limit can be changed, see 'help alter database')")
+      }
       // per-entity default projections (grammar *_columns defaults);
       // Nil = all view columns; explicit columns always win
       val defaults: Seq[String] = entity match {
@@ -592,7 +607,8 @@ object Planner {
         case "users" => Seq("name", "access") // access_bits is where-only
         case _ => Nil
       }
-      val base = entityDf(entity, env, where)
+      val base0 = entityDf(entity, env, where)
+      val base = limit.map(l => base0.limit(l.toInt)).getOrElse(base0)
       val out = if (cols.nonEmpty) cols else defaults
       if (out.isEmpty) base else base.select(out.map(col): _*)
 

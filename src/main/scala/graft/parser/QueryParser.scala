@@ -208,35 +208,43 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
         case _: Exception => err(s"Unknown time zone: '$tz'. (see 'help timezones' for a list of valid time zones)")
       }
     val t0 = s.trim.replace("T", " ")
-    // split an explicit trailing offset (only valid after a time part)
+    // split an explicit trailing offset. The reference allows a tz
+    // suffix only from day precision up (iso8601.c:606-649 formats
+    // with the tz flag), so only strip one when what remains is still
+    // a full date (two dashes) — "1970-1-10" must NOT lose its day to
+    // a bogus "-10" offset.
     val offRe = "([+-][0-9]{2}(:?[0-9]{2})?|Z)$".r
-    val (t, explicit) =
-      if (t0.length > 10) offRe.findFirstIn(t0) match {
-        case Some("Z") => (t0.dropRight(1).trim, Some(ZoneOffset.UTC))
-        case Some(o) =>
+    val (t, explicit) = offRe.findFirstIn(t0) match {
+      case Some(o) if t0.dropRight(o.length).count(_ == '-') >= 2 ||
+          t0.contains(" ") =>
+        val base = t0.dropRight(o.length).trim
+        if (o == "Z") (base, Some(ZoneOffset.UTC))
+        else {
           val norm = if (o.length == 3) o + ":00"
             else if (!o.contains(":")) o.take(3) + ":" + o.drop(3) else o
-          (t0.dropRight(o.length).trim, Some(ZoneOffset.of(norm)))
-        case None => (t0, None)
-      } else (t0, None)
-    try {
-      if (t.length <= 10) {
-        val d = LocalDate.parse(t)
-        explicit match {
-          case Some(off) => d.atStartOfDay(off).toEpochSecond
-          case None => d.atStartOfDay(zone).toEpochSecond
+          (base, Some(ZoneOffset.of(norm)))
         }
-      } else {
-        val norm = if (t.count(_ == ':') == 1) t + ":00" else t
-        val ldt = LocalDateTime.parse(norm.replace(" ", "T"))
-        explicit match {
-          case Some(off) => ldt.toEpochSecond(off)
-          case None => ldt.atZone(zone).toEpochSecond
+      case _ => (t0, None)
+    }
+    // the reference accepts every prefix precision %Y, %Y-%m, %Y-%m-%d,
+    // + optional " %H[:%M[:%S]]" with strptime's non-padded fields
+    // (iso8601.c:578-649)
+    val dtRe = ("^([0-9]{4})(?:-([0-9]{1,2})(?:-([0-9]{1,2})" +
+      "(?: ([0-9]{1,2})(?::([0-9]{1,2})(?::([0-9]{1,2}))?)?)?)?)?$").r
+    t match {
+      case dtRe(y, mo, d, h, mi, sec) =>
+        def i(v: String, dflt: Int) = if (v == null) dflt else v.toInt
+        try {
+          val ldt = java.time.LocalDateTime.of(y.toInt, i(mo, 1), i(d, 1),
+            i(h, 0), i(mi, 0), i(sec, 0))
+          explicit match {
+            case Some(off) => ldt.toEpochSecond(off)
+            case None => ldt.atZone(zone).toEpochSecond
+          }
+        } catch {
+          case _: Exception => err(s"unable to parse date/time string '$s'")
         }
-      }
-    } catch {
-      case e: QueryError => throw e
-      case _: Exception => err(s"unable to parse date/time string '$s'")
+      case _ => err(s"unable to parse date/time string '$s'")
     }
   }
 
@@ -466,8 +474,27 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
           .getOrElse(err(s"expecting an access keyword at position $p"))
         p += kw.length
         CCmp("access_bits", op, Left(graft.meta.Access.fromKeyword(kw).toLong))
+      case 'b' => // bool props: bool_operator (== !=) with the true/
+        // false keywords (grammar :402: k_online bool_operator _boolean)
+        if (op != "==" && op != "!=") err(s"cannot use '$op' on property '$prop'")
+        val kw = peekWord.filter(Set("true", "false"))
+          .getOrElse(err(s"expecting true or false at position $p"))
+        p += kw.length
+        CCmp(prop, op, Right(kw))
+      case 'l' => // log_level compares as the logger ordinal against a
+        // level keyword (grammar :401: k_log_level int_operator
+        // log_keywords; logger.h:14-18 debug=0..critical=4)
+        if (op == "~" || op == "!~") err(s"cannot use '$op' on property '$prop'")
+        val kw = peekWord.filter(logLevels.contains)
+          .getOrElse(err(s"expecting a log level at position $p"))
+        p += kw.length
+        CCmp("log_level_int", op, Left(logLevels(kw)))
     }
   }
+
+  /** log_keywords ordinals (logger.h:14-18). */
+  private val logLevels = Map("debug" -> 0L, "info" -> 1L,
+    "warning" -> 2L, "error" -> 3L, "critical" -> 4L)
 
   private def cexprAnd(props: Map[String, Char]): Cexpr = {
     var a = cexprCmp(props)
@@ -558,7 +585,10 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
 
   private def listEntity(entity: String, props: Map[String, Char]): Statement = {
     val cols = entityCols(props)
-    ListEntityStmt(entity, tryWhere(props), cols)
+    val where = tryWhere(props)
+    // Optional(limit_expr) closes EVERY list statement (grammar :832)
+    val limit = if (tryKw("limit")) Some(parseIntExpr()) else None
+    ListEntityStmt(entity, where, cols, limit)
   }
 
   private def listStmt(): Statement = {
@@ -613,9 +643,12 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     else if (tryKw("pools")) CountStmt("pools", None, tryWhere(poolProps))
     else if (tryKw("users")) CountStmt("users", None, tryWhere(userProps))
     else if (tryKw("servers")) {
-      if (tryKw("received_points")) CountStmt("servers_received", None, None)
-      else if (tryKw("selected_points")) CountStmt("servers_selected", None, None)
-      else CountStmt("servers", None, None)
+      // all three forms take Optional(where_server) (grammar :694-703)
+      if (tryKw("received_points"))
+        CountStmt("servers_received", None, tryWhere(serverProps))
+      else if (tryKw("selected_points"))
+        CountStmt("servers_selected", None, tryWhere(serverProps))
+      else CountStmt("servers", None, tryWhere(serverProps))
     }
     else if (tryKw("shards")) {
       if (tryKw("size")) CountStmt("shards_size", None, tryWhere(shardProps))
@@ -665,10 +698,11 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     else if (tryKw("server"))
       DropServer(tryServerRef().getOrElse(err("expecting a server name or uuid")))
     else if (tryKw("series")) {
+      // bare `drop series` drops ALL series in the reference (the
+      // match and where are both Optional, grammar drop_series; the
+      // drop_threshold guard still protects against the mass drop)
       val sel = peekSeriesMatchStart().map(_ => seriesMatch())
       val where = tryWhere()
-      if (sel.isEmpty && where.isEmpty)
-        err("drop series requires a series match and/or where statement")
       DropSeries(sel, where, tryIgnoreThreshold())
     }
     else if (tryKw("shards"))
@@ -729,7 +763,14 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
       val value = prop match {
         case "drop_threshold" => parseFloatLit().toString
         case "list_limit" | "select_points_limit" => parseIntExpr().toString
-        case "expiration_num" | "expiration_log" => parseTimeExpr().toString
+        case "expiration_num" | "expiration_log" =>
+          val v = parseTimeExpr().toString
+          // Optional(set_ignore_threshold) (grammar set_expiration_*):
+          // the reference uses it to bypass the drop-threshold check on
+          // the points the new expiration would drop; accepted here the
+          // same way (the expiry pass itself enforces no threshold)
+          tryIgnoreThreshold()
+          v
         case "timezone" => expectString()
         case "tee" => if (tryKw("false")) "false" else expectString()
         case other => err(s"unknown database property '$other'")
@@ -764,11 +805,11 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
     * src/siri/db/props.c:204-286). */
   private val serverProps = Map(
     "name" -> 's', "address" -> 's', "port" -> 'i', "uuid" -> 's',
-    "pool" -> 'i', "version" -> 's', "online" -> 's', "status" -> 's',
+    "pool" -> 'i', "version" -> 's', "online" -> 'b', "status" -> 's',
     "active_handles" -> 'i', "active_tasks" -> 'i', "buffer_path" -> 's',
     "buffer_size" -> 'i', "dbpath" -> 's', "fifo_files" -> 'i',
     "idle_percentage" -> 'i', "idle_time" -> 'i', "ip_support" -> 's',
-    "libuv" -> 's', "list_limit" -> 'i', "log_level" -> 's',
+    "libuv" -> 's', "list_limit" -> 'i', "log_level" -> 'l',
     "max_open_files" -> 'i', "mem_usage" -> 'i', "open_files" -> 'i',
     "received_points" -> 'i', "reindex_progress" -> 's',
     "selected_points" -> 'i', "select_points_limit" -> 'i',
