@@ -17,7 +17,8 @@ object Bench {
     "agg_median_low_1h", "chain_sum1h_diff", "chain_mean6h_deriv",
     "pw_difference", "limit_fn_mean", "merge_sum_1d", "list_series",
     "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
-    "ann_lsh_topk", "text_token_stats", "text_lang_id", "mm_decode_stub",
+    "ann_lsh_topk", "ann_ivf_kmeans_topk", "text_token_stats",
+    "text_lang_id", "mm_decode_stub",
     // full query-string path (parse → plan → catalog consult →
     // execute): what a reference user actually pays per query — the
     // engine-layer entries above enter below the parser

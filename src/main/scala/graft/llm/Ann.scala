@@ -132,12 +132,25 @@ object Ann {
       expr("transform(embedding, x -> CAST(x AS double))").as("v"),
       col("label").as("cell"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-    // cell centroids: elementwise mean via posexplode + re-assemble
-    val cent = e.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+    probeAndScore(e, centroidsOf(e), nQueries, k, nprobe)
+  }
+
+  /** Per-cell centroids (elementwise mean) of an assigned frame
+    * (vec_id, v, cell): posexplode → one groupBy per (cell, pos) with
+    * map-side partial aggregation → re-assemble ordered — the scalable
+    * shape for any corpus size, output is nlist rows. */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned.where(col("cell").isNotNull)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
       .groupBy(col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cv"))
       .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
+
+  /** IVF probe + exact scoring over a cell-assigned corpus: each query
+    * scores only the `nprobe` cells whose centroids are nearest. */
+  private def probeAndScore(e: DataFrame, cent: DataFrame, nQueries: Int,
+      k: Int, nprobe: Int): DataFrame = {
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // probe the nprobe nearest cells per query (centroid table is tiny)
@@ -159,6 +172,51 @@ object Ann {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
     topK(scored, k)
+  }
+
+  /** IVF with a trained coarse quantizer: spherical k-means over the
+    * corpus itself, replacing the precomputed `label` cells ivfTopK
+    * relies on — the trainer a 100 TB corpus actually needs. Fully
+    * deterministic and engine-recomputable (the DuckDB oracle replays
+    * it step for step): centroids initialize from the `nlist` lowest
+    * vec_ids, each Lloyd iteration assigns every vector to its
+    * nearest centroid by round-9 cosine (ties → lowest cell) and
+    * recomputes centroids as elementwise means (an empty cell keeps
+    * its previous centroid). Each iteration is one broadcast of the
+    * tiny centroid table + one narrow assignment pass + one partial-
+    * aggregated groupBy — the textbook scalable k-means shape; the
+    * centroid table never leaves executor-broadcast size. */
+  def kmeansIvfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, iters: Int = 2, nprobe: Int = 3): DataFrame = {
+    val e = withNorm(emb)
+    var cent = e.where(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+      .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
+    // argmax by max_by over the broadcast-expanded (vec, cell) rows:
+    // partial aggregation collapses the nlist-way expansion map-side,
+    // so nothing vector-sized shuffles beyond one row per vec_id (a
+    // row_number window here would shuffle corpus × nlist rows)
+    def assign(centroids: DataFrame): DataFrame = e
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", round(
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("nrm") * col("cnrm")), 9))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        // highest csim, ties → lowest cell (the -cell struct field)
+        max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc")))
+          .as("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    for (_ <- 1 to iters) {
+      val next = centroidsOf(assign(cent))
+      // empty cells keep their previous centroid (deterministic in
+      // both engines via the same left-join + coalesce)
+      cent = cent.alias("o")
+        .join(next.alias("n"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n.cv"), col("o.cv")).as("cv"),
+          coalesce(col("n.cnrm"), col("o.cnrm")).as("cnrm"))
+    }
+    probeAndScore(assign(cent), cent, nQueries, k, nprobe)
   }
 
   /** Hyperplane constant j, derived from md5("plane:j") — the

@@ -35,6 +35,49 @@ object DataOpsQueries {
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin
 
+  /** DuckDB replay of Ann.kmeansIvfTopK: one CTE block per Lloyd
+    * iteration (assign by round-9 cosine with lowest-cell tie-break,
+    * recompute per-cell means, empty cells keep their centroid), then
+    * the standard probe + exact-score + rank tail. */
+  private def kmeansIvfSql(nlist: Int, iters: Int, nQueries: Int,
+      k: Int, nprobe: Int): String = {
+    def csim(cvOwner: String) =
+      s"round(list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * ${cvOwner}cv[j])) / (nrm * ${cvOwner}cnrm), 9)"
+    val iterBlocks = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $prev),
+         |b$i AS (SELECT vec_id, v, nrm, cell FROM a$i
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
+         |m$i AS (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM b$i),
+         |g$i AS (SELECT cell, pos, avg(x) AS cx FROM m$i GROUP BY 1, 2),
+         |u$i AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM g$i GROUP BY 1),
+         |c$i AS (SELECT p.cell, COALESCE(u$i.cv, p.cv) AS cv,
+         |         sqrt(list_sum(list_transform(COALESCE(u$i.cv, p.cv), x -> x * x))) AS cnrm
+         |        FROM $prev p LEFT JOIN u$i ON u$i.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    val last = s"c$iters"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM n WHERE vec_id < $nlist),
+       |$iterBlocks,
+       |af AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $last),
+       |bf AS (SELECT vec_id, v, nrm, cell FROM af
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries),
+       |pr AS (SELECT query_id, qv, qn, cell,
+       |        round(list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * cv[j])) / (qn * cnrm), 9) AS csim
+       |       FROM q, $last),
+       |probes AS (SELECT query_id, qv, qn, cell FROM pr
+       |           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) <= $nprobe),
+       |sc AS (SELECT p.query_id, b.vec_id,
+       |        round(list_sum(list_transform(range(1, len(p.qv) + 1), j -> p.qv[j] * b.v[j])) / (p.qn * b.nrm), 9) AS sim
+       |       FROM probes p JOIN bf b ON b.cell = p.cell AND b.vec_id <> p.query_id)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id
+       |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
     // ---- deduplication ----
     Entry("dedup_exact",
@@ -238,6 +281,16 @@ object DataOpsQueries {
         |       vec_id AS neighbor_id
         |FROM sc QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.ivfTopK(emb(s, d), nQueries = 10, k = 5))
+    },
+
+    // trained-quantizer IVF: spherical k-means replaces the label
+    // cells — deterministic init (lowest vec_ids), round-9 cosine
+    // assignment with lowest-cell tie-break, empty cells keep their
+    // centroid — so the oracle replays the training step for step
+    Entry("ann_ivf_kmeans_topk", kmeansIvfSql(nlist = 8, iters = 2,
+      nQueries = 10, k = 5, nprobe = 3)) {
+      (s, d) => ordered(Ann.kmeansIvfTopK(emb(s, d), nQueries = 10, k = 5,
+        nlist = 8, iters = 2, nprobe = 3))
     },
 
     // ---- text analysis ----

@@ -72,6 +72,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("k-means IVF recovers the planted clusters and beats probe-floor recall") {
+    // 6 planted clusters, nlist=6, 2 Lloyd rounds: the trained cells
+    // should recover cluster structure, so recall@5 with 3 probes must
+    // be high (the label-based IVF test above is the upper reference)
+    val exact = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val km = Ann.kmeansIvfTopK(corpus, nQueries = 6, k = 5,
+      nlist = 6, iters = 2, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect km).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("recall on the shipped sf0.01 embeddings (real distribution, default sizing)") {
     // the synthetic 6-cluster corpus above validates the mechanism;
     // this pins recall on the ACTUAL embeddings table the driver

@@ -507,6 +507,15 @@ class GoldenSliceSpec extends AnyFunSuite {
       Seq("linux-001", "linux-002", "linux-003", "linux-004",
         "series-003", "series-004", "windows-002", "windows-003", "windows-004"))
     assert(names("""list series (/.*001/ & /linux.*/) - /.*001/""") === Seq.empty)
+    assert(names("""list series all - ("series-001" | "series-002" | (/windows.*/ - /.*001/))""") ===
+      Seq("linux-001", "linux-002", "linux-003", "linux-004",
+        "series-003", "series-004", "windows-001"))
+    assert(names("""list series ("series-001" | "series-002" | /windows.*/) - /.*003/""") ===
+      Seq("series-001", "series-002", "windows-001", "windows-002",
+        "windows-004"))
+    assert(names("""list series all - (/series.*/ ^ /.*001/)""") ===
+      Seq("linux-002", "linux-003", "linux-004", "series-001",
+        "windows-002", "windows-003", "windows-004"))
     assert(names("""list series /.*001/ & (/series.*/ | /linux.*/)""") ===
       Seq("linux-001", "series-001"))
     assert(names("""list series /.*001/ & ((((/series.*/ | /linux.*/))))""") ===
