@@ -276,24 +276,49 @@ object Pipeline {
       val joined = df.join(spans, Seq("series"))
       val small = joined.where(col("__len") <= n)
         .select(col("series"), col("ts"), col("val"))
-      // label = smallest grid value ≡ offset (mod gb) that is >= ts.
-      // On gapless series this IS the reference's greedy scan
-      // (aggregate.c:691-692 + GROUP_TS loop :1188-1210): with every
-      // slot occupied, each group's first point is boundary+1, and the
-      // boundary recurrence b' = ceil((b+1)/gb)*gb+off collapses to
-      // b+gb — the fixed grid below. KNOWN DIVERGENCE on sparse
-      // series: the reference labels each group GROUP_TS(first point
-      // AFTER the gap), so a post-gap start s with s mod gb in 1..off
-      // gets label ceil(s/gb)*gb+off — one gb later than this grid —
-      // and that wider greedy bucket may merge points this grid
-      // splits. Exact reproduction needs a sequential per-series scan
-      // (each boundary depends on the previous group's first point —
-      // not window-expressible); PipelineSpec pins both the dense
-      // equivalence and the sparse shape.
-      val bucketed = joined.where(col("__len") > n)
-        .groupBy(col("series"),
-          (expr("((ts - __off + __gb - 1) div __gb) * __gb") + col("__off")).as("ts"))
-        .agg(aggValue(fn, hasPid(df), isIntSeries(df)).as("val"))
+      // Greedy bucket labels, EXACTLY the reference scan
+      // (aggregate.c:691-692 + GROUP_TS loop :1188-1210): each group
+      // is labeled GROUP_TS(first point of the group) =
+      // ceil(ts/gb)*gb + off, and the next group starts at the first
+      // point past that label. The boundary chain depends on the data
+      // (a post-gap group start s with s mod gb in 1..off pushes its
+      // label one gb past the dense grid), so it is not
+      // window-expressible — instead one hash repartition co-locates
+      // each series, an external sort orders it, and a streaming
+      // O(1)-state mapPartitions pass assigns labels; the existing
+      // grouped aggregation then runs per (series, label).
+      // PipelineSpec pins equality with a literal reimplementation of
+      // the reference scan on both dense and sparse fixtures.
+      val hasP = hasPid(df)
+      val sortCols =
+        if (hasP) Seq(col("series"), col("ts"), col("pid"))
+        else Seq(col("series"), col("ts"))
+      val bigCols = Seq(col("series"), col("ts"), col("val")) ++
+        (if (hasP) Seq(col("pid")) else Nil) ++
+        Seq(col("__gb"), col("__off"))
+      val prepped = joined.where(col("__len") > n).select(bigCols: _*)
+        .repartition(col("series")).sortWithinPartitions(sortCols: _*)
+      val schema = prepped.schema.add("__lbl", LongType)
+      val gbIdx = prepped.schema.fieldIndex("__gb")
+      val offIdx = prepped.schema.fieldIndex("__off")
+      val labeled = prepped.mapPartitions { it =>
+        var cur: String = null
+        var lbl = 0L
+        it.map { r =>
+          val s = r.getString(0)
+          val ts = r.getLong(1)
+          if (s != cur || ts > lbl) {
+            cur = s
+            val gb = r.getLong(gbIdx)
+            lbl = (ts + gb - 1) / gb * gb + r.getLong(offIdx)
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ lbl)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      val bucketed = labeled
+        .groupBy(col("series"), col("__lbl"))
+        .agg(aggValue(fn, hasP, isIntSeries(df)).as("val"))
+        .select(col("series"), col("__lbl").as("ts"), col("val"))
       small.unionByName(bucketed)
     case TimeRange(after, before) =>
       val f1 = after.map(a => col("ts") >= a).getOrElse(lit(true))

@@ -311,14 +311,29 @@ object EngineQueries {
          |) WHERE prev IS NOT NULL ORDER BY ALL""".stripMargin) {
       (s, d) => chain(I(s, d), Difference, Difference)
     },
+    // the reference's greedy bucket scan (aggregate.c:1188-1210):
+    // each group is labeled GROUP_TS(first point of the group) and
+    // runs until the first point past that label — replayed in SQL as
+    // a recursive per-series walk over the boundary chain, each point
+    // joining the smallest boundary at or past its ts
     Entry("limit_fn_mean",
-      s"""WITH p AS ($PF),
+      s"""WITH RECURSIVE p AS ($PF),
          |s AS (SELECT series, count(*) AS len, min(ts) AS t0, max(ts) AS t1 FROM p GROUP BY 1),
          |g AS (SELECT series, len, (t1 - t0) // 50 + 1 AS gb,
          |             (t0 - 1) % ((t1 - t0) // 50 + 1) AS off FROM s),
          |j AS (SELECT p.series, p.ts, p.val, g.len, g.gb, g.off FROM p JOIN g USING (series)),
          |small AS (SELECT series, ts, val FROM j WHERE len <= 50),
-         |big AS (SELECT series, ((ts - off + gb - 1) // gb) * gb + off AS ts, avg(val) AS val
+         |walk(series, gb, off, lbl) AS (
+         |  SELECT series, gb, off, (min(ts) + gb - 1) // gb * gb + off
+         |  FROM j WHERE len > 50 GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT w.series, w.gb, w.off, (nxt.ts + w.gb - 1) // w.gb * w.gb + w.off
+         |  FROM walk w
+         |  JOIN LATERAL (SELECT min(ts) AS ts FROM j WHERE j.series = w.series AND j.ts > w.lbl) nxt
+         |    ON nxt.ts IS NOT NULL),
+         |big AS (SELECT j.series,
+         |          (SELECT min(w.lbl) FROM walk w WHERE w.series = j.series AND w.lbl >= j.ts) AS ts,
+         |          avg(val) AS val
          |        FROM j WHERE len > 50 GROUP BY 1, 2)
          |SELECT series, ts, round(val, 6) AS val
          |FROM (SELECT * FROM small UNION ALL SELECT * FROM big) ORDER BY ALL""".stripMargin) {

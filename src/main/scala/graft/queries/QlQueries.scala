@@ -223,14 +223,26 @@ object QlQueries {
          |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(rounded(ql(s, d, "select variance(6h) from /^f\\.view\\..*/")))
     },
+    // greedy bucket labels replayed with the same recursive walk as
+    // the limit_fn_mean oracle (aggregate.c:1188-1210)
     Entry("ql_select_limit_fn",
-      s"""WITH p AS (SELECT * FROM ($PF) WHERE regexp_matches(series, '^f\\.click\\.')),
+      s"""WITH RECURSIVE p AS (SELECT * FROM ($PF) WHERE regexp_matches(series, '^f\\.click\\.')),
          |s AS (SELECT series, count(*) AS len, min(ts) AS t0, max(ts) AS t1 FROM p GROUP BY 1),
          |g AS (SELECT series, len, (t1 - t0) // 40 + 1 AS gb,
          |             (t0 - 1) % ((t1 - t0) // 40 + 1) AS off FROM s),
          |j AS (SELECT p.series, p.ts, p.val, g.len, g.gb, g.off FROM p JOIN g USING (series)),
          |small AS (SELECT series, ts, val FROM j WHERE len <= 40),
-         |big AS (SELECT series, ((ts - off + gb - 1) // gb) * gb + off AS ts, avg(val) AS val
+         |walk(series, gb, off, lbl) AS (
+         |  SELECT series, gb, off, (min(ts) + gb - 1) // gb * gb + off
+         |  FROM j WHERE len > 40 GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT w.series, w.gb, w.off, (nxt.ts + w.gb - 1) // w.gb * w.gb + w.off
+         |  FROM walk w
+         |  JOIN LATERAL (SELECT min(ts) AS ts FROM j WHERE j.series = w.series AND j.ts > w.lbl) nxt
+         |    ON nxt.ts IS NOT NULL),
+         |big AS (SELECT j.series,
+         |          (SELECT min(w.lbl) FROM walk w WHERE w.series = j.series AND w.lbl >= j.ts) AS ts,
+         |          avg(val) AS val
          |        FROM j WHERE len > 40 GROUP BY 1, 2)
          |SELECT series, ts, round(val, 6) AS val
          |FROM (SELECT * FROM small UNION ALL SELECT * FROM big) ORDER BY ALL""".stripMargin) {

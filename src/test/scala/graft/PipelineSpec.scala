@@ -176,7 +176,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(small === TS.zip(VALS)) // untouched passthrough
   }
 
-  test("limit(N, fn) equals the reference greedy scan on dense series; sparse shape pinned") {
+  test("limit(N, fn) equals the reference greedy scan on dense AND sparse series") {
     // the reference's per-group label is GROUP_TS(first point of the
     // group), assigned in a sequential scan (aggregate.c:1188-1210);
     // this reimplements that scan literally to compare against
@@ -192,19 +192,22 @@ class PipelineSpec extends AnyFunSuite {
       }
       (out += ((b, cnt))).toList
     }
-    // dense series (every slot occupied): the grid formula IS greedy
+    // dense series (every slot occupied)
     val denseTs = (3L to 22L)
     val dense = denseTs.zipWithIndex
       .map { case (t, i) => ("d", t, 1L, i.toLong) }
       .toDF("series", "ts", "val", "pid")
     assert(runL(dense, LimitFn(6, Count)) === greedy(denseTs, 6))
-    // KNOWN sparse divergence (see the LimitFn comment): gb=3 off=2,
-    // points {3,5,7} — greedy emits labels (5,2),(11,1) because the
-    // post-gap start 7 has 7 mod 3 = 1 <= off; the grid labels (5,2),(8,1)
+    // sparse series: gb=3 off=2, points {3,5,7} — the post-gap start 7
+    // has 7 mod 3 = 1 <= off, so greedy labels the second group 11,
+    // one gb past the dense grid; the streaming label scan must match
     val sparse = Seq(("s", 3L, 1L, 0L), ("s", 5L, 1L, 1L), ("s", 7L, 1L, 2L))
       .toDF("series", "ts", "val", "pid")
     assert(greedy(Seq(3L, 5L, 7L), 2) === Seq((5L, 2L), (11L, 1L)))
-    assert(runL(sparse, LimitFn(2, Count)) === Seq((5L, 2L), (8L, 1L)))
+    assert(runL(sparse, LimitFn(2, Count)) === greedy(Seq(3L, 5L, 7L), 2))
+    // the reference fixture too (gaps at 16..24 relative to gb)
+    assert(runL(fixture, LimitFn(4, Count)) === greedy(TS, 4))
+    assert(runL(fixture, LimitFn(3, Count)) === greedy(TS, 3))
   }
 
   test("int64 sum/difference overflow is an error, not a wrap — aggregate.c:1646-1652") {
