@@ -210,11 +210,16 @@ object Ann {
     for (_ <- 1 to iters) {
       val next = centroidsOf(assign(cent))
       // empty cells keep their previous centroid (deterministic in
-      // both engines via the same left-join + coalesce)
+      // both engines via the same left-join + coalesce). The nlist-row
+      // result is localCheckpoint'ed EAGERLY: without it each
+      // iteration's plan re-derives every previous iteration's
+      // assignment chain, multiplying corpus passes — checkpointed,
+      // training is exactly one assignment pass per Lloyd round.
       cent = cent.alias("o")
         .join(next.alias("n"), Seq("cell"), "left")
         .select(col("cell"), coalesce(col("n.cv"), col("o.cv")).as("cv"),
           coalesce(col("n.cnrm"), col("o.cnrm")).as("cnrm"))
+        .localCheckpoint(true)
     }
     probeAndScore(assign(cent), cent, nQueries, k, nprobe)
   }

@@ -92,6 +92,25 @@ class PlanSpec extends AnyFunSuite {
     assert(sortsBeforeAgg === 0, p)
   }
 
+  test("k-means training lineage stays flat; greedy limit has no window") {
+    // each Lloyd round localCheckpoints its nlist-row centroid table —
+    // without that the iteration plan re-derives every previous
+    // round's assignment chain (measured: 40 shuffle exchanges for 2
+    // rounds vs 10 checkpointed)
+    val km = Ann.kmeansIvfTopK(graft.core.Tables.embeddings(spark, dir),
+      nQueries = 5, k = 3, nlist = 4, iters = 2)
+    km.collect()
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan(km)).size
+    assert(shuffles <= 15, s"kmeans lineage blew up: $shuffles shuffles")
+    // the greedy limit label pass is a sorted mapPartitions scan, not
+    // a per-series window (which would re-sort on a second exchange)
+    val lim = Pipeline(SeriesStore.pointsF(spark, dir),
+      Seq(Pipeline.LimitFn(50, Pipeline.Mean)))
+    lim.collect()
+    assert(!plan(lim).contains("Window"), "greedy limit must not use a window")
+  }
+
   test("bare count()/first() selects read zero point files on an Ingest store") {
     // (parquet-derived path is covered by the catalog-cache test; the
     // Ingest path must not even list the points directory — pinned in
