@@ -224,6 +224,27 @@ object Ann {
     probeAndScore(assign(cent), cent, nQueries, k, nprobe)
   }
 
+  /** Int8 scalar quantization of the embedding column — the standard
+    * 4× storage/bandwidth compression for a 100 TB vector store
+    * (per-vector absmax scaling, the faiss SQ8 shape). Fully
+    * deterministic: absmax is comparison-based (order-independent),
+    * the scale division and round-half-away are identical IEEE ops in
+    * any engine, so the oracle reproduces every code exactly. Output
+    * is exploded to (vec_id, pos, q, scale) scalar rows. A zero
+    * vector quantizes to all-zero codes. Narrow single-pass transform,
+    * no shuffle. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+      .withColumn("scale",
+        expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        posexplode(expr(
+          "transform(v, x -> CASE WHEN scale = 0D THEN 0 ELSE CAST(round(x / scale) AS INT) END)"))
+          .as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos"), col("q"), col("scale"))
+
   /** Hyperplane constant j, derived from md5("plane:j") — the
     * dedup_simhash portability trick — so ANY engine can recompute the
     * exact same hyperplanes and signatures (the DuckDB oracle does).

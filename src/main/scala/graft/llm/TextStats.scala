@@ -130,4 +130,35 @@ object TextStats {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    * standard LLM-corpus quality gate): per document, the fraction of
+    * token n-grams claimed by the single most frequent n-gram
+    * (top-n-gram fraction, n=2 here) and the fraction of n-grams that
+    * are repeats of an earlier one (duplicate-n-gram fraction, n=3).
+    * Docs too short to form an n-gram score 0.0. Two hash
+    * aggregations per n (map-side combined) — no windows, no UDFs,
+    * linear at any corpus size. */
+  def repetition(docs: DataFrame): DataFrame = {
+    def gramStats(n: Int) = docs
+      .select(col("doc_id"), expr(tok).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("total"),
+        count(lit(1)).as("distinct"), max(col("c")).as("mx"))
+    val s2 = gramStats(2).select(col("doc_id"),
+      round(col("mx") / col("total").cast("double"), 6).as("top2_frac"))
+    val s3 = gramStats(3).select(col("doc_id"),
+      round(lit(1.0) - col("distinct") / col("total").cast("double"), 6)
+        .as("dup3_frac"))
+    docs.select(col("doc_id"))
+      .join(s2, Seq("doc_id"), "left")
+      .join(s3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+  }
 }

@@ -293,6 +293,18 @@ object DataOpsQueries {
         nlist = 8, iters = 2, nprobe = 3))
     },
 
+    // int8 scalar quantization (absmax), exploded to scalar rows so
+    // every code is oracle-pinned
+    Entry("ann_quantize_int8",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+        |SELECT vec_id, unnest(range(len(v))) AS pos,
+        |       unnest(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale) AS INT) END)) AS q,
+        |       scale
+        |FROM s ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.quantizeInt8(emb(s, d)))
+    },
+
     // ---- text analysis ----
     Entry("text_token_stats",
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)
@@ -346,6 +358,28 @@ object DataOpsQueries {
         |SELECT ngram, count(*) AS freq FROM b GROUP BY 1
         |HAVING count(*) >= 20 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.ngramFreq(docs(s, d), n = 2, minFreq = 20))
+    },
+    // Gopher repetition gates: top-2-gram fraction + duplicate-3-gram
+    // fraction per document (Rae et al. 2021 §A1.1)
+    Entry("text_repetition",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+        |         i -> array_to_string(w[i+1:i+2], ' '))) AS g
+        |       FROM t WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top2_frac
+        |       FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |         i -> array_to_string(w[i+1:i+3], ' '))) AS g
+        |       FROM t WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup3_frac
+        |       FROM c3 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s2.top2_frac, 0.0) AS top2_frac,
+        |       COALESCE(s3.dup3_frac, 0.0) AS dup3_frac
+        |FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.repetition(docs(s, d)))
     },
     Entry("doc_fingerprint",
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

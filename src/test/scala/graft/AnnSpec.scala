@@ -108,6 +108,22 @@ class AnnSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.35, s"ivf recall=$ivfRecall")
   }
 
+  test("int8 quantization: reconstruction within half a step, zero vector safe") {
+    val withZero = corpus.unionByName(
+      Seq((500L, Array.fill(16)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val q = Ann.quantizeInt8(withZero).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // every code is a valid int8 and reconstructs within scale/2
+    val orig = withZero.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    q.foreach { case (id, pos, code, scale) =>
+      assert(code >= -127 && code <= 127, s"code $code out of int8 range")
+      assert(math.abs(orig(id)(pos) - code * scale) <= scale / 2 + 1e-12,
+        s"vec $id pos $pos reconstructs poorly")
+    }
+    assert(q.filter(_._1 == 500L).forall(r => r._3 === 0 && r._4 === 0.0))
+  }
+
   test("cosine pairs: blocked variant finds the same high-sim pairs as exact") {
     val exact = Ann.cosinePairs(corpus, theta = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -98,6 +98,22 @@ class DedupSpec extends AnyFunSuite {
       spark.sparkContext.getRDDStorageInfo.map(i => (i.name, i.memSize, i.diskSize)).mkString("\n"))
   }
 
+  test("repetition signals: loops score high, diverse text low, short docs zero") {
+    import graft.llm.TextStats
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam", "en", "s", 29L), // one bigram repeated
+      (2L, "the quick brown fox jumps over dog", "en", "s", 34L), // all distinct
+      (3L, "one", "en", "s", 3L), // too short for any n-gram
+      (4L, "a b c a b c a b c", "en", "s", 17L)) // repeating trigram loop
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.repetition(docs).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((1.0, 0.75))) // 5×"spam spam"; 4 trigrams 1 distinct
+    assert(r(2L) === ((0.166667, 0.0))) // round-6, like every float entry
+    assert(r(3L) === ((0.0, 0.0)))
+    assert(r(4L)._2 > 0.5) // looped trigrams are mostly duplicates
+  }
+
   test("exact groups: identical content collapses, hash is stable") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")
