@@ -233,17 +233,39 @@ object Ann {
     * is exploded to (vec_id, pos, q, scale) scalar rows. A zero
     * vector quantizes to all-zero codes. Narrow single-pass transform,
     * no shuffle. */
-  def quantizeInt8(emb: DataFrame): DataFrame =
+  /** (vec_id, scale, qv: array<int>) — the stored SQ8 form. */
+  private def int8Codes(emb: DataFrame): DataFrame =
     emb.where(col("embedding").isNotNull)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS double))").as("v"))
       .withColumn("scale",
         expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
+      .select(col("vec_id"), col("scale"), expr(
+        "transform(v, x -> CASE WHEN scale = 0D THEN 0 ELSE CAST(round(x / scale) AS INT) END)")
+        .as("qv"))
+
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    int8Codes(emb)
       .select(col("vec_id"), col("scale"),
-        posexplode(expr(
-          "transform(v, x -> CASE WHEN scale = 0D THEN 0 ELSE CAST(round(x / scale) AS INT) END)"))
-          .as(Seq("pos", "q")))
+        posexplode(col("qv")).as(Seq("pos", "q")))
       .select(col("vec_id"), col("pos"), col("q"), col("scale"))
+
+  /** Asymmetric quantized search: float queries against the SQ8
+    * corpus — the 4×-less-I/O scan path of a large vector store. The
+    * corpus side is reconstructed on the fly (code × scale, exact
+    * IEEE products of exact inputs, so fully deterministic and
+    * oracle-reproducible); the plan is the exact-search plan —
+    * broadcast queries, corpus never shuffles, two-phase top-k. */
+  def quantizedTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val recon = int8Codes(emb)
+      .select(col("vec_id"), expr("transform(qv, c -> c * scale)").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    val q = withNorm(emb).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+    topK(scored, k)
+  }
 
   /** Hyperplane constant j, derived from md5("plane:j") — the
     * dedup_simhash portability trick — so ANY engine can recompute the

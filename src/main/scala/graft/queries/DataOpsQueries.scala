@@ -305,6 +305,26 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.quantizeInt8(emb(s, d)))
     },
 
+    // asymmetric SQ8 search: float queries against the reconstructed
+    // int8 corpus (code × scale is exact, so the oracle reproduces
+    // the quantized sims bit for bit at round-9)
+    Entry("ann_quantized_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id, scale, list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale) AS INT) END) AS qv FROM s),
+        |r AS (SELECT vec_id, list_transform(qv, cd -> cd * scale) AS v FROM c),
+        |rn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM r),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, rn.vec_id,
+        |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 9) AS sim
+        |      FROM q, rn WHERE rn.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id
+        |FROM p QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.quantizedTopK(emb(s, d), nQueries = 10, k = 5))
+    },
+
     // ---- text analysis ----
     Entry("text_token_stats",
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)

@@ -99,9 +99,14 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = Ann.ivfTopK(emb, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = Ann.quantizedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
     val lshRecall = (exact intersect lsh).size.toDouble / exact.size
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
-    info(s"sf0.01 recall@5: lsh=$lshRecall ivf=$ivfRecall")
+    val sq8Recall = (exact intersect sq8).size.toDouble / exact.size
+    info(s"sf0.01 recall@5: lsh=$lshRecall ivf=$ivfRecall sq8=$sq8Recall")
+    // int8 quantization barely moves the ranking (measured 0.98)
+    assert(sq8Recall >= 0.9, s"sq8 recall=$sq8Recall")
     // measured: lsh=0.90, ivf=0.42 (near-random labels make IVF hover
     // just above its nprobe/nlist=0.3 floor — expected, see ivfTopK doc)
     assert(lshRecall >= 0.8, s"lsh recall=$lshRecall")

@@ -109,6 +109,14 @@ class DdlSpec extends AnyFunSuite {
     // dropped series are invisible to selects and lists
     assert(q(env, "list series /^f\\..*/").isEmpty)
     assert(q(env, "select count() from /^f\\..*/").isEmpty)
+    // bare `drop series` is the reference's drop-ALL form: grammar
+    // makes match and where optional; the threshold guard is what
+    // stands between a client and an empty database
+    val all = intercept[QueryError](q(env, "drop series"))
+    assert(all.msg.contains("drop 100.00%"), all.msg)
+    assert(msg(env, "drop series set ignore_threshold true")
+      .startsWith("Successfully dropped"))
+    assert(q(env, "count series").head.head === 0L)
   }
 
   test("alter database set timezone drives date parsing — listener.c:4879-4930") {
