@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Continuous maintenance jobs over the ingest stream — the Structured
+  * Streaming surface proper (the ingest path itself is a foreachBatch
+  * exactly-once writer, Ingest.start).
+  *
+  * [[bucketed]] is a watermarked windowed pre-aggregation: per
+  * (series, time bucket) count/sum/min/max, the rollup a 100 TB store
+  * maintains continuously so coarse dashboards never rescan raw
+  * points (the reference instead re-aggregates per query and relies on
+  * its per-shard indexes, shard.c — a standing rollup is the
+  * Spark-native equivalent). The watermark bounds state: windows
+  * older than the allowed lateness are finalized, emitted once
+  * (append mode), and their state dropped — without it, streaming
+  * state grows with every distinct window forever.
+  *
+  * [[liveStats]] maintains the reference's per-series catalog facts
+  * (length / start / end / last value, series.c's series->length,
+  * ->start, ->end bookkeeping) as streaming state via
+  * flatMapGroupsWithState: one state row per series, updated per
+  * micro-batch, emitting a snapshot whenever it changes. State is
+  * O(#series), the same size class the reference keeps resident.
+  */
+object Rollup {
+
+  /** One finalized rollup row per (series, bucket). */
+  final case class Bucket(series: String, bucket: Long, n: Long,
+      sum: Double, min: Double, max: Double)
+
+  /** Live per-series stats (the catalog facts as streaming state). */
+  final case class SeriesStats(series: String, length: Long, start: Long,
+      end: Long, last_val: Double)
+
+  /** Watermarked windowed rollup of a PointIn stream. `lateness`
+    * is how far out-of-order a point may arrive and still count;
+    * anything later is dropped by the watermark, exactly like any
+    * late-data policy at scale. */
+  def bucketed(src: DataFrame, bucketSec: Long,
+      lateness: String): DataFrame =
+    src.select(col("series"), timestamp_seconds(col("ts")).as("ev"),
+        col("val_num").as("val"))
+      .withWatermark("ev", lateness)
+      .groupBy(col("series"), window(col("ev"), s"$bucketSec seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum"),
+        min(col("val")).as("min"), max(col("val")).as("max"))
+      .select(col("series"),
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("n"), col("sum"), col("min"), col("max"))
+
+  /** Start the rollup as an append-mode parquet sink: rows appear
+    * when their window passes the watermark — finalized exactly once. */
+  def startBucketed(src: DataFrame, outDir: String, checkpoint: String,
+      bucketSec: Long = 3600L, lateness: String = "1 hour"): StreamingQuery =
+    bucketed(src, bucketSec, lateness).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .start()
+
+  /** Per-series running stats via flatMapGroupsWithState: emits the
+    * updated snapshot for every series touched by a micro-batch.
+    * Duplicate and out-of-order timestamps are folded exactly like
+    * the batch catalog (first/last decided by (ts, pid) order). */
+  def liveStats(src: Dataset[Ingest.PointIn]): Dataset[SeriesStats] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[Ingest.PointIn],
+         state: GroupState[SeriesStats]) =>
+          var cur = state.getOption.getOrElse(
+            SeriesStats(series, 0L, Long.MaxValue, Long.MinValue, 0.0))
+          var lastKey = (cur.end, Long.MinValue)
+          var changed = false
+          rows.foreach { p =>
+            changed = true
+            val k = (p.ts, p.pid)
+            if (Ordering[(Long, Long)].gteq(k, lastKey)) {
+              lastKey = k
+              cur = cur.copy(end = math.max(cur.end, p.ts), last_val = p.val_num)
+            }
+            cur = cur.copy(length = cur.length + 1,
+              start = math.min(cur.start, p.ts),
+              end = math.max(cur.end, p.ts))
+          }
+          if (changed) { state.update(cur); Iterator(cur) }
+          else Iterator.empty
+      }
+  }
+}
