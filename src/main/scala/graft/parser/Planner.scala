@@ -465,6 +465,11 @@ object Planner {
     * (series, ts, val). When the env carries an authenticated user the
     * statement's access bit is enforced first (listener.c:433). */
   def run(stmt: Statement, env: EngineEnv, keepPid: Boolean = false): DataFrame = {
+    // any DDL can change what a selection matches (drop tombstones,
+    // tag/group membership, renames) — invalidate the per-thread
+    // select memo so engine-level callers that interleave DDL and
+    // selects without a transport drain never see stale types/names
+    if (stmt.isInstanceOf[DdlStmt]) selInfoMemo.get().clear()
     env.user.foreach { u =>
       val bit = requiredAccess(stmt)
       if (bit != 0)

@@ -119,6 +119,24 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "count series").head.head === 0L)
   }
 
+  test("DDL invalidates the per-thread select memo — no stale names after a drop") {
+    val env = EngineEnv(spark, dir)
+    val stmt = graft.parser.QueryParser
+      .parse("select sum(3600) from /^i\\..*/", 1706659200L)
+      .asInstanceOf[graft.parser.SelectStmt]
+    Planner.run(stmt, env) // primes the (sel, where) memo
+    val names1 = Planner.selectNames(stmt, env)
+    // same thread, no transport drain in between — the DDL itself
+    // must invalidate the memo
+    q(env, "drop series /^i\\.click\\..*/ set ignore_threshold true")
+    Planner.run(stmt, env)
+    val names2 = Planner.selectNames(stmt, env)
+    assert(names2.nonEmpty && names2.size < names1.size,
+      s"${names1.size} -> ${names2.size}")
+    assert(!names2.exists(_.startsWith("i.click.")))
+    Planner.drainQueryCaches()
+  }
+
   test("alter database set timezone drives date parsing — listener.c:4879-4930") {
     val env = EngineEnv(spark, dir)
     assert(msg(env, "alter database set timezone 'Europe/Amsterdam'") ===
