@@ -875,29 +875,53 @@ object Planner {
       val matching = where match {
         case None => all
         case Some(w) =>
-          // evaluate the cexpr per shard dir on its sid; start/end map
+          // evaluate the cexpr per shard dir: the full shard prop set
+          // of siridb_shard_cexpr_cb (shard.c:570-600 — sid, pool,
+          // size, start, end, type, server, status), with the same
+          // values the `list shards` view exposes; start/end map
           // through the dir's OWN duration (num vs log shards bucket
           // at different durations — db.c:395-424)
-          def eval(c: Cexpr, sid: Long, dur: Long): Boolean = c match {
-            case CAnd(l, r) => eval(l, sid, dur) && eval(r, sid, dur)
-            case COr(l, r) => eval(l, sid, dur) || eval(r, sid, dur)
-            case CCmp("sid", op, Left(v)) => op match {
-              case "==" => sid == v
-              case "!=" => sid != v
-              case "<" => sid < v
-              case ">" => sid > v
-              case "<=" => sid <= v
-              case ">=" => sid >= v
-              case _ => throw QueryError(s"bad shard operator '$op'")
-            }
-            case CCmp("start", op, Left(v)) =>
-              eval(CCmp("sid", op, Left(v / dur)), sid, dur)
-            case CCmp("end", op, Left(v)) =>
-              eval(CCmp("sid", op, Left(v / dur)), sid, dur)
-            case CCmp(p, _, _) => throw QueryError(s"unsupported shard property '$p'")
+          def intCmp(op: String, a: Long, v: Long): Boolean = op match {
+            case "==" => a == v
+            case "!=" => a != v
+            case "<" => a < v
+            case ">" => a > v
+            case "<=" => a <= v
+            case ">=" => a >= v
+            case o => throw QueryError(s"bad shard operator '$o'")
           }
-          all.filter { case (g, sid, _) =>
-            eval(w, sid, if (g == "log") env.durationLog else env.shardDuration)
+          def strCmp(op: String, a: String, v: String): Boolean = op match {
+            case "==" => a == v
+            case "!=" => a != v
+            case "<" => a < v
+            case ">" => a > v
+            case "<=" => a <= v
+            case ">=" => a >= v
+            case "~" => a.contains(v)
+            case "!~" => !a.contains(v)
+          }
+          def eval(c: Cexpr, g: String, sid: Long, dur: Long,
+              p: org.apache.hadoop.fs.Path): Boolean = c match {
+            case CAnd(l, r) => eval(l, g, sid, dur, p) && eval(r, g, sid, dur, p)
+            case COr(l, r) => eval(l, g, sid, dur, p) || eval(r, g, sid, dur, p)
+            case CCmp("sid", op, Left(v)) => intCmp(op, sid, v)
+            case CCmp("pool", op, Left(v)) => intCmp(op, 0L, v)
+            case CCmp("start", op, Left(v)) => intCmp(op, sid, v / dur)
+            case CCmp("end", op, Left(v)) => intCmp(op, sid, v / dur)
+            case CCmp("size", op, Left(v)) =>
+              val size = fs.listStatus(p)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(_.getLen).sum
+              intCmp(op, size, v)
+            case CCmp("type", op, Right(v)) =>
+              strCmp(op, if (g == "log") "log" else "number", v)
+            case CCmp("server", op, Right(v)) => strCmp(op, "local", v)
+            case CCmp("status", op, Right(v)) => strCmp(op, "ok", v)
+            case CCmp(p0, _, _) => throw QueryError(s"unsupported shard property '$p0'")
+          }
+          all.filter { case (g, sid, p) =>
+            eval(w, g, sid,
+              if (g == "log") env.durationLog else env.shardDuration, p)
           }
       }
       // the same drop_threshold guard as series, on the shard fraction

@@ -31,6 +31,7 @@ class GrammarExecSpec extends AnyFunSuite {
     api.runInsert(mapper.readTree(
       """{"000000": [[100, 1.0], [160, 2.0], [220, 3.0]]}"""), "iris")
     api.runQuery("create group `GROUP` for /0000.*/", 1L, "iris")
+    api.runQuery("create group `GROUP_OR_TAG` for /00000.*/", 1L, "iris") // test_grammar.py:172
     api.runQuery("alter series '000000' tag `TAG`", 1L, "iris")
     api.runQuery("create user 'USER' set password 'PASSWORD1'", 1L, "iris")
     var answered = 0
@@ -44,8 +45,10 @@ class GrammarExecSpec extends AnyFunSuite {
       }
     }
     info(s"sample=${sample.size} answered=$answered rejected=$rejected")
-    // most productions reference entities the seed provides, so the
-    // bulk must actually answer (not just parse)
-    assert(answered > sample.size / 2, s"answered=$answered of ${sample.size}")
+    // with the itest's full seeding nearly everything answers; the
+    // remaining rejections are reference-faithful errors (offset-first,
+    // threshold-guarded drop-all, create-duplicate)
+    assert(answered >= sample.size * 9 / 10,
+      s"answered=$answered of ${sample.size}")
   }
 }
