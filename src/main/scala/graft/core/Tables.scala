@@ -49,7 +49,18 @@ object Tables {
   def sessionBuilder(master: String, cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .withExtensions(_.injectOptimizerRule(_ => new graft.plans.DivComparisonPushdown))
+      .withExtensions { ext =>
+        ext.injectOptimizerRule(_ => new graft.plans.DivComparisonPushdown)
+        // native codegen'd dot product for the similarity scorers
+        // (graft.functions.DotProduct — beats a Scala UDF by staying
+        // inside whole-stage codegen, no per-row boxing)
+        ext.injectFunction((
+          new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[graft.functions.DotProduct].getName, "graft_dot"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.DotProduct(children(0), children(1))))
+      }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -27,22 +27,15 @@ object Ann {
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
 
-  /** Sequential-fold dot product as a tight primitive loop — same
-    * accumulation order as the equivalent
-    * aggregate(zip_with(qv, v, (x,y) -> x*y), 0D, +) expression (so
-    * sims are bit-identical), but without the per-element interpreted
-    * lambda evaluation of higher-order functions, which dominates the
-    * scoring stage at dim multiply-adds per candidate. */
-  private val dotUdf = udf { (q: Seq[Double], v: Seq[Double]) =>
-    if (q == null || v == null) null.asInstanceOf[java.lang.Double]
-    else { // null embeddings propagate null (dropped by every sim compare)
-      val qa = q.toArray; val va = v.toArray
-      var s = 0.0; var i = 0
-      while (i < qa.length) { s += qa(i) * va(i); i += 1 }
-      java.lang.Double.valueOf(s)
-    }
-  }
-  private def dotCol = dotUdf(col("qv"), col("v"))
+  /** Sequential-fold dot product via the native codegen'd expression
+    * (graft.functions.DotProduct, registered by
+    * Tables.sessionBuilder): same accumulation order as the
+    * equivalent aggregate(zip_with(qv, v, (x,y) -> x*y), 0D, +) HOF
+    * (so sims are bit-identical to the oracles), but emitted straight
+    * into whole-stage codegen — no interpreted per-element lambdas,
+    * no UDF boxing. Null embeddings propagate null (dropped by every
+    * sim compare downstream). */
+  private def dotCol = expr("graft_dot(qv, v)")
 
   /** Two-phase exact top-k over a scored candidate set, replacing a
     * global `Window.partitionBy(query_id)` (which funnels every scored

@@ -80,6 +80,10 @@ class PlanSpec extends AnyFunSuite {
       nQueries = 5, k = 3)
     df.collect()
     val p = plan(df)
+    // scoring runs through the native codegen'd expression, not a
+    // Scala UDF (per-row boxing + optimizer black box)
+    assert(p.contains("graft_dot"), "native dot expression missing")
+    assert(!p.contains("ScalaUDF"), "scoring fell back to a Scala UDF")
     // phase 1 aggregates narrow structs; the only window runs over the
     // <= k*P merged survivors, after an exchange keyed on query_id of
     // aggregated (not raw-scored) rows
