@@ -60,6 +60,13 @@ object Tables {
             classOf[graft.functions.DotProduct].getName, "graft_dot"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.DotProduct(children(0), children(1))))
+        ext.injectFunction((
+          new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_sigs"),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[graft.functions.LshSignatures].getName, "graft_lsh_sigs"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.LshSignatures(children(0), children(1),
+              children(2), children(3))))
       }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

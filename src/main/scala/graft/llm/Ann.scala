@@ -267,7 +267,7 @@ object Ann {
     * double, mapped affinely onto [-1, 1); every step (exact int →
     * power-of-two divide → subtract 1) is exact in IEEE-754, so the
     * constant is bit-identical however it is recomputed. */
-  private[llm] def md5Plane(j: Int): Double = {
+  private[graft] def md5Plane(j: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
@@ -300,40 +300,19 @@ object Ann {
     // (tables*bits*dim) hyperplane constant, indexed as
     // H[(t*bits + b)*dim + i]
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
-    val planes = Array.tabulate(tables * bits * dim)(md5Plane)
-    // signature per (vec, table): `bits` sign bits of hyperplane dots.
-    // A tight-loop Scala function over primitive arrays (the plane
-    // constant rides the closure, broadcast once per executor) — the
+    // signature per (vec, table): `bits` sign bits of hyperplane dots,
+    // via the native codegen'd expression (graft.functions
+    // .LshSignatures, registered by Tables.sessionBuilder) — the
     // equivalent nested higher-order-function expression evaluates its
     // lambdas per element interpreted, an order of magnitude slower
     // for tables*bits*dim multiply-adds per vector. Same sequential
-    // fold order, so the sign bits are bit-identical.
-    val nTables = tables; val nBits = bits
-    val sigUdf = udf { (v: Seq[Double]) =>
-      if (v == null) null // no signatures → posexplode drops the row
-      else {
-      val a = v.toArray
-      val res = new Array[Long](nTables)
-      var t = 0
-      while (t < nTables) {
-        var sig = 0L
-        var b = 0
-        while (b < nBits) {
-          val off = (t * nBits + b) * dim
-          var s = 0.0
-          var i = 0
-          while (i < dim) { s += a(i) * planes(off + i); i += 1 }
-          sig = sig * 2 + (if (s >= 0) 1L else 0L)
-          b += 1
-        }
-        res(t) = sig
-        t += 1
-      }
-      res
-      }
-    }
+    // fold order and md5-derived planes, so the sign bits stay
+    // bit-identical to the DuckDB oracle. A null vector yields a null
+    // signature array → posexplode drops the row.
     def sigs(df: DataFrame) = df
-      .select(col("*"), posexplode(sigUdf(col("v"))).as(Seq("t", "sig")))
+      .select(col("*"),
+        posexplode(expr(s"graft_lsh_sigs(v, $tables, $bits, $dim)"))
+          .as(Seq("t", "sig")))
       .select(col("vec_id"), col("v"), col("nrm"), col("t"), col("sig"))
     val corpus = sigs(e)
     val queries = sigs(e.where(col("vec_id") < nQueries))
