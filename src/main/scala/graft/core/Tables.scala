@@ -67,6 +67,12 @@ object Tables {
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.LshSignatures(children(0), children(1),
               children(2), children(3))))
+        ext.injectFunction((
+          new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[graft.functions.Shingles].getName, "graft_shingles"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.Shingles(children(0), children(1))))
       }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -57,42 +57,15 @@ object Dedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle).
-    * Semantics: whitespace-tokenize the trimmed text, join every
-    * n-token window with single spaces, emit each distinct shingle
-    * once — the same set the equivalent
-    * transform(sequence)/slice/concat_ws/array_distinct expression
-    * produces, but in ONE pass over primitive arrays instead of three
-    * interpreted higher-order-function evaluations (this narrow stage
-    * is the floor of every dedup operator's runtime). */
-  private def shingleUdf(n: Int) = udf { (text: String) =>
-    // null text documents emit no shingles (the SQL formulation
-    // propagated null through split and filtered the row)
-    val w = if (text == null) Array.empty[String] else text.trim.split("\\s+")
-    if (w.length < n) Array.empty[String]
-    else {
-      val seen = new java.util.LinkedHashSet[String](w.length * 2)
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i <= w.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(w(i + j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
-      val out = new Array[String](seen.size)
-      seen.toArray(out)
-      out
-    }
-  }
-
+  /** Distinct word n-gram shingles per document: (doc_id, shingle),
+    * via the native expression graft.functions.Shingles (registered
+    * by Tables.sessionBuilder) — one pass over the token array, no
+    * interpreted higher-order functions and no UDF encoder round-trip
+    * for the output array (this narrow stage is the floor of every
+    * dedup operator's runtime). Null text emits no shingles. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingleUdf(n)(col("text"))).as("shingle"))
+    docs.select(col("doc_id"),
+      explode(expr(s"graft_shingles(text, $n)")).as("shingle"))
 
   /** Exact duplicate groups by content hash: one row per distinct
     * content with the canonical (lowest) doc_id and the group size. */
