@@ -235,9 +235,13 @@ object Ingest {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(p) && fs.listStatus(p).exists { st =>
-      st.getPath.getName.startsWith("sgroup=") ||
-        st.getPath.getName.startsWith("shard=") ||
-        st.getPath.getName.endsWith(".parquet")
+      val name = st.getPath.getName
+      // an sgroup= dir counts only if it still holds a shard dir —
+      // `drop shards` deletes the shard=N dirs but leaves the sgroup
+      // parents, and schema inference over that empty tree throws
+      (name.startsWith("sgroup=") && fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.startsWith("shard="))) ||
+        name.startsWith("shard=") || name.endsWith(".parquet")
     }
   }
 

@@ -24,7 +24,7 @@ class GrammarExecSpec extends AnyFunSuite {
       .getLines().filter(_.nonEmpty).toVector
     // deterministic sample across the whole corpus (stride keeps every
     // statement family, spread over all productions)
-    val sample = corpus.indices.filter(_ % 97 == 0).map(corpus)
+    val sample = corpus.indices.filter(_ % 53 == 0).map(corpus)
     val dir = Files.createTempDirectory("graft-gramexec").toString
     val api = new graft.server.ApiCore(spark, dir)
     // itest seeding: the placeholder terminals must resolve
