@@ -34,8 +34,14 @@ object Bench {
     Seq("events", "documents", "embeddings")
       .foreach(t => graft.core.Tables.load(spark, sfDir, t).count())
     val qs = SparkEntry.queries
+    // repetitions per query: the box's run-to-run noise (~±0.5 s) is
+    // on the order of several queries' full runtime, so a single
+    // sample can't distinguish a regression from scheduler jitter —
+    // the headline value per query is the median of `reps` runs and
+    // the min–max spread is reported alongside.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     var failed = List.empty[String]
-    val results = headline.filter(qs.contains).map { name =>
+    def once(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       // the action hashes every column of every row so Spark cannot
       // skip materializing value columns the way a bare count() can;
@@ -48,19 +54,28 @@ object Bench {
             .toIndexedSeq: _*).as("h"))
           .agg(org.apache.spark.sql.functions.bit_xor(
             org.apache.spark.sql.functions.col("h"))).collect()
+        Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILURE in $name: $e")
           e.printStackTrace()
           failed ::= name
+          None
       } finally graft.parser.Planner.drainQueryCaches()
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = headline.filter(qs.contains).flatMap { name =>
+      val times = Iterator.continually(once(name)).take(reps)
+        .takeWhile(_.isDefined).flatten.toVector.sorted
+      if (times.isEmpty) None
+      else Some((name, times(times.size / 2), times.last - times.head))
+    }
+    val qjson = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val sjson = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","failed":$failedJson,"note":"action = bit_xor(xxhash64(all columns)): full materialization, overflow-free"}""")
+    val failedJson = failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"reps":$reps,"sf":"$sfDir","failed":$failedJson,"note":"per-query value = median of $reps runs, spread = max-min; action = bit_xor(xxhash64(all columns)): full materialization, overflow-free"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

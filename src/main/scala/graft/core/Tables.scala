@@ -17,16 +17,21 @@ object Tables {
 
   /** Resolved-relation cache: `spark.read.parquet` runs a footer/
     * listing job per call, so a fresh EngineEnv per request would pay
-    * that job on EVERY query. The driver tables are immutable for a
-    * session's lifetime (mutable Ingest stores do not read through
-    * here), so the resolved DataFrame — logical plan + file index —
-    * is safely shared. */
+    * that job on EVERY query. Caching is restricted to the known
+    * immutable driver tables (`names`) — those never rewrite within a
+    * process lifetime, so sharing the resolved DataFrame (logical plan
+    * + file index) is safe. Any other path reads fresh every call: a
+    * rewritten parquet dir must not serve a stale file index, and the
+    * map must not grow unboundedly with ad-hoc paths. Mutable Ingest
+    * stores do not read through here at all. */
   private val relations = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    relations.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+    if (names.contains(name))
+      relations.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+        spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

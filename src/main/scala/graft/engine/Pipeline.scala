@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -85,6 +85,37 @@ object Pipeline {
   /** DuckDB SQL for the same bucket label (oracle parity). */
   def bucketSql(gb: Long, offset: Long = 0): String =
     s"((ts + ${gb - 1L}) // $gb) * $gb" + (if (offset != 0) s" + $offset" else "")
+
+  /** LimitFn's sequential greedy label scan over a typed tuple
+    * Dataset. Input: (series, ts, val, pid, gb, off), each series
+    * co-located in one partition and sorted by (series, ts [, pid]).
+    * Output adds the bucket label; O(1) state, single streaming pass.
+    * Typed tuple encoders are codegen'd per field — no generic-Row
+    * `toSeq`/`fromSeq` allocation per point. */
+  private def greedyLabels[T](prepped: DataFrame, encT: Encoder[T]): DataFrame = {
+    val E = Encoders
+    // Encoders.tuple tops out at 5 components — (gb, off) ride as one
+    // nested pair
+    val enc5in = E.tuple(E.STRING, E.scalaLong, encT, E.scalaLong,
+      E.tuple(E.scalaLong, E.scalaLong))
+    val enc5out = E.tuple(E.STRING, E.scalaLong, encT, E.scalaLong, E.scalaLong)
+    prepped
+      .select(col("series"), col("ts"), col("val"), col("pid"),
+        struct(col("__gb"), col("__off")).as("gboff"))
+      .toDF("_1", "_2", "_3", "_4", "_5").as(enc5in)
+      .mapPartitions { it =>
+        var cur: String = null
+        var lbl = 0L
+        it.map { case (s, ts, v, pid, (gb, off)) =>
+          if (s != cur || ts > lbl) {
+            cur = s
+            lbl = (ts + gb - 1) / gb * gb + off
+          }
+          (s, ts, v, pid, lbl)
+        }
+      }(enc5out)
+      .toDF("series", "ts", "val", "pid", "__lbl")
+  }
 
   private def hasPid(df: DataFrame) = df.columns.contains("pid")
   private def isIntSeries(df: DataFrame) = df.schema("val").dataType == LongType
@@ -264,16 +295,22 @@ object Pipeline {
       // per-series span decides the bucket width; series with <= n
       // points pass through unchanged (aggregate.c:677-694):
       //   gb = (last_ts - first_ts) / n + 1; offset = (first_ts-1) % gb
-      // spans is one row per series — at 10M+ series that is too large
-      // to force-broadcast; both sides hash on `series` (the table's
-      // partitioning key) so this is a co-partitioned shuffle join and
-      // AQE may still choose broadcast when small.
-      val spans = df.groupBy(col("series")).agg(
+      // ONE explicit hash repartition on `series` feeds everything
+      // downstream: the span aggregation (partial agg, no further
+      // exchange), the span join (co-partitioned — spans is one row
+      // per series, at 10M+ series too large to force-broadcast; if
+      // AQE broadcasts it anyway the streamed side keeps this
+      // partitioning), and the greedy label scan (which only needs
+      // every series co-located). AQE partition coalescing merges
+      // whole partitions and never splits one, so a series can never
+      // straddle partitions after this point.
+      val parted = df.repartition(col("series"))
+      val spans = parted.groupBy(col("series")).agg(
         count(lit(1)).as("__len"), min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
         .withColumn("__gb", expr(s"(__t1 - __t0) div ${n.toLong} + 1"))
         .withColumn("__off", expr("(__t0 - 1) % __gb"))
         .select(col("series"), col("__len"), col("__gb"), col("__off"))
-      val joined = df.join(spans, Seq("series"))
+      val joined = parted.join(spans, Seq("series"))
       val small = joined.where(col("__len") <= n)
         .select(col("series"), col("ts"), col("val"))
       // Greedy bucket labels, EXACTLY the reference scan
@@ -283,38 +320,30 @@ object Pipeline {
       // point past that label. The boundary chain depends on the data
       // (a post-gap group start s with s mod gb in 1..off pushes its
       // label one gb past the dense grid), so it is not
-      // window-expressible — instead one hash repartition co-locates
-      // each series, an external sort orders it, and a streaming
-      // O(1)-state mapPartitions pass assigns labels; the existing
-      // grouped aggregation then runs per (series, label).
+      // window-expressible — an in-partition external sort orders each
+      // series and a streaming O(1)-state mapPartitions pass assigns
+      // labels; the existing grouped aggregation then runs per
+      // (series, label). The pass runs on a typed tuple Dataset (val
+      // dispatched per family: long/double/string), whose codegen'd
+      // encoder is far cheaper than the generic Row encoder —
+      // integer values never pass through a double.
       // PipelineSpec pins equality with a literal reimplementation of
       // the reference scan on both dense and sparse fixtures.
       val hasP = hasPid(df)
       val sortCols =
         if (hasP) Seq(col("series"), col("ts"), col("pid"))
         else Seq(col("series"), col("ts"))
-      val bigCols = Seq(col("series"), col("ts"), col("val")) ++
-        (if (hasP) Seq(col("pid")) else Nil) ++
-        Seq(col("__gb"), col("__off"))
-      val prepped = joined.where(col("__len") > n).select(bigCols: _*)
-        .repartition(col("series")).sortWithinPartitions(sortCols: _*)
-      val schema = prepped.schema.add("__lbl", LongType)
-      val gbIdx = prepped.schema.fieldIndex("__gb")
-      val offIdx = prepped.schema.fieldIndex("__off")
-      val labeled = prepped.mapPartitions { it =>
-        var cur: String = null
-        var lbl = 0L
-        it.map { r =>
-          val s = r.getString(0)
-          val ts = r.getLong(1)
-          if (s != cur || ts > lbl) {
-            cur = s
-            val gb = r.getLong(gbIdx)
-            lbl = (ts + gb - 1) / gb * gb + r.getLong(offIdx)
-          }
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ lbl)
-        }
-      }(org.apache.spark.sql.Encoders.row(schema))
+      val prepped = joined.where(col("__len") > n)
+        .sortWithinPartitions(sortCols: _*)
+        .select(col("series"), col("ts"), col("val"),
+          (if (hasP) col("pid") else lit(0L)).as("pid"),
+          col("__gb"), col("__off"))
+      val labeled = df.schema("val").dataType match {
+        case LongType => greedyLabels[Long](prepped, Encoders.scalaLong)
+        case org.apache.spark.sql.types.StringType =>
+          greedyLabels[String](prepped, Encoders.STRING)
+        case _ => greedyLabels[Double](prepped, Encoders.scalaDouble)
+      }
       val bucketed = labeled
         .groupBy(col("series"), col("__lbl"))
         .agg(aggValue(fn, hasP, isIntSeries(df)).as("val"))

@@ -23,10 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * must inject it the same way. Whole-array nulls propagate null
   * (handled by BinaryExpression's null-safe contract); element nulls
   * cannot occur on the guarded inputs (vectors are CASTs of non-null
-  * float arrays).
+  * float arrays). Mismatched dimensions yield NULL — exactly what the
+  * documented-equivalent `aggregate(zip_with(...))` HOF does — so a
+  * malformed embedding surfaces as a detectable null, never as a
+  * silently-truncated but plausible similarity.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // nullable even over non-null children: dimension mismatch → NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -45,12 +51,14 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    var n = a.numElements()
-    if (b.numElements() < n) n = b.numElements()
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    val n = a.numElements()
+    if (b.numElements() != n) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,12 +68,15 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       s"""
          |int $n = $a.numElements();
-         |if ($b.numElements() < $n) $n = $b.numElements();
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -248,10 +248,15 @@ object Dedup {
       (col("id") === col("lbl")).as("keep"))
   }
 
-  /** 64-bit SimHash per document from md5-derived token hashes
+  /** 60-bit SimHash per document from md5-derived token hashes
     * (portable: the same hash is computable in ANSI SQL). Bit j of the
-    * simhash is 1 iff the sum over tokens of (2*bit_j(md5(token))-1)
-    * is positive. Token multiplicity counts. */
+    * simhash (j in 0..59) is 1 iff the sum over tokens of
+    * (2*bit_j(md5(token))-1) is positive. Token multiplicity counts.
+    * 60 bits, not 64: the token hash is the low 15 md5 hex digits so
+    * it fits a signed BIGINT in every engine — a 64th bit would be the
+    * sign bit, which portable SQL cannot shift into without
+    * overflow-behavior divergence. Size Hamming thresholds against a
+    * 60-bit fingerprint. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       // low 60 bits of md5 as a LONG (15 hex digits — portable)

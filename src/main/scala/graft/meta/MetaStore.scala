@@ -43,6 +43,14 @@ object MetaStore {
 
 final class MetaStore {
 
+  /** Server start instant — one MetaStore lives per server (ApiCore),
+    * so elapsed-since-construction is the reference's `uptime`
+    * (siri.c startup_time; props.c uptime = now - siri.start_time). */
+  private val startedAtMs = System.currentTimeMillis()
+
+  /** Elapsed whole seconds since this server came up. */
+  def uptimeSeconds: Long = (System.currentTimeMillis() - startedAtMs) / 1000L
+
   /** `pwHash` is always a [[MetaStore.hashPassword]] value — set
     * sites hash, never store, the cleartext. */
   final case class User(pwHash: String, access: Int)
@@ -110,7 +118,10 @@ final class MetaStore {
   val storeGeneration = new java.util.concurrent.atomic.AtomicLong(0)
 
   def dropThreshold: Double = config("drop_threshold").toDouble
-  def listLimit: Int = config("list_limit").toInt
+  // Long, not Int: `alter database set list_limit` accepts values up
+  // to 4294967295 (exit_set_list_limit bounds) — an Int parse would
+  // overflow past 2^31-1
+  def listLimit: Long = config("list_limit").toLong
   def selectPointsLimit: Long = config("select_points_limit").toLong
 
   /** Constructor seeding: `members` is a tiny local relation, so no

@@ -89,7 +89,12 @@ final case class AlterGroup(name: String, regex: String) extends DdlStmt
 /** `alter group `x` set name "y"` (grammar :655-657). */
 final case class AlterGroupName(name: String, newName: String) extends DdlStmt
 final case class AlterTag(name: String, newName: String) extends DdlStmt
-final case class AlterDatabase(prop: String, value: String) extends DdlStmt
+/** ignoreThreshold carries the grammar's Optional(set_ignore_threshold)
+  * on set_expiration_num/log — it bypasses the drop-threshold guard on
+  * the shards the new expiration would expire
+  * (exit_set_expiration_xxx, listener.c:4384-4402). */
+final case class AlterDatabase(prop: String, value: String,
+    ignoreThreshold: Boolean = false) extends DdlStmt
 final case class GrantUser(access: Seq[String], name: String,
     password: Option[String]) extends DdlStmt
 final case class RevokeUser(access: Seq[String], name: String) extends DdlStmt

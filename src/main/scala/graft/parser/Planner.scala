@@ -140,14 +140,20 @@ object Planner {
     * encoding) both derive from the same response-bounded
     * (series, type) projection, so a select costs one catalog job,
     * not two (types at plan time + names at encode time). Keyed by
-    * the selection AST (a request targets one database and runs on
-    * one thread); cleared with the query caches after each response. */
+    * the selection AST PLUS the store identity (dir + store
+    * generation): an engine-level caller touching two databases on one
+    * thread without a transport drain must not get one store's cached
+    * series list for the other, and a non-DDL catalog change (insert
+    * bumps storeGeneration) invalidates naturally. Cleared with the
+    * query caches after each response. */
   private val selInfoMemo = ThreadLocal.withInitial(
-    () => scala.collection.mutable.Map.empty[(Sel, Option[Cexpr]), Array[(String, String)]])
+    () => scala.collection.mutable.Map
+      .empty[(String, Long, Sel, Option[Cexpr]), Array[(String, String)]])
 
   private def selInfo(sel: Sel, where: Option[Cexpr],
       env: EngineEnv): Array[(String, String)] =
-    selInfoMemo.get().getOrElseUpdate((sel, where),
+    selInfoMemo.get().getOrElseUpdate(
+      (env.dir, env.meta.storeGeneration.get(), sel, where),
       selCatalog(Some(sel), where, env).select(col("series"), col("type"))
         .collect().map(r => (r.getString(0), r.getString(1))))
 
@@ -306,7 +312,7 @@ object Planner {
       "select_points_limit" -> lit(env.meta.selectPointsLimit),
       "startup_time" -> lit(0L),
       "sync_progress" -> lit("synced"),
-      "uptime" -> lit((System.nanoTime() / 1000000000L) % 1000000))
+      "uptime" -> lit(env.meta.uptimeSeconds))
     env.spark.range(1).select(props.map { case (n, c) => c.as(n) }: _*)
   }
 
@@ -519,7 +525,7 @@ object Planner {
         "active_handles" -> "1", "active_tasks" -> "1", "fifo_files" -> "0",
         "startup_time" -> "0", "sync_progress" -> "synced",
         "reindex_progress" -> "none", "libuv" -> "n/a (Spark engine)",
-        "uptime" -> ((System.nanoTime() / 1000000000L) % 1000000).toString,
+        "uptime" -> env.meta.uptimeSeconds.toString,
         "mem_usage" -> ((rt.totalMemory() - rt.freeMemory()) / 1024 / 1024).toString,
         "max_open_files" -> "65536", "open_files" -> "0",
         "received_points" -> env.meta.receivedPoints.get().toString,
@@ -546,7 +552,8 @@ object Planner {
       }
       selCatalog(sel, where, env)
         .select(outCols: _*)
-        .limit(limit.map(_.toInt).getOrElse(env.meta.listLimit)) // list_limit (db.h:17)
+        .limit(limit.getOrElse(env.meta.listLimit)
+          .min(Int.MaxValue.toLong).toInt) // list_limit (db.h:17)
 
     case CountStmt("series", sel, where) =>
       selCatalog(sel, where, env).agg(count(lit(1)).as("series"))
@@ -752,7 +759,7 @@ object Planner {
       env.meta.renameTag(name, newName)
       ok(env, s"Successfully updated tag '$newName'.")
 
-    case AlterDatabase(prop, value) =>
+    case AlterDatabase(prop, value, ignoreThreshold) =>
       val old = env.meta.config.getOrElse(prop, "")
       if (prop == "timezone") { // exit_set_timezone (listener.c:4879-4930)
         if (value != "NAIVE" &&
@@ -787,10 +794,37 @@ object Planner {
       }
       if (prop == "expiration_num" || prop == "expiration_log") {
         val v = value.toLong
-        val nowTs = System.currentTimeMillis() / 1000 * env.factor
-        if (v < 0L || v >= nowTs)
+        // the reference backs `now` off by one day before the bound
+        // check ("remove one day to be save",
+        // exit_set_expiration_xxx listener.c:4365-4381); zero always
+        // passes (it disables expiration)
+        val nowTs = (System.currentTimeMillis() / 1000 - 86400L) * env.factor
+        if (v < 0L || (v != 0L && v >= nowTs))
           throw QueryError(
             s"Shard expiration time should be a value greater than or equal to zero (0) and smaller than $nowTs but got $v")
+        // drop-threshold guard (listener.c:4384-4402): the fraction of
+        // this group's shards the new expiration would expire — shards
+        // wholly before now-expiration, the same cutoff Ingest.expire
+        // applies (siridb_shards_count_percent, shards.c:444-487) —
+        // must stay under drop_threshold unless ignore_threshold was
+        // given; otherwise the next insert would silently delete data
+        // the reference refuses to.
+        if (v != 0L && !ignoreThreshold) {
+          val group = if (prop == "expiration_num") "num" else "log"
+          val dur = if (group == "log") env.durationLog else env.shardDuration
+          val groupShards = graft.streaming.Ingest
+            .shardDirs(env.spark, env.dir).filter(_._1 == group)
+          val cutoffShard = (nowTs - v) / dur
+          val expired = groupShards.count(_._2 < cutoffShard)
+          val frac =
+            if (groupShards.isEmpty) 0.0
+            else expired.toDouble / groupShards.size
+          if (frac >= env.meta.dropThreshold)
+            throw QueryError(
+              String.format(java.util.Locale.ROOT,
+                "This query would drop %.2f%% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.",
+                Double.box(frac * 100)))
+        }
       }
       if (prop == "tee") { // exit_set_tee (listener.c:4788-4860)
         if (value != "false") {

@@ -760,22 +760,22 @@ final class QueryParser(input: String, now: Long, factor: Long = 1L,
       expectKw("set")
       val prop = peekWord.getOrElse(err("expecting a database property"))
       p += prop.length
+      var ignore = false
       val value = prop match {
         case "drop_threshold" => parseFloatLit().toString
         case "list_limit" | "select_points_limit" => parseIntExpr().toString
         case "expiration_num" | "expiration_log" =>
           val v = parseTimeExpr().toString
           // Optional(set_ignore_threshold) (grammar set_expiration_*):
-          // the reference uses it to bypass the drop-threshold check on
-          // the points the new expiration would drop; accepted here the
-          // same way (the expiry pass itself enforces no threshold)
-          tryIgnoreThreshold()
+          // bypasses the planner's drop-threshold guard on the shards
+          // the new expiration would expire (listener.c:4384-4402)
+          ignore = tryIgnoreThreshold()
           v
         case "timezone" => expectString()
         case "tee" => if (tryKw("false")) "false" else expectString()
         case other => err(s"unknown database property '$other'")
       }
-      AlterDatabase(prop, value)
+      AlterDatabase(prop, value, ignore)
     } else err("expecting series, user, group, tag, server or database after 'alter'")
   }
 

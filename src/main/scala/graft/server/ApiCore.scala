@@ -230,13 +230,20 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     out
   }
 
-  /** {columns: [...], rows: [[...]]} for list/count/show/calc. */
+  /** {columns: [...], rows: [[...]]} for list/count/show/calc. The
+    * collect cap tracks the live (alterable) `list_limit` — the list
+    * plan already bounds itself at Planner list_limit, so limit+1 here
+    * is a pure transport safety net, mirroring the select path's
+    * select_points_limit+1 pattern above (a fixed 10,001 cap would
+    * silently truncate once `alter database set list_limit` raised
+    * the plan bound past it). */
   private def encodeTable(df: DataFrame): ObjectNode = {
     val out = mapper.createObjectNode()
     val cols = out.putArray("columns")
     df.columns.foreach(cols.add)
     val rows = out.putArray("rows")
-    df.limit(10001).collect().foreach { r =>
+    val cap = (meta.listLimit.toLong + 1L).min(Int.MaxValue.toLong).toInt
+    df.limit(cap).collect().foreach { r =>
       val arr = rows.addArray()
       r.toSeq.foreach {
         case l: Long => arr.add(l)

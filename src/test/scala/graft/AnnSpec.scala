@@ -26,6 +26,21 @@ class AnnSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding", "label")
   }
 
+  test("graft_dot yields NULL on mismatched dimensions, like zip_with") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)), // matched: 32.0
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0))       // malformed: NULL
+    ).toDF("a", "b")
+    val out = df.select(
+      expr("graft_dot(a, b)").as("dot"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        .as("hof")).collect()
+    assert(out(0).getDouble(0) === 32.0)
+    assert(out(0).getDouble(1) === 32.0)
+    assert(out(1).isNullAt(0), "graft_dot must not truncate to the shorter array")
+    assert(out(1).isNullAt(1)) // the documented-equivalent HOF agrees
+  }
+
   test("brute-force cosine top-k ranks same-cluster vectors first") {
     val top = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

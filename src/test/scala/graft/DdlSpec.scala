@@ -329,4 +329,86 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "help functions").head(1).toString.contains("derivative"))
     assert(q(env, "help").size >= 25)
   }
+
+  test("set expiration_* guards the drop threshold — listener.c:4384-4402") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-expguard").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, sdir)
+    // one ancient point -> a single num shard, 100% of which any
+    // modern expiration window would expire
+    api.runInsert(mapper.readTree("""{"old": [[100, 1.0]]}"""), "iris")
+    val env = api.env("iris")
+    val e = intercept[QueryError](q(env, "alter database set expiration_num 1w"))
+    assert(e.msg === "This query would drop 100.00% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.")
+    // the refused query must not have applied the expiration
+    assert(q(env, "show expiration_num").head(1) === "0")
+    // expiration_log looks at log shards only — none here, so 0% and
+    // the set goes through without ignore_threshold
+    assert(msg(env, "alter database set expiration_log 1w")
+      .contains("Successfully changed"))
+    // ignore_threshold bypasses the guard (grammar set_ignore_threshold)
+    assert(msg(env,
+      "alter database set expiration_num 1w set ignore_threshold true")
+      .contains("Successfully changed"))
+    // expiration >= now (minus the reference's one-day backoff) refused
+    val e2 = intercept[QueryError](
+      q(env, "alter database set expiration_num 5000w"))
+    assert(e2.msg.startsWith("Shard expiration time should be a value greater than or equal to zero (0) and smaller than "))
+    // zero always passes: it disables expiration
+    assert(msg(env, "alter database set expiration_num 0")
+      .contains("Successfully changed"))
+  }
+
+  test("uptime is a real elapsed clock, monotonic from server start — props.c") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-uptime").toString
+    val api = new graft.server.ApiCore(spark, sdir)
+    val env = api.env("iris")
+    val u1 = q(env, "show uptime").head(1).toString.toLong
+    assert(u1 >= 0L && u1 < 600L, s"uptime should start near zero, got $u1")
+    Thread.sleep(1100)
+    val u2 = q(env, "list servers uptime").head.head.toString.toLong
+    assert(u2 >= u1, s"uptime went backwards: $u1 -> $u2")
+    assert(u2 >= 1L, s"uptime never advanced: $u2")
+  }
+
+  test("select memo is store-scoped: two databases on one thread don't cross") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-memo2").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, sdir)
+    api.runInsert(mapper.readTree("""{"only-here": [[100, 1.0]]}"""), "iris")
+    val demoEnv = EngineEnv(spark, dir)
+    val stmt = graft.parser.QueryParser.parse("select * from /.*/", 1706659200L)
+      .asInstanceOf[graft.parser.SelectStmt]
+    // prime the memo against the demo store, then — same thread, no
+    // transport drain — resolve the same AST against the Ingest store
+    Planner.run(stmt, demoEnv)
+    val demoNames = Planner.selectNames(stmt, demoEnv)
+    val storeEnv = api.env("iris")
+    Planner.run(stmt, storeEnv)
+    val storeNames = Planner.selectNames(stmt, storeEnv)
+    assert(storeNames === Seq("only-here"),
+      s"memo leaked across stores: $storeNames")
+    assert(demoNames !== storeNames)
+    Planner.drainQueryCaches()
+  }
+
+  test("raised list_limit round-trips past the old 10,001-row transport cap") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-biglist").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, sdir)
+    val node = mapper.createObjectNode()
+    (0 until 10050).foreach { i =>
+      val arr = node.putArray(f"s-$i%05d")
+      val pt = arr.addArray(); pt.add(1000 + i); pt.add(i)
+    }
+    api.runInsert(node, "iris")
+    assert(api.runQuery("alter database set list_limit 20000", 1L, "iris")
+      .toString.contains("Successfully changed"))
+    val res = api.runQuery("list series", 1L, "iris")
+    assert(res.get("rows").size() === 10050,
+      s"transport truncated: ${res.get("rows").size()} of 10050 rows")
+    // and an explicit limit above the old cap is honored exactly
+    val lim = api.runQuery("list series limit 10100", 1L, "iris")
+    assert(lim.get("rows").size() === 10050)
+  }
 }
