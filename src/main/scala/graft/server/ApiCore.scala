@@ -21,14 +21,26 @@ import graft.streaming.Ingest
 final class ApiCore(spark: SparkSession, storeDir: String,
     /** Database name carried by REQ_AUTH (auth.c:17-60) and the HTTP
       * /query/<db> path. */
-    val dbName: String = "graft") {
+    val dbName: String = "graft",
+    /** Opt-in auto shard duration (enable_shard_auto_duration,
+      * cfg.c:303-328; disabled by default like the reference): on the
+      * first insert into a group with no shards yet, derive that
+      * group's duration from the batch's detected sampling intervals,
+      * targeting ~2,000 points/series/shard (shard.c:136-169). The
+      * choice persists with the metastore, so the store reopens with
+      * the same bucketing. */
+    autoDuration: Boolean = false) {
 
   /** Physical shard granularity of this server's Ingest store; also
     * drives the shards view / drop shards mapping via EngineEnv.
     * Numeric and log (string) series keep separate durations like the
-    * reference (src/siri/db/db.c:395-424; defaults db.h). */
-  val shardDuration = 86400L
-  val durationLog = 86400L
+    * reference (src/siri/db/db.c:395-424; defaults db.h). Defs, not
+    * vals: an auto-resolved duration lands in the metastore config at
+    * first flush and every later env/frame build must see it. */
+  def shardDuration: Long =
+    meta.config.get("duration_num").map(_.toLong).getOrElse(86400L)
+  def durationLog: Long =
+    meta.config.get("duration_log").map(_.toLong).getOrElse(86400L)
 
   private val mapper = new ObjectMapper()
 
@@ -114,6 +126,34 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** Standing-rollup discovery: a maintenance job
+    * (Rollup.startBucketed, or a Rollup.fromPoints backfill) keeps its
+    * finalized buckets under `<storeDir>/rollup/<bucketSec>`; when the
+    * directory exists, eligible coarse selects answer from it instead
+    * of raw points (the Planner's rollup read path). Re-resolved per
+    * store generation like the frames — the parquet file listing must
+    * not freeze while the job appends. */
+  @volatile private var rollupCache: (Long, Option[(Long, DataFrame)]) = null
+
+  private def rollupView(): Option[(Long, DataFrame)] = {
+    val gen = meta.storeGeneration.get()
+    val c = rollupCache
+    if (c != null && c._1 == gen) c._2
+    else {
+      val base = new org.apache.hadoop.fs.Path(s"$storeDir/rollup")
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      val found =
+        if (!fs.exists(base)) None
+        else fs.listStatus(base).toSeq
+          .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
+            .map(_ -> st.getPath))
+          .sortBy(_._1).headOption // finest rollup wins: most selects divide it
+          .map { case (r, p) => (r, spark.read.parquet(p.toString)) }
+      rollupCache = (gen, found)
+      found
+    }
+  }
+
   private[graft] def env(user: String): EngineEnv =
     EngineEnv(spark, storeDir,
       frames = Some(frames()), meta = meta,
@@ -125,7 +165,8 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       rangedFrames = Some((a, b) => typedFrames(
         Ingest.pointsRange(spark, storeDir, a, b, shardDuration, durationLog))),
       // list/count shards answers from shard-file metadata, not points
-      shardsView = Some(() => shardsMetaCached()))
+      shardsView = Some(() => shardsMetaCached()),
+      rollup = rollupView())
 
   /** Run one query; select results use the reference's
     * {series: [[ts,val],...]} encoding with output timestamps scaled
@@ -257,6 +298,41 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     out
   }
 
+  /** Auto shard duration, resolved once per shard group at the first
+    * flush that touches it (siridb_shards_add_points,
+    * shards.c:275-290): per-series intervals are estimated with the
+    * reference's quartile detector, the median detected interval picks
+    * the duration via shard.c's ~2,000-points-per-shard rounding, and
+    * the result is pinned in the metastore (durations are immutable
+    * once data is bucketed under them — a later change would remap
+    * every existing shard directory). No detectable interval → the
+    * reference's 1-day default stands. */
+  private def resolveAutoDuration(rows: Vector[Ingest.PointIn]): Unit = {
+    def resolve(key: String, isLog: Boolean): Unit = {
+      if (meta.config.contains(key)) return
+      val relevant = rows.filter(r => (r.tp == "string") == isLog)
+      if (relevant.isEmpty) return
+      val group = if (isLog) "log" else "num"
+      val chosen =
+        if (Ingest.shardDirs(spark, storeDir).exists(_._1 == group))
+          86400L // data already bucketed at the default: keep it
+        else {
+          val intervals = relevant.groupBy(_.series).valuesIterator
+            .map(ps => Ingest.detectInterval(ps.map(_.ts).sorted))
+            .filter(_ > 0).toVector.sorted
+          if (intervals.isEmpty) 86400L
+          else Ingest.durationFromInterval(intervals(intervals.size / 2),
+            factor = 1L, durationNum = shardDuration, durationLog = durationLog)
+        }
+      // putIfAbsent: two racing first inserts must agree on ONE
+      // duration before either batch buckets under it
+      meta.config.putIfAbsent(key, chosen.toString)
+      meta.persistTo(spark, storeDir)
+    }
+    resolve("duration_num", isLog = false)
+    resolve("duration_log", isLog = true)
+  }
+
   /** Both insert wire forms (src/siri/db/insert.c:77-126); type is
     * inferred from the first point's value like the reference infers
     * from the qpack type (series.c); requires the insert access bit
@@ -323,6 +399,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       }
     else throw QueryError("Expecting an array or map containing series and points.")
     val rows = points.result()
+    if (autoDuration) resolveAutoDuration(rows)
     import spark.implicits._
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration, durationLog)
     meta.receivedPoints.addAndGet(rows.size)

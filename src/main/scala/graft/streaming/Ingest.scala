@@ -44,6 +44,43 @@ object Ingest {
   def pointsPath(dir: String) = s"$dir/points"
   def catalogPath(dir: String) = s"$dir/catalog.parquet"
 
+  /** Robust sampling-interval estimate over one series' sorted
+    * timestamps (siridb_points_get_interval, points.c:1747-1787):
+    * insertion-sort up to 63 consecutive deltas, then accept the
+    * median delta only if Q1 and Q3 sit within a 10% tolerance band
+    * of it (TOLERANCE_INTERVAL_DETECT). Returns 0 when the series is
+    * too short (< 8 points) or too irregular to call. */
+  def detectInterval(sortedTs: Seq[Long]): Long = {
+    if (sortedTs.length < 8) return 0L
+    val n = math.min(sortedTs.length - 1, 63)
+    val arr = Array.tabulate(n)(i => sortedTs(i + 1) - sortedTs(i)).sorted
+    val a = n / 4
+    val b = n / 2
+    val q1 = arr(a)
+    val med = arr(b)
+    val q3 = arr(2 * b - a)
+    val x = med / 10 // b / (100 / TOLERANCE_INTERVAL_DETECT)
+    if (q1 + x < med || q3 - x > med) 0L else med
+  }
+
+  /** Shard duration for a detected interval, targeting
+    * OPTIMAL_POINTS_PER_SHARD = 2000 points per series per shard and
+    * rounding up to whole weeks, else days, else hours
+    * (siridb_shard_duration_from_interval, shard.c:136-169). An exact
+    * hit on an existing duration reuses it. */
+  def durationFromInterval(interval: Long, factor: Long,
+      durationNum: Long, durationLog: Long): Long = {
+    val n = interval * 2000L
+    if (n == durationNum) return durationNum
+    if (n == durationLog) return durationLog
+    val week = 3600L * 24 * 7 * factor
+    if (n / week > 0) return (n / week + 1) * week
+    val day = 3600L * 24 * factor
+    if (n / day > 0) return (n / day + 1) * day
+    val hour = 3600L * factor
+    (n / hour + 1) * hour
+  }
+
   /** Start the ingest stream: any streaming source with PointIn rows →
     * shard-partitioned append + incremental catalog upsert. `tee`
     * mirrors every inserted batch to a second location, the analog of

@@ -387,4 +387,71 @@ class IngestSpec extends AnyFunSuite {
       assert(spark.read.parquet(mirror).count() === 2)
     } finally q.stop()
   }
+
+  test("auto duration estimator + rounding — shard.c:136-169, points.c:1747") {
+    // interval detector: < 8 points, regular, jittered-regular, irregular
+    assert(Ingest.detectInterval((0 until 7).map(_ * 300L)) === 0L)
+    assert(Ingest.detectInterval((0 until 20).map(_ * 300L)) === 300L)
+    // sawtooth jitter: deltas alternate 301/296; quartiles stay within
+    // the 10% tolerance band of the median so 301 is accepted
+    assert(Ingest.detectInterval(
+      (0 until 40).map(t => t * 300L + (t % 5) - 2)) === 301L)
+    assert(Ingest.detectInterval(
+      Seq(0L, 1L, 10L, 100L, 1000L, 5000L, 20000L, 100000L, 500000L)) === 0L)
+    // duration rounding (factor 1, OPTIMAL_POINTS_PER_SHARD = 2000):
+    // 300 s -> 600,000 s: under a week, 6.9 days -> 7 whole days
+    assert(Ingest.durationFromInterval(300L, 1L, 86400L, 86400L) === 604800L)
+    // 60 s -> 120,000 s -> 2 whole days
+    assert(Ingest.durationFromInterval(60L, 1L, 86400L, 86400L) === 172800L)
+    // 1 s -> 2,000 s: under a day AND under an hour -> 1 whole hour
+    assert(Ingest.durationFromInterval(1L, 1L, 86400L, 86400L) === 3600L)
+    // 3600 s -> 7.2M s -> 11 whole weeks down, so 12 weeks up
+    assert(Ingest.durationFromInterval(3600L, 1L, 86400L, 86400L) === 7257600L)
+    // 43 s -> 86,000 s: just under a day -> falls to hours -> 24 h
+    assert(Ingest.durationFromInterval(43L, 1L, 86400L, 86400L) === 86400L)
+    // exact hit on an existing duration reuses it verbatim
+    assert(Ingest.durationFromInterval(300L, 1L, 600000L, 86400L) === 600000L)
+    // ms-precision factor scales the week/day/hour rounding grid
+    assert(Ingest.durationFromInterval(300000L, 1000L, 1L, 1L) === 604800000L)
+  }
+
+  test("auto duration resolves at first flush, persists, per group — test_auto_duration.py") {
+    val dir = Files.createTempDirectory("graft-autodur").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, dir, autoDuration = true)
+    def insert(api: graft.server.ApiCore, name: String, ts: Seq[Long],
+        str: Boolean = false): Unit = {
+      val node = mapper.createObjectNode()
+      val arr = node.putArray(name)
+      ts.zipWithIndex.foreach { case (t, i) =>
+        val p = arr.addArray(); p.add(t)
+        if (str) p.add(s"v$i") else p.add(i)
+      }
+      api.runInsert(node, "iris")
+    }
+    // 5-minute numeric series -> 7-day shards (itest cfg [300, 10])
+    insert(api, "five-min", (0 until 20).map(i => 1700000000L + i * 300L))
+    assert(api.shardDuration === 604800L)
+    // the resolved duration is queryable (show + shards view scale)
+    val env = api.env("iris")
+    assert(graft.parser.Planner.query("show duration_num", env)
+      .collect().head.getString(1) === "604800")
+    // log series resolve independently: hourly strings -> 12 weeks
+    insert(api, "logline", (0 until 20).map(i => 1700000000L + i * 3600L),
+      str = true)
+    assert(api.durationLog === 7257600L)
+    // a second numeric batch cannot re-bucket: duration is pinned
+    insert(api, "one-sec", (0 until 20).map(i => 1700000000L + i))
+    assert(api.shardDuration === 604800L)
+    // the choice survives a server restart WITHOUT the auto flag
+    val reopened = new graft.server.ApiCore(spark, dir)
+    assert(reopened.shardDuration === 604800L)
+    assert(reopened.durationLog === 7257600L)
+    // an undetectable (irregular) first batch keeps the 1-day default
+    val dir2 = Files.createTempDirectory("graft-autodur2").toString
+    val api2 = new graft.server.ApiCore(spark, dir2, autoDuration = true)
+    insert(api2, "bursty",
+      Seq(0L, 1L, 10L, 100L, 1000L, 5000L, 20000L, 100000L, 500000L))
+    assert(api2.shardDuration === 86400L)
+  }
 }
