@@ -53,7 +53,15 @@ final case class EngineEnv(
     shardDuration: Long = 604800L,
     /** Shard duration for string ("log") series — kept separately from
       * the numeric duration like the reference (db.c:395-424). */
-    durationLog: Long = 86400L) {
+    durationLog: Long = 86400L,
+    /** Optional standing rollup (graft.streaming.Rollup): bucket width
+      * in raw ts units + the finalized (series, bucket, n, sum, min,
+      * max) frame, `bucket` being the right-aligned GROUP_TS label at
+      * that width. A coarse count/sum/min/max select whose bucket is a
+      * multiple of the rollup's answers from this frame and never
+      * touches raw points — the read half of the pre-aggregation a
+      * 100 TB dashboard store actually serves. */
+    rollup: Option[(Long, DataFrame)] = None) {
 
   // seed the metastore from the convenience constructor args
   groups.foreach { case (g, re) => meta.groups.put(g, re) }
@@ -1041,6 +1049,42 @@ object Planner {
         // select) — run the chains per type family and tag rows so the
         // encoder emits the right JSON type per point
         return mixedSelect(chains, sel, where, range, selTypes, envForScan, keepPid)
+      // standing-rollup read path: a full-range, single-chain
+      // count/sum/min/max select whose bucket width is a whole
+      // multiple of the rollup's answers from the pre-aggregated
+      // (series, bucket, n, sum, min, max) frame — zero raw-point
+      // files touched. Right-aligned rollup buckets nest exactly into
+      // the select's GROUP_TS buckets (see Rollup.bucketed), so
+      // count = sum(n), min = min(min), max = max(max) are EXACT;
+      // float sum re-associates partial sums (same class of
+      // reassociation Spark's own 2-phase aggregate performs).
+      // Integer sum stays on the raw path: the rollup carries doubles
+      // and int64 sums must stay exact past 2^53 (and keep the
+      // checked-overflow error).
+      for ((rBucket, rdf) <- env.rollup) (chains, range, merge) match {
+        case (Seq(SelectChain(Seq(Agg(fn, Some(gb), 0)), pre, suf)), None, None)
+            if gb % rBucket == 0 &&
+              (fn == Count && selTypes.subsetOf(Set("float", "integer")) &&
+                 selTypes.nonEmpty ||
+               (fn == Sum || fn == Min || fn == Max) &&
+                 selTypes == Set("float")) =>
+          val names = selCatalog(Some(sel), where, envForScan)
+            .select(col("series"))
+          val v = fn match {
+            case Count => sum(col("n"))
+            case Sum => sum(col("sum"))
+            case Min => min(col("min"))
+            case _ => max(col("max"))
+          }
+          val out = rdf.join(names, Seq("series"))
+            .groupBy(col("series"),
+              expr(s"((bucket + ${gb - 1L}) div $gb) * $gb").as("ts"))
+            .agg(v.as("val"))
+          return if (pre.nonEmpty || suf.nonEmpty)
+            out.withColumn("series", concat(lit(pre), col("series"), lit(suf)))
+          else out
+        case _ => ()
+      }
       val base0 = baseFrame(sel, where, envForScan, selTypes)
       val stringSeries = isStringFrame(base0)
       // multiple chains share one scan — the reference's points_map

@@ -380,5 +380,29 @@ object QlQueries {
         val e = EngineEnv(s, d)
         Planner.query("drop series where length > 260 set ignore_threshold true", e)
         Planner.query("count series", e)
+    },
+    // standing-rollup read path (Rollup.fromPoints → Planner): the
+    // coarse select is answered from pre-aggregated 1h buckets, and
+    // must equal DuckDB's raw-point answer exactly — max/count are
+    // order-independent, so nesting right-aligned buckets is lossless
+    Entry("ql_rollup_max_6h",
+      s"""SELECT series, ${bkt(21600)} AS ts, max(val) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.')
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        val rdf = graft.streaming.Rollup.fromPoints(SeriesStore.pointsF(s, d), 3600L)
+        val e = env(s, d).copy(rollup = Some((3600L, rdf)))
+        ordered(Planner.query("select max(6h) from /^f\\..*/", e,
+          now = Some(1706659200L)))
+    },
+    Entry("ql_rollup_count_1d",
+      s"""SELECT series, ${bkt(86400)} AS ts, CAST(count(*) AS BIGINT) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.')
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        val rdf = graft.streaming.Rollup.fromPoints(SeriesStore.pointsF(s, d), 3600L)
+        val e = env(s, d).copy(rollup = Some((3600L, rdf)))
+        ordered(Planner.query("select count(1d) from /^f\\..*/", e,
+          now = Some(1706659200L)))
     })
 }

@@ -38,18 +38,41 @@ object Rollup {
   /** Watermarked windowed rollup of a PointIn stream. `lateness`
     * is how far out-of-order a point may arrive and still count;
     * anything later is dropped by the watermark, exactly like any
-    * late-data policy at scale. */
+    * late-data policy at scale.
+    *
+    * Windows are RIGHT-aligned — (j·R, (j+1)·R], achieved by sliding
+    * the floor-aligned window grid forward one second — and `bucket`
+    * is the window's right edge, i.e. exactly the GROUP_TS label
+    * (Pipeline.bucket) of every point inside it. Right alignment is
+    * what makes the rollup servable: a select's width-W bucket
+    * (W = m·R) is the disjoint union of m rollup buckets, which floor
+    * -aligned windows do NOT satisfy (a floor window straddles the
+    * W-boundary point ts = k·W, which GROUP_TS assigns to the bucket
+    * ENDING there). */
   def bucketed(src: DataFrame, bucketSec: Long,
       lateness: String): DataFrame =
     src.select(col("series"), timestamp_seconds(col("ts")).as("ev"),
         col("val_num").as("val"))
       .withWatermark("ev", lateness)
-      .groupBy(col("series"), window(col("ev"), s"$bucketSec seconds"))
+      .groupBy(col("series"),
+        window(col("ev"), s"$bucketSec seconds", s"$bucketSec seconds",
+          "1 second"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum"),
         min(col("val")).as("min"), max(col("val")).as("max"))
       .select(col("series"),
-        unix_timestamp(col("window.start")).as("bucket"),
+        (unix_timestamp(col("window.start")) + bucketSec - 1L).as("bucket"),
         col("n"), col("sum"), col("min"), col("max"))
+
+  /** The same rollup as a batch job over an existing points frame
+    * (series, ts, val) — the backfill path: a store adopting a
+    * standing rollup materializes history once with this, then keeps
+    * it current with [[startBucketed]]. Bucket labels are identical
+    * (GROUP_TS at `bucketSec`), so batch and streaming rows mix. */
+  def fromPoints(points: DataFrame, bucketSec: Long): DataFrame =
+    points.groupBy(col("series"),
+        graft.engine.Pipeline.bucket(bucketSec).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum"),
+        min(col("val")).as("min"), max(col("val")).as("max"))
 
   /** Start the rollup as an append-mode parquet sink: rows appear
     * when their window passes the watermark — finalized exactly once. */

@@ -126,6 +126,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("val#") || !p.contains("pointsI"), p)
   }
 
+  test("coarse selects answer from the standing rollup: zero point files read") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, sdir)
+    val node = mapper.createObjectNode()
+    Seq("a", "b").foreach { name =>
+      val arr = node.putArray(name)
+      (0 until 50).foreach { i =>
+        val p = arr.addArray(); p.add(1700000000L + i * 30L); p.add(i / 7.0)
+      }
+    }
+    api.runInsert(node, "iris")
+    // provision the standing rollup at 60 s (the fromPoints backfill —
+    // a live store would keep it current with Rollup.startBucketed)
+    val pts = graft.streaming.Ingest.points(spark, sdir)
+      .select(col("series"), col("ts"), col("val"))
+    graft.streaming.Rollup.fromPoints(pts, 60L)
+      .write.parquet(s"$sdir/rollup/60")
+    val env = api.env("iris")
+    val served = Planner.query("select count(2m) from /.*/", env)
+    val files = served.inputFiles.toSeq.filter(_.contains("/points/"))
+    assert(files.isEmpty,
+      s"rollup-eligible select touched raw point files: ${files.take(3)}")
+    assert(served.inputFiles.exists(_.contains("/rollup/")),
+      "select did not read the rollup at all")
+    // and the served answer equals the raw-scan answer exactly
+    val rawEnv = env.copy(rollup = None)
+    val raw = Planner.query("select count(2m) from /.*/", rawEnv)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = served.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === raw)
+    // ineligible shapes (mean; non-multiple width; ranged) stay on raw
+    val mean = Planner.query("select mean(2m) from /.*/", env)
+    assert(mean.inputFiles.exists(_.contains("/points/")),
+      mean.inputFiles.take(3).toSeq)
+    Planner.drainQueryCaches()
+  }
+
   test("contamination broadcasts the probe side; packBins has no global sort") {
     import spark.implicits._
     val docs = (0L until 64L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")

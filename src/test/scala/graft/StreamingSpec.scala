@@ -31,12 +31,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val done = spark.sql("SELECT series, bucket, n, sum FROM roll")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      assert(done.contains(("s", 0L, 2L, 3.0)), done.toSeq)
+      assert(done.contains(("s", 60L, 2L, 3.0)), done.toSeq) // right-aligned: ts 10,20 in (0,60]
       // a point behind the watermark is dropped, the finalized window
       // is never re-emitted or amended
       ms.addData(PointIn("s", 30L, 9.0, "float", 5))
       q.processAllAvailable()
-      val after = spark.sql("SELECT n, sum FROM roll WHERE bucket = 0")
+      val after = spark.sql("SELECT n, sum FROM roll WHERE bucket = 60")
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
       assert(after.toSeq === Seq((2L, 3.0)))
     } finally q.stop()
