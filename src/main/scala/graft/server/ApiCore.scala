@@ -29,7 +29,12 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       * targeting ~2,000 points/series/shard (shard.c:136-169). The
       * choice persists with the metastore, so the store reopens with
       * the same bucketing. */
-    autoDuration: Boolean = false) {
+    autoDuration: Boolean = false,
+    /** A cluster-shared metastore (PoolCluster): users/groups/tags/
+      * config are cluster-global in the reference (synced between
+      * servers), so every pool's server shares ONE instance. None =
+      * standalone server owning its own metastore. */
+    sharedMeta: Option[graft.meta.MetaStore] = None) {
 
   /** Physical shard granularity of this server's Ingest store; also
     * drives the shards view / drop shards mapping via EngineEnv.
@@ -50,7 +55,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * is not. Persisted state (the analog of users.dat / groups.dat /
     * tags.dat, src/siri/db/users.c, groups.c, tags.c) is reloaded from
     * `<storeDir>/meta` so DDL survives server restarts. */
-  val meta = {
+  val meta = sharedMeta.getOrElse {
     val m = new graft.meta.MetaStore
     m.loadFrom(spark, storeDir)
     m
@@ -175,17 +180,25 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * with __timeit__ (listener.c:5026-5064). Throws QueryError /
     * AccessError for the transports to map. */
   def runQuery(q: String, tsFactor: Long, user: String): JsonNode =
+    runQueryIn(env(user), q, tsFactor)
+
+  /** Run one query against an explicit env — the PoolCluster passes a
+    * merged multi-pool env through here so the encoding, timeit and
+    * DDL-persistence behavior stay identical to the standalone path. */
+  private[server] def runQueryIn(envIn: EngineEnv, q: String,
+      tsFactor: Long): JsonNode =
     // release the query's shared-scan caches (multi-chain selects)
     // once the response is materialized — a long-lived server must not
     // accumulate one cache entry per distinct query shape
-    try runQueryInner(q, tsFactor, user)
+    try runQueryInner(envIn, q, tsFactor)
     finally Planner.drainQueryCaches()
 
-  private def runQueryInner(q: String, tsFactor: Long, user: String): JsonNode = {
+  private def runQueryInner(envIn: EngineEnv, q: String,
+      tsFactor: Long): JsonNode = {
     val t0 = System.nanoTime()
     val stmt = QueryParser.parse(q,
       tz = meta.config.getOrElse("timezone", "NAIVE"))
-    val df = Planner.run(stmt, env(user), keepPid = true)
+    val df = Planner.run(stmt, envIn, keepPid = true)
     val inner = stmt match {
       case TimeitStmt(s) => s
       case s => s
@@ -203,7 +216,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         // every selected series appears in the response, even with
         // zero surviving points (points.c encode; itest expects
         // {'name': []} for an emptied chain)
-        encodeSelect(df, tsFactor, Planner.selectNames(sel, env(user)))
+        encodeSelect(df, tsFactor, Planner.selectNames(sel, envIn))
       case _ => encodeTable(df)
     }
     stmt match {

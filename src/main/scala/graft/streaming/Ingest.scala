@@ -413,31 +413,68 @@ object Ingest {
       .filter { case (g, sid, _) => g == group && sid < cutoffShard }
       .map(_._3)
     old.foreach(p => fs.delete(p, true))
-    if (old.nonEmpty) {
-      // rebuild catalog stats from what survives (one pass, off the
-      // ingest hot path — expiry is a maintenance job)
-      val pts = points(spark, storeDir)
-      val cat = catalog(spark, storeDir).select(col("series"), col("type"))
-      val typed = pts.join(cat, Seq("series"), "left")
-        .withColumn("type", coalesce(col("type"), lit("float")))
-      val vstr = when(col("type") === "integer", col("val_int").cast("string"))
-        .when(col("type") === "string", col("val_str"))
-        .otherwise(col("val").cast("string"))
-      val ord = struct(col("ts"), col("pid"))
-      val rebuilt = typed.withColumn("vstr", vstr)
-        .groupBy(col("series"))
-        .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
-          max(col("ts")).as("end"), first(col("type")).as("type"),
-          min_by(col("vstr"), ord).as("first_val"),
-          max_by(col("vstr"), ord).as("last_val"))
-        .withColumn("pool", SeriesStore.poolOf("series"))
-      val catPath = new Path(catalogPath(storeDir))
-      val tmp = new Path(catalogPath(storeDir) + ".tmp")
-      rebuilt.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(catPath, true)
-      fs.rename(tmp, catPath)
-    }
+    if (old.nonEmpty) rebuildCatalog(spark, storeDir)
     old.length
+  }
+
+  /** Rebuild catalog stats from the surviving points (one pass, off
+    * the ingest hot path — callers are maintenance jobs: expiry,
+    * re-index). Caller must hold the store lock. */
+  private def rebuildCatalog(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(pointsPath(storeDir))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pts = points(spark, storeDir)
+    val cat = catalog(spark, storeDir).select(col("series"), col("type"))
+    val typed = pts.join(cat, Seq("series"), "left")
+      .withColumn("type", coalesce(col("type"), lit("float")))
+    val vstr = when(col("type") === "integer", col("val_int").cast("string"))
+      .when(col("type") === "string", col("val_str"))
+      .otherwise(col("val").cast("string"))
+    val ord = struct(col("ts"), col("pid"))
+    val rebuilt = typed.withColumn("vstr", vstr)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("length"), min(col("ts")).as("start"),
+        max(col("ts")).as("end"), first(col("type")).as("type"),
+        min_by(col("vstr"), ord).as("first_val"),
+        max_by(col("vstr"), ord).as("last_val"))
+      .withColumn("pool", SeriesStore.poolOf("series"))
+    val catPath = new Path(catalogPath(storeDir))
+    val tmp = new Path(catalogPath(storeDir) + ".tmp")
+    rebuilt.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(catPath, true)
+    fs.rename(tmp, catPath)
+  }
+
+  /** Physically remove a set of series from a store: every shard
+    * holding any of them is rewritten without their rows (the same
+    * shard-granular rewrite as compaction) and the catalog is rebuilt.
+    * This is the removal half of pool re-index (reindex.c) — the
+    * moved series were appended to their new pool first, so a crash
+    * between the two steps leaves duplicates to re-remove, never data
+    * loss. `moved` is a single-column `series` frame; it stays
+    * distributed (broadcast left-anti join per shard). */
+  def removeSeries(spark: SparkSession, storeDir: String,
+      moved: DataFrame): Unit = withStoreLock(storeDir) {
+    val fs = new Path(pointsPath(storeDir))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val movedKeys = moved.select(col("series"))
+    shardDirs(spark, storeDir).foreach { case (_, _, p) =>
+      val raw = spark.read.parquet(p.toString)
+      val touched = !raw.join(movedKeys, Seq("series"), "left_semi").isEmpty
+      if (touched) {
+        val tmp = new Path(p.toString + ".reindex")
+        val kept = raw.join(movedKeys, Seq("series"), "left_anti")
+        if (kept.isEmpty) fs.delete(p, true)
+        else {
+          kept.sort(col("series"), col("ts"), col("pid"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(p, true)
+          fs.rename(tmp, p)
+        }
+      }
+    }
+    rebuildCatalog(spark, storeDir)
   }
 
   /** Shards metadata from file statuses alone — `list shards` /

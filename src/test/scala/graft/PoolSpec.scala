@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.Lookup
+import graft.server.{ApiCore, PoolCluster}
+
+/** Pool distribution re-expressed Spark-first (SURVEY "multi-node":
+  * src/siri/db/lookup.c assignment, query.c fan-out → one Catalyst
+  * plan over unioned pool frames, reindex.c expansion): the cluster
+  * must answer every query exactly like a single store holding the
+  * same data, and expansion must move exactly the lookup-predicted
+  * series. */
+class PoolSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+
+  test("lookup table matches the reference algorithm — lookup.c:37-71") {
+    // 1 pool: everything in pool 0
+    assert(Lookup(1).slots.forall(_ == 0))
+    // 2 pools: the m=2 pass reassigns every second tick -> slot parity
+    assert(Lookup(2).slots.take(8) === Vector(0, 1, 0, 1, 0, 1, 0, 1))
+    // 3 pools: first ten slots, hand-walked through the counter scheme
+    assert(Lookup(3).slots.take(10) ===
+      Vector(0, 1, 0, 2, 2, 1, 0, 1, 0, 2))
+    // series hash: uint32 byte sum mod 8192 (siridb_lookup_sn)
+    assert(Lookup.slotOf("aggr") === (97 + 103 + 103 + 114) % 8192)
+  }
+
+  test("growing the table n -> n+1 reassigns ONLY slots moving to the new pool") {
+    (1 until 8).foreach { n =>
+      val before = Lookup(n).slots
+      val after = Lookup(n + 1).slots
+      before.indices.foreach { i =>
+        assert(after(i) == before(i) || after(i) == n,
+          s"n=$n slot $i: ${before(i)} -> ${after(i)} (not the new pool)")
+      }
+      // and the reassigned share is ~1/(n+1) of the keyspace
+      val movedFrac = before.indices.count(i => after(i) == n).toDouble /
+        Lookup.Size
+      assert(math.abs(movedFrac - 1.0 / (n + 1)) < 0.02,
+        s"n=$n moved ${movedFrac}")
+      // balance: every pool holds within 25% of the fair share
+      val fair = Lookup.Size.toDouble / (n + 1)
+      (0 to n).foreach { p =>
+        val share = after.count(_ == p)
+        assert(share > fair * 0.75 && share < fair * 1.25,
+          s"n+1=${n + 1} pool $p share $share vs fair $fair")
+      }
+    }
+  }
+
+  private def insertBody(names: Seq[String]): String =
+    names.map { n =>
+      val pts = (0 until 6)
+        .map(i => s"[${1700000000L + i * 60}, ${(n.hashCode % 97 + i).toDouble}]")
+        .mkString("[", ",", "]")
+      s""""$n": $pts"""
+    }.mkString("{", ",", "}")
+
+  // deterministic names spanning both pools of a 2-pool lookup
+  private val names = (0 until 24).map(i => s"metric.cpu.$i")
+
+  test("routed inserts + merged queries equal a single-store database") {
+    val cbase = Files.createTempDirectory("graft-cluster").toString
+    val sbase = Files.createTempDirectory("graft-single").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    val single = new ApiCore(spark, sbase)
+    val body = mapper.readTree(insertBody(names))
+    val ok = cluster.runInsert(body, "iris")
+    assert(ok.get("success_msg").asText ===
+      s"Successfully inserted ${names.size * 6} point(s).")
+    single.runInsert(body, "iris")
+    // both pools physically hold their lookup share, and nothing else
+    val l2 = Lookup(2)
+    (0 to 1).foreach { k =>
+      val held = graft.streaming.Ingest
+        .catalog(spark, s"$cbase/pool$k")
+        .select("series").collect().map(_.getString(0)).toSet
+      assert(held.nonEmpty, s"pool $k empty — test names don't span pools")
+      assert(held.forall(l2.poolOf(_) == k),
+        s"pool $k holds foreign series: ${held.filterNot(l2.poolOf(_) == k)}")
+    }
+    // the merged query surface answers exactly like the single store
+    Seq(
+      "select * from /^metric\\.cpu\\.1.*/",
+      "select max(10m) => difference() from /.*/",
+      "count series").foreach { q =>
+      assert(cluster.runQuery(q, 1L, "iris").toString ===
+        single.runQuery(q, 1L, "iris").toString, q)
+    }
+    // list row ORDER is map-iteration order in the reference (and the
+    // driver's oracle gate sorts rows) — compare as sets
+    def listRows(api: String => com.fasterxml.jackson.databind.JsonNode) = {
+      val rows = api("list series name, length, start, end limit 30").get("rows")
+      (0 until rows.size()).map(i => rows.get(i).toString).toSet
+    }
+    assert(listRows(q => cluster.runQuery(q, 1L, "iris")) ===
+      listRows(q => single.runQuery(q, 1L, "iris")))
+    // a cross-pool merge produces the same point multiset; equal-ts
+    // tie ORDER follows per-pool insertion ids (exactly as the
+    // reference's merge follows per-pool arrival, points.c k-way), so
+    // compare order-insensitively within each timestamp
+    def mergedPoints(api: String => com.fasterxml.jackson.databind.JsonNode) = {
+      val arr = api("select sum(1h) from /.*/ merge as \"all\"").get("all")
+      (0 until arr.size()).map(i =>
+        (arr.get(i).get(0).asLong(), arr.get(i).get(1).asDouble())).sorted
+    }
+    assert(mergedPoints(q => cluster.runQuery(q, 1L, "iris")) ===
+      mergedPoints(q => single.runQuery(q, 1L, "iris")))
+    // list pools reports the real per-pool series counts
+    val pools = cluster.runQuery("list pools", 1L, "iris")
+    assert(pools.get("columns").toString === """["pool","servers","series"]""")
+    val rows = pools.get("rows")
+    assert(rows.size() === 2)
+    val perPool = (0 until 2).map(i =>
+      rows.get(i).get(0).asInt() -> rows.get(i).get(2).asLong()).toMap
+    assert(perPool.values.sum === names.size)
+    assert(perPool.keySet === Set(0, 1))
+    assert(cluster.runQuery("count pools", 1L, "iris").toString ===
+      """{"columns":["pools"],"rows":[[2]]}""")
+    // where pool == k filters on the real owning pool
+    val p0 = cluster.runQuery("count series where pool == 0", 1L, "iris")
+      .get("rows").get(0).get(0).asLong()
+    assert(p0 === names.count(l2.poolOf(_) == 0))
+  }
+
+  test("expansion re-indexes exactly the moved series — reindex.c, test_pool.py") {
+    val cbase = Files.createTempDirectory("graft-expand").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val before = cluster.runQuery("select * from /.*/", 1L, "iris").toString
+    val l2 = Lookup(2)
+    val l3 = Lookup(3)
+    val expectMoved = names.filter(n => l3.poolOf(n) == 2)
+    assert(expectMoved.nonEmpty, "test names never move — widen the set")
+    assert(cluster.expand() === 2)
+    assert(cluster.nPools === 3)
+    // every store holds exactly its new-lookup share
+    (0 to 2).foreach { k =>
+      val held = graft.streaming.Ingest
+        .catalog(spark, s"$cbase/pool$k")
+        .select("series").collect().map(_.getString(0)).toSet
+      assert(held === names.filter(l3.poolOf(_) == k).toSet, s"pool $k")
+    }
+    // unmoved series never changed owner (the lookup growth property)
+    names.filterNot(expectMoved.contains).foreach { n =>
+      assert(l3.poolOf(n) === l2.poolOf(n), n)
+    }
+    // the query surface is unchanged by expansion
+    assert(cluster.runQuery("select * from /.*/", 1L, "iris").toString
+      === before)
+    val rows = cluster.runQuery("list pools", 1L, "iris").get("rows")
+    assert(rows.size() === 3)
+    // inserts after expansion route by the grown lookup
+    cluster.runInsert(mapper.readTree("""{"post.expand.x": [[1700000000, 1.5]]}"""), "iris")
+    val owner = l3.poolOf("post.expand.x")
+    assert(graft.streaming.Ingest.catalog(spark, s"$cbase/pool$owner")
+      .where(org.apache.spark.sql.functions.col("series") === "post.expand.x")
+      .count() === 1L)
+  }
+}
