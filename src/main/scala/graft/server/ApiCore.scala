@@ -34,7 +34,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       * config are cluster-global in the reference (synced between
       * servers), so every pool's server shares ONE instance. None =
       * standalone server owning its own metastore. */
-    sharedMeta: Option[graft.meta.MetaStore] = None) {
+    sharedMeta: Option[graft.meta.MetaStore] = None) extends DbHandler {
 
   /** Physical shard granularity of this server's Ingest store; also
     * drives the shards view / drop shards mapping via EngineEnv.

@@ -72,7 +72,7 @@ private[graft] object Cproto {
     * connection to one database from the registry. */
   def serve(reg: ServerRegistry, rawIn: InputStream, out: OutputStream): Unit = {
     val in = new DataInputStream(rawIn)
-    var session: Option[(String, ApiCore)] = None // connection auth state
+    var session: Option[(String, DbHandler)] = None // connection auth state
     try {
       while (true) {
         val (pid, tp, data) = readPkg(in)

@@ -74,7 +74,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
 
   /** Database-user auth: basic credentials when present (validated
     * against the addressed database), default user otherwise. */
-  private def userOf(ex: HttpExchange, core: ApiCore): String =
+  private def userOf(ex: HttpExchange, core: DbHandler): String =
     credentials(ex) match {
       case Some((u, p)) if core.authenticate(u, p) => u
       case Some(_) => throw HttpError(401, "Invalid credentials")
@@ -82,7 +82,7 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
     }
 
   /** Database addressed by the /query/<db> path (api__get_siridb). */
-  private def dbOf(ex: HttpExchange, prefix: String): ApiCore = {
+  private def dbOf(ex: HttpExchange, prefix: String): DbHandler = {
     val name = ex.getRequestURI.getPath.stripPrefix(prefix)
       .takeWhile(_ != '/')
     reg.db(name).getOrElse(

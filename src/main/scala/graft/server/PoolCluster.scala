@@ -36,9 +36,15 @@ import graft.streaming.Ingest
   * move, so re-index cost is ~1/(n+1) of the data, not a reshuffle.
   */
 final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
-    baseDir: String, initialPools: Int = 2, val dbName: String = "graft") {
+    baseDir: String, initialPools: Int = 2, val dbName: String = "graft",
+    /** Pool 0 may live at an existing single-store directory: that is
+      * how a standalone database upgrades in place when its first
+      * `new-pool` service request arrives — the store becomes pool 0
+      * and the next [[expand]] re-indexes its share out. */
+    pool0Dir: Option[String] = None) extends DbHandler {
 
-  private def dirOf(k: Int) = s"$baseDir/pool$k"
+  private def dirOf(k: Int) =
+    if (k == 0) pool0Dir.getOrElse(s"$baseDir/pool0") else s"$baseDir/pool$k"
 
   /** Cluster-global metastore (users/groups/tags/config are synced
     * across the reference's servers); persisted under pool0. */
@@ -57,6 +63,12 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
   def nPools: Int = pools.size
 
   def poolOf(series: String): Int = lookup.poolOf(series)
+
+  /** Same credential check as a standalone server (auth.c:17-60) —
+    * users are cluster-global in the shared metastore. */
+  def authenticate(user: String, password: String): Boolean =
+    meta.users.get(user)
+      .exists(u => graft.meta.MetaStore.verifyPassword(password, u.pwHash))
 
   /** Route an insert: split the request's series by lookup assignment
     * and hand each pool its share (insert.c's scatter). Validation

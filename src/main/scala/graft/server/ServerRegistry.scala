@@ -31,7 +31,12 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
   /** Service accounts (request.h; default account sa/siri). */
   val accounts = TrieMap("sa" -> "siri")
 
-  val dbs = TrieMap(defaultDb -> new ApiCore(spark, defaultDir, defaultDb))
+  val dbs = TrieMap[String, DbHandler](
+    defaultDb -> new ApiCore(spark, defaultDir, defaultDb))
+
+  /** Store directory per database — needed when a standalone database
+    * upgrades in place to a PoolCluster (its store becomes pool 0). */
+  private val dbDirs = TrieMap(defaultDb -> defaultDir)
 
   /** New databases land next to the default store. */
   private val root: Path =
@@ -41,7 +46,7 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
   def authAccount(user: String, password: String): Boolean =
     accounts.get(user).contains(password)
 
-  def db(name: String): Option[ApiCore] = dbs.get(name)
+  def db(name: String): Option[DbHandler] = dbs.get(name)
 
   private def err(msg: String): JsonNode =
     mapper.createObjectNode().put("error_msg", msg)
@@ -109,6 +114,7 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
               val dir = root.resolve(s"graft-db-$name")
               Files.createDirectories(dir)
               dbs.put(name, new ApiCore(spark, dir.toString, name))
+              dbDirs.put(name, dir.toString)
               (false, okMsg(s"Successfully created database '$name'."))
             }
           case Some(name) => (true, err(s"invalid database name: '$name'"))
@@ -150,10 +156,33 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
               "(expecting a value between 0 and 65536)"))
           else {
             val name = field("dbname").get
-            if (!dbs.contains(name)) {
+            if (request == "new-pool") dbs.get(name) match {
+              // real pool expansion (PoolCluster): an existing
+              // standalone store becomes pool 0 of a cluster and the
+              // new pool re-indexes its share out (reindex.c); an
+              // existing cluster simply grows by one pool
+              case Some(cluster: PoolCluster) => cluster.expand()
+              case Some(_: ApiCore) =>
+                val base = root.resolve(s"graft-db-$name-pools")
+                Files.createDirectories(base)
+                val cluster = new PoolCluster(spark, base.toString,
+                  initialPools = 1, dbName = name,
+                  pool0Dir = dbDirs.get(name))
+                cluster.expand()
+                dbs.put(name, cluster)
+              case _ =>
+                val base = root.resolve(s"graft-db-$name-pools")
+                Files.createDirectories(base)
+                dbs.put(name, new PoolCluster(spark, base.toString,
+                  initialPools = 1, dbName = name))
+                dbDirs.put(name, base.toString)
+            } else if (!dbs.contains(name)) {
+              // new-replica: replication is engine-owned durability —
+              // joining reduces to hosting the database locally
               val dir = root.resolve(s"graft-db-$name")
               Files.createDirectories(dir)
               dbs.put(name, new ApiCore(spark, dir.toString, name))
+              dbDirs.put(name, dir.toString)
             }
             (false, mapper.getNodeFactory.textNode("OK"))
           }

@@ -23,8 +23,11 @@ class GrammarExecSpec extends AnyFunSuite {
     val corpus = scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toVector
     // deterministic sample across the whole corpus (stride keeps every
-    // statement family, spread over all productions)
-    val sample = corpus.indices.filter(_ % 53 == 0).map(corpus)
+    // statement family, spread over all productions); override the
+    // stride for one-off densified hunts — lowering it has caught real
+    // bugs twice (empty-store schema inference, r5)
+    val stride = sys.env.getOrElse("GRAFT_GRAMMAR_STRIDE", "53").toInt
+    val sample = corpus.indices.filter(_ % stride == 0).map(corpus)
     val dir = Files.createTempDirectory("graft-gramexec").toString
     val api = new graft.server.ApiCore(spark, dir)
     // itest seeding: the placeholder terminals must resolve

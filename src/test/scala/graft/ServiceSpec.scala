@@ -287,15 +287,36 @@ class ServiceSpec extends AnyFunSuite {
       // reference's bare "OK" (test_http_api.py:83-90); missing fields
       // and bad ports are rejected like request.c:855-878
       assert(post(s"$base/new-pool", """{"dbname": "graft"}""")._1 === 400)
+      // unique name per run: the registry roots new databases at a
+      // FIXED path derived from the name, so a rerun must not inherit
+      // a previous run's store
+      val pooled = s"pooled${System.nanoTime() % 1000000}"
       val (pc2, pb2) = post(s"$base/new-pool",
-        """{"dbname": "pooled", "host": "localhost", "port": 99999,
+        s"""{"dbname": "$pooled", "host": "localhost", "port": 99999,
           |"username": "iris", "password": "siri"}""".stripMargin)
       assert(pc2 === 400 && pb2.contains("invalid port number: 99999"))
       val (pc3, pb3) = post(s"$base/new-pool",
-        """{"dbname": "pooled", "host": "localhost", "port": 9000,
+        s"""{"dbname": "$pooled", "host": "localhost", "port": 9000,
           |"username": "iris", "password": "siri"}""".stripMargin)
       assert(pc3 === 200 && pb3 === "\"OK\"")
-      assert(post(s"$base/get-databases", "{}")._2.contains("pooled"))
+      assert(post(s"$base/get-databases", "{}")._2.contains(pooled))
+      // a second new-pool EXPANDS the cluster (reindex.c): inserts
+      // route by the grown lookup, queries merge across both pools
+      assert(post(s"$base/insert/$pooled",
+        """{"pool.a": [[100, 1.0], [160, 2.0]], "pool.b": [[100, 3.0]],
+          |"pool.c": [[100, 4.0]], "pool.d": [[100, 5.0]]}""".stripMargin)
+        ._1 === 200)
+      val (pc4, pb4) = post(s"$base/new-pool",
+        s"""{"dbname": "$pooled", "host": "localhost", "port": 9001,
+          |"username": "iris", "password": "siri"}""".stripMargin)
+      assert(pc4 === 200 && pb4 === "\"OK\"")
+      assert(post(s"$base/query/$pooled", """{"q": "count pools"}""")._2
+        .contains("[[2]]"))
+      assert(post(s"$base/query/$pooled", """{"q": "count series"}""")._2
+        .contains("[[4]]"))
+      val (_, sel) = post(s"$base/query/$pooled",
+        """{"q": "select sum(1h) from /^pool\\..*/ merge as \"all\" using sum(1h)"}""")
+      assert(sel.contains("\"all\":[[3600,15.0]]"), sel)
     } finally api.stop()
   }
 }
