@@ -22,7 +22,10 @@ object Bench {
     // full query-string path (parse → plan → catalog consult →
     // execute): what a reference user actually pays per query — the
     // engine-layer entries above enter below the parser
-    "ql_select_sum_between", "ql_select_presuf", "ql_list_series_where")
+    "ql_select_sum_between", "ql_select_presuf", "ql_list_series_where",
+    // the standing-rollup read path: coarse select answered from
+    // pre-aggregated buckets, zero raw-point files
+    "ql_rollup_max_6h")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,6 +54,10 @@ final case class EngineEnv(
     /** Shard duration for string ("log") series — kept separately from
       * the numeric duration like the reference (db.c:395-424). */
     durationLog: Long = 86400L,
+    /** Number of pools hosted by this database — a PoolCluster env
+      * reports one server row per pool in the servers view (the
+      * reference's fleet is ≥1 server per pool); 1 = standalone. */
+    poolCount: Int = 1,
     /** Optional standing rollup (graft.streaming.Rollup): bucket width
       * in raw ts units + the finalized (series, bucket, n, sum, min,
       * max) frame, `bucket` being the right-aligned GROUP_TS label at
@@ -286,11 +290,17 @@ object Planner {
     val rt = Runtime.getRuntime
     val backup = env.meta.config.getOrElse("backup_mode", "false") == "true"
     val props: Seq[(String, Column)] = Seq(
-      "name" -> lit("local"),
+      // one server per pool: pool 0 keeps the standalone identity
+      // ("local", port 9000) so single-node name pins hold; pool k's
+      // server is "local-k" at port 9000+k, like the reference's
+      // address:port-per-pool fleet (props.c name = "address:port")
+      "name" -> when(col("id") === 0L, lit("local"))
+        .otherwise(concat(lit("local-"), col("id"))),
       "address" -> lit("127.0.0.1"),
-      "port" -> lit(9000L),
-      "uuid" -> lit("local"),
-      "pool" -> lit(0L),
+      "port" -> (lit(9000L) + col("id")),
+      "uuid" -> when(col("id") === 0L, lit("local"))
+        .otherwise(concat(lit("local-"), col("id"))),
+      "pool" -> col("id"),
       "version" -> lit("2.0.55"),
       "online" -> lit("true"),
       "status" -> lit(if (backup) "running | backup-mode" else "running"),
@@ -321,7 +331,8 @@ object Planner {
       "startup_time" -> lit(0L),
       "sync_progress" -> lit("synced"),
       "uptime" -> lit(env.meta.uptimeSeconds))
-    env.spark.range(1).select(props.map { case (n, c) => c.as(n) }: _*)
+    env.spark.range(env.poolCount.toLong.max(1L))
+      .select(props.map { case (n, c) => c.as(n) }: _*)
   }
 
   /** Default list servers columns (reference list_servers default). */

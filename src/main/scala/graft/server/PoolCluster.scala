@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.meta.Lookup
-import graft.parser.{EngineEnv, Frames, QueryError}
+import graft.parser.{EngineEnv, Frames, QueryError, QueryParser}
 import graft.streaming.Ingest
 
 /** Pool-distributed database: N pools, each its own Ingest store,
@@ -107,10 +107,43 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
   }
 
   /** One merged query over every pool: union frames + a catalog whose
-    * pool column is the real owning pool, through the standard
-    * ApiCore encode path. */
-  def runQuery(q: String, tsFactor: Long, user: String): JsonNode =
-    pools(0).runQueryIn(mergedEnv(user), q, tsFactor)
+    * pool column is the real owning pool, through the standard ApiCore
+    * encode path. Two statements touch PHYSICAL stores and route
+    * differently: `drop shards` fans out to every pool (the reference
+    * forwards it to all servers, listener.c exit_drop_shards) and the
+    * summed count is re-encoded; `alter database ...` runs on pool 0 —
+    * the master — whose own shards back the expiration drop-threshold
+    * guard (exit_set_expiration_xxx checks the master's shards), while
+    * the config itself lands in the cluster-shared metastore either
+    * way. */
+  def runQuery(q: String, tsFactor: Long, user: String): JsonNode = {
+    val stmt =
+      try QueryParser.parse(q, tz = meta.config.getOrElse("timezone", "NAIVE"))
+      catch { case _: Throwable => null } // real errors re-raise below
+    val inner = stmt match {
+      case graft.parser.TimeitStmt(s) => s
+      case s => s
+    }
+    inner match {
+      case _: graft.parser.DropShards =>
+        // DDL answers ride the {columns, rows} table encoding
+        val counts = pools.map { p =>
+          val msg = p.runQuery(q, tsFactor, user)
+            .get("rows").get(0).get(0).asText()
+          "\\d+".r.findFirstIn(msg).map(_.toLong).getOrElse(0L)
+        }
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val out = mapper.createObjectNode()
+        out.putArray("columns").add("success_msg")
+        out.putArray("rows").addArray().add(
+          s"Successfully dropped ${counts.sum} shards. (this number does not include replica shards)")
+        out
+      case _: graft.parser.AlterDatabase =>
+        pools(0).runQuery(q, tsFactor, user)
+      case _ =>
+        pools(0).runQueryIn(mergedEnv(user), q, tsFactor)
+    }
+  }
 
   private def mergedCat(cats: Seq[DataFrame]): DataFrame =
     cats.zipWithIndex
@@ -137,6 +170,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
         .map { case (e, k) =>
           e.shardsView.get().withColumn("pool", lit(k.toLong)) }
         .reduce(_ unionByName _)),
+      poolCount = pools.size,
       rollup = None)
   }
 

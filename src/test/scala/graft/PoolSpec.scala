@@ -128,6 +128,27 @@ class PoolSpec extends AnyFunSuite {
     assert(p0 === names.count(l2.poolOf(_) == 0))
   }
 
+  test("drop shards fans out to every pool's physical store") {
+    val cbase = Files.createTempDirectory("graft-dropfan").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    // one num shard per pool (all test points share a shard bucket)
+    assert(cluster.runQuery("count shards", 1L, "iris").toString ===
+      """{"columns":["shards"],"rows":[[2]]}""")
+    val res = cluster.runQuery("drop shards set ignore_threshold true", 1L, "iris")
+    assert(res.get("rows").get(0).get(0).asText ===
+      "Successfully dropped 2 shards. (this number does not include replica shards)")
+    assert(cluster.runQuery("count shards", 1L, "iris").toString ===
+      """{"columns":["shards"],"rows":[[0]]}""")
+    // series survive a shard drop as metadata (the reference keeps the
+    // series objects; only their points are gone) — a select answers
+    // every name with an empty array
+    assert(cluster.runQuery("count series", 1L, "iris")
+      .get("rows").get(0).get(0).asLong() === names.size.toLong)
+    val sel = cluster.runQuery(s"select * from '${names.head}'", 1L, "iris")
+    assert(sel.get(names.head).size() === 0, sel)
+  }
+
   test("expansion re-indexes exactly the moved series — reindex.c, test_pool.py") {
     val cbase = Files.createTempDirectory("graft-expand").toString
     val cluster = new PoolCluster(spark, cbase, initialPools = 2)
@@ -155,6 +176,12 @@ class PoolSpec extends AnyFunSuite {
       === before)
     val rows = cluster.runQuery("list pools", 1L, "iris").get("rows")
     assert(rows.size() === 3)
+    // the fleet view reports one server per pool after expansion
+    val servers = cluster.runQuery("list servers name, pool", 1L, "iris")
+      .get("rows")
+    assert((0 until servers.size()).map(_.toString).size === 3)
+    assert(cluster.runQuery("count servers", 1L, "iris").toString ===
+      """{"columns":["servers"],"rows":[[3]]}""")
     // inserts after expansion route by the grown lookup
     cluster.runInsert(mapper.readTree("""{"post.expand.x": [[1700000000, 1.5]]}"""), "iris")
     val owner = l3.poolOf("post.expand.x")
