@@ -34,6 +34,11 @@ import graft.streaming.Ingest
   * (reindex.c, itest/test_pool.py): the lookup table's growth
   * property guarantees only series newly assigned to the new pool
   * move, so re-index cost is ~1/(n+1) of the data, not a reshuffle.
+  * An insert racing an in-flight expansion may still route by the old
+  * lookup and land points in the prior owner's store — queries stay
+  * correct (the merged plan reads every pool) and the next expansion
+  * re-homes them; the reference has the same transition window and
+  * covers it with reindex-aware forwarding (reindex.c:54-60).
   */
 final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     baseDir: String, initialPools: Int = 2, val dbName: String = "graft",

@@ -88,6 +88,9 @@ class PoolSpec extends AnyFunSuite {
     Seq(
       "select * from /^metric\\.cpu\\.1.*/",
       "select max(10m) => difference() from /.*/",
+      // ranged: exercises the merged rangedFrames (per-pool
+      // shard-directory pruning unioned across pools)
+      "select * from /^metric\\.cpu\\.2.*/ between 1700000060 and 1700000200",
       "count series").foreach { q =>
       assert(cluster.runQuery(q, 1L, "iris").toString ===
         single.runQuery(q, 1L, "iris").toString, q)
