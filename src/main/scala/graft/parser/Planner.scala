@@ -54,10 +54,12 @@ final case class EngineEnv(
     /** Shard duration for string ("log") series — kept separately from
       * the numeric duration like the reference (db.c:395-424). */
     durationLog: Long = 86400L,
-    /** Number of pools hosted by this database — a PoolCluster env
-      * reports one server row per pool in the servers view (the
-      * reference's fleet is ≥1 server per pool); 1 = standalone. */
-    poolCount: Int = 1,
+    /** The database's server fleet: one entry per server, holding the
+      * pool it serves (the reference's fleet is ≥1 server per pool —
+      * a second server in a pool is that pool's replica). Drives the
+      * servers view row-per-server and the pools view servers count.
+      * Default = one standalone server in pool 0. */
+    fleet: Seq[Int] = Seq(0),
     /** Optional standing rollup (graft.streaming.Rollup): bucket width
       * in raw ts units + the finalized (series, bucket, n, sum, min,
       * max) frame, `bucket` being the right-aligned GROUP_TS label at
@@ -253,8 +255,14 @@ object Planner {
           .map { case (n, u) => (n, graft.meta.Access.toStr(u.access), u.access.toLong) }
           .toDF("name", "access", "access_bits")
       case "pools" =>
+        // servers per pool from the fleet (a replica is a pool's
+        // second server); pools absent from the fleet default to 1
+        val byPool = env.fleet.groupBy(identity).map {
+          case (p, ss) => (p.toLong, ss.size.toLong) }
+        val serversCol = byPool.foldLeft(lit(1L)) {
+          case (acc, (p, n)) => when(col("pool") === p, lit(n)).otherwise(acc) }
         env.catalogLive.groupBy(col("pool"))
-          .agg(lit(1L).as("servers"), count(lit(1)).as("series"))
+          .agg(max(serversCol).as("servers"), count(lit(1)).as("series"))
       case "shards" =>
         // shard view (shard.c's sid/size/start/end; start/end are the
         // bucket bounds, listener.c:2553-2554); server/status/type are
@@ -290,17 +298,19 @@ object Planner {
     val rt = Runtime.getRuntime
     val backup = env.meta.config.getOrElse("backup_mode", "false") == "true"
     val props: Seq[(String, Column)] = Seq(
-      // one server per pool: pool 0 keeps the standalone identity
-      // ("local", port 9000) so single-node name pins hold; pool k's
-      // server is "local-k" at port 9000+k, like the reference's
-      // address:port-per-pool fleet (props.c name = "address:port")
+      // one row per fleet server: server 0 keeps the standalone
+      // identity ("local", port 9000) so single-node name pins hold;
+      // server i is "local-i" at port 9000+i and serves pool
+      // fleet(i), like the reference's address:port fleet (props.c
+      // name = "address:port"; a pool's second server is its replica)
       "name" -> when(col("id") === 0L, lit("local"))
         .otherwise(concat(lit("local-"), col("id"))),
       "address" -> lit("127.0.0.1"),
       "port" -> (lit(9000L) + col("id")),
       "uuid" -> when(col("id") === 0L, lit("local"))
         .otherwise(concat(lit("local-"), col("id"))),
-      "pool" -> col("id"),
+      "pool" -> element_at(
+        array(env.fleet.map(p => lit(p.toLong)): _*), col("id").cast("int") + 1),
       "version" -> lit("2.0.55"),
       "online" -> lit("true"),
       "status" -> lit(if (backup) "running | backup-mode" else "running"),
@@ -331,7 +341,7 @@ object Planner {
       "startup_time" -> lit(0L),
       "sync_progress" -> lit("synced"),
       "uptime" -> lit(env.meta.uptimeSeconds))
-    env.spark.range(env.poolCount.toLong.max(1L))
+    env.spark.range(env.fleet.size.toLong.max(1L))
       .select(props.map { case (n, c) => c.as(n) }: _*)
   }
 

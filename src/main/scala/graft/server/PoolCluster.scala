@@ -65,6 +65,23 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
 
   @volatile private var lookup: Lookup = Lookup(pools.size)
 
+  /** Replicas per pool (reference NEW_REPLICA joins a second server to
+    * an existing pool, service/request.c:830-900). On shared storage a
+    * replica adds no durability — the store is already durable — so
+    * joining is FLEET MEMBERSHIP: the server appears in the
+    * servers/pools views with its pool, nothing re-copies. */
+  @volatile private var replicas: Map[Int, Int] = Map.empty
+
+  def addReplica(pool: Int): Unit = synchronized {
+    require(pool >= 0 && pool < pools.size, s"no pool $pool")
+    replicas = replicas.updated(pool, replicas.getOrElse(pool, 0) + 1)
+  }
+
+  /** One fleet entry per server: each pool's primary, then its
+    * replicas. */
+  private def fleet: Seq[Int] =
+    pools.indices.flatMap(k => Seq.fill(1 + replicas.getOrElse(k, 0))(k))
+
   def nPools: Int = pools.size
 
   def poolOf(series: String): Int = lookup.poolOf(series)
@@ -175,7 +192,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
         .map { case (e, k) =>
           e.shardsView.get().withColumn("pool", lit(k.toLong)) }
         .reduce(_ unionByName _)),
-      poolCount = pools.size,
+      fleet = fleet,
       rollup = None)
   }
 

@@ -176,13 +176,25 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
                 dbs.put(name, new PoolCluster(spark, base.toString,
                   initialPools = 1, dbName = name))
                 dbDirs.put(name, base.toString)
-            } else if (!dbs.contains(name)) {
-              // new-replica: replication is engine-owned durability —
-              // joining reduces to hosting the database locally
-              val dir = root.resolve(s"graft-db-$name")
-              Files.createDirectories(dir)
-              dbs.put(name, new ApiCore(spark, dir.toString, name))
-              dbDirs.put(name, dir.toString)
+            } else dbs.get(name) match {
+              // new-replica on a clustered database = fleet
+              // membership: the joining server appears as its pool's
+              // second server in the servers/pools views (shared
+              // storage already provides the durability fifo
+              // replication exists for)
+              case Some(cluster: PoolCluster) =>
+                val pool = field("pool").flatMap(p =>
+                  scala.util.Try(p.toInt).toOption).getOrElse(0)
+                if (pool < 0 || pool >= cluster.nPools)
+                  return (true, err(s"unknown pool: $pool"))
+                cluster.addReplica(pool)
+              case Some(_) => () // standalone db: already hosted
+              case None =>
+                // joining an unknown database reduces to hosting it
+                val dir = root.resolve(s"graft-db-$name")
+                Files.createDirectories(dir)
+                dbs.put(name, new ApiCore(spark, dir.toString, name))
+                dbDirs.put(name, dir.toString)
             }
             (false, mapper.getNodeFactory.textNode("OK"))
           }

@@ -317,6 +317,16 @@ class ServiceSpec extends AnyFunSuite {
       val (_, sel) = post(s"$base/query/$pooled",
         """{"q": "select sum(1h) from /^pool\\..*/ merge as \"all\" using sum(1h)"}""")
       assert(sel.contains("\"all\":[[3600,15.0]]"), sel)
+      // new-replica on a clustered db = fleet membership: pool 1 gains
+      // a second server in the fleet views
+      assert(post(s"$base/new-replica",
+        s"""{"dbname": "$pooled", "host": "localhost", "port": 9002,
+          |"username": "iris", "password": "siri", "pool": 1}""".stripMargin)
+        ._1 === 200)
+      assert(post(s"$base/query/$pooled", """{"q": "count servers"}""")._2
+        .contains("[[3]]"))
+      val (_, poolsView) = post(s"$base/query/$pooled", """{"q": "list pools pool, servers"}""")
+      assert(poolsView.contains("[1,2]"), poolsView)
     } finally api.stop()
   }
 }
