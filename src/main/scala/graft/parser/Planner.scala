@@ -175,7 +175,9 @@ object Planner {
     * (siridb_series_cexpr_cb, src/siri/db/series.c:85-112). */
   private def propCol(prop: String, env: EngineEnv): Column = prop match {
     case "name" => col("series")
-    case "shard_duration" => lit(env.shardDuration * env.factor)
+    // durations are RAW ts units (the reference's siridb->duration_num
+    // is already scaled by the db's time precision, db.c:395-424)
+    case "shard_duration" => lit(env.shardDuration)
     case p => col(p) // length, pool, start, end, type
   }
 
@@ -576,7 +578,7 @@ object Planner {
       }
       val outCols = cols.map {
         case "name" => col("series").as("name")
-        case "shard_duration" => lit(env.shardDuration * env.factor).as("shard_duration")
+        case "shard_duration" => lit(env.shardDuration).as("shard_duration")
         case c => col(c)
       }
       selCatalog(sel, where, env)

@@ -34,7 +34,19 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       * config are cluster-global in the reference (synced between
       * servers), so every pool's server shares ONE instance. None =
       * standalone server owning its own metastore. */
-    sharedMeta: Option[graft.meta.MetaStore] = None) extends DbHandler {
+    sharedMeta: Option[graft.meta.MetaStore] = None,
+    /** Database time precision "s"|"ms"|"us"|"ns"
+      * (SERVICE_time_precision, service/request.c:171-191; time.h:
+      * factor = 1000^p). Fixed at creation, persisted with the
+      * metastore; a reopened store keeps its stored precision
+      * regardless of this argument. */
+    timePrecision: String = "s",
+    /** Explicit shard durations in RAW ts units (SERVICE_duration
+      * accepts "<1-99>[hdw]" pre-scaled by the precision factor,
+      * request.c:193-223). None = 1 day at this precision (or the
+      * auto-duration resolution when enabled). */
+    durationNum: Option[Long] = None,
+    durationLogOpt: Option[Long] = None) extends DbHandler {
 
   /** Physical shard granularity of this server's Ingest store; also
     * drives the shards view / drop shards mapping via EngineEnv.
@@ -43,9 +55,9 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * vals: an auto-resolved duration lands in the metastore config at
     * first flush and every later env/frame build must see it. */
   def shardDuration: Long =
-    meta.config.get("duration_num").map(_.toLong).getOrElse(86400L)
+    meta.config.get("duration_num").map(_.toLong).getOrElse(86400L * factor)
   def durationLog: Long =
-    meta.config.get("duration_log").map(_.toLong).getOrElse(86400L)
+    meta.config.get("duration_log").map(_.toLong).getOrElse(86400L * factor)
 
   private val mapper = new ObjectMapper()
 
@@ -59,6 +71,39 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     val m = new graft.meta.MetaStore
     m.loadFrom(spark, storeDir)
     m
+  }
+
+  // creation-time database identity: precision and explicit durations
+  // pin themselves in the (persisted) config on first boot, so the
+  // store reopens identically without the constructor arguments —
+  // like the reference persists them in database.dat (db.c)
+  locally {
+    require(Set("s", "ms", "us", "ns").contains(timePrecision),
+      s"invalid time precision '$timePrecision'")
+    var changed = false
+    if (timePrecision != "s" && !meta.config.contains("time_precision")) {
+      meta.config.put("time_precision", timePrecision); changed = true
+    }
+    durationNum.foreach { d =>
+      if (!meta.config.contains("duration_num")) {
+        meta.config.put("duration_num", d.toString); changed = true
+      }
+    }
+    durationLogOpt.foreach { d =>
+      if (!meta.config.contains("duration_log")) {
+        meta.config.put("duration_log", d.toString); changed = true
+      }
+    }
+    if (changed) meta.persistTo(spark, storeDir)
+  }
+
+  /** Raw ts units per second: 1000^p for precision s/ms/us/ns
+    * (include/siri/db/time.h). */
+  val factor: Long = meta.config.getOrElse("time_precision", "s") match {
+    case "ms" => 1000L
+    case "us" => 1000000L
+    case "ns" => 1000000000L
+    case _ => 1L
   }
 
   /** Validate credentials (auth.c:17-60). */
@@ -163,7 +208,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     EngineEnv(spark, storeDir,
       frames = Some(frames()), meta = meta,
       user = Some(user), shardDuration = shardDuration,
-      durationLog = durationLog,
+      durationLog = durationLog, factor = factor,
       // time-ranged selects prune whole shard directories
       // (Ingest.pointsRange translates ts bounds onto the shard
       // partition column)
@@ -179,14 +224,14 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * metadata queries the {columns, rows} table encoding, timeit wraps
     * with __timeit__ (listener.c:5026-5064). Throws QueryError /
     * AccessError for the transports to map. */
-  def runQuery(q: String, tsFactor: Long, user: String): JsonNode =
+  def runQuery(q: String, tsFactor: Double, user: String): JsonNode =
     runQueryIn(env(user), q, tsFactor)
 
   /** Run one query against an explicit env — the PoolCluster passes a
     * merged multi-pool env through here so the encoding, timeit and
     * DDL-persistence behavior stay identical to the standalone path. */
   private[server] def runQueryIn(envIn: EngineEnv, q: String,
-      tsFactor: Long): JsonNode =
+      tsFactor: Double): JsonNode =
     // release the query's shared-scan caches (multi-chain selects)
     // once the response is materialized — a long-lived server must not
     // accumulate one cache entry per distinct query shape
@@ -194,9 +239,12 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     finally Planner.drainQueryCaches()
 
   private def runQueryInner(envIn: EngineEnv, q: String,
-      tsFactor: Long): JsonNode = {
+      tsFactor: Double): JsonNode = {
     val t0 = System.nanoTime()
+    // `now` and time literals in raw db-precision units (time.h:
+    // the grammar's [smhdw] units scale by 1000^p; query.c:109)
     val stmt = QueryParser.parse(q,
+      now = System.currentTimeMillis() / 1000 * factor, factor = factor,
       tz = meta.config.getOrElse("timezone", "NAIVE"))
     val df = Planner.run(stmt, envIn, keepPid = true)
     val inner = stmt match {
@@ -235,7 +283,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   /** {series: [[ts,val],...], ...}, points sorted by ts then insertion
     * order (points.c:250-288; pid is the insertion-order tie-break for
     * duplicate timestamps). */
-  private def encodeSelect(df: DataFrame, tsFactor: Long,
+  private def encodeSelect(df: DataFrame, tsFactor: Double,
       names: Seq[String]): JsonNode = {
     // select_points_limit guard (db.h:16), alterable via
     // `alter database set select_points_limit N` — checked by
@@ -267,7 +315,10 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         case _ => val a = mapper.createArrayNode(); out.set[JsonNode](series, a); a
       }
       val point = mapper.createArrayNode()
-      point.add(r.getLong(1) * tsFactor)
+      // reference correction: float multiply, int64 cast
+      // (truncation toward zero); 0.0/1.0 = raw db-precision ts
+      if (tsFactor == 0.0 || tsFactor == 1.0) point.add(r.getLong(1))
+      else point.add((r.getLong(1) * tsFactor).toLong)
       if (hasTp) r.getString(3) match {
         case "integer" => point.add(r.getString(2).toLong)
         case "float" => point.add(r.getString(2).toDouble)
@@ -328,14 +379,15 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       val group = if (isLog) "log" else "num"
       val chosen =
         if (Ingest.shardDirs(spark, storeDir).exists(_._1 == group))
-          86400L // data already bucketed at the default: keep it
+          86400L * factor // data already bucketed at the default: keep it
         else {
           val intervals = relevant.groupBy(_.series).valuesIterator
             .map(ps => Ingest.detectInterval(ps.map(_.ts).sorted))
             .filter(_ > 0).toVector.sorted
-          if (intervals.isEmpty) 86400L
+          if (intervals.isEmpty) 86400L * factor
           else Ingest.durationFromInterval(intervals(intervals.size / 2),
-            factor = 1L, durationNum = shardDuration, durationLog = durationLog)
+            factor = factor, durationNum = shardDuration,
+            durationLog = durationLog)
         }
       // putIfAbsent: two racing first inserts must agree on ONE
       // duration before either batch buckets under it
@@ -432,7 +484,9 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       if (nowMs - last >= ExpireIntervalMs &&
           lastExpireMs.compareAndSet(last, nowMs))
         expCfg.foreach { case (group, exp) =>
-          Ingest.expire(spark, storeDir, exp, now = nowMs / 1000,
+          // `now` in raw ts units: expiration values and shard ids are
+          // both precision-scaled
+          Ingest.expire(spark, storeDir, exp, now = nowMs / 1000 * factor,
             shardDuration, durationLog, group)
         }
     }

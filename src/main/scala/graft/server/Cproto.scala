@@ -102,13 +102,16 @@ private[graft] object Cproto {
                 else {
                   val q = arr.get(0).asText()
                   // optional time_precision (time.h:9-14: s=0 ms=1
-                  // us=2 ns=3); db precision is seconds, so the output
-                  // ts factor is 1000^tp (clserver.c:480-505)
+                  // us=2 ns=3); output ts factor =
+                  // pow(1000, requested - db precision), 0.0 = raw
+                  // (clserver.c:480-505)
+                  val dbPow = (math.log(core.factor.toDouble) /
+                    math.log(1000.0)).round.toInt
                   val tsFactor = Option(arr.get(1))
                     .filter(_.isIntegralNumber).map(_.asLong())
                     .filter(t => t >= 0 && t <= 3)
-                    .map(t => math.pow(1000.0, t.toDouble).toLong)
-                    .getOrElse(1L)
+                    .map(t => math.pow(1000.0, (t - dbPow).toDouble))
+                    .getOrElse(0.0)
                   (0, QPack.encode(core.runQuery(q, tsFactor, u)))
                 }
               } catch {

@@ -139,20 +139,22 @@ final class HttpApi(spark: SparkSession, storeDir: String, port: Int = 0,
 
   /** Output timestamp precision correction: the client may ask for
     * another precision via ?t=s|ms|us|ns and output ts values are
-    * scaled by the factor ratio (clserver.c:480-505,
+    * scaled by pow(1000, requested - db precision) — fractional when
+    * coarser than the database (clserver.c:480-505,
     * siridb_points_ts_correction points.c:291). */
-  private val outFactors = Map("s" -> 1L, "ms" -> 1000L,
-    "us" -> 1000000L, "ns" -> 1000000000L)
+  private val precisionPow = Map("s" -> 0, "ms" -> 1, "us" -> 2, "ns" -> 3)
 
   private def handleQuery(ex: HttpExchange, req: JsonNode, params: Map[String, String]): (Int, JsonNode) = {
     val core = dbOf(ex, "/query/")
     val user = userOf(ex, core)
     val q = Option(req.get("q")).map(_.asText())
       .getOrElse(throw QueryError("expecting a 'q' field with the query"))
+    val dbPow = (math.log(core.factor.toDouble) / math.log(1000.0)).round.toInt
     val tsFactor = params.get("t")
-      .map(t => outFactors.getOrElse(t,
+      .map(t => precisionPow.getOrElse(t,
         throw QueryError(s"unknown time precision '$t' (use s, ms, us or ns)")))
-      .getOrElse(1L)
+      .map(p => math.pow(1000.0, (p - dbPow).toDouble))
+      .getOrElse(0.0)
     (200, core.runQuery(q, tsFactor, user))
   }
 

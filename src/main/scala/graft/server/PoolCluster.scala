@@ -138,7 +138,9 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     * guard (exit_set_expiration_xxx checks the master's shards), while
     * the config itself lands in the cluster-shared metastore either
     * way. */
-  def runQuery(q: String, tsFactor: Long, user: String): JsonNode = {
+  def factor: Long = pools(0).factor
+
+  def runQuery(q: String, tsFactor: Double, user: String): JsonNode = {
     val stmt =
       try QueryParser.parse(q, tz = meta.config.getOrElse("timezone", "NAIVE"))
       catch { case _: Throwable => null } // real errors re-raise below

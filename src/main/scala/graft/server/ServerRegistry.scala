@@ -111,9 +111,42 @@ final class ServerRegistry(spark: SparkSession, defaultDb: String,
             if (dbs.contains(name))
               (true, err(s"database name already exists: '$name'"))
             else {
+              // optional time_precision / duration_num / duration_log
+              // (SERVICE_on_new_database, request.c:146-240):
+              // precision in {s, ms, us, ns}; durations "<1-99>[hdw]"
+              // scaled to raw precision units; reference defaults 1w
+              // (num) / 1d (log)
+              val tp = field("time_precision").getOrElse("s")
+              if (!Set("s", "ms", "us", "ns").contains(tp))
+                return (true, err(s"invalid time precision: '$tp' " +
+                  "(expecting s, ms, us or ns)"))
+              val f = Map("s" -> 1L, "ms" -> 1000L, "us" -> 1000000L,
+                "ns" -> 1000000000L)(tp)
+              val durRe = "([0-9]{1,2})([hdw])".r
+              def dur(v: String): Option[Long] = v match {
+                case durRe(n, u) if n.toInt >= 1 =>
+                  Some(n.toLong * (u match {
+                    case "h" => 3600L
+                    case "d" => 86400L
+                    case _ => 604800L
+                  }) * f)
+                case _ => None
+              }
+              val dn = field("duration_num") match {
+                case None => 604800L * f // DEFAULT_DURATION_NUM
+                case Some(v) => dur(v).getOrElse(return (true, err(
+                  s"invalid number duration: '$v' (valid examples: 6h, 2d or 1w)")))
+              }
+              val dl = field("duration_log") match {
+                case None => 86400L * f // DEFAULT_DURATION_LOG
+                case Some(v) => dur(v).getOrElse(return (true, err(
+                  s"invalid log duration: '$v' (valid examples: 6h, 2d or 1w)")))
+              }
               val dir = root.resolve(s"graft-db-$name")
               Files.createDirectories(dir)
-              dbs.put(name, new ApiCore(spark, dir.toString, name))
+              dbs.put(name, new ApiCore(spark, dir.toString, name,
+                timePrecision = tp, durationNum = Some(dn),
+                durationLogOpt = Some(dl)))
               dbDirs.put(name, dir.toString)
               (false, okMsg(s"Successfully created database '$name'."))
             }

@@ -136,6 +136,56 @@ class ServiceSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("ms-precision database end-to-end — request.c:146-240, time.h") {
+    val dir = Files.createTempDirectory("graft-prec").toString
+    val api = new HttpApi(spark, dir)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      val db = s"msdb${System.nanoTime() % 1000000}"
+      // reference validation messages for precision and durations
+      val (bc, bb) = post(s"$base/new-database",
+        s"""{"dbname": "$db", "time_precision": "xs"}""")
+      assert(bc === 400 &&
+        bb.contains("invalid time precision: 'xs' (expecting s, ms, us or ns)"))
+      val (dc, dbad) = post(s"$base/new-database",
+        s"""{"dbname": "$db", "time_precision": "ms", "duration_num": "5x"}""")
+      assert(dc === 400 &&
+        dbad.contains("invalid number duration: '5x' (valid examples: 6h, 2d or 1w)"))
+      assert(post(s"$base/new-database",
+        s"""{"dbname": "$db", "time_precision": "ms", "duration_num": "2d"}""")
+        ._1 === 200)
+      // millisecond timestamps land in 2-day ms-unit shards
+      assert(post(s"$base/insert/$db",
+        """{"m": [[1700000000123, 1.5], [1700000000456, 2.5]]}""")._1 === 200)
+      val (_, raw) = post(s"$base/query/$db", """{"q": "select * from 'm'"}""")
+      assert(raw.contains("[1700000000123,1.5]"), raw)
+      // ?t=s truncates to seconds (factor 1000^(0-1)); ?t=us scales up
+      val (_, secs) = post(s"$base/query/$db?t=s",
+        """{"q": "select * from 'm'"}""")
+      assert(secs.contains("[1700000000,1.5]") &&
+        secs.contains("[1700000000,2.5]"), secs)
+      val (_, us) = post(s"$base/query/$db?t=us",
+        """{"q": "select * from 'm'"}""")
+      assert(us.contains("[1700000000123000,1.5]"), us)
+      // precision and durations are queryable and persisted
+      val (_, showPrec) = post(s"$base/query/$db",
+        """{"q": "show time_precision, duration_num"}""")
+      assert(showPrec.contains("\"ms\"") && showPrec.contains("172800000"),
+        showPrec)
+      // time literals in queries scale by the db factor: 1h = 3.6M ms
+      val (_, agg) = post(s"$base/query/$db",
+        """{"q": "select sum(1h) from 'm'"}""")
+      // GROUP_TS at gb=3,600,000 ms: ceil(1700000000123/3.6e6)*3.6e6
+      assert(agg.contains("[1700002800000,4.0]"), agg)
+      // a reopened store keeps its precision without constructor args
+      val reopened = new graft.server.ApiCore(spark,
+        java.nio.file.Paths.get(dir).getParent.resolve(s"graft-db-$db").toString)
+      assert(reopened.factor === 1000L)
+      assert(reopened.shardDuration === 172800000L)
+    } finally api.stop()
+  }
+
   test("metastore survives a server restart — users.dat/groups.dat/tags.dat") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
