@@ -46,7 +46,10 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       * how a standalone database upgrades in place when its first
       * `new-pool` service request arrives — the store becomes pool 0
       * and the next [[expand]] re-indexes its share out. */
-    pool0Dir: Option[String] = None) extends DbHandler {
+    pool0Dir: Option[String] = None,
+    /** Database time precision, cluster-wide (the shared metastore
+      * carries it, so every pool's server resolves the same factor). */
+    timePrecision: String = "s") extends DbHandler {
 
   private def dirOf(k: Int) =
     if (k == 0) pool0Dir.getOrElse(s"$baseDir/pool0") else s"$baseDir/pool$k"
@@ -61,7 +64,8 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
 
   @volatile private var pools: Vector[ApiCore] =
     (0 until initialPools).toVector.map(k =>
-      new ApiCore(spark, dirOf(k), dbName, sharedMeta = Some(meta)))
+      new ApiCore(spark, dirOf(k), dbName, sharedMeta = Some(meta),
+        timePrecision = timePrecision))
 
   @volatile private var lookup: Lookup = Lookup(pools.size)
 
@@ -210,7 +214,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     val newIdx = pools.size
     val newLookup = Lookup(newIdx + 1)
     val target = new ApiCore(spark, dirOf(newIdx), dbName,
-      sharedMeta = Some(meta))
+      sharedMeta = Some(meta), timePrecision = timePrecision)
     import spark.implicits._
     val lookupDf = newLookup.toRows.toDF("slot", "pool")
     pools.zipWithIndex.foreach { case (src, k) =>

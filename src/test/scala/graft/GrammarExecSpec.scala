@@ -29,7 +29,12 @@ class GrammarExecSpec extends AnyFunSuite {
     val stride = sys.env.getOrElse("GRAFT_GRAMMAR_STRIDE", "53").toInt
     val sample = corpus.indices.filter(_ % stride == 0).map(corpus)
     val dir = Files.createTempDirectory("graft-gramexec").toString
-    val api = new graft.server.ApiCore(spark, dir)
+    // GRAFT_GRAMMAR_CLUSTER=1 runs the same sweep against a 2-pool
+    // cluster — every production exercises the merged multi-pool env
+    val api: graft.server.DbHandler =
+      if (sys.env.get("GRAFT_GRAMMAR_CLUSTER").contains("1"))
+        new graft.server.PoolCluster(spark, dir, initialPools = 2)
+      else new graft.server.ApiCore(spark, dir)
     // itest seeding: the placeholder terminals must resolve
     api.runInsert(mapper.readTree(
       """{"000000": [[100, 1.0], [160, 2.0], [220, 3.0]]}"""), "iris")
