@@ -1,7 +1,6 @@
 package graft.server
 
 import com.fasterxml.jackson.databind.JsonNode
-import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -103,15 +102,21 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     * total point count. */
   def runInsert(req: JsonNode, user: String): JsonNode = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    // normalize both wire forms into (name -> points) routing units;
-    // full structural validation stays with ApiCore.runInsert
-    val byPool = scala.collection.mutable.Map.empty[Int, ObjectNode]
+    // normalize both wire forms into per-pool ARRAY-form requests —
+    // the array form legally repeats a series name (insert.c accepts
+    // duplicate entries), so routing through a map would silently
+    // drop points; full structural validation stays with
+    // ApiCore.runInsert
+    val byPool = scala.collection.mutable.Map
+      .empty[Int, com.fasterxml.jackson.databind.node.ArrayNode]
     var total = 0L
     def route(name: String, pts: JsonNode): Unit = {
       if (name == null) throw QueryError("Expecting a map with name and points.")
-      val node = byPool.getOrElseUpdate(lookup.poolOf(name),
-        mapper.createObjectNode())
-      node.set[JsonNode](name, pts)
+      val arr = byPool.getOrElseUpdate(lookup.poolOf(name),
+        mapper.createArrayNode())
+      val entry = arr.addObject()
+      entry.put("name", name)
+      entry.set[JsonNode]("points", pts)
       total += (if (pts != null && pts.isArray) pts.size() else 0)
     }
     if (req.isObject)
@@ -125,8 +130,8 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       }
     else throw QueryError(
       "Expecting an array or map containing series and points.")
-    byPool.toSeq.sortBy(_._1).foreach { case (k, node) =>
-      pools(k).runInsert(node, user)
+    byPool.toSeq.sortBy(_._1).foreach { case (k, arr) =>
+      pools(k).runInsert(arr, user)
     }
     mapper.createObjectNode()
       .put("success_msg", s"Successfully inserted $total point(s).")

@@ -131,6 +131,21 @@ class PoolSpec extends AnyFunSuite {
     assert(p0 === names.count(l2.poolOf(_) == 0))
   }
 
+  test("array-form insert with a repeated series name keeps every point") {
+    val cbase = Files.createTempDirectory("graft-dupname").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    // the array wire form legally repeats a name (insert.c accepts
+    // duplicate entries) — routing must not collapse them
+    val ok = cluster.runInsert(mapper.readTree(
+      """[{"name": "dup.a", "points": [[100, 1.0]]},
+        | {"name": "dup.a", "points": [[200, 2.0]]},
+        | {"name": "dup.b", "points": [[100, 3.0]]}]""".stripMargin), "iris")
+    assert(ok.get("success_msg").asText ===
+      "Successfully inserted 3 point(s).")
+    val sel = cluster.runQuery("select * from 'dup.a'", 1L, "iris")
+    assert(sel.get("dup.a").toString === "[[100,1.0],[200,2.0]]", sel)
+  }
+
   test("drop shards fans out to every pool's physical store") {
     val cbase = Files.createTempDirectory("graft-dropfan").toString
     val cluster = new PoolCluster(spark, cbase, initialPools = 2)
