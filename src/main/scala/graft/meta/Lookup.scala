@@ -32,20 +32,23 @@ object Lookup {
   /** SIRIDB_LOOKUP_SZ (include/siri/siri.h via lookup.h). */
   val Size = 8192
 
-  /** Slot of a series name: uint32 byte sum (bytes sign-extend, like
-    * C's default-signed char) mod Size. */
+  /** Slot of a series name: uint32 sum of the name's code points mod
+    * Size. For ASCII names (the overwhelming case) this is exactly
+    * the reference's signed-char byte sum (siridb_lookup_sn); for
+    * non-ASCII names it intentionally diverges from C in favor of
+    * agreeing bit-for-bit with the distributed [[slotSql]] expression
+    * — routing (driver-side, here) and re-index (executor-side SQL)
+    * MUST assign every name identically, or an expansion could move a
+    * series while later inserts still target its old pool. */
   def slotOf(series: String): Int = {
-    val bytes = series.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var n = 0
-    var i = 0
-    while (i < bytes.length) { n += bytes(i); i += 1 }
+    series.codePoints().forEach(cp => n += cp)
     ((n.toLong & 0xFFFFFFFFL) % Size).toInt
   }
 
-  /** Spark SQL expression for the same slot over a series-name column.
-    * ascii() sums code points, which equals the C byte sum for ASCII
-    * names (the overwhelming case); non-ASCII names route through the
-    * driver-side [[slotOf]] on the insert path either way. */
+  /** Spark SQL expression computing the same slot over a series-name
+    * column: ascii(one-char substring) is the code point, so this is
+    * [[slotOf]] exactly (and the C byte sum for ASCII names). */
   def slotSql(colName: String): String =
     s"CAST(aggregate(transform(sequence(1, length($colName)), " +
       s"i -> ascii(substring($colName, i, 1))), 0L, (a, x) -> a + x) " +

@@ -30,6 +30,21 @@ class PoolSpec extends AnyFunSuite {
     assert(Lookup.slotOf("aggr") === (97 + 103 + 103 + 114) % 8192)
   }
 
+  test("driver-side slotOf and the Spark slotSql expression agree on every name") {
+    import spark.implicits._
+    // routing (slotOf, insert path) and re-index (slotSql, executor
+    // SQL) must assign identically or expansion splits a series'
+    // placement — include non-ASCII and long names
+    val names = Seq("aggr", "metric.cpu.7", "température.côté",
+      "series-" + ("x" * 400), "точка.data", "日本語シリーズ", "a")
+    val sparkSlots = names.toDF("series")
+      .selectExpr("series", Lookup.slotSql("series") + " AS slot")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    names.foreach { n =>
+      assert(Lookup.slotOf(n) === sparkSlots(n), n)
+    }
+  }
+
   test("growing the table n -> n+1 reassigns ONLY slots moving to the new pool") {
     (1 until 8).foreach { n =>
       val before = Lookup(n).slots
