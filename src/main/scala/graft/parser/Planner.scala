@@ -931,81 +931,7 @@ object Planner {
     // — only meaningful on a writable Ingest store, where shards are
     // physical directories
     case DropShards(where, ignoreThreshold) =>
-      if (env.frames.isEmpty)
-        throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
-      val fs = new org.apache.hadoop.fs.Path(
-        graft.streaming.Ingest.pointsPath(env.dir))
-        .getFileSystem(env.spark.sessionState.newHadoopConf())
-      val all = graft.streaming.Ingest.shardDirs(env.spark, env.dir)
-      val matching = where match {
-        case None => all
-        case Some(w) =>
-          // evaluate the cexpr per shard dir: the full shard prop set
-          // of siridb_shard_cexpr_cb (shard.c:570-600 — sid, pool,
-          // size, start, end, type, server, status), with the same
-          // values the `list shards` view exposes; start/end map
-          // through the dir's OWN duration (num vs log shards bucket
-          // at different durations — db.c:395-424)
-          def intCmp(op: String, a: Long, v: Long): Boolean = op match {
-            case "==" => a == v
-            case "!=" => a != v
-            case "<" => a < v
-            case ">" => a > v
-            case "<=" => a <= v
-            case ">=" => a >= v
-            case o => throw QueryError(s"bad shard operator '$o'")
-          }
-          def strCmp(op: String, a: String, v: String): Boolean = op match {
-            case "==" => a == v
-            case "!=" => a != v
-            case "<" => a < v
-            case ">" => a > v
-            case "<=" => a <= v
-            case ">=" => a >= v
-            case "~" => a.contains(v)
-            case "!~" => !a.contains(v)
-          }
-          def eval(c: Cexpr, g: String, sid: Long, dur: Long,
-              p: org.apache.hadoop.fs.Path): Boolean = c match {
-            case CAnd(l, r) => eval(l, g, sid, dur, p) && eval(r, g, sid, dur, p)
-            case COr(l, r) => eval(l, g, sid, dur, p) || eval(r, g, sid, dur, p)
-            case CCmp("sid", op, Left(v)) => intCmp(op, sid, v)
-            case CCmp("pool", op, Left(v)) => intCmp(op, 0L, v)
-            case CCmp("start", op, Left(v)) => intCmp(op, sid, v / dur)
-            case CCmp("end", op, Left(v)) => intCmp(op, sid, v / dur)
-            case CCmp("size", op, Left(v)) =>
-              val size = fs.listStatus(p)
-                .filter(_.getPath.getName.endsWith(".parquet"))
-                .map(_.getLen).sum
-              intCmp(op, size, v)
-            case CCmp("type", op, Right(v)) =>
-              strCmp(op, if (g == "log") "log" else "number", v)
-            case CCmp("server", op, Right(v)) => strCmp(op, "local", v)
-            case CCmp("status", op, Right(v)) => strCmp(op, "ok", v)
-            case CCmp(p0, _, _) => throw QueryError(s"unsupported shard property '$p0'")
-          }
-          all.filter { case (g, sid, p) =>
-            eval(w, g, sid,
-              if (g == "log") env.durationLog else env.shardDuration, p)
-          }
-      }
-      // the same drop_threshold guard as series, on the shard fraction
-      // (exit_drop_shards, listener.c:3107-3125)
-      val shardFrac =
-        if (all.isEmpty) 0.0 else matching.size.toDouble / all.size
-      if (!ignoreThreshold && matching.nonEmpty &&
-          shardFrac >= env.meta.dropThreshold)
-        throw QueryError(
-          String.format(java.util.Locale.ROOT,
-            "This query would drop %.2f%% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.",
-            Double.box(shardFrac * 100)))
-      // shard deletion must not interleave with an insert's in-flight
-      // parquet write into the same directories
-      graft.streaming.Ingest.withStoreLock(env.dir) {
-        matching.foreach { case (_, _, p) => fs.delete(p, true) }
-      }
-      env.meta.storeGeneration.incrementAndGet() // invalidate cached frames
-      ok(env, s"Successfully dropped ${matching.size} shards. (this number does not include replica shards)")
+      ok(env, s"Successfully dropped ${dropShardsBody(where, ignoreThreshold, env)} shards. (this number does not include replica shards)")
 
     // skip-points fast path: a bare `select count() from ...` (no
     // range, no other stages, no merge) never reads point data — the
@@ -1166,10 +1092,110 @@ object Planner {
       unified.reduce(_.unionByName(_))
   }
 
+  /** `drop shards` (exit_drop_shards, listener.c:3052-3152) on this
+    * env's physical store, returning the dropped count STRUCTURALLY —
+    * the cluster fan-out re-sums per-pool counts and formats the
+    * reference message exactly once (PoolCluster), instead of
+    * scraping its own rendered success strings; the standalone `run`
+    * case formats the same count. Caller (run / ApiCore
+    * dropShardsCount) is responsible for access checks.
+    */
+  private[graft] def dropShardsBody(where: Option[Cexpr],
+      ignoreThreshold: Boolean, env: EngineEnv): Long = {
+      if (env.frames.isEmpty)
+        throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
+      val fs = new org.apache.hadoop.fs.Path(
+        graft.streaming.Ingest.pointsPath(env.dir))
+        .getFileSystem(env.spark.sessionState.newHadoopConf())
+      val all = graft.streaming.Ingest.shardDirs(env.spark, env.dir)
+      val matching = where match {
+        case None => all
+        case Some(w) =>
+          // evaluate the cexpr per shard dir: the full shard prop set
+          // of siridb_shard_cexpr_cb (shard.c:570-600 — sid, pool,
+          // size, start, end, type, server, status), with the same
+          // values the `list shards` view exposes; start/end map
+          // through the dir's OWN duration (num vs log shards bucket
+          // at different durations — db.c:395-424)
+          def intCmp(op: String, a: Long, v: Long): Boolean = op match {
+            case "==" => a == v
+            case "!=" => a != v
+            case "<" => a < v
+            case ">" => a > v
+            case "<=" => a <= v
+            case ">=" => a >= v
+            case o => throw QueryError(s"bad shard operator '$o'")
+          }
+          def strCmp(op: String, a: String, v: String): Boolean = op match {
+            case "==" => a == v
+            case "!=" => a != v
+            case "<" => a < v
+            case ">" => a > v
+            case "<=" => a <= v
+            case ">=" => a >= v
+            case "~" => a.contains(v)
+            case "!~" => !a.contains(v)
+          }
+          def eval(c: Cexpr, g: String, sid: Long, dur: Long,
+              p: org.apache.hadoop.fs.Path): Boolean = c match {
+            case CAnd(l, r) => eval(l, g, sid, dur, p) && eval(r, g, sid, dur, p)
+            case COr(l, r) => eval(l, g, sid, dur, p) || eval(r, g, sid, dur, p)
+            case CCmp("sid", op, Left(v)) => intCmp(op, sid, v)
+            case CCmp("pool", op, Left(v)) => intCmp(op, 0L, v)
+            case CCmp("start", op, Left(v)) => intCmp(op, sid, v / dur)
+            case CCmp("end", op, Left(v)) => intCmp(op, sid, v / dur)
+            case CCmp("size", op, Left(v)) =>
+              val size = fs.listStatus(p)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(_.getLen).sum
+              intCmp(op, size, v)
+            case CCmp("type", op, Right(v)) =>
+              strCmp(op, if (g == "log") "log" else "number", v)
+            case CCmp("server", op, Right(v)) => strCmp(op, "local", v)
+            case CCmp("status", op, Right(v)) => strCmp(op, "ok", v)
+            case CCmp(p0, _, _) => throw QueryError(s"unsupported shard property '$p0'")
+          }
+          all.filter { case (g, sid, p) =>
+            eval(w, g, sid,
+              if (g == "log") env.durationLog else env.shardDuration, p)
+          }
+      }
+      // the same drop_threshold guard as series, on the shard fraction
+      // (exit_drop_shards, listener.c:3107-3125)
+      val shardFrac =
+        if (all.isEmpty) 0.0 else matching.size.toDouble / all.size
+      if (!ignoreThreshold && matching.nonEmpty &&
+          shardFrac >= env.meta.dropThreshold)
+        throw QueryError(
+          String.format(java.util.Locale.ROOT,
+            "This query would drop %.2f%% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.",
+            Double.box(shardFrac * 100)))
+      // shard deletion must not interleave with an insert's in-flight
+      // parquet write into the same directories
+      graft.streaming.Ingest.withStoreLock(env.dir) {
+        matching.foreach { case (_, _, p) => fs.delete(p, true) }
+        // the dropped set is an arbitrary cexpr match (by sid, size,
+        // ...), so standing rollups recompute from the survivors —
+        // serving pre-aggregates of deleted shards would resurrect them
+        if (matching.nonEmpty)
+          graft.streaming.Ingest.rollupRecompute(env.spark, env.dir)
+      }
+      env.meta.storeGeneration.incrementAndGet() // invalidate cached frames
+      matching.size.toLong
+  }
+
+  /** `now` at full database precision (time.c: the clock scaled by the
+    * precision factor). Scaling the MILLISECOND clock — never a
+    * second-truncated one — keeps now-relative ranges on ms/us/ns
+    * databases from lagging up to a second behind fresh points. */
+  def nowRaw(factor: Long): Long =
+    if (factor >= 1000L) System.currentTimeMillis() * (factor / 1000L)
+    else System.currentTimeMillis() / 1000L
+
   /** Parse + plan in one step (the engine's `/query` entry point);
     * the configured database timezone drives ISO8601 parsing. */
   def query(q: String, env: EngineEnv, now: Option[Long] = None): DataFrame = {
-    val nowTs = now.getOrElse(System.currentTimeMillis() / 1000 * env.factor)
+    val nowTs = now.getOrElse(nowRaw(env.factor))
     val tz = env.meta.config.getOrElse("timezone", "NAIVE")
     run(QueryParser.parse(q, nowTs, env.factor, tz), env)
   }

@@ -404,5 +404,36 @@ object QlQueries {
         val e = env(s, d).copy(rollup = Some((3600L, rdf)))
         ordered(Planner.query("select count(1d) from /^f\\..*/", e,
           now = Some(1706659200L)))
+    },
+    // retention × rollup: a PHYSICAL store with a standing rollup is
+    // expired (shards wholly before the cutoff deleted), then the
+    // rollup read path must answer exactly what a raw scan of the
+    // SURVIVING points answers — Ingest.rollupExpire prunes the
+    // pre-aggregates to the same cutoff the raw shards were pruned to
+    // (the reference re-indexes after expiry, db.c:865-878)
+    Entry("ql_rollup_after_expire",
+      s"""SELECT series, ${bkt(86400)} AS ts, CAST(count(*) AS BIGINT) AS val
+         |FROM ($PF) WHERE regexp_matches(series, '^f\\.')
+         |  AND ts >= 1705622400
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.functions.lit
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-rollup-exp").toString
+        graft.streaming.Ingest.appendBatch(
+          SeriesStore.pointsF(s, d).select(col("series"), col("ts"),
+            col("val").as("val_num"), lit("float").as("tp"), col("pid")),
+          store, shardDuration = 86400L)
+        graft.streaming.Rollup.fromPoints(
+          graft.streaming.Ingest.points(s, store)
+            .select(col("series"), col("ts"), col("val")), 3600L)
+          .write.parquet(s"$store/rollup/3600")
+        // cutoff shard 19741 → survivors are ts >= 1705622400
+        graft.streaming.Ingest.expire(s, store,
+          expiration = 1706659200L - 1705622400L, now = 1706659200L,
+          shardDuration = 86400L)
+        val api = new graft.server.ApiCore(s, store)
+        ordered(Planner.query("select count(1d) from /^f\\..*/",
+          api.env("iris"), now = Some(1706659200L)))
     })
 }

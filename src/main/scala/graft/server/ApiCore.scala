@@ -176,29 +176,27 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     }
   }
 
-  /** Standing-rollup discovery: a maintenance job
-    * (Rollup.startBucketed, or a Rollup.fromPoints backfill) keeps its
-    * finalized buckets under `<storeDir>/rollup/<bucketSec>`; when the
-    * directory exists, eligible coarse selects answer from it instead
-    * of raw points (the Planner's rollup read path). Re-resolved per
-    * store generation like the frames — the parquet file listing must
-    * not freeze while the job appends. */
+  /** Standing-rollup discovery: a store-owned rollup (a
+    * Rollup.fromPoints backfill under `<storeDir>/rollup/<bucket>`,
+    * kept exact by Ingest's maintenance hooks on every insert / expiry
+    * / shard drop / re-index) lets eligible coarse selects answer from
+    * pre-aggregates instead of raw points (the Planner's rollup read
+    * path). Live streaming-sink dirs (Rollup.startBucketed,
+    * `_spark_metadata` present) are skipped: their watermark drops
+    * late points the raw store accepts, so they cannot answer exactly
+    * (Ingest.rollupDirs). Re-resolved per store generation like the
+    * frames — the parquet file listing must not freeze across
+    * mutations. */
   @volatile private var rollupCache: (Long, Option[(Long, DataFrame)]) = null
 
-  private def rollupView(): Option[(Long, DataFrame)] = {
+  private[server] def rollupView(): Option[(Long, DataFrame)] = {
     val gen = meta.storeGeneration.get()
     val c = rollupCache
     if (c != null && c._1 == gen) c._2
     else {
-      val base = new org.apache.hadoop.fs.Path(s"$storeDir/rollup")
-      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-      val found =
-        if (!fs.exists(base)) None
-        else fs.listStatus(base).toSeq
-          .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
-            .map(_ -> st.getPath))
-          .sortBy(_._1).headOption // finest rollup wins: most selects divide it
-          .map { case (r, p) => (r, spark.read.parquet(p.toString)) }
+      val found = Ingest.rollupDirs(spark, storeDir)
+        .headOption // finest rollup wins: most selects divide it
+        .map { case (r, p) => (r, spark.read.parquet(p.toString)) }
       rollupCache = (gen, found)
       found
     }
@@ -241,10 +239,11 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   private def runQueryInner(envIn: EngineEnv, q: String,
       tsFactor: Double): JsonNode = {
     val t0 = System.nanoTime()
-    // `now` and time literals in raw db-precision units (time.h:
-    // the grammar's [smhdw] units scale by 1000^p; query.c:109)
+    // `now` and time literals in raw db-precision units at FULL
+    // precision — the ms clock scaled by 1000^p, never truncated to
+    // whole seconds first (time.h; query.c:109)
     val stmt = QueryParser.parse(q,
-      now = System.currentTimeMillis() / 1000 * factor, factor = factor,
+      now = Planner.nowRaw(factor), factor = factor,
       tz = meta.config.getOrElse("timezone", "NAIVE"))
     val df = Planner.run(stmt, envIn, keepPid = true)
     val inner = stmt match {
@@ -289,6 +288,16 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     // `alter database set select_points_limit N` — checked by
     // collecting limit+1 rows so the plan executes exactly once
     val limit = meta.selectPointsLimit
+    // the transports hand us pow(1000, requested - db) as a double;
+    // re-derive the exact long multiplier/divisor so the correction is
+    // INTEGER math like the reference (clserver.c:480-505 multiplies /
+    // divides int64) — a double round-trip loses up to ~256 ns on ns
+    // timestamps past 2^53 and truncates fractions through FP instead
+    // of integer division
+    val (tsMul, tsDiv) =
+      if (tsFactor == 0.0 || tsFactor == 1.0) (1L, 1L)
+      else if (tsFactor > 1.0) (math.round(tsFactor), 1L)
+      else (1L, math.round(1.0 / tsFactor))
     val valType = df.schema("val").dataType
     // mixed-type selections carry a per-row `tp` with the value in
     // canonical string form (Planner.mixedSelect) — re-type per point
@@ -315,10 +324,9 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         case _ => val a = mapper.createArrayNode(); out.set[JsonNode](series, a); a
       }
       val point = mapper.createArrayNode()
-      // reference correction: float multiply, int64 cast
-      // (truncation toward zero); 0.0/1.0 = raw db-precision ts
-      if (tsFactor == 0.0 || tsFactor == 1.0) point.add(r.getLong(1))
-      else point.add((r.getLong(1) * tsFactor).toLong)
+      // exact int64 correction; downscale truncates toward zero
+      // (ts >= 0 is enforced at insert)
+      point.add(r.getLong(1) * tsMul / tsDiv)
       if (hasTp) r.getString(3) match {
         case "integer" => point.add(r.getString(2).toLong)
         case "float" => point.add(r.getString(2).toDouble)
@@ -398,11 +406,43 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     resolve("duration_log", isLog = true)
   }
 
+  /** Structural `drop shards` for the cluster fan-out (PoolCluster):
+    * same access check, metastore persistence and expire-gate reset as
+    * the query path, but the dropped count returns TYPED — the cluster
+    * re-sums per-pool counts and renders the reference message once,
+    * instead of regex-scraping its own success strings. */
+  private[server] def dropShardsCount(stmt: graft.parser.DropShards,
+      user: String): Long =
+    try {
+      meta.checkAccess(user, Access.Drop).foreach(m => throw AccessError(m))
+      val n = Planner.dropShardsBody(stmt.where, stmt.ignoreThreshold,
+        env(user))
+      meta.persistTo(spark, storeDir)
+      lastExpireMs.set(0L)
+      n
+    } finally Planner.drainQueryCaches()
+
   /** Both insert wire forms (src/siri/db/insert.c:77-126); type is
     * inferred from the first point's value like the reference infers
     * from the qpack type (series.c); requires the insert access bit
     * (clserver.c:516-540). */
   def runInsert(req: JsonNode, user: String): JsonNode = {
+    val rows = validateInsert(req, user)
+    commitInsert(rows, req)
+    val ok = mapper.createObjectNode()
+    ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")
+    ok
+  }
+
+  /** Validation half of an insert — access bit, backup-mode refusal,
+    * and the reference's full structural/type checks (insert.c
+    * validates the whole package before ANY point lands,
+    * assign_by_map/assign_by_array). Split from [[commitInsert]] so
+    * the cluster can validate every pool's share before committing
+    * any: a bad share must not partially insert (the standalone and
+    * clustered paths must reject identical requests identically). */
+  private[server] def validateInsert(req: JsonNode,
+      user: String): Vector[Ingest.PointIn] = {
     meta.checkAccess(user, Access.Insert).foreach(m => throw AccessError(m))
     // backup mode drops the running-only flag set; inserts are
     // refused with the reference's status message (clserver.c:
@@ -463,7 +503,14 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         addSeries(o.get("name").asText(), o.get("points"))
       }
     else throw QueryError("Expecting an array or map containing series and points.")
-    val rows = points.result()
+    points.result()
+  }
+
+  /** Commit half of an insert: append the validated rows, maintain
+    * counters/tee/retention, bump the store generation. `req` is the
+    * original wire body, forwarded to the tee verbatim. */
+  private[server] def commitInsert(rows: Vector[Ingest.PointIn],
+      req: JsonNode): Unit = {
     if (autoDuration) resolveAutoDuration(rows)
     import spark.implicits._
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration, durationLog)
@@ -486,13 +533,11 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         expCfg.foreach { case (group, exp) =>
           // `now` in raw ts units: expiration values and shard ids are
           // both precision-scaled
-          Ingest.expire(spark, storeDir, exp, now = nowMs / 1000 * factor,
+          Ingest.expire(spark, storeDir, exp,
+            now = graft.parser.Planner.nowRaw(factor),
             shardDuration, durationLog, group)
         }
     }
     meta.storeGeneration.incrementAndGet()
-    val ok = mapper.createObjectNode()
-    ok.put("success_msg", s"Successfully inserted ${rows.size} point(s).")
-    ok
   }
 }

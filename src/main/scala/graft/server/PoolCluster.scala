@@ -33,11 +33,15 @@ import graft.streaming.Ingest
   * (reindex.c, itest/test_pool.py): the lookup table's growth
   * property guarantees only series newly assigned to the new pool
   * move, so re-index cost is ~1/(n+1) of the data, not a reshuffle.
-  * An insert racing an in-flight expansion may still route by the old
-  * lookup and land points in the prior owner's store — queries stay
-  * correct (the merged plan reads every pool) and the next expansion
-  * re-homes them; the reference has the same transition window and
-  * covers it with reindex-aware forwarding (reindex.c:54-60).
+  * Inserts racing the expansion are REINDEX-AWARE, like the
+  * reference's forwarding (reindex.c:54-60): from the moment the
+  * expansion begins, a moved series' points route to the NEW owner's
+  * store, so the re-index never rewrites a directory that live
+  * inserts are still landing in. Queries stay exact through every
+  * phase — see [[expand]] for the visibility protocol (bulk copy
+  * while the old placement serves; an atomic switch to
+  * target-plus-excluded-sources; a locked straggler sweep before
+  * physical removal). Points are never lost and never served twice.
   */
 final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     baseDir: String, initialPools: Int = 2, val dbName: String = "graft",
@@ -68,6 +72,23 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
 
   @volatile private var lookup: Lookup = Lookup(pools.size)
 
+  /** In-flight expansion (reindex.c's REINDEX status): while set,
+    * inserts route by the NEW lookup — a moved series' points land in
+    * the target store from the first moment, so the re-index never
+    * chases a directory that live inserts keep mutating. */
+  private final case class Reindex(lookup: Lookup, target: ApiCore,
+      targetIdx: Int)
+  @volatile private var reindex: Option[Reindex] = None
+
+  /** What queries read, swapped ATOMICALLY (one volatile write): the
+    * pool list to merge, plus — during an expansion's hand-over — the
+    * slot set whose series the SOURCE pools must hide because the
+    * published target now owns them (the target, always last in the
+    * list, is never filtered). A reader capturing this tuple sees
+    * each point exactly once in every phase. */
+  @volatile private var queryView: (Vector[ApiCore], Option[Set[Int]]) =
+    (pools, None)
+
   /** Replicas per pool (reference NEW_REPLICA joins a second server to
     * an existing pool, service/request.c:830-900). On shared storage a
     * replica adds no durability — the store is already durable — so
@@ -96,12 +117,18 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       .exists(u => graft.meta.MetaStore.verifyPassword(password, u.pwHash))
 
   /** Route an insert: split the request's series by lookup assignment
-    * and hand each pool its share (insert.c's scatter). Validation
-    * runs per pool share with the reference's checks (ApiCore); the
-    * response is the reference's single success message with the
-    * total point count. */
+    * and hand each pool its share (insert.c's scatter). EVERY share is
+    * validated with the reference's checks (ApiCore.validateInsert)
+    * before ANY share commits — the reference fully validates the
+    * package before scattering (insert.c assign_by_map/assign_by_
+    * array), so a malformed request must not partially insert here
+    * either. The response is the reference's single success message
+    * with the total point count. */
   def runInsert(req: JsonNode, user: String): JsonNode = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // one consistent reindex snapshot for routing AND store resolution
+    val r = reindex
+    val lk = r.map(_.lookup).getOrElse(lookup)
     // normalize both wire forms into per-pool ARRAY-form requests —
     // the array form legally repeats a series name (insert.c accepts
     // duplicate entries), so routing through a map would silently
@@ -112,7 +139,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     var total = 0L
     def route(name: String, pts: JsonNode): Unit = {
       if (name == null) throw QueryError("Expecting a map with name and points.")
-      val arr = byPool.getOrElseUpdate(lookup.poolOf(name),
+      val arr = byPool.getOrElseUpdate(lk.poolOf(name),
         mapper.createArrayNode())
       val entry = arr.addObject()
       entry.put("name", name)
@@ -130,11 +157,22 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       }
     else throw QueryError(
       "Expecting an array or map containing series and points.")
-    byPool.toSeq.sortBy(_._1).foreach { case (k, arr) =>
-      pools(k).runInsert(arr, user)
+    val shares = byPool.toSeq.sortBy(_._1).map { case (k, arr) =>
+      (k, arr, poolFor(k, r).validateInsert(arr, user))
+    }
+    shares.foreach { case (k, arr, rows) =>
+      poolFor(k, r).commitInsert(rows, arr)
     }
     mapper.createObjectNode()
       .put("success_msg", s"Successfully inserted $total point(s).")
+  }
+
+  /** Resolve a lookup pool index to its serving store — during an
+    * expansion the new pool's index resolves to the (possibly not yet
+    * published) target. */
+  private def poolFor(k: Int, r: Option[Reindex]): ApiCore = r match {
+    case Some(rx) if k == rx.targetIdx => rx.target
+    case _ => pools(k)
   }
 
   /** One merged query over every pool: union frames + a catalog whose
@@ -158,18 +196,25 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       case s => s
     }
     inner match {
-      case _: graft.parser.DropShards =>
-        // DDL answers ride the {columns, rows} table encoding
-        val counts = pools.map { p =>
-          val msg = p.runQuery(q, tsFactor, user)
-            .get("rows").get(0).get(0).asText()
-          "\\d+".r.findFirstIn(msg).map(_.toLong).getOrElse(0L)
-        }
+      case ds: graft.parser.DropShards =>
+        // every pool returns its dropped count TYPED
+        // (ApiCore.dropShardsCount) and the reference message renders
+        // exactly once here — nothing parses its own success strings;
+        // the DDL answer rides the {columns, rows} table encoding
+        val t0 = System.nanoTime()
+        val total = pools.map(_.dropShardsCount(ds, user)).sum
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val out = mapper.createObjectNode()
         out.putArray("columns").add("success_msg")
         out.putArray("rows").addArray().add(
-          s"Successfully dropped ${counts.sum} shards. (this number does not include replica shards)")
+          s"Successfully dropped $total shards. (this number does not include replica shards)")
+        stmt match {
+          case graft.parser.TimeitStmt(_) =>
+            val entry = out.putArray("__timeit__").addObject()
+            entry.put("server", "local")
+            entry.put("time", (System.nanoTime() - t0) / 1e9)
+          case _ => ()
+        }
         out
       case _: graft.parser.AlterDatabase =>
         pools(0).runQuery(q, tsFactor, user)
@@ -191,45 +236,127 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       fs.map(_.m).reduce(_ unionByName _),
       mergedCat(fs.map(_.cat)))
 
-  private[server] def mergedEnv(user: String): EngineEnv = {
-    val envs = pools.map(_.env(user))
+  private def filterFrames(fr: Frames,
+      keep: org.apache.spark.sql.Column): Frames =
+    Frames(fr.f.where(keep), fr.i.where(keep), fr.s.where(keep),
+      fr.m.where(keep), fr.cat.where(keep))
+
+  private[graft] def mergedEnv(user: String): EngineEnv = {
+    val (viewPools, excluded) = queryView
+    val envs = viewPools.map(_.env(user))
+    // during an expansion hand-over the source pools hide the slots
+    // the published target now owns — the predicate is the same
+    // executor-evaluable slot expression the re-index routes by, so
+    // nothing is read twice while the physical removal completes
+    val keep = excluded.map(slots =>
+      !expr(Lookup.slotSql("series"))
+        .isin(slots.toSeq.map(Int.box): _*))
+    def masked(fs: Seq[Frames]): Seq[Frames] = keep match {
+      case None => fs
+      case Some(k) => fs.zipWithIndex.map { case (fr, i) =>
+        if (i == fs.size - 1) fr else filterFrames(fr, k) } // target last
+    }
     val e0 = envs.head
     e0.copy(
       dir = baseDir, // distinct select-memo identity from any one pool
-      frames = Some(mergedFrames(envs.map(_.frames.get))),
+      frames = Some(mergedFrames(masked(envs.map(_.frames.get)))),
       rangedFrames = Some((a, b) =>
-        mergedFrames(envs.map(_.rangedFrames.get(a, b)))),
+        mergedFrames(masked(envs.map(_.rangedFrames.get(a, b))))),
       shardsView = Some(() => envs.zipWithIndex
         .map { case (e, k) =>
           e.shardsView.get().withColumn("pool", lit(k.toLong)) }
         .reduce(_ unionByName _)),
       fleet = fleet,
-      rollup = None)
+      rollup = mergedRollup(viewPools))
   }
+
+  /** Cluster rollup view: the union of every pool's store-owned rollup
+    * — the coarse-dashboard path a cluster exists for must not rescan
+    * raw points across pools. Served only when EVERY pool maintains
+    * one (a missing pool would silently drop its series from the
+    * answer), at the least common multiple of the pools' bucket
+    * widths: each row's right-aligned label nests into any select
+    * bucket the LCM divides, so mixed widths merge exactly — the read
+    * path re-aggregates per (series, bucket) anyway. A fresh expansion
+    * target has no rollup yet, so the merged view self-disables for
+    * the expansion's duration — exactly when source rollups still
+    * carry moved rows. */
+  private def mergedRollup(viewPools: Vector[ApiCore])
+      : Option[(Long, DataFrame)] = {
+    val views = viewPools.map(_.rollupView())
+    if (views.isEmpty || views.exists(_.isEmpty)) None
+    else {
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val r = views.flatten.map(_._1).reduce((a, b) => a / gcd(a, b) * b)
+      Some((r, views.flatten.map(_._2).reduce(_ unionByName _)))
+    }
+  }
+
+  /** The series a source store holds that the grown lookup reassigns
+    * to the new pool — the 8192-row table broadcast-joins against the
+    * store's catalog, so only the ~1/(n+1) moved slice is ever touched. */
+  private def movedOf(srcDir: String, newIdx: Int,
+      lookupDf: DataFrame): DataFrame =
+    Ingest.catalog(spark, srcDir).select(col("series"), col("type"))
+      .withColumn("slot", expr(Lookup.slotSql("series")))
+      .join(broadcast(lookupDf), Seq("slot"))
+      .where(col("pool") === newIdx)
+      .select(col("series"), col("type"))
 
   /** Pool expansion + re-index (reindex.c; itest/test_pool.py): grow
     * the lookup table by one pool, then migrate exactly the series
-    * whose slot the growth reassigned — append them to the new pool's
-    * store first, then physically remove them from their old pools
-    * (crash-safe order: a failure between the steps leaves movable
-    * duplicates, never lost points). Runs as a distributed batch job:
-    * the 8192-row lookup table broadcast-joins against each pool's
-    * catalog, and only shards holding moved series rewrite. */
-  def expand(): Int = synchronized {
+    * whose slot the growth reassigned. Queries are exact through
+    * every phase and points are never lost or served twice:
+    *
+    *  1. ROUTING ON — [[reindex]] publishes the grown lookup, so a
+    *     moved series' racing inserts land in the target store from
+    *     the start (the reference forwards them, reindex.c:54-60).
+    *     Queries still read the old placement: sources authoritative,
+    *     target invisible.
+    *  2. BULK COPY — each source's moved slice appends to the target
+    *     (read-only on the sources; the crash-safe append-then-remove
+    *     order, a failure leaves re-movable duplicates in unpublished
+    *     dirs, never lost points).
+    *  3. SWITCH — ONE [[queryView]] write publishes the target and
+    *     hides the moved slots on the sources: a reader sees
+    *     sources-minus-moved plus the complete target — the full data
+    *     set, every point exactly once, including racing inserts.
+    *  4. STRAGGLER SWEEP + REMOVAL — per source, under its store
+    *     lock: any moved row the bulk copy's snapshot missed (an
+    *     insert that routed by the OLD lookup just before phase 1 and
+    *     landed mid-copy) is diffed over to the target by
+    *     (series, ts, pid) identity, then the moved series physically
+    *     leave the source. The lock serializes with every source
+    *     writer, so nothing can land between the diff and the
+    *     removal.
+    *  5. UNMASK — the exclusions drop; sources are physically clean.
+    *
+    * Runs as distributed batch jobs end to end; only shards holding
+    * moved series rewrite. */
+  def expand(): Int = expandPhased()
+
+  /** [[expand]] with phase hooks for deterministic tests: `afterRouting`
+    * fires in phase 1 (routing on, old placement serving),
+    * `afterSwitch` in phase 3/4 (target published, sources masked,
+    * physical removal pending). */
+  private[graft] def expandPhased(afterRouting: () => Unit = () => (),
+      afterSwitch: () => Unit = () => ()): Int = synchronized {
     val newIdx = pools.size
     val newLookup = Lookup(newIdx + 1)
     val target = new ApiCore(spark, dirOf(newIdx), dbName,
       sharedMeta = Some(meta), timePrecision = timePrecision)
+    val movedSlots = (0 until Lookup.Size)
+      .filter(s => newLookup.slots(s) == newIdx).toSet
     import spark.implicits._
     val lookupDf = newLookup.toRows.toDF("slot", "pool")
-    pools.zipWithIndex.foreach { case (src, k) =>
+    // 1. routing on
+    reindex = Some(Reindex(newLookup, target, newIdx))
+    afterRouting()
+    // 2. bulk copy (sources untouched, target unpublished)
+    val sources = pools.zipWithIndex
+    sources.foreach { case (_, k) =>
       val srcDir = dirOf(k)
-      val cat = Ingest.catalog(spark, srcDir)
-      val moved = cat.select(col("series"), col("type"))
-        .withColumn("slot", expr(Lookup.slotSql("series")))
-        .join(broadcast(lookupDf), Seq("slot"))
-        .where(col("pool") === newIdx)
-        .select(col("series"), col("type"))
+      val moved = movedOf(srcDir, newIdx, lookupDf)
       if (!moved.isEmpty) {
         val pts = Ingest.points(spark, srcDir)
           .join(moved, Seq("series"))
@@ -237,11 +364,45 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
             col("type").as("tp"), col("pid"), col("val_int"), col("val_str"))
         Ingest.appendBatch(pts, dirOf(newIdx),
           target.shardDuration, target.durationLog)
-        Ingest.removeSeries(spark, srcDir, moved.select(col("series")))
       }
     }
+    // 3. atomic switch: target serves, sources mask the moved slots
     pools = pools :+ target
     lookup = newLookup
+    queryView = (pools, Some(movedSlots))
+    meta.storeGeneration.incrementAndGet()
+    afterSwitch()
+    // 4. straggler sweep + physical removal, per source, under lock
+    sources.foreach { case (_, k) =>
+      val srcDir = dirOf(k)
+      Ingest.withStoreLock(srcDir) {
+        // re-derive from the CURRENT catalog: an old-routed racing
+        // insert may even have created a brand-new moved series
+        val moved = movedOf(srcDir, newIdx, lookupDf)
+        if (!moved.isEmpty) {
+          val movedNames = moved.select(col("series"))
+          val copied = Ingest.points(spark, dirOf(newIdx))
+            .join(movedNames, Seq("series"))
+            .select(col("series"), col("ts"), col("pid"))
+          // materialized before the append: the diff plan reads the
+          // target dir the append is about to write into
+          val fresh = Ingest.points(spark, srcDir)
+            .join(moved, Seq("series"))
+            .join(copied, Seq("series", "ts", "pid"), "left_anti")
+            .select(col("series"), col("ts"), col("val").as("val_num"),
+              col("type").as("tp"), col("pid"), col("val_int"),
+              col("val_str"))
+            .localCheckpoint(eager = true)
+          if (fresh.count() > 0)
+            Ingest.appendBatch(fresh, dirOf(newIdx),
+              target.shardDuration, target.durationLog)
+          Ingest.removeSeries(spark, srcDir, movedNames)
+        }
+      }
+    }
+    // 5. unmask — every pool physically holds exactly its share
+    reindex = None
+    queryView = (pools, None)
     meta.storeGeneration.incrementAndGet()
     newIdx
   }

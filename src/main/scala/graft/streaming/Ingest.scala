@@ -43,6 +43,7 @@ object Ingest {
 
   def pointsPath(dir: String) = s"$dir/points"
   def catalogPath(dir: String) = s"$dir/catalog.parquet"
+  def rollupPath(dir: String) = s"$dir/rollup"
 
   /** Robust sampling-interval estimate over one series' sorted
     * timestamps (siridb_points_get_interval, points.c:1747-1787):
@@ -215,6 +216,10 @@ object Ingest {
         expr(s"ts div $durationLog")).otherwise(expr(s"ts div $shardDuration")))
       .write.mode("append").partitionBy("sgroup", "shard")
       .parquet(pointsPath(storeDir))
+
+    // standing rollups are materialized views of the store: the batch's
+    // delta rows keep them exact (see the rollup section below)
+    rollupAppend(spark, storeDir, pts)
 
     // canonical string form of the typed value — carried in the
     // catalog so bare first()/last() never read point data
@@ -413,7 +418,12 @@ object Ingest {
       .filter { case (g, sid, _) => g == group && sid < cutoffShard }
       .map(_._3)
     old.foreach(p => fs.delete(p, true))
-    if (old.nonEmpty) rebuildCatalog(spark, storeDir)
+    if (old.nonEmpty) {
+      rebuildCatalog(spark, storeDir)
+      // a standing rollup keeps serving what the raw store just
+      // dropped unless it is pruned to the same cutoff
+      rollupExpire(spark, storeDir, cutoffShard * duration)
+    }
     old.length
   }
 
@@ -475,6 +485,118 @@ object Ingest {
       }
     }
     rebuildCatalog(spark, storeDir)
+    // the moved series' rollup rows leave with them — their new pool's
+    // rollup picked them up on append (rollupAppend), so keeping them
+    // here would double-count in a cluster-merged rollup view
+    rollupDirs(spark, storeDir).foreach { case (_, p) =>
+      rewriteRollup(spark, p, spark.read.parquet(p.toString)
+        .join(movedKeys, Seq("series"), "left_anti"))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Store-owned standing rollups.
+  //
+  // A rollup dir `<storeDir>/rollup/<R>` (R in raw ts units) is a
+  // materialized view of the store: per (series, bucket) count/sum/
+  // min/max at right-aligned GROUP_TS labels (Rollup.fromPoints /
+  // Rollup.bucketed). The planner serves eligible coarse selects from
+  // it INSTEAD of raw points, so it must agree with the raw store
+  // after EVERY mutation — the maintenance hooks below keep it exact:
+  //   * appendBatch appends per-batch delta rows (the read path
+  //     re-aggregates per (series, bucket), so deltas with repeated
+  //     keys combine correctly for count/sum/min/max);
+  //   * expire prunes buckets whose window overlaps the expired range
+  //     and recomputes the one straddling label from survivors;
+  //   * drop shards (arbitrary cexpr) recomputes the view outright —
+  //     the same full-pass cost class as its catalog rebuild;
+  //   * removeSeries (pool re-index) drops the moved series' rows.
+  //
+  // A dir containing `_spark_metadata` belongs to a live Structured
+  // Streaming sink (Rollup.startBucketed): its transaction log owns
+  // the file set (a rewrite would corrupt reads through the log) and
+  // its watermark DROPS late points the raw store accepts — it can
+  // never answer a select exactly, so it is NOT store-owned and the
+  // planner must not serve it (ApiCore.rollupView skips it).
+  // ------------------------------------------------------------------
+
+  /** Store-owned rollup dirs as (bucketWidth, path) — streaming-sink
+    * dirs (with `_spark_metadata`) excluded, see above. */
+  private[graft] def rollupDirs(spark: SparkSession, storeDir: String)
+      : Seq[(Long, Path)] = {
+    val base = new Path(rollupPath(storeDir))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
+        .map(_ -> st.getPath))
+      .filter { case (_, p) => !fs.exists(new Path(p, "_spark_metadata")) }
+      .sortBy(_._1)
+  }
+
+  private val RollupCols =
+    Seq(col("series"), col("bucket"), col("n"), col("sum"), col("min"),
+      col("max"))
+
+  /** Atomic replace of one rollup dir (tmp + rename, like the catalog). */
+  private def rewriteRollup(spark: SparkSession, dir: Path,
+      rows: DataFrame): Unit = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(dir.toString + ".tmp")
+    rows.select(RollupCols: _*).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+  }
+
+  /** Append one insert batch's delta rows to every store-owned rollup
+    * (caller holds the store lock). `pts` is the coerced batch —
+    * (series, ts, val) with val the numeric double view, the same
+    * columns a Rollup.fromPoints backfill aggregates. */
+  private def rollupAppend(spark: SparkSession, storeDir: String,
+      pts: DataFrame): Unit =
+    rollupDirs(spark, storeDir).foreach { case (r, p) =>
+      Rollup.fromPoints(pts.select(col("series"), col("ts"), col("val")), r)
+        .write.mode("append").parquet(p.toString)
+    }
+
+  /** Retention pruning (caller holds the store lock): after raw shards
+    * wholly before `cutoffTs` were deleted, drop every rollup bucket
+    * whose window (B-R, B] overlaps the expired range, then recompute
+    * the straddling labels from the surviving points — exactly the
+    * ts slice [cutoffTs, cutoffTs+R), one bucket width. Kept buckets
+    * (B-R+1 >= cutoffTs) contain only surviving points by
+    * construction, so the view stays exact. */
+  private def rollupExpire(spark: SparkSession, storeDir: String,
+      cutoffTs: Long): Unit = {
+    val dirs = rollupDirs(spark, storeDir)
+    if (dirs.isEmpty) return
+    val survivors = points(spark, storeDir)
+    dirs.foreach { case (r, p) =>
+      val old = spark.read.parquet(p.toString)
+      val keep = old.where(col("bucket") - lit(r - 1L) >= cutoffTs)
+      val straddle = Rollup.fromPoints(
+        survivors.where(col("ts") >= cutoffTs && col("ts") < cutoffTs + r)
+          .select(col("series"), col("ts"), col("val")), r)
+        .where(col("bucket") - lit(r - 1L) < cutoffTs)
+      rewriteRollup(spark, p, keep.unionByName(straddle))
+    }
+  }
+
+  /** Full recompute of every store-owned rollup from the surviving
+    * points (caller holds the store lock) — the `drop shards` path,
+    * where the deleted set is an arbitrary cexpr match, not a time
+    * prefix. Same cost class as the catalog rebuild the reference
+    * performs after shard drops. */
+  private[graft] def rollupRecompute(spark: SparkSession,
+      storeDir: String): Unit = {
+    val dirs = rollupDirs(spark, storeDir)
+    if (dirs.isEmpty) return
+    val pts = points(spark, storeDir)
+      .select(col("series"), col("ts"), col("val"))
+    dirs.foreach { case (r, p) =>
+      rewriteRollup(spark, p, Rollup.fromPoints(pts, r))
+    }
   }
 
   /** Shards metadata from file statuses alone — `list shards` /

@@ -64,10 +64,15 @@ object Rollup {
         col("n"), col("sum"), col("min"), col("max"))
 
   /** The same rollup as a batch job over an existing points frame
-    * (series, ts, val) — the backfill path: a store adopting a
-    * standing rollup materializes history once with this, then keeps
-    * it current with [[startBucketed]]. Bucket labels are identical
-    * (GROUP_TS at `bucketSec`), so batch and streaming rows mix. */
+    * (series, ts, val) — the backfill path: a store adopts a standing
+    * rollup by materializing history once with this into
+    * `<storeDir>/rollup/<bucket>`; from then on Ingest's maintenance
+    * hooks keep the view exact through every store mutation (insert
+    * deltas, retention pruning, shard drops, re-index — see
+    * Ingest.rollupAppend and friends), which is what lets the planner
+    * serve from it. Bucket labels are identical (GROUP_TS at
+    * `bucketSec`), so backfill and delta rows mix — the read path
+    * re-aggregates per (series, bucket). */
   def fromPoints(points: DataFrame, bucketSec: Long): DataFrame =
     points.groupBy(col("series"),
         graft.engine.Pipeline.bucket(bucketSec).as("bucket"))
@@ -75,7 +80,13 @@ object Rollup {
         min(col("val")).as("min"), max(col("val")).as("max"))
 
   /** Start the rollup as an append-mode parquet sink: rows appear
-    * when their window passes the watermark — finalized exactly once. */
+    * when their window passes the watermark — finalized exactly once.
+    * The sink's output is a streaming ARTIFACT (dashboards read it
+    * directly, accepting the watermark's late-data drop); the planner
+    * never serves selects from it — its `_spark_metadata` log marks it
+    * as not store-owned (Ingest.rollupDirs) — because the raw store
+    * accepts late points the watermark discards, so the two could
+    * disagree. */
   def startBucketed(src: DataFrame, outDir: String, checkpoint: String,
       bucketSec: Long = 3600L, lateness: String = "1 hour"): StreamingQuery =
     bucketed(src, bucketSec, lateness).writeStream

@@ -454,4 +454,95 @@ class IngestSpec extends AnyFunSuite {
       Seq(0L, 1L, 10L, 100L, 1000L, 5000L, 20000L, 100000L, 500000L))
     assert(api2.shardDuration === 86400L)
   }
+
+  /** Coarse select answered twice — through the store's rollup path
+    * and with the rollup disabled — and pinned identical, plus the
+    * zero-raw-files proof that the rollup path really served. */
+  private def assertRollupAgreesWithRaw(api: graft.server.ApiCore,
+      q: String): Unit = {
+    val env = api.env("iris")
+    assert(env.rollup.isDefined, "store lost its rollup view")
+    val served = graft.parser.Planner.query(q, env)
+    assert(!served.inputFiles.exists(_.contains("/points/")),
+      s"rollup-eligible select touched raw points: $q")
+    val raw = graft.parser.Planner.query(q, env.copy(rollup = None))
+    assert(served.collect().map(_.toSeq).toSet ===
+      raw.collect().map(_.toSeq).toSet, q)
+  }
+
+  test("retention prunes the standing rollup — expired buckets stop serving") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rollup-ttl").toString
+    // ten 100-unit shards; values exact in double so sums are
+    // order-independent across the rollup's partial re-aggregation
+    Ingest.appendBatch((0 until 100).map(i =>
+      PointIn("cpu", i.toLong * 10, i * 0.5, "float", i.toLong)).toDF(),
+      dir, shardDuration = 100L)
+    graft.streaming.Rollup.fromPoints(
+      Ingest.points(spark, dir).select(col("series"), col("ts"), col("val")),
+      20L).write.parquet(s"$dir/rollup/20")
+    // expire shards wholly before ts=500 — cutoff lands mid-rollup:
+    // bucket 500 covers (480, 500], so it straddles and must be
+    // recomputed from the lone survivor ts=500
+    val dropped = Ingest.expire(spark, dir, expiration = 500L, now = 1000L,
+      shardDuration = 100L)
+    assert(dropped === 5)
+    val rows = spark.read.parquet(s"$dir/rollup/20")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._1 >= 500L), s"expired buckets survived: ${rows.toSeq}")
+    assert(rows.filter(_._1 == 500L).map(_._2).sum === 1L,
+      "straddling bucket not recomputed from survivors")
+    val api = new graft.server.ApiCore(spark, dir)
+    assertRollupAgreesWithRaw(api, "select count(1m) from 'cpu'")
+    assertRollupAgreesWithRaw(api, "select sum(1m) from 'cpu'")
+  }
+
+  test("batch inserts keep the standing rollup exact — fresh and backfilled points serve") {
+    val dir = Files.createTempDirectory("graft-rollup-ins").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, dir)
+    def insert(name: String, pts: Seq[(Long, Double)]): Unit = {
+      val node = mapper.createObjectNode()
+      val arr = node.putArray(name)
+      pts.foreach { case (t, v) => val p = arr.addArray(); p.add(t); p.add(v) }
+      api.runInsert(node, "iris")
+    }
+    insert("cpu", (0 until 50).map(i => (1700000000L + i * 30L, i * 0.5)))
+    graft.streaming.Rollup.fromPoints(
+      Ingest.points(spark, dir).select(col("series"), col("ts"), col("val")),
+      60L).write.parquet(s"$dir/rollup/60")
+    // later batches: beyond the rollup's coverage, backfilled into an
+    // existing bucket, and a brand-new series — the insert hook must
+    // fold all three in (the read path re-aggregates delta rows)
+    insert("cpu", (0 until 20).map(i => (1700002000L + i * 30L, 100.0 + i)))
+    insert("cpu", Seq((1700000005L, 7.5)))
+    insert("mem", (0 until 30).map(i => (1700000000L + i * 45L, i * 0.25)))
+    assertRollupAgreesWithRaw(api, "select count(2m) from /.*/")
+    assertRollupAgreesWithRaw(api, "select max(2m) from /.*/")
+    assertRollupAgreesWithRaw(api, "select sum(2m) from /.*/")
+  }
+
+  test("drop shards recomputes the rollup; streaming-sink dirs are never served") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rollup-drop").toString
+    Ingest.appendBatch((0 until 60).map(i =>
+      PointIn("cpu", i.toLong * 10, 1.0, "float", i.toLong)).toDF(),
+      dir, shardDuration = 100L)
+    graft.streaming.Rollup.fromPoints(
+      Ingest.points(spark, dir).select(col("series"), col("ts"), col("val")),
+      20L).write.parquet(s"$dir/rollup/20")
+    val api = new graft.server.ApiCore(spark, dir)
+    val env = api.env("iris")
+    graft.parser.Planner.query(
+      "drop shards where sid == 2 set ignore_threshold true", env)
+    assertRollupAgreesWithRaw(api, "select count(1m) from 'cpu'")
+    // a live streaming-sink dir (finer bucket, would otherwise win the
+    // finest-rollup pick) is ignored: _spark_metadata marks it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/rollup/10/_spark_metadata"))
+    api.meta.storeGeneration.incrementAndGet() // force a re-list
+    assert(api.env("iris").rollup.map(_._1) === Some(20L),
+      "streaming-sink rollup dir must not be served")
+  }
 }

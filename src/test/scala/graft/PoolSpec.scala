@@ -161,6 +161,25 @@ class PoolSpec extends AnyFunSuite {
     assert(sel.get("dup.a").toString === "[[100,1.0],[200,2.0]]", sel)
   }
 
+  test("a bad share aborts the whole cluster insert — nothing partially commits") {
+    val cbase = Files.createTempDirectory("graft-atomic").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    val l2 = Lookup(2)
+    val p0name = names.find(l2.poolOf(_) == 0).get
+    val p1name = names.find(l2.poolOf(_) == 1).get
+    // pool 0's share is valid; pool 1's carries an unsupported value —
+    // the reference validates the whole package before scattering
+    // (insert.c assign_by_map), so NOTHING may land
+    intercept[graft.parser.QueryError] {
+      cluster.runInsert(mapper.readTree(
+        s"""{"$p0name": [[100, 1.0]], "$p1name": [[200, true]]}"""), "iris")
+    }
+    (0 to 1).foreach { k =>
+      assert(graft.streaming.Ingest.catalog(spark, s"$cbase/pool$k")
+        .count() === 0L, s"pool $k committed a share of an invalid insert")
+    }
+  }
+
   test("drop shards fans out to every pool's physical store") {
     val cbase = Files.createTempDirectory("graft-dropfan").toString
     val cluster = new PoolCluster(spark, cbase, initialPools = 2)
@@ -180,6 +199,58 @@ class PoolSpec extends AnyFunSuite {
       .get("rows").get(0).get(0).asLong() === names.size.toLong)
     val sel = cluster.runQuery(s"select * from '${names.head}'", 1L, "iris")
     assert(sel.get(names.head).size() === 0, sel)
+    // a pool owning ZERO shards contributes a typed 0 to the sum (no
+    // message scraping), and timeit wraps the fan-out like any DDL
+    val cbase2 = Files.createTempDirectory("graft-dropfan0").toString
+    val cluster2 = new PoolCluster(spark, cbase2, initialPools = 2)
+    val l2 = Lookup(2)
+    cluster2.runInsert(mapper.readTree(
+      insertBody(names.filter(l2.poolOf(_) == 0))), "iris")
+    val res2 = cluster2.runQuery(
+      "timeit drop shards set ignore_threshold true", 1L, "iris")
+    assert(res2.get("rows").get(0).get(0).asText ===
+      "Successfully dropped 1 shards. (this number does not include replica shards)")
+    assert(res2.get("__timeit__").get(0).get("time").asDouble() > 0.0)
+  }
+
+  test("cluster coarse selects serve from the unioned per-pool rollups") {
+    import org.apache.spark.sql.functions.col
+    val cbase = Files.createTempDirectory("graft-crollup").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val raw = cluster.runQuery("select count(2m) from /.*/", 1L, "iris").toString
+    // per-pool standing rollups at DIFFERENT widths (60 s and 40 s):
+    // the merged view serves at their LCM (120 s) — each pool's
+    // right-aligned labels nest into any select bucket the LCM divides
+    Seq(0 -> 60L, 1 -> 40L).foreach { case (k, r) =>
+      val pdir = s"$cbase/pool$k"
+      graft.streaming.Rollup.fromPoints(
+        graft.streaming.Ingest.points(spark, pdir)
+          .select(col("series"), col("ts"), col("val")), r)
+        .write.parquet(s"$pdir/rollup/$r")
+    }
+    cluster.meta.storeGeneration.incrementAndGet() // re-list rollups
+    val env = cluster.mergedEnv("iris")
+    assert(env.rollup.map(_._1) === Some(120L))
+    val df = graft.parser.Planner.query("select count(2m) from /.*/", env)
+    assert(!df.inputFiles.exists(_.contains("/points/")),
+      "cluster coarse select rescanned raw points")
+    assert(Seq("pool0", "pool1").forall(p =>
+      df.inputFiles.exists(f => f.contains(p) && f.contains("/rollup/"))),
+      "merged rollup view must read every pool's rollup")
+    assert(cluster.runQuery("select count(2m) from /.*/", 1L, "iris")
+      .toString === raw)
+    // a width the LCM does not divide stays on the raw path
+    val fine = graft.parser.Planner.query("select count(1m) from /.*/", env)
+    assert(fine.inputFiles.exists(_.contains("/points/")))
+    // one pool without a rollup disables the merged view — serving a
+    // partial union would drop that pool's series from the answer
+    val fs = new org.apache.hadoop.fs.Path(cbase)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cbase/pool1/rollup"), true)
+    cluster.meta.storeGeneration.incrementAndGet()
+    assert(cluster.mergedEnv("iris").rollup.isEmpty)
+    graft.parser.Planner.drainQueryCaches()
   }
 
   test("expansion re-indexes exactly the moved series — reindex.c, test_pool.py") {
@@ -221,5 +292,53 @@ class PoolSpec extends AnyFunSuite {
     assert(graft.streaming.Ingest.catalog(spark, s"$cbase/pool$owner")
       .where(org.apache.spark.sql.functions.col("series") === "post.expand.x")
       .count() === 1L)
+  }
+
+  test("inserts racing an expansion route to the NEW pool; queries exact in every phase — reindex.c:54-60") {
+    import org.apache.spark.sql.functions.col
+    val cbase = Files.createTempDirectory("graft-race").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val l3 = Lookup(3)
+    val movedName = names.find(l3.poolOf(_) == 2).get
+    val keptName = names.find(l3.poolOf(_) != 2).get
+    def pointsOf(name: String): Int =
+      cluster.runQuery(s"select * from '$name'", 1L, "iris").get(name).size()
+    var phasesSeen = 0
+    cluster.expandPhased(
+      afterRouting = () => {
+        phasesSeen += 1
+        // a racing insert of a MOVED-slot series lands in the target
+        // store (new-lookup routing), never in the source the
+        // re-index is about to rewrite
+        cluster.runInsert(mapper.readTree(
+          s"""{"$movedName": [[1700009999, 42.5]]}"""), "iris")
+        assert(graft.streaming.Ingest.catalog(spark, s"$cbase/pool2")
+          .where(col("series") === movedName).count() === 1L)
+        // old placement still serves the full history (target not
+        // yet published; the racing point is invisible, not doubled)
+        assert(pointsOf(keptName) === 6)
+        assert(pointsOf(movedName) === 6)
+      },
+      afterSwitch = () => {
+        phasesSeen += 1
+        // target published + sources masked: the full data set,
+        // racing point included, each point exactly once — the moved
+        // series' history must not disappear or double while the
+        // physical removal is still pending
+        assert(pointsOf(movedName) === 7)
+        assert(pointsOf(keptName) === 6)
+      })
+    assert(phasesSeen === 2)
+    // final placement: the moved series (history + racing point)
+    // lives wholly in the new pool; the sources are physically clean
+    assert(graft.streaming.Ingest.points(spark, s"$cbase/pool2")
+      .where(col("series") === movedName).count() === 7L)
+    (0 to 1).foreach { k =>
+      assert(graft.streaming.Ingest.points(spark, s"$cbase/pool$k")
+        .where(col("series") === movedName).count() === 0L, s"pool $k")
+    }
+    assert(pointsOf(movedName) === 7)
+    assert(pointsOf(keptName) === 6)
   }
 }

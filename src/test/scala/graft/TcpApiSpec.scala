@@ -147,6 +147,31 @@ class TcpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("output ts correction is exact integer math past 2^53 — clserver.c:480-505") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def one(api: graft.server.ApiCore, ts: Long): Unit = {
+      val node = mapper.createObjectNode()
+      val p = node.putArray("big").addArray(); p.add(ts); p.add(1.0)
+      api.runInsert(node, "iris")
+    }
+    // ns output from an ms database: ×10⁶ in int64 — the double
+    // round-trip rounds to a multiple of 256 up there
+    val ms = new graft.server.ApiCore(spark,
+      java.nio.file.Files.createTempDirectory("graft-tsmul").toString,
+      timePrecision = "ms")
+    one(ms, 1700000000123L)
+    assert(ms.runQuery("select * from 'big'", math.pow(1000.0, 2), "iris")
+      .get("big").get(0).get(0).asLong() === 1700000000123000000L)
+    // s output from an ns database: integer division truncates; the FP
+    // multiply by 1e-9 rounds .999999999 UP across the boundary
+    val ns = new graft.server.ApiCore(spark,
+      java.nio.file.Files.createTempDirectory("graft-tsdiv").toString,
+      timePrecision = "ns")
+    one(ns, 1999999999999999999L)
+    assert(ns.runQuery("select * from 'big'", math.pow(1000.0, -3), "iris")
+      .get("big").get(0).get(0).asLong() === 1999999999L)
+  }
+
   test("access bits are enforced per statement and on insert") {
     withServer { (c, api) =>
       // a read-only user (grant read ⊂ profile bits, access.h:23-27)
