@@ -25,7 +25,11 @@ object Bench {
     "ql_select_sum_between", "ql_select_presuf", "ql_list_series_where",
     // the standing-rollup read path: coarse select answered from
     // pre-aggregated buckets, zero raw-point files
-    "ql_rollup_max_6h")
+    "ql_rollup_max_6h",
+    // the same ranged select as ql_select_sum_between through a REAL
+    // 2-pool cluster (physical pool stores, merged-union plan) — the
+    // fan-out overhead is a per-round number, not a claim
+    "cluster_select_sum_between")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +40,11 @@ object Bench {
     // measures the query, not session startup
     Seq("events", "documents", "embeddings")
       .foreach(t => graft.core.Tables.load(spark, sfDir, t).count())
+    // build the 2-pool cluster fixture's physical stores now: the
+    // ingest is the cluster analog of the standing testdata stores the
+    // standalone entries read (setup, not query cost) — the timed
+    // entry measures the merged-union plan only
+    graft.queries.ClusterFixture.mergedEnv(spark, sfDir)
     val qs = SparkEntry.queries
     // repetitions per query: the box's run-to-run noise (~±0.5 s) is
     // on the order of several queries' full runtime, so a single

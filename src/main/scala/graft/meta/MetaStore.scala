@@ -117,6 +117,43 @@ final class MetaStore {
     * exactly when the file set moves. */
   val storeGeneration = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** On-disk mirror of [[storeGeneration]] (`<dir>/meta/generation`):
+    * a SECOND server process over the same store compares it with its
+    * in-memory generation on every request and reloads the metastore
+    * + store-derived caches when it lags (ApiCore.syncWithStore) —
+    * without it, a process would serve stale catalogs and miss the
+    * other's DDL forever. -1 when never written. */
+  def diskGeneration(spark: SparkSession, dir: String): Long = {
+    val p = new Path(s"$dir/meta/generation")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try in.readLong() finally in.close()
+    }
+  }
+
+  /** Advance the generation past both the in-memory counter and
+    * whatever any other process last wrote, and persist it (tmp +
+    * rename, so readers never see a torn value). Mutation serialization
+    * itself is per-process (Ingest's store locks); concurrent writers
+    * from SEPARATE processes are out of scope — the supported
+    * two-process shape is one writer and N readers at a time, which is
+    * also the reference's per-pool regime (one primary accepts a
+    * series' inserts; replicas sync). */
+  def bumpGeneration(spark: SparkSession, dir: String): Unit = synchronized {
+    val next = math.max(diskGeneration(spark, dir), storeGeneration.get()) + 1
+    storeGeneration.set(next)
+    val base = new Path(s"$dir/meta")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(base)
+    val tmp = new Path(base, "generation.tmp")
+    val dst = new Path(base, "generation")
+    val os = fs.create(tmp, true)
+    os.writeLong(next); os.close()
+    fs.delete(dst, false); fs.rename(tmp, dst)
+  }
+
   def dropThreshold: Double = config("drop_threshold").toDouble
   // Long, not Int: `alter database set list_limit` accepts values up
   // to 4294967295 (exit_set_list_limit bounds) — an Int parse would

@@ -1180,7 +1180,8 @@ object Planner {
         if (matching.nonEmpty)
           graft.streaming.Ingest.rollupRecompute(env.spark, env.dir)
       }
-      env.meta.storeGeneration.incrementAndGet() // invalidate cached frames
+      // invalidate cached frames + advance the cross-process generation
+      env.meta.bumpGeneration(env.spark, env.dir)
       matching.size.toLong
   }
 

@@ -10,6 +10,42 @@ import graft.parser.{EngineEnv, Planner}
   * hand-written DuckDB oracle. This is the surface a reference user
   * actually types (SURVEY §3.1).
   */
+/** A real 2-pool PoolCluster over the sf dir's integer family, built
+  * once per (session, dir) into a temp base: the integer points are
+  * slot-routed with the reference's lookup (exactly how PoolCluster
+  * scatters inserts) and ingested per pool, so the cluster entry
+  * measures the merged-union query plan over PHYSICAL pool stores —
+  * not an in-memory approximation. */
+private[graft] object ClusterFixture {
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.server.PoolCluster]
+
+  def mergedEnv(s: SparkSession, d: String): EngineEnv =
+    cluster(s, d).mergedEnv("iris")
+
+  private def cluster(s: SparkSession, d: String): graft.server.PoolCluster =
+    memo.getOrElseUpdate((s, d), {
+      import graft.meta.Lookup
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bench-cluster").toString
+      import s.implicits._
+      val lookupDf = Lookup(2).toRows.toDF("slot", "pool")
+      val pts = SeriesStore.pointsI(s, d)
+        .select(col("series"), col("ts"),
+          col("val").cast("double").as("val_num"),
+          lit("integer").as("tp"), col("pid"),
+          col("val").as("val_int"), lit("").as("val_str"))
+        .withColumn("slot", expr(Lookup.slotSql("series")))
+        .join(broadcast(lookupDf), Seq("slot"))
+      (0 to 1).foreach { k =>
+        graft.streaming.Ingest.appendBatch(
+          pts.where(col("pool") === k).drop("slot", "pool"),
+          s"$base/pool$k", shardDuration = 86400L)
+      }
+      new graft.server.PoolCluster(s, base, initialPools = 2)
+    })
+}
+
 object QlQueries {
 
   private val PF = SeriesStore.pointsFSql
@@ -67,6 +103,19 @@ object QlQueries {
          |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(ql(s, d,
         "select sum(1h) from /^i\\.click\\..*/ between 1705000000 and 1706000000"))
+    },
+    // the SAME ranged select through a 2-pool PoolCluster's merged env
+    // (one Catalyst plan over the unioned pool frames, per-pool shard
+    // pruning): benched per round against the standalone entry above,
+    // so the fan-out+merge overhead is a measured number, not a claim
+    Entry("cluster_select_sum_between",
+      s"""SELECT series, ${bkt(3600)} AS ts, CAST(sum(val) AS BIGINT) AS val
+         |FROM ($PI) WHERE regexp_matches(series, '^i\\.click\\.')
+         |  AND ts >= 1705000000 AND ts < 1706000000
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Planner.query(
+        "select sum(1h) from /^i\\.click\\..*/ between 1705000000 and 1706000000",
+        ClusterFixture.mergedEnv(s, d), now = Some(1706659200L)))
     },
     Entry("ql_select_chain",
       s"""WITH b AS (SELECT series, ${bkt(7200)} AS ts, CAST(max(val) AS BIGINT) AS val

@@ -46,7 +46,15 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       * request.c:193-223). None = 1 day at this precision (or the
       * auto-duration resolution when enabled). */
     durationNum: Option[Long] = None,
-    durationLogOpt: Option[Long] = None) extends DbHandler {
+    durationLogOpt: Option[Long] = None,
+    /** Where the (possibly shared) metastore persists. A PoolCluster
+      * passes pool 0 — the cluster's meta home — so config resolved by
+      * ANY pool's server (e.g. an auto shard duration) survives a
+      * restart that re-loads meta from pool 0; a standalone server
+      * persists beside its own store. */
+    metaDirOpt: Option[String] = None) extends DbHandler {
+
+  private def metaHome: String = metaDirOpt.getOrElse(storeDir)
 
   /** Physical shard granularity of this server's Ingest store; also
     * drives the shards view / drop shards mapping via EngineEnv.
@@ -94,7 +102,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
         meta.config.put("duration_log", d.toString); changed = true
       }
     }
-    if (changed) meta.persistTo(spark, storeDir)
+    if (changed) meta.persistTo(spark, metaHome)
   }
 
   /** Raw ts units per second: 1000^p for precision s/ms/us/ns
@@ -222,8 +230,25 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * metadata queries the {columns, rows} table encoding, timeit wraps
     * with __timeit__ (listener.c:5026-5064). Throws QueryError /
     * AccessError for the transports to map. */
-  def runQuery(q: String, tsFactor: Double, user: String): JsonNode =
+  def runQuery(q: String, tsFactor: Double, user: String): JsonNode = {
+    syncWithStore()
     runQueryIn(env(user), q, tsFactor)
+  }
+
+  /** Multi-process coherence: another server process over this store
+    * advances `meta/generation` on every mutation; when the on-disk
+    * generation is ahead of ours, re-load the metastore (their DDL)
+    * and adopt it (their inserts — every store-derived cache keys on
+    * the generation, so frames/shards/rollup views rebuild lazily).
+    * One small-file read per request; a standalone store (no second
+    * process) pays nothing else. */
+  private def syncWithStore(): Unit = {
+    val disk = meta.diskGeneration(spark, storeDir)
+    if (disk > meta.storeGeneration.get()) {
+      meta.loadFrom(spark, storeDir)
+      meta.storeGeneration.set(disk)
+    }
+  }
 
   /** Run one query against an explicit env — the PoolCluster passes a
     * merged multi-pool env through here so the encoding, timeit and
@@ -255,7 +280,10 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     // DDL also reopens the retention gate so a changed expiration
     // applies on the next write, not an interval later.
     if (inner.isInstanceOf[graft.parser.DdlStmt]) {
-      meta.persistTo(spark, storeDir)
+      meta.persistTo(spark, metaHome)
+      // advance the on-disk generation so a second server process
+      // re-loads this DDL on its next request
+      meta.bumpGeneration(spark, storeDir)
       lastExpireMs.set(0L)
     }
     val node = inner match {
@@ -400,7 +428,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       // putIfAbsent: two racing first inserts must agree on ONE
       // duration before either batch buckets under it
       meta.config.putIfAbsent(key, chosen.toString)
-      meta.persistTo(spark, storeDir)
+      meta.persistTo(spark, metaHome)
     }
     resolve("duration_num", isLog = false)
     resolve("duration_log", isLog = true)
@@ -417,7 +445,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       meta.checkAccess(user, Access.Drop).foreach(m => throw AccessError(m))
       val n = Planner.dropShardsBody(stmt.where, stmt.ignoreThreshold,
         env(user))
-      meta.persistTo(spark, storeDir)
+      meta.persistTo(spark, metaHome)
       lastExpireMs.set(0L)
       n
     } finally Planner.drainQueryCaches()
@@ -427,6 +455,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * from the qpack type (series.c); requires the insert access bit
     * (clserver.c:516-540). */
   def runInsert(req: JsonNode, user: String): JsonNode = {
+    syncWithStore()
     val rows = validateInsert(req, user)
     commitInsert(rows, req)
     val ok = mapper.createObjectNode()
@@ -538,6 +567,6 @@ final class ApiCore(spark: SparkSession, storeDir: String,
             shardDuration, durationLog, group)
         }
     }
-    meta.storeGeneration.incrementAndGet()
+    meta.bumpGeneration(spark, storeDir)
   }
 }

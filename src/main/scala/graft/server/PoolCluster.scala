@@ -52,7 +52,15 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     pool0Dir: Option[String] = None,
     /** Database time precision, cluster-wide (the shared metastore
       * carries it, so every pool's server resolves the same factor). */
-    timePrecision: String = "s") extends DbHandler {
+    timePrecision: String = "s",
+    /** Opt-in auto shard duration, cluster-wide: the FIRST pool to
+      * flush resolves the duration into the shared metastore
+      * (putIfAbsent) and every other pool buckets under the same
+      * choice — pools must agree or `drop shards before X` and shard
+      * pruning would map timestamps differently per pool. Persisted at
+      * the cluster's meta home (pool 0), so the cluster reopens with
+      * the resolved duration. */
+    autoDuration: Boolean = false) extends DbHandler {
 
   private def dirOf(k: Int) =
     if (k == 0) pool0Dir.getOrElse(s"$baseDir/pool0") else s"$baseDir/pool$k"
@@ -67,8 +75,9 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
 
   @volatile private var pools: Vector[ApiCore] =
     (0 until initialPools).toVector.map(k =>
-      new ApiCore(spark, dirOf(k), dbName, sharedMeta = Some(meta),
-        timePrecision = timePrecision))
+      new ApiCore(spark, dirOf(k), dbName, autoDuration = autoDuration,
+        sharedMeta = Some(meta), timePrecision = timePrecision,
+        metaDirOpt = Some(dirOf(0))))
 
   @volatile private var lookup: Lookup = Lookup(pools.size)
 
@@ -344,7 +353,8 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     val newIdx = pools.size
     val newLookup = Lookup(newIdx + 1)
     val target = new ApiCore(spark, dirOf(newIdx), dbName,
-      sharedMeta = Some(meta), timePrecision = timePrecision)
+      autoDuration = autoDuration, sharedMeta = Some(meta),
+      timePrecision = timePrecision, metaDirOpt = Some(dirOf(0)))
     val movedSlots = (0 until Lookup.Size)
       .filter(s => newLookup.slots(s) == newIdx).toSet
     import spark.implicits._
@@ -370,7 +380,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     pools = pools :+ target
     lookup = newLookup
     queryView = (pools, Some(movedSlots))
-    meta.storeGeneration.incrementAndGet()
+    meta.bumpGeneration(spark, dirOf(0))
     afterSwitch()
     // 4. straggler sweep + physical removal, per source, under lock
     sources.foreach { case (_, k) =>
@@ -403,7 +413,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     // 5. unmask — every pool physically holds exactly its share
     reindex = None
     queryView = (pools, None)
-    meta.storeGeneration.incrementAndGet()
+    meta.bumpGeneration(spark, dirOf(0))
     newIdx
   }
 }

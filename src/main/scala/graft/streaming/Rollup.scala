@@ -35,13 +35,21 @@ object Rollup {
   final case class SeriesStats(series: String, length: Long, start: Long,
       end: Long, last_val: Double)
 
-  /** Watermarked windowed rollup of a PointIn stream. `lateness`
+  /** Watermarked windowed rollup of a PointIn stream. `bucket` is the
+    * window width in RAW ts units of the database and `factor` its
+    * precision factor (1/1000/10⁶ for s/ms/us — time.h); `lateness`
     * is how far out-of-order a point may arrive and still count;
     * anything later is dropped by the watermark, exactly like any
-    * late-data policy at scale.
+    * late-data policy at scale. Raw ts map onto Spark event time at
+    * the matching sub-second type (timestamp_seconds/millis/micros),
+    * so bucket labels stay exact in raw units; ns databases are
+    * refused — Spark event time is µs-precision — and keep their
+    * standing rollup with batch maintenance instead
+    * (Rollup.fromPoints backfill + Ingest's per-mutation hooks, which
+    * operate on raw longs end to end).
     *
     * Windows are RIGHT-aligned — (j·R, (j+1)·R], achieved by sliding
-    * the floor-aligned window grid forward one second — and `bucket`
+    * the floor-aligned window grid forward one raw unit — and `bucket`
     * is the window's right edge, i.e. exactly the GROUP_TS label
     * (Pipeline.bucket) of every point inside it. Right alignment is
     * what makes the rollup servable: a select's width-W bucket
@@ -49,19 +57,35 @@ object Rollup {
     * -aligned windows do NOT satisfy (a floor window straddles the
     * W-boundary point ts = k·W, which GROUP_TS assigns to the bucket
     * ENDING there). */
-  def bucketed(src: DataFrame, bucketSec: Long,
-      lateness: String): DataFrame =
-    src.select(col("series"), timestamp_seconds(col("ts")).as("ev"),
+  def bucketed(src: DataFrame, bucket: Long, lateness: String,
+      factor: Long = 1L): DataFrame = {
+    require(factor == 1L || factor == 1000L || factor == 1000000L,
+      s"streaming rollups support s/ms/us precision (factor $factor): " +
+        "Spark event time is microsecond-precision; ns stores use " +
+        "batch-maintained rollups (Rollup.fromPoints)")
+    val (toEv, toRaw, unit) = factor match {
+      case 1000L =>
+        ((c: org.apache.spark.sql.Column) => timestamp_millis(c),
+          (c: org.apache.spark.sql.Column) => unix_millis(c), "millisecond")
+      case 1000000L =>
+        ((c: org.apache.spark.sql.Column) => timestamp_micros(c),
+          (c: org.apache.spark.sql.Column) => unix_micros(c), "microsecond")
+      case _ =>
+        ((c: org.apache.spark.sql.Column) => timestamp_seconds(c),
+          (c: org.apache.spark.sql.Column) => unix_timestamp(c), "second")
+    }
+    src.select(col("series"), toEv(col("ts")).as("ev"),
         col("val_num").as("val"))
       .withWatermark("ev", lateness)
       .groupBy(col("series"),
-        window(col("ev"), s"$bucketSec seconds", s"$bucketSec seconds",
-          "1 second"))
+        window(col("ev"), s"$bucket ${unit}s", s"$bucket ${unit}s",
+          s"1 $unit"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum"),
         min(col("val")).as("min"), max(col("val")).as("max"))
       .select(col("series"),
-        (unix_timestamp(col("window.start")) + bucketSec - 1L).as("bucket"),
+        (toRaw(col("window.start")) + bucket - 1L).as("bucket"),
         col("n"), col("sum"), col("min"), col("max"))
+  }
 
   /** The same rollup as a batch job over an existing points frame
     * (series, ts, val) — the backfill path: a store adopts a standing
@@ -88,8 +112,9 @@ object Rollup {
     * accepts late points the watermark discards, so the two could
     * disagree. */
   def startBucketed(src: DataFrame, outDir: String, checkpoint: String,
-      bucketSec: Long = 3600L, lateness: String = "1 hour"): StreamingQuery =
-    bucketed(src, bucketSec, lateness).writeStream
+      bucket: Long = 3600L, lateness: String = "1 hour",
+      factor: Long = 1L): StreamingQuery =
+    bucketed(src, bucket, lateness, factor).writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .format("parquet").option("path", outDir)

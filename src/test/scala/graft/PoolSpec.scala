@@ -294,6 +294,33 @@ class PoolSpec extends AnyFunSuite {
       .count() === 1L)
   }
 
+  test("auto duration resolves ONCE cluster-wide and survives a reopen") {
+    val cbase = Files.createTempDirectory("graft-cautodur").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2,
+      autoDuration = true)
+    // 5-minute cadence across series spanning both pools → the first
+    // pool to flush resolves 7-day shards into the SHARED metastore;
+    // the other pool must bucket under the same choice (disagreeing
+    // durations would map `drop shards before X` differently per pool)
+    val body = names.map { n =>
+      val pts = (0 until 20)
+        .map(i => s"[${1700000000L + i * 300}, $i.0]").mkString("[", ",", "]")
+      s""""$n": $pts"""
+    }.mkString("{", ",", "}")
+    cluster.runInsert(mapper.readTree(body), "iris")
+    val expectSid = 1700000000L / 604800L
+    (0 to 1).foreach { k =>
+      val dirs = graft.streaming.Ingest.shardDirs(spark, s"$cbase/pool$k")
+      assert(dirs.map(d => (d._1, d._2)) === Seq(("num", expectSid)),
+        s"pool $k bucketed under a different duration")
+    }
+    // the resolution persisted at the cluster meta home (pool 0): a
+    // reopened cluster WITHOUT the auto flag keeps the same bucketing
+    val reopened = new PoolCluster(spark, cbase, initialPools = 2)
+    assert(reopened.runQuery("show duration_num", 1L, "iris")
+      .get("rows").get(0).get(1).asText === "604800")
+  }
+
   test("inserts racing an expansion route to the NEW pool; queries exact in every phase — reindex.c:54-60") {
     import org.apache.spark.sql.functions.col
     val cbase = Files.createTempDirectory("graft-race").toString

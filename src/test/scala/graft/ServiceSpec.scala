@@ -232,6 +232,36 @@ class ServiceSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("cpu.1"))
   }
 
+  test("two server processes over one store stay coherent — generation-gated reload") {
+    val dir = Files.createTempDirectory("graft-twoproc").toString
+    // two ApiCores with SEPARATE metastores over the same directories —
+    // the in-JVM stand-in for two server processes sharing storage
+    val a = new graft.server.ApiCore(spark, dir)
+    val b = new graft.server.ApiCore(spark, dir)
+    def insert(api: graft.server.ApiCore, name: String, v: Double): Unit = {
+      val node = mapper.createObjectNode()
+      val p = node.putArray(name).addArray(); p.add(1700000000L); p.add(v)
+      api.runInsert(node, "iris")
+    }
+    def one(api: graft.server.ApiCore, q: String): String =
+      api.runQuery(q, 0.0, "iris").get("rows").get(0).toString
+    // A writes, B reads: B must not serve its pre-insert file listing
+    insert(a, "cpu", 1.5)
+    assert(one(b, "count series") === "[1]")
+    // A's DDL reaches B (metastore re-load on generation lag)
+    a.runQuery("create group `g` for /^cpu.*/", 0.0, "iris")
+    assert(one(b, "count groups") === "[1]")
+    // the reverse direction: B mutates, A follows
+    insert(b, "mem", 2.5)
+    assert(one(a, "count series") === "[2]")
+    b.runQuery("alter database set list_limit 5432", 0.0, "iris")
+    assert(one(a, "show list_limit") === """["list_limit","5432"]""")
+    // a third, late-constructed server sees everything at first request
+    val c = new graft.server.ApiCore(spark, dir)
+    assert(one(c, "count series") === "[2]")
+    assert(one(c, "count groups") === "[1]")
+  }
+
   test("tee mirrors inserts to a live endpoint as CPROTO packages — tee.c") {
     val dir = Files.createTempDirectory("graft-tee").toString
     val server = new java.net.ServerSocket(0)

@@ -15,7 +15,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[PointIn]
-    val q = Rollup.bucketed(ms.toDF(), bucketSec = 60L, lateness = "60 seconds")
+    val q = Rollup.bucketed(ms.toDF(), bucket = 60L, lateness = "60 seconds")
       .writeStream.outputMode("append")
       .format("memory").queryName("roll").start()
     try {
@@ -40,6 +40,35 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
       assert(after.toSeq === Seq((2L, 3.0)))
     } finally q.stop()
+  }
+
+  test("streaming rollup buckets in RAW units at ms precision — time.h factors") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[PointIn]
+    // 60 s bucket on an ms database = 60,000 raw units; labels must be
+    // raw-ms right edges (a seconds-typed event time would mislabel
+    // sub-second remainders at bucket boundaries)
+    val q = Rollup.bucketed(ms.toDF(), bucket = 60000L,
+      lateness = "60 seconds", factor = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rollms").start()
+    try {
+      ms.addData(PointIn("s", 10500L, 1.0, "float", 1),
+        PointIn("s", 60000L, 2.0, "float", 2)) // exact right edge: in (0, 60000]
+      q.processAllAvailable()
+      ms.addData(PointIn("s", 200000L, 5.0, "float", 3))
+      q.processAllAvailable()
+      ms.addData(PointIn("s", 400000L, 7.0, "float", 4))
+      q.processAllAvailable()
+      val done = spark.sql("SELECT series, bucket, n, sum FROM rollms")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(done.contains(("s", 60000L, 2L, 3.0)), done.toSeq)
+    } finally q.stop()
+    // ns databases are refused: Spark event time is µs-precision
+    intercept[IllegalArgumentException] {
+      Rollup.bucketed(ms.toDF(), 60L, "1 hour", factor = 1000000000L)
+    }
   }
 
   test("liveStats keeps per-series catalog facts as streaming state") {
