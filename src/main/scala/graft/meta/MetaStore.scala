@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions.{col, lit}
   * like the catalog — one tiny parquet/JSON per entity).
   */
 object MetaStore {
+  /** db.h:15-17 defaults — also the reset base when a persisted
+    * config.json is adopted (loadFrom). */
+  val configDefaults: Map[String, String] = Map(
+    "drop_threshold" -> "1.0",
+    "list_limit" -> "10000",
+    "select_points_limit" -> "1000000",
+    "timezone" -> "NAIVE",
+    "log_level" -> "info",
+    "tee" -> "false")
+
   /** Salted one-way password hash, mirroring the reference's owcrypt
     * scheme (user.c:116-123 encrypts at set-password time; users.dat
     * stores only the salted hash, users.c:230). Neither the in-memory
@@ -98,13 +108,7 @@ final class MetaStore {
   }
 
   /** alterable database config (db.h:15-17 defaults). */
-  val config = TrieMap[String, String](
-    "drop_threshold" -> "1.0",
-    "list_limit" -> "10000",
-    "select_points_limit" -> "1000000",
-    "timezone" -> "NAIVE",
-    "log_level" -> "info",
-    "tee" -> "false")
+  val config = TrieMap[String, String](MetaStore.configDefaults.toSeq: _*)
 
   /** Server point counters (the reference's received_points /
     * selected_points server stats — src/siri/db/props.c). */
@@ -288,6 +292,12 @@ final class MetaStore {
       n.fields().forEachRemaining(e => groups.put(e.getKey, e.getValue.asText()))
     }
     readJson("config.json").foreach { n =>
+      // RESET to defaults before adopting the file: the persisted set
+      // is authoritative, so a key the writing process REMOVED (e.g. a
+      // completed expansion's reindex_mask) must not survive a reload
+      // here — a merge-only load would keep it forever
+      config.clear()
+      MetaStore.configDefaults.foreach { case (k, v) => config.put(k, v) }
       n.fields().forEachRemaining(e => config.put(e.getKey, e.getValue.asText()))
     }
     readJson("tagnames.json").foreach { n =>

@@ -241,11 +241,14 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * and adopt it (their inserts — every store-derived cache keys on
     * the generation, so frames/shards/rollup views rebuild lazily).
     * One small-file read per request; a standalone store (no second
-    * process) pays nothing else. */
-  private def syncWithStore(): Unit = {
-    val disk = meta.diskGeneration(spark, storeDir)
+    * process) pays nothing else. The generation lives at the META
+    * HOME: for a cluster that is pool 0, so ONE file versions every
+    * pool's mutations and a second cluster process needs one read to
+    * know the whole cluster moved. */
+  private[server] def syncWithStore(): Unit = {
+    val disk = meta.diskGeneration(spark, metaHome)
     if (disk > meta.storeGeneration.get()) {
-      meta.loadFrom(spark, storeDir)
+      meta.loadFrom(spark, metaHome)
       meta.storeGeneration.set(disk)
     }
   }
@@ -283,7 +286,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       meta.persistTo(spark, metaHome)
       // advance the on-disk generation so a second server process
       // re-loads this DDL on its next request
-      meta.bumpGeneration(spark, storeDir)
+      meta.bumpGeneration(spark, metaHome)
       lastExpireMs.set(0L)
     }
     val node = inner match {
@@ -446,6 +449,9 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       val n = Planner.dropShardsBody(stmt.where, stmt.ignoreThreshold,
         env(user))
       meta.persistTo(spark, metaHome)
+      // the body bumped env.dir's generation (in-memory invalidation);
+      // the cross-process signal lives at the meta home
+      meta.bumpGeneration(spark, metaHome)
       lastExpireMs.set(0L)
       n
     } finally Planner.drainQueryCaches()
@@ -567,6 +573,6 @@ final class ApiCore(spark: SparkSession, storeDir: String,
             shardDuration, durationLog, group)
         }
     }
-    meta.bumpGeneration(spark, storeDir)
+    meta.bumpGeneration(spark, metaHome)
   }
 }

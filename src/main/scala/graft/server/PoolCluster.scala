@@ -73,11 +73,29 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     m
   }
 
+  /** Pool membership is CLUSTER state, persisted in the shared config
+    * (`pools`), so a reopened cluster — or a second serving process
+    * over the same directories — derives the same pool set from disk
+    * regardless of its constructor argument, exactly like the
+    * reference's servers agree on the pool map through database.dat. */
+  private val bootPools: Int =
+    math.max(initialPools,
+      meta.config.get("pools").map(_.toInt).getOrElse(1))
+
+  private def newPoolServer(k: Int): ApiCore =
+    new ApiCore(spark, dirOf(k), dbName, autoDuration = autoDuration,
+      sharedMeta = Some(meta), timePrecision = timePrecision,
+      metaDirOpt = Some(dirOf(0)))
+
   @volatile private var pools: Vector[ApiCore] =
-    (0 until initialPools).toVector.map(k =>
-      new ApiCore(spark, dirOf(k), dbName, autoDuration = autoDuration,
-        sharedMeta = Some(meta), timePrecision = timePrecision,
-        metaDirOpt = Some(dirOf(0))))
+    (0 until bootPools).toVector.map(newPoolServer)
+
+  locally {
+    if (!meta.config.get("pools").exists(_.toInt >= bootPools)) {
+      meta.config.put("pools", bootPools.toString)
+      meta.persistTo(spark, dirOf(0))
+    }
+  }
 
   @volatile private var lookup: Lookup = Lookup(pools.size)
 
@@ -96,7 +114,47 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     * list, is never filtered). A reader capturing this tuple sees
     * each point exactly once in every phase. */
   @volatile private var queryView: (Vector[ApiCore], Option[Set[Int]]) =
-    (pools, None)
+    (pools, maskFromConfig(pools.size))
+
+  /** The slot set a grown lookup reassigns to its newest pool — fully
+    * determined by the pool count (the growth algorithm is
+    * deterministic), so a second process reconstructs a remote
+    * expansion's visibility mask from the persisted pool count alone. */
+  private def movedSlotsOf(n: Int): Set[Int] =
+    (0 until Lookup.Size).filter(s => Lookup(n).slots(s) == n - 1).toSet
+
+  /** While a remote expansion is between SWITCH and UNMASK (persisted
+    * `reindex_mask`), this process must apply the same
+    * sources-hide-moved-slots mask or it would serve moved points
+    * twice (before the removal) or not at all (after it). */
+  private def maskFromConfig(n: Int): Option[Set[Int]] =
+    if (meta.config.contains("reindex_mask")) Some(movedSlotsOf(n)) else None
+
+  /** Multi-process coherence at cluster grain: one generation read
+    * (pool 0's file — every pool's mutations bump it) adopts remote
+    * DDL and inserts; when the reloaded config says the cluster GREW
+    * or a remote expansion's mask phase changed, rebuild the pool set,
+    * lookup and query view from the persisted state. The supported
+    * cross-process regime is one mutating process at a time with any
+    * number of readers (MetaStore.bumpGeneration) — a cluster whose
+    * OWN expansion is in flight is the writer and skips adoption. */
+  private def sync(): Unit = {
+    pools(0).syncWithStore()
+    if (reindex.isEmpty) {
+      val n = meta.config.get("pools").map(_.toInt).getOrElse(pools.size)
+      val mask = meta.config.contains("reindex_mask")
+      if (n > pools.size || mask != queryView._2.nonEmpty) synchronized {
+        if (reindex.isEmpty &&
+            (n > pools.size || mask != queryView._2.nonEmpty)) {
+          val grown =
+            pools ++ (pools.size until n).toVector.map(newPoolServer)
+          pools = grown
+          lookup = Lookup(grown.size)
+          queryView = (grown, maskFromConfig(grown.size))
+        }
+      }
+    }
+  }
 
   /** Replicas per pool (reference NEW_REPLICA joins a second server to
     * an existing pool, service/request.c:830-900). On shared storage a
@@ -121,9 +179,11 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
 
   /** Same credential check as a standalone server (auth.c:17-60) —
     * users are cluster-global in the shared metastore. */
-  def authenticate(user: String, password: String): Boolean =
+  def authenticate(user: String, password: String): Boolean = {
+    sync()
     meta.users.get(user)
       .exists(u => graft.meta.MetaStore.verifyPassword(password, u.pwHash))
+  }
 
   /** Route an insert: split the request's series by lookup assignment
     * and hand each pool its share (insert.c's scatter). EVERY share is
@@ -134,6 +194,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     * either. The response is the reference's single success message
     * with the total point count. */
   def runInsert(req: JsonNode, user: String): JsonNode = {
+    sync()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // one consistent reindex snapshot for routing AND store resolution
     val r = reindex
@@ -197,6 +258,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
   def factor: Long = pools(0).factor
 
   def runQuery(q: String, tsFactor: Double, user: String): JsonNode = {
+    sync()
     val stmt =
       try QueryParser.parse(q, tz = meta.config.getOrElse("timezone", "NAIVE"))
       catch { case _: Throwable => null } // real errors re-raise below
@@ -376,10 +438,18 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
           target.shardDuration, target.durationLog)
       }
     }
-    // 3. atomic switch: target serves, sources mask the moved slots
+    // 3. atomic switch: target serves, sources mask the moved slots.
+    // The grown pool count and the mask PHASE persist with the shared
+    // config before the generation bump, so a second serving process
+    // reconstructs this exact view (pools + mask) and stays exact
+    // through the hand-over — the mask itself is derivable from the
+    // count (movedSlotsOf), no slot list needs to be written.
     pools = pools :+ target
     lookup = newLookup
     queryView = (pools, Some(movedSlots))
+    meta.config.put("pools", pools.size.toString)
+    meta.config.put("reindex_mask", newIdx.toString)
+    meta.persistTo(spark, dirOf(0))
     meta.bumpGeneration(spark, dirOf(0))
     afterSwitch()
     // 4. straggler sweep + physical removal, per source, under lock
@@ -413,6 +483,8 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     // 5. unmask — every pool physically holds exactly its share
     reindex = None
     queryView = (pools, None)
+    meta.config.remove("reindex_mask")
+    meta.persistTo(spark, dirOf(0))
     meta.bumpGeneration(spark, dirOf(0))
     newIdx
   }

@@ -368,4 +368,56 @@ class PoolSpec extends AnyFunSuite {
     assert(pointsOf(movedName) === 7)
     assert(pointsOf(keptName) === 6)
   }
+
+  test("a SECOND cluster process over the same stores serves coherently — inserts, DDL, expansion adoption") {
+    val cbase = Files.createTempDirectory("graft-twocluster").toString
+    // two PoolCluster instances with separate metastores over the same
+    // directories — the in-JVM stand-in for two cluster server
+    // processes on shared storage (the durability/availability regime
+    // replicate.c's fifo sync exists to approximate)
+    val a = new PoolCluster(spark, cbase, initialPools = 2)
+    val b = new PoolCluster(spark, cbase, initialPools = 2)
+    def one(c: PoolCluster, q: String): String =
+      c.runQuery(q, 1L, "iris").get("rows").get(0).toString
+    def merged(c: PoolCluster) = {
+      val arr = c.runQuery("select sum(1h) from /.*/ merge as \"all\"",
+        1L, "iris").get("all")
+      (0 until arr.size()).map(i =>
+        (arr.get(i).get(0).asLong(), arr.get(i).get(1).asDouble())).sorted
+    }
+    // A writes; B serves the points with no in-process sharing
+    a.runInsert(mapper.readTree(insertBody(names)), "iris")
+    assert(one(b, "count series") === s"[${names.size}]")
+    // DDL through B reaches A (generation-gated metastore reload)
+    b.runQuery("create group `g2` for /^metric\\.cpu\\.1.*/", 1L, "iris")
+    assert(one(a, "count groups") === "[1]")
+    val before = merged(a)
+    assert(merged(b) === before)
+    // mid-expansion: while A is between SWITCH and UNMASK, B must
+    // apply the persisted mask — the moved series exist in source AND
+    // target during this window, and an unmasked remote reader would
+    // serve them twice
+    var midSeries: String = null
+    var midMerged: Seq[(Long, Double)] = null
+    a.expandPhased(afterSwitch = () => {
+      midSeries = one(b, "count series")
+      midMerged = merged(b)
+    })
+    assert(midSeries === s"[${names.size}]")
+    assert(midMerged === before)
+    // after the expansion B adopts the grown pool set from persisted
+    // cluster state (pool count -> lookup -> placement) and agrees
+    assert(one(b, "count pools") === "[3]")
+    assert(merged(b) === before)
+    assert(b.nPools === 3)
+    // an insert routed through B lands by the GROWN lookup
+    val l3 = Lookup(3)
+    val fresh = (0 until 100).map(i => s"metric.fresh.$i")
+      .find(n => l3.poolOf(n) == 2).get
+    b.runInsert(mapper.readTree(s"""{"$fresh": [[1700009999, 5.0]]}"""), "iris")
+    assert(graft.streaming.Ingest.catalog(spark, s"$cbase/pool2")
+      .where(org.apache.spark.sql.functions.col("series") === fresh)
+      .count() === 1L)
+    assert(one(a, "count series") === s"[${names.size + 1}]")
+  }
 }
