@@ -161,4 +161,111 @@ object TextStats {
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
         coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
   }
+
+  /** Bigram-LM perplexity scoring — the CCNet/Wikipedia-LM quality
+    * filter (Wenzek et al. 2020): train add-one-smoothed bigram
+    * probabilities on the corpus itself, score each document by its
+    * average negative log-probability (low = fluent/in-distribution,
+    * high = noise). Per-pair logp = ln((c2(w1,w2)+1)/(c1(w1)+V)).
+    *
+    * Exactness across engines: a per-document SUM of doubles is
+    * addition-order-dependent, so each pair's logp is quantized to
+    * fixed point (round(logp*1e6) as BIGINT) and the document score is
+    * an exact integer sum — order-independent by construction, and the
+    * one double op per pair is bit-deterministic on both sides.
+    *
+    * Scale shape: two hash-agg count tables (unigram, bigram), a join
+    * of the exploded pair stream against them (broadcast when the
+    * vocab is small, shuffle-on-token otherwise), one integer-sum agg
+    * per document. No windows, no driver state, linear in corpus
+    * size. */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), expr(tok).as("w"))
+    val uni = t.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = t.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bi.join(c2, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr(
+        "CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("round(-sq / (n_pairs * 1e6), 6)").as("avg_nll"))
+  }
+
+  /** BM25 document scoring against a fixed term set — the standard
+    * sparse-retrieval ranking function (Robertson–Spärck Jones), used
+    * in pipelines for targeted corpus slicing ("pull the docs about
+    * X") and as the lexical half of hybrid search next to the ANN
+    * operators. Corpus statistics (N, avgdl, per-term df) are ONE
+    * 1-row aggregate broadcast to a narrow per-document map stage —
+    * no shuffle touches the documents themselves. All doubles derive
+    * from integer counts through a fixed op order, so the score is
+    * bit-deterministic. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")))
+    val t = docs.select(col("doc_id"), expr(tok).as("w"))
+      .select(col("doc_id"), col("w"),
+        expr("CAST(size(w) AS BIGINT)").as("dl"))
+    val flagged = terms.zipWithIndex.foldLeft(t) { case (df, (term, i)) =>
+      df.withColumn(s"tf_$i",
+        expr(s"CAST(size(filter(w, x -> x = '$term')) AS BIGINT)"))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = flagged.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    flagged.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score, 6).as("bm25"))
+  }
+
+  /** PMI collocation extraction: pointwise mutual information of each
+    * bigram vs its unigram marginals, ln((c2·N1·N1)/(N2·c1(w1)·c1(w2))),
+    * over bigrams with corpus frequency ≥ minFreq — the classic
+    * collocation / multi-word-expression detector (Church & Hanks
+    * 1990), used to mine phrases worth keeping atomic in tokenizer
+    * or n-gram-LM training. Two count aggregations plus a join of the
+    * (already frequency-pruned) bigram table against the unigram
+    * table; integer counts everywhere until one deterministic double
+    * expression per surviving bigram. */
+  def pmi(docs: DataFrame, minFreq: Long = 20): DataFrame = {
+    val t = docs.select(expr(tok).as("w"))
+    val uni = t.select(explode(col("w")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("n1"))
+    val bi = t.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("freq"))
+    val n2 = bi.agg(count(lit(1)).as("n2"))
+    c2.where(col("freq") >= minFreq)
+      .join(uni.select(col("tk").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(uni.select(col("tk").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("freq"), expr(
+        "round(ln((CAST(freq AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * c1a * c1b)), 6)")
+        .as("pmi"))
+  }
 }

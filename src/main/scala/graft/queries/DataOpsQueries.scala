@@ -406,6 +406,66 @@ object DataOpsQueries {
         |FROM documents ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.fingerprint(docs(s, d)))
     },
+    // bigram-LM perplexity filter (CCNet-style): per-pair logp is
+    // quantized to fixed point so the per-doc score is an exact
+    // integer sum — addition-order-independent on both engines
+    Entry("text_lm_perplexity",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS w1 FROM t),
+        |c1t AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM c1t),
+        |bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |       FROM t WHERE len(w) >= 2),
+        |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        |p AS (SELECT b.doc_id,
+        |       CAST(round(ln((c2t.c2 + 1) / CAST(c1t.c1 + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+        |      FROM bi b JOIN c2t ON c2t.w1 = b.w1 AND c2t.w2 = b.w2
+        |                JOIN c1t ON c1t.w1 = b.w1, vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(-sum(q) / (count(*) * 1e6), 6) AS avg_nll
+        |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.lmPerplexity(docs(s, d)))
+    },
+    // BM25 against a fixed term set: corpus stats are ONE broadcast
+    // 1-row aggregate; every double derives from integer counts
+    // through the same op order on both engines
+    Entry("text_bm25",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |       CAST(len(list_filter(w, x -> x = 'table')) AS BIGINT) AS tf_0,
+        |       CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_1,
+        |       CAST(len(list_filter(w, x -> x = 'query')) AS BIGINT) AS tf_2
+        |      FROM t),
+        |s AS (SELECT count(*) AS n, sum(dl) AS sdl,
+        |       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |      FROM d)
+        |SELECT doc_id, dl, round(
+        |    ln(1.0::DOUBLE + (n - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE)) * (CAST(tf_0 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_0 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  + ln(1.0::DOUBLE + (n - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE)) * (CAST(tf_1 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_1 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  + ln(1.0::DOUBLE + (n - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE)) * (CAST(tf_2 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_2 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  , 6) AS bm25
+        |FROM d, s ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.bm25(docs(s, d),
+        terms = Seq("table", "spark", "query")))
+    },
+    // PMI collocation mining over frequency-pruned bigrams
+    Entry("text_pmi",
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS tk FROM t),
+        |c1t AS (SELECT tk, count(*) AS c1 FROM uni GROUP BY 1),
+        |tot AS (SELECT sum(c1) AS n1 FROM c1t),
+        |bi AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |       FROM t WHERE len(w) >= 2),
+        |c2t AS (SELECT w1, w2, count(*) AS freq FROM bi GROUP BY 1, 2),
+        |n2t AS (SELECT count(*) AS n2 FROM bi)
+        |SELECT c.w1, c.w2, c.freq,
+        |  round(ln((CAST(c.freq AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * a.c1 * b.c1)), 6) AS pmi
+        |FROM c2t c JOIN c1t a ON a.tk = c.w1 JOIN c1t b ON b.tk = c.w2, tot, n2t
+        |WHERE c.freq >= 20 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.pmi(docs(s, d), minFreq = 20))
+    },
 
     // ---- multimodal plumbing (decode stubbed; see Multimodal.scala) ----
     Entry("mm_decode_stub",

@@ -183,6 +183,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!bp.contains("rangepartitioning"), bp)
   }
 
+  test("LM-score/BM25/PMI: corpus stats broadcast, no windows, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, s"w$i the a x${i % 7} table spark query y$i"))
+      .toDF("doc_id", "text")
+    val lm = graft.llm.TextStats.lmPerplexity(docs)
+    lm.collect()
+    val lp = plan(lm)
+    // per-doc score is a hash aggregate over an exact integer sum —
+    // never a window or a range sort over the pair stream
+    assert(!lp.contains("Window"), lp)
+    assert(!lp.contains("rangepartitioning"), lp)
+    val bm = graft.llm.TextStats.bm25(docs, Seq("table", "spark", "query"))
+    bm.collect()
+    val bp = plan(bm)
+    // the 1-row corpus-stats side joins by broadcast; the documents
+    // themselves are scored in a narrow map stage, never shuffled
+    assert(bp.contains("BroadcastNestedLoopJoin"), bp)
+    assert(!bp.contains("SortMergeJoin"), bp)
+    assert(!bp.contains("Window"), bp)
+    val pm = graft.llm.TextStats.pmi(docs, minFreq = 1)
+    pm.collect()
+    val pp = plan(pm)
+    assert(!pp.contains("Window"), pp)
+    assert(!pp.contains("rangepartitioning"), pp)
+  }
+
   test("tag membership stays distributed: tagging every series puts no name list on the driver") {
     val env = EngineEnv(spark, dir)
     val total = env.catalogLive.count()
