@@ -18,7 +18,7 @@ object Bench {
     "pw_difference", "limit_fn_mean", "merge_sum_1d", "list_series",
     "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "text_token_stats",
-    "text_lang_id", "mm_decode_stub",
+    "text_lang_id", "text_lm_perplexity", "mm_decode_stub",
     // full query-string path (parse → plan → catalog consult →
     // execute): what a reference user actually pays per query — the
     // engine-layer entries above enter below the parser
