@@ -253,6 +253,12 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** Expire-gate reset for the cluster DDL fan-out: `alter database
+    * set expiration_*` must take effect on the very next write to ANY
+    * pool (itest/test_expiration.py), but the DDL itself runs on one
+    * pool's query path and resets only that pool's gate. */
+  private[server] def resetExpireGate(): Unit = lastExpireMs.set(0L)
+
   /** Run one query against an explicit env — the PoolCluster passes a
     * merged multi-pool env through here so the encoding, timeit and
     * DDL-persistence behavior stay identical to the standalone path. */

@@ -288,7 +288,12 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
         }
         out
       case _: graft.parser.AlterDatabase =>
-        pools(0).runQuery(q, tsFactor, user)
+        val out = pools(0).runQuery(q, tsFactor, user)
+        // config is cluster-shared, so a new expiration must take
+        // effect on the very next write to EVERY pool — the DDL path
+        // above reset only pool 0's gate
+        pools.drop(1).foreach(_.resetExpireGate())
+        out
       case _ =>
         pools(0).runQueryIn(mergedEnv(user), q, tsFactor)
     }

@@ -369,6 +369,44 @@ class PoolSpec extends AnyFunSuite {
     assert(pointsOf(keptName) === 6)
   }
 
+  test("cluster expiration takes effect on the very next write to EVERY pool") {
+    val cbase = Files.createTempDirectory("graft-clusterexp").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    val l2 = Lookup(2)
+    val nowS = System.currentTimeMillis() / 1000
+    // ancient points land in both pools (pre-expiration, so accepted)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    // arm the expire machinery WITHOUT touching num shards, then run
+    // one write per pool: each pool sweeps (drops nothing — log only)
+    // and its once-per-interval gate closes at "now"
+    cluster.runQuery("alter database set expiration_log 1w", 1L, "iris")
+    val p0name = names.find(l2.poolOf(_) == 0).get
+    val p1name = names.find(l2.poolOf(_) == 1).get
+    cluster.runInsert(mapper.readTree(
+      s"""{"$p0name": [[${nowS - 120}, 1.0]]}"""), "iris")
+    cluster.runInsert(mapper.readTree(
+      s"""{"$p1name": [[${nowS - 120}, 1.0]]}"""), "iris")
+    // the DDL runs on pool 0's query path; the reference contract
+    // (itest/test_expiration.py) is that it applies on the very next
+    // write — for a cluster that means every pool's gate must reopen
+    cluster.runQuery(
+      "alter database set expiration_num 1w set ignore_threshold true",
+      1L, "iris")
+    cluster.runInsert(mapper.readTree(
+      s"""{"$p1name": [[${nowS - 60}, 2.0]]}"""), "iris")
+    val p1pts = graft.streaming.Ingest.points(spark, s"$cbase/pool1")
+      .collect().map(_.getLong(1)).toSet
+    assert(p1pts === Set(nowS - 120, nowS - 60),
+      s"pool 1 kept expired points: $p1pts")
+    // pool 0 sweeps on ITS next write too
+    cluster.runInsert(mapper.readTree(
+      s"""{"$p0name": [[${nowS - 60}, 2.0]]}"""), "iris")
+    val p0pts = graft.streaming.Ingest.points(spark, s"$cbase/pool0")
+      .collect().map(_.getLong(1)).toSet
+    assert(p0pts === Set(nowS - 120, nowS - 60),
+      s"pool 0 kept expired points: $p0pts")
+  }
+
   test("a SECOND cluster process over the same stores serves coherently — inserts, DDL, expansion adoption") {
     val cbase = Files.createTempDirectory("graft-twocluster").toString
     // two PoolCluster instances with separate metastores over the same
