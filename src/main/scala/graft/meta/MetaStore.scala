@@ -107,6 +107,23 @@ final class MetaStore {
     droppedDirty = true
   }
 
+  /** Inverse of [[addDropped]]: a dropped name that re-appears on the
+    * write path is a NEW series (the reference allocates a fresh
+    * series struct/id on re-insert — series.c — so the old points are
+    * unreachable), and its tombstone must lift or the re-created
+    * series stays invisible forever. The caller purges the old points
+    * physically FIRST (Ingest.removeSeries) — untombstoning alone
+    * would resurrect them. */
+  def removeDropped(names: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    droppedDf.foreach { d =>
+      val rest = d
+        .join(names.select(col("series")).distinct(), Seq("series"), "left_anti")
+        .localCheckpoint(true)
+      droppedDf = if (rest.isEmpty) None else Some(rest)
+      droppedDirty = true
+    }
+  }
+
   /** alterable database config (db.h:15-17 defaults). */
   val config = TrieMap[String, String](MetaStore.configDefaults.toSeq: _*)
 
@@ -317,8 +334,13 @@ final class MetaStore {
       }
     }
     val droppedPath = new Path(base, "dropped.parquet")
-    if (fs.exists(droppedPath))
-      droppedDf = Some(spark.read.parquet(droppedPath.toString).localCheckpoint(true))
+    // the file's ABSENCE is state too: a writer process that lifted
+    // the last tombstone deleted it, and a merge-only reload would
+    // keep the stale frame hiding a re-created series
+    droppedDf =
+      if (fs.exists(droppedPath))
+        Some(spark.read.parquet(droppedPath.toString).localCheckpoint(true))
+      else None
   }
 
   def untagSeries(tag: String, names: org.apache.spark.sql.DataFrame): Long = synchronized {

@@ -554,6 +554,24 @@ final class ApiCore(spark: SparkSession, storeDir: String,
       req: JsonNode): Unit = {
     if (autoDuration) resolveAutoDuration(rows)
     import spark.implicits._
+    // a dropped name re-appearing on the write path is a NEW series —
+    // the reference allocates a fresh series id on re-insert
+    // (series.c), leaving the old points unreachable. Purge the
+    // tombstoned name's old points physically, then lift its
+    // tombstone: untombstoning alone would resurrect the old points,
+    // and tombstoning alone would keep the re-created series
+    // invisible forever. Costs nothing when no tombstones exist; one
+    // batch-bounded semi-join while they do.
+    meta.droppedDf.foreach { tomb =>
+      val incoming = rows.map(_.series).distinct.toDF("series")
+      val resurrected = tomb.join(incoming, Seq("series"), "left_semi")
+        .localCheckpoint(true)
+      if (!resurrected.isEmpty) {
+        Ingest.removeSeries(spark, storeDir, resurrected)
+        meta.removeDropped(resurrected)
+        meta.persistTo(spark, metaHome)
+      }
+    }
     Ingest.appendBatch(rows.toDF(), storeDir, shardDuration, durationLog)
     meta.receivedPoints.addAndGet(rows.size)
     // live tee: forward the accepted insert body to the configured

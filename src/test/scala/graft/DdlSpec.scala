@@ -119,6 +119,42 @@ class DdlSpec extends AnyFunSuite {
     assert(q(env, "count series").head.head === 0L)
   }
 
+  test("re-inserting a dropped name creates a FRESH series: old points stay gone — series.c") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-reinsert").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, sdir)
+    api.runInsert(mapper.readTree(
+      """{"phoenix": [[100, 1.0], [200, 2.0]], "bystander": [[100, 9.0]]}"""),
+      "iris")
+    assert(msg(api.env("iris"),
+      "drop series 'phoenix' set ignore_threshold true")
+      .startsWith("Successfully dropped 1"))
+    assert(q(api.env("iris"), "list series 'phoenix'").isEmpty)
+    // the same name on the write path again = a NEW series (the
+    // reference hands it a fresh series id, so the pre-drop points
+    // are unreachable): visible, with ONLY the new point
+    api.runInsert(mapper.readTree("""{"phoenix": [[300, 3.0]]}"""), "iris")
+    assert(q(api.env("iris"), "list series 'phoenix'").size === 1)
+    val pts = graft.streaming.Ingest.points(spark, sdir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pts === Set(("phoenix", 300L), ("bystander", 100L)),
+      s"old points must be purged, bystander untouched: $pts")
+    // the lifted tombstone survives persistence: a second server
+    // process over the same store sees the re-created series
+    val api2 = new graft.server.ApiCore(spark, sdir)
+    assert(q(api2.env("iris"), "list series 'phoenix'").size === 1)
+    // and a fresh series may change TYPE: drop the float series,
+    // re-insert the name as a string ("log") series — the purge
+    // removed the old catalog entry, so the new first point
+    // establishes the type, exactly like a fresh series id would
+    assert(msg(api.env("iris"),
+      "drop series 'phoenix' set ignore_threshold true")
+      .startsWith("Successfully dropped 1"))
+    api.runInsert(mapper.readTree("""{"phoenix": [[400, "warn"]]}"""), "iris")
+    val tp = q(api.env("iris"), "list series type 'phoenix'")
+    assert(tp === Seq(Seq("string")), tp)
+  }
+
   test("DDL invalidates the per-thread select memo — no stale names after a drop") {
     val env = EngineEnv(spark, dir)
     val stmt = graft.parser.QueryParser
