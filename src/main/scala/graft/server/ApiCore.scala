@@ -259,6 +259,38 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * pool's query path and resets only that pool's gate. */
   private[server] def resetExpireGate(): Unit = lastExpireMs.set(0L)
 
+  /** optimize.c's periodic maintenance, write-path-gated like
+    * retention: merge per-batch parquet fragments (unbounded fragment
+    * growth is the 100 TB file-health killer; the reference's
+    * optimize thread rewrites shards on the same cadence) and
+    * physically purge tombstoned series. A STANDALONE server then
+    * lifts its tombstones — the hidden data is physically gone, so
+    * selects stop paying the anti-join and inserts the semi-join. A
+    * pooled server must NOT lift: tombstoned names span pools, so
+    * only the cluster layer may lift them, after every pool purged
+    * (PoolCluster.maybeOptimize). First pass no earlier than one
+    * interval after construction, like the reference's timer. */
+  private val OptimizeIntervalMs = 60000L
+  private val lastOptimizeMs =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  private def maybeOptimize(): Unit = {
+    val nowMs = System.currentTimeMillis()
+    val last = lastOptimizeMs.get()
+    if (nowMs - last >= OptimizeIntervalMs &&
+        lastOptimizeMs.compareAndSet(last, nowMs)) optimizeNow()
+  }
+  private[graft] def optimizeNow(): Unit = {
+    if (sharedMeta.isEmpty) meta.droppedDf.foreach { tomb =>
+      Ingest.removeSeries(spark, storeDir, tomb)
+      meta.removeDropped(tomb)
+      meta.persistTo(spark, metaHome)
+    }
+    Ingest.compact(spark, storeDir, maxFiles = 8)
+    // the pass rewrote point/catalog files in place — every cached
+    // frame over the old file set must rebuild
+    meta.bumpGeneration(spark, metaHome)
+  }
+
   /** Run one query against an explicit env — the PoolCluster passes a
     * merged multi-pool env through here so the encoding, timeit and
     * DDL-persistence behavior stay identical to the standalone path. */
@@ -597,6 +629,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
             shardDuration, durationLog, group)
         }
     }
+    maybeOptimize()
     meta.bumpGeneration(spark, metaHome)
   }
 }

@@ -233,8 +233,37 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     shares.foreach { case (k, arr, rows) =>
       poolFor(k, r).commitInsert(rows, arr)
     }
+    maybeOptimize()
     mapper.createObjectNode()
       .put("success_msg", s"Successfully inserted $total point(s).")
+  }
+
+  /** Cluster half of the optimize pass: tombstoned names span pools
+    * (one `drop series /re/` matches everywhere), so a single pool
+    * lifting the shared tombstones would resurrect the other pools'
+    * still-unpurged points. Purge EVERY pool's store first, then lift
+    * once, cluster-wide. Per-pool fragment compaction stays with each
+    * pool's own gate (ApiCore.optimizeNow). Skipped while an
+    * expansion is in flight — its own shard rewrites must not
+    * interleave with a second full-store pass. */
+  private val OptimizeIntervalMs = 60000L
+  private val lastOptimizeMs =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  private def maybeOptimize(): Unit = {
+    val nowMs = System.currentTimeMillis()
+    val last = lastOptimizeMs.get()
+    if (nowMs - last >= OptimizeIntervalMs && reindex.isEmpty &&
+        meta.droppedDf.isDefined &&
+        lastOptimizeMs.compareAndSet(last, nowMs)) optimizeNow()
+  }
+  private[graft] def optimizeNow(): Unit = synchronized {
+    meta.droppedDf.foreach { tomb =>
+      pools.indices.foreach(k =>
+        graft.streaming.Ingest.removeSeries(spark, dirOf(k), tomb))
+      meta.removeDropped(tomb)
+      meta.persistTo(spark, dirOf(0))
+      meta.bumpGeneration(spark, dirOf(0))
+    }
   }
 
   /** Resolve a lookup pool index to its serving store — during an

@@ -155,6 +155,31 @@ class DdlSpec extends AnyFunSuite {
     assert(tp === Seq(Seq("string")), tp)
   }
 
+  test("optimize pass merges fragments, purges tombstoned points, lifts tombstones — optimize.c") {
+    val sdir = java.nio.file.Files.createTempDirectory("graft-optimize").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val api = new graft.server.ApiCore(spark, sdir)
+    // ten one-point batches = ten parquet fragments in one shard
+    (1 to 10).foreach(i => api.runInsert(
+      mapper.readTree(s"""{"frag": [[${i * 10}, $i.0]]}"""), "iris"))
+    api.runInsert(mapper.readTree("""{"victim": [[100, 1.0]]}"""), "iris")
+    assert(msg(api.env("iris"),
+      "drop series 'victim' set ignore_threshold true")
+      .startsWith("Successfully dropped 1"))
+    val shard = new java.io.File(s"$sdir/points/sgroup=num/shard=0")
+    def parts = shard.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts === 11)
+    api.optimizeNow()
+    // fragments merged, the tombstoned series physically gone, and the
+    // tombstone itself lifted — selects stop paying the anti-join
+    assert(parts === 1)
+    val pts = graft.streaming.Ingest.points(spark, sdir).collect()
+      .map(_.getString(0)).toSet
+    assert(pts === Set("frag"))
+    assert(api.meta.droppedDf.isEmpty)
+    assert(q(api.env("iris"), "count series").head.head === 1L)
+  }
+
   test("DDL invalidates the per-thread select memo — no stale names after a drop") {
     val env = EngineEnv(spark, dir)
     val stmt = graft.parser.QueryParser

@@ -407,6 +407,33 @@ class PoolSpec extends AnyFunSuite {
       s"pool 0 kept expired points: $p0pts")
   }
 
+  test("cluster optimize purges EVERY pool before lifting the shared tombstones") {
+    val cbase = Files.createTempDirectory("graft-clusteropt").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val l2 = Lookup(2)
+    // the regex matches names in BOTH pools (cpu.1, cpu.10..19)
+    val doomed = names.filter(_.matches("metric\\.cpu\\.1.*"))
+    assert(doomed.map(l2.poolOf).toSet === Set(0, 1),
+      "test premise: dropped names must span both pools")
+    cluster.runQuery(
+      "drop series /^metric\\.cpu\\.1.*/ set ignore_threshold true",
+      1L, "iris")
+    assert(cluster.meta.droppedDf.isDefined)
+    cluster.optimizeNow()
+    // tombstones lifted only after BOTH pools' stores were purged
+    assert(cluster.meta.droppedDf.isEmpty)
+    (0 to 1).foreach { k =>
+      val held = graft.streaming.Ingest.catalog(spark, s"$cbase/pool$k")
+        .select("series").collect().map(_.getString(0)).toSet
+      assert(held.intersect(doomed.toSet).isEmpty,
+        s"pool $k still holds purged series")
+    }
+    val n = cluster.runQuery("count series", 1L, "iris")
+      .get("rows").get(0).get(0).asLong()
+    assert(n === names.size - doomed.size)
+  }
+
   test("a SECOND cluster process over the same stores serves coherently — inserts, DDL, expansion adoption") {
     val cbase = Files.createTempDirectory("graft-twocluster").toString
     // two PoolCluster instances with separate metastores over the same
