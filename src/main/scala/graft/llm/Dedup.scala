@@ -257,6 +257,40 @@ object Dedup {
     * sign bit, which portable SQL cannot shift into without
     * overflow-behavior divergence. Size Hamming thresholds against a
     * 60-bit fingerprint. */
+  /** SimHash near-duplicate PAIRS — the banded Hamming search that
+    * turns the fingerprints into an actual dedup operator. The 60-bit
+    * signature splits into `bands` equal bit-bands; by pigeonhole two
+    * signatures within Hamming distance < bands agree exactly on at
+    * least one band, so a bucket-join on (band, bandBits) reaches
+    * every qualifying pair with NO all-pairs scan (the simhash analog
+    * of MinHash-LSH banding; Manku et al. 2007's block-permuted
+    * probing). Exact verify — bit_count(xor) <= maxDist — runs on
+    * candidates only, and integer Hamming distances make the whole
+    * operator bit-exact across engines. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(60 % bands == 0 && maxDist < bands,
+      "pigeonhole recall needs maxDist < bands and bands | 60")
+    val width = 60 / bands
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"), explode(expr(
+      s"""transform(sequence(0, ${bands - 1}), b -> struct(b AS band,
+         | (simhash div shiftleft(1L, b * $width)) % shiftleft(1L, $width) AS key))"""
+        .stripMargin)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"),
+        col("x.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct() // a close pair can share several bands
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       // low 60 bits of md5 as a LONG (15 hex digits — portable)

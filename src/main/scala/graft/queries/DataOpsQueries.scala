@@ -205,6 +205,48 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.simhash(docs(s, d)))
     },
 
+    // banded Hamming search over the simhash fingerprints: Spark
+    // buckets by 15-bit bands (pigeonhole recall for hamming <= 3),
+    // the oracle checks the equivalent exact all-pairs form
+    Entry("dedup_simhash_pairs",
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(15), k ->
+        |        CAST(strpos('0123456789abcdef', substring(md5(tok), k+1, 1)) - 1 AS BIGINT)
+        |          << (4*(14-k)))) AS BIGINT) AS hv
+        |      FROM t),
+        |b AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+        |      FROM h, range(60) r(j) GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(CASE WHEN tot > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.simhashPairs(docs(s, d), maxDist = 3, bands = 4))
+    },
+    // SemDeDup (Abbas et al. 2023): connected components over the
+    // embedding-cosine near-dup graph — one keeper per semantic
+    // duplicate cluster; same label-propagation engine as
+    // dedup_clusters, same recursive-CTE walk as its oracle
+    Entry("dedup_semantic_clusters",
+      """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS sim
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pp AS (SELECT id_a, id_b FROM p WHERE sim >= 0.45),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+        |      UNION SELECT id_b, id_a FROM pp),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, w.lbl FROM e JOIN walk w ON w.id = e.dst)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id, (id = min(lbl)) AS keep
+        |FROM walk GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.dupClusters(
+        Ann.cosinePairs(emb(s, d), theta = 0.45)))
+    },
+
     // ---- similarity search over embeddings ----
     Entry("ann_cosine_topk",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -131,4 +131,23 @@ class DedupSpec extends AnyFunSuite {
     assert(near < far, s"near=$near far=$far")
     assert(near <= 15)
   }
+
+  test("simhash banded pairs == exact Hamming scan — pigeonhole recall") {
+    // sliding 21-token windows over a 23-word vocab: adjacent docs
+    // share 20/21 tokens, so their simhashes sit within a few bits
+    val docs = (0L until 40L)
+      .map(i => (i, (0 to 20).map(j => s"w${(i + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val banded = Dedup.simhashPairs(docs, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = Dedup.simhash(docs)
+    val exact = sig.as("a")
+      .join(sig.as("b"), org.apache.spark.sql.functions.expr("a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id AS id_a", "b.doc_id AS id_b",
+        "CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS h")
+      .where("h <= 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "test premise: sliding windows must give close sims")
+    assert(banded === exact)
+  }
 }
