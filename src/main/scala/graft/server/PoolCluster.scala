@@ -253,7 +253,8 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     val nowMs = System.currentTimeMillis()
     val last = lastOptimizeMs.get()
     if (nowMs - last >= OptimizeIntervalMs && reindex.isEmpty &&
-        meta.droppedDf.isDefined &&
+        (meta.droppedDf.isDefined ||
+          meta.config.contains("reindex_mask")) &&
         lastOptimizeMs.compareAndSet(last, nowMs)) optimizeNow()
   }
   private[graft] def optimizeNow(): Unit = synchronized {
@@ -264,6 +265,10 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       meta.persistTo(spark, dirOf(0))
       meta.bumpGeneration(spark, dirOf(0))
     }
+    // a mask persisted while no expansion is in flight HERE can only
+    // be a crashed writer's (single-mutator regime — this process is
+    // the mutator when the optimize gate fires): finish its sweep
+    recoverExpansion()
   }
 
   /** Resolve a lookup pool index to its serving store — during an
@@ -487,33 +492,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     meta.bumpGeneration(spark, dirOf(0))
     afterSwitch()
     // 4. straggler sweep + physical removal, per source, under lock
-    sources.foreach { case (_, k) =>
-      val srcDir = dirOf(k)
-      Ingest.withStoreLock(srcDir) {
-        // re-derive from the CURRENT catalog: an old-routed racing
-        // insert may even have created a brand-new moved series
-        val moved = movedOf(srcDir, newIdx, lookupDf)
-        if (!moved.isEmpty) {
-          val movedNames = moved.select(col("series"))
-          val copied = Ingest.points(spark, dirOf(newIdx))
-            .join(movedNames, Seq("series"))
-            .select(col("series"), col("ts"), col("pid"))
-          // materialized before the append: the diff plan reads the
-          // target dir the append is about to write into
-          val fresh = Ingest.points(spark, srcDir)
-            .join(moved, Seq("series"))
-            .join(copied, Seq("series", "ts", "pid"), "left_anti")
-            .select(col("series"), col("ts"), col("val").as("val_num"),
-              col("type").as("tp"), col("pid"), col("val_int"),
-              col("val_str"))
-            .localCheckpoint(eager = true)
-          if (fresh.count() > 0)
-            Ingest.appendBatch(fresh, dirOf(newIdx),
-              target.shardDuration, target.durationLog)
-          Ingest.removeSeries(spark, srcDir, movedNames)
-        }
-      }
-    }
+    sources.foreach { case (_, k) => sweepSource(k, newIdx, lookupDf, target) }
     // 5. unmask — every pool physically holds exactly its share
     reindex = None
     queryView = (pools, None)
@@ -521,5 +500,64 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     meta.persistTo(spark, dirOf(0))
     meta.bumpGeneration(spark, dirOf(0))
     newIdx
+  }
+
+  /** Phase-4 body, per source pool: copy any moved-series rows the
+    * target is still missing (anti-join on (series, ts, pid) — so
+    * re-running after a partial pass copies nothing twice), then
+    * remove the moved series from the source. Idempotence is what
+    * makes crashed-expansion recovery a plain re-run. */
+  private def sweepSource(k: Int, newIdx: Int,
+      lookupDf: org.apache.spark.sql.DataFrame, target: ApiCore): Unit = {
+    val srcDir = dirOf(k)
+    Ingest.withStoreLock(srcDir) {
+      // re-derive from the CURRENT catalog: an old-routed racing
+      // insert may even have created a brand-new moved series
+      val moved = movedOf(srcDir, newIdx, lookupDf)
+      if (!moved.isEmpty) {
+        val movedNames = moved.select(col("series"))
+        val copied = Ingest.points(spark, dirOf(newIdx))
+          .join(movedNames, Seq("series"))
+          .select(col("series"), col("ts"), col("pid"))
+        // materialized before the append: the diff plan reads the
+        // target dir the append is about to write into
+        val fresh = Ingest.points(spark, srcDir)
+          .join(moved, Seq("series"))
+          .join(copied, Seq("series", "ts", "pid"), "left_anti")
+          .select(col("series"), col("ts"), col("val").as("val_num"),
+            col("type").as("tp"), col("pid"), col("val_int"),
+            col("val_str"))
+          .localCheckpoint(eager = true)
+        if (fresh.count() > 0)
+          Ingest.appendBatch(fresh, dirOf(newIdx),
+            target.shardDuration, target.durationLog)
+        Ingest.removeSeries(spark, srcDir, movedNames)
+      }
+    }
+  }
+
+  /** Complete a CRASHED expansion — the writer died between SWITCH
+    * and UNMASK, leaving `reindex_mask` persisted. The mask keeps
+    * every reader (this process included, via sync()) exact
+    * indefinitely, but moved rows stay duplicated in their sources
+    * and placement never converges; the reference's re-index likewise
+    * resumes after a restart (reindex.c persists progress in the
+    * .reindex file). Phases 4-5 are idempotent, so recovery is a
+    * plain re-run over the adopted pool set. Same single-writer
+    * regime as every cluster mutation: call only when no other
+    * process is mid-expansion. */
+  private[graft] def recoverExpansion(): Unit = synchronized {
+    sync()
+    if (reindex.isEmpty && meta.config.contains("reindex_mask")) {
+      val newIdx = meta.config("reindex_mask").toInt
+      import spark.implicits._
+      val lookupDf = lookup.toRows.toDF("slot", "pool")
+      pools.indices.filter(_ != newIdx)
+        .foreach(k => sweepSource(k, newIdx, lookupDf, pools(newIdx)))
+      queryView = (pools, None)
+      meta.config.remove("reindex_mask")
+      meta.persistTo(spark, dirOf(0))
+      meta.bumpGeneration(spark, dirOf(0))
+    }
   }
 }

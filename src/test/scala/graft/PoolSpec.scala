@@ -407,6 +407,39 @@ class PoolSpec extends AnyFunSuite {
       s"pool 0 kept expired points: $p0pts")
   }
 
+  test("a crashed expansion (mask persisted, sweep unfinished) recovers by re-run") {
+    val cbase = Files.createTempDirectory("graft-crashrec").toString
+    val a = new PoolCluster(spark, cbase, initialPools = 2)
+    a.runInsert(mapper.readTree(insertBody(names)), "iris")
+    def count(c: PoolCluster) = c.runQuery("count series", 1L, "iris")
+      .get("rows").get(0).get(0).asLong()
+    // the writer "crashes" right after SWITCH: pool count + mask are
+    // persisted, the straggler sweep and unmask never ran
+    intercept[RuntimeException] {
+      a.expandPhased(afterSwitch =
+        () => throw new RuntimeException("crash after switch"))
+    }
+    // a restarted process adopts the mid-flight state (grown pools +
+    // mask) from disk and serves exactly — indefinitely
+    val b = new PoolCluster(spark, cbase, initialPools = 2)
+    assert(b.nPools === 3)
+    assert(count(b) === names.size.toLong)
+    // recovery re-runs the idempotent phases 4-5 (the background
+    // optimize gate reaches the same path on the next gated write)
+    b.optimizeNow()
+    assert(!b.meta.config.contains("reindex_mask"))
+    assert(count(b) === names.size.toLong)
+    // placement converged: every pool physically holds exactly its
+    // grown-lookup share
+    val l3 = Lookup(3)
+    (0 to 2).foreach { k =>
+      val held = graft.streaming.Ingest.catalog(spark, s"$cbase/pool$k")
+        .select("series").collect().map(_.getString(0)).toSet
+      assert(held.forall(l3.poolOf(_) == k),
+        s"pool $k holds foreign series after recovery")
+    }
+  }
+
   test("cluster optimize purges EVERY pool before lifting the shared tombstones") {
     val cbase = Files.createTempDirectory("graft-clusteropt").toString
     val cluster = new PoolCluster(spark, cbase, initialPools = 2)
