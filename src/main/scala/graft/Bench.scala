@@ -16,7 +16,8 @@ object Bench {
     "sel_regex_points", "tr_after_head", "agg_sum_1h", "agg_mean_6h",
     "agg_median_low_1h", "chain_sum1h_diff", "chain_mean6h_deriv",
     "pw_difference", "limit_fn_mean", "merge_sum_1d", "list_series",
-    "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_semantic_clusters", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "text_token_stats",
     "text_lang_id", "text_lm_perplexity", "mm_decode_stub",
     // full query-string path (parse → plan → catalog consult →
@@ -46,6 +47,11 @@ object Bench {
     // entry measures the merged-union plan only
     graft.queries.ClusterFixture.mergedEnv(spark, sfDir)
     val qs = SparkEntry.queries
+    // optional comma-separated subset (targeted scale spot-checks on
+    // big generated inputs, where running the full headline set would
+    // mostly measure fixture ingest)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // repetitions per query: the box's run-to-run noise (~±0.5 s) is
     // on the order of several queries' full runtime, so a single
     // sample can't distinguish a regression from scheduler jitter —
@@ -75,7 +81,8 @@ object Bench {
           None
       } finally graft.parser.Planner.drainQueryCaches()
     }
-    val results = headline.filter(qs.contains).flatMap { name =>
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).flatMap { name =>
       val times = Iterator.continually(once(name)).take(reps)
         .takeWhile(_.isDefined).flatten.toVector.sorted
       if (times.isEmpty) None

@@ -174,30 +174,40 @@ object TextStats {
     * an exact integer sum — order-independent by construction, and the
     * one double op per pair is bit-deterministic on both sides.
     *
-    * Scale shape: two hash-agg count tables (unigram, bigram), a join
-    * of the exploded pair stream against them (broadcast when the
-    * vocab is small, shuffle-on-token otherwise), one integer-sum agg
-    * per document. No windows, no driver state, linear in corpus
-    * size. */
+    * Scale shape: ONE pass over the exploded pair stream — it is
+    * aggregated per (doc, w1, w2) first (map-side combine shrinks the
+    * shuffle to distinct pairs), and the corpus bigram table derives
+    * from that small frame. Both consumers sit above the SAME
+    * aggregate subtree, so Spark's ReuseExchange serves the second
+    * from the first's shuffle files — the tokenize+explode physically
+    * runs once (the previous shape exploded the corpus twice: its two
+    * consumers shuffled the raw pair stream differently, defeating
+    * reuse). Then two joins over distinct-pair-sized frames and one
+    * integer-sum agg per document. No windows, no driver state,
+    * linear in corpus size. */
   def lmPerplexity(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), expr(tok).as("w"))
     val uni = t.select(explode(col("w")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = t.where(size(col("w")) >= 2)
+    val pairs = t.where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> " +
           "struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
         .as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    bi.join(c2, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("k"))
+    val c2 = pairs.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
+    // k occurrences of a pair contribute k copies of the same
+    // quantized logp, so sum(k * q) is bit-identical to the
+    // occurrence-stream sum — still an exact integer
+    pairs.join(c2, Seq("w1", "w2")).join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), col("k"), expr(
         "CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT)")
         .as("q"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pairs"), sum(col("q")).as("sq"))
+      .agg(sum(col("k")).as("n_pairs"), sum(expr("k * q")).as("sq"))
       .select(col("doc_id"), col("n_pairs"),
         expr("round(-sq / (n_pairs * 1e6), 6)").as("avg_nll"))
   }

@@ -1100,10 +1100,33 @@ object Planner {
     * case formats the same count. Caller (run / ApiCore
     * dropShardsCount) is responsible for access checks.
     */
+  /** (matching, total) shard counts for a `drop shards` cexpr without
+    * deleting anything — the cluster's drop-threshold guard sums these
+    * ACROSS pools before any pool deletes (a per-pool fraction would
+    * trip or miss the guard depending on how shards distribute). */
+  private[graft] def matchShardsCount(where: Option[Cexpr],
+      env: EngineEnv): (Long, Long) = {
+    val (matching, all) = shardsMatching(where, env)
+    (matching.size.toLong, all.size.toLong)
+  }
+
   private[graft] def dropShardsBody(where: Option[Cexpr],
       ignoreThreshold: Boolean, env: EngineEnv): Long = {
       if (env.frames.isEmpty)
         throw QueryError("drop shards requires a writable store (see graft.streaming.Ingest)")
+      val fs = new org.apache.hadoop.fs.Path(
+        graft.streaming.Ingest.pointsPath(env.dir))
+        .getFileSystem(env.spark.sessionState.newHadoopConf())
+      val (matching, all) = shardsMatching(where, env)
+      runDropShards(matching, all, ignoreThreshold, fs, env)
+  }
+
+  /** The shard set a `drop shards [where]` cexpr selects, plus the
+    * full shard list, WITHOUT deleting — shared by the standalone
+    * body below and the cluster's summed threshold check. */
+  private def shardsMatching(where: Option[Cexpr], env: EngineEnv)
+      : (Seq[(String, Long, org.apache.hadoop.fs.Path)],
+         Seq[(String, Long, org.apache.hadoop.fs.Path)]) = {
       val fs = new org.apache.hadoop.fs.Path(
         graft.streaming.Ingest.pointsPath(env.dir))
         .getFileSystem(env.spark.sessionState.newHadoopConf())
@@ -1160,6 +1183,14 @@ object Planner {
               if (g == "log") env.durationLog else env.shardDuration, p)
           }
       }
+      (matching, all)
+  }
+
+  private def runDropShards(
+      matching: Seq[(String, Long, org.apache.hadoop.fs.Path)],
+      all: Seq[(String, Long, org.apache.hadoop.fs.Path)],
+      ignoreThreshold: Boolean, fs: org.apache.hadoop.fs.FileSystem,
+      env: EngineEnv): Long = {
       // the same drop_threshold guard as series, on the shard fraction
       // (exit_drop_shards, listener.c:3107-3125)
       val shardFrac =

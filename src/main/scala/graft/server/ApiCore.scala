@@ -480,6 +480,13 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     * the query path, but the dropped count returns TYPED — the cluster
     * re-sums per-pool counts and renders the reference message once,
     * instead of regex-scraping its own success strings. */
+  /** (matching, total) shard counts for `stmt`'s cexpr, counting only —
+    * the cluster's drop-threshold guard sums these across every pool
+    * (including an unpublished expansion target) before any deletes. */
+  private[server] def shardsMatchCount(stmt: graft.parser.DropShards,
+      user: String): (Long, Long) =
+    Planner.matchShardsCount(stmt.where, env(user))
+
   private[server] def dropShardsCount(stmt: graft.parser.DropShards,
       user: String): Long =
     try {

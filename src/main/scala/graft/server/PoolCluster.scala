@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.meta.Lookup
-import graft.parser.{EngineEnv, Frames, QueryError, QueryParser}
+import graft.parser.{AccessError, EngineEnv, Frames, QueryError, QueryParser}
 import graft.streaming.Ingest
 
 /** Pool-distributed database: N pools, each its own Ingest store,
@@ -106,6 +106,16 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
   private final case class Reindex(lookup: Lookup, target: ApiCore,
       targetIdx: Int)
   @volatile private var reindex: Option[Reindex] = None
+
+  /** Names whose tombstone was lifted by a TARGET-routed re-insert
+    * during the in-flight expansion (resurrect semantics,
+    * ApiCore.commitInsert purges only the store it commits to): their
+    * old points still sit in a SOURCE store, and the bulk copy /
+    * straggler sweep must not migrate them — see [[migratable]].
+    * Guarded by its own lock so recording never blocks on the
+    * expansion monitor; cleared at UNMASK. */
+  @volatile private var resurrectedInReindex: Set[String] = Set.empty
+  private val resurrectLock = new Object
 
   /** What queries read, swapped ATOMICALLY (one volatile write): the
     * pool list to merge, plus — during an expansion's hand-over — the
@@ -230,6 +240,26 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     val shares = byPool.toSeq.sortBy(_._1).map { case (k, arr) =>
       (k, arr, poolFor(k, r).validateInsert(arr, user))
     }
+    // resurrect-during-expansion: a tombstoned name routed to the
+    // TARGET is purged+lifted there by commitInsert, but its old
+    // points live in a SOURCE store — record the name BEFORE the
+    // commit lifts the tombstone, so the copy/sweep leaves those old
+    // points behind (the re-created series starts fresh, commit
+    // 316bbc2's invariant)
+    for (rx <- r; tomb <- meta.droppedDf) {
+      val targetNames = shares.collect {
+        case (k, _, rows) if k == rx.targetIdx => rows.map(_.series)
+      }.flatten.distinct
+      if (targetNames.nonEmpty) {
+        import spark.implicits._
+        val lifted = tomb.select(col("series"))
+          .join(targetNames.toDF("series"), Seq("series"), "left_semi")
+          .collect().map(_.getString(0))
+        if (lifted.nonEmpty) resurrectLock.synchronized {
+          resurrectedInReindex ++= lifted
+        }
+      }
+    }
     shares.foreach { case (k, arr, rows) =>
       poolFor(k, r).commitInsert(rows, arr)
     }
@@ -307,7 +337,31 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
         // exactly once here — nothing parses its own success strings;
         // the DDL answer rides the {columns, rows} table encoding
         val t0 = System.nanoTime()
-        val total = pools.map(_.dropShardsCount(ds, user)).sum
+        // snapshot reindex like runInsert: during phases 1–2 the
+        // expansion target is unpublished, but reindex-routed racing
+        // inserts may already have created shards there — a
+        // cluster-wide drop must see them or they silently survive
+        val rx = reindex
+        val targets = pools ++
+          rx.filterNot(r => pools.contains(r.target)).map(_.target)
+        // the drop threshold guards the CLUSTER fraction — summed
+        // matching over summed totals, checked ONCE before any pool
+        // deletes (a per-pool fraction would trip or miss the guard
+        // depending on how the matching shards distribute)
+        meta.checkAccess(user, graft.meta.Access.Drop)
+          .foreach(m => throw AccessError(m))
+        if (!ds.ignoreThreshold) {
+          val counts = targets.map(_.shardsMatchCount(ds, user))
+          val m = counts.map(_._1).sum
+          val t = counts.map(_._2).sum
+          val frac = if (t == 0) 0.0 else m.toDouble / t
+          if (m > 0 && frac >= meta.dropThreshold)
+            throw QueryError(String.format(java.util.Locale.ROOT,
+              "This query would drop %.2f%% of the shards in pool 0. Add 'set ignore_threshold true' to the query statement if you really want to do this.",
+              Double.box(frac * 100)))
+        }
+        val total = targets.map(_.dropShardsCount(
+          ds.copy(ignoreThreshold = true), user)).sum
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val out = mapper.createObjectNode()
         out.putArray("columns").add("success_msg")
@@ -390,7 +444,9 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     * path re-aggregates per (series, bucket) anyway. A fresh expansion
     * target has no rollup yet, so the merged view self-disables for
     * the expansion's duration — exactly when source rollups still
-    * carry moved rows. */
+    * carry moved rows; [[expand]] phase 4b backfills the target
+    * (after the sweeps prune the sources) so the view re-enables
+    * before UNMASK. */
   private def mergedRollup(viewPools: Vector[ApiCore])
       : Option[(Long, DataFrame)] = {
     val views = viewPools.map(_.rollupView())
@@ -412,6 +468,29 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       .join(broadcast(lookupDf), Seq("slot"))
       .where(col("pool") === newIdx)
       .select(col("series"), col("type"))
+
+  /** Restrict a moved-series frame to the names whose old points may
+    * migrate to the target. Two classes must stay behind:
+    * currently-TOMBSTONED names (their points are hidden garbage the
+    * optimize pass would purge — the sweep's removal drops them from
+    * the source early instead, and copying them would plant garbage in
+    * the target for the eventual cluster-wide lift to resurrect) and
+    * names RESURRECTED during this expansion (tombstone already
+    * lifted after purging only the target — migrating the source's
+    * old points would resurrect them next to the fresh series).
+    * Residual window, documented not handled: a crash after a
+    * mid-expansion resurrect persists the lift but not this process's
+    * [[resurrectedInReindex]], so a recovering process's sweep could
+    * still migrate the old points. */
+  private def migratable(moved: DataFrame): DataFrame = {
+    import spark.implicits._
+    val res = resurrectedInReindex
+    val excluded = meta.droppedDf.map(_.select(col("series"))).toSeq ++
+      (if (res.isEmpty) Seq.empty
+       else Seq(res.toSeq.toDF("series")))
+    excluded.reduceOption(_ unionByName _)
+      .fold(moved)(ex => moved.join(ex, Seq("series"), "left_anti"))
+  }
 
   /** Pool expansion + re-index (reindex.c; itest/test_pool.py): grow
     * the lookup table by one pool, then migrate exactly the series
@@ -467,7 +546,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     val sources = pools.zipWithIndex
     sources.foreach { case (_, k) =>
       val srcDir = dirOf(k)
-      val moved = movedOf(srcDir, newIdx, lookupDf)
+      val moved = migratable(movedOf(srcDir, newIdx, lookupDf))
       if (!moved.isEmpty) {
         val pts = Ingest.points(spark, srcDir)
           .join(moved, Seq("series"))
@@ -493,13 +572,32 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     afterSwitch()
     // 4. straggler sweep + physical removal, per source, under lock
     sources.foreach { case (_, k) => sweepSource(k, newIdx, lookupDf, target) }
+    // 4b. the target inherits the sources' standing rollups — after
+    // the sweeps (source rollups are pruned of moved rows by then, so
+    // the merged view re-enables exact) and before UNMASK (the
+    // coarse-dashboard path must not lose its rollup serve across an
+    // expansion; mergedRollup requires every pool to carry one)
+    backfillTargetRollups(newIdx)
     // 5. unmask — every pool physically holds exactly its share
     reindex = None
     queryView = (pools, None)
+    resurrectedInReindex = Set.empty
     meta.config.remove("reindex_mask")
     meta.persistTo(spark, dirOf(0))
     meta.bumpGeneration(spark, dirOf(0))
     newIdx
+  }
+
+  /** Backfill the expansion target's rollup dirs at every width any
+    * source pool maintains (Ingest.rollupBackfill is a no-op for
+    * widths the target already has — re-runs after a crash recovery
+    * are safe). Cost: one aggregation pass over the target's ~1/(n+1)
+    * slice per width. */
+  private def backfillTargetRollups(newIdx: Int): Unit = {
+    val widths = pools.indices.filter(_ != newIdx)
+      .flatMap(k => Ingest.rollupDirs(spark, dirOf(k)).map(_._1)).distinct
+    if (widths.nonEmpty)
+      Ingest.rollupBackfill(spark, dirOf(newIdx), widths)
   }
 
   /** Phase-4 body, per source pool: copy any moved-series rows the
@@ -516,13 +614,17 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       val moved = movedOf(srcDir, newIdx, lookupDf)
       if (!moved.isEmpty) {
         val movedNames = moved.select(col("series"))
+        // only migratable names COPY over; the removal below still
+        // takes the full moved set, so tombstoned/resurrected names'
+        // old points leave the source without ever reaching the target
+        val copyable = migratable(moved)
         val copied = Ingest.points(spark, dirOf(newIdx))
           .join(movedNames, Seq("series"))
           .select(col("series"), col("ts"), col("pid"))
         // materialized before the append: the diff plan reads the
         // target dir the append is about to write into
         val fresh = Ingest.points(spark, srcDir)
-          .join(moved, Seq("series"))
+          .join(copyable, Seq("series"))
           .join(copied, Seq("series", "ts", "pid"), "left_anti")
           .select(col("series"), col("ts"), col("val").as("val_num"),
             col("type").as("tp"), col("pid"), col("val_int"),
@@ -554,7 +656,9 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       val lookupDf = lookup.toRows.toDF("slot", "pool")
       pools.indices.filter(_ != newIdx)
         .foreach(k => sweepSource(k, newIdx, lookupDf, pools(newIdx)))
+      backfillTargetRollups(newIdx)
       queryView = (pools, None)
+      resurrectedInReindex = Set.empty
       meta.config.remove("reindex_mask")
       meta.persistTo(spark, dirOf(0))
       meta.bumpGeneration(spark, dirOf(0))

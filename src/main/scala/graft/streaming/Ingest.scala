@@ -121,11 +121,77 @@ object Ingest {
   private val storeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Run `f` under the store's mutation monitor — every writer of the
-    * point/catalog files (appendBatch, compact, expire, the planner's
-    * drop shards) must serialize through here. */
+  /** Re-entrancy depth per store — only read/written while holding the
+    * store monitor, so plain puts are race-free. Depth > 0 means this
+    * process already owns the OS lock (nested withStoreLock calls and
+    * the two-ApiCore-one-JVM deployment both land here). */
+  private val storeLockDepth =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  /** Run `f` under the store's mutation lock — every writer of the
+    * point/catalog files (appendBatch, compact, expire, removeSeries,
+    * the planner's drop shards, the expansion sweep) must serialize
+    * through here. Two layers:
+    *   1. a JVM monitor serializes threads of this process, and
+    *   2. an OS file lock on `<store>/.lock` (held for the mutation's
+    *      duration) enforces the single-mutator regime ACROSS
+    *      processes — the shared-storage deployment is one mutating
+    *      process + N coherent readers (PoolCluster docs), and a
+    *      second process attempting a mutation is refused loudly
+    *      instead of silently interleaving read-rewrite-replace shard
+    *      passes (the failure class the monitor alone cannot stop;
+    *      readers never take this lock and are unaffected).
+    * Non-local stores (hdfs://, s3://) have no POSIX locks; there the
+    * single-mutator regime stays a deployment contract (the reference
+    * likewise trusts its own process model, siri.c single event loop). */
   def withStoreLock[A](storeDir: String)(f: => A): A =
-    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized(f)
+    storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
+      val depth: Int = storeLockDepth.getOrDefault(storeDir, 0)
+      val osLock = if (depth == 0) acquireOsLock(storeDir) else None
+      storeLockDepth.put(storeDir, depth + 1)
+      try f
+      finally {
+        if (depth == 0) storeLockDepth.remove(storeDir)
+        else storeLockDepth.put(storeDir, depth)
+        osLock.foreach { case (ch, l) =>
+          try l.release() finally ch.close()
+        }
+      }
+    }
+
+  /** Try the OS lock; None when the store is not on a local filesystem.
+    * A held lock (another process mid-mutation, or a foreign channel in
+    * this JVM — the in-JVM analog tryLock signals via
+    * OverlappingFileLockException) is a loud refusal, not a wait: the
+    * deployment regime is ONE mutating process, so contention here is a
+    * misconfiguration to surface, not a queue to join. */
+  private def acquireOsLock(storeDir: String)
+      : Option[(java.nio.channels.FileChannel, java.nio.channels.FileLock)] = {
+    val local =
+      if (storeDir.startsWith("file:")) Some(storeDir.stripPrefix("file:"))
+      else if (!storeDir.contains("://")) Some(storeDir)
+      else None
+    local.map { dir =>
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      val ch = java.nio.channels.FileChannel.open(p.resolve(".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock =
+        try ch.tryLock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      if (lock == null) {
+        ch.close()
+        throw graft.parser.QueryError(
+          s"Store '$dir' is being mutated by another process " +
+            "(.lock is held); this database serves one mutating process " +
+            "per store")
+      }
+      (ch, lock)
+    }
+  }
 
   def appendBatch(batch: DataFrame, storeDir: String, shardDuration: Long,
       durationLog: Long = 86400L): Unit =
@@ -421,8 +487,14 @@ object Ingest {
     if (old.nonEmpty) {
       rebuildCatalog(spark, storeDir)
       // a standing rollup keeps serving what the raw store just
-      // dropped unless it is pruned to the same cutoff
-      rollupExpire(spark, storeDir, cutoffShard * duration)
+      // dropped unless it is pruned to the same cutoff. Only the num
+      // group prunes: rollups are only ever SERVED for numeric series
+      // (Planner eligibility requires selTypes ⊆ {float,integer}), and
+      // numeric raw points live in num shards — a log-group expiry
+      // removes only string shards, so pruning here would drop rollup
+      // history for numeric series whose raw shards survive.
+      if (group != "log")
+        rollupExpire(spark, storeDir, cutoffShard * duration)
     }
     old.length
   }
@@ -467,7 +539,13 @@ object Ingest {
       moved: DataFrame): Unit = withStoreLock(storeDir) {
     val fs = new Path(pointsPath(storeDir))
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val movedKeys = moved.select(col("series"))
+    // materialize the name list BEFORE mutating: `moved` is typically
+    // a plan over THIS store's catalog (movedOf), whose parquet file
+    // listing froze at DataFrame creation — re-executing it after
+    // rebuildCatalog below replaces those files would FILE_NOT_EXIST
+    // (bit the rollup-prune pass when a swept source carried a
+    // rollup). O(#moved series) rows, catalog-sized.
+    val movedKeys = moved.select(col("series")).localCheckpoint(true)
     shardDirs(spark, storeDir).foreach { case (_, _, p) =>
       val raw = spark.read.parquet(p.toString)
       val touched = !raw.join(movedKeys, Seq("series"), "left_semi").isEmpty
@@ -559,6 +637,28 @@ object Ingest {
       Rollup.fromPoints(pts.select(col("series"), col("ts"), col("val")), r)
         .write.mode("append").parquet(p.toString)
     }
+
+  /** Create store-owned rollup dirs at the given widths from the
+    * store's current points — the expansion backfill: a fresh target
+    * pool must inherit the sources' standing rollups or the merged
+    * cluster rollup view (PoolCluster.mergedRollup) stays disabled
+    * forever after an expand. Under the store lock so no insert can
+    * land between the points snapshot and the dir creation
+    * (appendBatch maintains only dirs that already exist). Existing
+    * widths are left untouched. */
+  def rollupBackfill(spark: SparkSession, storeDir: String,
+      widths: Seq[Long]): Unit = withStoreLock(storeDir) {
+    val existing = rollupDirs(spark, storeDir).map(_._1).toSet
+    val missing = widths.distinct.filterNot(existing)
+    if (missing.nonEmpty) {
+      val pts = points(spark, storeDir)
+        .select(col("series"), col("ts"), col("val"))
+      missing.foreach { r =>
+        Rollup.fromPoints(pts, r)
+          .write.mode("overwrite").parquet(s"${rollupPath(storeDir)}/$r")
+      }
+    }
+  }
 
   /** Retention pruning (caller holds the store lock): after raw shards
     * wholly before `cutoffTs` were deleted, drop every rollup bucket

@@ -497,6 +497,63 @@ class IngestSpec extends AnyFunSuite {
     assertRollupAgreesWithRaw(api, "select sum(1m) from 'cpu'")
   }
 
+  test("a second mutating process is refused while the store lock is held") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-oslock").toString
+    Ingest.appendBatch(Seq(PointIn("cpu", 100L, 1.0, "float", 1)).toDF(),
+      dir, shardDuration = 100L)
+    // simulate another process mid-mutation: a foreign channel holds
+    // <store>/.lock (cross-process, tryLock returns null; in-JVM the
+    // overlap surfaces as OverlappingFileLockException — same refusal)
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, ".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      val e = intercept[graft.parser.QueryError] {
+        Ingest.appendBatch(Seq(PointIn("cpu", 200L, 2.0, "float", 2)).toDF(),
+          dir, shardDuration = 100L)
+      }
+      assert(e.getMessage.contains("another process"))
+      // the refused mutation wrote nothing
+      assert(Ingest.points(spark, dir).count() === 1)
+    } finally { held.release(); ch.close() }
+    // lock released → the same mutation now succeeds
+    Ingest.appendBatch(Seq(PointIn("cpu", 200L, 2.0, "float", 2)).toDF(),
+      dir, shardDuration = 100L)
+    assert(Ingest.points(spark, dir).count() === 2)
+  }
+
+  test("log-group expiry leaves the numeric rollup intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rollup-logttl").toString
+    // numeric history 0..990 in num shards, string history in log shards
+    Ingest.appendBatch((0 until 100).map(i =>
+      PointIn("cpu", i.toLong * 10, i * 0.5, "float", i.toLong)).toDF(),
+      dir, shardDuration = 100L, durationLog = 100L)
+    Ingest.appendBatch((0 until 10).map(i =>
+      PointIn("syslog", i.toLong * 100, 0, "string", 1000L + i,
+        val_str = s"m$i")).toDF(),
+      dir, shardDuration = 100L, durationLog = 100L)
+    graft.streaming.Rollup.fromPoints(
+      Ingest.points(spark, dir).select(col("series"), col("ts"), col("val")),
+      20L).write.parquet(s"$dir/rollup/20")
+    // expire LOG shards wholly before ts=500: only string shards go —
+    // cpu's raw shards survive, so its rollup history below 500 must too
+    val dropped = Ingest.expire(spark, dir, expiration = 500L, now = 1000L,
+      shardDuration = 100L, durationLog = 100L, group = "log")
+    assert(dropped === 5)
+    val cpuBuckets = spark.read.parquet(s"$dir/rollup/20")
+      .where(col("series") === "cpu")
+      .collect().map(_.getLong(1))
+    assert(cpuBuckets.exists(_ < 500L),
+      "log-group expiry pruned numeric rollup history whose raw shards survive")
+    val api = new graft.server.ApiCore(spark, dir)
+    assertRollupAgreesWithRaw(api, "select count(1m) from 'cpu'")
+    assertRollupAgreesWithRaw(api, "select sum(1m) from 'cpu'")
+  }
+
   test("batch inserts keep the standing rollup exact — fresh and backfilled points serve") {
     val dir = Files.createTempDirectory("graft-rollup-ins").toString
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -518,4 +518,207 @@ class PoolSpec extends AnyFunSuite {
       .count() === 1L)
     assert(one(a, "count series") === s"[${names.size + 1}]")
   }
+
+  test("a stale-routed remote insert mid-expansion is swept to the target — never lost") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cbase = Files.createTempDirectory("graft-staleins").toString
+    val a = new PoolCluster(spark, cbase, initialPools = 2)
+    val b = new PoolCluster(spark, cbase, initialPools = 2)
+    a.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val movedName = names.find(Lookup(3).poolOf(_) == 2).get
+    val oldOwner = Lookup(2).poolOf(movedName)
+    a.expandPhased(
+      afterRouting = () => {
+        // B has not seen the expansion (nothing persists before
+        // SWITCH): its insert routes by the OLD lookup into a source
+        // store — the bulk copy's snapshot must carry it over
+        b.runInsert(mapper.readTree(
+          s"""{"$movedName": [[1700009999, 42.5]]}"""), "iris")
+        assert(graft.streaming.Ingest.points(spark, s"$cbase/pool$oldOwner")
+          .where(col("series") === movedName && col("ts") === 1700009999L)
+          .count() === 1L)
+      },
+      afterSwitch = () => {
+        // a remote request that resolved routing JUST before SWITCH
+        // lands by the old lookup too, after the bulk copy already
+        // ran — only the phase-4 straggler sweep can save this one
+        graft.streaming.Ingest.appendBatch(Seq(
+          graft.streaming.Ingest.PointIn(
+            movedName, 1700009998L, 7.25, "float", 999999L)).toDF(),
+          s"$cbase/pool$oldOwner", 86400L)
+      })
+    // every racing point survived, exactly once, in the target
+    val sel = a.runQuery(s"select * from '$movedName'", 1L, "iris")
+    assert(sel.get(movedName).size() === 8, sel)
+    assert(graft.streaming.Ingest.points(spark, s"$cbase/pool2")
+      .where(col("series") === movedName).count() === 8L)
+    (0 to 1).foreach(k =>
+      assert(graft.streaming.Ingest.points(spark, s"$cbase/pool$k")
+        .where(col("series") === movedName).count() === 0L, s"pool $k"))
+    // B's next request adopts the grown cluster and serves the same
+    assert(b.runQuery(s"select * from '$movedName'", 1L, "iris")
+      .get(movedName).size() === 8)
+  }
+
+  test("cluster tee mirrors each pool's processed share — their union is the request (tee.c)") {
+    val cbase = Files.createTempDirectory("graft-ctee").toString
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    try {
+      cluster.runQuery(s"alter database set tee '127.0.0.1:$port'", 1L, "iris")
+      val frames = new java.util.concurrent.LinkedBlockingQueue[String]
+      val acceptor = new Thread(() => {
+        try while (!server.isClosed) {
+          val s = server.accept()
+          new Thread(() => {
+            try {
+              val in = new java.io.DataInputStream(s.getInputStream)
+              while (true) {
+                val (_, tp, data) = graft.server.Cproto.readPkg(in)
+                frames.put(s"$tp|${graft.server.QPack.decode(data)}")
+              }
+            } catch { case _: Exception => () }
+          }).start()
+        } catch { case _: Exception => () }
+      })
+      acceptor.start()
+      // series spanning both pools: each pool mirrors ITS processed
+      // share (the reference's multi-server tee mirrors per server,
+      // insert.c:350 fires after the server's own scatter share) —
+      // the shares' union must equal the original request exactly
+      val subset = names.take(4)
+      val l2 = Lookup(2)
+      assert(subset.map(l2.poolOf).toSet === Set(0, 1),
+        "test premise: the insert must span both pools")
+      cluster.runInsert(mapper.readTree(insertBody(subset)), "iris")
+      val got = (1 to 2).map(_ =>
+        frames.poll(15, java.util.concurrent.TimeUnit.SECONDS))
+      assert(!got.contains(null), s"missing tee frame: $got")
+      val mirrored = scala.collection.mutable.Map[String, String]()
+      got.foreach { f =>
+        assert(f.startsWith("1|"), f) // REQ_INSERT
+        val node = mapper.readTree(f.drop(2))
+        assert(node.isArray, f) // cluster shares ride the array form
+        node.forEach { e =>
+          mirrored(e.get("name").asText()) = e.get("points").toString
+        }
+      }
+      var expected = Map[String, String]()
+      mapper.readTree(insertBody(subset)).properties().iterator()
+        .forEachRemaining(e => expected += e.getKey -> e.getValue.toString)
+      assert(mirrored.toMap === expected)
+    } finally {
+      cluster.runQuery("alter database set tee false", 1L, "iris")
+      server.close()
+    }
+  }
+
+  test("a dropped series re-inserted mid-expansion stays fresh — old points never migrate") {
+    import org.apache.spark.sql.functions.col
+    val cbase = Files.createTempDirectory("graft-resurrect-x").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val movedName = names.find(Lookup(3).poolOf(_) == 2).get
+    cluster.runQuery(s"drop series '$movedName'", 1L, "iris")
+    assert(cluster.meta.droppedDf.isDefined)
+    cluster.expandPhased(afterRouting = () => {
+      // the re-insert routes to the UNPUBLISHED target (reindex-aware
+      // routing), purges it there and lifts the tombstone — the bulk
+      // copy about to run must not migrate the source's old points
+      // next to the fresh series (resurrect semantics,
+      // ApiCore.commitInsert)
+      cluster.runInsert(mapper.readTree(
+        s"""{"$movedName": [[1700009999, 42.5]]}"""), "iris")
+    })
+    // the re-created series is exactly the fresh point, everywhere
+    val sel = cluster.runQuery(s"select * from '$movedName'", 1L, "iris")
+    assert(sel.get(movedName).size() === 1, sel)
+    assert(sel.get(movedName).get(0).get(1).asDouble() === 42.5)
+    assert(graft.streaming.Ingest.points(spark, s"$cbase/pool2")
+      .where(col("series") === movedName).count() === 1L)
+    (0 to 1).foreach { k =>
+      assert(graft.streaming.Ingest.points(spark, s"$cbase/pool$k")
+        .where(col("series") === movedName).count() === 0L, s"pool $k")
+    }
+  }
+
+  test("expansion backfills the target's rollup — the merged view survives an expand") {
+    import org.apache.spark.sql.functions.col
+    val cbase = Files.createTempDirectory("graft-rollup-expand").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    (0 to 1).foreach { k =>
+      val pdir = s"$cbase/pool$k"
+      graft.streaming.Rollup.fromPoints(
+        graft.streaming.Ingest.points(spark, pdir)
+          .select(col("series"), col("ts"), col("val")), 60L)
+        .write.parquet(s"$pdir/rollup/60")
+    }
+    cluster.meta.storeGeneration.incrementAndGet() // re-list rollups
+    val before =
+      cluster.runQuery("select count(2m) from /.*/", 1L, "iris").toString
+    assert(cluster.mergedEnv("iris").rollup.isDefined)
+    cluster.expand()
+    // the target inherited the sources' width, so the merged rollup
+    // view re-enables — and the coarse path still reads ZERO raw
+    // point files (without the backfill it would stay disabled
+    // forever: rollupAppend only maintains dirs that already exist)
+    assert(graft.streaming.Ingest.rollupDirs(spark, s"$cbase/pool2")
+      .map(_._1) === Seq(60L))
+    // the runQuery path syncs caches onto the post-expansion file set
+    assert(cluster.runQuery("select count(2m) from /.*/", 1L, "iris")
+      .toString === before)
+    val env = cluster.mergedEnv("iris")
+    assert(env.rollup.map(_._1) === Some(60L))
+    val df = graft.parser.Planner.query("select count(2m) from /.*/", env)
+    assert(!df.inputFiles.exists(_.contains("/points/")),
+      "post-expansion coarse select rescanned raw points")
+    graft.parser.Planner.drainQueryCaches()
+  }
+
+  test("drop shards guards the CLUSTER fraction and reaches the unpublished expansion target") {
+    val cbase = Files.createTempDirectory("graft-dropexp").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    // asymmetric shard sets: one pool-1 series gets a second shard, so
+    // `sid == <old>` matches ALL of pool 0's shards (a per-pool guard
+    // would refuse at the default threshold 1.0) but only 2/3 of the
+    // cluster's — the reference guards the database fraction, not one
+    // server's
+    val l2 = Lookup(2)
+    val p1name = names.find(l2.poolOf(_) == 1).get
+    cluster.runInsert(mapper.readTree(
+      s"""{"$p1name": [[1800000000, 1.0]]}"""), "iris")
+    val sidOld = 1700000000L / 86400L
+    val res = cluster.runQuery(s"drop shards where sid == $sidOld", 1L, "iris")
+    assert(res.get("rows").get(0).get(0).asText ===
+      "Successfully dropped 2 shards. (this number does not include replica shards)")
+    // during expansion phases 1-2 the target is unpublished, but a
+    // reindex-routed racing insert has already created shards there —
+    // a cluster-wide drop must reach them or they silently survive
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    // distinct from p1name: its 1800000000 point must not muddy the
+    // final per-series count
+    val movedName =
+      names.find(n => Lookup(3).poolOf(n) == 2 && n != p1name).get
+    val sidNew = 1900000000L / 86400L
+    cluster.expandPhased(afterRouting = () => {
+      cluster.runInsert(mapper.readTree(
+        s"""{"$movedName": [[1900000000, 9.0]]}"""), "iris")
+      assert(graft.streaming.Ingest.shardDirs(spark, s"$cbase/pool2")
+        .exists(_._2 == sidNew))
+      cluster.runQuery(
+        s"drop shards where sid == $sidNew set ignore_threshold true",
+        1L, "iris")
+      assert(!graft.streaming.Ingest.shardDirs(spark, s"$cbase/pool2")
+        .exists(_._2 == sidNew),
+        "target shard survived a cluster-wide drop")
+    })
+    // the expansion completes normally; the racing point is gone, the
+    // re-indexed history is intact
+    val sel = cluster.runQuery(s"select * from '$movedName'", 1L, "iris")
+    assert(sel.get(movedName).size() === 6, sel)
+  }
 }
