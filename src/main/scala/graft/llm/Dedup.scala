@@ -272,7 +272,10 @@ object Dedup {
     require(60 % bands == 0 && maxDist < bands,
       "pigeonhole recall needs maxDist < bands and bands | 60")
     val width = 60 / bands
-    val sig = simhash(docs)
+    // One row per doc (2 longs): materialize once so the banded
+    // self-join below doesn't re-run the whole tokenize+agg lineage
+    // on both sides.
+    val sig = simhash(docs).localCheckpoint(true)
     val banded = sig.select(col("doc_id"), col("simhash"), explode(expr(
       s"""transform(sequence(0, ${bands - 1}), b -> struct(b AS band,
          | (simhash div shiftleft(1L, b * $width)) % shiftleft(1L, $width) AS key))"""
@@ -291,15 +294,22 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       // low 60 bits of md5 as a LONG (15 hex digits — portable)
       .withColumn("h", expr("cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint)"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 59), j -> struct(j AS j, CASE WHEN (h div shiftleft(1L, j)) % 2 = 1 THEN 1 ELSE -1 END AS s))"))
-        .as("x"))
-      .groupBy(col("doc_id"), col("x.j"))
-      .agg(sum(col("x.s")).as("tot"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("tot") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+    // Bit j of the simhash is 1 iff sum over tokens of ±1 (by bit j of
+    // the token hash) is positive, i.e. 2·(count of set bits) > n.
+    // Computing the 60 set-bit counts as 60 sum columns in ONE hash
+    // aggregate keeps the row count at |tokens| — the equivalent
+    // explode(60)+groupBy formulation pushes 60× the rows through a
+    // shuffle for the same integer result.
+    val bitSums = (0 until 60).map(j => sum(expr(s"shiftright(h, $j) & 1L")).as(s"b$j"))
+    tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"b$j") * 2 > col("n"), expr(s"shiftleft(1L, $j)")).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 }
