@@ -210,16 +210,35 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** Raw ranged-read relation (partition columns kept), resolved once
+    * per store generation: without this every `between`/`after`
+    * select re-lists the shard directories and re-reads footers at
+    * PLAN time — a per-query driver cost that doubles in a cluster
+    * (one listing per pool per query). */
+  @volatile private var rangedBaseCache: (Long, Option[DataFrame]) = null
+
+  private def rangedBase(): Option[DataFrame] = {
+    val gen = meta.storeGeneration.get()
+    val c = rangedBaseCache
+    if (c != null && c._1 == gen) c._2
+    else {
+      val b = Ingest.rangedBase(spark, storeDir)
+      rangedBaseCache = (gen, b)
+      b
+    }
+  }
+
   private[graft] def env(user: String): EngineEnv =
     EngineEnv(spark, storeDir,
       frames = Some(frames()), meta = meta,
       user = Some(user), shardDuration = shardDuration,
       durationLog = durationLog, factor = factor,
       // time-ranged selects prune whole shard directories
-      // (Ingest.pointsRange translates ts bounds onto the shard
-      // partition column)
+      // (Ingest.pointsRangeOver translates ts bounds onto the shard
+      // partition column; the base relation is generation-cached)
       rangedFrames = Some((a, b) => typedFrames(
-        Ingest.pointsRange(spark, storeDir, a, b, shardDuration, durationLog))),
+        Ingest.pointsRangeOver(spark, storeDir, rangedBase(), a, b,
+          shardDuration, durationLog))),
       // list/count shards answers from shard-file metadata, not points
       shardsView = Some(() => shardsMetaCached()),
       rollup = rollupView())

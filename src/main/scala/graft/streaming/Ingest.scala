@@ -390,10 +390,27 @@ object Ingest {
     * (src/siri/db/series.c:927-938). */
   def pointsRange(spark: SparkSession, storeDir: String,
       after: Option[Long], before: Option[Long],
-      shardDuration: Long = 86400L, durationLog: Long = 86400L): DataFrame = {
-    if (!existsNonEmpty(spark, pointsPath(storeDir)))
+      shardDuration: Long = 86400L, durationLog: Long = 86400L): DataFrame =
+    pointsRangeOver(spark, storeDir,
+      rangedBase(spark, storeDir), after, before, shardDuration, durationLog)
+
+  /** The raw parquet relation (partition columns kept) a ranged read
+    * filters, or None for an empty store. Callers that serve many
+    * queries should build this once per store generation and pass it
+    * to [[pointsRangeOver]]: `spark.read.parquet` lists the shard
+    * directories and reads footers eagerly, so re-resolving it on
+    * every query turns file listing into a per-query cost
+    * (ApiCore caches it exactly like the unranged frames). */
+  def rangedBase(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (!existsNonEmpty(spark, pointsPath(storeDir))) None
+    else Some(spark.read.parquet(pointsPath(storeDir)))
+
+  def pointsRangeOver(spark: SparkSession, storeDir: String,
+      base: Option[DataFrame], after: Option[Long], before: Option[Long],
+      shardDuration: Long, durationLog: Long): DataFrame = {
+    if (base.isEmpty)
       return points(spark, storeDir) // empty frame with the right schema
-    val df = spark.read.parquet(pointsPath(storeDir))
+    val df = base.get
     // the shard bound is per group (num and log shard at different
     // durations); both disjuncts touch only partition columns, so the
     // OR still prunes directories
