@@ -40,7 +40,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** `events` with `ts` normalized to epoch-NANOSECOND LONG whatever
+    * the parquet physical type is. Two generations of driver testdata
+    * exist: TIMESTAMP(NANOS) (readable only as a raw long via
+    * `nanosAsLong`, already epoch-ns) and TIMESTAMP(MICROS)
+    * (read as Timestamp[NTZ]). Both converge here to the integer
+    * epoch-ns model the engine uses throughout (SiriDB stores ts as
+    * uint64 in s|ms|us|ns precision — include/siri/db/time.h:8-16).
+    * The NTZ→LTZ cast is exact because every session pins UTC
+    * (`sessionBuilder` sets spark.sql.session.timeZone=UTC). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) *
+            org.apache.spark.sql.functions.lit(1000L))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

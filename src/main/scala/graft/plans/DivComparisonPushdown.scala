@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Derives parquet-pushable bounds from integral-division comparisons.
   *
@@ -66,18 +66,87 @@ class DivComparisonPushdown extends Rule[LogicalPlan] {
   private def mulSucc(c: Long, k: Long): Option[Long] =
     if (c == Long.MaxValue) None else mul(c + 1, k)
 
+  /** ceil(v / m) for m > 0, exact for any sign of v. */
+  private def ceilDiv(v: Long, m: Long): Option[Long] =
+    try Some(Math.floorDiv(Math.addExact(v, m - 1), m))
+    catch { case _: ArithmeticException => None }
+
+  /** True when a zone id denotes plain UTC (fixed zero offset), i.e.
+    * a TimestampNTZ→Timestamp cast under it preserves the internal
+    * micros value exactly. */
+  private def zoneIsUtc(tz: Option[String]): Boolean = tz.exists { id =>
+    try {
+      val rules = java.time.ZoneId.of(id).getRules
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+    } catch { case _: Exception => false }
+  }
+
+  /** Rewrites the bound `e >= v` (low=true) or `e < v` (low=false),
+    * with `v` in `tp`'s internal long space, through exact monotone
+    * wrappers toward the underlying scan column, so the derived
+    * conjunct lands on an attribute parquet can prune on. Every peel
+    * is an equivalence:
+    *   x*m >= v  ⇔  x >= ceil(v/m)   (m>0, exact under ANSI)
+    *   x*m <  v  ⇔  x <  ceil(v/m)
+    *   unix_micros(t) cmp v  ⇔  t cmp timestamp(micros=v)
+    *   cast(ntz as timestamp) cmp w  ⇔  ntz cmp w   (UTC session only)
+    * The engine's normalized events frame exposes
+    * `ts = unix_micros(cast(ts_ntz)) * 1000` (core/Tables.events), so
+    * a `(ts div F) >= A` predicate peels all the way to the raw NTZ
+    * parquet column. Fixed-point re-runs resolve div-of-div chains. */
+  private def lower(e: Expression, v: Long, low: Boolean, tp: DataType): Seq[Expression] = {
+    def emit(x: Expression) = Seq[Expression](
+      if (low) GreaterThanOrEqual(x, Literal(v, tp)) else LessThan(x, Literal(v, tp)))
+    e match {
+      case Multiply(x, Literal(m: Long, LongType), _) if m > 0 && tp == LongType =>
+        ceilDiv(v, m).toSeq.flatMap(w => lower(x, w, low, LongType))
+      case Multiply(Literal(m: Long, LongType), x, _) if m > 0 && tp == LongType =>
+        ceilDiv(v, m).toSeq.flatMap(w => lower(x, w, low, LongType))
+      case u: UnixMicros if tp == LongType =>
+        lower(u.child, v, low, TimestampType)
+      case c: Cast if tp == TimestampType && c.dataType == TimestampType &&
+          c.child.dataType == TimestampNTZType && zoneIsUtc(c.timeZoneId) =>
+        lower(c.child, v, low, TimestampNTZType)
+      case x => emit(x)
+    }
+  }
+
+  /** Wrapper heads `lower` can peel — gate for the direct
+    * (division-free) comparison cases so untouched predicates are
+    * never re-emitted verbatim. */
+  private def peelable(e: Expression): Boolean = e match {
+    case Multiply(_, Literal(m: Long, LongType), _) => m > 0
+    case Multiply(Literal(m: Long, LongType), _, _) => m > 0
+    case _: UnixMicros => true
+    case _ => false
+  }
+
   private def derive(e: Expression): Seq[Expression] = e match {
     case GreaterThanOrEqual(DivByConst(a, k), Literal(c: Long, LongType)) if c >= 1 =>
-      mul(c, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).toSeq
+      mul(c, k).toSeq.flatMap(v => lower(a, v, low = true, LongType))
     case GreaterThan(DivByConst(a, k), Literal(c: Long, LongType)) if c >= 0 =>
-      mulSucc(c, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))).toSeq
+      mulSucc(c, k).toSeq.flatMap(v => lower(a, v, low = true, LongType))
     case LessThan(DivByConst(a, k), Literal(c: Long, LongType)) if c >= 1 =>
-      mul(c, k).map(v => LessThan(a, Literal(v, LongType))).toSeq
+      mul(c, k).toSeq.flatMap(v => lower(a, v, low = false, LongType))
     case LessThanOrEqual(DivByConst(a, k), Literal(c: Long, LongType)) if c >= 0 =>
-      mulSucc(c, k).map(v => LessThan(a, Literal(v, LongType))).toSeq
+      mulSucc(c, k).toSeq.flatMap(v => lower(a, v, low = false, LongType))
     case EqualTo(DivByConst(a, k), Literal(c: Long, LongType)) if c >= 1 =>
-      (mul(c, k).map(v => GreaterThanOrEqual(a, Literal(v, LongType))) ++
-        mulSucc(c, k).map(v => LessThan(a, Literal(v, LongType)))).toSeq
+      mul(c, k).toSeq.flatMap(v => lower(a, v, low = true, LongType)) ++
+        mulSucc(c, k).toSeq.flatMap(v => lower(a, v, low = false, LongType))
+    // division-free comparisons on a peelable wrapper chain (the
+    // ns-precision frames compare the affine ts expression directly)
+    case GreaterThanOrEqual(a, Literal(c: Long, LongType)) if peelable(a) =>
+      lower(a, c, low = true, LongType)
+    case GreaterThan(a, Literal(c: Long, LongType)) if peelable(a) =>
+      if (c == Long.MaxValue) Nil else lower(a, c + 1, low = true, LongType)
+    case LessThan(a, Literal(c: Long, LongType)) if peelable(a) =>
+      lower(a, c, low = false, LongType)
+    case LessThanOrEqual(a, Literal(c: Long, LongType)) if peelable(a) =>
+      if (c == Long.MaxValue) Nil else lower(a, c + 1, low = false, LongType)
+    case EqualTo(a, Literal(c: Long, LongType)) if peelable(a) =>
+      lower(a, c, low = true, LongType) ++
+        (if (c == Long.MaxValue) Nil else lower(a, c + 1, low = false, LongType))
     // literal-on-left mirror forms
     case GreaterThanOrEqual(lit: Literal, d @ DivByConst(_, _)) =>
       derive(LessThanOrEqual(d, lit))

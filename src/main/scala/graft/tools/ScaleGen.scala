@@ -29,8 +29,11 @@ object ScaleGen {
       .sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ev = spark.read.parquet(s"$src/events.parquet")
-    // ts reads as epoch-ns LONG (nanosAsLong); shift whole spans
+    // Tables.events normalizes ts to epoch-ns LONG whatever the
+    // parquet physical type is; the scaled copy is written back as
+    // that long, which round-trips through Tables.events unchanged.
+    val ev = graft.core.Tables.events(spark, src)
+    // ts is epoch-ns LONG; shift whole spans
     val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
     val span = bounds.getLong(1) - bounds.getLong(0) + 3600L * 1000000000L
     val evScaled = (0 until copies).map { k =>
