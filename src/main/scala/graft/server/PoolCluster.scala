@@ -113,9 +113,69 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     * old points still sit in a SOURCE store, and the bulk copy /
     * straggler sweep must not migrate them — see [[migratable]].
     * Guarded by its own lock so recording never blocks on the
-    * expansion monitor; cleared at UNMASK. */
+    * expansion monitor; cleared at UNMASK. Durably mirrored at
+    * `<pool0>/meta/resurrected.json` (written BEFORE the commit that
+    * lifts the tombstone) so a crashed expansion's recovery sweep
+    * sees the same exclusions — the reference's re-index likewise
+    * persists its progress (reindex.c's .reindex file). */
   @volatile private var resurrectedInReindex: Set[String] = Set.empty
   private val resurrectLock = new Object
+
+  private def resurrectedPath =
+    new org.apache.hadoop.fs.Path(s"${dirOf(0)}/meta/resurrected.json")
+
+  /** Atomic (tmp + rename) JSON-array write, same shape as
+    * MetaStore.persistTo's entity files. Called under [[resurrectLock]]
+    * on the rare resurrect-during-expansion path only. */
+  private def persistResurrected(names: Set[String]): Unit = {
+    val fs = resurrectedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(resurrectedPath.getParent)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    names.toSeq.sorted.foreach(arr.add)
+    val tmp = resurrectedPath.suffix(".tmp")
+    val os = fs.create(tmp, true)
+    os.write(mapper.writeValueAsBytes(arr)); os.close()
+    fs.delete(resurrectedPath, false); fs.rename(tmp, resurrectedPath)
+  }
+
+  private def loadResurrected(): Set[String] = {
+    val fs = resurrectedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(resurrectedPath)) Set.empty
+    else {
+      val in = fs.open(resurrectedPath)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val b = Set.newBuilder[String]
+      node.forEach(n => b += n.asText())
+      b.result()
+    }
+  }
+
+  private def clearResurrected(): Unit = {
+    val fs = resurrectedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(resurrectedPath, false)
+  }
+
+  /** Driver-side snapshot of the tombstoned names, recomputed only
+    * when the tombstone frame changes (every mutation replaces the
+    * DataFrame object — MetaStore.addDropped/removeDropped/loadFrom),
+    * so the insert-path resurrect check is a Set lookup instead of a
+    * Spark join+collect per target-routed request. Bounded by the
+    * names awaiting the next optimize purge, not by the catalog; only
+    * consulted while an expansion is in flight. */
+  @volatile private var tombNames: (AnyRef, Set[String]) = (None, Set.empty)
+  private def tombstonedNames(tomb: DataFrame): Set[String] = {
+    val cached = tombNames
+    if (cached._1 eq tomb) cached._2
+    else {
+      val s = tomb.select(col("series")).collect()
+        .iterator.map(_.getString(0)).toSet
+      tombNames = (tomb, s)
+      s
+    }
+  }
 
   /** What queries read, swapped ATOMICALLY (one volatile write): the
     * pool list to merge, plus — during an expansion's hand-over — the
@@ -242,21 +302,23 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     }
     // resurrect-during-expansion: a tombstoned name routed to the
     // TARGET is purged+lifted there by commitInsert, but its old
-    // points live in a SOURCE store — record the name BEFORE the
-    // commit lifts the tombstone, so the copy/sweep leaves those old
-    // points behind (the re-created series starts fresh, commit
-    // 316bbc2's invariant)
+    // points live in a SOURCE store — record the name (and persist
+    // the set) BEFORE the commit lifts the tombstone, so the
+    // copy/sweep — including a crashed expansion's RECOVERY sweep —
+    // leaves those old points behind (the re-created series starts
+    // fresh, commit 316bbc2's invariant). The membership check is a
+    // cached driver-side Set lookup: no Spark job on the insert hot
+    // path.
     for (rx <- r; tomb <- meta.droppedDf) {
       val targetNames = shares.collect {
         case (k, _, rows) if k == rx.targetIdx => rows.map(_.series)
       }.flatten.distinct
       if (targetNames.nonEmpty) {
-        import spark.implicits._
-        val lifted = tomb.select(col("series"))
-          .join(targetNames.toDF("series"), Seq("series"), "left_semi")
-          .collect().map(_.getString(0))
+        val tombSet = tombstonedNames(tomb)
+        val lifted = targetNames.filter(tombSet.contains)
         if (lifted.nonEmpty) resurrectLock.synchronized {
           resurrectedInReindex ++= lifted
+          persistResurrected(resurrectedInReindex)
         }
       }
     }
@@ -382,6 +444,37 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
         // above reset only pool 0's gate
         pools.drop(1).foreach(_.resetExpireGate())
         out
+      case _ if stmt.isInstanceOf[graft.parser.TimeitStmt] =>
+        // the reference's timeit reports per-SERVER seconds
+        // (listener.c:5026-5064: each pool's server appends its own
+        // elapsed row). Pools here are storage partitions of ONE
+        // fused Catalyst plan, so the executable work has no honest
+        // per-pool split — the per-pool rows time each pool's share
+        // of query setup (generation sync + catalog/frames/rollup
+        // views, the terms that grow with pool count), and the
+        // master row is the full parse+plan+execute+encode time.
+        // Overhead regressions in the fan-out path show up as pool
+        // rows growing relative to the master's.
+        val t0 = System.nanoTime()
+        val poolTimes = pools.indices.map { k =>
+          val p0 = System.nanoTime()
+          pools(k).env(user)
+          (k, (System.nanoTime() - p0) / 1e9)
+        }
+        val out = pools(0).runQueryIn(mergedEnv(user), q, tsFactor)
+        out match {
+          case on: com.fasterxml.jackson.databind.node.ObjectNode =>
+            val arr = on.putArray("__timeit__")
+            poolTimes.foreach { case (k, s) =>
+              val e = arr.addObject()
+              e.put("server", s"pool$k"); e.put("time", s)
+            }
+            val m = arr.addObject()
+            m.put("server", "master")
+            m.put("time", (System.nanoTime() - t0) / 1e9)
+          case _ => ()
+        }
+        out
       case _ =>
         pools(0).runQueryIn(mergedEnv(user), q, tsFactor)
     }
@@ -477,11 +570,11 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     * the target for the eventual cluster-wide lift to resurrect) and
     * names RESURRECTED during this expansion (tombstone already
     * lifted after purging only the target — migrating the source's
-    * old points would resurrect them next to the fresh series).
-    * Residual window, documented not handled: a crash after a
-    * mid-expansion resurrect persists the lift but not this process's
-    * [[resurrectedInReindex]], so a recovering process's sweep could
-    * still migrate the old points. */
+    * old points would resurrect them next to the fresh series). The
+    * resurrected set is persisted before each tombstone lift and
+    * reloaded by [[recoverExpansion]], so the exclusion holds across
+    * a crash — a recovering process's sweep never migrates the old
+    * points either. */
   private def migratable(moved: DataFrame): DataFrame = {
     import spark.implicits._
     val res = resurrectedInReindex
@@ -581,7 +674,10 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     // 5. unmask — every pool physically holds exactly its share
     reindex = None
     queryView = (pools, None)
-    resurrectedInReindex = Set.empty
+    resurrectLock.synchronized {
+      resurrectedInReindex = Set.empty
+      clearResurrected()
+    }
     meta.config.remove("reindex_mask")
     meta.persistTo(spark, dirOf(0))
     meta.bumpGeneration(spark, dirOf(0))
@@ -652,13 +748,23 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
     sync()
     if (reindex.isEmpty && meta.config.contains("reindex_mask")) {
       val newIdx = meta.config("reindex_mask").toInt
+      // adopt the crashed writer's persisted resurrect set BEFORE
+      // sweeping — without it the recovery sweep would migrate the
+      // old points of a mid-expansion resurrect back next to the
+      // fresh series (the window the durable mirror exists to close)
+      resurrectLock.synchronized {
+        resurrectedInReindex = loadResurrected()
+      }
       import spark.implicits._
       val lookupDf = lookup.toRows.toDF("slot", "pool")
       pools.indices.filter(_ != newIdx)
         .foreach(k => sweepSource(k, newIdx, lookupDf, pools(newIdx)))
       backfillTargetRollups(newIdx)
       queryView = (pools, None)
-      resurrectedInReindex = Set.empty
+      resurrectLock.synchronized {
+        resurrectedInReindex = Set.empty
+        clearResurrected()
+      }
       meta.config.remove("reindex_mask")
       meta.persistTo(spark, dirOf(0))
       meta.bumpGeneration(spark, dirOf(0))

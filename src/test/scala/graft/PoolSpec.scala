@@ -721,4 +721,67 @@ class PoolSpec extends AnyFunSuite {
     val sel = cluster.runQuery(s"select * from '$movedName'", 1L, "iris")
     assert(sel.get(movedName).size() === 6, sel)
   }
+
+  test("a crash after a mid-expansion resurrect: recovery never migrates the old points") {
+    import org.apache.spark.sql.functions.col
+    val cbase = Files.createTempDirectory("graft-resurrect-crash").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val movedName = names.find(Lookup(3).poolOf(_) == 2).get
+    cluster.runQuery(s"drop series '$movedName'", 1L, "iris")
+    // the writer dies AFTER the switch persisted the mask: the
+    // tombstone lift is durable but the writer's in-memory
+    // resurrected set is gone — exactly the window the persisted
+    // resurrected.json closes
+    final class Crash extends RuntimeException("writer dies")
+    intercept[Crash] {
+      cluster.expandPhased(
+        afterRouting = () => cluster.runInsert(mapper.readTree(
+          s"""{"$movedName": [[1700009999, 42.5]]}"""), "iris"),
+        afterSwitch = () => throw new Crash)
+    }
+    // a RECOVERING process (fresh instance over the same dirs) adopts
+    // the grown pool set + mask from disk and completes the sweep; it
+    // must leave the resurrected series' old points behind
+    val recovered = new PoolCluster(spark, cbase, initialPools = 2)
+    assert(recovered.nPools === 3)
+    recovered.recoverExpansion()
+    val sel = recovered.runQuery(s"select * from '$movedName'", 1L, "iris")
+    assert(sel.get(movedName).size() === 1,
+      s"recovery resurrected the old points: $sel")
+    assert(sel.get(movedName).get(0).get(1).asDouble() === 42.5)
+    assert(graft.streaming.Ingest.points(spark, s"$cbase/pool2")
+      .where(col("series") === movedName).count() === 1L)
+    (0 to 1).foreach { k =>
+      assert(graft.streaming.Ingest.points(spark, s"$cbase/pool$k")
+        .where(col("series") === movedName).count() === 0L, s"pool $k")
+    }
+    // recovery converged: mask lifted, resurrect mirror cleaned up
+    assert(!recovered.meta.config.contains("reindex_mask"))
+    assert(!new java.io.File(s"$cbase/pool0/meta/resurrected.json").exists())
+  }
+
+  test("cluster timeit reports one row per pool plus the master — listener.c:5026-5064") {
+    val cbase = Files.createTempDirectory("graft-timeit").toString
+    val cluster = new PoolCluster(spark, cbase, initialPools = 2)
+    cluster.runInsert(mapper.readTree(insertBody(names)), "iris")
+    val res = cluster.runQuery("timeit select sum(3600) from /.*/", 1L, "iris")
+    val t = res.get("__timeit__")
+    assert(t !== null, res)
+    assert(t.size() === 3, t)
+    assert((0 to 1).map(k => t.get(k).get("server").asText()) ===
+      Seq("pool0", "pool1"))
+    assert(t.get(2).get("server").asText() === "master")
+    (0 until 3).foreach(i => assert(t.get(i).get("time").asDouble() >= 0.0))
+    // the master row covers the whole request — at least any one
+    // pool's setup share
+    assert(t.get(2).get("time").asDouble() >=
+      t.get(0).get("time").asDouble())
+    // the query result itself is unchanged by the wrapper
+    val plain = cluster.runQuery("select sum(3600) from /.*/", 1L, "iris")
+    assert(!plain.has("__timeit__"))
+    res.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove("__timeit__")
+    assert(res.toString === plain.toString)
+  }
 }
