@@ -56,6 +56,11 @@ final class ApiCore(spark: SparkSession, storeDir: String,
 
   private def metaHome: String = metaDirOpt.getOrElse(storeDir)
 
+  /** Store directory, exposed for the cluster's combined-relation
+    * read path (PoolCluster builds one flat scan over every pool's
+    * shard directories). */
+  private[server] def dir: String = storeDir
+
   /** Physical shard granularity of this server's Ingest store; also
     * drives the shards view / drop shards mapping via EngineEnv.
     * Numeric and log (string) series keep separate durations like the
