@@ -538,6 +538,19 @@ final class ApiCore(spark: SparkSession, storeDir: String,
     ok
   }
 
+  /** Commit wrapper: the whole tombstone-purge + append + maintenance
+    * sequence runs under ONE store-lock hold (the inner Ingest calls
+    * re-enter), and the store view is re-synced once the lock is held
+    * — a mutator that WAITED for another process's mutation
+    * ([[Ingest.lockWaitMs]]) must decide resurrects/expiry against
+    * what that process committed, not against its pre-wait caches. */
+  private[server] def commitInsert(rows: Vector[Ingest.PointIn],
+      req: JsonNode): Unit =
+    Ingest.withStoreLock(storeDir) {
+      syncWithStore()
+      commitInsertLocked(rows, req)
+    }
+
   /** Validation half of an insert — access bit, backup-mode refusal,
     * and the reference's full structural/type checks (insert.c
     * validates the whole package before ANY point lands,
@@ -613,7 +626,7 @@ final class ApiCore(spark: SparkSession, storeDir: String,
   /** Commit half of an insert: append the validated rows, maintain
     * counters/tee/retention, bump the store generation. `req` is the
     * original wire body, forwarded to the tee verbatim. */
-  private[server] def commitInsert(rows: Vector[Ingest.PointIn],
+  private def commitInsertLocked(rows: Vector[Ingest.PointIn],
       req: JsonNode): Unit = {
     if (autoDuration) resolveAutoDuration(rows)
     import spark.implicits._

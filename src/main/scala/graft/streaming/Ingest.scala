@@ -133,31 +133,73 @@ object Ingest {
     * the planner's drop shards, the expansion sweep) must serialize
     * through here. Two layers:
     *   1. a JVM monitor serializes threads of this process, and
-    *   2. an OS file lock on `<store>/.lock` (held for the mutation's
-    *      duration) enforces the single-mutator regime ACROSS
-    *      processes — the shared-storage deployment is one mutating
-    *      process + N coherent readers (PoolCluster docs), and a
-    *      second process attempting a mutation is refused loudly
-    *      instead of silently interleaving read-rewrite-replace shard
-    *      passes (the failure class the monitor alone cannot stop;
-    *      readers never take this lock and are unaffected).
-    * Non-local stores (hdfs://, s3://) have no POSIX locks; there the
-    * single-mutator regime stays a deployment contract (the reference
-    * likewise trusts its own process model, siri.c single event loop). */
+    *   2. a cross-process guard held for the mutation's duration — an
+    *      OS file lock on `<store>/.lock` (local filesystems) or an
+    *      epoch-numbered lease file (object stores, [[acquireLease]]).
+    * A guard held by ANOTHER process is WAITED on for up to
+    * [[lockWaitMs]] — the reference likewise queues concurrent
+    * writers rather than failing them (its libuv loop serializes all
+    * inserts, clserver.c; a second siridb server forwards and the
+    * owner's loop queues) — so any server process can accept
+    * mutations against shared storage and concurrent mutators
+    * serialize. The insert path re-syncs against the on-disk
+    * generation once the guard is held (ApiCore.commitInsert), so a
+    * waiting mutator adopts whatever the previous one committed
+    * before deciding anything. Only when the guard is still foreign
+    * after the whole wait window (a wedged or runaway peer — not a
+    * queue to join silently forever) does the mutation refuse
+    * loudly. Readers never take this lock and are unaffected. */
   def withStoreLock[A](storeDir: String)(f: => A): A =
     storeLocks.computeIfAbsent(storeDir, _ => new Object).synchronized {
       val depth: Int = storeLockDepth.getOrDefault(storeDir, 0)
-      val osLock = if (depth == 0) acquireOsLock(storeDir) else None
+      val guard: Option[AutoCloseable] =
+        if (depth == 0) acquireMutatorGuard(storeDir) else None
       storeLockDepth.put(storeDir, depth + 1)
       try f
       finally {
         if (depth == 0) storeLockDepth.remove(storeDir)
         else storeLockDepth.put(storeDir, depth)
-        osLock.foreach { case (ch, l) =>
-          try l.release() finally ch.close()
-        }
+        guard.foreach(_.close())
       }
     }
+
+  /** Cross-process half of the store lock: POSIX byte-range lock where
+    * the store is on a local filesystem, an epoch-numbered lease file
+    * everywhere else (hdfs://, s3a://, ... have no POSIX locks — the
+    * round-8 fallback was "deployment contract", which a 100 TB
+    * deployment on exactly those stores never gets to test). */
+  /** How long a mutation waits for a foreign guard before refusing.
+    * 0 = refuse immediately (round-8 behavior). */
+  @volatile private[graft] var lockWaitMs: Long =
+    sys.env.get("SPARK_GRAFT_LOCK_WAIT_MS").map(_.toLong).getOrElse(10000L)
+
+  private def acquireMutatorGuard(storeDir: String): Option[AutoCloseable] = {
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    while (true) {
+      try return acquireMutatorGuardOnce(storeDir)
+      catch {
+        case e: graft.parser.QueryError =>
+          val left = deadline - System.currentTimeMillis()
+          if (left <= 0) throw e
+          Thread.sleep(math.min(100L, left))
+      }
+    }
+    None // unreachable
+  }
+
+  private def acquireMutatorGuardOnce(
+      storeDir: String): Option[AutoCloseable] = {
+    val local =
+      if (storeDir.startsWith("file:")) Some(storeDir.stripPrefix("file:"))
+      else if (!storeDir.contains("://")) Some(storeDir)
+      else None
+    local.filter(_ => !forceLeaseForTests) match {
+      case Some(dir) => acquireOsLock(dir).map { case (ch, l) =>
+        () => { try l.release() finally ch.close() }
+      }
+      case None => Some(acquireLease(storeDir))
+    }
+  }
 
   /** Try the OS lock; None when the store is not on a local filesystem.
     * A held lock (another process mid-mutation, or a foreign channel in
@@ -190,6 +232,175 @@ object Ingest {
             "per store")
       }
       (ch, lock)
+    }
+  }
+
+  /** Test hook: route local-filesystem stores through the lease path
+    * so the lease protocol is exercisable without an object store. */
+  @volatile private[graft] var forceLeaseForTests: Boolean = false
+
+  /** Lease TTL. A mutation outliving its TTL without a renewal (the
+    * holder renews at TTL/3 from a daemon thread) can be superseded —
+    * generous by default so only a dead process's lease ever expires. */
+  @volatile private[graft] var leaseTtlMs: Long =
+    sys.env.get("SPARK_GRAFT_LEASE_TTL_MS").map(_.toLong).getOrElse(600000L)
+
+  /** This process's mutator identity (pid@host plus a JVM nonce). */
+  private[graft] val mutatorId: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName + "/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  private final case class LeaseState(epoch: Long, holder: String,
+      deadlineMs: Long)
+
+  private def leaseFs(storeDir: String) = {
+    val p = new Path(storeDir, ".lease")
+    // the active session's conf when one exists (object-store creds
+    // ride on it); a bare Configuration resolves file:/hdfs: anyway
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Highest-epoch lease on the store, its deadline extended by any
+    * renewal file the holder has written since acquiring. */
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      ld: Path): Option[LeaseState] = {
+    if (!fs.exists(ld)) return None
+    def parse(p: Path): Option[LeaseState] =
+      try {
+        val in = fs.open(p)
+        val n = try new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(in) finally in.close()
+        Some(LeaseState(n.get("epoch").asLong(), n.get("holder").asText(),
+          n.get("deadlineMs").asLong()))
+      } catch { case _: Exception => None } // torn write → treat as absent
+    val names = fs.listStatus(ld).map(_.getPath.getName).toSeq
+    val top = names.filter(n => n.startsWith("epoch-") && !n.endsWith(".renew"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("epoch-").toLong).toOption)
+      .sorted.lastOption
+    top.flatMap { e =>
+      parse(new Path(ld, s"epoch-$e")).map { base =>
+        val renewed = if (names.contains(s"epoch-$e.renew"))
+          parse(new Path(ld, s"epoch-$e.renew")) else None
+        renewed.filter(_.holder == base.holder)
+          .fold(base)(r => base.copy(deadlineMs =
+            math.max(base.deadlineMs, r.deadlineMs)))
+      }
+    }
+  }
+
+  private def writeLease(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      st: LeaseState, overwrite: Boolean): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("epoch", st.epoch); n.put("holder", st.holder)
+    n.put("deadlineMs", st.deadlineMs)
+    val out = fs.create(p, overwrite)
+    try out.write(m.writeValueAsBytes(n)) finally out.close()
+  }
+
+  /** Acquire the store's mutator lease, or refuse loudly.
+    *
+    * Protocol (one lease dir `<store>/.lease`, epoch files
+    * `epoch-<n>`): read the top epoch; a live foreign lease (deadline
+    * in the future) is the same loud refusal as a held `.lock` — the
+    * deployment regime is one mutating process. A dead or absent
+    * lease is superseded by CREATING `epoch-<n+1>` with
+    * overwrite=false — atomic create-if-absent on HDFS-like stores,
+    * so two racing claimants cannot both win an epoch; on stores
+    * whose create is weaker the post-write re-read below narrows the
+    * window to the object-visibility gap. The epoch number is the
+    * FENCING TOKEN: it only ever grows, every mutation runs under the
+    * newest epoch its process acquired, and [[LeaseHandle.close]]
+    * re-checks before release that no higher epoch appeared
+    * mid-mutation — a supersede (possible only after this process
+    * failed to renew for a full TTL, e.g. a minutes-long GC pause)
+    * turns into a loud error instead of a silent interleave. External
+    * fencing consumers (a commit gate on the warehouse side) can read
+    * the same token from the lease file. While held, a daemon thread
+    * renews at TTL/3 by overwriting `epoch-<n>.renew`, so a live
+    * mutation never expires; a crashed process stops renewing and its
+    * lease dies a TTL later — the reference's equivalent is a siridb
+    * server dropping off and its pool being promoted
+    * (src/siri/db/server.c). */
+  private def acquireLease(storeDir: String): LeaseHandle = {
+    val (fs, ld) = leaseFs(storeDir)
+    fs.mkdirs(ld)
+    val now = System.currentTimeMillis()
+    val cur = readLease(fs, ld)
+    cur.filter(l => l.holder != mutatorId && l.deadlineMs > now).foreach { l =>
+      throw graft.parser.QueryError(
+        s"Store '$storeDir' is leased by mutator ${l.holder} " +
+          s"(epoch ${l.epoch}, expires in ${l.deadlineMs - now} ms); " +
+          "this database serves one mutating process per store")
+    }
+    val epoch = cur.map(_.epoch + 1).getOrElse(1L)
+    val mine = LeaseState(epoch, mutatorId, now + leaseTtlMs)
+    val p = new Path(ld, s"epoch-$epoch")
+    try writeLease(fs, p, mine, overwrite = false)
+    catch {
+      case _: java.io.IOException => throw graft.parser.QueryError(
+        s"Store '$storeDir' lease epoch $epoch was claimed by another " +
+          "mutator during acquisition; this database serves one mutating " +
+          "process per store")
+    }
+    // post-write verify: we must still be the TOP epoch (guards the
+    // read→create window on stores without atomic create-if-absent)
+    val check = readLease(fs, ld)
+    if (!check.exists(l => l.epoch == epoch && l.holder == mutatorId)) {
+      fs.delete(p, false)
+      throw graft.parser.QueryError(
+        s"Store '$storeDir' lease was superseded during acquisition " +
+          s"(saw ${check.map(_.epoch)}); this database serves one " +
+          "mutating process per store")
+    }
+    // older epochs are dead by construction — GC their files
+    fs.listStatus(ld).map(_.getPath).filter { q =>
+      val n = q.getName
+      n.startsWith("epoch-") &&
+        scala.util.Try(n.stripPrefix("epoch-").stripSuffix(".renew").toLong)
+          .toOption.exists(_ < epoch)
+    }.foreach(fs.delete(_, false))
+    new LeaseHandle(storeDir, epoch)
+  }
+
+  private final class LeaseHandle(storeDir: String, epoch: Long)
+      extends AutoCloseable {
+    @volatile private var stopped = false
+    private val renewer = new Thread(() => {
+      while (!stopped) {
+        try Thread.sleep(math.max(leaseTtlMs / 3, 50L))
+        catch { case _: InterruptedException => () }
+        if (!stopped)
+          try {
+            val (fs, ld) = leaseFs(storeDir)
+            writeLease(fs, new Path(ld, s"epoch-$epoch.renew"),
+              LeaseState(epoch, mutatorId,
+                System.currentTimeMillis() + leaseTtlMs), overwrite = true)
+          } catch { case _: Exception => () } // next tick retries
+      }
+    }, s"graft-lease-renew-$epoch")
+    renewer.setDaemon(true)
+    renewer.start()
+
+    override def close(): Unit = {
+      stopped = true
+      renewer.interrupt()
+      val (fs, ld) = leaseFs(storeDir)
+      // fencing check: a higher epoch mid-mutation means this process
+      // lost the lease (TTL elapsed un-renewed) and another mutator
+      // may have interleaved — surface it, never swallow it
+      val top = readLease(fs, ld)
+      fs.delete(new Path(ld, s"epoch-$epoch.renew"), false)
+      fs.delete(new Path(ld, s"epoch-$epoch"), false)
+      if (top.exists(_.epoch > epoch))
+        throw graft.parser.QueryError(
+          s"Store '$storeDir' mutator lease (epoch $epoch) was superseded " +
+            s"by epoch ${top.get.epoch} mid-mutation; the completed " +
+            "mutation may have interleaved with the new mutator's — " +
+            "verify the store before continuing")
     }
   }
 

@@ -500,6 +500,8 @@ class IngestSpec extends AnyFunSuite {
   test("a second mutating process is refused while the store lock is held") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-oslock").toString
+    val savedWait = Ingest.lockWaitMs
+    Ingest.lockWaitMs = 0L // no wait window: pin the refusal itself
     Ingest.appendBatch(Seq(PointIn("cpu", 100L, 1.0, "float", 1)).toDF(),
       dir, shardDuration = 100L)
     // simulate another process mid-mutation: a foreign channel holds
@@ -518,11 +520,40 @@ class IngestSpec extends AnyFunSuite {
       assert(e.getMessage.contains("another process"))
       // the refused mutation wrote nothing
       assert(Ingest.points(spark, dir).count() === 1)
-    } finally { held.release(); ch.close() }
+    } finally { held.release(); ch.close(); Ingest.lockWaitMs = savedWait }
     // lock released → the same mutation now succeeds
     Ingest.appendBatch(Seq(PointIn("cpu", 200L, 2.0, "float", 2)).toDF(),
       dir, shardDuration = 100L)
     assert(Ingest.points(spark, dir).count() === 2)
+  }
+
+  test("a mutator WAITS for a foreign lock and is served when it frees") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lockwait").toString
+    Ingest.appendBatch(Seq(PointIn("cpu", 100L, 1.0, "float", 1)).toDF(),
+      dir, shardDuration = 100L)
+    val savedWait = Ingest.lockWaitMs
+    Ingest.lockWaitMs = 10000L
+    // a foreign process holds the store for ~700 ms, then releases —
+    // the concurrent mutation queues behind it instead of refusing
+    // (the reference's event loop likewise queues concurrent inserts)
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, ".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    val releaser = new Thread(() => {
+      Thread.sleep(700L); held.release(); ch.close()
+    })
+    releaser.start()
+    try {
+      val t0 = System.nanoTime()
+      Ingest.appendBatch(Seq(PointIn("cpu", 200L, 2.0, "float", 2)).toDF(),
+        dir, shardDuration = 100L)
+      val waited = (System.nanoTime() - t0) / 1e6
+      assert(waited >= 300.0, s"did not wait for the foreign lock ($waited ms)")
+      assert(Ingest.points(spark, dir).count() === 2)
+    } finally { releaser.join(); Ingest.lockWaitMs = savedWait }
   }
 
   test("log-group expiry leaves the numeric rollup intact") {
@@ -601,5 +632,83 @@ class IngestSpec extends AnyFunSuite {
     api.meta.storeGeneration.incrementAndGet() // force a re-list
     assert(api.env("iris").rollup.map(_._1) === Some(20L),
       "streaming-sink rollup dir must not be served")
+  }
+
+  test("object-store mutator lease: live foreign lease refuses, dead one is superseded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lease").toString
+    Ingest.forceLeaseForTests = true
+    val savedTtl = Ingest.leaseTtlMs
+    val savedWait = Ingest.lockWaitMs
+    Ingest.leaseTtlMs = 3000L
+    Ingest.lockWaitMs = 0L // pin the refusal; the wait case is below
+    try {
+      // acquire epoch-1, mutate, release: the lease dir ends empty
+      Ingest.appendBatch(Seq(PointIn("cpu", 100L, 1.0, "float", 1)).toDF(),
+        dir, shardDuration = 100L)
+      val ld = new java.io.File(dir, ".lease")
+      assert(ld.isDirectory &&
+        !ld.listFiles().exists(_.getName.startsWith("epoch-")),
+        s"lease not released: ${ld.listFiles().toSeq}")
+      // a LIVE foreign lease is the loud refusal (one mutating process)
+      def foreign(epoch: Long, deadlineMs: Long): Unit = {
+        val w = new java.io.FileWriter(new java.io.File(ld, s"epoch-$epoch"))
+        w.write(s"""{"epoch":$epoch,"holder":"other/pid@box","deadlineMs":$deadlineMs}""")
+        w.close()
+      }
+      foreign(5L, System.currentTimeMillis() + 60000L)
+      val e = intercept[graft.parser.QueryError] {
+        Ingest.appendBatch(Seq(PointIn("cpu", 200L, 2.0, "float", 2)).toDF(),
+          dir, shardDuration = 100L)
+      }
+      assert(e.getMessage.contains("leased by mutator other/pid@box"), e.getMessage)
+      assert(Ingest.points(spark, dir).count() === 1) // refused wrote nothing
+      // an EXPIRED foreign lease (holder died a TTL ago) is superseded:
+      // the next mutator claims epoch 6 and GCs the dead epoch file
+      new java.io.File(ld, "epoch-5").delete()
+      foreign(5L, System.currentTimeMillis() - 1L)
+      Ingest.appendBatch(Seq(PointIn("cpu", 200L, 2.0, "float", 2)).toDF(),
+        dir, shardDuration = 100L)
+      assert(Ingest.points(spark, dir).count() === 2)
+      assert(!new java.io.File(ld, "epoch-5").exists(), "dead epoch not GCd")
+      // a live foreign lease that expires WITHIN the wait window is
+      // WAITED OUT, then superseded — concurrent mutators queue
+      Ingest.lockWaitMs = 10000L
+      foreign(10L, System.currentTimeMillis() + 700L)
+      val t0 = System.nanoTime()
+      Ingest.appendBatch(Seq(PointIn("cpu", 300L, 3.0, "float", 3)).toDF(),
+        dir, shardDuration = 100L)
+      assert((System.nanoTime() - t0) / 1e6 >= 300.0, "did not wait out the lease")
+      assert(Ingest.points(spark, dir).count() === 3)
+    } finally {
+      Ingest.forceLeaseForTests = false
+      Ingest.leaseTtlMs = savedTtl
+      Ingest.lockWaitMs = savedWait
+    }
+  }
+
+  test("a lease superseded mid-mutation surfaces as an error at release — fencing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lease-fence").toString
+    Ingest.forceLeaseForTests = true
+    val savedTtl = Ingest.leaseTtlMs
+    Ingest.leaseTtlMs = 3000L
+    try {
+      val e = intercept[graft.parser.QueryError] {
+        Ingest.withStoreLock(dir) {
+          // simulate a mutator that took over after OUR ttl lapsed
+          // (e.g. this process sat in a GC pause, stopped renewing)
+          val w = new java.io.FileWriter(
+            new java.io.File(new java.io.File(dir, ".lease"), "epoch-2"))
+          w.write(s"""{"epoch":2,"holder":"usurper","deadlineMs":${System.currentTimeMillis() + 60000L}}""")
+          w.close()
+        }
+      }
+      assert(e.getMessage.contains("superseded by epoch 2 mid-mutation"),
+        e.getMessage)
+    } finally {
+      Ingest.forceLeaseForTests = false
+      Ingest.leaseTtlMs = savedTtl
+    }
   }
 }
