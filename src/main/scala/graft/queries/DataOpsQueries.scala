@@ -224,11 +224,47 @@ object DataOpsQueries {
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Dedup.simhashPairs(docs(s, d), maxDist = 3, bands = 4))
     },
-    // SemDeDup (Abbas et al. 2023): connected components over the
-    // embedding-cosine near-dup graph — one keeper per semantic
-    // duplicate cluster; same label-propagation engine as
-    // dedup_clusters, same recursive-CTE walk as its oracle
+    // SemDeDup (Abbas et al. 2023): the paper's actual shape —
+    // cluster first (upstream k-means `label` + an adaptive
+    // sign-prefix sub-block holding cells at ~256 vectors), then
+    // cosine-threshold pairs WITHIN cells only, then one keeper per
+    // connected component. Work is occupancy-bounded (linear in the
+    // corpus at fixed cell size); cross-cell pairs are missed exactly
+    // as the paper never compares across k-means clusters (true
+    // duplicates share cells — DedupSpec pins recall 1.0 on planted
+    // dups). The oracle recomputes the same integer cells, so the
+    // approximation itself is pinned. The all-pairs exact form stays
+    // below as oracle-only dedup_semantic_exact.
     Entry("dedup_semantic_clusters",
+      """WITH RECURSIVE e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT count(*) AS n, count(DISTINCT label) AS l FROM e0),
+        |bsel AS (SELECT coalesce(min(b), 32) AS bits FROM range(0, 33) r(b), c
+        |         WHERE l * 256 * (1::BIGINT << b) >= n),
+        |n0 AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |        label::BIGINT * (1::BIGINT << bits) + coalesce(list_sum(
+        |          list_transform(range(1, bits + 1), i ->
+        |            CASE WHEN v[i] >= 0 THEN (1::BIGINT << (bits - i)) ELSE 0 END)), 0) AS cell
+        |       FROM e0, bsel),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS sim
+        |      FROM n0 a JOIN n0 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |pp AS (SELECT id_a, id_b FROM p WHERE sim >= 0.45),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+        |      UNION SELECT id_b, id_a FROM pp),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, w.lbl FROM e JOIN walk w ON w.id = e.dst)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id, (id = min(lbl)) AS keep
+        |FROM walk GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.semanticClusters(emb(s, d), theta = 0.45))
+    },
+    // the exact all-pairs variant: oracle-check-only (like
+    // ann_cosine_pairs), excluded from Bench.headline — O(n²) scoring
+    // is the correctness reference the celled operator is judged
+    // against, not a scale path
+    Entry("dedup_semantic_exact",
       """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

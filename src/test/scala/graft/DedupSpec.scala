@@ -150,4 +150,26 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "test premise: sliding windows must give close sims")
     assert(banded === exact)
   }
+
+  test("semanticClusters: planted duplicates share a cell and cluster with recall 1.0") {
+    // 600 vectors, 2 labels: forces the adaptive sign-prefix split
+    // (l * 256 = 512 < 600 -> bits = 1); duplicates are identical
+    // vectors, so they share label AND sign prefix by construction
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(600) { i =>
+      (i.toLong, i % 2, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }
+    // plant: 1 := copy of 0, 3 := copy of 2 (cos = 1.0 exactly)
+    val planted = base.map {
+      case (1L, _, _) => (1L, base(0)._2, base(0)._3)
+      case (3L, _, _) => (3L, base(2)._2, base(2)._3)
+      case row => row
+    }
+    val emb = planted.toDF("vec_id", "label", "embedding")
+    val out = Dedup.semanticClusters(emb, theta = 0.99)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((0L, 0L, true), (1L, 0L, false),
+      (2L, 2L, true), (3L, 2L, false)))
+  }
 }
