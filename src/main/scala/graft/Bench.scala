@@ -16,10 +16,12 @@ object Bench {
     "sel_regex_points", "tr_after_head", "agg_sum_1h", "agg_mean_6h",
     "agg_median_low_1h", "chain_sum1h_diff", "chain_mean6h_deriv",
     "pw_difference", "limit_fn_mean", "merge_sum_1d", "list_series",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
+    "dedup_simhash_pairs",
     "dedup_semantic_clusters", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "text_token_stats",
-    "text_lang_id", "text_lm_perplexity", "mm_decode_stub",
+    "text_lang_id", "text_tfidf_keywords", "text_lm_perplexity",
+    "mm_decode_stub",
     // full query-string path (parse → plan → catalog consult →
     // execute): what a reference user actually pays per query — the
     // engine-layer entries above enter below the parser

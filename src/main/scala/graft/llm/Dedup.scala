@@ -131,8 +131,21 @@ object Dedup {
     * rows, P(miss | jaccard=0.7) = (1-0.7^4)^32 ≈ 1.5e-4 and ≈4e-8 at
     * 0.9, so verified output matches the exact pair set.
     * Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]]. */
+  /** `maxBucket` (0 = off) caps a band bucket's occupancy before the
+    * candidate self-join — the LSH analog of [[ngramJaccardPairs]]'s
+    * maxDf: a bucket of m docs fans out m²/2 candidate rows, and the
+    * scale run measured exactly this term (candidate density on a
+    * duplicate-dense corpus made minhash the 4.0× worst ratio at 10×
+    * data). Dropping buckets larger than maxBucket bounds every join
+    * key's fan-out at maxBucket². Recall cost is confined to
+    * MEGA-clusters: a true near-dup pair collides in many of the 32
+    * bands, so it is only lost when EVERY shared bucket is over the
+    * cap — which happens exactly for groups of > maxBucket mutually
+    * identical docs (their buckets coincide in all bands; DedupSpec
+    * pins this). Production pipelines run exact dedup first, which
+    * removes identical groups before minhash ever sees them. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
-      bands: Int = 32, theta: Double = 0.5): DataFrame = {
+      bands: Int = 32, theta: Double = 0.5, maxBucket: Long = 0L): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // hash each shingle string ONCE; the affine-permutation family in
@@ -158,8 +171,18 @@ object Dedup {
       xxhash64((b * rows until (b + 1) * rows).map(j => col("sig")(j)): _*).as(s"b$b")
     }
     val stackExpr = (0 until bands).map(b => s"$b, b$b").mkString(", ")
-    val bandKeys = sig.select(col("doc_id") +: bandCols: _*)
+    val allBandKeys = sig.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bkey)")
+    val bandKeys =
+      if (maxBucket <= 0) allBandKeys
+      else {
+        // occupancy per bucket is one hash aggregation; the anti-join
+        // removes over-cap buckets before they can fan out
+        val hot = allBandKeys.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("m")).where(col("m") > maxBucket)
+          .select(col("band"), col("bkey"))
+        allBandKeys.join(hot, Seq("band", "bkey"), "left_anti")
+      }
     val cands = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -24,6 +24,31 @@ object TextStats {
       expr(s"round(CAST(size(array_distinct($tok)) AS double) / size($tok), 6)")
         .as("lexical_diversity"))
 
+  /** Per-document top-k characteristic terms by tf-idf — the keyword
+    * extraction step of corpus analysis/curation pipelines. tf is the
+    * in-document term count, idf = ln(N/df) over the corpus; the score
+    * is quantized to fixed point (round(tf·idf·1e6) AS BIGINT) before
+    * ranking so the ordering is engine-reproducible (the lm-perplexity
+    * trick), ties broken by term. The plan is two hash aggregations
+    * (term counts, document frequencies), a broadcast of the 1-row
+    * corpus size, and a per-document window — partitioned by doc_id,
+    * never a global sort. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(expr(tok)).as("term"))
+    val tf = t.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("q").desc, col("term").asc)
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("q", expr(
+        "CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"))
+  }
+
   /** BPE-ish subword token count: alpha runs, digit runs, and single
     * non-alphanumeric marks — a cheap proxy for a BPE tokenizer's
     * pre-tokenization. */

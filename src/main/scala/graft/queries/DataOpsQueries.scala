@@ -141,6 +141,15 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.minhashLshPairs(docs(s, d), n = 3,
         numHashes = 128, bands = 32, theta = 0.5))
     },
+    // the skew-guarded variant (band buckets capped at 16 docs before
+    // the candidate self-join — the scale run's worst term): on a
+    // corpus whose duplicate groups are smaller than the cap the
+    // verified pair set is EXACT, which is what the shared oracle
+    // pins; the mega-group recall tradeoff is pinned by DedupSpec
+    Entry("dedup_minhash_capped", JACCARD_SQL) {
+      (s, d) => ordered(Dedup.minhashLshPairs(docs(s, d), n = 3,
+        numHashes = 128, bands = 32, theta = 0.5, maxBucket = 16L))
+    },
     // connected components over the near-dup pair set: one keeper per
     // duplicate CLUSTER (not per pair); the oracle walks the same
     // graph with a recursive CTE
@@ -411,6 +420,19 @@ object DataOpsQueries {
         |       round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS lexical_diversity
         |FROM t ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.tokenStats(docs(s, d)))
+    },
+    // per-document keywords: fixed-point-quantized tf·idf rank (the
+    // lm-perplexity determinism trick), ties by term
+    Entry("text_tfidf_keywords",
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS q
+        |      FROM tf JOIN dfq USING (term), n)
+        |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, term) AS BIGINT) AS rank, term
+        |FROM s QUALIFY rank <= 3 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.tfidfKeywords(docs(s, d), k = 3))
     },
     Entry("text_bpe_count",
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe

@@ -40,6 +40,27 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("minhash maxBucket drops only over-cap identical groups — bounded fan-out") {
+    // a mega-group: 20 byte-identical docs (disjoint vocabulary from
+    // the base corpus) — every one of its band buckets holds all 20
+    val mega = (0 until 20).map(i => (1000L + i, baseText(50)))
+    val withMega = (corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ++ mega)
+      .toDF("doc_id", "text")
+    val planted = (0 until 5).map(d => (d.toLong, 100L + d)).toSet
+    val megaPairs = (for {
+      i <- 0 until 20; j <- i + 1 until 20
+    } yield (1000L + i, 1000L + j)).toSet
+    val uncapped = Dedup.minhashLshPairs(withMega, theta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === planted ++ megaPairs)
+    // cap 8 < 20: the identical group's buckets are ALL over cap in
+    // every band, so its pairs drop; two-doc near-dup buckets survive
+    val capped = Dedup.minhashLshPairs(withMega, theta = 0.5, maxBucket = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === planted)
+  }
+
   test("hot-shingle df-cap bounds the candidate fan-out, keeps real pairs") {
     import org.apache.spark.sql.functions.{concat, lit}
     // plant one ubiquitous phrase in EVERY doc: without a df-cap the
