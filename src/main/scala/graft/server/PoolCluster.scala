@@ -547,11 +547,11 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
   }
 
   private def flatState(viewPools: Vector[ApiCore], envs: Vector[EngineEnv])
-      : (Seq[(String, Long, String)], Frames) = {
+      : (Long, Seq[(String, Long, String)], Frames) = {
     val gen = meta.storeGeneration.get()
     val dirs = viewPools.map(_.dir)
     val c = flatCache
-    if (c != null && c._1 == gen && c._2 == dirs) (c._3, c._4)
+    if (c != null && c._1 == gen && c._2 == dirs) (c._1, c._3, c._4)
     else {
       val listed = viewPools.flatMap(p =>
         Ingest.shardDirs(spark, p.dir).map { case (g, sid, path) =>
@@ -562,7 +562,7 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
         mergedCat(envs.map(_.frames.get.cat)))
       rangedMemo.clear()
       flatCache = (gen, dirs, listed, all)
-      (listed, all)
+      (gen, listed, all)
     }
   }
 
@@ -604,12 +604,16 @@ final class PoolCluster(spark: org.apache.spark.sql.SparkSession,
       fleet = fleet,
       rollup = mergedRollup(viewPools))
     if (excluded.isEmpty) {
-      val (listed, all) = flatState(viewPools, envs)
+      // the memo key carries the generation the LISTING was built at
+      // (not a re-read at call time): a mutation landing between env
+      // build and the ranged call must not file this snapshot's
+      // frames under the new generation's key
+      val (gen, listed, all) = flatState(viewPools, envs)
       base.copy(
         frames = Some(all),
         rangedFrames = Some((a, b) => {
           if (rangedMemo.size > 64) rangedMemo.clear()
-          rangedMemo.computeIfAbsent((meta.storeGeneration.get(), a, b),
+          rangedMemo.computeIfAbsent((gen, a, b),
             _ => flatRanged(listed, all.cat, a, b))
         }))
     } else base.copy(

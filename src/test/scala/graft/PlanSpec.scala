@@ -210,6 +210,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!pp.contains("rangepartitioning"), pp)
   }
 
+  test("tfidf keywords: per-doc window, no global range sort, 1-row size broadcast") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, s"w$i the a x${i % 7} table spark query y$i"))
+      .toDF("doc_id", "text")
+    val kw = graft.llm.TextStats.tfidfKeywords(docs, k = 3)
+    kw.collect()
+    val p = plan(kw)
+    // the ranking window partitions by doc_id (hash shuffle + local
+    // sort); a global range sort over the scored term stream would be
+    // the driver-bottleneck anti-shape
+    assert(p.contains("Window"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // the corpus size is a 1-row broadcast, not a shuffled join side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tag membership stays distributed: tagging every series puts no name list on the driver") {
     val env = EngineEnv(spark, dir)
     val total = env.catalogLive.count()
