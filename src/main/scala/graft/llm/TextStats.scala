@@ -303,4 +303,44 @@ object TextStats {
         "round(ln((CAST(freq AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * c1a * c1b)), 6)")
         .as("pmi"))
   }
+
+  /** Context-window chunking — the 1→N prep step that turns documents
+    * into training sequences: overlapping token windows of `size`
+    * tokens starting every `stride` tokens (start < |tokens|, so the
+    * tail shorter than a stride still yields its final partial chunk).
+    * A narrow explode with no shuffle: each document expands to its
+    * own chunks in place, so at 100 TB the stage parallelizes by input
+    * split and the output is immediately relational (doc_id,
+    * chunk_idx, n_tokens, chunk). */
+  def chunkWindows(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame =
+    docs.select(col("doc_id"), expr(tok).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0L, CAST((size(w) - 1) / $stride AS LONG))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"CAST(least(size(w) - chunk_idx * $stride, $size) AS BIGINT)")
+          .as("n_tokens"),
+        expr(s"array_join(slice(w, CAST(chunk_idx * $stride + 1 AS INT), $size), ' ')")
+          .as("chunk"))
+
+  /** Deterministic train/val/test assignment plus a reproducible
+    * global-shuffle key — the split/ordering step of a training-data
+    * pipeline. The split comes from the same md5-derived uniform draw
+    * as [[sampleStratified]] (portable, seedless, stable under re-runs
+    * and engine changes); the shuffle key is md5 over a salted doc_id,
+    * so `ORDER BY shuffle_key` is a deterministic corpus-wide shuffle
+    * that any engine reproduces. Narrow single pass, no shuffle —
+    * ordering by the key is the CONSUMER's (optional) sort. */
+  def trainValTestSplit(docs: DataFrame, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, salt: String = "shuf"): DataFrame = {
+    val two60 = 1152921504606846976.0 // 2^60
+    val hv = expr(
+      "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
+    docs.select(col("doc_id"),
+      when(hv < lit((1.0 - valFrac - testFrac) * two60), lit("train"))
+        .when(hv < lit((1.0 - testFrac) * two60), lit("val"))
+        .otherwise(lit("test")).as("split"),
+      md5(concat(lit(salt + ":"), col("doc_id").cast("string")))
+        .as("shuffle_key"))
+  }
 }

@@ -199,6 +199,33 @@ object DataOpsQueries {
         |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.packBins(docs(s, d), contextLen = 512))
     },
+    // deterministic train/val/test assignment + reproducible global-
+    // shuffle key (same md5 draw as sample_stratified)
+    Entry("sample_split",
+      """WITH h AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(15), k ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |      << (4*(14-k)))) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN CAST(hv AS DOUBLE) < 0.90 * 1152921504606846976.0 THEN 'train'
+        |       WHEN CAST(hv AS DOUBLE) < 0.95 * 1152921504606846976.0 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM h ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.trainValTestSplit(docs(s, d)))
+    },
+    // overlapping context-window chunking (64-token windows, stride 48)
+    Entry("text_chunks",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w, r.i AS chunk_idx FROM t, range(0, 64) r(i)
+        |      WHERE r.i * 48 < len(w))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(least(len(w) - chunk_idx*48, 64) AS BIGINT) AS n_tokens,
+        |       array_to_string(w[(chunk_idx*48+1) : (chunk_idx*48+64)], ' ') AS chunk
+        |FROM c ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.chunkWindows(docs(s, d), size = 64, stride = 48))
+    },
     // simhash is fully portable (md5-derived token hashes), so the
     // oracle recomputes the identical 60-bit signature in SQL
     Entry("dedup_simhash",
@@ -567,22 +594,34 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.pmi(docs(s, d), minFreq = 20))
     },
 
-    // ---- multimodal plumbing (decode stubbed; see Multimodal.scala) ----
-    Entry("mm_decode_stub",
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       n_chars % 640 AS width, (n_chars * 7) % 480 AS height,
-        |       1 + doc_id % 3 AS n_frames
-        |FROM documents ORDER BY ALL""".stripMargin) {
+    // ---- multimodal: REAL JDK PNG codec round-trip (Multimodal.scala).
+    // The payloads are genuine PNGs (ImageIO encode) and width/height/
+    // sum_gray come from ImageIO.read's raster — the oracle recomputes
+    // the deterministic pixel field, so a wrong decode fails the hash.
+    Entry("mm_decode",
+      """WITH src AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id*3) % 8 AS h
+        |             FROM documents),
+        |px AS (SELECT doc_id, w, h, t.i FROM src, range(0, 225) t(i)
+        |       WHERE t.i < w*h)
+        |SELECT doc_id, CAST(any_value(w) AS BIGINT) AS width,
+        |       CAST(any_value(h) AS BIGINT) AS height,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum((i*31 + doc_id) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY doc_id ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Multimodal.decodeMedia(docs(s, d)).toDF())
     },
-    // 1→1 batched binary transform (resize shape): the oracle pins the
-    // size bound the stubbed resample guarantees
-    Entry("mm_resize_stub",
-      """SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
-        |       CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(Multimodal.resizeMedia(docs(s, d), 64, 64).toDF()
-        .select(col("doc_id"), col("width"), col("height"), col("n_bytes")))
+    // 1→1 batched binary transform: decode, nearest-neighbor resample
+    // to 5x5 (integer floor sampling — oracle-replayable), re-encode
+    Entry("mm_resize",
+      """WITH src AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id*3) % 8 AS h
+        |             FROM documents),
+        |px AS (SELECT doc_id, ((y.i*h)//5)*w + (x.i*w)//5 AS si
+        |       FROM src, range(0,5) x(i), range(0,5) y(i))
+        |SELECT doc_id, CAST(5 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+        |       CAST(sum((si*31 + doc_id) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY doc_id ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.resizeMedia(docs(s, d), 5, 5).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("sum_gray")))
     },
     // 1→N batched explode (video frame-sampling shape): one row per
     // sampled frame index

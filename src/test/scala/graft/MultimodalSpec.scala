@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Multimodal
+
+/** Pins the REAL image codec path: payloads are genuine PNG files
+  * (JDK encoder), decode goes through ImageIO.read, and the reported
+  * stats equal the deterministic pixel field — so a broken decode or
+  * resample cannot pass. Video frame-sampling stays a declared stub
+  * (no JDK video codec) and only its 1→N plumbing is pinned. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = (0L until 24L).map(i => (i, s"doc$i"))
+    .toDF("doc_id", "text")
+
+  test("encodeMedia emits genuine PNG files (magic bytes + ImageIO parse)") {
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val rows = Multimodal.encodeMedia(docs).collect()
+    assert(rows.length == 24)
+    rows.foreach { m =>
+      assert(m.payload.take(8).sameElements(pngMagic), s"doc ${m.doc_id} not a PNG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      val (w, h) = Multimodal.srcDims(m.doc_id)
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+  }
+
+  test("decodeMedia's dims and gray-sum come from the decoded raster and match the field") {
+    val metas = Multimodal.decodeMedia(docs).collect()
+    assert(metas.length == 24)
+    metas.foreach { m =>
+      val (w, h) = Multimodal.srcDims(m.doc_id)
+      assert(m.width == w && m.height == h && m.n_pixels == w.toLong * h)
+      val expected = (0 until w * h).map(i => Multimodal.pix(m.doc_id, i).toLong).sum
+      assert(m.sum_gray == expected, s"doc ${m.doc_id} gray-sum drifted through the codec")
+    }
+  }
+
+  test("resizeMedia is exact nearest-neighbor and re-encodes a decodable PNG") {
+    val (tw, th) = (5, 5)
+    val out = Multimodal.resizeMedia(docs, tw, th).collect()
+    out.foreach { r =>
+      val (sw, sh) = Multimodal.srcDims(r.doc_id)
+      val expected = (for { y <- 0 until th; x <- 0 until tw }
+        yield Multimodal.pix(r.doc_id, (y * sh / th) * sw + (x * sw / tw)).toLong).sum
+      assert(r.width == tw && r.height == th && r.sum_gray == expected)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == tw && img.getHeight == th)
+      // re-encoded pixels are the sampled ones, not a resampling blur
+      val raster = img.getRaster
+      val roundTrip = (for { y <- 0 until th; x <- 0 until tw }
+        yield raster.getSample(x, y, 0).toLong).sum
+      assert(roundTrip == expected)
+    }
+  }
+
+  test("sampleFrames explodes 1→N with the stub's frame count") {
+    val frames = Multimodal.sampleFrames(docs, everyN = 2).collect()
+    val perDoc = frames.groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq)
+    (0L until 24L).foreach { d =>
+      val n = 1 + d % 3
+      assert(perDoc(d) == (0L until n by 2L).toSeq)
+    }
+  }
+}
