@@ -331,4 +331,91 @@ object Ann {
     val scored = cands.withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
     topK(scored, k)
   }
+
+  /** Product-quantized search — the classic memory-bound scale path
+    * for a 100 TB vector store (the faiss PQ shape): each vector is
+    * split into `m` subvectors, each subspace gets its own `nlist`-way
+    * L2 k-means codebook, and a vector is stored as `m` byte codes —
+    * dim×4 bytes shrinks to m bytes (here 64×4→4, a 64× compression
+    * vs SQ8's 4×). Search is the asymmetric-distance scan: the query
+    * stays float and every corpus vector is scored against the
+    * CODEBOOK entries its codes name, so the corpus scan touches only
+    * codes, never raw vectors.
+    *
+    * Everything is deterministic and engine-recomputable (the DuckDB
+    * oracle replays it): per-subspace codebooks initialize from the
+    * `nlist` lowest vec_ids' subvectors; each Lloyd round assigns by
+    * round-9 L2 distance (ties → lowest code) and re-centers by
+    * elementwise mean (empty cells keep their centroid); the ADC scan
+    * quantizes each per-subspace partial dot and codebook-entry
+    * squared-norm to fixed point (×2^30, the lm-perplexity trick)
+    * BEFORE the cross-subspace sum, so the final cosine is an exact
+    * integer sum however the `m` partials are ordered.
+    *
+    * Scale shape: training is one broadcast of the (m×nlist)-row
+    * codebook + one narrow assignment pass + one partial-aggregated
+    * groupBy per Lloyd round; codes are one narrow pass; the ADC scan
+    * joins the (vec,sub,code) stream against the broadcast codebook ×
+    * broadcast query subvectors and collapses the m-way expansion
+    * map-side — the corpus never shuffles vector payloads. */
+  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      m: Int = 4, nlist: Int = 8, iters: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    // (vec_id, sub, sv): the subvector stream — one narrow explode
+    def subs(df: DataFrame) = df.select(col("vec_id"), col("nrm"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $d + 1, $d))"))
+        .as(Seq("sub", "sv")))
+    val sv = subs(e)
+    var books = sv.where(col("vec_id") < nlist)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("sv").as("cv"))
+    // nearest codebook entry per (vec, sub) by rounded L2, ties → lowest
+    // cid; min_by keeps the m-way-expanded rows collapsing map-side
+    def assign(bk: DataFrame): DataFrame = sv
+      .join(broadcast(bk), Seq("sub"))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 9))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(first(col("sv")).as("sv"),
+        min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    for (_ <- 1 to iters) {
+      val next = assign(books)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)")
+          .as("cv"))
+      books = books.alias("o")
+        .join(next.alias("n"), Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("n.cv"), col("o.cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    // fixed-point codebook-entry squared norms (×2^30) for the ADC scan
+    val book = books.withColumn("cn2q", expr(
+      "CAST(round(aggregate(cv, 0D, (a, x) -> a + x * x) * 1073741824D) AS BIGINT)"))
+    val codes = assign(book).select(col("vec_id"), col("sub"), col("cid"))
+    val qsubs = subs(e.where(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("nrm").as("qn"),
+        col("sub"), col("sv").as("qsv"))
+    // ADC: per (query, vec, sub) partial dot against the named codebook
+    // entry, quantized, then an integer sum per (query, vec)
+    val scored = codes
+      .join(broadcast(book.select(col("sub"), col("cid"), col("cv"), col("cn2q"))),
+        Seq("sub", "cid"))
+      .join(broadcast(qsubs), Seq("sub"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("pdq", expr(
+        "CAST(round(aggregate(zip_with(qsv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x) * 1073741824D) AS BIGINT)"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdq")).as("pd"), sum(col("cn2q")).as("rn2"),
+        first(col("qn")).as("qn"))
+      .withColumn("sim", round(
+        (col("pd") / lit(1073741824.0)) /
+          (col("qn") * sqrt(col("rn2") / lit(1073741824.0))), 6))
+    topK(scored, k)
+  }
 }

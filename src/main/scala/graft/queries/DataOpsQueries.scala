@@ -78,6 +78,53 @@ object DataOpsQueries {
        |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
   }
 
+  /** Oracle replay of Ann.pqTopK: per-subspace L2 Lloyd (same init,
+    * round-9 distances, ties → lowest code, empty cells keep their
+    * centroid), then the ADC scan with per-subspace partials quantized
+    * to fixed point (×2^30) before the cross-subspace integer sum. */
+  private def pqSql(m: Int, d: Int, nlist: Int, iters: Int,
+      nQueries: Int, k: Int): String = {
+    val Q = "1073741824.0"
+    def l2(sv: String, cv: String) =
+      s"round(list_sum(list_transform(range(1, $d + 1), j -> ($sv[j] - $cv[j]) * ($sv[j] - $cv[j]))), 9)"
+    val iterBlocks = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (SELECT t.vec_id, t.sub, t.sv, c.cid, ${l2("t.sv", "c.cv")} AS dist
+         |       FROM sv t JOIN $prev c ON c.sub = t.sub),
+         |b$i AS (SELECT vec_id, sub, sv, cid FROM a$i
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+         |m$i AS (SELECT sub, cid, unnest(range(1, $d + 1)) AS pos, unnest(sv) AS x FROM b$i),
+         |g$i AS (SELECT sub, cid, pos, avg(x) AS cx FROM m$i GROUP BY 1, 2, 3),
+         |u$i AS (SELECT sub, cid, list(cx ORDER BY pos) AS cv FROM g$i GROUP BY 1, 2),
+         |c$i AS (SELECT p.sub, p.cid, COALESCE(u$i.cv, p.cv) AS cv
+         |        FROM $prev p LEFT JOIN u$i ON u$i.sub = p.sub AND u$i.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    val last = s"c$iters"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |sv AS (SELECT vec_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS sv FROM e, range(0, $m) s(i)),
+       |c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv FROM sv WHERE vec_id < $nlist),
+       |$iterBlocks,
+       |bk AS (SELECT sub, cid, cv,
+       |        CAST(round(list_sum(list_transform(cv, x -> x * x)) * $Q) AS BIGINT) AS cn2q FROM $last),
+       |af AS (SELECT t.vec_id, t.sub, c.cid, ${l2("t.sv", "c.cv")} AS dist
+       |       FROM sv t JOIN bk c ON c.sub = t.sub),
+       |cod AS (SELECT vec_id, sub, cid FROM af
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+       |q AS (SELECT vec_id AS query_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS qn FROM e WHERE vec_id < $nQueries),
+       |qs AS (SELECT query_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS qsv, qn FROM q, range(0, $m) s(i)),
+       |pd AS (SELECT qs.query_id, cod.vec_id, qs.qn, c.cn2q,
+       |       CAST(round(list_sum(list_transform(range(1, $d + 1), j -> qs.qsv[j] * c.cv[j])) * $Q) AS BIGINT) AS pdq
+       |       FROM cod JOIN bk c ON c.sub = cod.sub AND c.cid = cod.cid
+       |       JOIN qs ON qs.sub = cod.sub
+       |       WHERE cod.vec_id <> qs.query_id),
+       |sc AS (SELECT query_id, vec_id,
+       |       round((sum(pdq) / $Q) / (any_value(qn) * sqrt(sum(cn2q) / $Q)), 6) AS sim
+       |       FROM pd GROUP BY 1, 2)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id
+       |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
     // ---- deduplication ----
     Entry("dedup_exact",
@@ -405,6 +452,13 @@ object DataOpsQueries {
       nQueries = 10, k = 5, nprobe = 3)) {
       (s, d) => ordered(Ann.kmeansIvfTopK(emb(s, d), nQueries = 10, k = 5,
         nlist = 8, iters = 2, nprobe = 3))
+    },
+
+    // product quantization: 4 subspaces × 8-entry L2 codebooks, ADC scan
+    Entry("ann_pq_topk", pqSql(m = 4, d = 16, nlist = 8, iters = 2,
+      nQueries = 10, k = 5)) {
+      (s, d) => ordered(Ann.pqTopK(emb(s, d), nQueries = 10, k = 5,
+        m = 4, nlist = 8, iters = 2))
     },
 
     // int8 scalar quantization (absmax), exploded to scalar rows so

@@ -42,6 +42,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    import os
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{n}")}
+    skipped = [n for n in oracle if n not in dumped]
+    if skipped:
+        print(f"[skip] {len(skipped)} entries not dumped (subset run)")
+    oracle = {n: s for n, s in oracle.items() if n in dumped}
     for name, sql in sorted(oracle.items()):
         res = {"ok": False}
         try:
