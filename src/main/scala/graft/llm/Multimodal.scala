@@ -136,25 +136,129 @@ object Multimodal {
     }
   }
 
-  final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+  /** Pixel value at flat index i of frame f of doc d's clip. */
+  @inline private[graft] def framePix(docId: Long, f: Long, i: Int): Int =
+    (((i.toLong * 31 + docId + f * 7) % 256 + 256) % 256).toInt
 
-  /** Batched 1→N media transform (the video frame-sampling shape):
-    * every `everyN`-th frame of each payload becomes its own row, so
-    * downstream per-frame ops (embedding, dedup) stay relational.
-    * The VIDEO codec step is STUBBED — the JDK ships no video decoder —
-    * so frame count derives from doc_id and each "frame" is the still
-    * PNG; the 1→N iterator plumbing is the real contract. */
+  /** Frames per clip: 1..3, derived from doc_id. */
+  private[graft] def clipFrames(docId: Long): Long = 1 + docId % 3
+
+  /** Render doc `docId`'s deterministic multi-frame clip as a real
+    * animated GIF (the JDK's GIF writer in sequence mode) — an actual
+    * multi-frame media container, 8×8 gray frames. */
+  private[graft] def renderGif(docId: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    var f = 0L
+    while (f < clipFrames(docId)) {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      var i = 0
+      while (i < 64) { img.getRaster.setSample(i % 8, i / 8, 0, framePix(docId, f, i)); i += 1 }
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    w.endWriteSequence()
+    ios.close()
+    w.dispose()
+    bos.toByteArray
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Long, width: Long,
+      height: Long, sum_gray: Long)
+
+  /** Batched 1→N REAL media transform — the video frame-sampling
+    * shape: each payload is a genuine animated GIF, and every
+    * `everyN`-th frame is seek-decoded from the container by the JDK's
+    * GIF reader (`reader.read(idx)` — only sampled frames decode, the
+    * skip is a real container seek). Each sampled frame becomes its
+    * own relational row, so downstream per-frame ops (embedding,
+    * dedup) fan out of one narrow partition-parallel stage. */
   def sampleFrames(docs: DataFrame, everyN: Int = 2): Dataset[Frame] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    encodeMedia(docs).mapPartitions { batch =>
-      batch.flatMap { m =>
-        // STUB: a real implementation seeks + decodes frame `idx` from a
-        // video container; no video codec ships with the JDK
-        val nFrames = 1 + m.doc_id % 3
-        (0L until nFrames by everyN.toLong).iterator.map { idx =>
-          Frame(m.doc_id, idx, m.payload)
+    ImageIO.setUseCache(false)
+    docs.select(col("doc_id")).as[Long].mapPartitions { batch =>
+      ImageIO.setUseCache(false)
+      batch.flatMap { id =>
+        val gif = renderGif(id)
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(gif)))
+        val n = reader.getNumImages(true)
+        val out = (0 until n by everyN).map { idx =>
+          val img = reader.read(idx)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          Frame(id, idx.toLong, img.getWidth.toLong, img.getHeight.toLong, sum)
         }
+        reader.dispose()
+        out.iterator
+      }
+    }
+  }
+
+  /** Deterministic 16-bit PCM sample i of doc d's audio clip. */
+  @inline private[graft] def audioSample(docId: Long, i: Int): Int =
+    (((i.toLong * 131 + docId) % 4096 + 4096) % 4096).toInt - 2048
+
+  /** Samples per clip: 64..127, derived from doc_id. */
+  private[graft] def clipSamples(docId: Long): Int = (64 + docId % 64).toInt
+
+  /** Render doc `docId`'s deterministic audio clip as a real WAV file
+    * (RIFF container, 16 kHz 16-bit mono little-endian PCM) via the
+    * JDK's `javax.sound.sampled` writer. */
+  private[graft] def renderWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val ns = clipSamples(docId)
+    val pcm = new Array[Byte](ns * 2)
+    var i = 0
+    while (i < ns) {
+      val s = audioSample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, ns.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Typed metadata per decoded audio payload. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Long,
+      n_samples: Long, sum_abs: Long)
+
+  /** Batched REAL audio decode: each payload is a genuine WAV file and
+    * `AudioSystem.getAudioInputStream` parses the RIFF container — the
+    * reported rate, sample count, and absolute-amplitude sum come from
+    * the decoded PCM stream, so a wrong parse fails the oracle.
+    * Partition-parallel, no shuffle, fixed relational output. */
+  def decodeAudio(docs: DataFrame): Dataset[AudioMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { batch =>
+      batch.map { id =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(renderWav(id)))
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        in.close()
+        var sum = 0L
+        var i = 0
+        while (i < pcm.length / 2) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)).toShort
+          sum += math.abs(s.toInt)
+          i += 1
+        }
+        AudioMeta(id, fmt.getSampleRate.toLong, pcm.length / 2L, sum)
       }
     }
   }

@@ -677,12 +677,29 @@ object DataOpsQueries {
       (s, d) => ordered(Multimodal.resizeMedia(docs(s, d), 5, 5).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("sum_gray")))
     },
-    // 1→N batched explode (video frame-sampling shape): one row per
-    // sampled frame index
+    // 1→N REAL multi-frame decode: payloads are genuine animated GIFs
+    // and every 2nd frame is seek-decoded from the container — the
+    // per-frame gray-sums come from the decoded frames
     Entry("mm_frame_sample",
-      """SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 3, 2)) AS BIGINT) AS frame_idx
-        |FROM documents ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(Multimodal.sampleFrames(docs(s, d), everyN = 2).toDF()
-        .select(col("doc_id"), col("frame_idx")))
+      """WITH f AS (SELECT doc_id, t.i AS frame_idx FROM documents, range(0, 3) t(i)
+        |           WHERE t.i < 1 + doc_id % 3 AND t.i % 2 = 0),
+        |px AS (SELECT doc_id, frame_idx, p.i FROM f, range(0, 64) p(i))
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       CAST(sum((i*31 + doc_id + frame_idx*7) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.sampleFrames(docs(s, d), everyN = 2).toDF())
+    },
+    // REAL audio decode: payloads are genuine WAV files (RIFF, 16 kHz
+    // 16-bit mono PCM) parsed by javax.sound.sampled — rate, count,
+    // and amplitude sum come from the decoded stream
+    Entry("mm_audio_decode",
+      """WITH src AS (SELECT doc_id, 64 + doc_id % 64 AS ns FROM documents),
+        |sm AS (SELECT doc_id, t.i FROM src, range(0, 128) t(i) WHERE t.i < ns)
+        |SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs((i*131 + doc_id) % 4096 - 2048)) AS BIGINT) AS sum_abs
+        |FROM sm GROUP BY doc_id ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.decodeAudio(docs(s, d)).toDF())
     })
 }

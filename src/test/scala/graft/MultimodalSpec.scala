@@ -56,12 +56,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("sampleFrames explodes 1→N with the stub's frame count") {
+  test("sampleFrames seek-decodes real animated-GIF frames") {
     val frames = Multimodal.sampleFrames(docs, everyN = 2).collect()
     val perDoc = frames.groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq)
     (0L until 24L).foreach { d =>
-      val n = 1 + d % 3
+      val n = Multimodal.clipFrames(d)
       assert(perDoc(d) == (0L until n by 2L).toSeq)
     }
+    frames.foreach { f =>
+      assert(f.width == 8 && f.height == 8)
+      val expected = (0 until 64).map(i => Multimodal.framePix(f.doc_id, f.frame_idx, i).toLong).sum
+      assert(f.sum_gray == expected,
+        s"doc ${f.doc_id} frame ${f.frame_idx} drifted through the GIF codec")
+    }
+    // the payload really is a multi-frame GIF container
+    val gif = Multimodal.renderGif(5L) // 3 frames
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    r.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(r.getNumImages(true) == 3)
+  }
+
+  test("decodeAudio parses real WAV containers and reports decoded PCM stats") {
+    val metas = Multimodal.decodeAudio(docs).collect()
+    assert(metas.length == 24)
+    metas.foreach { m =>
+      val ns = Multimodal.clipSamples(m.doc_id)
+      assert(m.sample_rate == 16000L && m.n_samples == ns.toLong)
+      val expected = (0 until ns).map(i => math.abs(Multimodal.audioSample(m.doc_id, i)).toLong).sum
+      assert(m.sum_abs == expected, s"doc ${m.doc_id} PCM drifted through the WAV codec")
+    }
+    // the payload really is a RIFF/WAVE file
+    val wav = Multimodal.renderWav(3L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
 }
