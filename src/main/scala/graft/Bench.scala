@@ -21,7 +21,8 @@ object Bench {
     "dedup_semantic_clusters", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "ann_pq_topk", "text_token_stats",
     "text_lang_id", "text_tfidf_keywords", "text_lm_perplexity",
-    "mm_decode",
+    "text_chunks", "sample_split",
+    "mm_decode", "mm_frame_sample", "mm_audio_decode",
     // full query-string path (parse → plan → catalog consult →
     // execute): what a reference user actually pays per query — the
     // engine-layer entries above enter below the parser

@@ -227,6 +227,53 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("chunking / split stages are narrow; media stages shuffle only ids") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, (0 until 60).map(k => s"t${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (df <- Seq(
+        graft.llm.TextStats.chunkWindows(docs, size = 16, stride = 12),
+        graft.llm.TextStats.trainValTestSplit(docs))) {
+      df.collect()
+      val p = plan(df)
+      // per-partition transforms of their input split — an Exchange
+      // here would mean the 100 TB pipeline reshuffles payloads it
+      // only needed to map over
+      assert(!p.contains("Exchange"), p)
+    }
+    for (df <- Seq(
+        graft.llm.Multimodal.decodeMedia(docs).toDF(),
+        graft.llm.Multimodal.decodeAudio(docs).toDF(),
+        graft.llm.Multimodal.sampleFrames(docs).toDF())) {
+      df.collect()
+      val p = plan(df)
+      // codec stages spread CPU-bound work across cores: the ONLY
+      // exchange kind is the round-robin spread of the 8-byte id
+      // column — payloads are synthesized/decoded after the shuffle,
+      // never moved
+      assert(p.contains("RoundRobinPartitioning"), p)
+      val foreign = p.linesIterator.filter(_.contains("Exchange "))
+        .filterNot(_.contains("RoundRobinPartitioning")).toList
+      assert(foreign.isEmpty, foreign.mkString("\n"))
+    }
+  }
+
+  test("PQ search: codebook and query subvectors broadcast; raw vectors never join the scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pq = Ann.pqTopK(emb, nQueries = 4, k = 3, m = 4, nlist = 8, iters = 1)
+    pq.collect()
+    val p = plan(pq)
+    // the ADC scan joins the narrow (vec, sub, code) stream against
+    // broadcast codebook + broadcast query subvectors — both tiny
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no sort-merge join anywhere: a shuffled vector-payload join is
+    // the anti-shape PQ exists to avoid
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-query ranking is the two-phase top-k, not a global range sort
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("tag membership stays distributed: tagging every series puts no name list on the driver") {
     val env = EngineEnv(spark, dir)
     val total = env.catalogLive.count()
