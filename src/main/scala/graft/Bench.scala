@@ -19,7 +19,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
     "dedup_simhash_pairs",
     "dedup_semantic_clusters", "ann_cosine_topk",
-    "ann_lsh_topk", "ann_ivf_kmeans_topk", "ann_pq_topk", "text_token_stats",
+    "ann_lsh_topk", "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "text_token_stats",
     "text_lang_id", "text_tfidf_keywords", "text_lm_perplexity",
     "text_chunks", "sample_split",
     "mm_decode", "mm_frame_sample", "mm_audio_decode",

@@ -179,29 +179,35 @@ object Ann {
     * tiny centroid table + one narrow assignment pass + one partial-
     * aggregated groupBy — the textbook scalable k-means shape; the
     * centroid table never leaves executor-broadcast size. */
-  def kmeansIvfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nlist: Int = 8, iters: Int = 2, nprobe: Int = 3): DataFrame = {
-    val e = withNorm(emb)
+  /** Nearest-centroid assignment by round-9 cosine, ties → lowest
+    * cell. argmax by max_by over the broadcast-expanded (vec, cell)
+    * rows: partial aggregation collapses the nlist-way expansion
+    * map-side, so nothing vector-sized shuffles beyond one row per
+    * vec_id (a row_number window here would shuffle corpus × nlist
+    * rows). */
+  private def coarseAssign(e: DataFrame, centroids: DataFrame): DataFrame = e
+    .crossJoin(broadcast(centroids))
+    .withColumn("csim", round(
+      expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+        (col("nrm") * col("cnrm")), 9))
+    .groupBy(col("vec_id"))
+    .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+      // highest csim, ties → lowest cell (the -cell struct field)
+      max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc")))
+        .as("cell"))
+    .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
+  /** Distributed spherical k-means over a normed corpus — returns the
+    * trained (cell, cv, cnrm) centroid table (nlist rows). Centroids
+    * initialize from the `nlist` lowest vec_ids; each Lloyd round is
+    * one broadcast + one assignment pass + one partial-aggregated
+    * groupBy. */
+  private def trainCoarse(e: DataFrame, nlist: Int, iters: Int): DataFrame = {
     var cent = e.where(col("vec_id") < nlist)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
       .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
-    // argmax by max_by over the broadcast-expanded (vec, cell) rows:
-    // partial aggregation collapses the nlist-way expansion map-side,
-    // so nothing vector-sized shuffles beyond one row per vec_id (a
-    // row_number window here would shuffle corpus × nlist rows)
-    def assign(centroids: DataFrame): DataFrame = e
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", round(
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (col("nrm") * col("cnrm")), 9))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        // highest csim, ties → lowest cell (the -cell struct field)
-        max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc")))
-          .as("cell"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     for (_ <- 1 to iters) {
-      val next = centroidsOf(assign(cent))
+      val next = centroidsOf(coarseAssign(e, cent))
       // empty cells keep their previous centroid (deterministic in
       // both engines via the same left-join + coalesce). The nlist-row
       // result is localCheckpoint'ed EAGERLY: without it each
@@ -214,7 +220,14 @@ object Ann {
           coalesce(col("n.cnrm"), col("o.cnrm")).as("cnrm"))
         .localCheckpoint(true)
     }
-    probeAndScore(assign(cent), cent, nQueries, k, nprobe)
+    cent
+  }
+
+  def kmeansIvfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, iters: Int = 2, nprobe: Int = 3): DataFrame = {
+    val e = withNorm(emb)
+    val cent = trainCoarse(e, nlist, iters)
+    probeAndScore(coarseAssign(e, cent), cent, nQueries, k, nprobe)
   }
 
   /** Int8 scalar quantization of the embedding column — the standard
@@ -358,32 +371,34 @@ object Ann {
     * joins the (vec,sub,code) stream against the broadcast codebook ×
     * broadcast query subvectors and collapses the m-way expansion
     * map-side — the corpus never shuffles vector payloads. */
-  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      m: Int = 4, nlist: Int = 8, iters: Int = 2): DataFrame = {
-    val e = withNorm(emb)
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val d = dim / m
-    // (vec_id, sub, sv): the subvector stream — one narrow explode
-    def subs(df: DataFrame) = df.select(col("vec_id"), col("nrm"),
+  /** (vec_id, nrm, sub, sv): the subvector stream — a narrow explode
+    * of a normed frame into `m` subspaces of `d` dims each. */
+  private def pqSubs(df: DataFrame, m: Int, d: Int): DataFrame =
+    df.select(col("vec_id"), col("nrm"),
       posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $d + 1, $d))"))
         .as(Seq("sub", "sv")))
-    val sv = subs(e)
+
+  /** Nearest codebook entry per (vec, sub) by rounded L2, ties →
+    * lowest cid; min_by keeps the m-way-expanded rows collapsing
+    * map-side. */
+  private def pqAssign(sv: DataFrame, bk: DataFrame): DataFrame = sv
+    .join(broadcast(bk.select(col("sub"), col("cid"), col("cv"))), Seq("sub"))
+    .withColumn("dist", round(expr(
+      "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 9))
+    .groupBy(col("vec_id"), col("sub"))
+    .agg(first(col("sv")).as("sv"),
+      min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+
+  /** Per-subspace L2 Lloyd over the subvector stream — returns the
+    * trained (sub, cid, cv, cn2q) codebook (m × nlist rows, cn2q =
+    * fixed-point squared norm ×2^30 for the ADC scan). */
+  private def trainPq(sv: DataFrame, nlist: Int, iters: Int): DataFrame = {
     var books = sv.where(col("vec_id") < nlist)
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
         col("sv").as("cv"))
-    // nearest codebook entry per (vec, sub) by rounded L2, ties → lowest
-    // cid; min_by keeps the m-way-expanded rows collapsing map-side
-    def assign(bk: DataFrame): DataFrame = sv
-      .join(broadcast(bk), Seq("sub"))
-      .withColumn("dist", round(expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 9))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(first(col("sv")).as("sv"),
-        min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
     for (_ <- 1 to iters) {
-      val next = assign(books)
+      val next = pqAssign(sv, books)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
         .groupBy(col("sub"), col("cid"))
@@ -394,28 +409,92 @@ object Ann {
         .select(col("sub"), col("cid"), coalesce(col("n.cv"), col("o.cv")).as("cv"))
         .localCheckpoint(true)
     }
-    // fixed-point codebook-entry squared norms (×2^30) for the ADC scan
-    val book = books.withColumn("cn2q", expr(
+    books.withColumn("cn2q", expr(
       "CAST(round(aggregate(cv, 0D, (a, x) -> a + x * x) * 1073741824D) AS BIGINT)"))
-    val codes = assign(book).select(col("vec_id"), col("sub"), col("cid"))
-    val qsubs = subs(e.where(col("vec_id") < nQueries))
+  }
+
+  /** ADC scoring of a (…, vec_id, sub, cid) code stream: per-subspace
+    * partial dot against the named codebook entry, quantized to fixed
+    * point, then an exact integer sum per (query, vec) — the final
+    * cosine is order-independent however the m partials arrive. The
+    * codebook and the query subvectors are broadcast; only narrow code
+    * rows flow. */
+  private def adcScore(codeRows: DataFrame, book: DataFrame,
+      qsubs: DataFrame): DataFrame = codeRows
+    .join(broadcast(book.select(col("sub"), col("cid"), col("cv"), col("cn2q"))),
+      Seq("sub", "cid"))
+    .join(broadcast(qsubs), Seq("query_id", "sub"))
+    .withColumn("pdq", expr(
+      "CAST(round(aggregate(zip_with(qsv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x) * 1073741824D) AS BIGINT)"))
+    .groupBy(col("query_id"), col("vec_id"))
+    .agg(sum(col("pdq")).as("pd"), sum(col("cn2q")).as("rn2"),
+      first(col("qn")).as("qn"))
+    .withColumn("sim", round(
+      (col("pd") / lit(1073741824.0)) /
+        (col("qn") * sqrt(col("rn2") / lit(1073741824.0))), 6))
+
+  private def pqQuerySubs(e: DataFrame, m: Int, d: Int, nQueries: Int): DataFrame =
+    pqSubs(e.where(col("vec_id") < nQueries), m, d)
       .select(col("vec_id").as("query_id"), col("nrm").as("qn"),
         col("sub"), col("sv").as("qsv"))
-    // ADC: per (query, vec, sub) partial dot against the named codebook
-    // entry, quantized, then an integer sum per (query, vec)
-    val scored = codes
-      .join(broadcast(book.select(col("sub"), col("cid"), col("cv"), col("cn2q"))),
-        Seq("sub", "cid"))
-      .join(broadcast(qsubs), Seq("sub"))
+
+  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      m: Int = 4, nlist: Int = 8, iters: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val sv = pqSubs(e, m, d)
+    val book = trainPq(sv, nlist, iters)
+    val codes = pqAssign(sv, book).select(col("vec_id"), col("sub"), col("cid"))
+    val qsubs = pqQuerySubs(e, m, d, nQueries)
+    // exhaustive ADC: every (query, vec) pair is scored through codes
+    val codeRows = codes.crossJoin(
+      broadcast(qsubs.select(col("query_id")).distinct()))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("pdq", expr(
-        "CAST(round(aggregate(zip_with(qsv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x) * 1073741824D) AS BIGINT)"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pdq")).as("pd"), sum(col("cn2q")).as("rn2"),
-        first(col("qn")).as("qn"))
-      .withColumn("sim", round(
-        (col("pd") / lit(1073741824.0)) /
-          (col("qn") * sqrt(col("rn2") / lit(1073741824.0))), 6))
-    topK(scored, k)
+    topK(adcScore(codeRows, book, qsubs), k)
+  }
+
+  /** IVF-PQ — the production composition for billion-scale ANN (the
+    * faiss IndexIVFPQ shape, `by_residual=false`): a trained coarse
+    * quantizer restricts each query to `nprobe` cells, and within the
+    * probed cells vectors are scored by their PQ codes via the ADC
+    * scan. Per-query work drops to ~(nprobe/nlist) of the corpus AND
+    * each visited vector costs m byte-code lookups instead of a
+    * dim-float dot — the two orthogonal reductions multiply.
+    * Training, probing, code assignment, and the fixed-point ADC all
+    * reuse the deterministic machinery above, so the DuckDB oracle
+    * replays the whole composition. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, iters: Int = 2, nprobe: Int = 3,
+      m: Int = 4, pqNlist: Int = 8, pqIters: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val cent = trainCoarse(e, nlist, iters)
+    val assigned = coarseAssign(e, cent).select(col("vec_id"), col("cell"))
+    val sv = pqSubs(e, m, d)
+    val book = trainPq(sv, pqNlist, pqIters)
+    val codes = pqAssign(sv, book).select(col("vec_id"), col("sub"), col("cid"))
+    // probe the nprobe nearest cells per query (tiny centroid table)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", round(
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("qn") * col("cnrm")), 9))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // candidate (query, vec) pairs: only vectors in probed cells — the
+    // probe table is queries×nprobe rows, broadcast onto the corpus
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val qsubs = pqQuerySubs(e, m, d, nQueries)
+    topK(adcScore(cand.join(codes, Seq("vec_id")), book, qsubs), k)
   }
 }

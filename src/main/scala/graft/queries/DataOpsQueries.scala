@@ -125,6 +125,84 @@ object DataOpsQueries {
        |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
   }
 
+  /** Oracle replay of Ann.ivfPqTopK: the coarse spherical-k-means
+    * blocks of [[kmeansIvfSql]] + the per-subspace PQ blocks of
+    * [[pqSql]] + probe restriction + the fixed-point ADC over
+    * candidates only. */
+  private def ivfPqSql(nlist: Int, iters: Int, nprobe: Int, m: Int,
+      d: Int, pqNlist: Int, pqIters: Int, nQueries: Int, k: Int): String = {
+    val Q = "1073741824.0"
+    def csim(cvOwner: String) =
+      s"round(list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * ${cvOwner}cv[j])) / (nrm * ${cvOwner}cnrm), 9)"
+    val coarse = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $prev),
+         |b$i AS (SELECT vec_id, v, nrm, cell FROM a$i
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
+         |m$i AS (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM b$i),
+         |g$i AS (SELECT cell, pos, avg(x) AS cx FROM m$i GROUP BY 1, 2),
+         |u$i AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM g$i GROUP BY 1),
+         |c$i AS (SELECT p.cell, COALESCE(u$i.cv, p.cv) AS cv,
+         |         sqrt(list_sum(list_transform(COALESCE(u$i.cv, p.cv), x -> x * x))) AS cnrm
+         |        FROM $prev p LEFT JOIN u$i ON u$i.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    val clast = s"c$iters"
+    def l2(sv: String, cv: String) =
+      s"round(list_sum(list_transform(range(1, $d + 1), j -> ($sv[j] - $cv[j]) * ($sv[j] - $cv[j]))), 9)"
+    val pq = (1 to pqIters).map { i =>
+      val prev = if (i == 1) "p0" else s"pc${i - 1}"
+      s"""pa$i AS (SELECT t.vec_id, t.sub, t.sv, c.cid, ${l2("t.sv", "c.cv")} AS dist
+         |       FROM sv t JOIN $prev c ON c.sub = t.sub),
+         |pb$i AS (SELECT vec_id, sub, sv, cid FROM pa$i
+         |       QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+         |pm$i AS (SELECT sub, cid, unnest(range(1, $d + 1)) AS pos, unnest(sv) AS x FROM pb$i),
+         |pg$i AS (SELECT sub, cid, pos, avg(x) AS cx FROM pm$i GROUP BY 1, 2, 3),
+         |pu$i AS (SELECT sub, cid, list(cx ORDER BY pos) AS cv FROM pg$i GROUP BY 1, 2),
+         |pc$i AS (SELECT p.sub, p.cid, COALESCE(pu$i.cv, p.cv) AS cv
+         |        FROM $prev p LEFT JOIN pu$i ON pu$i.sub = p.sub AND pu$i.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    val plast = s"pc$pqIters"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM n WHERE vec_id < $nlist),
+       |$coarse,
+       |af AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $clast),
+       |bf AS (SELECT vec_id, cell FROM af
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
+       |sv AS (SELECT vec_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS sv FROM e, range(0, $m) s(i)),
+       |p0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv FROM sv WHERE vec_id < $pqNlist),
+       |$pq,
+       |bk AS (SELECT sub, cid, cv,
+       |        CAST(round(list_sum(list_transform(cv, x -> x * x)) * $Q) AS BIGINT) AS cn2q FROM $plast),
+       |paf AS (SELECT t.vec_id, t.sub, c.cid, ${l2("t.sv", "c.cv")} AS dist
+       |       FROM sv t JOIN bk c ON c.sub = t.sub),
+       |cod AS (SELECT vec_id, sub, cid FROM paf
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries),
+       |prc AS (SELECT query_id, cell,
+       |        round(list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * cv[j])) / (qn * cnrm), 9) AS csim
+       |       FROM q, $clast),
+       |probes AS (SELECT query_id, cell FROM prc
+       |           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) <= $nprobe),
+       |cand AS (SELECT p.query_id, b.vec_id FROM probes p
+       |         JOIN bf b ON b.cell = p.cell AND b.vec_id <> p.query_id),
+       |qs AS (SELECT vec_id AS query_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS qsv,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+       |       FROM e, range(0, $m) s(i) WHERE vec_id < $nQueries),
+       |pd AS (SELECT ca.query_id, ca.vec_id, qs.qn, c.cn2q,
+       |       CAST(round(list_sum(list_transform(range(1, $d + 1), j -> qs.qsv[j] * c.cv[j])) * $Q) AS BIGINT) AS pdq
+       |       FROM cand ca JOIN cod ON cod.vec_id = ca.vec_id
+       |       JOIN bk c ON c.sub = cod.sub AND c.cid = cod.cid
+       |       JOIN qs ON qs.query_id = ca.query_id AND qs.sub = cod.sub),
+       |sc AS (SELECT query_id, vec_id,
+       |       round((sum(pdq) / $Q) / (any_value(qn) * sqrt(sum(cn2q) / $Q)), 6) AS sim
+       |       FROM pd GROUP BY 1, 2)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id
+       |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
     // ---- deduplication ----
     Entry("dedup_exact",
@@ -459,6 +537,14 @@ object DataOpsQueries {
       nQueries = 10, k = 5)) {
       (s, d) => ordered(Ann.pqTopK(emb(s, d), nQueries = 10, k = 5,
         m = 4, nlist = 8, iters = 2))
+    },
+
+    // IVF-PQ: trained coarse cells restrict the scan to nprobe cells,
+    // PQ codes + ADC score within them (faiss IndexIVFPQ, by_residual=false)
+    Entry("ann_ivfpq_topk", ivfPqSql(nlist = 8, iters = 2, nprobe = 3,
+      m = 4, d = 16, pqNlist = 8, pqIters = 2, nQueries = 10, k = 5)) {
+      (s, d) => ordered(Ann.ivfPqTopK(emb(s, d), nQueries = 10, k = 5,
+        nlist = 8, iters = 2, nprobe = 3, m = 4, pqNlist = 8, pqIters = 2))
     },
 
     // int8 scalar quantization (absmax), exploded to scalar rows so

@@ -161,6 +161,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recallR >= 0.2, s"pq recall=$recallR")
   }
 
+  test("IVF-PQ keeps coarse structure: top-1 in-cluster, recall above probe floor") {
+    val exact = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = Ann.ivfPqTopK(corpus, nQueries = 6, k = 5,
+      nlist = 6, iters = 2, nprobe = 3, m = 4, pqNlist = 8, pqIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both reductions stacked (3/6 cells probed, 4-byte codes): the
+    // planted-cluster corpus still keeps most of the exact top-5
+    val recall = (exact intersect ivfpq.map(t => (t._1, t._3)).toSet)
+      .size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivfpq recall=$recall")
+    ivfpq.filter(_._2 == 1L).foreach { case (q, _, n) =>
+      assert(n % 6 === q % 6, s"query $q ivfpq-top-1 $n crossed clusters")
+    }
+  }
+
   test("int8 quantization: reconstruction within half a step, zero vector safe") {
     val withZero = corpus.unionByName(
       Seq((500L, Array.fill(16)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
