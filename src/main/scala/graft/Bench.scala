@@ -17,7 +17,7 @@ object Bench {
     "agg_median_low_1h", "chain_sum1h_diff", "chain_mean6h_deriv",
     "pw_difference", "limit_fn_mean", "merge_sum_1d", "list_series",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "dedup_substring_spans",
     "dedup_semantic_clusters", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "text_token_stats",

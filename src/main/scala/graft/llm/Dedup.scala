@@ -390,4 +390,37 @@ object Dedup {
           when(col(s"b$j") * 2 > col("n"), expr(s"shiftleft(1L, $j)")).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Substring-level duplication gate (the "deduplicating training
+    * data" granularity BELOW whole-document near-dup): every n-token
+    * window of every document is hashed, windows whose hash occurs in
+    * ≥2 DISTINCT documents are "duplicated spans", and each document
+    * reports its window count + duplicated-window count — the
+    * filter/trim signal for corpora whose documents share boilerplate
+    * passages without being near-duplicates of each other.
+    *
+    * Scale shape: an inverted WINDOW index — explode to (doc, pos,
+    * hash), one count-distinct aggregation keyed on the hash, one
+    * semi-join back. No self-join anywhere, so unlike pairwise dedup
+    * there is NO candidate-density term: work is linear in total
+    * token count at any duplicate density. Window hashes are md5 over
+    * the space-joined tokens (portable — the oracle recomputes them
+    * verbatim). */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val win = t.where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> md5(array_join(slice(w, i + 1, $n), ' ')))"))
+        .as("h"))
+    val shared = win.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val dup = win.join(shared, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dupw"))
+    t.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        greatest(size(col("w")) - lit(n - 1), lit(0)).cast("long").as("n_windows"),
+        coalesce(col("dupw"), lit(0L)).as("n_dup_windows"))
+  }
 }

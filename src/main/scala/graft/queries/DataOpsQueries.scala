@@ -351,6 +351,22 @@ object DataOpsQueries {
         |FROM c ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.chunkWindows(docs(s, d), size = 64, stride = 48))
     },
+    // substring-level duplication gate: 5-token windows shared by >=2
+    // distinct docs, counted per document (inverted window index — no
+    // self-join, no candidate-density term)
+    Entry("dedup_substring_spans",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |win AS (SELECT doc_id, md5(array_to_string(w[r.i+1 : r.i+5], ' ')) AS h
+        |        FROM t, range(0, 200) r(i) WHERE r.i <= len(w) - 5),
+        |sh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY 1)
+        |       WHERE nd >= 2),
+        |dup AS (SELECT doc_id, count(*) AS dupw FROM win
+        |        WHERE h IN (SELECT h FROM sh) GROUP BY 1)
+        |SELECT t.doc_id, CAST(greatest(len(w) - 4, 0) AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(dup.dupw, 0) AS BIGINT) AS n_dup_windows
+        |FROM t LEFT JOIN dup ON dup.doc_id = t.doc_id ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.dupSpans(docs(s, d), n = 5))
+    },
     // simhash is fully portable (md5-derived token hashes), so the
     // oracle recomputes the identical 60-bit signature in SQL
     Entry("dedup_simhash",

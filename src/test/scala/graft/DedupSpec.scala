@@ -193,4 +193,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0L, 0L, true), (1L, 0L, false),
       (2L, 2L, true), (3L, 2L, false)))
   }
+
+  test("substring dup-spans: shared passages counted exactly, disjoint docs zero") {
+    // corpus: docs 0..19 have disjoint vocabularies (zero shared
+    // windows); 100..104 are near-copies of 0..4 with token 20
+    // changed. With n=5, a 40-token doc has 36 windows and the
+    // changed token kills exactly the 5 windows covering position 20.
+    val byId = Dedup.dupSpans(corpus, n = 5).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    (0L until 5L).foreach { d =>
+      assert(byId(d) == ((36L, 31L)), s"doc $d: ${byId(d)}")
+      assert(byId(100L + d) == ((36L, 31L)), s"copy ${100 + d}: ${byId(100L + d)}")
+    }
+    (5L until 20L).foreach { d =>
+      assert(byId(d) == ((36L, 0L)), s"unrelated doc $d: ${byId(d)}")
+    }
+  }
 }
