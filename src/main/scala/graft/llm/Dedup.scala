@@ -406,6 +406,26 @@ object Dedup {
     * token count at any duplicate density. Window hashes are md5 over
     * the space-joined tokens (portable — the oracle recomputes them
     * verbatim). */
+  /** Streaming exact-dedup — dedup-on-ingest for a continuously
+    * arriving corpus: the first document bearing a given content hash
+    * within the watermark horizon passes, later copies are dropped.
+    * `dropDuplicatesWithinWatermark` keeps the state store BOUNDED:
+    * hashes older than the lateness horizon are evicted, so state
+    * grows with arrival-rate × horizon, never with corpus size — the
+    * property that lets a 100 TB/day ingest dedup without an
+    * unbounded seen-set. (A copy arriving after its original's hash
+    * was evicted passes again; downstream batch dedup catches those —
+    * the streaming stage is the high-ratio first filter.) */
+  def streamingExactDedup(docs: DataFrame, eventTimeCol: String = "event_time",
+      lateness: String = "10 minutes", normalize: Boolean = false): DataFrame = {
+    val content =
+      if (normalize) regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      else col("text")
+    docs.withColumn("content_hash", md5(content))
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
     val win = t.where(size(col("w")) >= n)

@@ -42,6 +42,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup: first copy passes, dups drop, state evicts at the horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "event_time")
+    val q = graft.llm.Dedup.streamingExactDedup(docs, lateness = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      ms.addData((1L, "alpha beta", ts(10)), (2L, "alpha beta", ts(11)),
+        (3L, "gamma delta", ts(12)))
+      q.processAllAvailable()
+      val first = spark.sql("SELECT doc_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).sorted
+      assert(first.toSeq === Seq(1L, 3L), "only the first copy of each text passes")
+      // far past the horizon: the old hash state is evicted, so the
+      // same content is admitted again — bounded state, by design
+      ms.addData((4L, "advance watermark", ts(1000)))
+      q.processAllAvailable()
+      ms.addData((5L, "alpha beta", ts(1001)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.contains(5L), s"post-eviction copy must pass: ${ids.toSeq}")
+      assert(!ids.contains(2L))
+    } finally q.stop()
+  }
+
   test("streaming rollup buckets in RAW units at ms precision — time.h factors") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
