@@ -20,6 +20,7 @@ object Bench {
     "dedup_simhash_pairs", "dedup_substring_spans",
     "dedup_semantic_clusters", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_binary_topk",
     "text_token_stats",
     "text_lang_id", "text_tfidf_keywords", "text_lm_perplexity",
     "text_chunks", "sample_split",

@@ -497,4 +497,78 @@ object Ann {
     val qsubs = pqQuerySubs(e, m, d, nQueries)
     topK(adcScore(cand.join(codes, Seq("vec_id")), book, qsubs), k)
   }
+
+  /** Binary (sign-bit) quantization search — the 32× compression point
+    * of the quantization family (SQ8 4×, PQ 64×): every dimension
+    * collapses to its sign bit, a dim-float vector becomes
+    * ceil(dim/32) packed 32-bit words, and the candidate scan is pure
+    * integer Hamming distance (xor + popcount — whole-stage-codegen'd
+    * in Spark, no floats touched). The top `rerank` Hamming candidates
+    * per query are then re-scored with the exact float cosine, the
+    * standard binary-quantization + rerank shape of production vector
+    * stores.
+    *
+    * Bits are packed 32 per word (bit j of word w = sign of dimension
+    * 32w+j) so every word stays exactly representable — and exactly
+    * recomputable by the DuckDB oracle — as a small positive BIGINT;
+    * packing is a narrow fold, the signature frame is 2 longs per
+    * vector at dim 64. The Hamming scan broadcasts the nQueries
+    * signatures against the corpus signature frame (never the float
+    * vectors) and reduces to `rerank` survivors with the same
+    * two-phase local-top-k used everywhere (no global sort); only the
+    * survivors' ids join back to the float corpus for the exact
+    * re-score. Per-query scan cost at 100 TB: N × words integer ops
+    * over a frame 32× smaller than the raw corpus, and the float reads
+    * are rerank-bounded. Determinism: Hamming is integer (ties →
+    * lowest vec_id), rerank cosine is the round-9 exact dot. */
+  def binaryTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      rerank: Int = 50): DataFrame = {
+    val e = withNorm(emb).where(col("embedding").isNotNull)
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val nWords = (dim + 31) / 32
+    // packed signature words: bit j of word w = 1 iff v[32w+j] >= 0
+    val wordCols = (0 until nWords).map { w =>
+      val width = math.min(32, dim - 32 * w)
+      expr(
+        s"""aggregate(transform(sequence(0, ${width - 1}),
+           |  j -> CASE WHEN element_at(v, ${32 * w} + j + 1) >= 0D
+           |            THEN shiftleft(1L, j) ELSE 0L END),
+           |  0L, (a, x) -> a + x)""".stripMargin).as(s"w$w")
+    }
+    val sigs = e.select(col("vec_id") +: wordCols: _*)
+    val qSigs = sigs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until nWords).map(w => col(s"w$w").as(s"qw$w")): _*)
+    val ham = (0 until nWords)
+      .map(w => expr(s"bit_count(w$w ^ qw$w)"): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+    val scanned = sigs.crossJoin(broadcast(qSigs))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("ham", ham)
+    // two-phase smallest-`rerank` Hamming per query: local top inside
+    // each scan partition (map-side, bounded array_sort), then a rank
+    // over the <= rerank * P narrow survivors — no global sort, and
+    // nothing vector-sized ever shuffles
+    val local = scanned
+      .select(col("query_id"), col("ham"), col("vec_id"))
+      .groupBy(col("query_id"), spark_partition_id().as("part"))
+      .agg(expr(
+        s"slice(array_sort(collect_list(struct(ham, vec_id))), 1, $rerank)")
+        .as("top"))
+    val merged = local
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.ham").as("ham"), col("c.vec_id").as("vec_id"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = merged.withColumn("r", row_number().over(wCand))
+      .where(col("r") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank: only rerank*nQueries ids rejoin the float corpus
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+    topK(scored, k)
+  }
 }

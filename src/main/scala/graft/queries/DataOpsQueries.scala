@@ -595,6 +595,33 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.quantizedTopK(emb(s, d), nQueries = 10, k = 5))
     },
 
+    // binary (sign-bit) quantization search: 32-bit packed signature
+    // words, integer Hamming prefilter to the top-50 candidates, exact
+    // float rerank — every word, every Hamming distance, and the
+    // rerank ordering replayed by the oracle
+    Entry("ann_binary_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |sg AS (SELECT vec_id,
+        |        CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN v[j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS w0,
+        |        CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN v[32 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS w1
+        |       FROM e),
+        |q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1 FROM sg WHERE vec_id < 10),
+        |h AS (SELECT q.query_id, sg.vec_id,
+        |        bit_count(xor(sg.w0, q.qw0)) + bit_count(xor(sg.w1, q.qw1)) AS ham
+        |      FROM sg, q WHERE sg.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, vec_id FROM h
+        |         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham, vec_id) <= 50),
+        |sc AS (SELECT c.query_id, c.vec_id,
+        |        round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j])) / (a.nrm * b.nrm), 9) AS sim
+        |       FROM cand c JOIN n a ON a.vec_id = c.query_id JOIN n b ON b.vec_id = c.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id
+        |FROM sc QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.binaryTopK(emb(s, d), nQueries = 10, k = 5,
+        rerank = 50))
+    },
+
     // ---- text analysis ----
     Entry("text_token_stats",
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)

@@ -199,4 +199,37 @@ class AnnSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     exact.foreach { case (a, b) => assert(a % 6 === b % 6) }
   }
+
+  test("binary top-k: Hamming prefilter + rerank recovers exact search when rerank covers the corpus") {
+    // with rerank >= corpus size the Hamming phase filters nothing, so
+    // the exact float rerank must reproduce brute force EXACTLY
+    val exact = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Ann.binaryTopK(corpus, nQueries = 6, k = 5, rerank = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full === exact, "rerank >= N must equal brute force")
+    // a tight rerank budget (sign bits of the planted clusters carry
+    // the structure) still keeps high recall and in-cluster top-1
+    val tight = Ann.binaryTopK(corpus, nQueries = 6, k = 5, rerank = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val recall = (exact.map(t => (t._1, t._3)).toSet intersect
+      tight.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"binary recall=$recall")
+    tight.filter(_._2 == 1L).foreach { case (q, _, n) =>
+      assert(n % 6 === q % 6, s"query $q binary-top-1 $n crossed clusters")
+    }
+    // 16 dims → one 16-bit word: every packed signature fits the width
+    val path = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(path).exists(), s"$path not present")
+    val emb = spark.read.parquet(path)
+    val exactR = Ann.cosineTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val binR = Ann.binaryTopK(emb, nQueries = 10, k = 5, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallR = (exactR intersect binR).size.toDouble / exactR.size
+    info(s"sf0.01 binary recall@5 = $recallR")
+    // near-random 64-dim corpus, 50/499 candidates: sign-bit Hamming
+    // correlates with cosine, far above the ~0.1 random-candidate floor
+    assert(recallR >= 0.3, s"binary recall=$recallR")
+  }
 }

@@ -274,6 +274,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("binary search: Hamming scan is a broadcast over signature words, no shuffled vector join") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bin = Ann.binaryTopK(emb, nQueries = 4, k = 3, rerank = 20)
+    bin.collect()
+    val p = plan(bin)
+    // query signatures (nQueries rows of packed longs) broadcast onto
+    // the corpus signature frame; rerank ids rejoin the floats via
+    // broadcast too — the corpus vectors never sort-merge-shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // ranking is the two-phase top-k, not a global range sort
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("tag membership stays distributed: tagging every series puts no name list on the driver") {
     val env = EngineEnv(spark, dir)
     val total = env.catalogLive.count()
