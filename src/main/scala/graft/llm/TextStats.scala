@@ -76,6 +76,55 @@ object TextStats {
       .select(col("doc_id"), col(keyCol))
   }
 
+  /** Weighted source mixing — the data-mixture operator (Pile/DoReMi
+    * shape): given target weights per source, sample each source at
+    * the largest rate consistent with the target proportions and
+    * never oversampling (rate_s = w_s·T/n_s with T = min_s n_s/w_s,
+    * so the argmin source keeps everything and the rest downsample to
+    * match). Source counts are one tiny aggregation broadcast back;
+    * the draw is the same seedless md5(doc_id) uniform as
+    * [[sampleStratified]], so the mixture is reproducible across
+    * engines and re-runs. Sources absent from `weights` are dropped.
+    * One narrow filter over the corpus — no shuffle of documents. */
+  def sampleMixture(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    val hv = expr(
+      "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("w", w).where(col("w") > 0)
+    val tmin = cnt.agg(min(col("n").cast("double") / col("w")).as("t"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(cnt), Seq("source"))
+      .crossJoin(broadcast(tmin))
+      // identical operation order to the oracle: ((w*t)/n)*2^60
+      .where(hv < col("w") * col("t") / col("n").cast("double")
+        * lit(1152921504606846976.0))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Vocabulary induction + coverage — the tokenizer-planning
+    * operator: the top-`vocabSize` corpus terms by frequency (ties →
+    * term asc) form the vocabulary, and every document reports its
+    * token count, out-of-vocabulary count, and OOV rate. The corpus
+    * pass is one explode + hash aggregation (term-distinct-sized);
+    * vocab selection is a TakeOrdered of V rows (never a global sort
+    * of the term table), broadcast back onto the token stream for the
+    * per-doc coverage aggregation — documents never shuffle. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(expr(tok)).as("term"))
+    val vocab = t.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(1).as("inv"))
+    t.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Sequence-packing preparation: assign documents to packing bins by
     * cumulative token count (greedy contiguous packing at context
     * length L — the standard prep before example packing). Packing is

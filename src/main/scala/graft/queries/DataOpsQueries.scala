@@ -310,6 +310,44 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.sampleStratified(docs(s, d),
         Map("zh" -> 1.0, "en" -> 0.5), defaultRate = 0.1))
     },
+    // weighted source mixing: rate_s = w_s*T/n_s with T = min n_s/w_s
+    // computed from the corpus itself — the argmin source keeps all,
+    // the rest downsample to the target proportions; same md5 draw
+    Entry("sample_mixture",
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(range(15), k ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |      << (4*(14-k)))) AS BIGINT) AS hv
+        |  FROM documents),
+        |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |wt AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+        |                    WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
+        |                    ELSE 0.0 END AS w
+        |       FROM cnt),
+        |t AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM wt WHERE w > 0)
+        |SELECT doc_id, source FROM h JOIN wt USING (source), t
+        |WHERE wt.w > 0 AND CAST(hv AS DOUBLE) <
+        |      wt.w * t.t / CAST(wt.n AS DOUBLE) * 1152921504606846976.0
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.sampleMixture(docs(s, d),
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
+    },
+    // vocabulary induction + OOV coverage: top-100 corpus terms by
+    // frequency (ties -> term asc) as the vocab, per-doc OOV rate
+    Entry("text_vocab_oov",
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        |vocab AS (SELECT term FROM cnt
+        |          QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 100),
+        |d AS (SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |      FROM t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |       round(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+        |FROM d ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.vocabCoverage(docs(s, d), vocabSize = 100))
+    },
     // sequence-packing prep: greedy contiguous bin assignment by
     // cumulative token count within independent streams (no global
     // window — each stream packs in parallel)

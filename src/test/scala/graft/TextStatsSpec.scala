@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.TextStats
+
+/** Behavioral pins for the corpus-curation text operators that the
+  * SQL oracles exercise only at one parameterization: mixture
+  * proportions actually land on the target weights, vocab/OOV
+  * coverage separates in-vocab from out-of-vocab documents.
+  */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 4 sources with unequal sizes: a=800, b=400, c=200, d=100
+  private def mixCorpus = {
+    val rows =
+      (0 until 800).map(i => (i.toLong, "common words here", "a")) ++
+      (0 until 400).map(i => (1000L + i, "common words here", "b")) ++
+      (0 until 200).map(i => (2000L + i, "common words here", "c")) ++
+      (0 until 100).map(i => (3000L + i, "common words here", "d"))
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("sampleMixture hits the target proportions; argmin source keeps everything") {
+    // weights 1:1 over a (800 docs) and d (100 docs): T = min(800/1,
+    // 100/1) = 100, so d keeps ALL 100 and a samples at 100/800
+    val out = TextStats.sampleMixture(mixCorpus, Map("a" -> 1.0, "d" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("d", 0) === 100, "argmin source must keep every doc")
+    // a's expected share is 100 ± md5-draw noise (binomial sd ~9.4)
+    val aN = bySrc.getOrElse("a", 0)
+    assert(aN > 60 && aN < 140, s"source a drew $aN, expected ~100")
+    // unweighted sources are dropped entirely
+    assert(!bySrc.contains("b") && !bySrc.contains("c"))
+    // re-running reproduces the exact same sample (seedless md5 draw)
+    val again = TextStats.sampleMixture(mixCorpus, Map("a" -> 1.0, "d" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+  }
+
+  test("sampleMixture skewed weights: proportions track w_s, never oversample") {
+    // weights 3:1 over c (200) and d (100): T = min(200/3, 100/1) =
+    // 66.67 → c at rate 200/200=1.0? no: 3*66.67/200 = 1.0 exactly,
+    // d at 66.67/100 = 0.667
+    val out = TextStats.sampleMixture(mixCorpus, Map("c" -> 3.0, "d" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("c", 0) === 200, "rate-1.0 source keeps every doc")
+    val dN = bySrc.getOrElse("d", 0)
+    assert(dN > 45 && dN < 90, s"source d drew $dN, expected ~67")
+  }
+
+  test("vocabCoverage: all-in-vocab docs score 0, alien docs score 1") {
+    val docs = (
+      (0 until 50).map(i => (i.toLong, "alpha beta gamma")) ++
+      Seq((900L, "alpha beta zzz-rare"), (901L, "qq ww ee rr"))
+    ).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // vocab = {alpha, beta, gamma} (frequency 51, 51, 50 beat the
+    // singletons); the 50 base docs are fully covered
+    (0 until 50).foreach(i => assert(out(i.toLong) === ((3L, 0L, 0.0))))
+    assert(out(900L) === ((3L, 1L, round6(1.0 / 3))))
+    assert(out(901L) === ((4L, 4L, 1.0)), "fully alien doc: OOV rate 1")
+  }
+
+  private def round6(x: Double) = math.rint(x * 1e6) / 1e6
+}
