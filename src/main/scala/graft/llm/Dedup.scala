@@ -233,6 +233,37 @@ object Dedup {
       .agg(count(lit(1)).as("hits"), min(col("shingle")).as("first_hit"))
   }
 
+  /** Cross-source overlap matrix — the corpus-curation view of WHERE
+    * duplication lives: for every source pair, the n-gram-set Jaccard
+    * and containment (inter / min size) between the sources' distinct
+    * shingle sets. Catches a source that's a subset-scrape of another
+    * (containment ≈ 1 at low Jaccard) before any doc-level dedup runs.
+    *
+    * Scale shape: the frame is (source, shingle) DISTINCT — vocabulary
+    * × sources, far smaller than the corpus — and the self-join keys
+    * on shingle whose fan-out is bounded by S² per shingle (S = number
+    * of sources, inherently small); the output is the S×S matrix. One
+    * distinct agg, one join, two tiny size joins — documents
+    * themselves never move. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("source"),
+      explode(expr(s"graft_shingles(text, $n)")).as("shingle")).distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sza")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("szb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6)
+          .as("jaccard"),
+        round(col("inter") / least(col("sza"), col("szb")).cast("double"), 6)
+          .as("containment"))
+  }
+
   /** Near-duplicate cluster assignment: connected components over a
     * near-dup pair set, so a dedup pipeline can keep ONE document per
     * duplicate cluster (not just one per pair). Labels propagate by

@@ -259,6 +259,26 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.contamination(docs(s, d),
         Seq("key agg row scan", "batch window spark")))
     },
+    // cross-source overlap matrix: source-pair shingle-set Jaccard +
+    // containment over distinct (source, shingle) — where duplication
+    // lives BETWEEN sources, before any doc-level dedup
+    Entry("dedup_source_overlap",
+      """WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh0 AS (SELECT source, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+        |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |it AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter,
+        |       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard,
+        |       round(inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+        |FROM it JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.sourceOverlap(docs(s, d)))
+    },
     // LSH-bucketed scale path; candidates are exactly verified, and at
     // the planted-pair similarities (>= 0.9) the 32x4-band miss
     // probability is ~4e-8, so the output equals the exact pair set.

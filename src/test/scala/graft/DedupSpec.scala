@@ -209,4 +209,25 @@ class DedupSpec extends AnyFunSuite {
       assert(byId(d) == ((36L, 0L)), s"unrelated doc $d: ${byId(d)}")
     }
   }
+
+  test("sourceOverlap: a subset-scrape shows containment 1.0 at low jaccard") {
+    // source big = docs 0..9's texts; source scrape = docs 0..1's
+    // texts verbatim (a strict subset); source other = disjoint vocab
+    val rows =
+      (0 until 10).map(d => (d.toLong, baseText(d), "big")) ++
+      (0 until 2).map(d => (100L + d, baseText(d), "scrape")) ++
+      (0 until 3).map(d => (200L + d, baseText(50 + d), "other"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // each 40-token doc has 38 distinct trigram shingles, vocabularies
+    // disjoint across docs → big has 380, scrape 76, other 114
+    val (inter, jac, cont) = out(("big", "scrape"))
+    assert(inter === 76L, s"inter=$inter")
+    assert(cont === 1.0, "subset scrape must have containment 1.0")
+    assert(jac === math.rint(76.0 / 380 * 1e6) / 1e6, s"jac=$jac")
+    // disjoint sources produce NO row (inner join on shared shingles)
+    assert(!out.contains(("big", "other")) && !out.contains(("other", "scrape")))
+  }
 }
