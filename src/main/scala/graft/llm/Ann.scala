@@ -199,15 +199,27 @@ object Ann {
 
   /** Distributed spherical k-means over a normed corpus — returns the
     * trained (cell, cv, cnrm) centroid table (nlist rows). Centroids
-    * initialize from the `nlist` lowest vec_ids; each Lloyd round is
+    * initialize from the lowest sampled vec_ids; each Lloyd round is
     * one broadcast + one assignment pass + one partial-aggregated
-    * groupBy. */
-  private def trainCoarse(e: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    var cent = e.where(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    * groupBy.
+    *
+    * `trainMod` > 1 trains on the deterministic 1/trainMod subsample
+    * `vec_id % trainMod == 0` (the faiss practice — codebooks need a
+    * representative sample, not the corpus): Lloyd cost drops by
+    * trainMod× while the final full-corpus assignment is unchanged,
+    * and the filter is engine-recomputable so the oracle replays the
+    * sampled training exactly. At 100 TB pick trainMod ≈ N / 256·k so
+    * training touches a fixed-size sample regardless of corpus
+    * growth. */
+  private def trainCoarse(e: DataFrame, nlist: Int, iters: Int,
+      trainMod: Int = 1): DataFrame = {
+    val te = if (trainMod <= 1) e
+             else e.where(col("vec_id") % trainMod === 0)
+    var cent = te.where(col("vec_id") < nlist.toLong * trainMod)
+      .select(expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cell"), col("v").as("cv"))
       .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
     for (_ <- 1 to iters) {
-      val next = centroidsOf(coarseAssign(e, cent))
+      val next = centroidsOf(coarseAssign(te, cent))
       // empty cells keep their previous centroid (deterministic in
       // both engines via the same left-join + coalesce). The nlist-row
       // result is localCheckpoint'ed EAGERLY: without it each
@@ -224,9 +236,10 @@ object Ann {
   }
 
   def kmeansIvfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nlist: Int = 8, iters: Int = 2, nprobe: Int = 3): DataFrame = {
+      nlist: Int = 8, iters: Int = 2, nprobe: Int = 3,
+      trainMod: Int = 1): DataFrame = {
     val e = withNorm(emb)
-    val cent = trainCoarse(e, nlist, iters)
+    val cent = trainCoarse(e, nlist, iters, trainMod)
     probeAndScore(coarseAssign(e, cent), cent, nQueries, k, nprobe)
   }
 
@@ -392,13 +405,19 @@ object Ann {
 
   /** Per-subspace L2 Lloyd over the subvector stream — returns the
     * trained (sub, cid, cv, cn2q) codebook (m × nlist rows, cn2q =
-    * fixed-point squared norm ×2^30 for the ADC scan). */
-  private def trainPq(sv: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    var books = sv.where(col("vec_id") < nlist)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+    * fixed-point squared norm ×2^30 for the ADC scan). `trainMod` > 1
+    * trains each codebook on the 1/trainMod `vec_id % trainMod == 0`
+    * subsample (see [[trainCoarse]]) — code ASSIGNMENT still covers
+    * every vector. */
+  private def trainPq(sv: DataFrame, nlist: Int, iters: Int,
+      trainMod: Int = 1): DataFrame = {
+    val tsv = if (trainMod <= 1) sv
+              else sv.where(col("vec_id") % trainMod === 0)
+    var books = tsv.where(col("vec_id") < nlist.toLong * trainMod)
+      .select(col("sub"), expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cid"),
         col("sv").as("cv"))
     for (_ <- 1 to iters) {
-      val next = pqAssign(sv, books)
+      val next = pqAssign(tsv, books)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
         .groupBy(col("sub"), col("cid"))
@@ -439,13 +458,14 @@ object Ann {
         col("sub"), col("sv").as("qsv"))
 
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      m: Int = 4, nlist: Int = 8, iters: Int = 2): DataFrame = {
+      m: Int = 4, nlist: Int = 8, iters: Int = 2,
+      trainMod: Int = 1): DataFrame = {
     val e = withNorm(emb)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
     val sv = pqSubs(e, m, d)
-    val book = trainPq(sv, nlist, iters)
+    val book = trainPq(sv, nlist, iters, trainMod)
     val codes = pqAssign(sv, book).select(col("vec_id"), col("sub"), col("cid"))
     val qsubs = pqQuerySubs(e, m, d, nQueries)
     // exhaustive ADC: every (query, vec) pair is scored through codes
@@ -467,15 +487,16 @@ object Ann {
     * replays the whole composition. */
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 8, iters: Int = 2, nprobe: Int = 3,
-      m: Int = 4, pqNlist: Int = 8, pqIters: Int = 2): DataFrame = {
+      m: Int = 4, pqNlist: Int = 8, pqIters: Int = 2,
+      trainMod: Int = 1): DataFrame = {
     val e = withNorm(emb)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
-    val cent = trainCoarse(e, nlist, iters)
+    val cent = trainCoarse(e, nlist, iters, trainMod)
     val assigned = coarseAssign(e, cent).select(col("vec_id"), col("cell"))
     val sv = pqSubs(e, m, d)
-    val book = trainPq(sv, pqNlist, pqIters)
+    val book = trainPq(sv, pqNlist, pqIters, trainMod)
     val codes = pqAssign(sv, book).select(col("vec_id"), col("sub"), col("cid"))
     // probe the nprobe nearest cells per query (tiny centroid table)
     val q = e.where(col("vec_id") < nQueries)

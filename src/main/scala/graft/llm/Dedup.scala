@@ -164,8 +164,15 @@ object Dedup {
     // buffers whose generated update code bloats at 128 columns; see
     // MinHashSig for the affine-permutation hash family.
     val sigAgg = udaf(new MinHashSig(numHashes))
+    // one row per doc (sz + numHashes longs): materialize ONCE — the
+    // signature aggregation has up to three consumers (band keys,
+    // bucket occupancy when capped, verify sizes) and Spark re-runs
+    // the whole shingle+128-min lineage per consumer otherwise (the
+    // simhashPairs lesson; the capped variant measured a full extra
+    // signature pass before this checkpoint)
     val sig = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"), sigAgg(col("h0")).as("sig"))
+      .localCheckpoint(true)
     // band key = hash of the band's minhash values (one long per band)
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(j => col("sig")(j)): _*).as(s"b$b")

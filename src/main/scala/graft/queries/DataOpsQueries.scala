@@ -40,12 +40,12 @@ object DataOpsQueries {
     * recompute per-cell means, empty cells keep their centroid), then
     * the standard probe + exact-score + rank tail. */
   private def kmeansIvfSql(nlist: Int, iters: Int, nQueries: Int,
-      k: Int, nprobe: Int): String = {
+      k: Int, nprobe: Int, trainMod: Int = 1): String = {
     def csim(cvOwner: String) =
       s"round(list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * ${cvOwner}cv[j])) / (nrm * ${cvOwner}cnrm), 9)"
     val iterBlocks = (1 to iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
-      s"""a$i AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $prev),
+      s"""a$i AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM nt, $prev),
          |b$i AS (SELECT vec_id, v, nrm, cell FROM a$i
          |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
          |m$i AS (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM b$i),
@@ -58,8 +58,9 @@ object DataOpsQueries {
     val last = s"c$iters"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv,
-       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM n WHERE vec_id < $nlist),
+       |nt AS (SELECT * FROM n WHERE vec_id % $trainMod = 0),
+       |c0 AS (SELECT CAST(vec_id // $trainMod AS INT) AS cell, v AS cv,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM nt WHERE vec_id < ${nlist.toLong * trainMod}),
        |$iterBlocks,
        |af AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $last),
        |bf AS (SELECT vec_id, v, nrm, cell FROM af
@@ -83,14 +84,14 @@ object DataOpsQueries {
     * centroid), then the ADC scan with per-subspace partials quantized
     * to fixed point (×2^30) before the cross-subspace integer sum. */
   private def pqSql(m: Int, d: Int, nlist: Int, iters: Int,
-      nQueries: Int, k: Int): String = {
+      nQueries: Int, k: Int, trainMod: Int = 1): String = {
     val Q = "1073741824.0"
     def l2(sv: String, cv: String) =
       s"round(list_sum(list_transform(range(1, $d + 1), j -> ($sv[j] - $cv[j]) * ($sv[j] - $cv[j]))), 9)"
     val iterBlocks = (1 to iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       s"""a$i AS (SELECT t.vec_id, t.sub, t.sv, c.cid, ${l2("t.sv", "c.cv")} AS dist
-         |       FROM sv t JOIN $prev c ON c.sub = t.sub),
+         |       FROM svt t JOIN $prev c ON c.sub = t.sub),
          |b$i AS (SELECT vec_id, sub, sv, cid FROM a$i
          |       QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
          |m$i AS (SELECT sub, cid, unnest(range(1, $d + 1)) AS pos, unnest(sv) AS x FROM b$i),
@@ -102,7 +103,8 @@ object DataOpsQueries {
     val last = s"c$iters"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
        |sv AS (SELECT vec_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS sv FROM e, range(0, $m) s(i)),
-       |c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv FROM sv WHERE vec_id < $nlist),
+       |svt AS (SELECT * FROM sv WHERE vec_id % $trainMod = 0),
+       |c0 AS (SELECT sub, CAST(vec_id // $trainMod AS INT) AS cid, sv AS cv FROM svt WHERE vec_id < ${nlist.toLong * trainMod}),
        |$iterBlocks,
        |bk AS (SELECT sub, cid, cv,
        |        CAST(round(list_sum(list_transform(cv, x -> x * x)) * $Q) AS BIGINT) AS cn2q FROM $last),
@@ -130,13 +132,14 @@ object DataOpsQueries {
     * [[pqSql]] + probe restriction + the fixed-point ADC over
     * candidates only. */
   private def ivfPqSql(nlist: Int, iters: Int, nprobe: Int, m: Int,
-      d: Int, pqNlist: Int, pqIters: Int, nQueries: Int, k: Int): String = {
+      d: Int, pqNlist: Int, pqIters: Int, nQueries: Int, k: Int,
+      trainMod: Int = 1): String = {
     val Q = "1073741824.0"
     def csim(cvOwner: String) =
       s"round(list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * ${cvOwner}cv[j])) / (nrm * ${cvOwner}cnrm), 9)"
     val coarse = (1 to iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
-      s"""a$i AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $prev),
+      s"""a$i AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM nt, $prev),
          |b$i AS (SELECT vec_id, v, nrm, cell FROM a$i
          |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
          |m$i AS (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM b$i),
@@ -152,7 +155,7 @@ object DataOpsQueries {
     val pq = (1 to pqIters).map { i =>
       val prev = if (i == 1) "p0" else s"pc${i - 1}"
       s"""pa$i AS (SELECT t.vec_id, t.sub, t.sv, c.cid, ${l2("t.sv", "c.cv")} AS dist
-         |       FROM sv t JOIN $prev c ON c.sub = t.sub),
+         |       FROM svt t JOIN $prev c ON c.sub = t.sub),
          |pb$i AS (SELECT vec_id, sub, sv, cid FROM pa$i
          |       QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
          |pm$i AS (SELECT sub, cid, unnest(range(1, $d + 1)) AS pos, unnest(sv) AS x FROM pb$i),
@@ -164,14 +167,16 @@ object DataOpsQueries {
     val plast = s"pc$pqIters"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv,
-       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM n WHERE vec_id < $nlist),
+       |nt AS (SELECT * FROM n WHERE vec_id % $trainMod = 0),
+       |c0 AS (SELECT CAST(vec_id // $trainMod AS INT) AS cell, v AS cv,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM nt WHERE vec_id < ${nlist.toLong * trainMod}),
        |$coarse,
        |af AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $clast),
        |bf AS (SELECT vec_id, cell FROM af
        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
        |sv AS (SELECT vec_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS sv FROM e, range(0, $m) s(i)),
-       |p0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv FROM sv WHERE vec_id < $pqNlist),
+       |svt AS (SELECT * FROM sv WHERE vec_id % $trainMod = 0),
+       |p0 AS (SELECT sub, CAST(vec_id // $trainMod AS INT) AS cid, sv AS cv FROM svt WHERE vec_id < ${pqNlist.toLong * trainMod}),
        |$pq,
        |bk AS (SELECT sub, cid, cv,
        |        CAST(round(list_sum(list_transform(cv, x -> x * x)) * $Q) AS BIGINT) AS cn2q FROM $plast),
@@ -600,25 +605,30 @@ object DataOpsQueries {
     // cells — deterministic init (lowest vec_ids), round-9 cosine
     // assignment with lowest-cell tie-break, empty cells keep their
     // centroid — so the oracle replays the training step for step
+    // trainMod=4: Lloyd rounds run on the deterministic 1/4 subsample
+    // (the faiss sampled-training practice), full-corpus assignment
+    // unchanged — the oracle replays the sampled training exactly
     Entry("ann_ivf_kmeans_topk", kmeansIvfSql(nlist = 8, iters = 2,
-      nQueries = 10, k = 5, nprobe = 3)) {
+      nQueries = 10, k = 5, nprobe = 3, trainMod = 4)) {
       (s, d) => ordered(Ann.kmeansIvfTopK(emb(s, d), nQueries = 10, k = 5,
-        nlist = 8, iters = 2, nprobe = 3))
+        nlist = 8, iters = 2, nprobe = 3, trainMod = 4))
     },
 
     // product quantization: 4 subspaces × 8-entry L2 codebooks, ADC scan
     Entry("ann_pq_topk", pqSql(m = 4, d = 16, nlist = 8, iters = 2,
-      nQueries = 10, k = 5)) {
+      nQueries = 10, k = 5, trainMod = 4)) {
       (s, d) => ordered(Ann.pqTopK(emb(s, d), nQueries = 10, k = 5,
-        m = 4, nlist = 8, iters = 2))
+        m = 4, nlist = 8, iters = 2, trainMod = 4))
     },
 
     // IVF-PQ: trained coarse cells restrict the scan to nprobe cells,
     // PQ codes + ADC score within them (faiss IndexIVFPQ, by_residual=false)
     Entry("ann_ivfpq_topk", ivfPqSql(nlist = 8, iters = 2, nprobe = 3,
-      m = 4, d = 16, pqNlist = 8, pqIters = 2, nQueries = 10, k = 5)) {
+      m = 4, d = 16, pqNlist = 8, pqIters = 2, nQueries = 10, k = 5,
+      trainMod = 4)) {
       (s, d) => ordered(Ann.ivfPqTopK(emb(s, d), nQueries = 10, k = 5,
-        nlist = 8, iters = 2, nprobe = 3, m = 4, pqNlist = 8, pqIters = 2))
+        nlist = 8, iters = 2, nprobe = 3, m = 4, pqNlist = 8, pqIters = 2,
+        trainMod = 4))
     },
 
     // int8 scalar quantization (absmax), exploded to scalar rows so
