@@ -149,6 +149,35 @@ object TextStats {
       .select(col("doc_id"), col("stream"), col("bin"), col("n_tokens"))
   }
 
+  /** Combined Gopher-style quality gate vector (Rae et al. 2021 §A1.1
+    * shape): per document the word count, mean word length, lexical
+    * diversity, and most-frequent-word fraction, each with its gate,
+    * plus the conjunction — the single-pass document filter a corpus
+    * pipeline runs before dedup. One explode + two hash aggregations
+    * (per-(doc,term) counts, then per-doc rollup) — no window, no
+    * per-doc quadratic scan, documents never shuffle whole. */
+  def gopherGates(docs: DataFrame,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDiversity: Double = 0.3, maxTopFrac: Double = 0.2): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(expr(tok)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    t.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * length(col("term"))).as("char_sum"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("char_sum") / col("n_words").cast("double"), 6).as("mean_len"),
+        round(col("n_distinct") / col("n_words").cast("double"), 6).as("diversity"),
+        round(col("top_c") / col("n_words").cast("double"), 6).as("top_word_frac"))
+      .withColumn("passes",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_len").between(minMeanLen, maxMeanLen) &&
+          (col("diversity") > minDiversity) &&
+          (col("top_word_frac") < maxTopFrac))
+  }
+
   /** Corpus language distribution with size stats. */
   def langDist(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(

@@ -358,6 +358,25 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.sampleMixture(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
+    // Gopher-style combined quality gates: one explode + two hash
+    // aggs per doc; every stat, gate, and the conjunction oracled
+    Entry("text_gopher_gates",
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c,
+        |       count(*) AS n_distinct, sum(c * length(term)) AS char_sum
+        |      FROM tc GROUP BY 1),
+        |s AS (SELECT doc_id, n_words,
+        |       round(char_sum / CAST(n_words AS DOUBLE), 6) AS mean_len,
+        |       round(n_distinct / CAST(n_words AS DOUBLE), 6) AS diversity,
+        |       round(top_c / CAST(n_words AS DOUBLE), 6) AS top_word_frac
+        |      FROM d)
+        |SELECT doc_id, n_words, mean_len, diversity, top_word_frac,
+        |       (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |       AND diversity > 0.3 AND top_word_frac < 0.2 AS passes
+        |FROM s ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.gopherGates(docs(s, d)))
+    },
     // vocabulary induction + OOV coverage: top-100 corpus terms by
     // frequency (ties -> term asc) as the vocab, per-doc OOV rate
     Entry("text_vocab_oov",
