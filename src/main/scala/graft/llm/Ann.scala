@@ -235,6 +235,13 @@ object Ann {
     cent
   }
 
+  /** Public batch trainer: the spherical-k-means centroid table
+    * (cell, cv, cnrm) over a corpus — the input
+    * [[streamingIvfAssign]] compiles into its per-arrival map. */
+  def trainCentroids(emb: DataFrame, nlist: Int = 8, iters: Int = 2,
+      trainMod: Int = 1): DataFrame =
+    trainCoarse(withNorm(emb), nlist, iters, trainMod)
+
   def kmeansIvfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 8, iters: Int = 2, nprobe: Int = 3,
       trainMod: Int = 1): DataFrame = {
@@ -517,6 +524,52 @@ object Ann {
       .select(col("query_id"), col("vec_id"))
     val qsubs = pqQuerySubs(e, m, d, nQueries)
     topK(adcScore(cand.join(codes, Seq("vec_id")), book, qsubs), k)
+  }
+
+  /** Streaming IVF ingest — the continuous-index-build path of a
+    * 100 TB/day vector pipeline: every ARRIVING vector is assigned to
+    * its nearest trained coarse cell the moment it lands, so the IVF
+    * postings (partitioned by cell) grow incrementally and a batch
+    * retrain is only needed when cell occupancy drifts. The trained
+    * centroid table (nlist rows — broadcast-sized by construction) is
+    * collected once and compiled INTO the expression as literals, so
+    * the per-batch work is a stateless narrow map: no stream-static
+    * join, no aggregation, no state store, append-mode compatible with
+    * any sink. Assignment is the same round-9 cosine / lowest-cell
+    * tie-break as [[kmeansIvfTopK]]'s trainer (greatest over
+    * per-cell (csim, -cell) structs), so a streamed vector lands in
+    * exactly the cell a batch re-assignment would give it. Output:
+    * input columns + (cell, csim). */
+  def streamingIvfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    // nlist rows by design — the same bound that makes them broadcastable
+    val cents = centroids.select(col("cell"), col("cv"), col("cnrm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "streamingIvfAssign needs a trained centroid table")
+    val v = expr("transform(embedding, x -> CAST(x AS double))")
+    val nrm = expr(
+      "sqrt(aggregate(transform(embedding, x -> CAST(x AS double)), 0D, (a, x) -> a + x * x))")
+    val withV = vectors.withColumn("__v", v).withColumn("__nrm", nrm)
+    // per-cell (csim, -cell) structs against literal centroid arrays —
+    // Double.toString round-trips exactly, so the compiled literals
+    // are bit-identical to the trained centroids; the dot is the same
+    // codegen'd sequential fold as everywhere
+    val structs = cents.map { case (cell, cv, cnrm) =>
+      val cvLit = cv.map(x => s"${x}D").mkString("array(", ", ", ")")
+      struct(
+        round(expr(s"graft_dot(__v, $cvLit)") / (col("__nrm") * lit(cnrm)), 9)
+          .as("s"),
+        lit(-cell).as("nc"))
+    }
+    val best =
+      if (structs.size == 1) structs.head
+      else greatest(structs.toIndexedSeq: _*)
+    withV
+      .withColumn("__best", best)
+      .withColumn("cell", -col("__best.nc"))
+      .withColumn("csim", col("__best.s"))
+      .drop("__v", "__nrm", "__best")
   }
 
   /** Binary (sign-bit) quantization search — the 32× compression point

@@ -126,4 +126,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.sql("SELECT DISTINCT series FROM live").count() === 2)
     } finally q.stop()
   }
+
+  test("streaming IVF ingest: arriving vectors land in their batch-trained cell, statelessly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // batch-train centroids on a 2-cluster corpus (axis-aligned)
+    val corpus = (0 until 20).map { i =>
+      val c = i % 2
+      (i.toLong, Array.tabulate(4)(d => if (d % 2 == c) 1.0f else 0.05f), c)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = graft.llm.Ann.trainCentroids(corpus, nlist = 2, iters = 2)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val assigned = graft.llm.Ann.streamingIvfAssign(
+      ms.toDF().toDF("vec_id", "embedding"), cents)
+    val q = assigned.writeStream.outputMode("append").format("memory")
+      .queryName("ivf_ingest").start()
+    try {
+      // new arrivals near each cluster axis
+      ms.addData((100L, Array(1.0f, 0.1f, 0.9f, 0.0f)),
+        (101L, Array(0.0f, 1.1f, 0.1f, 0.9f)))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT vec_id, cell, csim FROM ivf_ingest")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      // the streamed assignment must agree with a BATCH re-assignment
+      // through the same trained table
+      val batch = graft.llm.Ann.streamingIvfAssign(
+        Seq((100L, Array(1.0f, 0.1f, 0.9f, 0.0f)),
+          (101L, Array(0.0f, 1.1f, 0.1f, 0.9f))).toDF("vec_id", "embedding"),
+        cents).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(out(100L)._1 !== out(101L)._1, "opposite-axis vectors split cells")
+      assert(out.view.mapValues(_._1).toMap ===
+        Map(100L -> batch(100L), 101L -> batch(101L)))
+      assert(out.values.forall(_._2 > 0.5), "axis arrivals sit close to their centroid")
+    } finally q.stop()
+  }
 }
