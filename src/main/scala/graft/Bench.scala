@@ -18,12 +18,12 @@ object Bench {
     "pw_difference", "limit_fn_mean", "merge_sum_1d", "list_series",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
     "dedup_simhash_pairs", "dedup_substring_spans",
-    "dedup_semantic_clusters", "ann_cosine_topk",
+    "dedup_semantic_clusters", "dedup_source_overlap", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_binary_topk",
     "text_token_stats",
     "text_lang_id", "text_tfidf_keywords", "text_lm_perplexity",
-    "text_chunks", "sample_split",
+    "text_chunks", "text_vocab_oov", "text_gopher_gates", "sample_split",
     "mm_decode", "mm_frame_sample", "mm_audio_decode",
     // full query-string path (parse → plan → catalog consult →
     // execute): what a reference user actually pays per query — the
