@@ -526,6 +526,41 @@ object Ann {
     topK(adcScore(cand.join(codes, Seq("vec_id")), book, qsubs), k)
   }
 
+  /** Matryoshka-style dimension truncation + renormalization (MRL
+    * deployment shape): keep the first `dims` dimensions and rescale
+    * to unit L2 norm — the standard storage/latency cut for MRL-style
+    * embeddings. Output is exploded to (vec_id, pos, x) scalar rows
+    * with x rounded to 6 decimals so every value is oracle-pinned.
+    * Narrow single pass, no shuffle; a zero-norm prefix yields zeros
+    * (never NaN). */
+  def truncateRenorm(emb: DataFrame, dims: Int = 16): DataFrame =
+    emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS double))")
+          .as("t"))
+      .withColumn("n", expr("sqrt(aggregate(t, 0D, (a, x) -> a + x * x))"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(t, x -> CASE WHEN n = 0D THEN 0D ELSE round(x / n, 6) END)"))
+        .as(Seq("pos", "x")))
+
+  /** Per-label centroid export — the cluster-summary table of an
+    * embedding corpus (one elementwise mean per label): the input to
+    * downstream cluster naming / pruning / mixture decisions. One
+    * partial-aggregated hash aggregation over (label, pos) — the
+    * corpus never shuffles whole vectors, only (label, pos, sum)
+    * partials. Output (label, n_vecs, pos, cx) with cx rounded 6. */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val sizes = emb.where(col("embedding").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    emb.where(col("embedding").isNotNull)
+      .select(col("label"), posexplode(
+        expr("transform(embedding, x -> CAST(x AS double))")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("cx"))
+      .join(broadcast(sizes), Seq("label"))
+      .select(col("label"), col("n_vecs"), col("pos"), col("cx"))
+  }
+
   /** Streaming IVF ingest — the continuous-index-build path of a
     * 100 TB/day vector pipeline: every ARRIVING vector is assigned to
     * its nearest trained coarse cell the moment it lands, so the IVF

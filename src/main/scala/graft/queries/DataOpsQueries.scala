@@ -682,6 +682,25 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.quantizedTopK(emb(s, d), nQueries = 10, k = 5))
     },
 
+    // Matryoshka truncation to 16 dims + renorm, every value pinned
+    Entry("embed_truncate_renorm",
+      """WITH e AS (SELECT vec_id, embedding[1:16]::DOUBLE[] AS t FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, t, sqrt(list_sum(list_transform(t, x -> x * x))) AS n FROM e)
+        |SELECT vec_id, unnest(range(len(t))) AS pos,
+        |       unnest(list_transform(t, x -> CASE WHEN n = 0 THEN 0 ELSE round(x / n, 6) END)) AS x
+        |FROM n ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.truncateRenorm(emb(s, d), dims = 16))
+    },
+    // per-label centroid table: one elementwise mean per label cell
+    Entry("embed_label_centroids",
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |sz AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY 1),
+        |m AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS cx FROM m GROUP BY 1, 2)
+        |SELECT label, n_vecs, pos, cx FROM c JOIN sz USING (label)
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.labelCentroids(emb(s, d)))
+    },
     // binary (sign-bit) quantization search: 32-bit packed signature
     // words, integer Hamming prefilter to the top-50 candidates, exact
     // float rerank — every word, every Hamming distance, and the
