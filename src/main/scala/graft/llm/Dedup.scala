@@ -466,19 +466,27 @@ object Dedup {
 
   def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    // the window-hash frame feeds BOTH the shared-hash aggregation and
+    // the per-doc dup count: persist it so the tokenize + per-window
+    // md5 stage (the CPU-heavy narrow pass) runs once, not once per
+    // consumer; released before return like the minhash shingle cache
     val win = t.where(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> md5(array_join(slice(w, i + 1, $n), ' ')))"))
         .as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = win.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
       .select(col("h"))
     val dup = win.join(shared, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dupw"))
-    t.join(dup, Seq("doc_id"), "left")
+    val out = t.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         greatest(size(col("w")) - lit(n - 1), lit(0)).cast("long").as("n_windows"),
         coalesce(col("dupw"), lit(0L)).as("n_dup_windows"))
+      .localCheckpoint(eager = true)
+    win.unpersist(blocking = true)
+    out
   }
 }
