@@ -24,6 +24,7 @@ object Bench {
     "text_token_stats",
     "text_lang_id", "text_tfidf_keywords", "text_lm_perplexity",
     "text_chunks", "text_vocab_oov", "text_gopher_gates", "sample_split",
+    "pipeline_curate",
     "mm_decode", "mm_frame_sample", "mm_audio_decode",
     // full query-string path (parse → plan → catalog consult →
     // execute): what a reference user actually pays per query — the

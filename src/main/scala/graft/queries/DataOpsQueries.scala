@@ -358,6 +358,46 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.sampleMixture(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
+    // the composed curation pipeline: gates -> exact-dedup keepers ->
+    // weighted mixture, each stage the verified operator unchanged;
+    // the oracle replays the full chain including the stage-3 rates
+    // computed from the CURATED (post-gate, post-dedup) counts
+    Entry("pipeline_curate",
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c,
+        |       count(*) AS n_distinct, sum(c * length(term)) AS char_sum
+        |      FROM tc GROUP BY 1),
+        |s AS (SELECT doc_id, n_words,
+        |       round(char_sum / CAST(n_words AS DOUBLE), 6) AS mean_len,
+        |       round(n_distinct / CAST(n_words AS DOUBLE), 6) AS diversity,
+        |       round(top_c / CAST(n_words AS DOUBLE), 6) AS top_word_frac
+        |      FROM d),
+        |gated AS (SELECT doc_id FROM s
+        |          WHERE (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |            AND diversity > 0.3 AND top_word_frac < 0.2),
+        |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |cur AS (SELECT doc.doc_id, doc.source FROM documents doc
+        |        JOIN gated USING (doc_id) JOIN k USING (doc_id)),
+        |h AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(range(15), j ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), j+1, 1)) - 1 AS BIGINT)
+        |      << (4*(14-j)))) AS BIGINT) AS hv
+        |  FROM cur),
+        |cnt AS (SELECT source, count(*) AS n FROM cur GROUP BY 1),
+        |wt AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+        |                    WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
+        |                    ELSE 0.0 END AS w
+        |       FROM cnt),
+        |tm AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM wt WHERE w > 0)
+        |SELECT doc_id, source FROM h JOIN wt USING (source), tm
+        |WHERE wt.w > 0 AND CAST(hv AS DOUBLE) <
+        |      wt.w * tm.t / CAST(wt.n AS DOUBLE) * 1152921504606846976.0
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.llm.Curate.curate(docs(s, d),
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
+    },
     // Gopher-style combined quality gates: one explode + two hash
     // aggs per doc; every stat, gate, and the conjunction oracled
     Entry("text_gopher_gates",
