@@ -561,6 +561,43 @@ object Ann {
       .select(col("label"), col("n_vecs"), col("pos"), col("cx"))
   }
 
+  /** Embedding outlier detection — the prototypicality filter of an
+    * embedding-curated corpus (the SemDeDup-family pruning signal):
+    * per label cell, each vector's L2 distance to its cell centroid,
+    * z-scored against the cell's distance distribution; vectors more
+    * than `zCut` standard deviations out are flagged. Two
+    * partial-aggregated passes (centroid means, then distance
+    * moments) with only (label, pos, sum) partials and per-vec
+    * distance scalars shuffling — never whole vectors; the per-label
+    * stats table is label-count-sized and broadcast back. Distances
+    * and z-scores are rounded (6) so every value is oracle-pinned;
+    * a single-vector cell has sd 0 and is never an outlier. */
+  def embedOutliers(emb: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val e = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      // centroid components rounded to 6 BEFORE the distance pass so
+      // aggregation-order ulps can never reach the distance values
+      .groupBy(col("label"), col("pos")).agg(round(avg(col("x")), 6).as("cx"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("cv"))
+    val dist = e.join(broadcast(cents), Seq("label"))
+      .withColumn("dist", round(expr(
+        "sqrt(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"), 6))
+      .select(col("vec_id"), col("label"), col("dist"))
+    val stats = dist.groupBy(col("label"))
+      .agg(avg(col("dist")).as("mu"),
+        coalesce(stddev_pop(col("dist")), lit(0.0)).as("sd"))
+    dist.join(broadcast(stats), Seq("label"))
+      .withColumn("z", when(col("sd") === 0.0, lit(0.0))
+        .otherwise(round((col("dist") - col("mu")) / col("sd"), 6)))
+      .select(col("vec_id"), col("label"), col("dist"), col("z"),
+        (col("z") > zCut).as("is_outlier"))
+  }
+
   /** Streaming IVF ingest — the continuous-index-build path of a
     * 100 TB/day vector pipeline: every ARRIVING vector is assigned to
     * its nearest trained coarse cell the moment it lands, so the IVF

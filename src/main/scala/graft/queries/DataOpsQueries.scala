@@ -741,6 +741,25 @@ object DataOpsQueries {
         |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.labelCentroids(emb(s, d)))
     },
+    // embedding outliers: per-label distance-to-centroid z-score
+    // (centroid components rounded before the distance pass so both
+    // engines compute identical distances)
+    Entry("embed_outliers",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),
+        |cc AS (SELECT label, pos, round(avg(x), 6) AS cx FROM m GROUP BY 1, 2),
+        |cv AS (SELECT label, list(cx ORDER BY pos) AS cv FROM cc GROUP BY 1),
+        |d AS (SELECT vec_id, e.label,
+        |       round(sqrt(list_sum(list_transform(range(1, len(v) + 1), j -> (v[j] - cv[j]) * (v[j] - cv[j])))), 6) AS dist
+        |      FROM e JOIN cv ON cv.label = e.label),
+        |st AS (SELECT label, avg(dist) AS mu, coalesce(stddev_pop(dist), 0.0) AS sd
+        |       FROM d GROUP BY 1)
+        |SELECT vec_id, label, dist,
+        |       CASE WHEN sd = 0 THEN 0.0 ELSE round((dist - mu) / sd, 6) END AS z,
+        |       CASE WHEN sd = 0 THEN FALSE ELSE round((dist - mu) / sd, 6) > 2.0 END AS is_outlier
+        |FROM d JOIN st USING (label) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.embedOutliers(emb(s, d), zCut = 2.0))
+    },
     // binary (sign-bit) quantization search: 32-bit packed signature
     // words, integer Hamming prefilter to the top-50 candidates, exact
     // float rerank — every word, every Hamming distance, and the

@@ -274,6 +274,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("vocab/OOV: top-V via TakeOrdered (never a global term sort), vocab broadcast back") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, s"w$i the a x${i % 7} table spark query y$i"))
+      .toDF("doc_id", "text")
+    val vc = graft.llm.TextStats.vocabCoverage(docs, vocabSize = 5)
+    vc.collect()
+    val p = plan(vc)
+    // the V-row vocab comes from TakeOrdered over the count agg — a
+    // global orderBy of the term table would range-sort the vocabulary
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // and it re-enters the token stream broadcast, never sort-merged
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("gopher gates: two hash aggregations, no window, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, ("tok " * 60).trim + s" w$i"))
+      .toDF("doc_id", "text")
+    val g = graft.llm.TextStats.gopherGates(docs)
+    g.collect()
+    val p = plan(g)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("binary search: Hamming scan is a broadcast over signature words, no shuffled vector join") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bin = Ann.binaryTopK(emb, nQueries = 4, k = 3, rerank = 20)
