@@ -240,6 +240,68 @@ object Dedup {
       .agg(count(lit(1)).as("hits"), min(col("shingle")).as("first_hit"))
   }
 
+  /** Incremental near-dup dedup — the daily-delta shape of a
+    * continuously-growing corpus: match NEW documents against an
+    * already-curated SEEN corpus without ever self-joining either side.
+    * Both sides get the same minhash signatures and band keys as
+    * [[minhashLshPairs]]; candidates come from the seen×new band-bucket
+    * join only (no seen×seen, no new×new — the delta never pays for
+    * history's internal structure), and candidates are verified with
+    * exact Jaccard. At 100 TB the seen side's signatures/band keys are
+    * a standing index maintained across runs (#docs × numHashes longs,
+    * ~1000× smaller than the text) — only the delta recomputes here;
+    * this method recomputes both sides from their frames so the
+    * operator is self-contained and oracle-checkable. Returns
+    * (seen_id, new_id, jaccard) pairs with jaccard >= theta. */
+  def incrementalMinhash(newDocs: DataFrame, seenDocs: DataFrame,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      theta: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigAgg = udaf(new MinHashSig(numHashes))
+    def prep(docs: DataFrame) = {
+      val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sz"), sigAgg(col("h0")).as("sig"))
+        .localCheckpoint(true)
+      (sh, sig)
+    }
+    def bandKeysOf(sig: DataFrame) = {
+      val bandCols = (0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows).map(j => col("sig")(j)): _*)
+          .as(s"b$b")
+      }
+      val stackExpr = (0 until bands).map(b => s"$b, b$b").mkString(", ")
+      sig.select(col("doc_id") +: bandCols: _*)
+        .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bkey)")
+    }
+    val (shSeen, sigSeen) = prep(seenDocs)
+    val (shNew, sigNew) = prep(newDocs)
+    val cands = bandKeysOf(sigSeen).as("a")
+      .join(bandKeysOf(sigNew).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("seen_id"), col("b.doc_id").as("new_id"))
+      .distinct()
+    val inter = cands
+      .join(shSeen.as("sa"), col("sa.doc_id") === col("seen_id"))
+      .join(shNew.as("sb"),
+        col("sb.doc_id") === col("new_id") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy(col("seen_id"), col("new_id"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sigSeen.select(col("doc_id").as("seen_id"), col("sz").as("sza")), "seen_id")
+      .join(sigNew.select(col("doc_id").as("new_id"), col("sz").as("szb")), "new_id")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .where(col("jaccard") >= theta)
+      .select(col("seen_id"), col("new_id"), col("jaccard"))
+    val out = pairs.localCheckpoint(eager = true)
+    shSeen.unpersist(blocking = true)
+    shNew.unpersist(blocking = true)
+    out
+  }
+
   /** Cross-source overlap matrix — the corpus-curation view of WHERE
     * duplication lives: for every source pair, the n-gram-set Jaccard
     * and containment (inter / min size) between the sources' distinct

@@ -264,6 +264,31 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.contamination(docs(s, d),
         Seq("key agg row scan", "batch window spark")))
     },
+    // incremental dedup: the delta (doc_id >= 250) banded-joined
+    // against the seen corpus (doc_id < 250) only — no side ever
+    // self-joins; exact verify, so the oracle is the exact
+    // cross-boundary jaccard pair set
+    Entry("dedup_incremental",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |it AS (SELECT a.doc_id AS seen_id, b.doc_id AS new_id, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |       WHERE a.doc_id < 250 AND b.doc_id >= 250
+        |       GROUP BY 1, 2)
+        |SELECT seen_id, new_id,
+        |       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        |FROM it JOIN sz sa ON sa.doc_id = seen_id JOIN sz sb ON sb.doc_id = new_id
+        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val all = docs(s, d)
+        ordered(Dedup.incrementalMinhash(
+          all.where(col("doc_id") >= 250), all.where(col("doc_id") < 250)))
+      }
+    },
     // cross-source overlap matrix: source-pair shingle-set Jaccard +
     // containment over distinct (source, shingle) — where duplication
     // lives BETWEEN sources, before any doc-level dedup

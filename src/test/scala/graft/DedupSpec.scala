@@ -210,6 +210,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalMinhash: delta matches history only — never history×history or delta×delta") {
+    // seen corpus: docs 0..19 (disjoint vocabularies); delta: 200/201
+    // are near-copies of seen docs 0/1, and 210/211 are near-copies of
+    // EACH OTHER but of nothing in history
+    def nearCopy(d: Int, id: Long) = {
+      val toks = baseText(d).split(" ").toVector.updated(20, s"CHANGED$id")
+      (id, toks.mkString(" "))
+    }
+    val seen = (0 until 20).map(d => (d.toLong, baseText(d))).toDF("doc_id", "text")
+    val delta = (Seq(nearCopy(0, 200L), nearCopy(1, 201L)) ++
+      Seq((210L, baseText(50)), nearCopy(50, 211L))).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(delta, seen).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the two history matches; the intra-delta near-dup pair
+    // (210, 211) is NOT this operator's job (run the batch dedup on
+    // the delta for that) and history never re-pairs with itself
+    assert(out === Set((0L, 200L), (1L, 201L)), out.toString)
+  }
+
   test("sourceOverlap: a subset-scrape shows containment 1.0 at low jaccard") {
     // source big = docs 0..9's texts; source scrape = docs 0..1's
     // texts verbatim (a strict subset); source other = disjoint vocab
