@@ -333,6 +333,30 @@ object Dedup {
           .as("containment"))
   }
 
+  /** Span-level decontamination — [[contamination]] at sub-document
+    * granularity: for every document, WHICH token positions start an
+    * n-gram window that matches a probe (benchmark/eval) n-gram, so a
+    * pipeline can excise the contaminated span instead of dropping the
+    * whole document (the Lee/Gao decontamination practice). The probe
+    * side is benchmark-sized and broadcast; the corpus side is one
+    * narrow positional window explode — no shuffle of documents, the
+    * output is match-bounded. Returns (doc_id, pos, shingle). */
+  def contaminationSpans(docs: DataFrame, probes: Seq[String],
+      n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probeDocs = probes.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val probeShingles = shingles(probeDocs, n).select(col("shingle")).distinct()
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+    t.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
+        .as(Seq("pos", "shingle")))
+      .join(broadcast(probeShingles), Seq("shingle"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("shingle"))
+  }
+
   /** Near-duplicate cluster assignment: connected components over a
     * near-dup pair set, so a dedup pipeline can keep ONE document per
     * duplicate cluster (not just one per pair). Labels propagate by

@@ -264,6 +264,23 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.contamination(docs(s, d),
         Seq("key agg row scan", "batch window spark")))
     },
+    // span-level decontamination: which token positions start a
+    // probe-matching n-gram (excise the span, keep the document)
+    Entry("dedup_contamination_spans",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |win AS (SELECT doc_id, unnest(range(len(w) - 2)) AS pos,
+        |         unnest(list_transform(range(len(w) - 2), i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |        FROM toks WHERE len(w) >= 3),
+        |ptoks AS (SELECT string_split_regex(trim(text), '\s+') AS w
+        |          FROM (VALUES ('key agg row scan'), ('batch window spark')) p(text)),
+        |psh AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |        FROM ptoks WHERE len(w) >= 3)
+        |SELECT doc_id, pos, shingle FROM win JOIN psh USING (shingle)
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.contaminationSpans(docs(s, d),
+        Seq("key agg row scan", "batch window spark")))
+    },
     // incremental dedup: the delta (doc_id >= 250) banded-joined
     // against the seen corpus (doc_id < 250) only — no side ever
     // self-joins; exact verify, so the oracle is the exact
