@@ -20,7 +20,7 @@ object Bench {
     "dedup_simhash_pairs", "dedup_substring_spans",
     "dedup_semantic_clusters", "dedup_source_overlap", "ann_cosine_topk",
     "ann_lsh_topk", "ann_ivf_kmeans_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "ann_binary_topk",
+    "ann_binary_topk", "embed_outliers",
     "text_token_stats",
     "text_lang_id", "text_tfidf_keywords", "text_lm_perplexity",
     "text_chunks", "text_vocab_oov", "text_gopher_gates", "sample_split",

@@ -68,4 +68,16 @@ class TextStatsSpec extends AnyFunSuite {
   }
 
   private def round6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("sampleMixture with only-absent sources yields an empty sample, not an error") {
+    val out = TextStats.sampleMixture(mixCorpus, Map("nope" -> 1.0))
+    assert(out.count() === 0L)
+  }
+
+  test("vocabCoverage with vocabSize beyond the vocabulary covers everything") {
+    val docs = Seq((1L, "a b c"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs, vocabSize = 1000).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L), "no token can be OOV")
+  }
 }
