@@ -33,6 +33,11 @@ object Bench {
     // the standing-rollup read path: coarse select answered from
     // pre-aggregated buckets, zero raw-point files
     "ql_rollup_max_6h",
+    // batch-ingest throughput: a fresh store built from the integer
+    // family per rep (shard partitioning + type establishment +
+    // catalog + rollup), answered FROM the ingested store — the
+    // reference is a TSDB, so ingest rate is a tracked number
+    "ingest_events",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -61,7 +61,36 @@ object EngineQueries {
   private def bkt(gb: Long, off: Long = 0) = Pipeline.bucketSql(gb, off)
 
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
-    toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata
+    toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++ ingest
+
+  // ---- ingest throughput + round-trip integrity ----
+  // The reference is a TSDB: ingest rate is ITS headline metric, so
+  // the batch-ingest path (shard partitioning, type establishment,
+  // catalog derivation) is a measured bench entry, not just test
+  // setup. Each call ingests the integer family into a FRESH store
+  // and answers the summary from the INGESTED store — the oracle
+  // computes the same summary straight from the source parquet, so a
+  // hash match proves the store round-trips every point exactly.
+  private def ingest = Seq(
+    Entry("ingest_events",
+      s"""SELECT count(*) AS n_points, count(DISTINCT series) AS n_series,
+         |       min(ts) AS min_ts, max(ts) AS max_ts,
+         |       CAST(sum(val) AS BIGINT) AS sum_val
+         |FROM ($PI)""".stripMargin) {
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bench-ingest").toString
+        val pts = I(s, d).select(col("series"), col("ts"),
+          col("val").cast("double").as("val_num"), lit("integer").as("tp"),
+          col("pid"), col("val").as("val_int"), lit("").as("val_str"))
+        graft.streaming.Ingest.appendBatch(pts, dir, shardDuration = 86400L)
+        graft.streaming.Ingest.points(s, dir).agg(
+          count(lit(1)).as("n_points"),
+          countDistinct(col("series")).as("n_series"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+          sum(col("val_int")).as("sum_val"))
+      }
+    })
 
   // ---- §2.2 series selection: set algebra over series names ----
 
