@@ -537,6 +537,27 @@ object Ann {
     topK(adcScore(cand.join(codes, Seq("vec_id")), book, qsubs), k)
   }
 
+  /** Metadata-filtered vector search — the filtered-ANN capability of
+    * a production vector store (pre-filtering): top-k over ONLY the
+    * corpus vectors whose id appears in `allowed` (e.g. the doc_ids
+    * passing a language/source/quality predicate on the paired
+    * documents table). The filter is a semi-join applied BEFORE
+    * scoring, so excluded vectors are never dotted — at a selective
+    * predicate this is the dominant cost cut, and the plan stays the
+    * exact-search shape (broadcast queries, corpus never shuffles,
+    * two-phase top-k). Queries themselves are NOT filtered — asking
+    * from any vector about a restricted corpus is the common case. */
+  def filteredTopK(emb: DataFrame, allowed: DataFrame,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = e.join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+    topK(scored, k)
+  }
+
   /** Matryoshka-style dimension truncation + renormalization (MRL
     * deployment shape): keep the first `dims` dimensions and rescale
     * to unit L2 norm — the standard storage/latency cut for MRL-style

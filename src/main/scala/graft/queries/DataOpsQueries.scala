@@ -764,6 +764,24 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.quantizedTopK(emb(s, d), nQueries = 10, k = 5))
     },
 
+    // metadata-filtered search: top-k over only the vectors whose
+    // paired document is English — the vector-store pre-filter shape
+    Entry("ann_filtered_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |ok AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+        |c AS (SELECT n.* FROM n JOIN ok USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, c.vec_id,
+        |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 9) AS sim
+        |      FROM q, c WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id
+        |FROM p QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.filteredTopK(emb(s, d),
+        docs(s, d).where(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")), nQueries = 10, k = 5))
+    },
     // Matryoshka truncation to 16 dims + renorm, every value pinned
     Entry("embed_truncate_renorm",
       """WITH e AS (SELECT vec_id, embedding[1:16]::DOUBLE[] AS t FROM embeddings WHERE embedding IS NOT NULL),
