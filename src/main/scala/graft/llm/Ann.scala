@@ -537,6 +537,50 @@ object Ann {
     topK(adcScore(cand.join(codes, Seq("vec_id")), book, qsubs), k)
   }
 
+  /** Hybrid dense + lexical retrieval with reciprocal-rank fusion —
+    * the two-tower search shape of production retrieval stacks: each
+    * query's cosine top-`depth` (dense ranks) fuses with the corpus's
+    * BM25 top-`depth` for a term set (lexical ranks) via RRF
+    * (score = Σ 1/(rrfK + rank), Cormack et al.), which needs no score
+    * normalization between the incomparable scales. The dense side is
+    * the exact-search plan (broadcast queries, two-phase top-k); the
+    * lexical side is [[TextStats.bm25]]'s broadcast-stats scan reduced
+    * to `depth` rows by TakeOrdered (the post-limit rank window runs
+    * over depth rows by construction); fusion joins two rank frames of
+    * ≤ depth rows per query. All ranks are integers and the RRF sum is
+    * two exact IEEE divisions, so the fusion is oracle-replayed to the
+    * last tie-break. */
+  def hybridTopK(emb: DataFrame, docsMeta: DataFrame, terms: Seq[String],
+      nQueries: Int = 10, k: Int = 5, depth: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+    val dense = topK(scored, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dr"))
+    val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lex = TextStats.bm25(docsMeta, terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(depth)
+      .withColumn("lr", row_number().over(lexW))
+      .select(col("doc_id"), col("lr"))
+    val lcross = dense.select(col("query_id")).distinct()
+      .crossJoin(broadcast(lex))
+      .where(col("doc_id") =!= col("query_id"))
+    val fused = dense.join(lcross, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("dr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lr")), lit(0.0)), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"))
+  }
+
   /** Metadata-filtered vector search — the filtered-ANN capability of
     * a production vector store (pre-filtering): top-k over ONLY the
     * corpus vectors whose id appears in `allowed` (e.g. the doc_ids

@@ -764,6 +764,55 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.quantizedTopK(emb(s, d), nQueries = 10, k = 5))
     },
 
+    // hybrid dense+lexical retrieval: per-query cosine top-20 RRF-fused
+    // with the corpus BM25 top-20 for a term set; the whole fusion
+    // (both rank lists + the 1/(60+r) sums + tie-breaks) is replayed
+    Entry("ann_hybrid_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, n.vec_id AS doc_id,
+        |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 9) AS sim
+        |      FROM q, n WHERE n.vec_id <> q.query_id),
+        |dr AS (SELECT query_id, doc_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS dr
+        |       FROM p QUALIFY dr <= 20),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |       CAST(len(list_filter(w, x -> x = 'table')) AS BIGINT) AS tf_0,
+        |       CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_1,
+        |       CAST(len(list_filter(w, x -> x = 'query')) AS BIGINT) AS tf_2
+        |      FROM t),
+        |s AS (SELECT count(*) AS n, sum(dl) AS sdl,
+        |       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |      FROM d),
+        |bm AS (SELECT doc_id, round(
+        |    ln(1.0::DOUBLE + (n - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE)) * (CAST(tf_0 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_0 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  + ln(1.0::DOUBLE + (n - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE)) * (CAST(tf_1 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_1 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  + ln(1.0::DOUBLE + (n - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE)) * (CAST(tf_2 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_2 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  , 6) AS bm25
+        |FROM d, s),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+        |        FROM bm QUALIFY lr <= 20),
+        |lc AS (SELECT qs.query_id, bmr.doc_id, bmr.lr
+        |       FROM (SELECT DISTINCT query_id FROM dr) qs, bmr
+        |       WHERE bmr.doc_id <> qs.query_id),
+        |f AS (SELECT coalesce(dr.query_id, lc.query_id) AS query_id,
+        |             coalesce(dr.doc_id, lc.doc_id) AS doc_id, dr.dr, lc.lr
+        |      FROM dr FULL OUTER JOIN lc
+        |        ON lc.query_id = dr.query_id AND lc.doc_id = dr.doc_id),
+        |sc AS (SELECT query_id, doc_id,
+        |        round(coalesce(1.0::DOUBLE / (60 + dr), 0.0::DOUBLE)
+        |            + coalesce(1.0::DOUBLE / (60 + lr), 0.0::DOUBLE), 9) AS score
+        |       FROM f)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id
+        |FROM sc QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.hybridTopK(emb(s, d), docs(s, d),
+        Seq("table", "spark", "query"), nQueries = 10, k = 5, depth = 20))
+    },
     // metadata-filtered search: top-k over only the vectors whose
     // paired document is English — the vector-store pre-filter shape
     Entry("ann_filtered_topk",
