@@ -200,6 +200,46 @@ class AnnSpec extends AnyFunSuite {
     exact.foreach { case (a, b) => assert(a % 6 === b % 6) }
   }
 
+  test("filteredTopK: excluded vectors never appear; allowing everything equals exact search") {
+    val all = corpus.select(col("vec_id"))
+    val full = Ann.filteredTopK(corpus, all, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full === exact, "allow-all filter must equal brute force")
+    // restrict to even ids: every neighbor is even, and the top-5 are
+    // the exact ranking of the even sub-corpus
+    val even = corpus.where(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val filt = Ann.filteredTopK(corpus, even, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(filt.nonEmpty)
+    filt.foreach { case (_, n) => assert(n % 2 === 0, s"odd neighbor $n leaked") }
+  }
+
+  test("hybridTopK: a doc in both rank lists outranks docs in only one") {
+    import org.apache.spark.sql.functions.lit
+    // docs: id 7 contains all three query terms (lexical hit); the
+    // embedding corpus makes same-cluster docs the dense hits
+    val docs = (0 until 120).map { i =>
+      val text = if (i == 7) "table spark query " * 5 + s"w$i"
+                 else s"alpha$i beta$i gamma$i delta$i"
+      (i.toLong, text.trim)
+    }.toDF("doc_id", "text")
+    val out = Ann.hybridTopK(corpus, docs, Seq("table", "spark", "query"),
+      nQueries = 6, k = 5, depth = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 30)
+    // doc 7 is the only lexical hit; for query 1 (same cluster as 7:
+    // 7 % 6 == 1) doc 7 carries BOTH a dense and the lexical rank, so
+    // it must rank top-1 — fusion beats either list alone
+    val q1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(q1.head._3 === 7L, s"query 1 fused top-1: ${q1.toSeq}")
+    // for a query in another cluster, doc 7 still enters via the
+    // lexical list (RRF unions the lists)
+    val q0 = out.filter(_._1 == 0L).map(_._3)
+    assert(q0.contains(7L), s"lexical-only doc missing from fusion: ${q0.toSeq}")
+  }
+
   test("binary top-k: Hamming prefilter + rerank recovers exact search when rerank covers the corpus") {
     // with rerank >= corpus size the Hamming phase filters nothing, so
     // the exact float rerank must reproduce brute force EXACTLY
