@@ -61,7 +61,33 @@ object EngineQueries {
   private def bkt(gb: Long, off: Long = 0) = Pipeline.bucketSql(gb, off)
 
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
-    toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++ ingest
+    toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
+    ingest ++ asof
+
+  // ---- as-of join (beyond-reference TS alignment; DuckDB ASOF) ----
+  private def asof = Seq(
+    // float family aligned against a SPARSER integer series (every
+    // third pid): each f-point carries the latest preceding i-value
+    // within its series suffix — LEFT semantics keep unmatched heads
+    Entry("ts_asof_join",
+      s"""WITH a AS (SELECT series, substring(series, 3) AS k, ts, val, pid FROM ($PF)),
+         |b0 AS (SELECT substring(series, 3) AS k, ts, val, pid FROM ($PI) WHERE pid % 3 = 0),
+         |b AS (SELECT k, ts, arg_max(val, pid) AS bval FROM b0 GROUP BY 1, 2)
+         |SELECT a.series, a.ts, a.val, a.pid, b.bval AS asof_val
+         |FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.ts
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val a = F(s, d).withColumn("k", expr("substring(series, 3)"))
+        val b = I(s, d).where(col("pid") % 3 === 0)
+          .withColumn("k", expr("substring(series, 3)"))
+          .groupBy(col("k"), col("ts"))
+          .agg(max_by(col("val"), col("pid")).as("bval"))
+        ordered(graft.engine.AsOfJoin
+          .asOf(a, b, key = "k", ts = "ts", rightVal = "bval")
+          .select(col("series"), col("ts"), col("val"), col("pid"),
+            col("asof_val")))
+      }
+    })
 
   // ---- ingest throughput + round-trip integrity ----
   // The reference is a TSDB: ingest rate is ITS headline metric, so

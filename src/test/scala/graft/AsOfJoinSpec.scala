@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.AsOfJoin
+
+/** Pins the as-of join's edge semantics: equal-timestamp right rows
+  * ARE visible (<=, not <), heads with no preceding right point get
+  * null, keys never bleed into each other. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asOf: <= tie visibility, null heads, per-key isolation") {
+    val left = Seq(
+      ("x", 5L, 1.0), ("x", 10L, 2.0), ("x", 20L, 3.0),
+      ("y", 10L, 4.0)
+    ).toDF("k", "ts", "val")
+    val right = Seq(
+      ("x", 10L, 100L), ("x", 15L, 150L),
+      ("y", 99L, 999L)
+    ).toDF("k", "ts", "bval")
+    val out = AsOfJoin.asOf(left, right, key = "k", ts = "ts",
+      rightVal = "bval").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(("x", 5L)) === None, "head before any right point is null")
+    assert(out(("x", 10L)) === Some(100L), "equal-ts right row is visible")
+    assert(out(("x", 20L)) === Some(150L), "latest preceding value carries")
+    assert(out(("y", 10L)) === None, "y's only right point is later; x never bleeds")
+  }
+}
