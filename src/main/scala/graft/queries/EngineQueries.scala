@@ -62,7 +62,7 @@ object EngineQueries {
 
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
-    ingest ++ asof
+    ingest ++ asof ++ rangeJoin
 
   // ---- as-of join (beyond-reference TS alignment; DuckDB ASOF) ----
   private def asof = Seq(
@@ -86,6 +86,25 @@ object EngineQueries {
           .asOf(a, b, key = "k", ts = "ts", rightVal = "bval")
           .select(col("series"), col("ts"), col("val"), col("pid"),
             col("asof_val")))
+      }
+    })
+
+  // ---- range join (beyond-reference; bucketized, never a BNLJ) ----
+  private def rangeJoin = Seq(
+    // every ~97th integer point anchors a 1-hour window; count the
+    // float points falling in each window (keyless containment join)
+    Entry("ts_range_join",
+      s"""WITH pts AS (SELECT ts FROM ($PF)),
+         |an AS (SELECT pid AS aid, ts AS lo, ts + 3600 AS hi FROM ($PI) WHERE pid % 97 = 0)
+         |SELECT aid, CAST(count(p.ts) AS BIGINT) AS n_points
+         |FROM an LEFT JOIN pts p ON p.ts BETWEEN an.lo AND an.hi
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val anchors = I(s, d).where(col("pid") % 97 === 0)
+          .select(col("pid").as("aid"), col("ts").as("lo"),
+            (col("ts") + 3600L).as("hi"))
+        ordered(graft.engine.RangeJoin.bucketedCount(
+          F(s, d), "ts", anchors, "aid", "lo", "hi", bucket = 3600L))
       }
     })
 

@@ -28,4 +28,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(("x", 20L)) === Some(150L), "latest preceding value carries")
     assert(out(("y", 10L)) === None, "y's only right point is later; x never bleeds")
   }
+
+  test("rangeJoin: inclusive bounds, empty windows report 0, never a nested loop") {
+    val pts = Seq(5L, 10L, 100L, 3600L, 3661L).toDF("ts")
+    val iv = Seq((1L, 0L, 10L), (2L, 50L, 3600L), (3L, 9000L, 9100L))
+      .toDF("aid", "lo", "hi")
+    val out = graft.engine.RangeJoin
+      .bucketedCount(pts, "ts", iv, "aid", "lo", "hi", bucket = 100L)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [0,10] contains 5 and 10 (inclusive hi); [50,3600] contains 100
+    // and 3600; [9000,9100] is empty but still reported
+    assert(m === Map(1L -> 2L, 2L -> 2L, 3L -> 0L), m.toString)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucketization must keep the theta join an equi-join:\n" + p)
+  }
 }
