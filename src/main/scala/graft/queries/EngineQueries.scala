@@ -62,7 +62,15 @@ object EngineQueries {
 
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
-    ingest ++ asof ++ rangeJoin
+    ingest ++ asof ++ rangeJoin ++ sketches
+
+  // sketch aggregates are approximate by design: no SQL oracle can
+  // hash-match them, so the driver records rows-only and the error
+  // bounds are pinned by SketchesSpec against the exact operators
+  private def sketches = Seq(
+    Entry.weak("ts_sketch_stats") {
+      (s, d) => ordered(graft.engine.Sketches.approxSeriesStats(F(s, d)))
+    })
 
   // ---- as-of join (beyond-reference TS alignment; DuckDB ASOF) ----
   private def asof = Seq(
