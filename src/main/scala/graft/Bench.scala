@@ -37,7 +37,7 @@ object Bench {
     // family per rep (shard partitioning + type establishment +
     // catalog + rollup), answered FROM the ingested store — the
     // reference is a TSDB, so ingest rate is a tracked number
-    "ingest_events",
+    "ingest_events", "ts_asof_join", "ts_range_join", "ts_sketch_stats",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim
