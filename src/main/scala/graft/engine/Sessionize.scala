@@ -1,0 +1,37 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization — gaps-and-islands over each series: a new session
+  * starts wherever the gap to the previous point exceeds `gap`. The
+  * activity-burst / connection-session analysis every monitoring
+  * stack runs, absent from the reference. One per-series window pass
+  * (lag → break flag → running session id) + one hash aggregation;
+  * partitioned by series, ordered only within a series — no global
+  * sort at any corpus size. Equal-timestamp points produce zero gaps
+  * whatever their relative order, so the session assignment is
+  * deterministic even with duplicate timestamps.
+  */
+object Sessionize {
+
+  /** (series, session, session_start, session_end, n_points,
+    * duration); sessions number 1..k per series in time order. */
+  def sessions(points: DataFrame, gap: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+    points
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("ts") - col("__prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("series"), col("__sid").as("session"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_points"))
+      .withColumn("duration", col("session_end") - col("session_start"))
+  }
+}

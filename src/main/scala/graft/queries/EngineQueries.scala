@@ -62,7 +62,25 @@ object EngineQueries {
 
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
-    ingest ++ asof ++ rangeJoin ++ sketches
+    ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize
+
+  // ---- sessionization (beyond-reference gaps-and-islands) ----
+  private def sessionize = Seq(
+    // sessions break on gaps > 900 s within each float series
+    Entry("ts_sessionize",
+      s"""WITH p AS (SELECT series, ts, pid FROM ($PF)),
+         |b AS (SELECT series, ts, pid,
+         |       CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 900 THEN 1 ELSE 0 END AS brk
+         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid)),
+         |s AS (SELECT series, ts,
+         |       sum(brk) OVER (PARTITION BY series ORDER BY ts, pid ROWS UNBOUNDED PRECEDING) AS session
+         |      FROM b)
+         |SELECT series, CAST(session AS BIGINT) AS session,
+         |       min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_points, max(ts) - min(ts) AS duration
+         |FROM s GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Sessionize.sessions(F(s, d), gap = 900L))
+    })
 
   // sketch aggregates are approximate by design: no SQL oracle can
   // hash-match them, so the driver records rows-only and the error
