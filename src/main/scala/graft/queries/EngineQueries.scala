@@ -62,7 +62,23 @@ object EngineQueries {
 
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
-    ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize
+    ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample
+
+  // ---- LTOB visualization downsampling (beyond-reference) ----
+  private def downsample = Seq(
+    // one kept point per (series, 1h bucket): the largest-effective-
+    // area point against its immediate neighbors, ties -> earliest
+    Entry("ts_downsample_ltob",
+      s"""WITH p AS (SELECT series, ts, val, pid FROM ($PF)),
+         |n AS (SELECT series, ts, val, pid,
+         |       coalesce(round(abs(val - (lag(val) OVER w + lead(val) OVER w) / 2.0), 9), -1.0) AS area
+         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid)),
+         |k AS (SELECT series, ts // 3600 AS bucket, ts, val,
+         |       row_number() OVER (PARTITION BY series, ts // 3600 ORDER BY area DESC, ts, pid) AS rk
+         |      FROM n)
+         |SELECT series, bucket, ts, val FROM k WHERE rk = 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Downsample.ltob(F(s, d), bucket = 3600L))
+    })
 
   // ---- sessionization (beyond-reference gaps-and-islands) ----
   private def sessionize = Seq(
