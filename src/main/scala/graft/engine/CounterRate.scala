@@ -1,0 +1,35 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Counter-reset-aware rate — the monitoring-stack `increase()` /
+  * `rate()` semantic the reference's plain `derivative` lacks: a
+  * monotone counter that drops (process restart) did not go
+  * negative, it RESET — the increase since the previous sample is
+  * the new value itself, not the negative delta. Per series: one
+  * lag window pass computes reset-corrected increases (the first
+  * sample contributes nothing, as in Prometheus), then one hash
+  * aggregation sums them per time bucket and derives the per-second
+  * rate. Integer series keep every increase exact int64, so the
+  * bucket sums are order-independent and the oracle replays them
+  * bit-for-bit; only the final rate division is floating point. */
+object CounterRate {
+
+  /** (series, bucket, increase, rate) over an integer-valued points
+    * frame; buckets of `bucket` seconds, rate rounded to 9. */
+  def bucketedRate(points: DataFrame, bucket: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+    points
+      .withColumn("__prev", lag(col("val"), 1).over(w))
+      .withColumn("__inc", when(col("__prev").isNull, lit(null))
+        .otherwise(when(col("val") >= col("__prev"),
+          col("val") - col("__prev")).otherwise(col("val"))))
+      .groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
+      .agg(coalesce(sum(col("__inc")), lit(0L)).as("increase"))
+      .withColumn("rate",
+        round(col("increase") / lit(bucket.toDouble), 9))
+  }
+}

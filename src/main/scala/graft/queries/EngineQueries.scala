@@ -62,7 +62,27 @@ object EngineQueries {
 
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
-    ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample
+    ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
+    counterRate
+
+  // ---- counter-reset-aware rate (beyond-reference) ----
+  private def counterRate = Seq(
+    // integer series as monotone-ish counters: drops are resets, the
+    // increase is the new value; exact int sums per 1h bucket
+    Entry("ts_counter_rate",
+      s"""WITH p AS (SELECT series, ts, val, pid FROM ($PI)),
+         |i AS (SELECT series, ts,
+         |       CASE WHEN lag(val) OVER w IS NULL THEN NULL
+         |            WHEN val >= lag(val) OVER w THEN val - lag(val) OVER w
+         |            ELSE val END AS inc
+         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid))
+         |SELECT series, ts // 3600 AS bucket,
+         |       CAST(coalesce(sum(inc), 0) AS BIGINT) AS increase,
+         |       round(coalesce(sum(inc), 0) / 3600.0, 9) AS rate
+         |FROM i GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.CounterRate
+        .bucketedRate(I(s, d), bucket = 3600L))
+    })
 
   // ---- LTOB visualization downsampling (beyond-reference) ----
   private def downsample = Seq(
