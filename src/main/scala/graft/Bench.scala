@@ -39,6 +39,7 @@ object Bench {
     // reference is a TSDB, so ingest rate is a tracked number
     "ingest_events", "ts_asof_join", "ts_range_join", "ts_sketch_stats",
     "ts_sessionize", "ts_downsample_ltob", "ts_counter_rate",
+    "ts_interpolate",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -63,7 +63,27 @@ object EngineQueries {
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
-    counterRate
+    counterRate ++ interpolate
+
+  // ---- grid interpolation / gap fill (beyond-reference) ----
+  private def interpolate = Seq(
+    // float family resampled to a 30-min grid within each series'
+    // span; linear between surrounding samples, exact at samples
+    Entry("ts_interpolate",
+      s"""WITH s0 AS (SELECT series, ts, val, pid FROM ($PF)),
+         |s1 AS (SELECT series, ts, arg_max(val, pid) AS val FROM s0 GROUP BY 1, 2),
+         |b AS (SELECT series, min(ts) AS mn, max(ts) AS mx FROM s1 GROUP BY 1),
+         |g AS (SELECT series, unnest(list_transform(range((mn + 1799) // 1800, mx // 1800 + 1), i -> i * 1800)) AS ts FROM b),
+         |p AS (SELECT g.series, g.ts, s.ts AS pts, s.val AS pval
+         |      FROM g ASOF LEFT JOIN s1 s ON s.series = g.series AND g.ts >= s.ts),
+         |n AS (SELECT g.series, g.ts, s.ts AS nts, s.val AS nval
+         |      FROM g ASOF LEFT JOIN s1 s ON s.series = g.series AND g.ts <= s.ts)
+         |SELECT series, ts, CAST(floor((CASE WHEN nts = pts THEN pval
+         |       ELSE pval + (nval - pval) * (ts - pts) / (nts - pts) END) * 1000000000.0) AS BIGINT) AS val_q9
+         |FROM p JOIN n USING (series, ts)
+         |WHERE pts IS NOT NULL AND nts IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Interpolate.toGrid(F(s, d), step = 1800L))
+    })
 
   // ---- counter-reset-aware rate (beyond-reference) ----
   private def counterRate = Seq(
