@@ -566,7 +566,10 @@ object Ann {
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(depth)
       .withColumn("lr", row_number().over(lexW))
       .select(col("doc_id"), col("lr"))
-    val lcross = dense.select(col("query_id")).distinct()
+    // query-id list from the nQueries-row q frame, NOT a distinct()
+    // over `dense` — that would re-run the whole corpus-scoring scan
+    // (dense's lineage) a second time just to enumerate ≤ nQueries ids
+    val lcross = q.select(col("query_id"))
       .crossJoin(broadcast(lex))
       .where(col("doc_id") =!= col("query_id"))
     val fused = dense.join(lcross, Seq("query_id", "doc_id"), "full_outer")
@@ -646,8 +649,15 @@ object Ann {
     * moments) with only (label, pos, sum) partials and per-vec
     * distance scalars shuffling — never whole vectors; the per-label
     * stats table is label-count-sized and broadcast back. Distances
-    * and z-scores are rounded (6) so every value is oracle-pinned;
-    * a single-vector cell has sd 0 and is never an outlier. */
+    * are rounded (6); the z-score path is EXACT fixed-point: each
+    * rounded dist quantizes to an integer (×1000, floor of
+    * bit-identical doubles), so the per-label moments are integer
+    * sums whose aggregation order cannot matter, and mu/sd/z follow
+    * by one fixed sequence of correctly-rounded IEEE ops — bit-equal
+    * in any engine. z ships floor-quantized (×1e6 → `zq`). Exactness
+    * holds while Σdi² < 2^63, i.e. ~1e10 vectors per label at unit-ish
+    * norms — beyond that, re-quantize coarser. A single-vector cell
+    * has sd 0 and is never an outlier. */
   def embedOutliers(emb: DataFrame, zCut: Double = 2.0): DataFrame = {
     val e = emb.where(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
@@ -660,17 +670,26 @@ object Ann {
       .groupBy(col("label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)")
         .as("cv"))
+    // the fold + broadcast join is the heavy pass and feeds BOTH the
+    // moment aggregation and the final join — materialize it once
     val dist = e.join(broadcast(cents), Seq("label"))
       .withColumn("dist", round(expr(
         "sqrt(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"), 6))
-      .select(col("vec_id"), col("label"), col("dist"))
+      .select(col("vec_id"), col("label"),
+        col("dist"), expr("CAST(floor(dist * 1000D + 0.5D) AS BIGINT)").as("di"))
+      .localCheckpoint(true)
     val stats = dist.groupBy(col("label"))
-      .agg(avg(col("dist")).as("mu"),
-        coalesce(stddev_pop(col("dist")), lit(0.0)).as("sd"))
+      .agg(count(lit(1)).as("n"), sum(col("di")).as("s1"),
+        sum(col("di") * col("di")).as("s2"))
     dist.join(broadcast(stats), Seq("label"))
-      .withColumn("z", when(col("sd") === 0.0, lit(0.0))
-        .otherwise(round((col("dist") - col("mu")) / col("sd"), 6)))
-      .select(col("vec_id"), col("label"), col("dist"), col("z"),
+      .withColumn("mu3", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("sd3", sqrt(greatest(
+        col("s2").cast("double") / col("n").cast("double") - col("mu3") * col("mu3"),
+        lit(0.0))))
+      .withColumn("z", when(col("sd3") === 0.0, lit(0.0))
+        .otherwise((col("di").cast("double") - col("mu3")) / col("sd3")))
+      .select(col("vec_id"), col("label"), col("dist"),
+        expr("CAST(floor(z * 1e6) AS BIGINT)").as("zq"),
         (col("z") > zCut).as("is_outlier"))
   }
 

@@ -122,6 +122,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Shared minhash prep for the batch ([[minhashLshPairs]]) and
+    * incremental ([[incrementalMinhash]]) LSH paths — ONE definition of
+    * the hash family and signature shape so the two can never
+    * desynchronize from the oracle or each other.
+    *
+    * Hash each shingle string ONCE; the affine-permutation family in
+    * MinHashSig then works over that long, so the signature is one
+    * aggregation (a tight numHashes-wide min loop in ONE
+    * array-buffered typed aggregate — 128 separate min() buffers bloat
+    * the generated update code) with map-side combine keeping the
+    * shuffle at #docs rows; per-doc distinct-shingle counts ride the
+    * same aggregation. The shingle frame is persisted because multiple
+    * consumers need it (signature pass + the verify join sides) and
+    * shingling is the expensive narrow stage — CALLER must unpersist.
+    * The signature frame (one row per doc: sz + numHashes longs) is
+    * localCheckpoint'ed: it has up to three consumers (band keys,
+    * bucket occupancy when capped, verify sizes) and Spark re-runs the
+    * whole shingle+min lineage per consumer otherwise (the simhashPairs
+    * lesson; the capped variant measured a full extra signature pass
+    * before this checkpoint). */
+  private def minhashPrep(docs: DataFrame, n: Int,
+      numHashes: Int): (DataFrame, DataFrame) = {
+    val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigAgg = udaf(new MinHashSig(numHashes))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"), sigAgg(col("h0")).as("sig"))
+      .localCheckpoint(true)
+    (sh, sig)
+  }
+
+  /** (doc_id, band, bkey) band keys: one xxhash64 per band over that
+    * band's minhash slice, unpivoted via stack — docs sharing any
+    * (band, bkey) are LSH candidates. */
+  private def bandKeysOf(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(j => col("sig")(j)): _*)
+        .as(s"b$b")
+    }
+    val stackExpr = (0 until bands).map(b => s"$b, b$b").mkString(", ")
+    sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bkey)")
+  }
+
   /** MinHash + banded LSH near-duplicate pairs — the 100 TB scale path:
     * per-doc minhash signature (numHashes hash functions via seeded
     * xxhash64), split into `bands` bands; docs sharing any band
@@ -146,40 +193,8 @@ object Dedup {
     * removes identical groups before minhash ever sees them. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
       bands: Int = 32, theta: Double = 0.5, maxBucket: Long = 0L): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    // hash each shingle string ONCE; the affine-permutation family in
-    // MinHashSig then works over that long, so the signature is one
-    // aggregation with numHashes min() buffers — no row explosion,
-    // map-side combine keeps the shuffle at #docs rows. The shingle
-    // frame is persisted because three consumers need it (signature
-    // pass + both sides of the verify join) — shingling is the
-    // expensive narrow stage and must not recompute per consumer.
-    val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-doc distinct-shingle counts ride the same aggregation as the
-    // signature instead of a second pass over the shingles. The
-    // signature itself is ONE array-buffered typed aggregate (a tight
-    // numHashes-wide min loop) instead of numHashes separate min()
-    // buffers whose generated update code bloats at 128 columns; see
-    // MinHashSig for the affine-permutation hash family.
-    val sigAgg = udaf(new MinHashSig(numHashes))
-    // one row per doc (sz + numHashes longs): materialize ONCE — the
-    // signature aggregation has up to three consumers (band keys,
-    // bucket occupancy when capped, verify sizes) and Spark re-runs
-    // the whole shingle+128-min lineage per consumer otherwise (the
-    // simhashPairs lesson; the capped variant measured a full extra
-    // signature pass before this checkpoint)
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("sz"), sigAgg(col("h0")).as("sig"))
-      .localCheckpoint(true)
-    // band key = hash of the band's minhash values (one long per band)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(j => col("sig")(j)): _*).as(s"b$b")
-    }
-    val stackExpr = (0 until bands).map(b => s"$b, b$b").mkString(", ")
-    val allBandKeys = sig.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bkey)")
+    val (sh, sig) = minhashPrep(docs, n, numHashes)
+    val allBandKeys = bandKeysOf(sig, numHashes, bands)
     val bandKeys =
       if (maxBucket <= 0) allBandKeys
       else {
@@ -252,34 +267,22 @@ object Dedup {
     * ~1000× smaller than the text) — only the delta recomputes here;
     * this method recomputes both sides from their frames so the
     * operator is self-contained and oracle-checkable. Returns
-    * (seen_id, new_id, jaccard) pairs with jaccard >= theta. */
+    * (seen_id, new_id, jaccard) pairs with jaccard >= theta.
+    *
+    * theta defaults to 0.8 so the recall bound is CORPUS-INDEPENDENT:
+    * any pair passing the exact verify has jaccard >= 0.8, where the
+    * 32×4-band miss probability is (1-0.8^4)^32 ≈ 5e-8 — so the output
+    * equals the exhaustive cross-boundary pair set for any input, not
+    * just one whose near-dup pairs happen to be planted high. At a
+    * looser theta the banding's recall floor at theta itself applies
+    * (e.g. ~13% of jaccard≈0.5 pairs miss every band). */
   def incrementalMinhash(newDocs: DataFrame, seenDocs: DataFrame,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      theta: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    val sigAgg = udaf(new MinHashSig(numHashes))
-    def prep(docs: DataFrame) = {
-      val sh = shingles(docs, n).withColumn("h0", xxhash64(col("shingle")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = sh.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("sz"), sigAgg(col("h0")).as("sig"))
-        .localCheckpoint(true)
-      (sh, sig)
-    }
-    def bandKeysOf(sig: DataFrame) = {
-      val bandCols = (0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(j => col("sig")(j)): _*)
-          .as(s"b$b")
-      }
-      val stackExpr = (0 until bands).map(b => s"$b, b$b").mkString(", ")
-      sig.select(col("doc_id") +: bandCols: _*)
-        .selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, bkey)")
-    }
-    val (shSeen, sigSeen) = prep(seenDocs)
-    val (shNew, sigNew) = prep(newDocs)
-    val cands = bandKeysOf(sigSeen).as("a")
-      .join(bandKeysOf(sigNew).as("b"),
+      theta: Double = 0.8): DataFrame = {
+    val (shSeen, sigSeen) = minhashPrep(seenDocs, n, numHashes)
+    val (shNew, sigNew) = minhashPrep(newDocs, n, numHashes)
+    val cands = bandKeysOf(sigSeen, numHashes, bands).as("a")
+      .join(bandKeysOf(sigNew, numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("seen_id"), col("b.doc_id").as("new_id"))
       .distinct()

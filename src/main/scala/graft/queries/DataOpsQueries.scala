@@ -283,8 +283,10 @@ object DataOpsQueries {
     },
     // incremental dedup: the delta (doc_id >= 250) banded-joined
     // against the seen corpus (doc_id < 250) only — no side ever
-    // self-joins; exact verify, so the oracle is the exact
-    // cross-boundary jaccard pair set
+    // self-joins; exact verify at theta 0.8, where the banded miss
+    // probability is ~5e-8 for ANY qualifying pair (corpus-independent,
+    // unlike the theta-0.5 entries whose bound leans on planted >= 0.9
+    // similarities), so the oracle is the exact cross-boundary pair set
     Entry("dedup_incremental",
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
@@ -298,7 +300,7 @@ object DataOpsQueries {
         |SELECT seen_id, new_id,
         |       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
         |FROM it JOIN sz sa ON sa.doc_id = seen_id JOIN sz sb ON sb.doc_id = new_id
-        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.8
         |ORDER BY ALL""".stripMargin) {
       (s, d) => {
         val all = docs(s, d)
@@ -797,7 +799,7 @@ object DataOpsQueries {
         |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
         |        FROM bm QUALIFY lr <= 20),
         |lc AS (SELECT qs.query_id, bmr.doc_id, bmr.lr
-        |       FROM (SELECT DISTINCT query_id FROM dr) qs, bmr
+        |       FROM (SELECT query_id FROM q) qs, bmr
         |       WHERE bmr.doc_id <> qs.query_id),
         |f AS (SELECT coalesce(dr.query_id, lc.query_id) AS query_id,
         |             coalesce(dr.doc_id, lc.doc_id) AS doc_id, dr.dr, lc.lr
@@ -852,7 +854,9 @@ object DataOpsQueries {
     },
     // embedding outliers: per-label distance-to-centroid z-score
     // (centroid components rounded before the distance pass so both
-    // engines compute identical distances)
+    // engines compute identical distances; moments over ×1000-quantized
+    // integer distances so mu/sd/z are bit-identical — no
+    // aggregation-order ulps, no round() half-boundary exposure)
     Entry("embed_outliers",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |m AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),
@@ -861,12 +865,16 @@ object DataOpsQueries {
         |d AS (SELECT vec_id, e.label,
         |       round(sqrt(list_sum(list_transform(range(1, len(v) + 1), j -> (v[j] - cv[j]) * (v[j] - cv[j])))), 6) AS dist
         |      FROM e JOIN cv ON cv.label = e.label),
-        |st AS (SELECT label, avg(dist) AS mu, coalesce(stddev_pop(dist), 0.0) AS sd
-        |       FROM d GROUP BY 1)
+        |d2 AS (SELECT vec_id, label, dist, CAST(floor(dist * 1000 + 0.5) AS BIGINT) AS di FROM d),
+        |st AS (SELECT label, count(*) AS n, sum(di) AS s1, sum(di * di) AS s2 FROM d2 GROUP BY 1),
+        |f AS (SELECT vec_id, label, dist, di,
+        |       s1::DOUBLE / n::DOUBLE AS mu3,
+        |       sqrt(greatest(s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE), 0.0)) AS sd3
+        |      FROM d2 JOIN st USING (label))
         |SELECT vec_id, label, dist,
-        |       CASE WHEN sd = 0 THEN 0.0 ELSE round((dist - mu) / sd, 6) END AS z,
-        |       CASE WHEN sd = 0 THEN FALSE ELSE round((dist - mu) / sd, 6) > 2.0 END AS is_outlier
-        |FROM d JOIN st USING (label) ORDER BY ALL""".stripMargin) {
+        |       CAST(floor((CASE WHEN sd3 = 0 THEN 0.0 ELSE (di::DOUBLE - mu3) / sd3 END) * 1e6) AS BIGINT) AS zq,
+        |       CASE WHEN sd3 = 0 THEN FALSE ELSE (di::DOUBLE - mu3) / sd3 > 2.0 END AS is_outlier
+        |FROM f ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.embedOutliers(emb(s, d), zCut = 2.0))
     },
     // binary (sign-bit) quantization search: 32-bit packed signature

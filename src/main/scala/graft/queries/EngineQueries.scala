@@ -205,8 +205,8 @@ object EngineQueries {
          |       CAST(sum(val) AS BIGINT) AS sum_val
          |FROM ($PI)""".stripMargin) {
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-bench-ingest").toString
+        val dir = TmpStores.freshDir(
+          "bench-ingest-" + Integer.toHexString(d.hashCode))
         val pts = I(s, d).select(col("series"), col("ts"),
           col("val").cast("double").as("val_num"), lit("integer").as("tp"),
           col("pid"), col("val").as("val_int"), lit("").as("val_str"))

@@ -26,8 +26,8 @@ private[graft] object ClusterFixture {
   private def cluster(s: SparkSession, d: String): graft.server.PoolCluster =
     memo.getOrElseUpdate((s, d), {
       import graft.meta.Lookup
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-bench-cluster").toString
+      val base = TmpStores.freshDir(
+        "bench-cluster-" + Integer.toHexString(d.hashCode))
       import s.implicits._
       val lookupDf = Lookup(2).toRows.toDF("slot", "pool")
       val pts = SeriesStore.pointsI(s, d)
@@ -467,8 +467,8 @@ object QlQueries {
          |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) =>
         import org.apache.spark.sql.functions.lit
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-rollup-exp").toString
+        val store = TmpStores.freshDir(
+          "rollup-exp-" + Integer.toHexString(d.hashCode))
         graft.streaming.Ingest.appendBatch(
           SeriesStore.pointsF(s, d).select(col("series"), col("ts"),
             col("val").as("val_num"), lit("float").as("tp"), col("pid")),

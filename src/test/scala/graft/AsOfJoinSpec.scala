@@ -29,6 +29,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(("y", 10L)) === None, "y's only right point is later; x never bleeds")
   }
 
+  test("asOf: a matched right row with a NULL value yields null, not an older value") {
+    // DuckDB/kdb ASOF returns the MATCHED row's value even when that
+    // value is null — the carried struct box must not skip it
+    val left = Seq(("x", 25L, 0.0)).toDF("k", "ts", "val")
+    val right = Seq(("x", 10L, Some(100L)), ("x", 20L, None))
+      .toDF("k", "ts", "bval")
+    val out = AsOfJoin.asOf(left, right, key = "k", ts = "ts",
+      rightVal = "bval").collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(3),
+      "ts=20 is the as-of match; its null value must be returned, not ts=10's 100")
+  }
+
   test("rangeJoin: inclusive bounds, empty windows report 0, never a nested loop") {
     val pts = Seq(5L, 10L, 100L, 3600L, 3661L).toDF("ts")
     val iv = Seq((1L, 0L, 10L), (2L, 50L, 3600L), (3L, 9000L, 9100L))
