@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series anomaly detection — the alerting layer a monitoring
+  * deployment runs ON TOP of a TSDB, expressed as two operators the
+  * reference's query language has no equivalent for.
+  *
+  * [[seasonalZ]]: each point z-scored against its series' seasonal
+  * baseline (same hour-of-day), so a value that is normal at peak
+  * hour but 4σ out at 3am is flagged. The baseline is one hash
+  * aggregation of EXACT integer moments (n, Σv, Σv²) per
+  * (series, hour) — 24 rows per series, broadcast back onto the
+  * points so the corpus never shuffles for the join; mu/sd/z then
+  * follow by one fixed sequence of correctly-rounded IEEE ops from
+  * integers, so every z is bit-identical in any engine (the same
+  * exact-moment pattern as llm.Ann.embedOutliers; exact while
+  * Σv² < 2^63 — here val ≤ ~5.6e4 ⇒ ~3e9 points per cell).
+  *
+  * [[thresholdCross]]: alert-edge detection — emit only the points
+  * where the series crosses a threshold (up: prev < T ≤ val; down:
+  * prev ≥ T > val), i.e. the alert START/STOP transitions rather
+  * than every breaching sample. One lag window pass, pure integer
+  * comparisons, output is transition-sized (≪ input). */
+object Anomaly {
+
+  /** (series, ts, pid, val, hour, zq, is_anomaly) — zq is the
+    * seasonal z-score floor-quantized ×1e6. */
+  def seasonalZ(points: DataFrame, zCut: Double = 3.0): DataFrame = {
+    val p = points.select(col("series"), col("ts"), col("pid"), col("val"))
+      .withColumn("hour", expr("(ts DIV 3600) % 24"))
+    val stats = p.groupBy(col("series"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("s1"),
+        sum(col("val") * col("val")).as("s2"))
+    p.join(broadcast(stats), Seq("series", "hour"))
+      .withColumn("mu", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("sd", sqrt(greatest(
+        col("s2").cast("double") / col("n").cast("double") - col("mu") * col("mu"),
+        lit(0.0))))
+      .withColumn("z", when(col("sd") === 0.0, lit(0.0))
+        .otherwise((col("val").cast("double") - col("mu")) / col("sd")))
+      .select(col("series"), col("ts"), col("pid"), col("val"), col("hour"),
+        expr("CAST(floor(z * 1e6) AS BIGINT)").as("zq"),
+        (abs(col("z")) > zCut).as("is_anomaly"))
+  }
+
+  /** (series, ts, pid, val, prev, direction) at threshold-crossing
+    * transitions only. */
+  def thresholdCross(points: DataFrame, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+    points.select(col("series"), col("ts"), col("pid"), col("val"))
+      .withColumn("prev", lag(col("val"), 1).over(w))
+      .where(col("prev").isNotNull &&
+        ((col("prev") < threshold && col("val") >= threshold) ||
+          (col("prev") >= threshold && col("val") < threshold)))
+      .withColumn("direction",
+        when(col("val") >= threshold, lit("up")).otherwise(lit("down")))
+  }
+}

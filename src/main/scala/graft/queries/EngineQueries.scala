@@ -63,7 +63,62 @@ object EngineQueries {
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
-    counterRate ++ interpolate
+    counterRate ++ interpolate ++ movingAgg ++ anomaly
+
+  // ---- trailing moving-window aggregates (beyond-reference) ----
+  private def movingAgg = Seq(
+    // rolling sum/min/max/avg over the last 10 samples per integer
+    // series; sums exact int64, the average ONE division of exact
+    // integers shipped floor-quantized (bit-identical in both engines)
+    Entry("ts_moving_agg",
+      s"""WITH p AS (SELECT series, ts, pid, val FROM ($PI)),
+         |m AS (SELECT series, ts, pid, val,
+         |       sum(val) OVER w AS ms, min(val) OVER w AS mov_min,
+         |       max(val) OVER w AS mov_max, count(*) OVER w AS mn
+         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid
+         |                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT series, ts, pid, val, CAST(ms AS BIGINT) AS mov_sum,
+         |       mov_min, mov_max,
+         |       CAST(floor(CAST(ms AS DOUBLE) / CAST(mn AS DOUBLE) * 1000000000.0) AS BIGINT) AS mov_avg_q9
+         |FROM m ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.MovingAgg.trailing(I(s, d), k = 10))
+    })
+
+  // ---- anomaly detection (beyond-reference alerting layer) ----
+  private def anomaly = Seq(
+    // seasonal z-score: each point against its series' same-hour-of-day
+    // baseline; exact integer moments per (series, hour) make every z
+    // bit-identical (the embedOutliers fixed-point pattern)
+    Entry("ts_seasonal_anomaly",
+      s"""WITH p AS (SELECT series, ts, pid, val, (ts // 3600) % 24 AS hour FROM ($PI)),
+         |st AS (SELECT series, hour, count(*) AS n, sum(val) AS s1, sum(val * val) AS s2
+         |       FROM p GROUP BY 1, 2),
+         |j AS (SELECT p.series, p.ts, p.pid, p.val, p.hour,
+         |       s1::DOUBLE / n::DOUBLE AS mu,
+         |       sqrt(greatest(s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE), 0.0)) AS sd
+         |      FROM p JOIN st USING (series, hour))
+         |SELECT series, ts, pid, val, hour,
+         |       CAST(floor((CASE WHEN sd = 0 THEN 0.0 ELSE (val::DOUBLE - mu) / sd END) * 1e6) AS BIGINT) AS zq,
+         |       CASE WHEN sd = 0 THEN FALSE ELSE abs((val::DOUBLE - mu) / sd) > 3.0 END AS is_anomaly
+         |FROM j ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.seasonalZ(I(s, d), zCut = 3.0))
+    },
+    // alert-edge detection: only the rows where the series CROSSES the
+    // threshold (up or down) — pure integer comparisons, exact oracle
+    Entry("ts_threshold_cross",
+      s"""WITH p AS (SELECT series, ts, pid, val FROM ($PI)),
+         |l AS (SELECT series, ts, pid, val,
+         |       lag(val) OVER (PARTITION BY series ORDER BY ts, pid) AS prev
+         |      FROM p)
+         |SELECT series, ts, pid, val, prev,
+         |       CASE WHEN val >= 5000 THEN 'up' ELSE 'down' END AS direction
+         |FROM l
+         |WHERE prev IS NOT NULL
+         |  AND ((prev < 5000 AND val >= 5000) OR (prev >= 5000 AND val < 5000))
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.thresholdCross(I(s, d),
+        threshold = 5000L))
+    })
 
   // ---- grid interpolation / gap fill (beyond-reference) ----
   private def interpolate = Seq(

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Anomaly, MovingAgg}
+
+/** Pins the edge semantics of the alerting/rolling analytics ops:
+  * short heads, per-series isolation, sd-0 cells, and that crossings
+  * emit TRANSITIONS only. */
+class TsAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("trailing: heads shorter than k aggregate over what exists; series isolated") {
+    val pts = Seq(
+      ("a", 10L, 1L, 2L), ("a", 20L, 2L, 4L), ("a", 30L, 3L, 6L),
+      ("b", 10L, 4L, 100L)
+    ).toDF("series", "ts", "pid", "val")
+    val out = MovingAgg.trailing(pts, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // head: window of 1; then sliding pairs; avg floor-quantized ×1e9
+    assert(out(("a", 10L)) === ((2L, 2L, 2L, 2000000000L)))
+    assert(out(("a", 20L)) === ((6L, 2L, 4L, 3000000000L)))
+    assert(out(("a", 30L)) === ((10L, 4L, 6L, 5000000000L)))
+    assert(out(("b", 10L)) === ((100L, 100L, 100L, 100000000000L)),
+      "b must not see a's window")
+  }
+
+  test("seasonalZ: same value anomalous at a tight hour, normal at a spread hour; sd-0 cell never flags") {
+    // hour 0 (ts 0..3599): twenty 100s and one 150 → 150 is >3σ out.
+    // hour 1 (ts 3600..7199): values spread 0..200, 150 is ordinary.
+    // hour 2: a single point → sd 0 → never an anomaly.
+    val h0 = (0 until 20).map(i => ("s", 10L * i, i.toLong, 100L)) :+
+      (("s", 3000L, 98L, 150L))
+    val h1 = (0 until 21).map(i => ("s", 3600L + 10L * i, 200L + i, i * 10L))
+    val h2 = Seq(("s", 7200L, 400L, 999L))
+    val out = Anomaly.seasonalZ((h0 ++ h1 ++ h2).toDF("series", "ts", "pid", "val"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(98L)._2, s"150 among twenty 100s must flag: zq=${out(98L)._1}")
+    assert(h1.forall(p => !out(p._3)._2), "spread hour has no anomalies")
+    assert(out(400L) === ((0L, false)), "single-point cell: z 0, never flagged")
+  }
+
+  test("thresholdCross: emits up/down transitions only, never sustained breaches") {
+    val pts = Seq(
+      ("s", 10L, 1L, 10L),   // below
+      ("s", 20L, 2L, 60L),   // crosses up
+      ("s", 30L, 3L, 70L),   // stays above — no emission
+      ("s", 40L, 4L, 40L),   // crosses down
+      ("s", 50L, 5L, 50L)    // crosses up (boundary: val >= T)
+    ).toDF("series", "ts", "pid", "val")
+    val out = Anomaly.thresholdCross(pts, threshold = 50L).collect()
+      .map(r => (r.getLong(1), r.getString(5)))
+    assert(out.toSet === Set((20L, "up"), (40L, "down"), (50L, "up")), out.toSeq)
+  }
+}
