@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analytics over the raw event stream — the
+  * product-analytics question a TSDB's series view cannot answer
+  * because it needs the USER axis, not the series axis: of the users
+  * who did step 1, how many went on to do step 2, then step 3, in
+  * order, within a window of the first step?
+  *
+  * Semantics (the strict-order funnel of ClickHouse's windowFunnel):
+  * t1 = the user's FIRST step-1 event; t_{i+1} = the first step-(i+1)
+  * event strictly after t_i and within `window` seconds of t1; depth =
+  * number of consecutive steps reached. Only users who entered the
+  * funnel (t1 non-null) are returned.
+  *
+  * Spark-first shape: events reduce to ONE per-(user, step) sorted
+  * timestamp array (hash aggregation; the only data that shuffles is
+  * user/step/ts triples for the funnel's own event types), then one
+  * per-user pivot row and a NARROW array-lambda chain walk — no
+  * self-joins, no window functions, no per-step passes over the
+  * event table; per-user cost is bounded by that user's own funnel
+  * events. All timestamps are exact int64 seconds, so the chain and
+  * depth are integer-exact and fully oracle-replayable. */
+object Funnel {
+
+  /** (user_id, t1..tN, depth) for an ordered `steps` funnel with a
+    * completion window of `window` seconds from t1. `events` needs
+    * (`user`, `ts` epoch-seconds, `etype`) columns. */
+  def funnel(events: DataFrame, user: String, ts: String, etype: String,
+      steps: Seq[String], window: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val ut = events.where(col(etype).isin(steps: _*))
+      .groupBy(col(user).as("user_id"), col(etype).as("__t"))
+      .agg(sort_array(collect_list(col(ts))).as("tss"))
+    // ≤1 non-null array per (user, step): max() selects it (DuckDB's
+    // any_value does the same in the oracle)
+    val aggs = steps.zipWithIndex.map { case (st, i) =>
+      max(when(col("__t") === st, col("tss"))).as(s"l$i")
+    }
+    var df = ut.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("t1",
+        expr("CASE WHEN l0 IS NOT NULL AND size(l0) > 0 THEN l0[0] END"))
+    for (i <- 1 until steps.size) {
+      df = df
+        .withColumn(s"__f$i",
+          expr(s"filter(l$i, x -> x > t$i AND x <= t1 + $window)"))
+        .withColumn(s"t${i + 1}", expr(
+          s"CASE WHEN __f$i IS NOT NULL AND size(__f$i) > 0 THEN __f$i[0] END"))
+    }
+    val depth = (steps.size to 1 by -1)
+      .map(i => s"WHEN t$i IS NOT NULL THEN $i")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    df.where(col("t1").isNotNull)
+      .select(col("user_id") +:
+        (1 to steps.size).map(i => col(s"t$i")) :+
+        expr(s"CAST($depth AS BIGINT)").as("depth"): _*)
+  }
+
+  /** Cohort retention — the companion table: users bucketed by the
+    * period of their FIRST `cohortEvent`, counted in every later
+    * period they were active at all. (cohort_wk, week_k, n_users).
+    *
+    * Scale shape: activity first reduces to DISTINCT (user, period) —
+    * one hash aggregation, ~#users × #periods rows regardless of
+    * event volume — and the cohort frame is one min() per user; the
+    * only join keys on user_id between those two reduced frames.
+    * Pure integer bucket arithmetic, exact oracle. */
+  def retention(events: DataFrame, user: String, ts: String,
+      etype: String, cohortEvent: String,
+      bucket: Long = 604800L): DataFrame = {
+    val cohort = events.where(col(etype) === cohortEvent)
+      .groupBy(col(user).as("user_id"))
+      .agg(min(expr(s"$ts div $bucket")).as("cohort_wk"))
+    val active = events
+      .select(col(user).as("user_id"), expr(s"$ts div $bucket").as("wk"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .where(col("wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

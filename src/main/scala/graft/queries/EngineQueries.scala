@@ -63,7 +63,84 @@ object EngineQueries {
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
-    counterRate ++ interpolate ++ movingAgg ++ anomaly
+    counterRate ++ interpolate ++ movingAgg ++ anomaly ++ correlate ++
+    funnel
+
+  // ---- ordered-funnel analytics over raw events (beyond-reference) ----
+  private def funnel = Seq(
+    // strict-order view -> click -> purchase within 7 days of the
+    // first view, per user; timestamps exact int64, chain replayed
+    Entry("ev_funnel",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
+        |pv AS (SELECT user_id,
+        |        any_value(CASE WHEN event_type = 'view' THEN tss END) AS l0,
+        |        any_value(CASE WHEN event_type = 'click' THEN tss END) AS l1,
+        |        any_value(CASE WHEN event_type = 'purchase' THEN tss END) AS l2
+        |       FROM ut GROUP BY 1),
+        |s1 AS (SELECT user_id, l1, l2,
+        |        CASE WHEN l0 IS NOT NULL AND len(l0) > 0 THEN l0[1] END AS t1 FROM pv),
+        |s2 AS (SELECT user_id, l2, t1,
+        |        list_filter(l1, x -> x > t1 AND x <= t1 + 604800) AS f1 FROM s1),
+        |s2b AS (SELECT user_id, l2, t1,
+        |        CASE WHEN f1 IS NOT NULL AND len(f1) > 0 THEN f1[1] END AS t2 FROM s2),
+        |s3 AS (SELECT user_id, t1, t2,
+        |        list_filter(l2, x -> x > t2 AND x <= t1 + 604800) AS f2 FROM s2b),
+        |s3b AS (SELECT user_id, t1, t2,
+        |        CASE WHEN f2 IS NOT NULL AND len(f2) > 0 THEN f2[1] END AS t3 FROM s3)
+        |SELECT user_id, t1, t2, t3,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS depth
+        |FROM s3b WHERE t1 IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.funnel(
+        graft.core.Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000000000").as("ts"),
+            col("event_type")),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), window = 604800L))
+    },
+    // weekly cohort retention: users bucketed by first-signup week,
+    // counted in every later week they were active at all
+    Entry("ev_retention",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events),
+        |c AS (SELECT user_id, min(ts // 604800) AS cohort_wk FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, ts // 604800 AS wk FROM e)
+        |SELECT cohort_wk, wk - cohort_wk AS week_k, count(*) AS n_users
+        |FROM a JOIN c USING (user_id) WHERE wk >= cohort_wk
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.retention(
+        graft.core.Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000000000").as("ts"),
+            col("event_type")),
+        "user_id", "ts", "event_type", cohortEvent = "signup"))
+    })
+
+  // ---- cross-series correlation discovery (beyond-reference) ----
+  private def correlate = Seq(
+    // Pearson r between every integer-series pair over hourly rollup
+    // sums; all moments exact int64, covariance/variance terms stay
+    // integer, r bit-identical and floor-quantized
+    Entry("ts_correlate",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2),
+         |pr AS (SELECT a.series AS series_a, b.series AS series_b, a.x AS x, b.x AS y
+         |       FROM h a JOIN h b ON a.bucket = b.bucket AND a.series < b.series),
+         |m AS (SELECT series_a, series_b, count(*) AS n,
+         |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |       CAST(sum(x * y) AS BIGINT) AS sxy,
+         |       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM pr GROUP BY 1, 2 HAVING count(*) >= 24),
+         |d AS (SELECT series_a, series_b, n,
+         |       n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+         |      FROM m)
+         |SELECT series_a, series_b, n,
+         |       CAST(floor(num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE)) * 1e6) AS BIGINT) AS r_q6
+         |FROM d WHERE dx > 0 AND dy > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Correlate.pairwisePearson(I(s, d),
+        bucket = 3600L, minBuckets = 24L))
+    })
 
   // ---- trailing moving-window aggregates (beyond-reference) ----
   private def movingAgg = Seq(

@@ -41,6 +41,57 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out(400L) === ((0L, false)), "single-point cell: z 0, never flagged")
   }
 
+  test("pairwisePearson: perfect tracker r=+1, inverse r=-1, constant series dropped") {
+    // 30 hourly buckets: up = i, dbl = 2i (r=+1), inv = 1000-i (r=-1),
+    // flat = 7 (zero variance -> dropped)
+    val pts = (0 until 30).flatMap { i =>
+      Seq(("up", i * 3600L, i.toLong, i.toLong),
+        ("dbl", i * 3600L, 100L + i, 2L * i),
+        ("inv", i * 3600L, 200L + i, 1000L - i),
+        ("flat", i * 3600L, 300L + i, 7L))
+    }.toDF("series", "ts", "pid", "val")
+    val out = graft.engine.Correlate.pairwisePearson(pts).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("dbl", "up")) === 1000000L)
+    assert(out(("inv", "up")) === -1000000L)
+    assert(out(("dbl", "inv")) === -1000000L)
+    assert(!out.keySet.exists(k => k._1 == "flat" || k._2 == "flat"),
+      "zero-variance series never pairs")
+  }
+
+  test("funnel: strict order, window cutoff, out-of-order steps don't count") {
+    val ev = Seq(
+      // u1: full chain in order, inside the window
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: purchase BEFORE click — depth stops at 2
+      (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // u3: click lands outside the window from t1 — depth 1
+      (3L, 10L, "view"), (3L, 10L + 200L, "click"),
+      // u4: never viewed — not in the funnel at all
+      (4L, 10L, "click"), (4L, 20L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), window = 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L), out.toString)
+  }
+
+  test("retention: cohort = first-signup week; pre-cohort activity excluded; no-signup users absent") {
+    val W = 604800L
+    val ev = Seq(
+      (1L, 0L * W, "signup"), (1L, 0L * W + 5, "view"), (1L, 1L * W, "click"),
+      (1L, 3L * W, "view"),
+      (2L, 1L * W, "signup"),
+      (3L, 0L * W, "view"), // never signed up — not in any cohort
+      (4L, 1L * W, "view"), (4L, 2L * W, "signup") // week-1 activity pre-dates the cohort
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.retention(ev, "user_id", "ts", "event_type",
+      cohortEvent = "signup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (2L, 0L) -> 1L), out.toString)
+  }
+
   test("thresholdCross: emits up/down transitions only, never sustained breaches") {
     val pts = Seq(
       ("s", 10L, 1L, 10L),   // below
