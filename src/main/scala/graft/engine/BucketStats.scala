@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distribution statistics per time bucket — the latency-
+  * dashboard staple (p50/p95/p99 per series per window) and the
+  * Prometheus-style cumulative value histogram. [[Sketches]] covers
+  * the approximate path for cells too big to hold; these are the
+  * EXACT forms, oracle-replayable to the last integer.
+  *
+  * [[bucketPercentiles]]: per (series, bucket) cell, the linear-
+  * interpolated percentile (numpy/`quantile_cont` definition) in
+  * fixed point: idx = (n−1)p/100 splits into an integer rank and a
+  * /100 remainder, so q×100 = v[lo]·100 + (v[lo+1]−v[lo])·rem is
+  * EXACT int64 arithmetic end to end — no floating point anywhere.
+  * One hash aggregation into per-cell sorted arrays; memory is
+  * cell-bounded (the same bound the reference's per-shard aggregate
+  * loop has), and cells too large for that belong to the sketch path.
+  *
+  * [[valueHistogram]]: fixed-width value bins per series with the
+  * Prometheus `le`-style cumulative count (running sum over bins
+  * within the series — a bins-per-series-sized window, not a point
+  * window). Pure integer arithmetic. */
+object BucketStats {
+
+  /** (series, bucket, n, p<P>_q100 ...) — `pcts` are integer
+    * percents (e.g. 50, 95, 99); outputs are percentile × 100. */
+  def bucketPercentiles(points: DataFrame, bucket: Long,
+      pcts: Seq[Int]): DataFrame = {
+    val g = points.groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
+      .agg(sort_array(collect_list(col("val"))).as("vs"),
+        count(lit(1)).as("n"))
+    val withP = pcts.foldLeft(g) { (df, p) =>
+      val lo = s"CAST((n - 1) * $p DIV 100 AS INT)"
+      val rem = s"(n - 1) * $p % 100"
+      df.withColumn(s"p${p}_q100", expr(
+        s"CAST(vs[$lo] * 100 + (CASE WHEN $rem = 0 THEN 0 ELSE (vs[$lo + 1] - vs[$lo]) * ($rem) END) AS BIGINT)"))
+    }
+    withP.select(col("series") +: col("bucket") +: col("n") +:
+      pcts.map(p => col(s"p${p}_q100")): _*)
+  }
+
+  /** (series, bin, n_points, cum_points) with bins of `binWidth`
+    * value units; cum_points counts vals in bins <= this one.
+    * Binning uses integer DIV (truncating): correct for the
+    * nonnegative families here; negative values would need a
+    * floor-division bin to match engines that floor. */
+  def valueHistogram(points: DataFrame, binWidth: Long): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.groupBy(col("series"), expr(s"val DIV $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n_points"))
+      .withColumn("cum_points", sum(col("n_points")).over(w))
+  }
+}

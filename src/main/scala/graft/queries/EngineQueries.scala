@@ -64,7 +64,35 @@ object EngineQueries {
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
     counterRate ++ interpolate ++ movingAgg ++ anomaly ++ correlate ++
-    funnel
+    funnel ++ bucketStats
+
+  // ---- exact per-bucket distribution stats (beyond-reference) ----
+  private def bucketStats = Seq(
+    // exact p50/p95/p99 per (series, 6h) in fixed point ×100 — the
+    // whole interpolation is int64 arithmetic, no floats anywhere
+    Entry("ts_bucket_percentiles",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |g AS (SELECT series, ts // 21600 AS bucket, list_sort(list(val)) AS vs, count(*) AS n
+         |      FROM p GROUP BY 1, 2)
+         |SELECT series, bucket, n,
+         |  CAST(vs[CAST((n - 1) * 50 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 50 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 50 // 100 AS INT) + 2] - vs[CAST((n - 1) * 50 // 100 AS INT) + 1]) * ((n - 1) * 50 % 100) END) AS BIGINT) AS p50_q100,
+         |  CAST(vs[CAST((n - 1) * 95 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 95 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 95 // 100 AS INT) + 2] - vs[CAST((n - 1) * 95 // 100 AS INT) + 1]) * ((n - 1) * 95 % 100) END) AS BIGINT) AS p95_q100,
+         |  CAST(vs[CAST((n - 1) * 99 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 99 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 99 // 100 AS INT) + 2] - vs[CAST((n - 1) * 99 // 100 AS INT) + 1]) * ((n - 1) * 99 % 100) END) AS BIGINT) AS p99_q100
+         |FROM g ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.BucketStats.bucketPercentiles(I(s, d),
+        bucket = 21600L, pcts = Seq(50, 95, 99)))
+    },
+    // Prometheus-style cumulative value histogram per series
+    Entry("ts_value_histogram",
+      s"""WITH p AS (SELECT series, val FROM ($PI)),
+         |h AS (SELECT series, val // 500 AS bin, count(*) AS n_points FROM p GROUP BY 1, 2)
+         |SELECT series, bin, n_points,
+         |       CAST(sum(n_points) OVER (PARTITION BY series ORDER BY bin
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_points
+         |FROM h ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.BucketStats.valueHistogram(I(s, d),
+        binWidth = 500L))
+    })
 
   // ---- ordered-funnel analytics over raw events (beyond-reference) ----
   private def funnel = Seq(

@@ -92,6 +92,26 @@ class TsAnalyticsSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (2L, 0L) -> 1L), out.toString)
   }
 
+  test("bucketPercentiles: interpolation exact in fixed point; singleton cell is its own percentile") {
+    val pts = Seq(
+      ("a", 0L, 1L, 0L), ("a", 1L, 2L, 10L),          // [0,10]: p50 = 5.00
+      ("b", 0L, 3L, 7L)                               // singleton: every p = 7.00
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.BucketStats
+      .bucketPercentiles(pts, bucket = 100L, pcts = Seq(50, 95))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") === ((500L, 950L)), "p50=5.00, p95=9.50 between 0 and 10")
+    assert(out("b") === ((700L, 700L)), "singleton cell returns itself")
+  }
+
+  test("valueHistogram: cumulative counts are le-style within each series") {
+    val pts = Seq(("s", 0L, 1L, 10L), ("s", 1L, 2L, 510L), ("s", 2L, 3L, 520L))
+      .toDF("series", "ts", "pid", "val")
+    val out = graft.engine.BucketStats.valueHistogram(pts, binWidth = 500L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(0L -> ((1L, 1L)), 1L -> ((2L, 3L))), out.toString)
+  }
+
   test("thresholdCross: emits up/down transitions only, never sustained breaches") {
     val pts = Seq(
       ("s", 10L, 1L, 10L),   // below
