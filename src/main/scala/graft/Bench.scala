@@ -41,7 +41,7 @@ object Bench {
     "ts_sessionize", "ts_downsample_ltob", "ts_counter_rate",
     "ts_interpolate", "ts_moving_agg", "ts_seasonal_anomaly",
     "ts_threshold_cross", "ts_correlate", "ev_funnel", "ev_retention",
-    "ts_bucket_percentiles", "ts_value_histogram",
+    "ts_bucket_percentiles", "ts_value_histogram", "ts_moving_time",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

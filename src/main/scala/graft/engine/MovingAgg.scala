@@ -36,4 +36,22 @@ object MovingAgg {
         "CAST(floor(CAST(mov_sum AS double) / CAST(__n AS double) * 1000000000.0) AS BIGINT)"))
       .drop("__n")
   }
+
+  /** Time-based variant — "activity in the trailing `horizon`
+    * SECONDS at every point" (requests-in-the-last-hour, not
+    * last-k-samples): a RANGE frame over the ts ordering, so the
+    * window adapts to sampling density and every ts-peer row sees
+    * the same frame (tie-order can't matter — no pid tiebreak needed
+    * or allowed in a RANGE frame). Same exact-int64 / one-division /
+    * floor-quantized output contract as [[trailing]]. */
+  def trailingTime(points: DataFrame, horizon: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc)
+      .rangeBetween(-(horizon - 1L), Window.currentRow)
+    points.select(col("series"), col("ts"), col("pid"), col("val"))
+      .withColumn("mov_sum", sum(col("val")).over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_avg_q9", expr(
+        "CAST(floor(CAST(mov_sum AS double) / CAST(mov_n AS double) * 1000000000.0) AS BIGINT)"))
+  }
 }

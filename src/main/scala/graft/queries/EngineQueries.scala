@@ -187,6 +187,22 @@ object EngineQueries {
          |       CAST(floor(CAST(ms AS DOUBLE) / CAST(mn AS DOUBLE) * 1000000000.0) AS BIGINT) AS mov_avg_q9
          |FROM m ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.MovingAgg.trailing(I(s, d), k = 10))
+    },
+    // time-based trailing window: sum/count/avg over the last HOUR of
+    // wall time at every point (RANGE frame — adapts to sampling
+    // density; ts-peer rows share one frame so tie order can't matter)
+    Entry("ts_moving_time",
+      s"""WITH p AS (SELECT series, ts, pid, val FROM ($PI)),
+         |m AS (SELECT series, ts, pid, val,
+         |       sum(val) OVER w AS ms, count(*) OVER w AS mov_n
+         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts
+         |                          RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+         |SELECT series, ts, pid, val, CAST(ms AS BIGINT) AS mov_sum,
+         |       CAST(mov_n AS BIGINT) AS mov_n,
+         |       CAST(floor(CAST(ms AS DOUBLE) / CAST(mov_n AS DOUBLE) * 1000000000.0) AS BIGINT) AS mov_avg_q9
+         |FROM m ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.MovingAgg.trailingTime(I(s, d),
+        horizon = 3600L))
     })
 
   // ---- anomaly detection (beyond-reference alerting layer) ----

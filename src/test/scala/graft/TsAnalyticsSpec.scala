@@ -26,6 +26,18 @@ class TsAnalyticsSpec extends AnyFunSuite {
       "b must not see a's window")
   }
 
+  test("trailingTime: RANGE window adapts to density; ts-peers share one frame") {
+    val pts = Seq(
+      ("s", 0L, 1L, 1L), ("s", 1800L, 2L, 2L), ("s", 3600L, 3L, 4L),
+      ("s", 7000L, 4L, 8L), ("s", 7000L, 5L, 16L) // ts-peers
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.MovingAgg.trailingTime(pts, horizon = 3600L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(4)).toMap
+    assert(out((3600L, 3L)) === 6L, "ts 0 just fell out of [1, 3600]")
+    assert(out((7000L, 4L)) === 28L, "both peers + ts 3600 in frame")
+    assert(out((7000L, 5L)) === 28L, "peer rows see the identical frame")
+  }
+
   test("seasonalZ: same value anomalous at a tight hour, normal at a spread hour; sd-0 cell never flags") {
     // hour 0 (ts 0..3599): twenty 100s and one 150 → 150 is >3σ out.
     // hour 1 (ts 3600..7199): values spread 0..200, 150 is ordinary.
