@@ -124,6 +124,29 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(0L -> ((1L, 1L)), 1L -> ((2L, 3L))), out.toString)
   }
 
+  test("plan shapes: funnel joins nothing, seasonalZ broadcasts its stats, correlate pairs only rollups") {
+    val pts = (0 until 50).map(i =>
+      ("s" + i % 3, i * 100L, i.toLong, i.toLong)).toDF("series", "ts", "pid", "val")
+    val ev = (0 until 50).map(i =>
+      (i.toLong % 5, i * 10L, Seq("view", "click", "purchase")(i % 3)))
+      .toDF("user_id", "ts", "event_type")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // funnel: the chain walk is array lambdas over ONE pivot row per
+    // user — no join operator may appear
+    val fp = plan(graft.engine.Funnel.funnel(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), window = 100L))
+    assert(!fp.toLowerCase.contains("join"), "funnel must not join:\n" + fp)
+    // seasonalZ: the label-hour stats come back via a BROADCAST join —
+    // the points side never shuffles for it
+    val zp = plan(graft.engine.Anomaly.seasonalZ(pts))
+    assert(zp.contains("BroadcastHashJoin"), zp)
+    // correlate: no cartesian/BNLJ anywhere — the pair join is an
+    // equi-join on the bucket over rollup-sized frames
+    val cp = plan(graft.engine.Correlate.pairwisePearson(pts, minBuckets = 1L))
+    assert(!cp.contains("BroadcastNestedLoopJoin") && !cp.contains("CartesianProduct"), cp)
+  }
+
   test("thresholdCross: emits up/down transitions only, never sustained breaches") {
     val pts = Seq(
       ("s", 10L, 1L, 10L),   // below
