@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * who did step 1, how many went on to do step 2, then step 3, in
   * order, within a window of the first step?
   *
-  * Semantics (the strict-order funnel of ClickHouse's windowFunnel):
-  * t1 = the user's FIRST step-1 event; t_{i+1} = the first step-(i+1)
-  * event strictly after t_i and within `window` seconds of t1; depth =
-  * number of consecutive steps reached. Only users who entered the
-  * funnel (t1 non-null) are returned.
+  * Semantics (FIRST-ENTRY funnel — the "first touch" definition
+  * product-analytics suites default to): t1 = the user's FIRST
+  * step-1 event; t_{i+1} = the first step-(i+1) event strictly after
+  * t_i and within `window` seconds of t1; depth = number of
+  * consecutive steps reached. Only users who entered the funnel
+  * (t1 non-null) are returned. NOTE this is not ClickHouse
+  * windowFunnel's max-depth semantic, which retries LATER step-1
+  * events as chain starts and reports the best chain — here a user
+  * whose first entry stalls reports the stalled depth.
   *
   * Spark-first shape: events reduce to ONE per-(user, step) sorted
   * timestamp array (hash aggregation; the only data that shuffles is

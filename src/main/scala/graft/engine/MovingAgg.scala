@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * (order-independent), and the moving average is ONE division of
   * exact integers — bit-identical in any engine — shipped
   * floor-quantized (×1e9 → `mov_avg_q9`) so no round() half-boundary
-  * can diverge. Linear in the input, independent of k for min/max
-  * (Spark maintains the frame incrementally). */
+  * can diverge. Cost is O(k) per output row — Spark's sliding frame
+  * replays the frame's rows into the aggregate buffers on each slide
+  * — so keep k dashboard-sized; a huge-k smooth belongs on
+  * [[trailingTime]]'s bucketed cousins instead. */
 object MovingAgg {
 
   /** (series, ts, pid, val, mov_sum, mov_min, mov_max, mov_avg_q9)

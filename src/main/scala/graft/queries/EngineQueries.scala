@@ -39,6 +39,14 @@ object EngineQueries {
   private def S(s: SparkSession, d: String) = SeriesStore.pointsS(s, d)
   private def M(s: SparkSession, d: String) = SeriesStore.points(s, d)
 
+  /** Raw user-axis event view (user_id, ts seconds, event_type) for
+    * the funnel/retention entries — one definition so the two stay in
+    * lockstep with Tables.events' time normalization. */
+  private def userEvents(s: SparkSession, d: String) =
+    graft.core.Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts"),
+        col("event_type"))
+
   private def env(s: SparkSession, d: String): Env = Env(
     catalog = SeriesStore.catalogAll(s, d),
     groups = Map("clicks" -> "^f\\.click\\..*"),
@@ -121,10 +129,7 @@ object EngineQueries {
         |       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
         |            ELSE 1 END AS BIGINT) AS depth
         |FROM s3b WHERE t1 IS NOT NULL ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(graft.engine.Funnel.funnel(
-        graft.core.Tables.events(s, d)
-          .select(col("user_id"), expr("ts div 1000000000").as("ts"),
-            col("event_type")),
+      (s, d) => ordered(graft.engine.Funnel.funnel(userEvents(s, d),
         "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), window = 604800L))
     },
@@ -138,10 +143,7 @@ object EngineQueries {
         |SELECT cohort_wk, wk - cohort_wk AS week_k, count(*) AS n_users
         |FROM a JOIN c USING (user_id) WHERE wk >= cohort_wk
         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(graft.engine.Funnel.retention(
-        graft.core.Tables.events(s, d)
-          .select(col("user_id"), expr("ts div 1000000000").as("ts"),
-            col("event_type")),
+      (s, d) => ordered(graft.engine.Funnel.retention(userEvents(s, d),
         "user_id", "ts", "event_type", cohortEvent = "signup"))
     })
 
