@@ -26,15 +26,23 @@ import org.apache.spark.sql.functions._
   * comparisons, output is transition-sized (≪ input). */
 object Anomaly {
 
-  /** (series, ts, pid, val, hour, zq, is_anomaly) — zq is the
-    * seasonal z-score floor-quantized ×1e6. */
-  def seasonalZ(points: DataFrame, zCut: Double = 3.0): DataFrame = {
-    val p = points.select(col("series"), col("ts"), col("pid"), col("val"))
+  private def withHour(points: DataFrame): DataFrame =
+    points.select(col("series"), col("ts"), col("pid"), col("val"))
       .withColumn("hour", expr("(ts DIV 3600) % 24"))
-    val stats = p.groupBy(col("series"), col("hour"))
+
+  /** The trained baseline table: exact integer moments per
+    * (series, hour-of-day) — 24 rows per series. This is the frame a
+    * deployment persists and retrains on its own cadence; both the
+    * batch scorer ([[seasonalZ]]) and the streaming scorer
+    * ([[streamingSeasonalZ]]) consume it unchanged. */
+  def seasonalBaselines(points: DataFrame): DataFrame =
+    withHour(points).groupBy(col("series"), col("hour"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("s1"),
         sum(col("val") * col("val")).as("s2"))
-    p.join(broadcast(stats), Seq("series", "hour"))
+
+  private def scoreAgainst(p: DataFrame, baselines: DataFrame,
+      zCut: Double): DataFrame =
+    p.join(broadcast(baselines), Seq("series", "hour"))
       .withColumn("mu", col("s1").cast("double") / col("n").cast("double"))
       .withColumn("sd", sqrt(greatest(
         col("s2").cast("double") / col("n").cast("double") - col("mu") * col("mu"),
@@ -44,7 +52,22 @@ object Anomaly {
       .select(col("series"), col("ts"), col("pid"), col("val"), col("hour"),
         expr("CAST(floor(z * 1e6) AS BIGINT)").as("zq"),
         (abs(col("z")) > zCut).as("is_anomaly"))
-  }
+
+  /** (series, ts, pid, val, hour, zq, is_anomaly) — zq is the
+    * seasonal z-score floor-quantized ×1e6. */
+  def seasonalZ(points: DataFrame, zCut: Double = 3.0): DataFrame =
+    scoreAgainst(withHour(points), seasonalBaselines(points), zCut)
+
+  /** Streaming scorer — the live half of the alerting deployment:
+    * arriving points are scored the moment they land against a
+    * BATCH-trained [[seasonalBaselines]] table via a stream-static
+    * broadcast join. Stateless — no state store, no watermark,
+    * append-mode with any sink — and a streamed point gets exactly
+    * the zq/is_anomaly a batch re-score through the same baseline
+    * table would give it (same exact-moment arithmetic). */
+  def streamingSeasonalZ(stream: DataFrame, baselines: DataFrame,
+      zCut: Double = 3.0): DataFrame =
+    scoreAgainst(withHour(stream), baselines, zCut)
 
   /** (series, ts, pid, val, prev, direction) at threshold-crossing
     * transitions only. */

@@ -160,4 +160,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.values.forall(_._2 > 0.5), "axis arrivals sit close to their centroid")
     } finally q.stop()
   }
+
+  test("streaming seasonal anomaly: arrivals score identically to a batch re-score, statelessly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // train on hour-0 history: values alternate 95/105 (mu 100, sd 5)
+    val hist = (0 until 20).map(i =>
+      ("s", 10L * i, i.toLong, if (i % 2 == 0) 95L else 105L))
+      .toDF("series", "ts", "pid", "val")
+    val base = graft.engine.Anomaly.seasonalBaselines(hist)
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val scored = graft.engine.Anomaly.streamingSeasonalZ(
+      ms.toDF().toDF("series", "ts", "pid", "val"), base)
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("anom_live").start()
+    try {
+      val arrivals = Seq(("s", 1000L, 100L, 100L), ("s", 2000L, 101L, 150L))
+      ms.addData(arrivals: _*)
+      q.processAllAvailable()
+      val live = spark.sql("SELECT pid, zq, is_anomaly FROM anom_live")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val batch = graft.engine.Anomaly.streamingSeasonalZ(
+        arrivals.toDF("series", "ts", "pid", "val"), base)
+        .collect().map(r => r.getLong(2) -> ((r.getLong(5), r.getBoolean(6)))).toMap
+      assert(live === batch, s"live=$live batch=$batch")
+      assert(!live(100L)._2 && live(101L)._2,
+        "the in-band arrival passes, the 150 outlier flags")
+    } finally q.stop()
+  }
 }
