@@ -453,6 +453,27 @@ object Dedup {
       (col("id") === col("lbl")).as("keep"))
   }
 
+  /** Per-source duplication report — the summary table a curation run
+    * prints: for each source, how many documents it contributed and
+    * what fraction were near-duplicates (non-keepers of their dup
+    * cluster). The decision input for dropping or down-weighting a
+    * source BEFORE spending compute on it. Composes the audited
+    * pair/cluster operators; the report aggregation itself is
+    * source-sized. Counts are exact int64 and the rate is ONE
+    * division of exact integers, floor-quantized ×1e6. */
+  def dupRateBySource(docs: DataFrame, n: Int = 3,
+      theta: Double = 0.5): DataFrame = {
+    val dups = dupClusters(ngramJaccardPairs(docs, n, theta))
+      .where(!col("keep")).select(col("doc_id"), lit(1L).as("is_dup"))
+    docs.select(col("doc_id"), col("source"))
+      .join(dups, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_dups"))
+      .withColumn("dup_rate_q6", expr(
+        "CAST(floor(CAST(n_dups AS double) / CAST(n_docs AS double) * 1e6) AS BIGINT)"))
+  }
+
   /** 60-bit SimHash per document from md5-derived token hashes
     * (portable: the same hash is computable in ANSI SQL). Bit j of the
     * simhash (j in 0..59) is 1 iff the sum over tokens of

@@ -308,6 +308,29 @@ object DataOpsQueries {
           all.where(col("doc_id") >= 250), all.where(col("doc_id") < 250)))
       }
     },
+    // per-source duplication report: contribution + near-dup fraction
+    // per source (the drop/down-weight decision table); same cluster
+    // walk as dedup_clusters, counts exact, rate floor-quantized
+    Entry("report_dup_rate",
+      s"""WITH RECURSIVE $SH,
+         |p AS (SELECT id_a, id_b FROM it
+         |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |walk(id, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, w.lbl FROM e JOIN walk w ON w.id = e.dst),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS lbl FROM walk GROUP BY 1),
+         |dup AS (SELECT doc_id FROM cl WHERE doc_id <> lbl),
+         |per AS (SELECT d.source, CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |        FROM documents d LEFT JOIN dup USING (doc_id))
+         |SELECT source, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |       CAST(floor(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_rate_q6
+         |FROM per GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.dupRateBySource(docs(s, d)))
+    },
     // cross-source overlap matrix: source-pair shingle-set Jaccard +
     // containment over distinct (source, shingle) — where duplication
     // lives BETWEEN sources, before any doc-level dedup

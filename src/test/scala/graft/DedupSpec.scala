@@ -229,6 +229,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((0L, 200L), (1L, 201L)), out.toString)
   }
 
+  test("dupRateBySource: duplicated source reports its non-keeper fraction; clean source reports 0") {
+    // "dupey": 4 docs where 101/102 duplicate 100 (one keeper, two
+    // dups) and 103 is unique → 2/4 dup rate. "clean": disjoint docs.
+    val rows = Seq(
+      (100L, baseText(0), "dupey"), (101L, baseText(0), "dupey"),
+      (102L, baseText(0), "dupey"), (103L, baseText(10), "dupey"),
+      (200L, baseText(20), "clean"), (201L, baseText(21), "clean"))
+    val out = Dedup.dupRateBySource(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("dupey") === ((4L, 2L, 500000L)), out.toString)
+    assert(out("clean") === ((2L, 0L, 0L)), out.toString)
+  }
+
   test("sourceOverlap: a subset-scrape shows containment 1.0 at low jaccard") {
     // source big = docs 0..9's texts; source scrape = docs 0..1's
     // texts verbatim (a strict subset); source other = disjoint vocab
