@@ -322,6 +322,29 @@ object EngineQueries {
   private def sketches = Seq(
     Entry.weak("ts_sketch_stats") {
       (s, d) => ordered(graft.engine.Sketches.approxSeriesStats(F(s, d)))
+    },
+    // the EXACT twin of the sketch entry (integer family): per-series
+    // distinct timestamps + interpolated p50/p95 in int64 fixed point —
+    // the same statistics, oracle-hash-matched; cells too big for the
+    // exact form are what the sketch path is for
+    Entry("ts_series_stats_exact",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |g AS (SELECT series, list_sort(list(val)) AS vs, count(*) AS n,
+         |       count(DISTINCT ts) AS n_ts
+         |      FROM p GROUP BY 1)
+         |SELECT series, n, n_ts,
+         |  CAST(vs[CAST((n - 1) * 50 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 50 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 50 // 100 AS INT) + 2] - vs[CAST((n - 1) * 50 // 100 AS INT) + 1]) * ((n - 1) * 50 % 100) END) AS BIGINT) AS p50_q100,
+         |  CAST(vs[CAST((n - 1) * 95 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 95 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 95 // 100 AS INT) + 2] - vs[CAST((n - 1) * 95 // 100 AS INT) + 1]) * ((n - 1) * 95 % 100) END) AS BIGINT) AS p95_q100
+         |FROM g ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val pct = graft.engine.BucketStats.bucketPercentiles(I(s, d),
+          bucket = 1L << 40, pcts = Seq(50, 95)).drop("bucket")
+        val cd = I(s, d).groupBy(col("series"))
+          .agg(countDistinct(col("ts")).as("n_ts"))
+        ordered(pct.join(cd, Seq("series"))
+          .select(col("series"), col("n"), col("n_ts"),
+            col("p50_q100"), col("p95_q100")))
+      }
     })
 
   // ---- as-of join (beyond-reference TS alignment; DuckDB ASOF) ----
