@@ -133,6 +133,48 @@ object EngineQueries {
         "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), window = 604800L))
     },
+    // the funnel CHART itself: users reaching step >= k (cumulative
+    // counts over the per-user depths — what a dashboard renders)
+    Entry("ev_funnel_summary",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
+        |pv AS (SELECT user_id,
+        |        any_value(CASE WHEN event_type = 'view' THEN tss END) AS l0,
+        |        any_value(CASE WHEN event_type = 'click' THEN tss END) AS l1,
+        |        any_value(CASE WHEN event_type = 'purchase' THEN tss END) AS l2
+        |       FROM ut GROUP BY 1),
+        |s1 AS (SELECT user_id, l1, l2,
+        |        CASE WHEN l0 IS NOT NULL AND len(l0) > 0 THEN l0[1] END AS t1 FROM pv),
+        |s2 AS (SELECT user_id, l2, t1,
+        |        list_filter(l1, x -> x > t1 AND x <= t1 + 604800) AS f1 FROM s1),
+        |s2b AS (SELECT user_id, l2, t1,
+        |        CASE WHEN f1 IS NOT NULL AND len(f1) > 0 THEN f1[1] END AS t2 FROM s2),
+        |s3 AS (SELECT user_id, t1, t2,
+        |        list_filter(l2, x -> x > t2 AND x <= t1 + 604800) AS f2 FROM s2b),
+        |s3b AS (SELECT user_id, t1, t2,
+        |        CASE WHEN f2 IS NOT NULL AND len(f2) > 0 THEN f2[1] END AS t3 FROM s3),
+        |d AS (SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |             ELSE 1 END AS depth
+        |      FROM s3b WHERE t1 IS NOT NULL),
+        |steps AS (SELECT unnest(range(1, 4)) AS step)
+        |SELECT step, CAST((SELECT count(*) FROM d WHERE depth >= step) AS BIGINT) AS n_users
+        |FROM steps ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val per = graft.engine.Funnel.funnel(userEvents(s, d),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), window = 604800L)
+          .select(col("depth"))
+        // 3 literal step rows against the user-sized depth frame — the
+        // theta join is a broadcast of the 3-row side, then one agg
+        val steps = Seq(1L, 2L, 3L).toDF("step")
+        ordered(broadcast(steps)
+          .join(per, col("depth") >= col("step"), "left")
+          .groupBy(col("step"))
+          .agg(count(col("depth")).as("n_users")))
+      }
+    },
     // weekly cohort retention: users bucketed by first-signup week,
     // counted in every later week they were active at all
     Entry("ev_retention",
@@ -225,6 +267,17 @@ object EngineQueries {
          |       CASE WHEN sd = 0 THEN FALSE ELSE abs((val::DOUBLE - mu) / sd) > 3.0 END AS is_anomaly
          |FROM j ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Anomaly.seasonalZ(I(s, d), zCut = 3.0))
+    },
+    // the trained baseline artifact itself (what streamingSeasonalZ
+    // scores against): exact integer moments per (series, hour) —
+    // auditing the artifact a deployment persists and retrains
+    Entry("ts_seasonal_baselines",
+      s"""WITH p AS (SELECT series, ts, val, (ts // 3600) % 24 AS hour FROM ($PI))
+         |SELECT series, hour, count(*) AS n,
+         |       CAST(sum(val) AS BIGINT) AS s1,
+         |       CAST(sum(val * val) AS BIGINT) AS s2
+         |FROM p GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.seasonalBaselines(I(s, d)))
     },
     // alert-edge detection: only the rows where the series CROSSES the
     // threshold (up or down) — pure integer comparisons, exact oracle
