@@ -40,7 +40,8 @@ object Bench {
     "ingest_events", "ts_asof_join", "ts_range_join", "ts_sketch_stats",
     "ts_sessionize", "ts_downsample_ltob", "ts_counter_rate",
     "ts_interpolate", "ts_moving_agg", "ts_seasonal_anomaly",
-    "ts_threshold_cross", "ts_correlate", "ev_funnel", "ev_retention",
+    "ts_threshold_cross", "ts_correlate", "ts_correlate_grouped",
+    "ev_funnel", "ev_funnel_retry", "ev_retention",
     "ts_bucket_percentiles", "ts_value_histogram", "ts_moving_time",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the

@@ -26,9 +26,33 @@ import org.apache.spark.sql.functions._
 object BucketStats {
 
   /** (series, bucket, n, p<P>_q100 ...) — `pcts` are integer
-    * percents (e.g. 50, 95, 99); outputs are percentile × 100. */
+    * percents (e.g. 50, 95, 99); outputs are percentile × 100.
+    *
+    * `maxCell` (0 = unguarded) bounds the per-cell sorted buffer: the
+    * exact form holds one cell's values in a single aggregation
+    * buffer, so a skewed series at scale would OOM a task silently.
+    * With the guard, an oversized cell raises the reference-style
+    * loud error (the select_points_limit analog,
+    * src/siri/db/listener.c:5598-5610) BEFORE the buffering
+    * aggregation runs — the caller's remedies are the reference's
+    * (narrower window, coarser bucket) or [[Sketches]]' bounded-memory
+    * approximate path. The pre-check is one cheap count aggregation,
+    * only paid when the guard is requested. */
   def bucketPercentiles(points: DataFrame, bucket: Long,
-      pcts: Seq[Int]): DataFrame = {
+      pcts: Seq[Int], maxCell: Long = 0L): DataFrame = {
+    if (maxCell > 0) {
+      val worst = points
+        .groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx")).head()
+      val mx = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      if (mx > maxCell)
+        throw graft.parser.QueryError(
+          s"Query has reached the maximum number of selected points " +
+            s"($maxCell). Please use another time window, an " +
+            s"aggregation function or select less series to reduce " +
+            s"the number of points.")
+    }
     val g = points.groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
       .agg(sort_array(collect_list(col("val"))).as("vs"),
         count(lit(1)).as("n"))
@@ -44,13 +68,16 @@ object BucketStats {
 
   /** (series, bin, n_points, cum_points) with bins of `binWidth`
     * value units; cum_points counts vals in bins <= this one.
-    * Binning uses integer DIV (truncating): correct for the
-    * nonnegative families here; negative values would need a
-    * floor-division bin to match engines that floor. */
+    * Binning uses FLOOR division (val − pmod, exact integer): plain
+    * truncating DIV would fold (−binWidth, binWidth) into one
+    * double-width bin 0, silently skewing histograms of signed data
+    * around zero — with floor every bin covers exactly binWidth
+    * values, negative or not. */
   def valueHistogram(points: DataFrame, binWidth: Long): DataFrame = {
     val w = Window.partitionBy(col("series")).orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    points.groupBy(col("series"), expr(s"val DIV $binWidth").as("bin"))
+    points.groupBy(col("series"),
+        expr(s"(val - pmod(val, $binWidth)) DIV $binWidth").as("bin"))
       .agg(count(lit(1)).as("n_points"))
       .withColumn("cum_points", sum(col("n_points")).over(w))
   }

@@ -26,13 +26,25 @@ import org.apache.spark.sql.functions._
 object Correlate {
 
   /** (series_a, series_b, n, r_q6) for every series pair sharing
-    * >= minBuckets `bucket`-second rollup buckets. */
+    * >= minBuckets `bucket`-second rollup buckets.
+    *
+    * `groupExpr` (SQL over the point columns, e.g. a metric-family
+    * prefix of `series`) blocks the pairing: only series in the SAME
+    * group pair, so the per-bucket fan-out drops from S² to
+    * Σ groupSize² — the blocking that keeps correlation discovery
+    * viable at large S (nobody correlates a CPU counter against every
+    * unrelated tenant's metric anyway). The group key rides the join
+    * key, so blocking also CO-PARTITIONS the self-join. None = the
+    * unblocked all-pairs matrix. */
   def pairwisePearson(points: DataFrame, bucket: Long = 3600L,
-      minBuckets: Long = 24L): DataFrame = {
-    val h = points.groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
+      minBuckets: Long = 24L, groupExpr: Option[String] = None): DataFrame = {
+    val grp = groupExpr.getOrElse("''")
+    val h = points.groupBy(expr(grp).as("grp"), col("series"),
+        expr(s"ts DIV $bucket").as("bucket"))
       .agg(sum(col("val")).as("x"))
     val pairs = h.as("a").join(h.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.series") < col("b.series"))
+        col("a.grp") === col("b.grp") &&
+          col("a.bucket") === col("b.bucket") && col("a.series") < col("b.series"))
       .select(col("a.series").as("series_a"), col("b.series").as("series_b"),
         col("a.x").as("x"), col("b.x").as("y"))
     pairs.groupBy(col("series_a"), col("series_b"))

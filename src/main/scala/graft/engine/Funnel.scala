@@ -62,6 +62,50 @@ object Funnel {
         expr(s"CAST($depth AS BIGINT)").as("depth"): _*)
   }
 
+  /** Max-depth funnel (ClickHouse windowFunnel semantics) — the
+    * retry-later-entries variant [[funnel]] deliberately does not do:
+    * EVERY step-1 event is a candidate chain start, each walked
+    * greedily (t_{i+1} = the first step-(i+1) event strictly after t_i
+    * and within `window` of THAT chain's own t1 — earliest-next is
+    * depth-optimal for a fixed start since it only widens later
+    * options), and the user reports the BEST depth over all starts. A
+    * user whose first entry stalls but whose later entry completes
+    * reports the completed depth here and the stalled one in
+    * [[funnel]] (TsAnalyticsSpec pins the divergence).
+    *
+    * Same scale shape as [[funnel]]: one per-(user, step) sorted-array
+    * aggregation, then a per-user NARROW expression — the retry walk is
+    * one transform over the user's own step-1 events with nested
+    * filter/get lambdas (no joins, no extra passes; expression size is
+    * O(steps²), per-user cost O(starts × own events)). Exact int64
+    * timestamps, fully oracle-replayable. */
+  def funnelRetry(events: DataFrame, user: String, ts: String,
+      etype: String, steps: Seq[String], window: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val ut = events.where(col(etype).isin(steps: _*))
+      .groupBy(col(user).as("user_id"), col(etype).as("__t"))
+      .agg(sort_array(collect_list(col(ts))).as("tss"))
+    val aggs = steps.zipWithIndex.map { case (st, i) =>
+      max(when(col("__t") === st, col("tss"))).as(s"l$i")
+    }
+    val df = ut.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    // tExpr(i) = the chain's step-i timestamp given start t1: nested
+    // filter+get (get() is null-safe out-of-bounds, so a stalled chain
+    // propagates NULL without ANSI errors and without duplicating the
+    // filter expression in a size() guard)
+    def tExpr(i: Int): String =
+      if (i == 1) "t1"
+      else s"get(filter(l${i - 1}, x$i -> x$i > ${tExpr(i - 1)} " +
+        s"AND x$i <= t1 + $window), 0)"
+    val depthOf = (steps.size to 2 by -1)
+      .map(i => s"WHEN ${tExpr(i)} IS NOT NULL THEN $i")
+      .mkString("CASE ", " ", " ELSE 1 END")
+    df.where(col("l0").isNotNull && size(col("l0")) > 0)
+      .select(col("user_id"), size(col("l0")).cast("long").as("n_starts"),
+        expr(s"CAST(array_max(transform(l0, t1 -> $depthOf)) AS BIGINT)")
+          .as("depth"))
+  }
+
   /** Cohort retention — the companion table: users bucketed by the
     * period of their FIRST `cohortEvent`, counted in every later
     * period they were active at all. (cohort_wk, week_k, n_users).

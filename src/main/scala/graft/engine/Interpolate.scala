@@ -21,10 +21,19 @@ import org.apache.spark.sql.functions._
 object Interpolate {
 
   def toGrid(points: DataFrame, step: Long): DataFrame = {
+    // `samples` feeds THREE consumers (grid bounds agg, prev as-of
+    // pass, nxt as-of pass): without a persist Spark re-runs the whole
+    // scan+collapse lineage per consumer — at 100× data that replay
+    // multiplies the full input cost ×3 (the minhashPrep lesson)
     val samples = points.groupBy(col("series"), col("ts"))
       .agg(max_by(col("val"), col("pid")).as("val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a span shorter than one step has no grid point: guard the
+    // sequence() explicitly (start > stop silently DESCENDS in Spark)
+    // instead of leaning on the downstream prev/nxt null filter
     val grid = samples.groupBy(col("series"))
       .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .where(expr(s"(mn + ${step - 1}) DIV $step <= mx DIV $step"))
       .select(col("series"), explode(expr(
         s"transform(sequence((mn + ${step - 1}) DIV $step, mx DIV $step), i -> i * $step)"))
         .as("ts"))
@@ -41,7 +50,7 @@ object Interpolate {
     // exact binary value) and DuckDB round() disagree by one ulp of
     // the last digit — floor of the bit-identical double has no
     // internal rounding step, so it cannot diverge
-    prev.join(nxt, Seq("series", "ts"))
+    val out = prev.join(nxt, Seq("series", "ts"))
       .where(col("prev").isNotNull && col("nxt").isNotNull)
       .select(col("series"), col("ts"), floor(
         when(col("nxt.sts") === col("prev.sts"), col("prev.sval"))
@@ -50,5 +59,10 @@ object Interpolate {
               (col("ts") - col("prev.sts")) /
               (col("nxt.sts") - col("prev.sts"))) * lit(1e9))
         .cast("long").as("val_q9"))
+      // pin the grid-sized result so the cached samples can be released
+      // NOW — a long-lived server must not leak one cache per call
+      .localCheckpoint(eager = true)
+    samples.unpersist(blocking = true)
+    out
   }
 }

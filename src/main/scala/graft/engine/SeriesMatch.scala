@@ -47,9 +47,67 @@ object SeriesMatch {
     * name. Mirror that character-for-character: no grouping is added,
     * so /a|b/ anchors as ^a|b$, exactly what PCRE2 sees. Group
     * expressions compile through the same helper (group.c:53,252), as
-    * does filter(/re/) (aggregate.c:650). */
+    * does filter(/re/) (aggregate.c:650).
+    *
+    * Two Java-vs-PCRE2 silent divergences are closed here rather than
+    * documented away (RegexConformanceSpec pins both):
+    *  - `(?d)` (UNIX_LINES): by default Java's `.` refuses \r/NEL/LS/PS
+    *    and `$` matches before any final line terminator, while PCRE2
+    *    treats only \n specially — UNIX_LINES restores the PCRE2 (and
+    *    RE2/DuckDB) behavior.
+    *  - POSIX classes `[[:alpha:]]` / `[[:^alpha:]]`: PCRE2 compiles
+    *    them, Java silently reads a character class of LITERALS
+    *    ('[',':','a','l','p','h') — translated to the equivalent
+    *    `\p{...}` here; an unknown class name raises the reference's
+    *    compile error (re.c:55-67) instead of matching garbage. */
   def anchored(p: String, ci: Boolean = false): String =
-    (if (ci) "(?i)" else "") + "^" + p + "$"
+    (if (ci) "(?di)" else "(?d)") + "^" + translatePosix(p, ci) + "$"
+
+  private val posixClasses = Map(
+    "alpha" -> "\\p{Alpha}", "digit" -> "\\p{Digit}",
+    "alnum" -> "\\p{Alnum}", "upper" -> "\\p{Upper}",
+    "lower" -> "\\p{Lower}", "space" -> "\\p{Space}",
+    "blank" -> "\\p{Blank}", "punct" -> "\\p{Punct}",
+    "print" -> "\\p{Print}", "graph" -> "\\p{Graph}",
+    "cntrl" -> "\\p{Cntrl}", "xdigit" -> "\\p{XDigit}",
+    "ascii" -> "\\p{ASCII}", "word" -> "\\w")
+  private val posixNegated = posixClasses.map {
+    case ("word", _) => "word" -> "\\W"
+    case (k, v) => k -> v.replace("\\p", "\\P")
+  }
+
+  /** Rewrite PCRE2 POSIX bracket classes to Java `\p{...}` — only
+    * INSIDE a character class, tracking escapes, exactly where PCRE2
+    * recognizes them. Everything else passes through verbatim. */
+  private def translatePosix(p: String, ci: Boolean): String = {
+    if (!p.contains("[:")) return p
+    val out = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) { out.append(c).append(p.charAt(i + 1)); i += 2 }
+      else if (!inClass && c == '[') { inClass = true; out.append(c); i += 1 }
+      else if (inClass && c == '[' && i + 1 < p.length && p.charAt(i + 1) == ':') {
+        val end = p.indexOf(":]", i + 2)
+        if (end < 0) { out.append(c); i += 1 }
+        else {
+          val raw = p.substring(i + 2, end)
+          val (neg, name) =
+            if (raw.startsWith("^")) (true, raw.substring(1)) else (false, raw)
+          val repl = (if (neg) posixNegated else posixClasses).get(name)
+          out.append(repl.getOrElse(throw graft.parser.QueryError(
+            s"Cannot compile regular expression " +
+              s"'${(if (ci) "(?di)" else "(?d)")}^$p$$': " +
+              s"unknown POSIX class name '$name'")))
+          i = end + 2
+        }
+      }
+      else if (inClass && c == ']') { inClass = false; out.append(c); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   def eval(sel: Sel, env: Env): DataFrame = {
     val names = env.catalog.select(col("series"))

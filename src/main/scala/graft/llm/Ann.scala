@@ -507,13 +507,26 @@ object Ann {
     // this halves the training wall-clock without changing a single
     // result (each loop is deterministic in isolation)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    import scala.util.Try
+    // a dedicated 2-thread pool, not the shared global EC (library
+    // code must not contend for it), and BOTH trainings are awaited to
+    // completion even when one fails — awaiting only the failure would
+    // leave the sibling's Spark jobs running detached
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val sv = pqSubs(e, m, d)
-    val centF = Future(trainCoarse(e, nlist, iters, trainMod))
-    val bookF = Future(trainPq(sv, pqNlist, pqIters, trainMod))
-    val cent = Await.result(centF, Duration.Inf)
-    val book = Await.result(bookF, Duration.Inf)
+    val (cent, book) =
+      try {
+        val centF = Future(Try(trainCoarse(e, nlist, iters, trainMod)))
+        val bookF = Future(Try(trainPq(sv, pqNlist, pqIters, trainMod)))
+        // the Try-wrapped futures always complete: await BOTH before
+        // unwrapping, so a failure never leaves the sibling detached
+        val centT = Await.result(centF, Duration.Inf)
+        val bookT = Await.result(bookF, Duration.Inf)
+        (centT.get, bookT.get)
+      } finally pool.shutdown()
     val assigned = coarseAssign(e, cent).select(col("vec_id"), col("cell"))
     val codes = pqAssign(sv, book).select(col("vec_id"), col("sub"), col("cid"))
     // probe the nprobe nearest cells per query (tiny centroid table)
@@ -714,6 +727,13 @@ object Ann {
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
     require(cents.nonEmpty, "streamingIvfAssign needs a trained centroid table")
+    // a NaN/Infinity component (corrupt or zero-norm training corpus)
+    // would render as 'NaND'/'InfinityD' and fail the SQL parse far
+    // from the cause — fail HERE with the actual reason instead
+    require(cents.forall { case (_, cv, cnrm) =>
+      java.lang.Double.isFinite(cnrm) && cv.forall(java.lang.Double.isFinite)
+    }, "streamingIvfAssign: centroid table contains non-finite " +
+      "components (corrupt or zero-norm training corpus?)")
     val v = expr("transform(embedding, x -> CAST(x AS double))")
     val nrm = expr(
       "sqrt(aggregate(transform(embedding, x -> CAST(x AS double)), 0D, (a, x) -> a + x * x))")

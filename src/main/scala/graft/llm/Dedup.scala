@@ -97,7 +97,12 @@ object Dedup {
     * create false positives). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, theta: Double = 0.5,
       maxDf: Long = 0L): DataFrame = {
+    // the shingle frame has 3-4 consumers (sizes agg, optional df agg,
+    // both self-join sides): persist it once — relying on Catalyst
+    // exchange reuse re-runs the shingling stage per consumer, and at
+    // scale that stage IS the job (the minhashPrep lesson)
     val sh = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val idx =
       if (maxDf <= 0) sh
@@ -113,13 +118,19 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
       .withColumn("jaccard",
         round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
       .where(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // near-dup pairs are output-sized: pin them and release the cache
+    // NOW (composing callers like dupRateBySource re-consume the
+    // result, never the shingles)
+    val out = pairs.localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
+    out
   }
 
   /** Shared minhash prep for the batch ([[minhashLshPairs]]) and
@@ -318,15 +329,19 @@ object Dedup {
     * distinct agg, one join, two tiny size joins — documents
     * themselves never move. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    // the distinct (source, shingle) frame has 3 consumers (sizes agg
+    // + both self-join sides): persist it once rather than re-running
+    // the shingle+distinct stage per consumer (the minhashPrep lesson)
     val sh = docs.select(col("source"),
       explode(expr(s"graft_shingles(text, $n)")).as("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val matrix = inter
       .join(sizes.select(col("source").as("src_a"), col("sz").as("sza")), "src_a")
       .join(sizes.select(col("source").as("src_b"), col("sz").as("szb")), "src_b")
       .select(col("src_a"), col("src_b"), col("inter"),
@@ -334,6 +349,10 @@ object Dedup {
           .as("jaccard"),
         round(col("inter") / least(col("sza"), col("szb")).cast("double"), 6)
           .as("containment"))
+    // the S×S matrix is tiny: pin it and release the vocabulary cache
+    val out = matrix.localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
+    out
   }
 
   /** Span-level decontamination — [[contamination]] at sub-document

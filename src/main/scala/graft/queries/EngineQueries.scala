@@ -90,10 +90,12 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.BucketStats.bucketPercentiles(I(s, d),
         bucket = 21600L, pcts = Seq(50, 95, 99)))
     },
-    // Prometheus-style cumulative value histogram per series
+    // Prometheus-style cumulative value histogram per series; the bin
+    // is FLOOR division on both sides (DuckDB // truncates like Spark
+    // DIV, so both engines spell floor as (val - pmod) / width)
     Entry("ts_value_histogram",
       s"""WITH p AS (SELECT series, val FROM ($PI)),
-         |h AS (SELECT series, val // 500 AS bin, count(*) AS n_points FROM p GROUP BY 1, 2)
+         |h AS (SELECT series, (val - ((val % 500) + 500) % 500) // 500 AS bin, count(*) AS n_points FROM p GROUP BY 1, 2)
          |SELECT series, bin, n_points,
          |       CAST(sum(n_points) OVER (PARTITION BY series ORDER BY bin
          |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_points
@@ -130,6 +132,29 @@ object EngineQueries {
         |            ELSE 1 END AS BIGINT) AS depth
         |FROM s3b WHERE t1 IS NOT NULL ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Funnel.funnel(userEvents(s, d),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), window = 604800L))
+    },
+    // the ClickHouse-windowFunnel max-depth variant: EVERY step-1
+    // event retries as a chain start (each with its own window), the
+    // user reports the best depth — the oracle replays the same greedy
+    // retry walk with DuckDB list lambdas
+    Entry("ev_funnel_retry",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
+        |pv AS (SELECT user_id,
+        |        any_value(CASE WHEN event_type = 'view' THEN tss END) AS l0,
+        |        any_value(CASE WHEN event_type = 'click' THEN tss END) AS l1,
+        |        any_value(CASE WHEN event_type = 'purchase' THEN tss END) AS l2
+        |       FROM ut GROUP BY 1)
+        |SELECT user_id, CAST(len(l0) AS BIGINT) AS n_starts,
+        |       CAST(list_max(list_transform(l0, t1 ->
+        |         CASE WHEN list_filter(l2, x3 -> x3 > (list_filter(l1, x2 -> x2 > t1 AND x2 <= t1 + 604800)[1]) AND x3 <= t1 + 604800)[1] IS NOT NULL THEN 3
+        |              WHEN list_filter(l1, x2 -> x2 > t1 AND x2 <= t1 + 604800)[1] IS NOT NULL THEN 2
+        |              ELSE 1 END)) AS BIGINT) AS depth
+        |FROM pv WHERE l0 IS NOT NULL AND len(l0) > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.funnelRetry(userEvents(s, d),
         "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), window = 604800L))
     },
@@ -212,6 +237,31 @@ object EngineQueries {
          |FROM d WHERE dx > 0 AND dy > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Correlate.pairwisePearson(I(s, d),
         bucket = 3600L, minBuckets = 24L))
+    },
+    // the BLOCKED variant: pairs only within the same metric family
+    // (the '<fam>.<kind>' prefix), dropping per-bucket fan-out from S²
+    // to Σ groupSize² — the shape correlation discovery needs at
+    // large S; same exact integer moments and fixed-point r
+    Entry("ts_correlate_grouped",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT regexp_extract(series, '^[^.]+\\.[^.]+', 0) AS grp, series, ts // 3600 AS bucket,
+         |       CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2, 3),
+         |pr AS (SELECT a.series AS series_a, b.series AS series_b, a.x AS x, b.x AS y
+         |       FROM h a JOIN h b ON a.grp = b.grp AND a.bucket = b.bucket AND a.series < b.series),
+         |m AS (SELECT series_a, series_b, count(*) AS n,
+         |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |       CAST(sum(x * y) AS BIGINT) AS sxy,
+         |       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM pr GROUP BY 1, 2 HAVING count(*) >= 24),
+         |d AS (SELECT series_a, series_b, n,
+         |       n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+         |      FROM m)
+         |SELECT series_a, series_b, n,
+         |       CAST(floor(num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE)) * 1e6) AS BIGINT) AS r_q6
+         |FROM d WHERE dx > 0 AND dy > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Correlate.pairwisePearson(I(s, d),
+        bucket = 3600L, minBuckets = 24L,
+        groupExpr = Some("regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")))
     })
 
   // ---- trailing moving-window aggregates (beyond-reference) ----
@@ -369,12 +419,49 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.Sessionize.sessions(F(s, d), gap = 900L))
     })
 
-  // sketch aggregates are approximate by design: no SQL oracle can
-  // hash-match them, so the driver records rows-only and the error
-  // bounds are pinned by SketchesSpec against the exact operators
+  // sketch VALUES are approximate by design — no SQL oracle can
+  // hash-match them — so the oracled entry ships the sketch's
+  // error-bound VERDICTS instead: per series, booleans asserting the
+  // HLL++ count is within 3×rsd of the exact distinct count and each
+  // sketched percentile lands inside its rank-error window of the
+  // exact sorted values (both checks computed in Spark against the
+  // exact frame; the oracle recomputes the exact keys and asserts the
+  // verdicts are all TRUE). Deterministic: HLL++ is order-independent,
+  // and at the sf0.01 check scale approx_percentile's summary retains
+  // every sample (n < accuracy), so the booleans cannot flap. A sketch
+  // regression past its bound now FAILS the differential instead of
+  // hiding behind `no_oracle`. SketchesSpec still pins the numeric
+  // bounds directly.
   private def sketches = Seq(
-    Entry.weak("ts_sketch_stats") {
-      (s, d) => ordered(graft.engine.Sketches.approxSeriesStats(F(s, d)))
+    Entry("ts_sketch_stats",
+      s"""SELECT series, count(*) AS n, count(DISTINCT ts) AS n_ts,
+         |       TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+         |FROM ($PF) GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val pts = F(s, d)
+        val approx = graft.engine.Sketches.approxSeriesStats(pts)
+        val exact = pts.groupBy(col("series")).agg(
+          sort_array(collect_list(col("val"))).as("vs"),
+          count(lit(1)).as("n"),
+          countDistinct(col("ts")).as("n_ts"))
+        // rank window for accuracy=10000 (relative rank error 1e-4),
+        // ±1 rank slack for the summary's own rank definition
+        def win(p: Double, side: String): String = {
+          val eps = 1.0e-4
+          if (side == "lo")
+            s"vs[CAST(greatest(0.0, floor(($p - $eps) * (n - 1)) - 1) AS INT)]"
+          else
+            s"vs[CAST(least(CAST(n - 1 AS DOUBLE), ceil(($p + $eps) * (n - 1)) + 1) AS INT)]"
+        }
+        ordered(approx.join(exact, Seq("series")).select(
+          col("series"), col("n"), col("n_ts"),
+          expr("abs(approx_n_ts - n_ts) <= greatest(CAST(ceil(0.06 * n_ts) AS BIGINT), 2)")
+            .as("hll_ok"),
+          expr(s"approx_p50 >= ${win(0.5, "lo")} AND approx_p50 <= ${win(0.5, "hi")}")
+            .as("p50_ok"),
+          expr(s"approx_p95 >= ${win(0.95, "lo")} AND approx_p95 <= ${win(0.95, "hi")}")
+            .as("p95_ok")))
+      }
     },
     // the EXACT twin of the sketch entry (integer family): per-series
     // distinct timestamps + interpolated p50/p95 in int64 fixed point —
@@ -459,8 +546,7 @@ object EngineQueries {
          |       CAST(sum(val) AS BIGINT) AS sum_val
          |FROM ($PI)""".stripMargin) {
       (s, d) => {
-        val dir = TmpStores.freshDir(
-          "bench-ingest-" + Integer.toHexString(d.hashCode))
+        val dir = TmpStores.freshDirFor("bench-ingest", d)
         val pts = I(s, d).select(col("series"), col("ts"),
           col("val").cast("double").as("val_num"), lit("integer").as("tp"),
           col("pid"), col("val").as("val_int"), lit("").as("val_str"))

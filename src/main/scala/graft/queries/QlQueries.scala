@@ -26,8 +26,7 @@ private[graft] object ClusterFixture {
   private def cluster(s: SparkSession, d: String): graft.server.PoolCluster =
     memo.getOrElseUpdate((s, d), {
       import graft.meta.Lookup
-      val base = TmpStores.freshDir(
-        "bench-cluster-" + Integer.toHexString(d.hashCode))
+      val base = TmpStores.freshDirFor("bench-cluster", d)
       import s.implicits._
       val lookupDf = Lookup(2).toRows.toDF("slot", "pool")
       val pts = SeriesStore.pointsI(s, d)
@@ -467,8 +466,7 @@ object QlQueries {
          |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) =>
         import org.apache.spark.sql.functions.lit
-        val store = TmpStores.freshDir(
-          "rollup-exp-" + Integer.toHexString(d.hashCode))
+        val store = TmpStores.freshDirFor("rollup-exp", d)
         graft.streaming.Ingest.appendBatch(
           SeriesStore.pointsF(s, d).select(col("series"), col("ts"),
             col("val").as("val_num"), lit("float").as("tp"), col("pid")),

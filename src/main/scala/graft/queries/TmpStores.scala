@@ -16,6 +16,14 @@ private[graft] object TmpStores {
   java.lang.Runtime.getRuntime.addShutdownHook(
     new Thread(() => created.keys.foreach(rmTree)))
 
+  /** A fresh EMPTY directory keyed by (prefix, dataset dir): the tag
+    * embeds the SANITIZED full dataset path, not its hashCode — two
+    * colliding hashCodes would silently map two live stores onto one
+    * path and the second freshDir call would delete the first's store
+    * under its memoized reader. */
+  def freshDirFor(prefix: String, datasetDir: String): String =
+    freshDir(prefix + "-" + datasetDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
   /** A fresh EMPTY directory at the per-(JVM, tag) fixed path. */
   def freshDir(tag: String): String = {
     val p = java.nio.file.Paths.get(

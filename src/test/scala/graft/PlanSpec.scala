@@ -317,6 +317,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("shingle frames run once: jaccard/overlap outputs are pinned and caches released") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, s"src${i % 4}", s"w${i % 8} x${i % 8} y${i % 8} z${i % 8} q$i"))
+      .toDF("doc_id", "source", "text")
+    for (df <- Seq(
+        graft.llm.Dedup.ngramJaccardPairs(docs, n = 3, theta = 0.1),
+        graft.llm.Dedup.sourceOverlap(docs, n = 3))) {
+      // the multi-consumer shingle frame is persisted inside the call
+      // and the output localCheckpoint'ed: consumers read ONE cached
+      // shingle stage (not a re-run lineage per consumer), and the
+      // returned plan is the pinned RDD — not a live lineage holding
+      // the released cache
+      val p = plan(df)
+      assert(p.contains("Scan ExistingRDD"), p)
+    }
+    // the shingle caches (the only large persists in these pipelines)
+    // were released before return; only tiny checkpointed outputs may
+    // remain registered (the minhash-cache-release pin's criterion)
+    val bigCached = spark.sparkContext.getRDDStorageInfo
+      .count(i => i.memSize + i.diskSize > (1L << 20))
+    assert(bigCached === 0,
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => (i.name, i.memSize, i.diskSize)).mkString("\n"))
+  }
+
   test("tag membership stays distributed: tagging every series puts no name list on the driver") {
     val env = EngineEnv(spark, dir)
     val total = env.catalogLive.count()

@@ -64,7 +64,23 @@ class RegexConformanceSpec extends AnyFunSuite {
     ("(?i)CPU\\..*", "cpu.9", true),
     // \Q..\E literal quoting
     ("\\Qc.p+u\\E", "c.p+u", true),
-    ("\\Qc.p+u\\E", "cxp+u", false))
+    ("\\Qc.p+u\\E", "cxp+u", false),
+    // POSIX bracket classes: PCRE2 compiles them; Java would silently
+    // read a class of LITERALS — anchored() translates them to \p{..}
+    ("[[:digit:]]+", "123", true),
+    ("[[:digit:]]+", "12a", false),
+    ("[[:alpha:]_]+", "cpu_load", true),
+    ("[[:^digit:]]+", "abc", true),
+    ("[[:^digit:]]+", "a1c", false),
+    ("[[:xdigit:]]+", "1aF", true),
+    ("[[:word:]]+", "cpu_0", true),
+    // line-terminator parity ((?d) UNIX_LINES): PCRE2's `.` refuses
+    // only \n (Java default also refuses \r/NEL/LS/PS), and `$`
+    // matches before a final \n ONLY (Java default: any terminator)
+    ("a.b", "a\rb", true),
+    ("a.b", "a\nb", false),
+    ("abc", "abc\n", true),
+    ("abc", "abc\r", false))
 
   test("agreed subset: Java anchored matching reproduces PCRE2 on the corpus") {
     agreed.foreach { case (p, s, exp) =>
@@ -96,14 +112,20 @@ class RegexConformanceSpec extends AnyFunSuite {
     }
   }
 
-  test("documented divergence: POSIX bracket classes parse but differ silently") {
-    // PCRE2: [[:digit:]]+ fully matches "123". Java has no POSIX
-    // bracket expressions — it reads a nested class of the literal
-    // characters and ']' so "123" does NOT match. Users must write
-    // \d or \p{Digit}. Pinned so the divergence stays visible.
-    assert(!javaMatch("[[:digit:]]+", "123"))
-    assert(javaMatch("\\d+", "123"))
-    assert(javaMatch("\\p{Digit}+", "123"))
+  test("POSIX bracket classes translate to \\p{..}; unknown names fail loudly") {
+    // Java has no POSIX bracket expressions — untranslated it would
+    // silently read a class of the literal characters. anchored()
+    // rewrites them (agreed-corpus rows above prove the semantics);
+    // an unknown class name raises the reference's compile error
+    // (PCRE2: "unknown POSIX class name") instead of matching garbage.
+    assert(SeriesMatch.anchored("[[:digit:]]+") === "(?d)^[\\p{Digit}]+$")
+    val e = intercept[graft.parser.QueryError](
+      SeriesMatch.anchored("[[:bogus:]]+"))
+    assert(e.getMessage.startsWith("Cannot compile regular expression"))
+    assert(e.getMessage.contains("unknown POSIX class name"))
+    // ... and the parser surface rejects it the same way
+    assertThrows[graft.parser.QueryError](
+      graft.parser.QueryParser.parse("list series /[[:bogus:]]+/"))
   }
 
   test("both engine surfaces apply the anchored translation") {

@@ -88,6 +88,72 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L), out.toString)
   }
 
+  test("funnelRetry: a stalled first entry retries from later step-1 events (the funnel divergence)") {
+    val ev = Seq(
+      // u1: first view's chain stalls (click lands outside the 100 s
+      // window of t1=10), but the SECOND view at 500 completes the
+      // chain — first-entry funnel reports 1, retry reports 3
+      (1L, 10L, "view"), (1L, 500L, "view"),
+      (1L, 520L, "click"), (1L, 540L, "purchase"),
+      // u2: single entry, full chain — both semantics agree on 3
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 30L, "purchase"),
+      // u3: both entries stall at depth 2 — best depth is still 2
+      (3L, 10L, "view"), (3L, 20L, "click"),
+      (3L, 400L, "view"), (3L, 450L, "click"),
+      // u4: never viewed — not in the funnel at all
+      (4L, 10L, "click"), (4L, 20L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val retry = graft.engine.Funnel.funnelRetry(ev, "user_id", "ts",
+      "event_type", steps, window = 100L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(retry === Map(1L -> ((2L, 3L)), 2L -> ((1L, 3L)), 3L -> ((2L, 2L))),
+      retry.toString)
+    val first = graft.engine.Funnel.funnel(ev, "user_id", "ts",
+      "event_type", steps, window = 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(first(1L) === 1L, "first-entry semantics stall where retry completes")
+  }
+
+  test("bucketPercentiles: maxCell guard fails loudly on an oversized cell, passes under it") {
+    val pts = (0 until 40).map(i => ("s", i.toLong, i.toLong, i.toLong))
+      .toDF("series", "ts", "pid", "val")
+    val e = intercept[graft.parser.QueryError](
+      graft.engine.BucketStats.bucketPercentiles(pts, bucket = 100L,
+        pcts = Seq(50), maxCell = 10L))
+    assert(e.getMessage.contains("maximum number of selected points"))
+    // under the cap the guard is invisible: identical output
+    val guarded = graft.engine.BucketStats.bucketPercentiles(pts,
+      bucket = 100L, pcts = Seq(50), maxCell = 100L).collect()
+    val plain = graft.engine.BucketStats.bucketPercentiles(pts,
+      bucket = 100L, pcts = Seq(50)).collect()
+    assert(guarded.toSeq === plain.toSeq)
+  }
+
+  test("valueHistogram: floor-division bins keep signed data uniform around zero") {
+    val pts = Seq(("s", 0L, 1L, -700L), ("s", 1L, 2L, -500L),
+      ("s", 2L, 3L, -1L), ("s", 3L, 4L, 0L), ("s", 4L, 5L, 499L))
+      .toDF("series", "ts", "pid", "val")
+    val out = graft.engine.BucketStats.valueHistogram(pts, binWidth = 500L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // truncating DIV would fold -499..499 into one double-width bin 0;
+    // floor assigns -700 -> bin -2, -500/-1 -> bin -1, 0/499 -> bin 0
+    assert(out === Map(-2L -> 1L, -1L -> 2L, 0L -> 2L), out.toString)
+  }
+
+  test("pairwisePearson: groupExpr blocks pairing to same-group series only") {
+    val pts = (0 until 30).flatMap { i =>
+      Seq(("g1.up", i * 3600L, i.toLong, i.toLong),
+        ("g1.dbl", i * 3600L, 100L + i, 2L * i),
+        ("g2.inv", i * 3600L, 200L + i, 1000L - i))
+    }.toDF("series", "ts", "pid", "val")
+    val out = graft.engine.Correlate.pairwisePearson(pts,
+        groupExpr = Some("substring_index(series, '.', 1)")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("g1.dbl", "g1.up")),
+      "cross-group pairs must not appear: " + out)
+  }
+
   test("retention: cohort = first-signup week; pre-cohort activity excluded; no-signup users absent") {
     val W = 604800L
     val ev = Seq(
