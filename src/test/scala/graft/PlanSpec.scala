@@ -322,17 +322,17 @@ class PlanSpec extends AnyFunSuite {
     val docs = (0L until 64L)
       .map(i => (i, s"src${i % 4}", s"w${i % 8} x${i % 8} y${i % 8} z${i % 8} q$i"))
       .toDF("doc_id", "source", "text")
-    for (df <- Seq(
-        graft.llm.Dedup.ngramJaccardPairs(docs, n = 3, theta = 0.1),
-        graft.llm.Dedup.sourceOverlap(docs, n = 3))) {
-      // the multi-consumer shingle frame is persisted inside the call
-      // and the output localCheckpoint'ed: consumers read ONE cached
-      // shingle stage (not a re-run lineage per consumer), and the
-      // returned plan is the pinned RDD — not a live lineage holding
-      // the released cache
-      val p = plan(df)
-      assert(p.contains("Scan ExistingRDD"), p)
-    }
+    // ngramJaccardPairs: the shingle frame is a NARROW stage (no
+    // exchange below its consumers), so it is persisted inside the
+    // call and the output localCheckpoint'ed — consumers read ONE
+    // cached shingle stage, and the returned plan is the pinned RDD,
+    // not a live lineage holding the released cache. (sourceOverlap is
+    // deliberately NOT persisted: its distinct() ends in a shuffle the
+    // consumers share, and persisting was measured 1.7× slower at
+    // sf0.1 — see the operator's scaladoc.)
+    val jp = plan(graft.llm.Dedup.ngramJaccardPairs(docs, n = 3, theta = 0.1))
+    assert(jp.contains("Scan ExistingRDD"), jp)
+    graft.llm.Dedup.sourceOverlap(docs, n = 3).collect()
     // the shingle caches (the only large persists in these pipelines)
     // were released before return; only tiny checkpointed outputs may
     // remain registered (the minhash-cache-release pin's criterion)
