@@ -64,21 +64,28 @@ object Funnel {
 
   /** Max-depth funnel (ClickHouse windowFunnel semantics) — the
     * retry-later-entries variant [[funnel]] deliberately does not do:
-    * EVERY step-1 event is a candidate chain start, each walked
-    * greedily (t_{i+1} = the first step-(i+1) event strictly after t_i
-    * and within `window` of THAT chain's own t1 — earliest-next is
-    * depth-optimal for a fixed start since it only widens later
-    * options), and the user reports the BEST depth over all starts. A
-    * user whose first entry stalls but whose later entry completes
-    * reports the completed depth here and the stalled one in
+    * EVERY step-1 event is a candidate chain start (t_{i+1} = the
+    * first step-(i+1) event strictly after t_i and within `window` of
+    * THAT chain's own t1), and the user reports the BEST depth over
+    * all starts. A user whose first entry stalls but whose later entry
+    * completes reports the completed depth here and the stalled one in
     * [[funnel]] (TsAnalyticsSpec pins the divergence).
     *
-    * Same scale shape as [[funnel]]: one per-(user, step) sorted-array
-    * aggregation, then a per-user NARROW expression — the retry walk is
-    * one transform over the user's own step-1 events with nested
-    * filter/get lambdas (no joins, no extra passes; expression size is
-    * O(steps²), per-user cost O(starts × own events)). Exact int64
-    * timestamps, fully oracle-replayable. */
+    * The walk is a single sorted-merge DP, not a per-start replay: all
+    * the user's funnel events merge into ONE (ts, step) array sorted
+    * ascending, and one `aggregate()` pass keeps, per funnel level,
+    * the latest chain-start t1 of any chain reaching that level (the
+    * latest start dominates — its window constraint is the loosest and
+    * the strict-order constraint is handled by the sort). Final depth
+    * = the non-null prefix length. This equals max-over-starts of the
+    * greedy earliest-next walk (greedy is depth-optimal for a fixed
+    * start; the DP maximizes over all chains), which is what the
+    * oracle replays per start — but costs O(E log E + E·steps) per
+    * user instead of the product of the per-step list lengths a
+    * nested filter-per-start expression pays. Equal-timestamp events
+    * sort higher-step-first (the `-step` struct field), so a chain
+    * never links two events at the same second — the strict `>` in
+    * the chain definition. Exact int64 timestamps. */
   def funnelRetry(events: DataFrame, user: String, ts: String,
       etype: String, steps: Seq[String], window: Long): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
@@ -89,21 +96,29 @@ object Funnel {
       max(when(col("__t") === st, col("tss"))).as(s"l$i")
     }
     val df = ut.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
-    // tExpr(i) = the chain's step-i timestamp given start t1: nested
-    // filter+get (get() is null-safe out-of-bounds, so a stalled chain
-    // propagates NULL without ANSI errors and without duplicating the
-    // filter expression in a size() guard)
-    def tExpr(i: Int): String =
-      if (i == 1) "t1"
-      else s"get(filter(l${i - 1}, x$i -> x$i > ${tExpr(i - 1)} " +
-        s"AND x$i <= t1 + $window), 0)"
-    val depthOf = (steps.size to 2 by -1)
-      .map(i => s"WHEN ${tExpr(i)} IS NOT NULL THEN $i")
-      .mkString("CASE ", " ", " ELSE 1 END")
+    val n = steps.size
+    val merged = (0 until n).map(i =>
+      s"transform(coalesce(l$i, array()), " +
+        s"x -> struct(x AS t, ${-(i + 1)} AS ns))")
+      .mkString("sort_array(concat(", ", ", "))")
+    // best[i] = latest t1 of a chain that has reached level i+1 so
+    // far; a step-s event extends level s-1 when its chain start is
+    // set and the event lands inside that start's window. greatest()
+    // skips nulls, so the first reach just stores the start.
+    val dp =
+      s"""aggregate($merged,
+         |  array_repeat(CAST(NULL AS BIGINT), $n),
+         |  (best, e) -> transform(best, (b, i) ->
+         |    CASE WHEN i = 0 AND e.ns = -1 THEN greatest(b, e.t)
+         |         WHEN i > 0 AND i = -e.ns - 1
+         |              AND element_at(best, i) IS NOT NULL
+         |              AND e.t <= element_at(best, i) + $window
+         |           THEN greatest(b, element_at(best, i))
+         |         ELSE b END),
+         |  best -> size(filter(best, b -> b IS NOT NULL)))""".stripMargin
     df.where(col("l0").isNotNull && size(col("l0")) > 0)
       .select(col("user_id"), size(col("l0")).cast("long").as("n_starts"),
-        expr(s"CAST(array_max(transform(l0, t1 -> $depthOf)) AS BIGINT)")
-          .as("depth"))
+        expr(dp).cast("long").as("depth"))
   }
 
   /** Cohort retention — the companion table: users bucketed by the
