@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grid interpolation / gap filling — the `fill(linear)` of
@@ -10,21 +11,32 @@ import org.apache.spark.sql.functions._
   * points that coincide with a sample.
   *
   * Spark-first: the grid explodes from one per-series bounds
-  * aggregation (output-resolution-sized, not input-sized), and the
-  * surrounding samples attach with TWO [[AsOfJoin]] passes — forward
-  * for the previous sample and on negated timestamps for the next
-  * (as-of is direction-symmetric under negation). Everything stays
-  * per-series windows + equi-joins; the interpolation arithmetic is
-  * order-fixed IEEE, replayed exactly by the oracle. Same-timestamp
-  * duplicate samples are pre-collapsed deterministically
-  * (max_by pid) — interpolation needs a function, not a multiset. */
+  * aggregation (output-resolution-sized, not input-sized), then grid
+  * rows and samples UNION into one frame and both neighbours come
+  * from GROWING rows-frames (`last(ignoreNulls)` over
+  * ROWS(-∞, 0]) — forward-ordered for the previous sample,
+  * reverse-ordered for the next. Growing frames are the one window
+  * shape Spark evaluates incrementally (O(n) per partition); the
+  * symmetric-looking RANGE [0, +∞) frame is a SHRINKING frame that
+  * Spark recomputes from scratch per row — O(n²), measured 10×
+  * slower than the as-of form it was meant to replace. Ties order
+  * samples before grid rows in BOTH directions (`is_grid` ascending
+  * under either ts direction), so a sample at exactly a grid
+  * timestamp is the nearest neighbour on both sides and coincident
+  * grid points are exact without special-casing. One exchange + two
+  * sorts replace the two direction-symmetric [[AsOfJoin]] passes
+  * plus a reassembly join (5 shuffles → 3, and the sample frame now
+  * has 2 consumers instead of 3). The interpolation
+  * arithmetic is order-fixed IEEE, replayed exactly by the oracle.
+  * Same-timestamp duplicate samples are pre-collapsed
+  * deterministically (max_by pid) — interpolation needs a function,
+  * not a multiset. */
 object Interpolate {
 
   def toGrid(points: DataFrame, step: Long): DataFrame = {
-    // `samples` feeds THREE consumers (grid bounds agg, prev as-of
-    // pass, nxt as-of pass): without a persist Spark re-runs the whole
-    // scan+collapse lineage per consumer — at 100× data that replay
-    // multiplies the full input cost ×3 (the minhashPrep lesson)
+    // `samples` feeds TWO consumers (grid bounds agg + the union):
+    // without a persist Spark re-runs the whole scan+collapse lineage
+    // per consumer (the minhashPrep lesson)
     val samples = points.groupBy(col("series"), col("ts"))
       .agg(max_by(col("val"), col("pid")).as("val"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -37,27 +49,38 @@ object Interpolate {
       .select(col("series"), explode(expr(
         s"transform(sequence((mn + ${step - 1}) DIV $step, mx DIV $step), i -> i * $step)"))
         .as("ts"))
-    val sv = samples.select(col("series"), col("ts"),
-      struct(col("ts").as("sts"), col("val").as("sval")).as("sv"))
-    val prev = AsOfJoin.asOf(grid, sv, "series", "ts", "sv", "prev")
-    val svN = sv.select(col("series"), (-col("ts")).as("nts"), col("sv"))
-    val nxt = AsOfJoin.asOf(grid.withColumn("nts", -col("ts")), svN,
-        "series", "nts", "sv", "nxt")
-      .select(col("series"), col("ts"), col("nxt"))
+    val u = samples
+      .select(col("series"), col("ts"), col("ts").as("sts"),
+        col("val").as("sval"), lit(false).as("is_grid"))
+      .unionByName(grid.select(col("series"), col("ts"),
+        lit(null).cast("long").as("sts"),
+        lit(null).cast("double").as("sval"), lit(true).as("is_grid")))
+    val pW = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nW = Window.partitionBy(col("series"))
+      .orderBy(col("ts").desc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // output is FLOOR-quantized fixed point (×1e9 → BIGINT), not
     // round(…, 9): interpolation ratios land arbitrarily close to
     // decimal half-boundaries, where Spark (BigDecimal HALF_UP on the
     // exact binary value) and DuckDB round() disagree by one ulp of
     // the last digit — floor of the bit-identical double has no
-    // internal rounding step, so it cannot diverge
-    val out = prev.join(nxt, Seq("series", "ts"))
-      .where(col("prev").isNotNull && col("nxt").isNotNull)
+    // internal rounding step, so it cannot diverge. A coincident
+    // sample gives pts === ts, so the ratio term is exactly 0 and the
+    // grid point emits the sample value bit-exactly.
+    val out = u
+      .withColumn("pts", last(col("sts"), ignoreNulls = true).over(pW))
+      .withColumn("pval", last(col("sval"), ignoreNulls = true).over(pW))
+      .withColumn("nts", last(col("sts"), ignoreNulls = true).over(nW))
+      .withColumn("nval", last(col("sval"), ignoreNulls = true).over(nW))
+      .where(col("is_grid") && col("pts").isNotNull && col("nts").isNotNull)
       .select(col("series"), col("ts"), floor(
-        when(col("nxt.sts") === col("prev.sts"), col("prev.sval"))
-          .otherwise(col("prev.sval") +
-            (col("nxt.sval") - col("prev.sval")) *
-              (col("ts") - col("prev.sts")) /
-              (col("nxt.sts") - col("prev.sts"))) * lit(1e9))
+        when(col("nts") === col("pts"), col("pval"))
+          .otherwise(col("pval") +
+            (col("nval") - col("pval")) *
+              (col("ts") - col("pts")) /
+              (col("nts") - col("pts"))) * lit(1e9))
         .cast("long").as("val_q9"))
       // pin the grid-sized result so the cached samples can be released
       // NOW — a long-lived server must not leak one cache per call
