@@ -43,6 +43,8 @@ object Bench {
     "ts_threshold_cross", "ts_correlate", "ts_correlate_grouped",
     "ev_funnel", "ev_funnel_retry", "ev_retention",
     "ts_bucket_percentiles", "ts_value_histogram", "ts_moving_time",
+    "ts_twa", "ts_downsample_m4", "ts_gaps", "ts_ewma",
+    "text_dsir_weights",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -41,4 +41,33 @@ object Downsample {
       .select(col("series"), col("bucket"),
         col("__keep.ts").as("ts"), col("__keep.val").as("val"))
   }
+
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (series, bucket)
+    * the four points a pixel column needs for error-free line
+    * rendering — first, last, min, max — as ONE hash aggregation
+    * with partial (map-side) combine: unlike [[ltob]] there is no
+    * window pass at all, so M4 is the cheapest shape-exact
+    * downsampler and the one to reach for when bucket counts are
+    * pixel-sized. All selections are deterministic under duplicate
+    * timestamps: first/last break ties by (ts, pid); the min/max
+    * report their VALUE (tie-free) plus the earliest (ts, pid)
+    * holding it. Pure int64 comparisons, no floats. */
+  def m4(points: DataFrame, bucket: Long): DataFrame =
+    points
+      .groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min_by(struct(col("ts"), col("val")),
+          struct(col("ts"), col("pid"))).as("__f"),
+        max_by(struct(col("ts"), col("val")),
+          struct(col("ts"), col("pid"))).as("__l"),
+        min(col("val")).as("v_min"),
+        min_by(col("ts"),
+          struct(col("val"), col("ts"), col("pid"))).as("ts_vmin"),
+        max(col("val")).as("v_max"),
+        max_by(col("ts"),
+          struct(col("val"), -col("ts"), -col("pid"))).as("ts_vmax"))
+      .select(col("series"), col("bucket"), col("n"),
+        col("__f.ts").as("ts_first"), col("__f.val").as("v_first"),
+        col("__l.ts").as("ts_last"), col("__l.val").as("v_last"),
+        col("ts_vmin"), col("v_min"), col("ts_vmax"), col("v_max"))
 }

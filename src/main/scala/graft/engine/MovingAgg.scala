@@ -56,4 +56,63 @@ object MovingAgg {
       .withColumn("mov_avg_q9", expr(
         "CAST(floor(CAST(mov_sum AS double) / CAST(mov_n AS double) * 1000000000.0) AS BIGINT)"))
   }
+
+  /** Exponentially-weighted moving average, truncated at the trailing
+    * `k` samples — the low-latency smooth (recent samples dominate)
+    * that [[trailing]]'s flat window cannot give. The exact EWMA
+    * recursion y_t = α·x_t + (1−α)·y_{t−1} carries UNBOUNDED history
+    * (inherently sequential — not a Spark shape); the standard
+    * streaming truncation renormalizes the first k geometric weights
+    * over the samples that exist:
+    *
+    *   y_t = Σ_{i<m} (1−α)^i · x_{t−i} / Σ_{i<m} (1−α)^i,  m = min(k, t+1)
+    *
+    * the weight an untruncated adjust-style EWMA gives its k newest
+    * samples (tail weight (1−α)^k — under 6% for the defaults). With
+    * rational α = num/den the weights scale to EXACT integers
+    * c_i = (den−num)^i · den^(k−1−i) (a shorter head just drops
+    * trailing terms — the common d^(k−m) factor cancels in the
+    * ratio), so the whole op is k−1 lag columns off ONE per-series
+    * window pass plus integer multiply-adds: codegen-friendly, no
+    * arrays, no per-row allocation, and the quantized output is one
+    * floor division of exact int64 — bit-identical in any engine.
+    * Requires non-negative values (truncating DIV = floor) and
+    * max|val| · Σc_i · 10⁶ within int64 — holds for dashboard-sized
+    * k/den; the require below faults loudly otherwise. */
+  def ewma(points: DataFrame, num: Long = 1L, den: Long = 4L,
+      k: Int = 8): DataFrame = {
+    require(num > 0 && den > num, "alpha = num/den must be in (0,1)")
+    require(k >= 1 && k <= 32, "truncation depth k must be in [1,32]")
+    val cs = ewmaWeights(num, den, k)
+    require(cs.sum <= Long.MaxValue / 1000000L / 1000000L,
+      s"weights too large for exact int64 at num=$num den=$den k=$k")
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+    val lagged = cs.indices.foldLeft(
+      points.select(col("series"), col("ts"), col("pid"), col("val"))) {
+      (df, i) =>
+        if (i == 0) df.withColumn("__x0", col("val"))
+        else df.withColumn(s"__x$i", lag(col("val"), i).over(w))
+    }
+    val numSum = cs.indices
+      .map(i => s"coalesce(__x$i * ${cs(i)}L, 0L)").mkString(" + ")
+    val denSum = cs.indices
+      .map(i => s"(CASE WHEN __x$i IS NOT NULL THEN ${cs(i)}L ELSE 0L END)")
+      .mkString(" + ")
+    lagged
+      .withColumn("ewma_q6", expr(s"(($numSum) * 1000000L) DIV ($denSum)"))
+      .select(col("series"), col("ts"), col("pid"), col("val"),
+        col("ewma_q6"))
+  }
+
+  /** The exact integer weights c_i = (den−num)^i · den^(k−1−i),
+    * newest first — shared with the oracle-SQL builder so both
+    * engines multiply by the same constants. */
+  def ewmaWeights(num: Long, den: Long, k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      val r = (0 until i).foldLeft(1L)((a, _) =>
+        Math.multiplyExact(a, den - num))
+      (0 until (k - 1 - i)).foldLeft(r)((a, _) =>
+        Math.multiplyExact(a, den))
+    }
 }

@@ -34,4 +34,24 @@ object Sessionize {
         count(lit(1)).as("n_points"))
       .withColumn("duration", col("session_end") - col("session_start"))
   }
+
+  /** Gap detection — the inverse report: every place a series was
+    * SILENT for more than `minGap` seconds (the "no data from host X"
+    * alert a monitoring stack raises, and the input to an SLO
+    * availability calculation). Same one-window-pass shape as
+    * [[sessions]]; output is gap-sized, not point-sized. Duplicate
+    * timestamps are safe: only the last point of a tie group (by pid)
+    * sees the true successor timestamp — earlier tie members see a
+    * zero gap and never pass the filter — so the report is
+    * deterministic whatever the tie order. */
+  def gaps(points: DataFrame, minGap: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+    points
+      .withColumn("__nxt", lead(col("ts"), 1).over(w))
+      .where(col("__nxt") - col("ts") > minGap)
+      .select(col("series"), col("ts").as("gap_start"),
+        col("__nxt").as("gap_end"),
+        (col("__nxt") - col("ts")).as("gap"))
+  }
 }

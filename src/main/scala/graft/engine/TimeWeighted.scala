@@ -1,0 +1,64 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-weighted average per (series, bucket) — the irregular-sampling
+  * average every industrial TSDB ships (TimescaleDB `time_weight`,
+  * InfluxDB `integral`) and the reference's plain `mean` cannot
+  * express: `mean` weights every SAMPLE equally, so a series that
+  * reports 1 Hz while idle and 100 Hz during an incident averages the
+  * incident 100× too heavily. The TWA weights each VALUE by how long
+  * it was current (last-observation-carried-forward step function),
+  * integrating v(t) dt over the bucket.
+  *
+  * Shape: duplicate timestamps collapse to the last-ingested value
+  * (max pid — the step function needs one value per instant; the
+  * reference keeps duplicate-ts points in insert order, so "last
+  * write" is its visible final state). One per-series window pass
+  * attaches each sample's successor timestamp; each LOCF segment
+  * [ts, nxt) then explodes onto the buckets it overlaps and
+  * contributes val × overlap to each — a segment-ends stream, NEVER a
+  * per-second densification, so cost is samples + crossed bucket
+  * boundaries (a gap of G buckets emits G rows: bounded by
+  * span/bucket per series, the output grid itself). The final hash
+  * aggregation is exact int64 (ANSI mode faults overflow loudly);
+  * the quantized average is one floor division of exact integers —
+  * engine-reproducible, no floats anywhere. A series' last sample
+  * has no successor and contributes no coverage (the step function
+  * is undefined past the last observation).
+  *
+  * Output: (series, bucket, dur, wsum, twa_q6) where dur = covered
+  * seconds within the bucket (≤ bucket), wsum = Σ val·dt, and
+  * twa_q6 = wsum·10⁶ DIV dur. `wsum·10⁶` requires
+  * |val| ≤ ~9.2e18 / (10⁶ · bucket); for larger values coarsen the
+  * quantum or read wsum/dur directly. Values must be non-negative
+  * for the truncating DIV to equal floor division (the engine's
+  * integer family is; a signed variant would use the pmod form
+  * [[BucketStats.valueHistogram]] uses).
+  */
+object TimeWeighted {
+
+  def bucketTwa(points: DataFrame, bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val w = Window.partitionBy(col("series")).orderBy(col("ts").asc)
+    points
+      // step function: one value per (series, ts) — last write wins
+      .groupBy(col("series"), col("ts"))
+      .agg(max_by(col("val"), col("pid")).as("val"))
+      .withColumn("__nxt", lead(col("ts"), 1).over(w))
+      .where(col("__nxt").isNotNull)
+      // segment [ts, nxt) → one row per overlapped bucket
+      .select(col("series"), col("ts"), col("val"), col("__nxt"),
+        explode(expr(s"sequence(ts DIV $bucket, (__nxt - 1) DIV $bucket)"))
+          .as("bucket"))
+      .withColumn("__dt",
+        least(col("__nxt"), (col("bucket") + 1) * bucket) -
+          greatest(col("ts"), col("bucket") * bucket))
+      .groupBy(col("series"), col("bucket"))
+      .agg(sum(col("__dt")).as("dur"),
+        sum(col("val") * col("__dt")).as("wsum"))
+      .withColumn("twa_q6", expr("wsum * 1000000L DIV dur"))
+  }
+}

@@ -421,4 +421,60 @@ object TextStats {
       md5(concat(lit(salt + ":"), col("doc_id").cast("string")))
         .as("shuffle_key"))
   }
+
+  /** Hashed n-gram bucket of a token — md5 hex digits 13..15 (12
+    * bits) mod `buckets`, portable across engines (the md5-draw
+    * family [[sampleStratified]] uses). */
+  private def bucketOf(c: String, buckets: Int): String =
+    s"CAST(conv(substring(md5($c), 13, 3), 16, 10) AS BIGINT) % $buckets"
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much it resembles a small TARGET
+    * distribution, in a hashed unigram feature space. Both corpora
+    * reduce to `buckets` hashed token counts; each document's log
+    * importance weight is Σ over its tokens of
+    * log p̂_target(bucket) − log p̂_raw(bucket) (add-1 smoothed).
+    * The downstream resample is [[sampleStratified]]'s md5 draw
+    * against softmax'd weights; this operator is the scoring pass.
+    *
+    * Scale shape: the two distribution tables are `buckets`-sized (a
+    * broadcast constant — NEVER corpus-sized, the paper's reason for
+    * hashing); the doc stream aggregates per (doc, bucket) with
+    * map-side combine before the broadcast join, so the shuffle
+    * carries at most buckets rows per doc. Per-bucket log-ratios are
+    * quantized to ×10⁶ fixed point BEFORE the per-doc sum (the
+    * [[lmPerplexity]] determinism trick), so every weight is an
+    * exact integer, order-independent, engine-reproducible.
+    *
+    * Returns (doc_id, n_tokens, logw_q6) — logw_q6 > 0 means "more
+    * target-like than the raw average". */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 1024): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      explode(expr(tok)).as("w"))
+      .select(col("doc_id"), col("lang"),
+        expr(bucketOf("w", buckets)).as("b"))
+    // per-(doc, bucket) counts: map-side combine shrinks the shuffle
+    // to ≤ buckets rows per doc; both distribution tables and the
+    // per-doc rollup sit above this ONE aggregate subtree
+    val db = t.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val raw = db.groupBy(col("b")).agg(sum(col("k")).as("cr"))
+    val tgt = db.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("k")).as("ct"))
+    val dist = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("tr"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
+      // identical op order to the oracle: two ln's, subtract, scale
+      .select(col("b"), expr(
+        s"CAST(round((ln((ct + 1) / CAST(tt + $buckets AS DOUBLE)) - " +
+          s"ln((cr + 1) / CAST(tr + $buckets AS DOUBLE))) * 1000000) " +
+          "AS BIGINT)").as("q"))
+    db.join(broadcast(dist), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(expr("k * q")).as("logw_q6"))
+  }
 }

@@ -1065,6 +1065,29 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.bm25(docs(s, d),
         terms = Seq("table", "spark", "query")))
     },
+    // DSIR importance weights (hashed-unigram target-vs-raw log
+    // ratio): distribution tables are 1024-row broadcast constants,
+    // per-bucket log-ratios quantized ×1e6 BEFORE the per-doc sum so
+    // every weight is an exact integer (the lm-perplexity trick)
+    Entry("text_dsir_weights",
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |tb AS (SELECT doc_id, lang,
+        |        (256 * (strpos('0123456789abcdef', substring(md5(w), 13, 1)) - 1)
+        |         + 16 * (strpos('0123456789abcdef', substring(md5(w), 14, 1)) - 1)
+        |         + (strpos('0123456789abcdef', substring(md5(w), 15, 1)) - 1)) % 1024 AS b
+        |       FROM t),
+        |db AS (SELECT doc_id, lang, b, count(*) AS k FROM tb GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, sum(k) AS cr FROM db GROUP BY 1),
+        |tgt AS (SELECT b, sum(k) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt),
+        |dist AS (SELECT b, CAST(round((ln((coalesce(ct, 0) + 1) / CAST(tt + 1024 AS DOUBLE)) - ln((cr + 1) / CAST(tr + 1024 AS DOUBLE))) * 1000000) AS BIGINT) AS q
+        |         FROM raw LEFT JOIN tgt USING (b), tot)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |       CAST(sum(k * q) AS BIGINT) AS logw_q6
+        |FROM db JOIN dist USING (b) GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.dsirWeights(docs(s, d),
+        targetLang = "en", buckets = 1024))
+    },
     // PMI collocation mining over frequency-pruned bigrams
     Entry("text_pmi",
       """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),

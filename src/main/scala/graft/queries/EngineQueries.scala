@@ -72,7 +72,7 @@ object EngineQueries {
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
     counterRate ++ interpolate ++ movingAgg ++ anomaly ++ correlate ++
-    funnel ++ bucketStats
+    funnel ++ bucketStats ++ timeWeighted
 
   // ---- exact per-bucket distribution stats (beyond-reference) ----
   private def bucketStats = Seq(
@@ -297,7 +297,34 @@ object EngineQueries {
          |FROM m ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.MovingAgg.trailingTime(I(s, d),
         horizon = 3600L))
-    })
+    },
+    // truncated EWMA smooth (α = 1/4 over the trailing 8 samples):
+    // exact integer weights (den−num)^i·den^(k−1−i) built by the SAME
+    // Scala helper on both sides, so the two engines multiply by
+    // identical constants; one floor division of exact int64
+    ewmaEntry)
+
+  private def ewmaEntry: Entry = {
+    val cs = graft.engine.MovingAgg.ewmaWeights(num = 1, den = 4, k = 8)
+    val lags = cs.indices.map(i =>
+      if (i == 0) "val AS x0" else s"lag(val, $i) OVER w AS x$i")
+      .mkString(", ")
+    val numS = cs.indices.map(i => s"coalesce(x$i * ${cs(i)}, 0)")
+      .mkString(" + ")
+    val denS = cs.indices
+      .map(i => s"(CASE WHEN x$i IS NOT NULL THEN ${cs(i)} ELSE 0 END)")
+      .mkString(" + ")
+    Entry("ts_ewma",
+      s"""WITH p AS (SELECT series, ts, pid, val FROM ($PI)),
+         |l AS (SELECT series, ts, pid, val, $lags
+         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid))
+         |SELECT series, ts, pid, val,
+         |       CAST((($numS) * 1000000) // ($denS) AS BIGINT) AS ewma_q6
+         |FROM l ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.MovingAgg.ewma(I(s, d),
+        num = 1L, den = 4L, k = 8))
+    }
+  }
 
   // ---- anomaly detection (beyond-reference alerting layer) ----
   private def anomaly = Seq(
@@ -399,6 +426,39 @@ object EngineQueries {
          |      FROM n)
          |SELECT series, bucket, ts, val FROM k WHERE rk = 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Downsample.ltob(F(s, d), bucket = 3600L))
+    },
+    // M4 (first/last/min/max per pixel bucket): one hash agg, no
+    // window; tie-breaks replayed via DuckDB's ordered aggregates
+    Entry("ts_downsample_m4",
+      s"""WITH p AS (SELECT series, ts, val, pid FROM ($PF))
+         |SELECT series, ts // 3600 AS bucket, count(*) AS n,
+         |       first(ts ORDER BY ts, pid) AS ts_first, first(val ORDER BY ts, pid) AS v_first,
+         |       last(ts ORDER BY ts, pid) AS ts_last, last(val ORDER BY ts, pid) AS v_last,
+         |       first(ts ORDER BY val, ts, pid) AS ts_vmin, min(val) AS v_min,
+         |       first(ts ORDER BY val DESC, ts, pid) AS ts_vmax, max(val) AS v_max
+         |FROM p GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Downsample.m4(F(s, d), bucket = 3600L))
+    })
+
+  // ---- time-weighted average (beyond-reference LOCF integral) ----
+  private def timeWeighted = Seq(
+    // per (series, 1h): Σ val·dt over the LOCF step function, clipped
+    // at bucket edges; exact int64 end to end, one floor division
+    Entry("ts_twa",
+      s"""WITH p AS (SELECT series, ts, val, pid FROM ($PI)),
+         |d AS (SELECT series, ts, arg_max(val, pid) AS val FROM p GROUP BY 1, 2),
+         |s AS (SELECT series, ts, val, lead(ts) OVER (PARTITION BY series ORDER BY ts) AS nxt FROM d),
+         |x AS (SELECT series, val, ts, nxt, unnest(range(ts // 3600, (nxt - 1) // 3600 + 1)) AS bucket
+         |      FROM s WHERE nxt IS NOT NULL),
+         |o AS (SELECT series, bucket,
+         |       least(nxt, (bucket + 1) * 3600) - greatest(ts, bucket * 3600) AS dt, val
+         |      FROM x)
+         |SELECT series, bucket, CAST(sum(dt) AS BIGINT) AS dur,
+         |       CAST(sum(val * dt) AS BIGINT) AS wsum,
+         |       CAST(sum(val * dt) * 1000000 // sum(dt) AS BIGINT) AS twa_q6
+         |FROM o GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.TimeWeighted.bucketTwa(I(s, d),
+        bucket = 3600L))
     })
 
   // ---- sessionization (beyond-reference gaps-and-islands) ----
@@ -417,6 +477,15 @@ object EngineQueries {
          |       count(*) AS n_points, max(ts) - min(ts) AS duration
          |FROM s GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Sessionize.sessions(F(s, d), gap = 900L))
+    },
+    // the inverse report: every silence > 900 s per series (the
+    // "no data" alert edge); gap-sized output, one window pass
+    Entry("ts_gaps",
+      s"""WITH p AS (SELECT series, ts, pid FROM ($PF)),
+         |l AS (SELECT series, ts, lead(ts) OVER (PARTITION BY series ORDER BY ts, pid) AS nxt FROM p)
+         |SELECT series, ts AS gap_start, nxt AS gap_end, nxt - ts AS gap
+         |FROM l WHERE nxt - ts > 900 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Sessionize.gaps(F(s, d), minGap = 900L))
     })
 
   // sketch VALUES are approximate by design — no SQL oracle can

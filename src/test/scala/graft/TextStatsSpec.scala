@@ -80,4 +80,28 @@ class TextStatsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out === Map(1L -> 0L, 2L -> 0L), "no token can be OOV")
   }
+
+  test("dsirWeights: target-resembling docs score above raw-only docs; identical docs tie exactly") {
+    // guard the fixture's premise: the two probe tokens must land in
+    // different hash buckets (md5-derived, stable — not a coin flip)
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(12, 15), 16) % 1024
+    }
+    assert(bucket("aa") !== bucket("zz"))
+    val docs = Seq(
+      (1L, "aa aa aa", "en", "s"), (2L, "aa aa aa", "en", "s"),
+      (3L, "zz zz zz", "fr", "s"), (4L, "aa zz aa", "fr", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextStats.dsirWeights(docs, targetLang = "en",
+      buckets = 1024).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.values.forall(_._1 == 3L), "n_tokens")
+    assert(out(1L)._2 === out(2L)._2, "identical docs score identically")
+    assert(out(1L)._2 > out(4L)._2, "pure-target beats mixed")
+    assert(out(4L)._2 > out(3L)._2, "mixed beats never-in-target")
+    assert(out(3L)._2 < 0L, "a bucket absent from target scores negative")
+  }
 }

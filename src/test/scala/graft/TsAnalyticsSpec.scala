@@ -225,4 +225,78 @@ class TsAnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getString(5)))
     assert(out.toSet === Set((20L, "up"), (40L, "down"), (50L, "up")), out.toSeq)
   }
+
+  test("bucketTwa: LOCF segments clip at bucket edges; last write wins on dup ts; tail sample uncovered") {
+    val pts = Seq(
+      ("a", 2L, 10L, 1L), ("a", 5L, 20L, 2L), ("a", 5L, 99L, 5L), // dup ts: pid 5 wins
+      ("a", 12L, 30L, 3L), ("a", 25L, 40L, 4L), // 40 has no successor
+      ("b", 3L, 7L, 1L), // single point: no coverage at all
+      ("c", 0L, 2L, 1L), ("c", 35L, 5L, 2L) // one segment spanning 4 buckets
+    ).toDF("series", "ts", "val", "pid")
+    val out = graft.engine.TimeWeighted.bucketTwa(pts, bucket = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bucket 0: [2,5)×10 + [5,10)×99 → dur 8, wsum 525
+    assert(out(("a", 0L)) === ((8L, 525L, 65625000L)))
+    // bucket 1: [10,12)×99 + [12,20)×30 → dur 10, wsum 438
+    assert(out(("a", 1L)) === ((10L, 438L, 43800000L)))
+    // bucket 2: [20,25)×30 → the tail sample (40) contributes nothing
+    assert(out(("a", 2L)) === ((5L, 150L, 30000000L)))
+    assert(!out.keySet.exists(_._1 == "b"), "singleton series has no segments")
+    // the long segment fills buckets 0..2 fully and [30,35) of bucket 3
+    assert(out(("c", 1L)) === ((10L, 20L, 2000000L)))
+    assert(out(("c", 3L)) === ((5L, 10L, 2000000L)))
+    assert(out.size === 7)
+  }
+
+  test("m4: first/last by (ts,pid), min/max report earliest holder; singleton bucket collapses") {
+    val pts = Seq(
+      ("s", 1L, 5.0, 1L), ("s", 1L, 9.0, 2L), // dup ts: pid orders first
+      ("s", 4L, 3.0, 3L), ("s", 7L, 8.0, 4L),
+      ("s", 12L, 6.0, 5L),
+      ("t", 0L, 5.0, 1L), ("t", 3L, 5.0, 2L) // all-equal values
+    ).toDF("series", "ts", "val", "pid")
+    val out = graft.engine.Downsample.m4(pts, bucket = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val s0 = out(("s", 0L))
+    assert((s0.getLong(2), s0.getLong(3), s0.getDouble(4),
+      s0.getLong(5), s0.getDouble(6)) === ((4L, 1L, 5.0, 7L, 8.0)))
+    assert((s0.getLong(7), s0.getDouble(8)) === ((4L, 3.0)), "min at ts 4")
+    assert((s0.getLong(9), s0.getDouble(10)) === ((1L, 9.0)),
+      "max 9.0 entered at ts 1 (pid 2)")
+    val s1 = out(("s", 12L / 10L))
+    assert((s1.getLong(2), s1.getLong(3), s1.getLong(5),
+      s1.getLong(7), s1.getLong(9)) === ((1L, 12L, 12L, 12L, 12L)))
+    // equal values: both extrema report the EARLIEST holder
+    val t0 = out(("t", 0L))
+    assert((t0.getLong(7), t0.getLong(9)) === ((0L, 0L)))
+  }
+
+  test("gaps: only silences over the threshold; dup-ts points never fake a gap; series isolated") {
+    val pts = Seq(
+      ("s", 0L, 1L), ("s", 5L, 2L), ("s", 5L, 3L), // dup ts
+      ("s", 30L, 4L), ("s", 32L, 5L),
+      ("u", 0L, 1L) // singleton: nothing to report
+    ).toDF("series", "ts", "pid")
+    val out = graft.engine.Sessionize.gaps(pts, minGap = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("s", 5L, 30L, 25L)))
+  }
+
+  test("ewma: truncated geometric weights renormalize over short heads; floor-quantized") {
+    val pts = Seq(
+      ("s", 1L, 1L, 6L), ("s", 2L, 2L, 3L), ("s", 3L, 3L, 9L),
+      ("t", 1L, 1L, 1L), ("t", 2L, 2L, 2L)
+    ).toDF("series", "ts", "pid", "val")
+    // α = 1/2, k = 2 → weights (2, 1): y = (2·x_t + x_{t−1}) / 3
+    val out = graft.engine.MovingAgg.ewma(pts, num = 1L, den = 2L, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out(("s", 1L)) === 6000000L, "head renormalizes to the bare value")
+    assert(out(("s", 2L)) === 4000000L) // (6+6)/3
+    assert(out(("s", 3L)) === 7000000L) // (18+3)/3
+    assert(out(("t", 2L)) === 1666666L, "floor of 5/3 ×1e6 — never rounded")
+    // the weight table itself: (den−num)^i · den^(k−1−i), newest first
+    assert(graft.engine.MovingAgg.ewmaWeights(1, 4, 4).toSeq ===
+      Seq(64L, 48L, 36L, 27L))
+  }
 }
