@@ -44,6 +44,13 @@ object TimeWeighted {
     require(bucket > 0, "bucket must be positive")
     val w = Window.partitionBy(col("series")).orderBy(col("ts").asc)
     points
+      // ONE shuffle for the whole operator: hash(series) satisfies the
+      // dup-ts collapse's (series, ts) clustering, the window's
+      // series partitioning, AND the final (series, bucket)
+      // aggregation (subset-key partitioning satisfies a
+      // ClusteredDistribution) — without it Spark plans a second
+      // exchange between the collapse and the window
+      .repartition(col("series"))
       // step function: one value per (series, ts) — last write wins
       .groupBy(col("series"), col("ts"))
       .agg(max_by(col("val"), col("pid")).as("val"))

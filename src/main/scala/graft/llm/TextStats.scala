@@ -456,10 +456,15 @@ object TextStats {
       .select(col("doc_id"), col("lang"),
         expr(bucketOf("w", buckets)).as("b"))
     // per-(doc, bucket) counts: map-side combine shrinks the shuffle
-    // to ≤ buckets rows per doc; both distribution tables and the
-    // per-doc rollup sit above this ONE aggregate subtree
+    // to ≤ buckets rows per doc. PERSISTED: five consumers hang off
+    // this one aggregate subtree (raw + target distributions, their
+    // totals, the final per-doc rollup) and their exchanges differ
+    // ((b) vs (doc_id, lang, b)), so Catalyst cannot serve them from
+    // one shuffle — unpersisted, the corpus tokenize+explode re-runs
+    // per consumer (the minhashPrep lesson)
     val db = t.groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = db.groupBy(col("b")).agg(sum(col("k")).as("cr"))
     val tgt = db.where(col("lang") === targetLang)
       .groupBy(col("b")).agg(sum(col("k")).as("ct"))
@@ -472,9 +477,12 @@ object TextStats {
         s"CAST(round((ln((ct + 1) / CAST(tt + $buckets AS DOUBLE)) - " +
           s"ln((cr + 1) / CAST(tr + $buckets AS DOUBLE))) * 1000000) " +
           "AS BIGINT)").as("q"))
-    db.join(broadcast(dist), Seq("b"))
+    val out = db.join(broadcast(dist), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"),
         sum(expr("k * q")).as("logw_q6"))
+      .localCheckpoint(true) // doc-sized; caches must not outlive the call
+    db.unpersist(blocking = true)
+    out
   }
 }
