@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-series anomaly detection — the alerting layer a monitoring
   * deployment runs ON TOP of a TSDB, expressed as two operators the
@@ -81,5 +82,55 @@ object Anomaly {
           (col("prev") >= threshold && col("val") < threshold)))
       .withColumn("direction",
         when(col("val") >= threshold, lit("up")).otherwise(lit("down")))
+  }
+
+  /** The previous sample carried across micro-batches — 3 longs per
+    * series, the smallest alerting state possible. */
+  final case class CrossState(ts: Long, pid: Long, value: Long)
+
+  /** One crossing event. */
+  final case class Crossing(series: String, ts: Long, pid: Long,
+      `val`: Long, prev: Long, direction: String)
+
+  /** Streaming alert edges — the live half of [[thresholdCross]]:
+    * arriving points emit up/down transitions the moment they land,
+    * with the per-series previous sample held in
+    * flatMapGroupsWithState state (O(#series) rows of 3 longs — the
+    * lag() a batch window provides, carried across micro-batches).
+    * Points are ordered by (ts, pid) WITHIN each micro-batch, so
+    * intra-batch disorder folds exactly like the batch operator; a
+    * point arriving in a LATER batch than its successor is scored
+    * against the newest seen sample (alerting is a now-facing
+    * decision — re-running [[thresholdCross]] over the settled store
+    * is the audit path, and with per-series in-order feeds the two
+    * agree event-for-event, which StreamingSpec pins). Append mode,
+    * no watermark, transition-sized output. */
+  def streamingThresholdCross(stream: DataFrame,
+      threshold: Long): Dataset[Crossing] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series"), col("ts"), col("pid"), col("val"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[CrossState]) =>
+          // one series' micro-batch slice: sort by (ts, pid) so
+          // intra-batch disorder cannot reorder the edge stream
+          val batch = rows.toArray.sortBy(r => (r._2, r._3))
+          var prev = state.getOption
+          val out = Vector.newBuilder[Crossing]
+          batch.foreach { case (_, ts, pid, v) =>
+            prev.foreach { p =>
+              if (p.value < threshold && v >= threshold)
+                out += Crossing(series, ts, pid, v, p.value, "up")
+              else if (p.value >= threshold && v < threshold)
+                out += Crossing(series, ts, pid, v, p.value, "down")
+            }
+            prev = Some(CrossState(ts, pid, v))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
   }
 }

@@ -81,4 +81,39 @@ object BucketStats {
       .agg(count(lit(1)).as("n_points"))
       .withColumn("cum_points", sum(col("n_points")).over(w))
   }
+
+  /** Prometheus-style `histogram_quantile`: per-series percentiles
+    * READ OFF the [[valueHistogram]] bins — rank located in the
+    * cumulative counts, then linear interpolation WITHIN the bin
+    * (uniform-within-bin assumption, exactly Prometheus semantics).
+    * This is the percentile path whose memory is bounded by the BIN
+    * count, never the cell count — the standing answer to
+    * [[bucketPercentiles]]' `maxCell` guard when cells outgrow the
+    * exact sorted-array form but a fixed value resolution is fine.
+    *
+    * Fully distributed: the histogram is one hash agg + a
+    * bins-per-series window; per-series totals broadcast back; the
+    * quantile row is a FILTER (the unique bin where the target rank
+    * falls), never a collect. Exact int64 fixed point end to end:
+    * target = ⌈n·p/100⌉ and q_q6 = lo·10⁶ + width·(target−below)·10⁶
+    * DIV n_bin — engine-reproducible to the last digit.
+    * Output: (series, p, n, q_q6). */
+  def histogramQuantile(points: DataFrame, binWidth: Long,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val hist = valueHistogram(points, binWidth)
+    val totals = hist.groupBy(col("series"))
+      .agg(max(col("cum_points")).as("n"))
+    hist.join(broadcast(totals), Seq("series"))
+      .select(col("series"), col("bin"), col("n_points"),
+        col("cum_points"), col("n"),
+        explode(lit(pcts.toArray.map(_.toLong))).as("p"))
+      .withColumn("__target", expr("(n * p + 99L) DIV 100L"))
+      .where(col("cum_points") >= col("__target") &&
+        col("cum_points") - col("n_points") < col("__target"))
+      .select(col("series"), col("p"), col("n"), expr(
+        s"bin * $binWidth * 1000000L + $binWidth * " +
+          "(__target - (cum_points - n_points)) * 1000000L DIV n_points")
+        .as("q_q6"))
+  }
 }

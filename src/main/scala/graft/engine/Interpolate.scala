@@ -33,7 +33,15 @@ import org.apache.spark.sql.functions._
   * not a multiset. */
 object Interpolate {
 
-  def toGrid(points: DataFrame, step: Long): DataFrame = {
+  /** `fill = "linear"` (default) interpolates between the surrounding
+    * samples; `fill = "locf"` carries the last observation forward
+    * (the staircase fill of counter-style metrics, where averaging
+    * across a step invents values that never existed). LOCF needs
+    * only the backward neighbour, so the reverse-ordered window pass
+    * disappears entirely — one exchange + ONE sort. */
+  def toGrid(points: DataFrame, step: Long,
+      fill: String = "linear"): DataFrame = {
+    require(fill == "linear" || fill == "locf", s"unknown fill '$fill'")
     // `samples` feeds TWO consumers (grid bounds agg + the union):
     // without a persist Spark re-runs the whole scan+collapse lineage
     // per consumer (the minhashPrep lesson)
@@ -69,22 +77,29 @@ object Interpolate {
     // internal rounding step, so it cannot diverge. A coincident
     // sample gives pts === ts, so the ratio term is exactly 0 and the
     // grid point emits the sample value bit-exactly.
-    val out = u
+    val withPrev = u
       .withColumn("pts", last(col("sts"), ignoreNulls = true).over(pW))
       .withColumn("pval", last(col("sval"), ignoreNulls = true).over(pW))
-      .withColumn("nts", last(col("sts"), ignoreNulls = true).over(nW))
-      .withColumn("nval", last(col("sval"), ignoreNulls = true).over(nW))
-      .where(col("is_grid") && col("pts").isNotNull && col("nts").isNotNull)
-      .select(col("series"), col("ts"), floor(
-        when(col("nts") === col("pts"), col("pval"))
-          .otherwise(col("pval") +
-            (col("nval") - col("pval")) *
-              (col("ts") - col("pts")) /
-              (col("nts") - col("pts"))) * lit(1e9))
-        .cast("long").as("val_q9"))
-      // pin the grid-sized result so the cached samples can be released
-      // NOW — a long-lived server must not leak one cache per call
-      .localCheckpoint(eager = true)
+    val filled =
+      if (fill == "locf")
+        withPrev
+          .where(col("is_grid") && col("pts").isNotNull)
+          .select(col("series"), col("ts"),
+            floor(col("pval") * lit(1e9)).cast("long").as("val_q9"))
+      else withPrev
+        .withColumn("nts", last(col("sts"), ignoreNulls = true).over(nW))
+        .withColumn("nval", last(col("sval"), ignoreNulls = true).over(nW))
+        .where(col("is_grid") && col("pts").isNotNull && col("nts").isNotNull)
+        .select(col("series"), col("ts"), floor(
+          when(col("nts") === col("pts"), col("pval"))
+            .otherwise(col("pval") +
+              (col("nval") - col("pval")) *
+                (col("ts") - col("pts")) /
+                (col("nts") - col("pts"))) * lit(1e9))
+          .cast("long").as("val_q9"))
+    // pin the grid-sized result so the cached samples can be released
+    // NOW — a long-lived server must not leak one cache per call
+    val out = filled.localCheckpoint(eager = true)
     samples.unpersist(blocking = true)
     out
   }

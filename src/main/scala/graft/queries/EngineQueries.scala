@@ -102,6 +102,22 @@ object EngineQueries {
          |FROM h ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.BucketStats.valueHistogram(I(s, d),
         binWidth = 500L))
+    },
+    // histogram_quantile: percentiles read off the cumulative bins
+    // (rank + uniform-within-bin interpolation) — the bin-bounded
+    // percentile path for cells the exact sorted-array form outgrows
+    Entry("ts_histogram_quantile",
+      s"""WITH p AS (SELECT series, val FROM ($PI)),
+         |h AS (SELECT series, (val - ((val % 500) + 500) % 500) // 500 AS bin, count(*) AS n_points FROM p GROUP BY 1, 2),
+         |c AS (SELECT series, bin, n_points, sum(n_points) OVER (PARTITION BY series ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+         |t AS (SELECT series, max(cum) AS n FROM c GROUP BY 1),
+         |x AS (SELECT series, bin, n_points, cum, n, unnest([50, 95, 99]) AS p FROM c JOIN t USING (series)),
+         |q AS (SELECT series, p, n, (n * p + 99) // 100 AS target, bin, n_points, cum FROM x)
+         |SELECT series, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+         |       CAST(bin * 500 * 1000000 + (500 * (target - (cum - n_points)) * 1000000) // n_points AS BIGINT) AS q_q6
+         |FROM q WHERE cum >= target AND cum - n_points < target ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.BucketStats.histogramQuantile(I(s, d),
+        binWidth = 500L, pcts = Seq(50, 95, 99)))
     })
 
   // ---- ordered-funnel analytics over raw events (beyond-reference) ----
@@ -391,6 +407,20 @@ object EngineQueries {
          |FROM p JOIN n USING (series, ts)
          |WHERE pts IS NOT NULL AND nts IS NOT NULL ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Interpolate.toGrid(F(s, d), step = 1800L))
+    },
+    // staircase fill: the same grid with the last observation carried
+    // forward — backward neighbour only, so one sort instead of two
+    Entry("ts_interpolate_locf",
+      s"""WITH s0 AS (SELECT series, ts, val, pid FROM ($PF)),
+         |s1 AS (SELECT series, ts, arg_max(val, pid) AS val FROM s0 GROUP BY 1, 2),
+         |b AS (SELECT series, min(ts) AS mn, max(ts) AS mx FROM s1 GROUP BY 1),
+         |g AS (SELECT series, unnest(list_transform(range((mn + 1799) // 1800, mx // 1800 + 1), i -> i * 1800)) AS ts FROM b),
+         |p AS (SELECT g.series, g.ts, s.val AS pval
+         |      FROM g ASOF LEFT JOIN s1 s ON s.series = g.series AND g.ts >= s.ts)
+         |SELECT series, ts, CAST(floor(pval * 1000000000.0) AS BIGINT) AS val_q9
+         |FROM p WHERE pval IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Interpolate.toGrid(F(s, d),
+        step = 1800L, fill = "locf"))
     })
 
   // ---- counter-reset-aware rate (beyond-reference) ----
