@@ -25,9 +25,17 @@ object Verify {
       }
       finally graft.parser.Planner.drainQueryCaches()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    spark.stop()
+  }
+
+  /** SparkEntry.oracleSql as a JSON object string.
+    *
+    * JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  def oracleJson: String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -37,9 +45,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+  }
+}
+
+/** Fast oracle-SQL dump (no Spark, no query execution) feeding
+  * tools/lint_oracles.py — the round-11 cascade guard. Usage:
+  *   runMain graft.DumpOracleSql <outFile>
+  */
+object DumpOracleSql {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/oracle_sql.json")
+    Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
+    Files.writeString(Paths.get(out), Verify.oracleJson)
+    println(s"wrote ${SparkEntry.oracleSql.size} oracle statements to $out")
   }
 }

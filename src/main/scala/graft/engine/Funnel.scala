@@ -121,6 +121,34 @@ object Funnel {
         expr(dp).cast("long").as("depth"))
   }
 
+  /** Unordered (any-order) funnel — the Amplitude/Mixpanel "in any
+    * order" completion mode [[funnel]]'s strict sequencing cannot
+    * express: the window anchors at the user's FIRST event of ANY
+    * step, and a step counts as completed if the user did it at any
+    * point inside [t_start, t_start + window], regardless of order.
+    * Output (user_id, t_start, n_steps, completed).
+    *
+    * Spark-first shape: because t_start is the minimum over ALL the
+    * user's funnel events, every funnel event is ≥ t_start — so "step
+    * s completed within the window" reduces to `min ts of step s ≤
+    * t_start + window`. One (user, step) min aggregation (map-side
+    * combine over the event stream — the only thing that shuffles),
+    * then a per-user regroup over ≤ |steps| rows whose lambda counts
+    * the qualifying mins. No joins, no windows, exact int64. */
+  def funnelUnordered(events: DataFrame, user: String, ts: String,
+      etype: String, steps: Seq[String], window: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val pm = events.where(col(etype).isin(steps: _*))
+      .groupBy(col(user).as("user_id"), col(etype).as("__t"))
+      .agg(min(col(ts)).as("m"))
+    pm.groupBy(col("user_id"))
+      .agg(min(col("m")).as("t_start"), collect_list(col("m")).as("__ms"))
+      .select(col("user_id"), col("t_start"),
+        expr(s"CAST(size(filter(__ms, x -> x <= t_start + $window)) AS BIGINT)")
+          .as("n_steps"))
+      .withColumn("completed", col("n_steps") === lit(steps.size.toLong))
+  }
+
   /** Cohort retention — the companion table: users bucketed by the
     * period of their FIRST `cohortEvent`, counted in every later
     * period they were active at all. (cohort_wk, week_k, n_users).
@@ -143,5 +171,41 @@ object Funnel {
       .where(col("wk") >= col("cohort_wk"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_k"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Rolling ("unbounded" / "return on or after") retention — the
+    * Amplitude rolling mode [[retention]]'s exact-period counting
+    * cannot express: a cohort user counts as retained at period k if
+    * they were active in period k OR ANY LATER period. The curve is
+    * monotonically non-increasing in k (classic retention dips and
+    * recovers), which is what "will they ever come back" analyses
+    * want. Output (cohort_wk, week_k, n_users).
+    *
+    * Spark-first shape: a user's whole contribution is determined by
+    * ONE number — d_max = last active period − cohort period — so the
+    * event stream reduces to two per-user aggregates (min cohort
+    * period, max activity period: hash aggs with map-side combine),
+    * one user-keyed join between those user-sized frames, then a
+    * count per (cohort_wk, d_max) and an explode of each count onto
+    * k = 0..d_max. The exploded frame is bounded by #cohorts ×
+    * #periods — the output grid, NOT the user count (users collapse
+    * into (cohort, d_max) cells first), and never the event volume. */
+  def rollingRetention(events: DataFrame, user: String, ts: String,
+      etype: String, cohortEvent: String,
+      bucket: Long = 604800L): DataFrame = {
+    val cohort = events.where(col(etype) === cohortEvent)
+      .groupBy(col(user).as("user_id"))
+      .agg(min(expr(s"$ts div $bucket")).as("cohort_wk"))
+    val last = events
+      .groupBy(col(user).as("user_id"))
+      .agg(max(expr(s"$ts div $bucket")).as("last_wk"))
+    // last_wk ≥ cohort_wk always: the cohort event itself is activity
+    cohort.join(last, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("last_wk") - col("cohort_wk")).as("__dmax"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("cohort_wk"),
+        explode(expr("sequence(0L, __dmax)")).as("week_k"), col("__cnt"))
+      .groupBy(col("cohort_wk"), col("week_k"))
+      .agg(sum(col("__cnt")).as("n_users"))
   }
 }

@@ -77,8 +77,11 @@ object MovingAgg {
     * arrays, no per-row allocation, and the quantized output is one
     * floor division of exact int64 — bit-identical in any engine.
     * Requires non-negative values (truncating DIV = floor) and
-    * max|val| · Σc_i · 10⁶ within int64 — holds for dashboard-sized
-    * k/den; the require below faults loudly otherwise. */
+    * max|val| · Σc_i · 10⁶ within int64. The require below bounds only
+    * the weight table (Σc_i ≤ 2⁶³/10¹², i.e. it assumes |val| ≤ 10⁶);
+    * corpora with larger values are caught at runtime by ANSI-mode
+    * arithmetic overflow, not at this API boundary — coarsen den/k or
+    * pre-scale the values if that fires. */
   def ewma(points: DataFrame, num: Long = 1L, den: Long = 4L,
       k: Int = 8): DataFrame = {
     require(num > 0 && den > num, "alpha = num/den must be in (0,1)")

@@ -59,9 +59,30 @@ object SeriesMatch {
     *    them, Java silently reads a character class of LITERALS
     *    ('[',':','a','l','p','h') — translated to the equivalent
     *    `\p{...}` here; an unknown class name raises the reference's
-    *    compile error (re.c:55-67) instead of matching garbage. */
-  def anchored(p: String, ci: Boolean = false): String =
-    (if (ci) "(?di)" else "(?d)") + "^" + translatePosix(p, ci) + "$"
+    *    compile error (re.c:55-67) instead of matching garbage.
+    *
+    * The translated pattern is then compiled EAGERLY (driver side, at
+    * plan time): any construct Java's engine rejects — the PCRE2-only
+    * tail of `\K` match reset, `(?R)`/`(?1)` recursion and subroutine
+    * calls, `(?C)` callouts, `(?P<n>)` named groups, `\g` backref
+    * forms, branch reset `(?|`, conditionals `(?(` — surfaces as the
+    * reference's query error ("Cannot compile regular expression
+    * '%s': %s", re.c:55-67) instead of a raw PatternSyntaxException
+    * thrown later from inside an executor task. Constructs BOTH
+    * engines accept with identical semantics (possessive quantifiers,
+    * atomic groups, \h/\v/\R escapes) pass through — the agreed
+    * corpus in RegexConformanceSpec pins them. */
+  def anchored(p: String, ci: Boolean = false): String = {
+    val a = (if (ci) "(?di)" else "(?d)") + "^" + translatePosix(p, ci) + "$"
+    try java.util.regex.Pattern.compile(a)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw graft.parser.QueryError(
+          s"Cannot compile regular expression '$a': " +
+            s"${e.getDescription}${if (e.getIndex >= 0) s" at offset ${e.getIndex}" else ""}")
+    }
+    a
+  }
 
   private val posixClasses = Map(
     "alpha" -> "\\p{Alpha}", "digit" -> "\\p{Digit}",

@@ -32,16 +32,21 @@ import org.apache.spark.sql.functions._
   * Output: (series, bucket, dur, wsum, twa_q6) where dur = covered
   * seconds within the bucket (≤ bucket), wsum = Σ val·dt, and
   * twa_q6 = wsum·10⁶ DIV dur. `wsum·10⁶` requires
-  * |val| ≤ ~9.2e18 / (10⁶ · bucket); for larger values coarsen the
-  * quantum or read wsum/dur directly. Values must be non-negative
-  * for the truncating DIV to equal floor division (the engine's
-  * integer family is; a signed variant would use the pmod form
+  * 0 ≤ val ≤ Long.MaxValue / (10⁶ · bucket) — ENFORCED per row by an
+  * inline guard CASE on the collapsed value (a codegen'd comparison,
+  * not an extra pass over the data): out-of-range values fault via
+  * `raise_error` naming the value and the remedy (coarsen the
+  * quantum, or read wsum/dur directly) instead of surfacing as a raw
+  * ANSI overflow deep in the aggregation. Non-negativity is part of
+  * the same guard — the truncating DIV equals floor division only for
+  * non-negative wsum (a signed variant would use the pmod form
   * [[BucketStats.valueHistogram]] uses).
   */
 object TimeWeighted {
 
   def bucketTwa(points: DataFrame, bucket: Long): DataFrame = {
     require(bucket > 0, "bucket must be positive")
+    val bound = Long.MaxValue / 1000000L / bucket
     val w = Window.partitionBy(col("series")).orderBy(col("ts").asc)
     points
       // ONE shuffle for the whole operator: hash(series) satisfies the
@@ -51,9 +56,18 @@ object TimeWeighted {
       // ClusteredDistribution) — without it Spark plans a second
       // exchange between the collapse and the window
       .repartition(col("series"))
-      // step function: one value per (series, ts) — last write wins
+      // step function: one value per (series, ts) — last write wins.
+      // The guard CASE substitutes for the bare value (so column
+      // pruning can never drop it) and faults loudly at the API's
+      // documented bound rather than as a raw ANSI overflow later.
       .groupBy(col("series"), col("ts"))
-      .agg(max_by(col("val"), col("pid")).as("val"))
+      .agg(max_by(col("val"), col("pid")).as("__v"))
+      .withColumn("val", expr(
+        s"""CASE WHEN __v >= 0L AND __v <= ${bound}L THEN __v
+           |ELSE raise_error(concat('bucketTwa: val ', CAST(__v AS STRING),
+           |  ' outside [0, ${bound}] — exact int64 headroom for bucket=$bucket;',
+           |  ' coarsen the quantum or read wsum/dur directly')) END""".stripMargin))
+      .drop("__v")
       .withColumn("__nxt", lead(col("ts"), 1).over(w))
       .where(col("__nxt").isNotNull)
       // segment [ts, nxt) → one row per overlapped bucket

@@ -330,25 +330,29 @@ object Dedup {
     * themselves never move. */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     // the distinct (source, shingle) frame has 3 consumers (sizes agg
-    // + both self-join sides) — but distinct() itself ends in a
-    // shuffle, so the repeated work below the consumers is bounded:
-    // when the join sides co-partition, ReusedExchange shares the
-    // identical shuffle subplan outright; when the small side
-    // broadcasts instead, only the narrow explode re-runs — cheaper
-    // than a cache round-trip of the vocabulary frame (an explicit
-    // persist here was measured 1.7× SLOWER at sf0.1, REPS=7).
-    // Contrast ngramJaccardPairs, whose shingle frame is a NARROW
-    // stage with no exchange below its consumers — there the persist
-    // is the only thing preventing a full per-consumer re-run.
+    // + both self-join sides): persist it once, like ngramJaccardPairs.
+    // Perf history: an r11 REPS=7 sample claimed the persist was 1.7×
+    // slower and dropped it; the official r11 bench then read 4.4×
+    // SLOWER. A controlled interleaved idle-box A/B (3×REPS=5, sf0.1,
+    // alternating forms, nothing else running) settles it: persist
+    // medians {2.30, 1.43, 2.69} s vs no-persist {1.90, 2.54, 1.61} s
+    // — statistically indistinguishable; BOTH earlier claims were box
+    // noise. The persist ships because it is the scale-safe form: the
+    // no-persist plan re-runs the shingle explode + distinct whenever
+    // the small join side broadcasts (ReusedExchange only fires when
+    // both sides co-partition), and at 100 TB that re-run IS the job.
     val sh = docs.select(col("source"),
       explode(expr(s"graft_shingles(text, $n)")).as("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    // the S×S matrix is output-sized: pin it, then release the
+    // vocabulary cache immediately
+    val out = inter
       .join(sizes.select(col("source").as("src_a"), col("sz").as("sza")), "src_a")
       .join(sizes.select(col("source").as("src_b"), col("sz").as("szb")), "src_b")
       .select(col("src_a"), col("src_b"), col("inter"),
@@ -356,6 +360,9 @@ object Dedup {
           .as("jaccard"),
         round(col("inter") / least(col("sza"), col("szb")).cast("double"), 6)
           .as("containment"))
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
+    out
   }
 
   /** Span-level decontamination — [[contamination]] at sub-document

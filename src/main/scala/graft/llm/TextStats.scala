@@ -472,7 +472,14 @@ object TextStats {
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(raw.agg(sum(col("cr")).as("tr"))))
       .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
-      // identical op order to the oracle: two ln's, subtract, scale
+      // identical op order to the oracle: two ln's, subtract, scale.
+      // Accepted residual risk: JVM Math.log and libm ln may differ by
+      // 1 ulp, so a log-ratio landing WITHIN 1 ulp of a .5×10⁻⁶
+      // boundary could quantize differently across engines (floor
+      // would have the same boundary sensitivity at integers — no
+      // quantizer removes it). The inputs are integer-count ratios, so
+      // a boundary landing is a measure-zero corpus coincidence; the
+      // per-doc SUM of quantized integers stays exact either way.
       .select(col("b"), expr(
         s"CAST(round((ln((ct + 1) / CAST(tt + $buckets AS DOUBLE)) - " +
           s"ln((cr + 1) / CAST(tr + $buckets AS DOUBLE))) * 1000000) " +

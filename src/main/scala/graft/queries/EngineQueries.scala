@@ -105,13 +105,19 @@ object EngineQueries {
     },
     // histogram_quantile: percentiles read off the cumulative bins
     // (rank + uniform-within-bin interpolation) — the bin-bounded
-    // percentile path for cells the exact sorted-array form outgrows
+    // percentile path for cells the exact sorted-array form outgrows.
+    // NOTE: the percentile list lives in its own `ps` CTE cross-joined
+    // in — an in-SELECT `unnest([...]) AS p` next to `JOIN USING` trips
+    // a DuckDB 1.0.0 INTERNAL binder error ("Failed to bind column
+    // reference p") which invalidates the whole connection; keep the
+    // unnest hoisted.
     Entry("ts_histogram_quantile",
       s"""WITH p AS (SELECT series, val FROM ($PI)),
          |h AS (SELECT series, (val - ((val % 500) + 500) % 500) // 500 AS bin, count(*) AS n_points FROM p GROUP BY 1, 2),
          |c AS (SELECT series, bin, n_points, sum(n_points) OVER (PARTITION BY series ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM h),
          |t AS (SELECT series, max(cum) AS n FROM c GROUP BY 1),
-         |x AS (SELECT series, bin, n_points, cum, n, unnest([50, 95, 99]) AS p FROM c JOIN t USING (series)),
+         |ps AS (SELECT unnest([50, 95, 99]) AS p),
+         |x AS (SELECT c.series, c.bin, c.n_points, c.cum, t.n, ps.p FROM c JOIN t USING (series) CROSS JOIN ps),
          |q AS (SELECT series, p, n, (n * p + 99) // 100 AS target, bin, n_points, cum FROM x)
          |SELECT series, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
          |       CAST(bin * 500 * 1000000 + (500 * (target - (cum - n_points)) * 1000000) // n_points AS BIGINT) AS q_q6
@@ -215,6 +221,41 @@ object EngineQueries {
           .groupBy(col("step"))
           .agg(count(col("depth")).as("n_users")))
       }
+    },
+    // any-order funnel: window anchors at the user's first event of
+    // ANY step; a step completes if done at any point in the window.
+    // Every funnel event is >= the anchor, so completion reduces to
+    // "the step's earliest event is within the window"
+    Entry("ev_funnel_unordered",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |pm AS (SELECT user_id, event_type, min(ts) AS m FROM e GROUP BY 1, 2),
+        |u AS (SELECT user_id, min(m) AS t_start FROM pm GROUP BY 1)
+        |SELECT p.user_id, u.t_start,
+        |       CAST(count(*) FILTER (WHERE p.m <= u.t_start + 604800) AS BIGINT) AS n_steps,
+        |       count(*) FILTER (WHERE p.m <= u.t_start + 604800) = 3 AS completed
+        |FROM pm p JOIN u USING (user_id) GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.funnelUnordered(userEvents(s, d),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), window = 604800L))
+    },
+    // rolling ("return on or after") retention: a cohort user counts
+    // at week k if active at k or ANY later week — the whole user
+    // contribution is d_max = last active wk − cohort wk, so counts
+    // collapse to (cohort, d_max) cells before the k-explode
+    Entry("ev_retention_rolling",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 604800 AS wk, event_type FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |l AS (SELECT user_id, max(wk) AS last_wk FROM e GROUP BY 1),
+        |d AS (SELECT cohort_wk, last_wk - cohort_wk AS dmax, count(*) AS cnt
+        |      FROM c JOIN l USING (user_id) GROUP BY 1, 2),
+        |x AS (SELECT cohort_wk, unnest(generate_series(0, dmax)) AS week_k, cnt FROM d)
+        |SELECT cohort_wk, CAST(week_k AS BIGINT) AS week_k,
+        |       CAST(sum(cnt) AS BIGINT) AS n_users
+        |FROM x GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.rollingRetention(userEvents(s, d),
+        "user_id", "ts", "event_type", cohortEvent = "signup"))
     },
     // weekly cohort retention: users bucketed by first-signup week,
     // counted in every later week they were active at all

@@ -94,22 +94,43 @@ class RegexConformanceSpec extends AnyFunSuite {
   }
 
   /** Constructs PCRE2 accepts that Java REJECTS at compile time — the
-    * engine surfaces these as a query error rather than silently
-    * matching differently. The divergence envelope is: Python-syntax
-    * named groups, recursion/subroutine calls, \K match reset, and
-    * callouts. (POSIX classes diverge silently — pinned below.) */
+    * engine surfaces these as the reference's query error ("Cannot
+    * compile regular expression '%s': %s", re.c:55-67) at PLAN time,
+    * never as a raw PatternSyntaxException from inside an executor
+    * task. The divergence envelope is: Python-syntax named groups,
+    * recursion/subroutine calls, \K match reset, callouts, \g backref
+    * forms, branch reset, and conditionals. (POSIX classes diverge
+    * silently — pinned below.) */
   private val javaRejects = Seq(
     "(?P<n>ab)",  // PCRE2/Python named-group syntax
     "(?R)",       // recursion
     "(?1)ab",     // subroutine call
     "a\\Kb",      // match-start reset
-    "(?C0)ab")    // callout
+    "(?C0)ab",    // callout
+    "\\g{1}(a)",  // PCRE2 backref syntax
+    "(?|(a)|(b))", // branch reset
+    "(?(1)a|b)")  // conditional
 
-  test("documented divergences: PCRE2-only constructs fail loudly in Java") {
+  test("documented divergences: PCRE2-only constructs raise the reference's query error") {
     javaRejects.foreach { p =>
-      assertThrows[java.util.regex.PatternSyntaxException](
-        java.util.regex.Pattern.compile(SeriesMatch.anchored(p)), p)
+      val e = intercept[graft.parser.QueryError](SeriesMatch.anchored(p))
+      assert(e.getMessage.startsWith("Cannot compile regular expression"), p)
     }
+    // ... and through the parser surface too, not just the helper
+    assertThrows[graft.parser.QueryError](
+      graft.parser.QueryParser.parse("list series /a\\Kb/"))
+  }
+
+  test("possessive quantifiers and atomic groups agree with PCRE2 — allowed, pinned") {
+    // both engines: possessive/atomic consume without backtracking,
+    // so the trailing 'a' can never match
+    assert(!javaMatch("a*+a", "aaa"))
+    assert(!javaMatch("(?>a*)a", "aaa"))
+    assert(javaMatch("a*+b", "aaab"))
+    assert(javaMatch("\\d++", "123"))
+    // PCRE2 1.8+-era escapes Java shares: \h \v \R
+    assert(javaMatch("a\\hb", "a b"))
+    assert(javaMatch("a\\Rb", "a\nb"))
   }
 
   test("POSIX bracket classes translate to \\p{..}; unknown names fail loudly") {

@@ -188,4 +188,36 @@ class StreamingSpec extends AnyFunSuite {
         "the in-band arrival passes, the 150 outlier flags")
     } finally q.stop()
   }
+
+  test("streaming threshold-cross agrees with batch event-for-event; state carries across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val pts = Seq(
+      ("s", 10L, 1L, 10L),  // below
+      ("s", 20L, 2L, 60L),  // up
+      ("s", 30L, 3L, 70L),  // sustained — no event
+      ("s", 40L, 4L, 40L),  // down
+      ("t", 10L, 1L, 80L),  // first sample — no event
+      ("t", 20L, 2L, 20L))  // down
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Anomaly.streamingThresholdCross(
+      ms.toDF().toDF("series", "ts", "pid", "val"), threshold = 50L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cross_live").start()
+    try {
+      // split mid-run so the 30→40 'down' edge and t's edge need the
+      // previous sample CARRIED in state across micro-batches
+      ms.addData(pts.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(pts.drop(3): _*)
+      q.processAllAvailable()
+      val live = spark.sql("SELECT series, ts, direction FROM cross_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.engine.Anomaly.thresholdCross(
+        pts.toDF("series", "ts", "pid", "val"), threshold = 50L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(5))).toSet
+      assert(live === batch, s"live=$live batch=$batch")
+      assert(live === Set(("s", 20L, "up"), ("s", 40L, "down"), ("t", 20L, "down")))
+    } finally q.stop()
+  }
 }

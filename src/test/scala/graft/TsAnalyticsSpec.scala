@@ -154,6 +154,62 @@ class TsAnalyticsSpec extends AnyFunSuite {
       "cross-group pairs must not appear: " + out)
   }
 
+  test("funnelUnordered: any-order completion inside the first-event window; order never matters") {
+    val ev = Seq(
+      // u1: purchase BEFORE click — ordered funnel stalls at 1, the
+      // unordered mode completes all 3 (all within 100 s of ts 10)
+      (1L, 10L, "view"), (1L, 20L, "purchase"), (1L, 30L, "click"),
+      // u2: anchor is the CLICK (first step event of any kind); the
+      // view lands outside the window → 2 of 3
+      (2L, 10L, "click"), (2L, 50L, "purchase"), (2L, 500L, "view"),
+      // u3: only one step type, repeated — depth 1, never completed
+      (3L, 10L, "view"), (3L, 20L, "view"),
+      // u4: no funnel events at all — absent
+      (4L, 10L, "error")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.funnelUnordered(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), window = 100L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((10L, 3L, true)),
+      2L -> ((10L, 2L, false)),
+      3L -> ((10L, 1L, false))), out.toString)
+    // the ordered funnel disagrees on u1 — it still chains view→click
+    // but the out-of-order purchase can never be t3: depth 2, not 3
+    val ordered = graft.engine.Funnel.funnel(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), window = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(ordered(1L) === 2L)
+  }
+
+  test("rollingRetention: retained at k means active at k or later; curve is non-increasing") {
+    val W = 604800L
+    val ev = Seq(
+      // u1: signs up wk 0, last active wk 3 → counts at k=0,1,2,3
+      (1L, 0L * W, "signup"), (1L, 1L * W, "view"), (1L, 3L * W, "view"),
+      // u2: signs up wk 0, never returns → counts at k=0 only
+      (2L, 0L * W + 5, "signup"),
+      // u3: never signed up — absent
+      (3L, 0L * W, "view"),
+      // u4: signs up wk 1, returns wk 2 → cohort 1: k=0,1
+      (4L, 1L * W, "signup"), (4L, 2L * W, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.rollingRetention(ev, "user_id", "ts",
+      "event_type", cohortEvent = "signup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L), out.toString)
+    // exact-period retention disagrees: u1 skipped wk 2, so classic
+    // retention has a dip rolling retention does not
+    val classic = graft.engine.Funnel.retention(ev, "user_id", "ts",
+      "event_type", cohortEvent = "signup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!classic.contains((0L, 2L)))
+  }
+
   test("retention: cohort = first-signup week; pre-cohort activity excluded; no-signup users absent") {
     val W = 604800L
     val ev = Seq(
@@ -247,6 +303,30 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out(("c", 1L)) === ((10L, 20L, 2000000L)))
     assert(out(("c", 3L)) === ((5L, 10L, 2000000L)))
     assert(out.size === 7)
+  }
+
+  test("bucketTwa: out-of-headroom and negative values fault loudly with the remedy named") {
+    // bound for bucket=10 is MaxValue/1e6/10 ≈ 9.22e11; a value above
+    // it must raise the operator's own message, not a raw ANSI overflow
+    val big = Seq(("s", 0L, Long.MaxValue / 1000000L, 1L),
+      ("s", 5L, 1L, 2L), ("s", 20L, 1L, 3L))
+      .toDF("series", "ts", "val", "pid")
+    val e1 = intercept[Exception] {
+      graft.engine.TimeWeighted.bucketTwa(big, bucket = 10L).collect()
+    }
+    assert(e1.getMessage.contains("bucketTwa") &&
+      e1.getMessage.contains("coarsen the quantum"), e1.getMessage)
+    val neg = Seq(("s", 0L, -1L, 1L), ("s", 5L, 1L, 2L), ("s", 20L, 1L, 3L))
+      .toDF("series", "ts", "val", "pid")
+    val e2 = intercept[Exception] {
+      graft.engine.TimeWeighted.bucketTwa(neg, bucket = 10L).collect()
+    }
+    assert(e2.getMessage.contains("bucketTwa"), e2.getMessage)
+    // in-range values are untouched by the guard
+    val ok = graft.engine.TimeWeighted.bucketTwa(
+      Seq(("s", 0L, 5L, 1L), ("s", 10L, 7L, 2L))
+        .toDF("series", "ts", "val", "pid"), bucket = 10L).collect()
+    assert(ok.map(r => (r.getLong(1), r.getLong(3))).toSet === Set((0L, 50L)))
   }
 
   test("m4: first/last by (ts,pid), min/max report earliest holder; singleton bucket collapses") {
