@@ -116,4 +116,31 @@ object BucketStats {
           "(__target - (cum_points - n_points)) * 1000000L DIV n_points")
         .as("q_q6"))
   }
+
+  /** Most frequent value per (series, bucket) — InfluxDB `MODE()`:
+    * the per-cell plurality value, with the DETERMINISTIC tie-break
+    * every engine needs to agree on (highest count wins, then the
+    * SMALLEST value — InfluxDB's own rule is "lowest value on tie").
+    * Output (series, bucket, mode_val, n_mode).
+    *
+    * Spark-first: two hash aggregations, no windows, no sorted
+    * buffers — (series, bucket, val) counts (map-side combined), then
+    * max_by over a (count, -val) struct picks the plurality value
+    * with the tie-break encoded in the ordering (struct comparison is
+    * lexicographic, so -val makes the smaller value win equal
+    * counts). Cell memory is O(1) per distinct value, never a
+    * buffered array — the exact form scales to cells
+    * [[bucketPercentiles]] would need its maxCell guard for. */
+  def bucketMode(points: DataFrame, bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    points
+      .groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"),
+        col("val"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("series"), col("bucket"))
+      .agg(
+        max_by(col("val"), struct(col("__c"), (-col("val")).as("__nv")))
+          .as("mode_val"),
+        max(col("__c")).as("n_mode"))
+  }
 }

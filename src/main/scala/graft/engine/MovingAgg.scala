@@ -39,6 +39,21 @@ object MovingAgg {
       .drop("__n")
   }
 
+  /** Running total per series — InfluxDB `cumulative_sum` /
+    * Postgres `SUM() OVER (... ROWS UNBOUNDED PRECEDING)`: at every
+    * point, the exact int64 sum of all values up to and including it
+    * in (ts, pid) order. ONE growing-rows window frame per series
+    * (growing frames are incremental — Spark carries the
+    * accumulator, never recomputing the prefix per row), one shuffle
+    * on hash(series), ANSI mode faults overflow loudly. */
+  def cumulativeSum(points: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.select(col("series"), col("ts"), col("pid"), col("val"))
+      .withColumn("cum_sum", sum(col("val")).over(w))
+  }
+
   /** Time-based variant — "activity in the trailing `horizon`
     * SECONDS at every point" (requests-in-the-last-hour, not
     * last-k-samples): a RANGE frame over the ts ordering, so the

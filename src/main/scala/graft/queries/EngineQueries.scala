@@ -103,6 +103,20 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.BucketStats.valueHistogram(I(s, d),
         binWidth = 500L))
     },
+    // per-cell plurality value (InfluxDB MODE): highest count wins,
+    // ties break to the SMALLEST value — two hash aggs, no buffers
+    Entry("ts_bucket_mode",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |c AS (SELECT series, ts // 21600 AS bucket, val, count(*) AS c FROM p GROUP BY 1, 2, 3),
+         |r AS (SELECT series, bucket, val, c,
+         |       row_number() OVER (PARTITION BY series, bucket
+         |            ORDER BY c DESC, val ASC) AS rn
+         |      FROM c)
+         |SELECT series, bucket, val AS mode_val, CAST(c AS BIGINT) AS n_mode
+         |FROM r WHERE rn = 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.BucketStats.bucketMode(I(s, d),
+        bucket = 21600L))
+    },
     // histogram_quantile: percentiles read off the cumulative bins
     // (rank + uniform-within-bin interpolation) — the bin-bounded
     // percentile path for cells the exact sorted-array form outgrows.
@@ -354,6 +368,32 @@ object EngineQueries {
          |FROM m ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.MovingAgg.trailingTime(I(s, d),
         horizon = 3600L))
+    },
+    // running total per series (InfluxDB cumulative_sum): ONE growing
+    // rows-frame window, exact int64
+    Entry("ts_cumsum",
+      s"""WITH p AS (SELECT series, ts, pid, val FROM ($PI))
+         |SELECT series, ts, pid, val,
+         |       CAST(sum(val) OVER (PARTITION BY series ORDER BY ts, pid
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum
+         |FROM p ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.MovingAgg.cumulativeSum(I(s, d)))
+    },
+    // top-3 series per 6h bucket by bucket sum (InfluxDB TOP /
+    // Grafana topk): rollup first, rank the rollup, never the points;
+    // ties break by series name so the rank is a total order
+    Entry("ts_topk_series",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |r AS (SELECT ts // 21600 AS bucket, series, CAST(sum(val) AS BIGINT) AS agg_val
+         |      FROM p GROUP BY 1, 2),
+         |w AS (SELECT bucket, series, agg_val,
+         |       CAST(row_number() OVER (PARTITION BY bucket
+         |            ORDER BY agg_val DESC, series ASC) AS BIGINT) AS rank
+         |      FROM r)
+         |SELECT bucket, rank, series, agg_val FROM w
+         |WHERE rank <= 3 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Rank.topSeriesPerBucket(I(s, d),
+        bucket = 21600L, k = 3))
     },
     // truncated EWMA smooth (α = 1/4 over the trailing 8 samples):
     // exact integer weights (den−num)^i·den^(k−1−i) built by the SAME

@@ -210,6 +210,50 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(!classic.contains((0L, 2L)))
   }
 
+  test("cumulativeSum: exact running total in (ts, pid) order per series") {
+    val pts = Seq(
+      ("a", 10L, 2L, 5L), ("a", 10L, 1L, 3L), // ts tie: pid orders
+      ("a", 20L, 3L, -4L),
+      ("b", 5L, 1L, 7L)
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.MovingAgg.cumulativeSum(pts).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getLong(4)).toMap
+    assert(out === Map(("a", 1L) -> 3L, ("a", 2L) -> 8L, ("a", 3L) -> 4L,
+      ("b", 1L) -> 7L), out.toString)
+  }
+
+  test("bucketMode: plurality value per cell; equal counts break to the smallest value") {
+    val pts = Seq(
+      ("s", 0L, 1L, 7L), ("s", 1L, 2L, 7L), ("s", 2L, 3L, 3L), // 7 wins on count
+      ("s", 100L, 4L, 9L), ("s", 101L, 5L, 2L), // tie: 2 wins (smallest)
+      ("t", 0L, 1L, 5L) // singleton cell
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.BucketStats.bucketMode(pts, bucket = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      ("s", 0L) -> ((7L, 2L)), ("s", 1L) -> ((2L, 1L)),
+      ("t", 0L) -> ((5L, 1L))), out.toString)
+  }
+
+  test("topSeriesPerBucket: ranks bucket sums descending; name breaks ties; k bounds output") {
+    val pts = Seq(
+      ("a", 0L, 1L, 10L), ("a", 5L, 2L, 10L), // bucket 0 sum 20
+      ("b", 1L, 1L, 30L),                     // bucket 0 sum 30
+      ("c", 2L, 1L, 20L),                     // bucket 0 sum 20: ties a, name a < c
+      ("d", 3L, 1L, 1L),                      // rank 4 — cut by k=3
+      ("a", 100L, 3L, 1L)                     // bucket 1, alone
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.Rank.topSeriesPerBucket(pts, bucket = 100L, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      (0L, 1L) -> (("b", 30L)), (0L, 2L) -> (("a", 20L)),
+      (0L, 3L) -> (("c", 20L)), (1L, 1L) -> (("a", 1L))), out.toString)
+  }
+
   test("retention: cohort = first-signup week; pre-cohort activity excluded; no-signup users absent") {
     val W = 604800L
     val ev = Seq(
