@@ -117,6 +117,24 @@ object BucketStats {
         .as("q_q6"))
   }
 
+  /** Time × value density grid — what a Grafana/heatmap panel renders
+    * (each column a time bucket, each row a value bin, cell intensity
+    * = point count): ONE hash aggregation over (series, time bucket,
+    * value bin), floor-division binning identical to
+    * [[valueHistogram]] so signed data stays uniform around zero.
+    * Output (series, bucket, bin, n_points) — the sparse grid; empty
+    * cells are absent, renderers fill them. Map-side combine reduces
+    * the shuffle to the occupied-cell count, never the point count. */
+  def timeValueHeatmap(points: DataFrame, bucket: Long,
+      binWidth: Long): DataFrame = {
+    require(bucket > 0 && binWidth > 0, "bucket and binWidth must be positive")
+    points
+      .groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"),
+        expr(s"(val - ((val % $binWidth) + $binWidth) % $binWidth) DIV $binWidth")
+          .as("bin"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
   /** Most frequent value per (series, bucket) — InfluxDB `MODE()`:
     * the per-cell plurality value, with the DETERMINISTIC tie-break
     * every engine needs to agree on (highest count wins, then the

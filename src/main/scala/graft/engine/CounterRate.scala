@@ -32,4 +32,26 @@ object CounterRate {
       .withColumn("rate",
         round(col("increase") / lit(bucket.toDouble), 9))
   }
+
+  /** Stability counters per bucket — the monitoring-stack `changes()`
+    * and `resets()` pair: how many times the value CHANGED between
+    * consecutive samples in the bucket, and how many of those were
+    * counter RESETS (drops). A sample pair straddling a bucket edge
+    * counts in the LATER sample's bucket (the sample that observed
+    * the change), matching [[bucketedRate]]'s attribution; the first
+    * sample of a series contributes nothing. Same plan shape as the
+    * rate: one lag window pass, one hash aggregation, all integer.
+    * Output (series, bucket, n_changes, n_resets). */
+  def bucketedChanges(points: DataFrame, bucket: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+    points
+      .withColumn("__prev", lag(col("val"), 1).over(w))
+      .groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
+      .agg(
+        sum(when(col("__prev").isNotNull &&
+          col("val") =!= col("__prev"), 1L).otherwise(0L)).as("n_changes"),
+        sum(when(col("__prev").isNotNull &&
+          col("val") < col("__prev"), 1L).otherwise(0L)).as("n_resets"))
+  }
 }

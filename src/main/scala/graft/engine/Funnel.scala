@@ -121,6 +121,65 @@ object Funnel {
         expr(dp).cast("long").as("depth"))
   }
 
+  /** Non-overlapping sequence count — the ClickHouse `sequenceCount`
+    * shape: how many DISJOINT strict-order step-1→…→step-N chains the
+    * user completed, each within `window` seconds of its own chain
+    * start, scanning left to right and restarting after every
+    * completion (events of a counted chain can never be reused).
+    * [[funnelRetry]] answers "how deep did the best chain get";
+    * this answers "how many times did they convert". Output
+    * (user_id, n_matches), users with ≥1 match only.
+    *
+    * Same sorted-merge DP shape as [[funnelRetry]] — all the user's
+    * funnel events merge into ONE sorted (ts, −step) array and a
+    * single `aggregate()` pass carries, per in-flight level, the
+    * latest chain-start reaching it (latest start dominates: loosest
+    * window) plus the match count. A step-N event whose level-(N−1)
+    * chain is live within window COMPLETES: count+1 and all levels
+    * reset, which is exactly the "continue searching after the
+    * match" non-overlap rule. Equal-timestamp events sort
+    * higher-step-first so a chain never links two events at the same
+    * second (strict `>`). O(E log E + E·steps) per user, exact
+    * int64. */
+  def sequenceCount(events: DataFrame, user: String, ts: String,
+      etype: String, steps: Seq[String], window: Long): DataFrame = {
+    require(steps.size >= 2, "a sequence needs at least two steps")
+    val ut = events.where(col(etype).isin(steps: _*))
+      .groupBy(col(user).as("user_id"), col(etype).as("__t"))
+      .agg(sort_array(collect_list(col(ts))).as("tss"))
+    val aggs = steps.zipWithIndex.map { case (st, i) =>
+      max(when(col("__t") === st, col("tss"))).as(s"l$i")
+    }
+    val df = ut.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    val n = steps.size
+    val merged = (0 until n).map(i =>
+      s"transform(coalesce(l$i, array()), " +
+        s"x -> struct(x AS t, ${-(i + 1)} AS ns))")
+      .mkString("sort_array(concat(", ", ", "))")
+    // acc = (lv, cnt): lv(i) = latest start of a chain at level i+1
+    // (size n−1 — reaching level n IS the completion), cnt = matches
+    val dp =
+      s"""aggregate($merged,
+         |  struct(array_repeat(CAST(NULL AS BIGINT), ${n - 1}) AS lv,
+         |         0L AS cnt),
+         |  (acc, e) -> CASE
+         |    WHEN e.ns = ${-n} AND element_at(acc.lv, ${n - 1}) IS NOT NULL
+         |         AND e.t <= element_at(acc.lv, ${n - 1}) + $window
+         |      THEN struct(array_repeat(CAST(NULL AS BIGINT), ${n - 1}) AS lv,
+         |                  acc.cnt + 1L AS cnt)
+         |    ELSE struct(transform(acc.lv, (b, i) -> CASE
+         |           WHEN i = 0 AND e.ns = -1 THEN greatest(b, e.t)
+         |           WHEN i > 0 AND i = -e.ns - 1
+         |                AND element_at(acc.lv, i) IS NOT NULL
+         |                AND e.t <= element_at(acc.lv, i) + $window
+         |             THEN greatest(b, element_at(acc.lv, i))
+         |           ELSE b END) AS lv,
+         |         acc.cnt AS cnt) END,
+         |  acc -> acc.cnt)""".stripMargin
+    df.select(col("user_id"), expr(dp).cast("long").as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
   /** Unordered (any-order) funnel — the Amplitude/Mixpanel "in any
     * order" completion mode [[funnel]]'s strict sequencing cannot
     * express: the window anchors at the user's FIRST event of ANY

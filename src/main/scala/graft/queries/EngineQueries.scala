@@ -103,6 +103,18 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.BucketStats.valueHistogram(I(s, d),
         binWidth = 500L))
     },
+    // time x value density grid (heatmap panel): one hash agg over
+    // (series, 6h bucket, 500-wide floor bin); sparse — empty cells
+    // absent
+    Entry("ts_heatmap",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI))
+         |SELECT series, ts // 21600 AS bucket,
+         |       (val - ((val % 500) + 500) % 500) // 500 AS bin,
+         |       count(*) AS n_points
+         |FROM p GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.BucketStats.timeValueHeatmap(I(s, d),
+        bucket = 21600L, binWidth = 500L))
+    },
     // per-cell plurality value (InfluxDB MODE): highest count wins,
     // ties break to the SMALLEST value — two hash aggs, no buffers
     Entry("ts_bucket_mode",
@@ -235,6 +247,45 @@ object EngineQueries {
           .groupBy(col("step"))
           .agg(count(col("depth")).as("n_users")))
       }
+    },
+    // non-overlapping conversion count (ClickHouse sequenceCount
+    // shape): the same DP replayed in DuckDB via list_reduce with a
+    // uniform struct accumulator (a sentinel head makes the first
+    // real event pass through the lambda; list_reduce seeds the
+    // accumulator from element 1)
+    Entry("ev_sequence_count",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
+        |pv AS (SELECT user_id,
+        |        any_value(CASE WHEN event_type = 'view' THEN tss END) AS l0,
+        |        any_value(CASE WHEN event_type = 'click' THEN tss END) AS l1,
+        |        any_value(CASE WHEN event_type = 'purchase' THEN tss END) AS l2
+        |       FROM ut GROUP BY 1),
+        |m AS (SELECT user_id, list_sort(
+        |        list_transform(coalesce(l0, []), x -> {'t': x, 'ns': CAST(-1 AS BIGINT)}) ||
+        |        list_transform(coalesce(l1, []), x -> {'t': x, 'ns': CAST(-2 AS BIGINT)}) ||
+        |        list_transform(coalesce(l2, []), x -> {'t': x, 'ns': CAST(-3 AS BIGINT)})) AS ev
+        |      FROM pv),
+        |r AS (SELECT user_id, list_reduce(
+        |        list_prepend({'lv1': CAST(NULL AS BIGINT), 'lv2': CAST(NULL AS BIGINT),
+        |                      'cnt': CAST(0 AS BIGINT), 't': CAST(NULL AS BIGINT), 'ns': CAST(0 AS BIGINT)},
+        |          list_transform(ev, e -> {'lv1': CAST(NULL AS BIGINT), 'lv2': CAST(NULL AS BIGINT),
+        |                                   'cnt': CAST(0 AS BIGINT), 't': e.t, 'ns': e.ns})),
+        |        (a, e) -> CASE
+        |          WHEN e.ns = -3 AND a.lv2 IS NOT NULL AND e.t <= a.lv2 + 604800
+        |            THEN {'lv1': CAST(NULL AS BIGINT), 'lv2': CAST(NULL AS BIGINT),
+        |                  'cnt': a.cnt + 1, 't': e.t, 'ns': e.ns}
+        |          ELSE {'lv1': CASE WHEN e.ns = -1 THEN greatest(a.lv1, e.t) ELSE a.lv1 END,
+        |                'lv2': CASE WHEN e.ns = -2 AND a.lv1 IS NOT NULL AND e.t <= a.lv1 + 604800
+        |                            THEN greatest(a.lv2, a.lv1) ELSE a.lv2 END,
+        |                'cnt': a.cnt, 't': e.t, 'ns': e.ns} END) AS st
+        |      FROM m)
+        |SELECT user_id, CAST(st.cnt AS BIGINT) AS n_matches
+        |FROM r WHERE st.cnt > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.sequenceCount(userEvents(s, d),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), window = 604800L))
     },
     // any-order funnel: window anchors at the user's first event of
     // ANY step; a step completes if done at any point in the window.
@@ -521,6 +572,20 @@ object EngineQueries {
          |FROM i GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.CounterRate
         .bucketedRate(I(s, d), bucket = 3600L))
+    },
+    // changes()/resets() stability counters per hour: a straddling
+    // pair counts in the LATER sample's bucket (same attribution as
+    // the rate), the first sample contributes nothing
+    Entry("ts_counter_changes",
+      s"""WITH p AS (SELECT series, ts, val, pid FROM ($PI)),
+         |i AS (SELECT series, ts, val, lag(val) OVER w AS prev
+         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid))
+         |SELECT series, ts // 3600 AS bucket,
+         |       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND val <> prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes,
+         |       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND val < prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_resets
+         |FROM i GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.CounterRate
+        .bucketedChanges(I(s, d), bucket = 3600L))
     })
 
   // ---- LTOB visualization downsampling (beyond-reference) ----

@@ -154,6 +154,28 @@ class TsAnalyticsSpec extends AnyFunSuite {
       "cross-group pairs must not appear: " + out)
   }
 
+  test("sequenceCount: disjoint completions; reset after match; stalled starts retried; window enforced") {
+    val ev = Seq(
+      // u1: two clean back-to-back conversions
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (1L, 40L, "view"), (1L, 50L, "click"), (1L, 60L, "purchase"),
+      // u2: a second purchase cannot reuse the counted chain's events
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 30L, "purchase"),
+      (2L, 35L, "purchase"),
+      // u3: first start stalls (window 50), later start completes
+      (3L, 0L, "view"), (3L, 100L, "view"), (3L, 110L, "click"),
+      (3L, 120L, "purchase"),
+      // u4: click outside the window — no match, user absent
+      (4L, 10L, "view"), (4L, 200L, "click"), (4L, 210L, "purchase"),
+      // u5: same-second events never chain (strict order)
+      (5L, 10L, "view"), (5L, 10L, "click"), (5L, 20L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.sequenceCount(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), window = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 1L), out.toString)
+  }
+
   test("funnelUnordered: any-order completion inside the first-event window; order never matters") {
     val ev = Seq(
       // u1: purchase BEFORE click — ordered funnel stalls at 1, the
@@ -252,6 +274,33 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(
       (0L, 1L) -> (("b", 30L)), (0L, 2L) -> (("a", 20L)),
       (0L, 3L) -> (("c", 20L)), (1L, 1L) -> (("a", 1L))), out.toString)
+  }
+
+  test("bucketedChanges: counts value changes and resets; edge pairs go to the later bucket") {
+    val pts = Seq(
+      ("s", 10L, 1L, 5L),   // first sample — nothing
+      ("s", 20L, 2L, 5L),   // unchanged
+      ("s", 30L, 3L, 9L),   // change
+      ("s", 40L, 4L, 2L),   // change + reset
+      ("s", 110L, 5L, 7L),  // straddles bucket edge → bucket 1, change
+      ("s", 120L, 6L, 7L)   // unchanged
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.CounterRate.bucketedChanges(pts, bucket = 100L)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(0L -> ((2L, 1L)), 1L -> ((1L, 0L))), out.toString)
+  }
+
+  test("timeValueHeatmap: floor bins keep signed data uniform; empty cells absent") {
+    val pts = Seq(
+      ("s", 0L, 1L, -700L), ("s", 1L, 2L, -500L), ("s", 2L, 3L, 0L),
+      ("s", 150L, 4L, 0L), ("s", 151L, 5L, 450L) // second time bucket
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.BucketStats.timeValueHeatmap(pts,
+      bucket = 100L, binWidth = 500L).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out === Map((0L, -2L) -> 1L, (0L, -1L) -> 1L, (0L, 0L) -> 1L,
+      (1L, 0L) -> 2L), out.toString)
   }
 
   test("retention: cohort = first-signup week; pre-cohort activity excluded; no-signup users absent") {
