@@ -30,12 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `forward = false` (default): kdb/DuckDB backward as-of — largest
+    * right ts ≤ left ts. `forward = true`: smallest right ts ≥ left
+    * ts (the "next observation" alignment; equal ts visible in both
+    * directions). The SAME one-union one-window plan serves both —
+    * forward just reverses the scan order, so the "latest seen" right
+    * row in the descending walk IS the smallest ts ≥ the left row.
+    *
+    * `tolerance` (0 = unbounded) bounds the match's staleness: a
+    * matched right row further than `tolerance` seconds from the left
+    * ts returns null instead. Correct without a second pass because
+    * any OTHER candidate is farther still — the as-of pick is always
+    * the nearest in its direction — so nulling the pick is exactly
+    * "no match within tolerance" (the matched ts rides along in the
+    * carried struct; one comparison at projection time). */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightVal: String, out: String = "asof_val"): DataFrame = {
+      rightVal: String, out: String = "asof_val",
+      forward: Boolean = false, tolerance: Long = 0L): DataFrame = {
+    require(tolerance >= 0L, "tolerance must be non-negative")
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val lStructType = left.select(lStruct).schema.head.dataType
     val rvType = right.select(col(rightVal)).schema.head.dataType
-    val rvBox = struct(col(rightVal).cast(rvType).as("v"))
+    val rvBox = struct(col(ts).as("t"), col(rightVal).cast(rvType).as("v"))
     val rvBoxType = right.select(rvBox).schema.head.dataType
     val l = left.select(col(key).as("__k"), col(ts).as("__ts"),
       lit(1).as("__ord"), lStruct.as("__l"),
@@ -43,12 +59,19 @@ object AsOfJoin {
     val r = right.select(col(key).as("__k"), col(ts).as("__ts"),
       lit(0).as("__ord"), lit(null).cast(lStructType).as("__l"),
       rvBox.as("__rv"))
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__ord").asc)
+      .orderBy(tsOrd, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staleness =
+      if (forward) col("__asof").getField("t") - col("__ts")
+      else col("__ts") - col("__asof").getField("t")
+    val matched =
+      if (tolerance == 0L) col("__asof").getField("v")
+      else when(staleness <= tolerance, col("__asof").getField("v"))
     l.unionByName(r)
       .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__ord") === 1)
-      .select(col("__l.*"), col("__asof").getField("v").as(out))
+      .select(col("__l.*"), matched.as(out))
   }
 }

@@ -755,6 +755,52 @@ object EngineQueries {
           .select(col("series"), col("ts"), col("val"), col("pid"),
             col("asof_val")))
       }
+    },
+    // forward as-of: the NEXT right observation at or after each left
+    // point (same union+window plan, reversed scan)
+    Entry("ts_asof_forward",
+      s"""WITH a AS (SELECT series, substring(series, 3) AS k, ts, val, pid FROM ($PF)),
+         |b0 AS (SELECT substring(series, 3) AS k, ts, val, pid FROM ($PI) WHERE pid % 3 = 0),
+         |b AS (SELECT k, ts, arg_max(val, pid) AS bval FROM b0 GROUP BY 1, 2)
+         |SELECT a.series, a.ts, a.val, a.pid, b.bval AS asof_val
+         |FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts <= b.ts
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val a = F(s, d).withColumn("k", expr("substring(series, 3)"))
+        val b = I(s, d).where(col("pid") % 3 === 0)
+          .withColumn("k", expr("substring(series, 3)"))
+          .groupBy(col("k"), col("ts"))
+          .agg(max_by(col("val"), col("pid")).as("bval"))
+        ordered(graft.engine.AsOfJoin
+          .asOf(a, b, key = "k", ts = "ts", rightVal = "bval",
+            forward = true)
+          .select(col("series"), col("ts"), col("val"), col("pid"),
+            col("asof_val")))
+      }
+    },
+    // staleness-bounded as-of: a match older than 10 minutes returns
+    // null (any other candidate is older still, so nulling the pick
+    // IS "no match within tolerance")
+    Entry("ts_asof_tolerance",
+      s"""WITH a AS (SELECT series, substring(series, 3) AS k, ts, val, pid FROM ($PF)),
+         |b0 AS (SELECT substring(series, 3) AS k, ts, val, pid FROM ($PI) WHERE pid % 3 = 0),
+         |b AS (SELECT k, ts, arg_max(val, pid) AS bval FROM b0 GROUP BY 1, 2)
+         |SELECT a.series, a.ts, a.val, a.pid,
+         |       CASE WHEN a.ts - b.ts <= 600 THEN b.bval END AS asof_val
+         |FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.ts
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val a = F(s, d).withColumn("k", expr("substring(series, 3)"))
+        val b = I(s, d).where(col("pid") % 3 === 0)
+          .withColumn("k", expr("substring(series, 3)"))
+          .groupBy(col("k"), col("ts"))
+          .agg(max_by(col("val"), col("pid")).as("bval"))
+        ordered(graft.engine.AsOfJoin
+          .asOf(a, b, key = "k", ts = "ts", rightVal = "bval",
+            tolerance = 600L)
+          .select(col("series"), col("ts"), col("val"), col("pid"),
+            col("asof_val")))
+      }
     })
 
   // ---- range join (beyond-reference; bucketized, never a BNLJ) ----

@@ -42,6 +42,44 @@ class AsOfJoinSpec extends AnyFunSuite {
       "ts=20 is the as-of match; its null value must be returned, not ts=10's 100")
   }
 
+  test("asOf forward: smallest right ts >= left ts; equal ts visible; tails null") {
+    val left = Seq(
+      ("x", 5L, 1.0), ("x", 10L, 2.0), ("x", 20L, 3.0),
+      ("y", 10L, 4.0)
+    ).toDF("k", "ts", "val")
+    val right = Seq(
+      ("x", 10L, 100L), ("x", 15L, 150L),
+      ("y", 5L, 555L)
+    ).toDF("k", "ts", "bval")
+    val out = AsOfJoin.asOf(left, right, key = "k", ts = "ts",
+      rightVal = "bval", forward = true).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(("x", 5L)) === Some(100L), "next observation at ts 10")
+    assert(out(("x", 10L)) === Some(100L), "equal-ts right row is visible forward too")
+    assert(out(("x", 20L)) === None, "tail past the last right point is null")
+    assert(out(("y", 10L)) === None, "y's only right point is earlier")
+  }
+
+  test("asOf tolerance: stale matches null out; in-range matches and semantics unchanged") {
+    val left = Seq(("x", 100L, 1.0), ("x", 2000L, 2.0)).toDF("k", "ts", "val")
+    val right = Seq(("x", 90L, 9L)).toDF("k", "ts", "bval")
+    val out = AsOfJoin.asOf(left, right, key = "k", ts = "ts",
+      rightVal = "bval", tolerance = 600L).collect()
+      .map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(100L) === Some(9L), "10 s stale: within tolerance")
+    assert(out(2000L) === None, "1910 s stale: nulled by the tolerance")
+    // tolerance composes with forward
+    val fwd = AsOfJoin.asOf(left, right.union(Seq(("x", 2100L, 21L))
+        .toDF("k", "ts", "bval")), key = "k", ts = "ts",
+      rightVal = "bval", forward = true, tolerance = 50L).collect()
+      .map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(fwd(2000L) === None, "next observation is 100 s ahead: outside 50 s")
+    assert(fwd(100L) === None, "no forward match within 50 s")
+  }
+
   test("rangeJoin: inclusive bounds, empty windows report 0, never a nested loop") {
     val pts = Seq(5L, 10L, 100L, 3600L, 3661L).toDF("ts")
     val iv = Seq((1L, 0L, 10L), (2L, 50L, 3600L), (3L, 9000L, 9100L))
