@@ -45,6 +45,12 @@ object Bench {
     "ts_bucket_percentiles", "ts_value_histogram", "ts_moving_time",
     "ts_twa", "ts_downsample_m4", "ts_gaps", "ts_ewma",
     "text_dsir_weights",
+    // round-12 additions: product-analytics completion modes, ranking
+    // / stability / heatmap staples, as-of variants
+    "ev_funnel_unordered", "ev_retention_rolling", "ev_sequence_count",
+    "ts_cumsum", "ts_topk_series", "ts_bucket_mode",
+    "ts_counter_changes", "ts_heatmap", "ts_asof_forward",
+    "ts_asof_tolerance",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim
