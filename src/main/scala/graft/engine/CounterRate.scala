@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Counter-reset-aware rate — the monitoring-stack `increase()` /
   * `rate()` semantic the reference's plain `derivative` lacks: a
@@ -53,5 +54,52 @@ object CounterRate {
           col("val") =!= col("__prev"), 1L).otherwise(0L)).as("n_changes"),
         sum(when(col("__prev").isNotNull &&
           col("val") < col("__prev"), 1L).otherwise(0L)).as("n_resets"))
+  }
+
+  /** The previous sample carried across micro-batches — the same
+    * 3-longs-per-series state shape as Anomaly.CrossState. */
+  final case class PrevSample(ts: Long, pid: Long, value: Long)
+
+  /** One live increase observation; `increase` is null-free — the
+    * first sample of a series emits nothing (as in the batch lag). */
+  final case class Increase(series: String, ts: Long, pid: Long,
+      `val`: Long, increase: Long)
+
+  /** Live reset-corrected increases — the streaming half of
+    * [[bucketedRate]]: each arriving sample emits its increase since
+    * the previous sample the moment it lands (reset ⇒ the new value
+    * itself), with the per-series previous sample carried in
+    * flatMapGroupsWithState (O(#series) × 3 longs). Points are
+    * ordered by (ts, pid) WITHIN each micro-batch so intra-batch
+    * disorder folds exactly like the batch lag; a point arriving in a
+    * later batch than its successor is scored against the newest seen
+    * sample — the same now-facing rule as streamingThresholdCross,
+    * with the settled-store [[bucketedRate]] as the audit path. With
+    * per-series in-order feeds the two agree increase-for-increase
+    * (StreamingSpec pins it, including the cross-batch state carry).
+    * Append mode, no watermark; downstream can bucket the emitted
+    * stream for live rate panels. */
+  def streamingIncrease(stream: DataFrame): Dataset[Increase] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series"), col("ts"), col("pid"), col("val"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[PrevSample]) =>
+          val batch = rows.toArray.sortBy(r => (r._2, r._3))
+          var prev = state.getOption
+          val out = Vector.newBuilder[Increase]
+          batch.foreach { case (_, ts, pid, v) =>
+            prev.foreach { p =>
+              out += Increase(series, ts, pid, v,
+                if (v >= p.value) v - p.value else v)
+            }
+            prev = Some(PrevSample(ts, pid, v))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
   }
 }

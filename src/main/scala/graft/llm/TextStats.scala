@@ -104,6 +104,36 @@ object TextStats {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature-weighted source sampling — the multilingual-mix
+    * operator (the p_s ∝ n_s^α upweighting mBERT/XLM-style recipes
+    * use, α < 1 flattening the source distribution so small sources
+    * are not drowned): target weights are DERIVED from source sizes
+    * as w_s = n_s^α and fed through [[sampleMixture]]'s
+    * no-oversampling rate (rate_s = w_s·T/n_s, T = min n_s/w_s —
+    * the scale of w cancels, so no normalization is needed; with
+    * α < 1 the smallest source keeps everything and larger sources
+    * downsample toward the flattened target). Same broadcast count
+    * frame, same seedless md5(doc_id) draw, one narrow filter.
+    * Accepted cross-engine risk: `pow` may differ by 1 ulp between
+    * libm and the JVM — the draw is a uniform 60-bit integer, so a
+    * threshold landing within 1 ulp of a draw is a measure-zero
+    * corpus coincidence (the lmPerplexity acceptance). */
+  def sampleTemperature(docs: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val hv = expr(
+      "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("w", expr(s"pow(CAST(n AS DOUBLE), $alpha)"))
+    val tmin = cnt.agg(min(col("n").cast("double") / col("w")).as("t"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(cnt), Seq("source"))
+      .crossJoin(broadcast(tmin))
+      // identical operation order to the oracle: ((w*t)/n)*2^60
+      .where(hv < col("w") * col("t") / col("n").cast("double")
+        * lit(1152921504606846976.0))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Vocabulary induction + coverage — the tokenizer-planning
     * operator: the top-`vocabSize` corpus terms by frequency (ties →
     * term asc) form the vocabulary, and every document reports its

@@ -425,6 +425,25 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.sampleMixture(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
+    // temperature-weighted source sampling (p_s ∝ n_s^0.3): weights
+    // derived from source sizes, scale cancels in the rate, smallest
+    // source keeps everything
+    Entry("sample_temperature",
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(range(15), k ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |      << (4*(14-k)))) AS BIGINT) AS hv
+        |  FROM documents),
+        |cnt AS (SELECT source, count(*) AS n,
+        |        pow(CAST(count(*) AS DOUBLE), 0.3) AS w
+        |       FROM documents GROUP BY 1),
+        |t AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM cnt)
+        |SELECT doc_id, source FROM h JOIN cnt USING (source), t
+        |WHERE CAST(hv AS DOUBLE) <
+        |      cnt.w * t.t / CAST(cnt.n AS DOUBLE) * 1152921504606846976.0
+        |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.sampleTemperature(docs(s, d), alpha = 0.3))
+    },
     // the composed curation pipeline: gates -> exact-dedup keepers ->
     // weighted mixture, each stage the verified operator unchanged;
     // the oracle replays the full chain including the stage-3 rates

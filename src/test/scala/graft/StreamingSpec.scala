@@ -220,4 +220,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(live === Set(("s", 20L, "up"), ("s", 40L, "down"), ("t", 20L, "down")))
     } finally q.stop()
   }
+
+  test("streaming counter increase agrees with the batch lag; resets emit the new value; state carries") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val pts = Seq(
+      ("s", 10L, 1L, 100L), // first sample — nothing
+      ("s", 20L, 2L, 130L), // +30
+      ("s", 30L, 3L, 25L),  // reset → 25
+      ("s", 40L, 4L, 40L),  // +15
+      ("t", 10L, 1L, 7L),   // first sample — nothing
+      ("t", 20L, 2L, 7L))   // +0
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.CounterRate.streamingIncrease(
+      ms.toDF().toDF("series", "ts", "pid", "val"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("inc_live").start()
+    try {
+      // split so s's 30→40 increase and t's 10→20 need carried state
+      ms.addData(pts.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(pts.drop(3): _*)
+      q.processAllAvailable()
+      val live = spark.sql("SELECT series, ts, increase FROM inc_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // the batch operator's pre-aggregation lag over the same points
+      import org.apache.spark.sql.functions.{col, lag, when, expr}
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("series")).orderBy(col("ts").asc, col("pid").asc)
+      val batch = pts.toDF("series", "ts", "pid", "val")
+        .withColumn("prev", lag(col("val"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("inc",
+          when(col("val") >= col("prev"), col("val") - col("prev"))
+            .otherwise(col("val")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5))).toSet
+      assert(live === batch, s"live=$live batch=$batch")
+      assert(live === Set(("s", 20L, 30L), ("s", 30L, 25L), ("s", 40L, 15L),
+        ("t", 20L, 0L)))
+    } finally q.stop()
+  }
 }
