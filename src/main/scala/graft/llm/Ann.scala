@@ -213,8 +213,15 @@ object Ann {
     * growth. */
   private def trainCoarse(e: DataFrame, nlist: Int, iters: Int,
       trainMod: Int = 1): DataFrame = {
-    val te = if (trainMod <= 1) e
-             else e.where(col("vec_id") % trainMod === 0)
+    // the training sample is consumed iters+1 times (seed + one
+    // assignment pass per Lloyd round), and each iteration's eager
+    // checkpoint cuts lineage WITHOUT caching the sample — so
+    // unpersisted, every round re-scans the embedding parquet and
+    // re-derives the norms. Persist the (by-construction bounded,
+    // trainMod-sized) sample once; released right after the loop.
+    val te = (if (trainMod <= 1) e
+              else e.where(col("vec_id") % trainMod === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cent = te.where(col("vec_id") < nlist.toLong * trainMod)
       .select(expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cell"), col("v").as("cv"))
       .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
@@ -232,6 +239,7 @@ object Ann {
           coalesce(col("n.cnrm"), col("o.cnrm")).as("cnrm"))
         .localCheckpoint(true)
     }
+    te.unpersist(blocking = true)
     cent
   }
 
@@ -418,8 +426,11 @@ object Ann {
     * every vector. */
   private def trainPq(sv: DataFrame, nlist: Int, iters: Int,
       trainMod: Int = 1): DataFrame = {
-    val tsv = if (trainMod <= 1) sv
-              else sv.where(col("vec_id") % trainMod === 0)
+    // same persist rationale as trainCoarse: the subvector sample
+    // feeds every Lloyd round and the checkpoints don't cache it
+    val tsv = (if (trainMod <= 1) sv
+               else sv.where(col("vec_id") % trainMod === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var books = tsv.where(col("vec_id") < nlist.toLong * trainMod)
       .select(col("sub"), expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cid"),
         col("sv").as("cv"))
@@ -435,6 +446,7 @@ object Ann {
         .select(col("sub"), col("cid"), coalesce(col("n.cv"), col("o.cv")).as("cv"))
         .localCheckpoint(true)
     }
+    tsv.unpersist(blocking = true)
     books.withColumn("cn2q", expr(
       "CAST(round(aggregate(cv, 0D, (a, x) -> a + x * x) * 1073741824D) AS BIGINT)"))
   }
