@@ -83,6 +83,29 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Recall@k evaluation — the ANN quality gate run as a first-class
+    * operator (the sketch-stats verdict pattern applied to retrieval):
+    * per query, how many of the EXACT top-k neighbors the k-means-IVF
+    * probe search returns. Output (query_id, n_hit, k, recall); a
+    * recall collapse after an index change shows up as a changed row,
+    * not a silent quality regression. Cost is the two searches it
+    * audits (exact is query-bounded: nQueries × corpus broadcast
+    * scan); the comparison itself is a k-row-per-query join. */
+  def recallAtK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, iters: Int = 2, nprobe: Int = 3,
+      trainMod: Int = 1): DataFrame = {
+    val exact = cosineTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = kmeansIvfTopK(emb, nQueries, k, nlist, iters, nprobe,
+      trainMod)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall", round(col("n_hit") / col("k").cast("double"), 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine >= theta, via the same broadcast pattern over a blocked
     * self-join on a coarse LSH bit prefix (sign bits of the first

@@ -39,6 +39,19 @@ object DataOpsQueries {
     * iteration (assign by round-9 cosine with lowest-cell tie-break,
     * recompute per-cell means, empty cells keep their centroid), then
     * the standard probe + exact-score + rank tail. */
+  /** Oracle replay of Ann.cosineTopK — shared by the standalone entry
+    * and the recall-eval composition. */
+  private def exactTopSql(nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries),
+       |p AS (SELECT q.query_id, n.vec_id,
+       |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 9) AS sim
+       |      FROM q, n WHERE n.vec_id <> q.query_id)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       |       vec_id AS neighbor_id
+       |FROM p QUALIFY rank <= $k ORDER BY ALL""".stripMargin
+
   private def kmeansIvfSql(nlist: Int, iters: Int, nQueries: Int,
       k: Int, nprobe: Int, trainMod: Int = 1): String = {
     def csim(cvOwner: String) =
@@ -669,16 +682,7 @@ object DataOpsQueries {
     },
 
     // ---- similarity search over embeddings ----
-    Entry("ann_cosine_topk",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
-        |p AS (SELECT q.query_id, n.vec_id,
-        |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 9) AS sim
-        |      FROM q, n WHERE n.vec_id <> q.query_id)
-        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
-        |       vec_id AS neighbor_id
-        |FROM p QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
+    Entry("ann_cosine_topk", exactTopSql(nQueries = 10, k = 5)) {
       (s, d) => ordered(Ann.cosineTopK(emb(s, d), nQueries = 10, k = 5))
     },
     Entry("ann_cosine_pairs",
@@ -756,6 +760,24 @@ object DataOpsQueries {
     Entry("ann_ivf_kmeans_topk", kmeansIvfSql(nlist = 8, iters = 2,
       nQueries = 10, k = 5, nprobe = 3, trainMod = 4)) {
       (s, d) => ordered(Ann.kmeansIvfTopK(emb(s, d), nQueries = 10, k = 5,
+        nlist = 8, iters = 2, nprobe = 3, trainMod = 4))
+    },
+    // recall@5 of the kmeans-IVF probe search against the exact top-5
+    // — the retrieval quality gate as a row (the sketch-stats verdict
+    // pattern); both searches' full oracle SQLs compose as subqueries
+    Entry("ann_recall_eval",
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM (
+         |${exactTopSql(nQueries = 10, k = 5)}) x),
+         |iv AS (SELECT query_id, neighbor_id FROM (
+         |${kmeansIvfSql(nlist = 8, iters = 2, nQueries = 10, k = 5,
+            nprobe = 3, trainMod = 4)}) i)
+         |SELECT ex.query_id,
+         |       CAST(count(iv.neighbor_id) AS BIGINT) AS n_hit,
+         |       CAST(5 AS BIGINT) AS k,
+         |       round(count(iv.neighbor_id) / 5.0, 6) AS recall
+         |FROM ex LEFT JOIN iv USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.recallAtK(emb(s, d), nQueries = 10, k = 5,
         nlist = 8, iters = 2, nprobe = 3, trainMod = 4))
     },
 

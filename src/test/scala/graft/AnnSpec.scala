@@ -100,6 +100,20 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("recallAtK: probing every cell is exhaustive (recall 1.0); fewer probes can only lose") {
+    val full = Ann.recallAtK(corpus, nQueries = 6, k = 5,
+      nlist = 6, iters = 2, nprobe = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(full.size === 6)
+    assert(full.values.forall(_ === 1.0),
+      s"nprobe = nlist searches everything — recall must be 1.0: $full")
+    val partial = Ann.recallAtK(corpus, nQueries = 6, k = 5,
+      nlist = 6, iters = 2, nprobe = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(partial.forall { case (q, r) => r <= full(q) },
+      s"fewer probes can only lose neighbors: $partial")
+  }
+
   test("recall on the shipped sf0.01 embeddings (real distribution, default sizing)") {
     // the synthetic 6-cluster corpus above validates the mechanism;
     // this pins recall on the ACTUAL embeddings table the driver
