@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical additive seasonal decomposition per series — the
+  * statsmodels `seasonal_decompose` shape a monitoring stack runs to
+  * separate "what is trending" from "what is daily rhythm" from "what
+  * is actually unusual": val = trend + seasonal + residual, with the
+  * trend a centered moving average, the seasonal component the
+  * per-(series, hour-of-day) mean of the detrended points, and the
+  * residual the exact remainder.
+  *
+  * Exactness: everything is ×10⁶ fixed point. The trend is one floor
+  * division of exact int64 (sum over the centered frame; the frame
+  * shrinks at series edges as in the classical method), the seasonal
+  * mean one floor division of the exact detrended sum, and the
+  * residual a subtraction of integers — so all three components are
+  * bit-identical in any engine and recompose to val·10⁶ exactly
+  * (minus the two floor remainders, carried in the residual). Floor
+  * division uses the pmod form so NEGATIVE detrended sums floor
+  * toward −∞ in both engines (truncating DIV would round them toward
+  * zero; the [[BucketStats.valueHistogram]] precedent).
+  *
+  * Plan shape: ONE per-series window pass (shuffle on hash(series))
+  * produces the trend; the detrended frame is persisted once — it
+  * feeds the tiny (series × 24) seasonal aggregation AND the final
+  * projection, and unpersisted the scan+window lineage would re-run
+  * per consumer (the interpolate lesson) — the seasonal table comes
+  * back as a broadcast join (points never shuffle for it), and the
+  * point-sized output is pinned before the cache is released. */
+object Decompose {
+
+  /** (series, ts, pid, val, trend_q6, seasonal_q6, residual_q6);
+    * `halfWindow` samples on each side of the centered trend frame. */
+  def seasonalDecompose(points: DataFrame,
+      halfWindow: Int = 12): DataFrame = {
+    require(halfWindow >= 1, "halfWindow must be at least 1")
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("pid").asc)
+      .rowsBetween(-halfWindow.toLong, halfWindow.toLong)
+    def floorDiv(num: String, den: String) =
+      s"($num - ((($num % $den) + $den) % $den)) DIV $den"
+    val t = points.select(col("series"), col("ts"), col("pid"), col("val"))
+      .withColumn("__s", sum(col("val") * lit(1000000L)).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("trend_q6", expr(floorDiv("__s", "__n")))
+      .withColumn("__detr", col("val") * lit(1000000L) - col("trend_q6"))
+      .withColumn("__hour", expr("(ts DIV 3600) % 24"))
+      .drop("__s", "__n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seasonal = t.groupBy(col("series"), col("__hour"))
+      .agg(sum(col("__detr")).as("__ds"), count(lit(1)).as("__dn"))
+      .select(col("series"), col("__hour"),
+        expr(floorDiv("__ds", "__dn")).as("seasonal_q6"))
+    val out = t.join(broadcast(seasonal), Seq("series", "__hour"))
+      .select(col("series"), col("ts"), col("pid"), col("val"),
+        col("trend_q6"), col("seasonal_q6"),
+        (col("__detr") - col("seasonal_q6")).as("residual_q6"))
+      .localCheckpoint(eager = true)
+    t.unpersist(blocking = true)
+    out
+  }
+}

@@ -71,8 +71,8 @@ object EngineQueries {
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
-    counterRate ++ interpolate ++ movingAgg ++ anomaly ++ correlate ++
-    funnel ++ bucketStats ++ timeWeighted
+    counterRate ++ interpolate ++ movingAgg ++ anomaly ++ decompose ++
+    correlate ++ funnel ++ bucketStats ++ timeWeighted
 
   // ---- exact per-bucket distribution stats (beyond-reference) ----
   private def bucketStats = Seq(
@@ -473,6 +473,36 @@ object EngineQueries {
         num = 1L, den = 4L, k = 8))
     }
   }
+
+  // ---- classical decomposition (beyond-reference analytics) ----
+  private def decompose = Seq(
+    // additive trend/seasonal/residual per point: centered 25-sample
+    // moving mean, hour-of-day seasonal means of the detrended frame,
+    // exact ×1e6 fixed point with pmod floor division (negative
+    // detrended sums floor toward -inf in both engines)
+    Entry("ts_decompose",
+      s"""WITH p AS (SELECT series, ts, pid, val FROM ($PI)),
+         |t0 AS (SELECT series, ts, pid, val,
+         |        sum(val * 1000000) OVER w AS ws, count(*) OVER w AS wn
+         |       FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid
+         |                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |t AS (SELECT series, ts, pid, val,
+         |       (ws - (((ws % wn) + wn) % wn)) // wn AS trend_q6 FROM t0),
+         |d AS (SELECT series, ts, pid, val, trend_q6,
+         |       val * 1000000 - trend_q6 AS detr, (ts // 3600) % 24 AS hour
+         |      FROM t),
+         |s0 AS (SELECT series, hour, sum(detr) AS ds, count(*) AS dn
+         |       FROM d GROUP BY 1, 2),
+         |s AS (SELECT series, hour,
+         |       (ds - (((ds % dn) + dn) % dn)) // dn AS seasonal_q6 FROM s0)
+         |SELECT d.series, d.ts, d.pid, d.val,
+         |       CAST(d.trend_q6 AS BIGINT) AS trend_q6,
+         |       CAST(s.seasonal_q6 AS BIGINT) AS seasonal_q6,
+         |       CAST(d.detr - s.seasonal_q6 AS BIGINT) AS residual_q6
+         |FROM d JOIN s USING (series, hour) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Decompose.seasonalDecompose(I(s, d),
+        halfWindow = 12))
+    })
 
   // ---- anomaly detection (beyond-reference alerting layer) ----
   private def anomaly = Seq(

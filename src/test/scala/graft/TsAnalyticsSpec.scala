@@ -276,6 +276,28 @@ class TsAnalyticsSpec extends AnyFunSuite {
       (0L, 3L) -> (("c", 20L)), (1L, 1L) -> (("a", 1L))), out.toString)
   }
 
+  test("seasonalDecompose: components recompose exactly; planted daily rhythm lands in seasonal") {
+    // 4 days hourly: trend 0, hour-h seasonal = +100 at h=0, else 0
+    val pts = (0 until 96).map { i =>
+      val v = 50L + (if (i % 24 == 0) 100L else 0L)
+      ("s", i * 3600L, i.toLong, v)
+    }.toDF("series", "ts", "pid", "val")
+    val rows = graft.engine.Decompose.seasonalDecompose(pts, halfWindow = 12)
+      .collect()
+    assert(rows.length === 96)
+    rows.foreach { r =>
+      val (v, tr, se, re) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(v * 1000000L === tr + se + re,
+        s"recomposition must be exact: $v vs $tr+$se+$re")
+    }
+    // interior hour-0 points carry a strongly positive seasonal and a
+    // small residual; plain hours sit near zero seasonal
+    val byHour = rows.map(r => (r.getLong(1) / 3600 % 24, r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(byHour(0L) > 50000000L, s"hour-0 seasonal must be large: ${byHour(0L)}")
+    assert(math.abs(byHour(5L)) < 20000000L, s"hour-5 seasonal small: ${byHour(5L)}")
+  }
+
   test("bucketedChanges: counts value changes and resets; edge pairs go to the later bucket") {
     val pts = Seq(
       ("s", 10L, 1L, 5L),   // first sample — nothing
