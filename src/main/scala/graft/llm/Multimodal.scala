@@ -142,6 +142,47 @@ object Multimodal {
     }
   }
 
+  /** Per-image 64-bit difference hash, split into two unsigned 32-bit
+    * halves so neither column ever carries a sign bit (int64-clean in
+    * any engine). */
+  final case class DHash(doc_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual image hash (dHash) — the standard near-duplicate
+    * fingerprint for image corpora (9×8 nearest-neighbor downsample,
+    * one bit per horizontally-adjacent brighter-than comparison):
+    * REAL decode of each PNG payload, integer floor sampling
+    * identical to [[resizeMedia]] (so the oracle replays every bit
+    * from the pixel formula), no resize re-encode — the hash is read
+    * straight off the decoded raster. Partition-parallel, no shuffle;
+    * grouping equal hashes afterwards is the image-dedup step. */
+  def imageDHash(docs: DataFrame): Dataset[DHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    encodeMedia(docs).mapPartitions { batch =>
+      ImageIO.setUseCache(false)
+      val rd = pngReader()
+      batch.map { m =>
+        val img = readImage(rd, m.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val p0 = r.getSample(x * w / 9, sy, 0)
+            val p1 = r.getSample((x + 1) * w / 9, sy, 0)
+            if (p1 > p0) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        DHash(m.doc_id, hash >>> 32, hash & 0xffffffffL)
+      }
+    }
+  }
+
   /** One resized payload per input; the payload is the re-encoded PNG
     * of the resampled image. */
   final case class Resized(doc_id: Long, width: Long, height: Long,

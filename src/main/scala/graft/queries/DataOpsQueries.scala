@@ -1175,6 +1175,31 @@ object DataOpsQueries {
       (s, d) => ordered(Multimodal.resizeMedia(docs(s, d), 5, 5).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("sum_gray")))
     },
+    // perceptual dHash off the REAL decoded raster (9x8 floor-sampled
+    // brighter-than bits, split hi/lo so no column carries a sign
+    // bit); n_same groups equal hashes — the image-dedup step
+    Entry("mm_image_dhash",
+      """WITH src AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id*3) % 8 AS h
+        |             FROM documents),
+        |b AS (SELECT doc_id, y.i AS y, x.i AS x,
+        |       CASE WHEN (((((y.i*h)//8)*w + ((x.i+1)*w)//9)*31 + doc_id) % 256) >
+        |                 (((((y.i*h)//8)*w + (x.i*w)//9)*31 + doc_id) % 256)
+        |            THEN 1 ELSE 0 END AS bit
+        |      FROM src, range(0,8) x(i), range(0,8) y(i)),
+        |hsh AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |        CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |       FROM b GROUP BY 1)
+        |SELECT doc_id, dhash_hi, dhash_lo,
+        |       CAST(count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT) AS n_same
+        |FROM hsh ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val h = Multimodal.imageDHash(docs(s, d)).toDF()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dhash_hi"), col("dhash_lo"))
+        ordered(h.withColumn("n_same", count(lit(1)).over(w)))
+      }
+    },
     // 1→N REAL multi-frame decode: payloads are genuine animated GIFs
     // and every 2nd frame is seek-decoded from the container — the
     // per-frame gray-sums come from the decoded frames

@@ -56,6 +56,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("imageDHash reads the bits off the decoded raster; halves are unsigned 32-bit") {
+    val out = Multimodal.imageDHash(docs).collect()
+    assert(out.length == 24)
+    out.foreach { r =>
+      val (w, h) = Multimodal.srcDims(r.doc_id)
+      var expected = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sy = y * h / 8
+        val p0 = Multimodal.pix(r.doc_id, sy * w + x * w / 9)
+        val p1 = Multimodal.pix(r.doc_id, sy * w + (x + 1) * w / 9)
+        if (p1 > p0) expected |= 1L << (y * 8 + x)
+      }
+      assert(r.dhash_hi == (expected >>> 32) && r.dhash_lo == (expected & 0xffffffffL),
+        s"doc ${r.doc_id} hash drifted through the codec")
+      assert(r.dhash_hi >= 0 && r.dhash_hi < (1L << 32) &&
+        r.dhash_lo >= 0 && r.dhash_lo < (1L << 32))
+    }
+    // identical pixels hash identically: an image is its own dup
+    assert(out.map(r => (r.dhash_hi, r.dhash_lo)).distinct.length <= out.length)
+  }
+
   test("sampleFrames seek-decodes real animated-GIF frames") {
     val frames = Multimodal.sampleFrames(docs, everyN = 2).collect()
     val perDoc = frames.groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq)
