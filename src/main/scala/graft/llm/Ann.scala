@@ -106,6 +106,72 @@ object Ann {
       .withColumn("recall", round(col("n_hit") / col("k").cast("double"), 6))
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k — the retrieval
+    * re-ranker that stops the result list being five near-copies of
+    * the same document: greedily pick, k times, the candidate
+    * maximizing λ·cos(q, d) − (1−λ)·max cos(d, selected). λ = 1
+    * reduces EXACTLY to [[cosineTopK]] (AnnSpec pins the
+    * equivalence); smaller λ trades relevance for diversity.
+    *
+    * Spark-first, no driver loop: the exact top-`nCandidates` per
+    * query (same two-phase top-k machinery) collapses to ONE row per
+    * query holding the candidates' UNIT vectors, and the whole greedy
+    * selection runs inside a single SQL higher-order `aggregate` over
+    * k rounds — candidate-candidate cosines are zip_with dot products
+    * of unit vectors computed in the lambda, every score rounded to 9
+    * before comparison (the ANN determinism contract), ties to the
+    * lowest vec_id. Per-query cost is k · nCandidates² · dim floats
+    * on one row — renderer-sized, embarrassingly parallel across
+    * queries, and the oracle replays the identical fold. */
+  def mmrTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCandidates: Int = 20, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && nCandidates >= k, "need nCandidates >= k >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val e = withNorm(emb)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+      .where(col("sim").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val cands = scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nCandidates)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+      .groupBy(col("query_id"))
+      .agg(expr(
+        "array_sort(collect_list(struct(-sim AS ns, vec_id, u, sim)))")
+        .as("cs"))
+    val L = lambda
+    val M = 1.0 - lambda
+    val selT = "STRUCT<vec_id: BIGINT, u: ARRAY<DOUBLE>, sim: DOUBLE>"
+    val mmr =
+      s"""aggregate(sequence(1, $k),
+         |  CAST(array() AS ARRAY<$selT>),
+         |  (sel, r) -> array_append(sel, aggregate(
+         |    transform(
+         |      filter(cs, c -> size(filter(sel, s -> s.vec_id = c.vec_id)) = 0),
+         |      c -> struct(c.vec_id AS vec_id, c.u AS u, c.sim AS sim,
+         |        round($L * c.sim - $M * (CASE WHEN size(sel) = 0 THEN 0D
+         |          ELSE aggregate(sel, CAST(-1.0 AS DOUBLE), (m, s) ->
+         |            greatest(m, round(aggregate(zip_with(c.u, s.u,
+         |              (x, y) -> x * y), 0D, (a, z) -> a + z), 9)))
+         |          END), 9) AS score)),
+         |    CAST(NULL AS STRUCT<vec_id: BIGINT, u: ARRAY<DOUBLE>,
+         |                        sim: DOUBLE, score: DOUBLE>),
+         |    (best, c) -> CASE
+         |      WHEN best IS NULL OR c.score > best.score
+         |           OR (c.score = best.score AND c.vec_id < best.vec_id)
+         |        THEN c ELSE best END,
+         |    b -> struct(b.vec_id AS vec_id, b.u AS u, b.sim AS sim))),
+         |  sel -> sel)""".stripMargin
+    cands
+      .select(col("query_id"), posexplode(expr(mmr)).as(Seq("__p", "__s")))
+      .where(col("__s").isNotNull)
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__s.vec_id").as("neighbor_id"), col("__s.sim").as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine >= theta, via the same broadcast pattern over a blocked
     * self-join on a coarse LSH bit prefix (sign bits of the first

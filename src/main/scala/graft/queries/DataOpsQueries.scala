@@ -52,6 +52,49 @@ object DataOpsQueries {
        |       vec_id AS neighbor_id
        |FROM p QUALIFY rank <= $k ORDER BY ALL""".stripMargin
 
+  /** Oracle replay of Ann.mmrTopK: same candidates, same greedy fold.
+    * Each of the k selection rounds is its OWN chained CTE carrying
+    * the selected list as a column — inlining the previous round's
+    * expression instead would blow up exponentially (the prev
+    * expression appears 4× per round; verified: the inlined form did
+    * not finish at k = 5, the chained form runs in ms). argmax is a
+    * struct sort on (−score, vec_id), identical to the Spark fold's
+    * explicit comparison. */
+  private def mmrSql(nQueries: Int, k: Int, nCandidates: Int,
+      lambda: Double): String = {
+    val l = lambda
+    val m = 1.0 - lambda
+    val steps = (1 to k).map { i =>
+      s"""s$i AS (SELECT query_id, cs, list_append(sel, list_sort(
+         |  list_transform(
+         |    list_filter(cs, c -> len(list_filter(sel, s -> s.vec_id = c.vec_id)) = 0),
+         |    c -> struct_pack(
+         |      nscore := -round($l * c.sim - $m * (CASE WHEN len(sel) = 0 THEN 0.0 ELSE
+         |        list_max(list_transform(sel, s -> round(list_sum(list_transform(range(1, len(c.u) + 1), j -> c.u[j] * s.u[j])), 9))) END), 9),
+         |      vec_id := c.vec_id, u := c.u, sim := c.sim)))[1]) AS sel
+         |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries),
+       |p AS (SELECT q.query_id, n.vec_id,
+       |        round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 9) AS sim,
+       |        list_transform(n.v, x -> x / n.nrm) AS u
+       |      FROM q, n WHERE n.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, sim, u,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk FROM p),
+       |cl AS (SELECT query_id, list(struct_pack(ns := -sim, vec_id := vec_id, u := u, sim := sim) ORDER BY -sim, vec_id) AS cs
+       |       FROM r WHERE rk <= $nCandidates GROUP BY 1),
+       |s0 AS (SELECT query_id, cs,
+       |       list_transform(list_filter(cs, c -> 1 = 0),
+       |         c -> struct_pack(nscore := 0.0, vec_id := c.vec_id, u := c.u, sim := c.sim)) AS sel
+       |       FROM cl),
+       |$steps
+       |SELECT query_id, CAST(t.rnk AS BIGINT) AS rank,
+       |       sel[t.rnk].vec_id AS neighbor_id, sel[t.rnk].sim AS sim
+       |FROM s$k, range(1, ${k + 1}) t(rnk) ORDER BY ALL""".stripMargin
+  }
+
   private def kmeansIvfSql(nlist: Int, iters: Int, nQueries: Int,
       k: Int, nprobe: Int, trainMod: Int = 1): String = {
     def csim(cvOwner: String) =
@@ -684,6 +727,14 @@ object DataOpsQueries {
     // ---- similarity search over embeddings ----
     Entry("ann_cosine_topk", exactTopSql(nQueries = 10, k = 5)) {
       (s, d) => ordered(Ann.cosineTopK(emb(s, d), nQueries = 10, k = 5))
+    },
+    // MMR diversified re-rank over the exact top-20 candidates:
+    // greedy lambda*rel - (1-lambda)*max-sim-to-selected, both
+    // engines folding the identical rounded scores
+    Entry("ann_mmr_topk", mmrSql(nQueries = 10, k = 5,
+      nCandidates = 20, lambda = 0.5)) {
+      (s, d) => ordered(Ann.mmrTopK(emb(s, d), nQueries = 10, k = 5,
+        nCandidates = 20, lambda = 0.5))
     },
     Entry("ann_cosine_pairs",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

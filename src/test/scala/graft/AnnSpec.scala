@@ -100,6 +100,35 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("mmrTopK: lambda=1 is exactly cosineTopK; lambda<1 keeps rank-1 and diversifies the rest") {
+    val plain = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mmr1 = Ann.mmrTopK(corpus, nQueries = 6, k = 5,
+      nCandidates = 20, lambda = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mmr1 === plain, "lambda = 1 disables the penalty: identical ranking")
+    val mmr = Ann.mmrTopK(corpus, nQueries = 6, k = 5,
+      nCandidates = 20, lambda = 0.5).collect()
+    // first pick is always the relevance argmax
+    val first = mmr.filter(_.getLong(1) == 1L)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val top1 = plain.filter(_._2 == 1L).map(t => (t._1, t._3))
+    assert(first === top1, "rank 1 must be the exact nearest neighbor")
+    // k distinct picks per query
+    mmr.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length === 5, s"query $q")
+    }
+    // on the planted-cluster corpus the diversified list must span at
+    // least as many clusters (label = vec_id % 6) as the plain top-k
+    def spanOf(rows: Iterable[(Long, Long)]): Map[Long, Int] =
+      rows.groupBy(_._1).view
+        .mapValues(_.map(_._2 % 6).toSet.size).toMap
+    val plainSpan = spanOf(plain.map(t => (t._1, t._3)))
+    val mmrSpan = spanOf(mmr.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    assert(mmrSpan.forall { case (q, s) => s >= plainSpan(q) },
+      s"diversity must not decrease: $mmrSpan vs $plainSpan")
+  }
+
   test("recallAtK: probing every cell is exhaustive (recall 1.0); fewer probes can only lose") {
     val full = Ann.recallAtK(corpus, nQueries = 6, k = 5,
       nlist = 6, iters = 2, nprobe = 6).collect()
