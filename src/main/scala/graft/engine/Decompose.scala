@@ -33,32 +33,38 @@ import org.apache.spark.sql.functions._
 object Decompose {
 
   /** (series, ts, pid, val, trend_q6, seasonal_q6, residual_q6);
-    * `halfWindow` samples on each side of the centered trend frame. */
+    * `halfWindow` samples on each side of the centered trend frame.
+    * `pin = false` skips the persist + eager checkpoint and returns
+    * the raw plan (plan-shape tests; production callers keep the
+    * default). */
   def seasonalDecompose(points: DataFrame,
-      halfWindow: Int = 12): DataFrame = {
+      halfWindow: Int = 12, pin: Boolean = true): DataFrame = {
     require(halfWindow >= 1, "halfWindow must be at least 1")
     val w = Window.partitionBy(col("series"))
       .orderBy(col("ts").asc, col("pid").asc)
       .rowsBetween(-halfWindow.toLong, halfWindow.toLong)
     def floorDiv(num: String, den: String) =
       s"($num - ((($num % $den) + $den) % $den)) DIV $den"
-    val t = points.select(col("series"), col("ts"), col("pid"), col("val"))
+    val t0 = points.select(col("series"), col("ts"), col("pid"), col("val"))
       .withColumn("__s", sum(col("val") * lit(1000000L)).over(w))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("trend_q6", expr(floorDiv("__s", "__n")))
       .withColumn("__detr", col("val") * lit(1000000L) - col("trend_q6"))
       .withColumn("__hour", expr("(ts DIV 3600) % 24"))
       .drop("__s", "__n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = if (pin)
+      t0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else t0
     val seasonal = t.groupBy(col("series"), col("__hour"))
       .agg(sum(col("__detr")).as("__ds"), count(lit(1)).as("__dn"))
       .select(col("series"), col("__hour"),
         expr(floorDiv("__ds", "__dn")).as("seasonal_q6"))
-    val out = t.join(broadcast(seasonal), Seq("series", "__hour"))
+    val joined = t.join(broadcast(seasonal), Seq("series", "__hour"))
       .select(col("series"), col("ts"), col("pid"), col("val"),
         col("trend_q6"), col("seasonal_q6"),
         (col("__detr") - col("seasonal_q6")).as("residual_q6"))
-      .localCheckpoint(eager = true)
+    if (!pin) return joined
+    val out = joined.localCheckpoint(eager = true)
     t.unpersist(blocking = true)
     out
   }

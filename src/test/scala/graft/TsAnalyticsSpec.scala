@@ -382,6 +382,21 @@ class TsAnalyticsSpec extends AnyFunSuite {
     // equi-join on the bucket over rollup-sized frames
     val cp = plan(graft.engine.Correlate.pairwisePearson(pts, minBuckets = 1L))
     assert(!cp.contains("BroadcastNestedLoopJoin") && !cp.contains("CartesianProduct"), cp)
+    // sequence count: same no-join contract as the funnel family —
+    // the DP is array lambdas over one pivot row per user
+    val sq = plan(graft.engine.Funnel.sequenceCount(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), window = 100L))
+    assert(!sq.toLowerCase.contains("join"), "sequenceCount must not join:\n" + sq)
+    // top-k per bucket: the rank window must carry WindowGroupLimit
+    // (partial top-k BELOW the exchange — only k rows per partition
+    // shuffle) and rank the rollup, never the raw points
+    val tk = plan(graft.engine.Rank.topSeriesPerBucket(pts, bucket = 1000L, k = 3))
+    assert(tk.contains("WindowGroupLimit"), "topK must push partial limits:\n" + tk)
+    // decompose: seasonal stats return via broadcast — the point
+    // stream shuffles once for the trend window, never for the join
+    val dp = plan(graft.engine.Decompose.seasonalDecompose(pts, halfWindow = 2, pin = false))
+    assert(dp.contains("BroadcastHashJoin"), "seasonal join must broadcast:\n" + dp)
+    assert(!dp.contains("SortMergeJoin"), dp)
   }
 
   test("thresholdCross: emits up/down transitions only, never sustained breaches") {
