@@ -134,6 +134,30 @@ object TextStats {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * exponential races over the seedless md5 draw: doc i gets key
+    * −ln(u_i)/w_i (u_i uniform in (0, 1] from the hash, w_i a
+    * positive per-doc weight column such as length or a DSIR-derived
+    * weight) and the n SMALLEST keys win — exactly a weighted
+    * without-replacement draw, reproducible across engines and
+    * re-runs with no RNG state. The global top-n is a
+    * TakeOrderedAndProject (per-partition top-n, merge of n·#parts
+    * rows — never a full sort). Keys are rounded to 9 decimals before
+    * ranking with doc_id ties (the ANN determinism contract; a key
+    * landing within 1 ulp of a rounding boundary is the same
+    * accepted measure-zero risk the other ln-based ops carry). */
+  def sampleWeighted(docs: DataFrame, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val hv = "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)"
+    docs.select(col("doc_id"), col(weightCol))
+      // u in (0, 1]: (hv + 1) / 2^60 — never 0, so ln is finite
+      .withColumn("key_q9", expr(
+        s"round(-ln(($hv + 1) / 1152921504606846976.0) / $weightCol, 9)"))
+      .orderBy(col("key_q9").asc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** Vocabulary induction + coverage — the tokenizer-planning
     * operator: the top-`vocabSize` corpus terms by frequency (ties →
     * term asc) form the vocabulary, and every document reports its

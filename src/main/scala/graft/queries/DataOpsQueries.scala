@@ -481,6 +481,22 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.sampleMixture(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
+    // weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential races, weight = n_chars): smallest 50 keys win
+    Entry("sample_weighted",
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  CAST(list_sum(list_transform(range(15), k ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |      << (4*(14-k)))) AS BIGINT) AS hv
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |       round(-ln((CAST(hv AS DOUBLE) + 1) / 1152921504606846976.0) / n_chars, 9) AS key_q9
+        |      FROM h)
+        |SELECT doc_id, n_chars, key_q9 FROM k
+        |ORDER BY key_q9, doc_id LIMIT 50""".stripMargin) {
+      (s, d) => ordered(TextStats.sampleWeighted(docs(s, d),
+        weightCol = "n_chars", n = 50))
+    },
     // temperature-weighted source sampling (p_s ∝ n_s^0.3): weights
     // derived from source sizes, scale cancels in the rate, smallest
     // source keeps everything

@@ -52,6 +52,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(dN > 45 && dN < 90, s"source d drew $dN, expected ~67")
   }
 
+  test("sampleWeighted: huge weights always win, sample is deterministic and size-n") {
+    val docs = ((0 until 500).map(i => (i.toLong, 1L)) :+ ((999L, 1000000000L)))
+      .toDF("doc_id", "w")
+    val out = TextStats.sampleWeighted(docs, weightCol = "w", n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.length === 20)
+    assert(out.head._1 === 999L,
+      s"the 1e9-weight doc's key ~0 must rank first: ${out.take(3).toSeq}")
+    // keys ascend and the draw reproduces exactly (seedless)
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq)
+    val again = TextStats.sampleWeighted(docs, weightCol = "w", n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(again.toSeq === out.toSeq)
+    // temperature/proportionality direction: doubling every weight
+    // halves every key but keeps the SAME selected set (scale-free)
+    val scaled = TextStats.sampleWeighted(
+      docs.withColumn("w", org.apache.spark.sql.functions.col("w") * 2),
+      weightCol = "w", n = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(scaled === out.map(_._1).toSet, "E-S keys are scale-equivariant")
+  }
+
   test("vocabCoverage: all-in-vocab docs score 0, alien docs score 1") {
     val docs = (
       (0 until 50).map(i => (i.toLong, "alpha beta gamma")) ++
