@@ -54,4 +54,31 @@ object Sessionize {
         col("__nxt").as("gap_end"),
         (col("__nxt") - col("ts")).as("gap"))
   }
+
+  /** Live sessionization — [[sessions]] over an unbounded stream via
+    * Spark's native `session_window` (merging state windows, append
+    * mode: a session finalizes once the watermark passes its close).
+    * Boundary parity with the batch operator is exact and deliberate:
+    * the batch rule merges two points when `diff <= gap` (a new
+    * session starts strictly BEYOND the gap), while `session_window`
+    * with duration d merges when `diff < d` — so the stream uses
+    * d = gap + 1 seconds (timestamps are integer seconds) and reports
+    * session_end = window end − d, the last event's own timestamp,
+    * matching the batch columns row-for-row (StreamingSpec pins the
+    * stream-vs-batch agreement). State is per-open-session and
+    * evicted at the watermark — bounded by active series, not
+    * history. */
+  def streamingSessions(stream: DataFrame, gap: Long,
+      lateness: String): DataFrame = {
+    val d = gap + 1L
+    stream
+      .select(col("series"), timestamp_seconds(col("ts")).as("ev"))
+      .withWatermark("ev", lateness)
+      .groupBy(col("series"), session_window(col("ev"), s"$d seconds"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("series"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        (unix_timestamp(col("session_window.end")) - d).as("session_end"),
+        col("n_points"))
+  }
 }

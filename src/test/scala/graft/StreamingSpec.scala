@@ -221,6 +221,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows finalize past the watermark and agree with batch sessionize") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val pts = Seq(
+      ("s", 10L, 1L, 0L), ("s", 40L, 2L, 0L),   // diff 30 = gap: MERGES (batch rule)
+      ("s", 100L, 3L, 0L),                      // diff 60 > gap: new session
+      ("t", 20L, 1L, 0L))
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Sessionize.streamingSessions(
+      ms.toDF().toDF("series", "ts", "pid", "val"), gap = 30L,
+      lateness = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_live").start()
+    try {
+      ms.addData(pts: _*)
+      q.processAllAvailable()
+      // push the watermark far ahead so every session closes
+      ms.addData(("w", 10000L, 9L, 0L))
+      q.processAllAvailable()
+      val live = spark.sql(
+        "SELECT series, session_start, session_end, n_points FROM sess_live")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.engine.Sessionize.sessions(
+        pts.toDF("series", "ts", "pid", "val"), gap = 30L)
+        .select("series", "session_start", "session_end", "n_points")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(live === batch, s"live=$live batch=$batch")
+      assert(live.contains(("s", 10L, 40L, 2L)),
+        "a gap exactly at the threshold must merge, as in batch")
+      assert(live.contains(("s", 100L, 100L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming counter increase agrees with the batch lag; resets emit the new value; state carries") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
