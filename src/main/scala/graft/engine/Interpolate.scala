@@ -38,10 +38,20 @@ object Interpolate {
     * (the staircase fill of counter-style metrics, where averaging
     * across a step invents values that never existed). LOCF needs
     * only the backward neighbour, so the reverse-ordered window pass
-    * disappears entirely — one exchange + ONE sort. */
+    * disappears entirely — one exchange + ONE sort.
+    *
+    * `maxGap` (0 = unbounded) bounds how far a fill may reach — the
+    * TimescaleDB `locf(max_interval)` semantic: a grid point is
+    * DROPPED rather than filled from data too far away to trust.
+    * For LOCF the staleness `ts − prev_ts` must be ≤ maxGap; for
+    * linear the BRIDGED gap `next_ts − prev_ts` must be (a grid point
+    * between two samples 3 days apart is an invention however close
+    * it sits to one of them). A pure extra predicate at projection
+    * time — the plan is unchanged. */
   def toGrid(points: DataFrame, step: Long,
-      fill: String = "linear"): DataFrame = {
+      fill: String = "linear", maxGap: Long = 0L): DataFrame = {
     require(fill == "linear" || fill == "locf", s"unknown fill '$fill'")
+    require(maxGap >= 0L, "maxGap must be non-negative (0 = unbounded)")
     // `samples` feeds TWO consumers (grid bounds agg + the union):
     // without a persist Spark re-runs the whole scan+collapse lineage
     // per consumer (the minhashPrep lesson)
@@ -80,16 +90,23 @@ object Interpolate {
     val withPrev = u
       .withColumn("pts", last(col("sts"), ignoreNulls = true).over(pW))
       .withColumn("pval", last(col("sval"), ignoreNulls = true).over(pW))
+    val locfGuard =
+      if (maxGap == 0L) lit(true)
+      else col("ts") - col("pts") <= maxGap
+    val linGuard =
+      if (maxGap == 0L) lit(true)
+      else col("nts") - col("pts") <= maxGap
     val filled =
       if (fill == "locf")
         withPrev
-          .where(col("is_grid") && col("pts").isNotNull)
+          .where(col("is_grid") && col("pts").isNotNull && locfGuard)
           .select(col("series"), col("ts"),
             floor(col("pval") * lit(1e9)).cast("long").as("val_q9"))
       else withPrev
         .withColumn("nts", last(col("sts"), ignoreNulls = true).over(nW))
         .withColumn("nval", last(col("sval"), ignoreNulls = true).over(nW))
-        .where(col("is_grid") && col("pts").isNotNull && col("nts").isNotNull)
+        .where(col("is_grid") && col("pts").isNotNull && col("nts").isNotNull
+          && linGuard)
         .select(col("series"), col("ts"), floor(
           when(col("nts") === col("pts"), col("pval"))
             .otherwise(col("pval") +

@@ -583,6 +583,22 @@ object EngineQueries {
          |FROM p WHERE pval IS NOT NULL ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Interpolate.toGrid(F(s, d),
         step = 1800L, fill = "locf"))
+    },
+    // staleness-bounded LOCF (TimescaleDB locf(max_interval)): a grid
+    // point more than 1h past its source sample is DROPPED, not
+    // filled — the ASOF match's own age is the predicate
+    Entry("ts_interpolate_maxgap",
+      s"""WITH s0 AS (SELECT series, ts, val, pid FROM ($PF)),
+         |s1 AS (SELECT series, ts, arg_max(val, pid) AS val FROM s0 GROUP BY 1, 2),
+         |b AS (SELECT series, min(ts) AS mn, max(ts) AS mx FROM s1 GROUP BY 1),
+         |g AS (SELECT series, unnest(list_transform(range((mn + 1799) // 1800, mx // 1800 + 1), i -> i * 1800)) AS ts FROM b),
+         |p AS (SELECT g.series, g.ts, s.ts AS sts, s.val AS pval
+         |      FROM g ASOF LEFT JOIN s1 s ON s.series = g.series AND g.ts >= s.ts)
+         |SELECT series, ts, CAST(floor(pval * 1000000000.0) AS BIGINT) AS val_q9
+         |FROM p WHERE pval IS NOT NULL AND ts - sts <= 3600
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Interpolate.toGrid(F(s, d),
+        step = 1800L, fill = "locf", maxGap = 3600L))
     })
 
   // ---- counter-reset-aware rate (beyond-reference) ----

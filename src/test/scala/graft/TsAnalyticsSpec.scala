@@ -298,6 +298,29 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(byHour(5L)) < 20000000L, s"hour-5 seasonal small: ${byHour(5L)}")
   }
 
+  test("toGrid maxGap: stale LOCF fills and over-wide linear bridges drop; at-bound fills keep") {
+    // samples at 0 and 300; grid step 100 → grid points 0,100,200,300
+    val pts = Seq(("s", 0L, 1L, 10.0), ("s", 300L, 2L, 40.0))
+      .toDF("series", "ts", "pid", "val")
+    // LOCF with maxGap 100: grid 0 (age 0) and 100 (age 100) fill;
+    // 200 (age 200) drops; 300 (age 0, its own sample) fills
+    val locf = graft.engine.Interpolate.toGrid(pts, step = 100L,
+      fill = "locf", maxGap = 100L).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(locf === Map(0L -> 10000000000L, 100L -> 10000000000L,
+      300L -> 40000000000L), locf.toString)
+    // linear with maxGap 100: the 0→300 bridge is too wide — interior
+    // grid points drop, coincident samples (bridge width 0) keep
+    val lin = graft.engine.Interpolate.toGrid(pts, step = 100L,
+      fill = "linear", maxGap = 100L).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(lin === Map(0L -> 10000000000L, 300L -> 40000000000L), lin.toString)
+    // maxGap 0 stays unbounded: all four grid points fill linearly
+    val unb = graft.engine.Interpolate.toGrid(pts, step = 100L,
+      fill = "linear").collect().map(r => r.getLong(1)).sorted
+    assert(unb.toSeq === Seq(0L, 100L, 200L, 300L))
+  }
+
   test("bucketedChanges: counts value changes and resets; edge pairs go to the later bucket") {
     val pts = Seq(
       ("s", 10L, 1L, 5L),   // first sample — nothing
