@@ -135,6 +135,20 @@ object BucketStats {
       .agg(count(lit(1)).as("n_points"))
   }
 
+  /** Exact distinct-value count per (series, bucket) — InfluxDB
+    * `COUNT(DISTINCT)`: cardinality of the value set per cell, next
+    * to [[bucketMode]]'s plurality pick. Exact two-phase aggregation
+    * (partial distinct per partition, merge); cells whose
+    * cardinality can spill at 100 TB belong to the HLL sketch path
+    * ([[Sketches]]), same division of labor as percentiles. */
+  def distinctCount(points: DataFrame, bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    points
+      .groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
+      .agg(count_distinct(col("val")).as("n_distinct"),
+        count(lit(1)).as("n_points"))
+  }
+
   /** Most frequent value per (series, bucket) — InfluxDB `MODE()`:
     * the per-cell plurality value, with the DETERMINISTIC tie-break
     * every engine needs to agree on (highest count wins, then the

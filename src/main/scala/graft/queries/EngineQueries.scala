@@ -115,6 +115,17 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.BucketStats.timeValueHeatmap(I(s, d),
         bucket = 21600L, binWidth = 500L))
     },
+    // exact distinct-value cardinality per cell (InfluxDB
+    // COUNT(DISTINCT)); the HLL sketch path covers spill-sized cells
+    Entry("ts_distinct_count",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI))
+         |SELECT series, ts // 21600 AS bucket,
+         |       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+         |       count(*) AS n_points
+         |FROM p GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.BucketStats.distinctCount(I(s, d),
+        bucket = 21600L))
+    },
     // per-cell plurality value (InfluxDB MODE): highest count wins,
     // ties break to the SMALLEST value — two hash aggs, no buffers
     Entry("ts_bucket_mode",

@@ -90,6 +90,18 @@ def main(sf_dir, out_dir):
             res["ok"] = res["rows_match"] and res["schema_match"] and res["hash_match"]
         except Exception as e:
             res["err"] = str(e)[:500]
+            # a DuckDB INTERNAL error invalidates the whole database
+            # (the round-11 cascade): rebuild the connection so ONE bad
+            # query flags itself instead of erroring everything after it
+            if "INTERNAL" in str(e) or "database has been invalidated" in str(e):
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = duckdb.connect()
+                for t in TABLES:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         results[name] = res
         flag = "OK " if res["ok"] else "FAIL"
         print(f"[{flag}] {name} " + (res.get("err", "") or
