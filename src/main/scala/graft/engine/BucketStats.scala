@@ -157,10 +157,13 @@ object BucketStats {
     *
     * Spark-first: two hash aggregations, no windows, no sorted
     * buffers — (series, bucket, val) counts (map-side combined), then
-    * max_by over a (count, -val) struct picks the plurality value
+    * min_by over a (-count, val) struct picks the plurality value
     * with the tie-break encoded in the ordering (struct comparison is
-    * lexicographic, so -val makes the smaller value win equal
-    * counts). Cell memory is O(1) per distinct value, never a
+    * lexicographic: smallest -count = highest count, then the smaller
+    * value wins equal counts). The COUNT is negated, not the value —
+    * counts are ≥ 1 so the negation can never overflow, whereas
+    * -val would fault under ANSI on a cell containing
+    * Long.MinValue. Cell memory is O(1) per distinct value, never a
     * buffered array — the exact form scales to cells
     * [[bucketPercentiles]] would need its maxCell guard for. */
   def bucketMode(points: DataFrame, bucket: Long): DataFrame = {
@@ -171,7 +174,7 @@ object BucketStats {
       .agg(count(lit(1)).as("__c"))
       .groupBy(col("series"), col("bucket"))
       .agg(
-        max_by(col("val"), struct(col("__c"), (-col("val")).as("__nv")))
+        min_by(col("val"), struct((-col("__c")).as("__nc"), col("val")))
           .as("mode_val"),
         max(col("__c")).as("n_mode"))
   }

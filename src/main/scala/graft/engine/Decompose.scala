@@ -40,12 +40,28 @@ object Decompose {
   def seasonalDecompose(points: DataFrame,
       halfWindow: Int = 12, pin: Boolean = true): DataFrame = {
     require(halfWindow >= 1, "halfWindow must be at least 1")
+    // exact-int64 headroom, enforced per row like bucketTwa's guard:
+    // the trend sum holds ≤ (2·halfWindow+1) terms of val·10⁶, so
+    // |val| must stay under MaxValue / 10⁶ / frame — out-of-range
+    // values fault with the remedy named instead of a raw ANSI
+    // overflow from inside the window aggregation. A codegen'd
+    // comparison substituted for the value itself (prune-proof), not
+    // an extra pass over the data.
+    val frame = 2L * halfWindow + 1L
+    val bound = Long.MaxValue / 1000000L / frame
     val w = Window.partitionBy(col("series"))
       .orderBy(col("ts").asc, col("pid").asc)
       .rowsBetween(-halfWindow.toLong, halfWindow.toLong)
     def floorDiv(num: String, den: String) =
       s"($num - ((($num % $den) + $den) % $den)) DIV $den"
-    val t0 = points.select(col("series"), col("ts"), col("pid"), col("val"))
+    val t0 = points.select(col("series"), col("ts"), col("pid"),
+        expr(
+          s"""CASE WHEN val >= ${-bound}L AND val <= ${bound}L THEN val
+             |ELSE raise_error(concat('seasonalDecompose: val ',
+             |  CAST(val AS STRING), ' outside [-$bound, $bound] — exact',
+             |  ' int64 headroom for halfWindow=$halfWindow; shrink the',
+             |  ' window or pre-scale the values')) END""".stripMargin)
+          .as("val"))
       .withColumn("__s", sum(col("val") * lit(1000000L)).over(w))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("trend_q6", expr(floorDiv("__s", "__n")))

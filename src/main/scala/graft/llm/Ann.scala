@@ -167,7 +167,11 @@ object Ann {
          |  sel -> sel)""".stripMargin
     cands
       .select(col("query_id"), posexplode(expr(mmr)).as(Seq("__p", "__s")))
-      .where(col("__s").isNotNull)
+      // a query with fewer than k candidates yields exhausted rounds
+      // whose fold result is struct(NULL, NULL, NULL) — non-null as a
+      // STRUCT, so the drop must test the field (the oracle's
+      // vec_id IS NOT NULL predicate is the same test)
+      .where(col("__s.vec_id").isNotNull)
       .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
         col("__s.vec_id").as("neighbor_id"), col("__s.sim").as("sim"))
   }
@@ -306,11 +310,18 @@ object Ann {
     // assignment pass per Lloyd round), and each iteration's eager
     // checkpoint cuts lineage WITHOUT caching the sample — so
     // unpersisted, every round re-scans the embedding parquet and
-    // re-derives the norms. Persist the (by-construction bounded,
-    // trainMod-sized) sample once; released right after the loop.
-    val te = (if (trainMod <= 1) e
-              else e.where(col("vec_id") % trainMod === 0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-derives the norms. Persist the trainMod-bounded sample once,
+    // released right after the loop — but ONLY when trainMod actually
+    // bounds it: at trainMod ≤ 1 the "sample" IS the whole corpus,
+    // and caching 100 TB of norms to win two re-scans is the wrong
+    // trade (the documented scale path is picking trainMod ≈ N/256k,
+    // which makes the persisted frame corpus-size-independent).
+    val doPersist = trainMod > 1
+    val te0 = if (trainMod <= 1) e
+              else e.where(col("vec_id") % trainMod === 0)
+    val te = if (doPersist)
+      te0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else te0
     var cent = te.where(col("vec_id") < nlist.toLong * trainMod)
       .select(expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cell"), col("v").as("cv"))
       .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
@@ -328,7 +339,7 @@ object Ann {
           coalesce(col("n.cnrm"), col("o.cnrm")).as("cnrm"))
         .localCheckpoint(true)
     }
-    te.unpersist(blocking = true)
+    if (doPersist) te.unpersist(blocking = true)
     cent
   }
 
@@ -515,11 +526,16 @@ object Ann {
     * every vector. */
   private def trainPq(sv: DataFrame, nlist: Int, iters: Int,
       trainMod: Int = 1): DataFrame = {
-    // same persist rationale as trainCoarse: the subvector sample
-    // feeds every Lloyd round and the checkpoints don't cache it
-    val tsv = (if (trainMod <= 1) sv
-               else sv.where(col("vec_id") % trainMod === 0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same persist rationale (and same trainMod > 1 guard) as
+    // trainCoarse: the subvector sample feeds every Lloyd round and
+    // the checkpoints don't cache it; an unbounded trainMod ≤ 1
+    // "sample" is the corpus and must not be cached
+    val doPersist = trainMod > 1
+    val tsv0 = if (trainMod <= 1) sv
+               else sv.where(col("vec_id") % trainMod === 0)
+    val tsv = if (doPersist)
+      tsv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tsv0
     var books = tsv.where(col("vec_id") < nlist.toLong * trainMod)
       .select(col("sub"), expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cid"),
         col("sv").as("cv"))
@@ -535,7 +551,7 @@ object Ann {
         .select(col("sub"), col("cid"), coalesce(col("n.cv"), col("o.cv")).as("cv"))
         .localCheckpoint(true)
     }
-    tsv.unpersist(blocking = true)
+    if (doPersist) tsv.unpersist(blocking = true)
     books.withColumn("cn2q", expr(
       "CAST(round(aggregate(cv, 0D, (a, x) -> a + x * x) * 1073741824D) AS BIGINT)"))
   }

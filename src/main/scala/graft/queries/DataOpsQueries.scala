@@ -92,7 +92,8 @@ object DataOpsQueries {
        |$steps
        |SELECT query_id, CAST(t.rnk AS BIGINT) AS rank,
        |       sel[t.rnk].vec_id AS neighbor_id, sel[t.rnk].sim AS sim
-       |FROM s$k, range(1, ${k + 1}) t(rnk) ORDER BY ALL""".stripMargin
+       |FROM s$k, range(1, ${k + 1}) t(rnk)
+       |WHERE sel[t.rnk].vec_id IS NOT NULL ORDER BY ALL""".stripMargin
   }
 
   private def kmeansIvfSql(nlist: Int, iters: Int, nQueries: Int,

@@ -260,12 +260,17 @@ object EngineQueries {
       }
     },
     // non-overlapping conversion count (ClickHouse sequenceCount
-    // shape): the same DP replayed in DuckDB via list_reduce with a
-    // uniform struct accumulator (a sentinel head makes the first
-    // real event pass through the lambda; list_reduce seeds the
-    // accumulator from element 1)
+    // shape): the DP replayed via a RECURSIVE CTE walking each user's
+    // sorted event list one element per recursion level, state
+    // (lv1, lv2, cnt) carried in plain columns. NOT list_reduce: in
+    // DuckDB 1.0.0 a struct-accumulator list_reduce evaluated over
+    // MULTIPLE rows corrupts per-row state (verified at sf0.001:
+    // full-table gave 4/5/2 for users 6/12/13 where single-row
+    // evaluation, a Python reference, and the Spark DP all agree on
+    // 5/4/3 — the dupClusters recursive-CTE precedent is the safe
+    // shape)
     Entry("ev_sequence_count",
-      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
         |           WHERE event_type IN ('view', 'click', 'purchase')),
         |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
         |pv AS (SELECT user_id,
@@ -278,22 +283,22 @@ object EngineQueries {
         |        list_transform(coalesce(l1, []), x -> {'t': x, 'ns': CAST(-2 AS BIGINT)}) ||
         |        list_transform(coalesce(l2, []), x -> {'t': x, 'ns': CAST(-3 AS BIGINT)})) AS ev
         |      FROM pv),
-        |r AS (SELECT user_id, list_reduce(
-        |        list_prepend({'lv1': CAST(NULL AS BIGINT), 'lv2': CAST(NULL AS BIGINT),
-        |                      'cnt': CAST(0 AS BIGINT), 't': CAST(NULL AS BIGINT), 'ns': CAST(0 AS BIGINT)},
-        |          list_transform(ev, e -> {'lv1': CAST(NULL AS BIGINT), 'lv2': CAST(NULL AS BIGINT),
-        |                                   'cnt': CAST(0 AS BIGINT), 't': e.t, 'ns': e.ns})),
-        |        (a, e) -> CASE
-        |          WHEN e.ns = -3 AND a.lv2 IS NOT NULL AND e.t <= a.lv2 + 604800
-        |            THEN {'lv1': CAST(NULL AS BIGINT), 'lv2': CAST(NULL AS BIGINT),
-        |                  'cnt': a.cnt + 1, 't': e.t, 'ns': e.ns}
-        |          ELSE {'lv1': CASE WHEN e.ns = -1 THEN greatest(a.lv1, e.t) ELSE a.lv1 END,
-        |                'lv2': CASE WHEN e.ns = -2 AND a.lv1 IS NOT NULL AND e.t <= a.lv1 + 604800
-        |                            THEN greatest(a.lv2, a.lv1) ELSE a.lv2 END,
-        |                'cnt': a.cnt, 't': e.t, 'ns': e.ns} END) AS st
-        |      FROM m)
-        |SELECT user_id, CAST(st.cnt AS BIGINT) AS n_matches
-        |FROM r WHERE st.cnt > 0 ORDER BY ALL""".stripMargin) {
+        |walk AS (
+        |  SELECT user_id, ev, len(ev) AS n, 0 AS i,
+        |         CAST(NULL AS BIGINT) AS lv1, CAST(NULL AS BIGINT) AS lv2,
+        |         CAST(0 AS BIGINT) AS cnt
+        |  FROM m
+        |  UNION ALL
+        |  SELECT user_id, ev, n, i + 1,
+        |    CASE WHEN ev[i+1].ns = -3 AND lv2 IS NOT NULL AND ev[i+1].t <= lv2 + 604800 THEN NULL
+        |         WHEN ev[i+1].ns = -1 THEN greatest(lv1, ev[i+1].t) ELSE lv1 END,
+        |    CASE WHEN ev[i+1].ns = -3 AND lv2 IS NOT NULL AND ev[i+1].t <= lv2 + 604800 THEN NULL
+        |         WHEN ev[i+1].ns = -2 AND lv1 IS NOT NULL AND ev[i+1].t <= lv1 + 604800 THEN greatest(lv2, lv1)
+        |         ELSE lv2 END,
+        |    cnt + CASE WHEN ev[i+1].ns = -3 AND lv2 IS NOT NULL AND ev[i+1].t <= lv2 + 604800 THEN 1 ELSE 0 END
+        |  FROM walk WHERE i < n)
+        |SELECT user_id, cnt AS n_matches FROM walk
+        |WHERE i = n AND cnt > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Funnel.sequenceCount(userEvents(s, d),
         "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), window = 604800L))

@@ -244,6 +244,25 @@ class TsAnalyticsSpec extends AnyFunSuite {
       ("b", 1L) -> 7L), out.toString)
   }
 
+  test("bucketMode: Long.MinValue participates without overflow (negated-count tie-break)") {
+    val pts = Seq(("s", 0L, 1L, Long.MinValue), ("s", 1L, 2L, Long.MinValue),
+      ("s", 2L, 3L, 5L)).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.BucketStats.bucketMode(pts, bucket = 100L)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((Long.MinValue, 2L)),
+      "the extreme value must win by count, not fault: " + out.toSeq)
+  }
+
+  test("seasonalDecompose: out-of-headroom values fault loudly with the remedy named") {
+    val big = Seq(("s", 0L, 1L, Long.MaxValue / 1000000L),
+      ("s", 3600L, 2L, 1L)).toDF("series", "ts", "pid", "val")
+    val e = intercept[Exception] {
+      graft.engine.Decompose.seasonalDecompose(big, halfWindow = 2).collect()
+    }
+    assert(e.getMessage.contains("seasonalDecompose") &&
+      e.getMessage.contains("shrink the window"), e.getMessage)
+  }
+
   test("bucketMode: plurality value per cell; equal counts break to the smallest value") {
     val pts = Seq(
       ("s", 0L, 1L, 7L), ("s", 1L, 2L, 7L), ("s", 2L, 3L, 3L), // 7 wins on count

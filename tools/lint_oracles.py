@@ -24,12 +24,16 @@ Exit code 0 = all statements bind; 1 = at least one failed (each
 failure printed with the entry name and the DuckDB error).
 """
 import json
+import os
 import sys
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+# single source of truth for the table list: check.py (the
+# differential checker) — a drift between the two would make the lint
+# report spurious missing-table failures or silently under-register
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import TABLES  # noqa: E402
 
 
 def lint_one(name, sql, sf_dir):
