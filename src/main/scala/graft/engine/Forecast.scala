@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Holt double-exponential smoothing forecast — the trend-aware
+  * one-step-ahead prediction every TSDB dashboard offers (InfluxDB
+  * `HOLT_WINTERS`, the non-seasonal half): level and trend evolve as
+  * l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}),
+  * b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}, forecast = l + b.
+  *
+  * Scale shape: the recurrence is inherently sequential per series,
+  * so the input is BOUNDED first — the trailing `lastN` samples per
+  * series via a row_number window (WindowGroupLimit pushes the
+  * partial top-N below the exchange), then ONE per-series array of ≤
+  * lastN doubles folds through a SQL `aggregate` with a (level,
+  * trend) struct accumulator. Cell memory is lastN-bounded by
+  * construction (the bucketPercentiles guard philosophy, enforced
+  * structurally instead of checked), and a forecast from the trailing
+  * window is what the operator semantically IS — smoothing weights
+  * decay geometrically, so history beyond ~64 samples contributes
+  * under 2⁻³² of the level anyway.
+  *
+  * Determinism: the fold is order-fixed IEEE arithmetic written with
+  * the IDENTICAL textual operation order in the DuckDB oracle's
+  * recursive-CTE walk, and the output is floor-quantized ×1e6 from
+  * the bit-identical double (the interpolate argument: floor cannot
+  * diverge where round's half-boundary can). Init: level = first
+  * sample, trend = 0; a single-sample series forecasts itself. */
+object Forecast {
+
+  /** (series, n_samples, last_ts, forecast_q6). */
+  def holt(points: DataFrame, lastN: Int = 64, alpha: Double = 0.5,
+      beta: Double = 0.25): DataFrame = {
+    require(lastN >= 1 && lastN <= 4096, "lastN must be in [1, 4096]")
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0,
+      "need alpha in (0,1], beta in [0,1]")
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").desc, col("pid").desc)
+    val recent = points
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= lastN)
+    val a = alpha
+    val oa = 1.0 - alpha
+    val b = beta
+    val ob = 1.0 - beta
+    // the level expression appears twice (l' feeds b') — spelled out
+    // twice, identically, in both engines, so the op order is fixed
+    val nl = s"$a * e.y + $oa * (s.l + s.b)"
+    val fold =
+      s"""aggregate(slice(__a, 2, $lastN),
+         |  struct(element_at(__a, 1).y AS l, CAST(0.0 AS DOUBLE) AS b),
+         |  (s, e) -> struct(
+         |    $nl AS l,
+         |    $b * (($nl) - s.l) + $ob * s.b AS b),
+         |  s -> s.l + s.b)""".stripMargin
+    recent.groupBy(col("series"))
+      .agg(expr(
+        "array_sort(collect_list(struct(ts, pid, CAST(val AS DOUBLE) AS y)))")
+        .as("__a"),
+        count(lit(1)).as("n_samples"), max(col("ts")).as("last_ts"))
+      .select(col("series"), col("n_samples"), col("last_ts"),
+        floor(expr(fold) * lit(1e6)).cast("long").as("forecast_q6"))
+  }
+}

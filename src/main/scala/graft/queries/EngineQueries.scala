@@ -72,7 +72,7 @@ object EngineQueries {
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
     counterRate ++ interpolate ++ movingAgg ++ anomaly ++ decompose ++
-    correlate ++ funnel ++ bucketStats ++ timeWeighted
+    forecast ++ correlate ++ funnel ++ bucketStats ++ timeWeighted
 
   // ---- exact per-bucket distribution stats (beyond-reference) ----
   private def bucketStats = Seq(
@@ -518,6 +518,32 @@ object EngineQueries {
          |FROM d JOIN s USING (series, hour) ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Decompose.seasonalDecompose(I(s, d),
         halfWindow = 12))
+    })
+
+  // ---- Holt forecast (beyond-reference analytics) ----
+  private def forecast = Seq(
+    // trend-aware one-step-ahead prediction from the trailing 64
+    // samples per series (alpha 0.5, beta 0.25): the oracle replays
+    // the identical order-fixed IEEE fold via a recursive-CTE walk
+    // (list_reduce's struct accumulator is broken in DuckDB 1.0.0 —
+    // the ev_sequence_count lesson), output floor-quantized x1e6
+    Entry("ts_forecast_holt",
+      s"""WITH RECURSIVE p AS (SELECT series, ts, pid, CAST(val AS DOUBLE) AS y FROM ($PI)),
+         |r AS (SELECT series, ts, pid, y, row_number() OVER (PARTITION BY series ORDER BY ts DESC, pid DESC) AS rk FROM p),
+         |m AS (SELECT series, list(y ORDER BY ts, pid) AS a, count(*) AS n_samples, max(ts) AS last_ts
+         |      FROM r WHERE rk <= 64 GROUP BY 1),
+         |walk AS (
+         |  SELECT series, a, n_samples, last_ts, 1 AS i, a[1] AS l, CAST(0.0 AS DOUBLE) AS b FROM m
+         |  UNION ALL
+         |  SELECT series, a, n_samples, last_ts, i + 1,
+         |    0.5 * a[i+1] + 0.5 * (l + b),
+         |    0.25 * ((0.5 * a[i+1] + 0.5 * (l + b)) - l) + 0.75 * b
+         |  FROM walk WHERE i < n_samples)
+         |SELECT series, CAST(n_samples AS BIGINT) AS n_samples, last_ts,
+         |       CAST(floor((l + b) * 1000000.0) AS BIGINT) AS forecast_q6
+         |FROM walk WHERE i = n_samples ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Forecast.holt(I(s, d),
+        lastN = 64, alpha = 0.5, beta = 0.25))
     })
 
   // ---- anomaly detection (beyond-reference alerting layer) ----

@@ -244,6 +244,27 @@ class TsAnalyticsSpec extends AnyFunSuite {
       ("b", 1L) -> 7L), out.toString)
   }
 
+  test("holt forecast: hand-traced recurrence; constants forecast themselves; singleton = itself") {
+    // y = [10, 20, 30], alpha 0.5, beta 0.25:
+    //   init l=10 b=0; y=20 -> l=15, b=1.25; y=30 -> l=23.125,
+    //   b=0.25*(23.125-15)+0.9375=2.96875; forecast 26.09375
+    val pts = Seq(("s", 0L, 1L, 10L), ("s", 10L, 2L, 20L), ("s", 20L, 3L, 30L),
+      ("c", 0L, 1L, 7L), ("c", 10L, 2L, 7L), ("c", 20L, 3L, 7L),
+      ("one", 5L, 1L, 42L))
+      .toDF("series", "ts", "pid", "val")
+    val out = graft.engine.Forecast.holt(pts, lastN = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("s") === ((3L, 20L, 26093750L)), out.toString)
+    assert(out("c") === ((3L, 20L, 7000000L)), "a constant series forecasts itself")
+    assert(out("one") === ((1L, 5L, 42000000L)), "a single sample forecasts itself")
+    // the trailing-window bound holds: only the last N samples fold
+    val long = (0 until 100).map(i => ("L", i.toLong, i.toLong, 5L))
+      .toDF("series", "ts", "pid", "val")
+    val n = graft.engine.Forecast.holt(long, lastN = 8).collect().head
+    assert(n.getLong(1) === 8L && n.getLong(3) === 5000000L)
+  }
+
   test("bucketMode: Long.MinValue participates without overflow (negated-count tie-break)") {
     val pts = Seq(("s", 0L, 1L, Long.MinValue), ("s", 1L, 2L, Long.MinValue),
       ("s", 2L, 3L, 5L)).toDF("series", "ts", "pid", "val")
