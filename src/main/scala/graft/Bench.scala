@@ -106,6 +106,10 @@ object Bench {
           None
       } finally graft.parser.Planner.drainQueryCaches()
     }
+    // a typo'd headline name must be LOUD, not a silently shrunken
+    // bench (the filter below would otherwise just drop it)
+    headline.filterNot(qs.contains).foreach(n =>
+      System.err.println(s"BENCH WARNING: headline entry '$n' is not a registered query"))
     val results = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n))).flatMap { name =>
       val times = Iterator.continually(once(name)).take(reps)
