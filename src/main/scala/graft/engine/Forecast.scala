@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Holt double-exponential smoothing forecast — the trend-aware
   * one-step-ahead prediction every TSDB dashboard offers (InfluxDB
@@ -62,5 +63,63 @@ object Forecast {
         count(lit(1)).as("n_samples"), max(col("ts")).as("last_ts"))
       .select(col("series"), col("n_samples"), col("last_ts"),
         floor(expr(fold) * lit(1e6)).cast("long").as("forecast_q6"))
+  }
+
+  /** The trailing window carried across micro-batches: ≤ lastN
+    * (ts, pid, y) triples per series — bounded state by the same
+    * construction as the batch operator. */
+  final case class HoltState(ts: Array[Long], pid: Array[Long],
+      y: Array[Double])
+
+  /** One live forecast emission (updated every micro-batch that
+    * touches the series). */
+  final case class HoltForecast(series: String, n_samples: Long,
+      last_ts: Long, forecast_q6: Long)
+
+  /** Live Holt forecast — the streaming half of [[holt]]: each
+    * micro-batch merges its arrivals into the per-series trailing-N
+    * buffer (kept sorted by (ts, pid), truncated to the newest
+    * lastN — out-of-order and late points fold exactly like the
+    * batch window would place them) and emits the refreshed
+    * forecast. After any prefix of the stream, the emitted row
+    * equals [[holt]] over the points seen so far — StreamingSpec
+    * pins the agreement, including arrivals split across batches
+    * and a late point landing inside the window. The fold is the
+    * same order-fixed IEEE recurrence run on the driver-free
+    * executor path (plain Scala doubles — IEEE semantics identical
+    * to the SQL fold). Update mode semantics: one row per touched
+    * series per batch. */
+  def streamingHolt(stream: DataFrame, lastN: Int = 64,
+      alpha: Double = 0.5, beta: Double = 0.25): Dataset[HoltForecast] = {
+    require(lastN >= 1 && lastN <= 4096, "lastN must be in [1, 4096]")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series"), col("ts"), col("pid"),
+        col("val").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[HoltState]) =>
+          val prev = state.getOption
+            .map(s => Array.tabulate(s.ts.length)(i =>
+              (s.ts(i), s.pid(i), s.y(i))))
+            .getOrElse(Array.empty[(Long, Long, Double)])
+          val merged = (prev ++ rows.map(r => (r._2, r._3, r._4)))
+            .sortBy(r => (r._1, r._2))
+          val kept = merged.takeRight(lastN)
+          state.update(HoltState(kept.map(_._1), kept.map(_._2),
+            kept.map(_._3)))
+          // identical recurrence to the batch fold, same op order
+          var l = kept.head._3
+          var b = 0.0
+          kept.iterator.drop(1).foreach { case (_, _, y) =>
+            val nl = alpha * y + (1.0 - alpha) * (l + b)
+            b = beta * (nl - l) + (1.0 - beta) * b
+            l = nl
+          }
+          Iterator.single(HoltForecast(series, kept.length.toLong,
+            kept.last._1, math.floor((l + b) * 1e6).toLong))
+      }
   }
 }

@@ -258,6 +258,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Holt forecast equals the batch fold after every prefix; late points re-slot") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Double)]
+    val q = graft.engine.Forecast.streamingHolt(
+      ms.toDF().toDF("series", "ts", "pid", "val"), lastN = 8)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("holt_live").start()
+    def batchOf(pts: Seq[(String, Long, Long, Double)]) =
+      graft.engine.Forecast.holt(
+        pts.toDF("series", "ts", "pid", "val"), lastN = 8).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    try {
+      val batch1 = Seq(("s", 10L, 1L, 10.0), ("s", 20L, 2L, 20.0))
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      // the LATE point at ts 15 arrives after ts 30 — it must slot
+      // between 10 and 20 in the fold, exactly as batch places it
+      val batch2 = Seq(("s", 30L, 3L, 30.0), ("s", 15L, 4L, 99.0))
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val live = spark.sql(
+        "SELECT series, n_samples, last_ts, forecast_q6 FROM holt_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val afterB1 = batchOf(batch1)("s")
+      val afterB2 = batchOf(batch1 ++ batch2)("s")
+      assert(live.contains(("s", afterB1._1, afterB1._2, afterB1._3)),
+        s"prefix-1 emission must equal the batch fold: $afterB1 in ${live.toSeq}")
+      assert(live.contains(("s", afterB2._1, afterB2._2, afterB2._3)),
+        s"prefix-2 emission must equal the batch fold: $afterB2 in ${live.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming counter increase agrees with the batch lag; resets emit the new value; state carries") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
