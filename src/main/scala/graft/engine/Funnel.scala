@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analytics over the raw event stream — the
@@ -119,6 +120,34 @@ object Funnel {
     df.where(col("l0").isNotNull && size(col("l0")) > 0)
       .select(col("user_id"), size(col("l0")).cast("long").as("n_starts"),
         expr(dp).cast("long").as("depth"))
+  }
+
+  /** Event-transition matrix — the "user flows" / Sankey view every
+    * product-analytics suite renders: for each consecutive pair of
+    * events by the same user, how often A was followed by B and the
+    * total dwell time between them (sum_dt / n = mean time-to-next).
+    * `maxGap` (0 = unbounded) cuts flows at inactivity: a pair more
+    * than maxGap seconds apart is a new visit, not a transition.
+    *
+    * One lag window per user (ties at equal ts break by event name —
+    * deterministic without a pid), one hash aggregation onto the
+    * event-type × event-type matrix: output is vocabulary², never
+    * user- or event-sized. */
+  def transitions(events: DataFrame, user: String, ts: String,
+      etype: String, maxGap: Long = 0L): DataFrame = {
+    require(maxGap >= 0L, "maxGap must be non-negative (0 = unbounded)")
+    val w = Window.partitionBy(col(user))
+      .orderBy(col(ts).asc, col(etype).asc)
+    val gapOk =
+      if (maxGap == 0L) lit(true)
+      else col(ts) - col("__pts") <= maxGap
+    events
+      .withColumn("__pe", lag(col(etype), 1).over(w))
+      .withColumn("__pts", lag(col(ts), 1).over(w))
+      .where(col("__pe").isNotNull && gapOk)
+      .groupBy(col("__pe").as("from_event"), col(etype).as("to_event"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col(ts) - col("__pts")).as("sum_dt"))
   }
 
   /** Non-overlapping sequence count — the ClickHouse `sequenceCount`

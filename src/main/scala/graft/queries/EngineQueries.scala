@@ -259,6 +259,21 @@ object EngineQueries {
           .agg(count(col("depth")).as("n_users")))
       }
     },
+    // event-transition (Sankey/flows) matrix with a 1h inactivity
+    // cut: consecutive same-user pairs, event-vocabulary^2 output
+    Entry("ev_transitions",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events),
+        |l AS (SELECT user_id, ts, event_type,
+        |       lag(event_type) OVER w AS pe, lag(ts) OVER w AS pts
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type))
+        |SELECT pe AS from_event, event_type AS to_event,
+        |       count(*) AS n_transitions,
+        |       CAST(sum(ts - pts) AS BIGINT) AS sum_dt
+        |FROM l WHERE pe IS NOT NULL AND ts - pts <= 3600
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.transitions(userEvents(s, d),
+        "user_id", "ts", "event_type", maxGap = 3600L))
+    },
     // non-overlapping conversion count (ClickHouse sequenceCount
     // shape): the DP replayed via a RECURSIVE CTE walking each user's
     // sorted event list one element per recursion level, state

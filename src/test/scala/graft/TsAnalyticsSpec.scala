@@ -154,6 +154,27 @@ class TsAnalyticsSpec extends AnyFunSuite {
       "cross-group pairs must not appear: " + out)
   }
 
+  test("transitions: consecutive pairs per user; inactivity cut; dwell sums exact") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "view"), // v->c, c->v
+      (1L, 5000L, "click"),       // 4970 s gap > 3600: cut, no v->c here
+      (2L, 10L, "view"), (2L, 15L, "click"),                    // v->c
+      (3L, 10L, "view")           // singleton — no pairs
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.transitions(ev, "user_id", "ts",
+      "event_type", maxGap = 3600L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      ("view", "click") -> ((2L, 15L)),   // dwell 10 + 5
+      ("click", "view") -> ((1L, 10L))), out.toString)
+    // unbounded keeps the long pair
+    val unb = graft.engine.Funnel.transitions(ev, "user_id", "ts",
+      "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(unb(("view", "click")) === 3L)
+  }
+
   test("sequenceCount: disjoint completions; reset after match; stalled starts retried; window enforced") {
     val ev = Seq(
       // u1: two clean back-to-back conversions
