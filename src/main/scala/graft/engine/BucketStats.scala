@@ -101,7 +101,12 @@ object BucketStats {
   def histogramQuantile(points: DataFrame, binWidth: Long,
       pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
-    val hist = valueHistogram(points, binWidth)
+    // the bin table feeds TWO consumers (totals agg + the quantile
+    // join): pin it — it is bin-count-sized, but its LINEAGE is the
+    // whole upstream, and compositions feed expensive frames in here
+    // (ev_funnel_ttc re-ran the entire funnel per consumer before
+    // this: 0.94→5.9 s at 10× data; pinned, the upstream runs once)
+    val hist = valueHistogram(points, binWidth).localCheckpoint(eager = true)
     val totals = hist.groupBy(col("series"))
       .agg(max(col("cum_points")).as("n"))
     hist.join(broadcast(totals), Seq("series"))

@@ -122,6 +122,33 @@ object Funnel {
         expr(dp).cast("long").as("depth"))
   }
 
+  /** Top user journeys — the ranked-paths table behind a flows
+    * report: each user's FIRST `pathLen` events (in (ts, event) order
+    * — deterministic without a pid) join into a ">"-separated path
+    * string, and the `k` most common paths win. The per-user prefix
+    * is a partial-top-N window (WindowGroupLimit below the exchange),
+    * the path table is at most #users rows collapsing to distinct
+    * paths, and the final top-k is a TakeOrderedAndProject — no
+    * global sort anywhere. Ties rank by path string so the report is
+    * a total order. Output (path, n_users). */
+  def topPaths(events: DataFrame, user: String, ts: String,
+      etype: String, pathLen: Int = 5, k: Int = 20): DataFrame = {
+    require(pathLen >= 1 && k >= 1, "pathLen and k must be positive")
+    val w = Window.partitionBy(col(user))
+      .orderBy(col(ts).asc, col(etype).asc)
+    events
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= pathLen)
+      .groupBy(col(user).as("user_id"))
+      .agg(expr(s"array_join(transform(array_sort(" +
+        s"collect_list(struct($ts AS t, $etype AS e))), s -> s.e), '>')")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Event-transition matrix — the "user flows" / Sankey view every
     * product-analytics suite renders: for each consecutive pair of
     * events by the same user, how often A was followed by B and the

@@ -259,6 +259,70 @@ object EngineQueries {
           .agg(count(col("depth")).as("n_users")))
       }
     },
+    // time-to-convert distribution: t3 - t1 over completed funnels,
+    // read off hour-wide cumulative bins (the bin-bounded percentile
+    // path — converted-user counts can be huge, the bin table can't)
+    Entry("ev_funnel_ttc",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
+        |pv AS (SELECT user_id,
+        |        any_value(CASE WHEN event_type = 'view' THEN tss END) AS l0,
+        |        any_value(CASE WHEN event_type = 'click' THEN tss END) AS l1,
+        |        any_value(CASE WHEN event_type = 'purchase' THEN tss END) AS l2
+        |       FROM ut GROUP BY 1),
+        |s1 AS (SELECT user_id, l1, l2,
+        |        CASE WHEN l0 IS NOT NULL AND len(l0) > 0 THEN l0[1] END AS t1 FROM pv),
+        |s2 AS (SELECT user_id, l2, t1,
+        |        list_filter(l1, x -> x > t1 AND x <= t1 + 604800) AS f1 FROM s1),
+        |s2b AS (SELECT user_id, l2, t1,
+        |        CASE WHEN f1 IS NOT NULL AND len(f1) > 0 THEN f1[1] END AS t2 FROM s2),
+        |s3 AS (SELECT user_id, t1, t2,
+        |        list_filter(l2, x -> x > t2 AND x <= t1 + 604800) AS f2 FROM s2b),
+        |s3b AS (SELECT user_id, t1, t2,
+        |        CASE WHEN f2 IS NOT NULL AND len(f2) > 0 THEN f2[1] END AS t3 FROM s3),
+        |d AS (SELECT 'ttc' AS series, t3 - t1 AS val FROM s3b WHERE t3 IS NOT NULL),
+        |h AS (SELECT series, (val - ((val % 3600) + 3600) % 3600) // 3600 AS bin, count(*) AS n_points FROM d GROUP BY 1, 2),
+        |c AS (SELECT series, bin, n_points, sum(n_points) OVER (PARTITION BY series ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |t AS (SELECT series, max(cum) AS n FROM c GROUP BY 1),
+        |ps AS (SELECT unnest([50, 95]) AS p),
+        |x AS (SELECT c.series, c.bin, c.n_points, c.cum, t.n, ps.p FROM c JOIN t USING (series) CROSS JOIN ps),
+        |q AS (SELECT series, p, n, (n * p + 99) // 100 AS target, bin, n_points, cum FROM x)
+        |SELECT series, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+        |       CAST(bin * 3600 * 1000000 + (3600 * (target - (cum - n_points)) * 1000000) // n_points AS BIGINT) AS q_q6
+        |FROM q WHERE cum >= target AND cum - n_points < target ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        // pin the funnel output BEFORE filtering: a filter on `depth`
+        // pushes below the funnel's chained t1→t2→t3 projections and
+        // re-expands the per-user array-lambda trees into both the
+        // predicate and the dt projection (measured ~6 s vs ~1 s at
+        // sf1 for the composition). Checkpointed, the funnel columns
+        // evaluate exactly once into a user-sized frame of plain
+        // longs, and the filter + histogram read those.
+        val f = graft.engine.Funnel.funnel(userEvents(s, d),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), window = 604800L)
+          .localCheckpoint(true)
+          .where(col("depth") === 3L)
+          .select(lit("ttc").as("series"), (col("t3") - col("t1")).as("val"))
+        ordered(graft.engine.BucketStats.histogramQuantile(f,
+          binWidth = 3600L, pcts = Seq(50, 95)))
+      }
+    },
+    // top-20 user journeys: each user's first 5 events as a path
+    // string, ranked by population (ties by path)
+    Entry("ev_top_paths",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events),
+        |r AS (SELECT user_id, ts, event_type,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rk
+        |      FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_type) AS path
+        |      FROM r WHERE rk <= 5 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.topPaths(userEvents(s, d),
+        "user_id", "ts", "event_type", pathLen = 5, k = 20))
+    },
     // event-transition (Sankey/flows) matrix with a 1h inactivity
     // cut: consecutive same-user pairs, event-vocabulary^2 output
     Entry("ev_transitions",

@@ -154,6 +154,22 @@ class TsAnalyticsSpec extends AnyFunSuite {
       "cross-group pairs must not appear: " + out)
   }
 
+  test("topPaths: first-N prefix, deterministic ties, k bound") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 30L, "purchase"),
+      (3L, 10L, "view"), (3L, 20L, "error"),
+      (4L, 5L, "signup"),
+      // prefix bound: the 4th event never enters a pathLen=3 path
+      (5L, 1L, "view"), (5L, 2L, "click"), (5L, 3L, "purchase"), (5L, 4L, "error")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.topPaths(ev, "user_id", "ts",
+      "event_type", pathLen = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("view>click>purchase", 3L), ("signup", 1L)),
+      out.toSeq.toString) // k=2 cuts; ties rank by path string
+  }
+
   test("transitions: consecutive pairs per user; inactivity cut; dwell sums exact") {
     val ev = Seq(
       (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "view"), // v->c, c->v
