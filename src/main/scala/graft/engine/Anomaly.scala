@@ -70,6 +70,49 @@ object Anomaly {
       zCut: Double = 3.0): DataFrame =
     scoreAgainst(withHour(stream), baselines, zCut)
 
+  /** Robust (median/MAD) anomaly score — [[seasonalZ]]'s mean/stddev
+    * baseline is itself dragged by the outliers it is hunting; the
+    * Iglewicz–Hoaglin modified z replaces it with the same-hour
+    * MEDIAN and median-absolute-deviation, both computed as EXACT
+    * lower-median element selections (the reference's own median_low
+    * semantics) so every number is an integer and the oracle replays
+    * them bit-for-bit. rz_q6 = (val − med)·10⁶ floor-divided by mad
+    * (pmod form — the difference is signed); the anomaly flag is the
+    * classic 0.6745·|val − med|/mad > 3.5 cut, cross-multiplied to
+    * the exact integer test 6745·|val − med| > 35000·mad (needs
+    * |val| ≲ 1.3e15 — far above the engine's value range).
+    *
+    * Scale shape: two per-(series, hour) sorted-array aggregations
+    * (cell-bounded like [[BucketStats.bucketPercentiles]] — cells the
+    * exact form outgrows belong to the sketch path) + the 24-rows-
+    * per-series stats broadcast back; points never shuffle for the
+    * scoring join. Output (series, ts, pid, val, hour, med, mad,
+    * rz_q6, is_anomaly). */
+  def robustZ(points: DataFrame): DataFrame = {
+    val p = withHour(points)
+    val med = p.groupBy(col("series"), col("hour"))
+      .agg(expr("sort_array(collect_list(val))").as("__vs"))
+      .select(col("series"), col("hour"), expr(
+        "element_at(__vs, CAST((size(__vs) - 1) DIV 2 + 1 AS INT))")
+        .as("med"))
+    val stats = p.join(broadcast(med), Seq("series", "hour"))
+      .groupBy(col("series"), col("hour"))
+      .agg(max(col("med")).as("med"),
+        expr("sort_array(collect_list(abs(val - med)))").as("__ds"))
+      .select(col("series"), col("hour"), col("med"), expr(
+        "element_at(__ds, CAST((size(__ds) - 1) DIV 2 + 1 AS INT))")
+        .as("mad"))
+    p.join(broadcast(stats), Seq("series", "hour"))
+      .select(col("series"), col("ts"), col("pid"), col("val"),
+        col("hour"), col("med"), col("mad"),
+        expr("""CASE WHEN mad = 0 THEN 0L ELSE
+          ((val - med) * 1000000L
+            - ((((val - med) * 1000000L) % mad) + mad) % mad) DIV mad
+          END""").as("rz_q6"),
+        expr("mad > 0 AND 6745L * abs(val - med) > 35000L * mad")
+          .as("is_anomaly"))
+  }
+
   /** (series, ts, pid, val, prev, direction) at threshold-crossing
     * transitions only. */
   def thresholdCross(points: DataFrame, threshold: Long): DataFrame = {

@@ -71,7 +71,7 @@ object EngineQueries {
   def entries: Seq[Entry] = selection ++ timeRange ++ bucketedAggs ++
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
-    counterRate ++ interpolate ++ movingAgg ++ anomaly ++ decompose ++
+    counterRate ++ interpolate ++ movingAgg ++ anomaly ++ robust ++ decompose ++
     forecast ++ correlate ++ funnel ++ bucketStats ++ timeWeighted
 
   // ---- exact per-bucket distribution stats (beyond-reference) ----
@@ -568,6 +568,31 @@ object EngineQueries {
         num = 1L, den = 4L, k = 8))
     }
   }
+
+  // ---- robust anomaly (beyond-reference analytics) ----
+  private def robust = Seq(
+    // median/MAD modified z per same-hour cell: exact lower-median
+    // element selections, signed pmod floor division, integer
+    // cross-multiplied 0.6745/3.5 cut
+    Entry("ts_robust_z",
+      s"""WITH p AS (SELECT series, ts, pid, val, (ts // 3600) % 24 AS hour FROM ($PI)),
+         |g AS (SELECT series, hour, list_sort(list(val)) AS vs FROM p GROUP BY 1, 2),
+         |m AS (SELECT series, hour, vs[CAST((len(vs) - 1) // 2 + 1 AS INT)] AS med FROM g),
+         |d AS (SELECT p.series, p.hour, abs(p.val - m.med) AS dv
+         |      FROM p JOIN m USING (series, hour)),
+         |g2 AS (SELECT series, hour, list_sort(list(dv)) AS ds FROM d GROUP BY 1, 2),
+         |s AS (SELECT g2.series, g2.hour, m.med,
+         |       ds[CAST((len(ds) - 1) // 2 + 1 AS INT)] AS mad
+         |      FROM g2 JOIN m USING (series, hour))
+         |SELECT p.series, p.ts, p.pid, p.val, p.hour, s.med, s.mad,
+         |       CASE WHEN s.mad = 0 THEN 0 ELSE
+         |         ((p.val - s.med) * 1000000
+         |           - ((((p.val - s.med) * 1000000) % s.mad) + s.mad) % s.mad) // s.mad
+         |       END AS rz_q6,
+         |       s.mad > 0 AND 6745 * abs(p.val - s.med) > 35000 * s.mad AS is_anomaly
+         |FROM p JOIN s USING (series, hour) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.robustZ(I(s, d)))
+    })
 
   // ---- classical decomposition (beyond-reference analytics) ----
   private def decompose = Seq(

@@ -281,6 +281,23 @@ class TsAnalyticsSpec extends AnyFunSuite {
       ("b", 1L) -> 7L), out.toString)
   }
 
+  test("robustZ: outlier flags without dragging the baseline; mad-0 cell never flags") {
+    // hour 0: values 98..102 cycling + one 10000 — med 100, mad small,
+    // so the outlier flags and in-band points don't
+    val h0 = (0 until 20).map(i => ("s", 10L * i, i.toLong, 98L + (i % 5))) :+
+      (("s", 3000L, 98L, 10000L))
+    // hour 1: all identical → mad 0 → degenerate cell, never flags
+    val h1 = (0 until 5).map(i => ("s", 3600L + 10L * i, 200L + i, 50L))
+    val out = graft.engine.Anomaly.robustZ(
+      (h0 ++ h1).toDF("series", "ts", "pid", "val")).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))))
+      .toMap
+    assert(out(98L)._4, s"the 10000 outlier must flag: ${out(98L)}")
+    assert(h0.dropRight(1).forall(p => !out(p._3)._4),
+      "in-band points must not flag (median/MAD resist the outlier drag)")
+    assert(out(200L) === ((50L, 0L, 0L, false)), "mad-0 cell: rz 0, never flagged")
+  }
+
   test("holt forecast: hand-traced recurrence; constants forecast themselves; singleton = itself") {
     // y = [10, 20, 30], alpha 0.5, beta 0.25:
     //   init l=10 b=0; y=20 -> l=15, b=1.25; y=30 -> l=23.125,
