@@ -51,7 +51,7 @@ object Bench {
     "ts_cumsum", "ts_topk_series", "ts_bucket_mode",
     "ts_counter_changes", "ts_heatmap", "ts_asof_forward",
     "ts_asof_tolerance", "ann_recall_eval", "ts_decompose",
-    "mm_image_dhash", "ann_mmr_topk", "ts_distinct_count", "ts_forecast_holt", "ev_transitions", "ev_top_paths", "ev_funnel_ttc", "ts_robust_z",
+    "mm_image_dhash", "ann_mmr_topk", "ts_distinct_count", "ts_forecast_holt", "ev_transitions", "ev_top_paths", "ev_funnel_ttc", "ts_robust_z", "text_novelty",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

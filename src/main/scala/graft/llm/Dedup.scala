@@ -67,6 +67,33 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(expr(s"graft_shingles(text, $n)")).as("shingle"))
 
+  /** N-gram novelty score — the memorization/duplication-risk signal
+    * per document: what fraction of a doc's DISTINCT shingles appears
+    * in NO other document (df = 1 over the distinct (doc, shingle)
+    * frame). Near-1 means genuinely novel text; near-0 means the
+    * document is assembled from corpus-common n-grams — the
+    * doc-level complement of [[sourceOverlap]]'s source-level view.
+    *
+    * Scale shape: one distinct (doc, shingle) frame persisted for its
+    * two consumers (the df table and the per-doc rollup — the
+    * minhashPrep lesson), one vocabulary-keyed join, one hash agg;
+    * novelty is an exact integer ratio ×1e6 (non-negative, so
+    * truncating DIV is floor). Output (doc_id, n_shingles, n_unique,
+    * novelty_q6); docs shorter than one shingle are absent. */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val out = sh.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_q6", expr("n_unique * 1000000L DIV n_shingles"))
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
+    out
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct
     * content with the canonical (lowest) doc_id and the group size. */
   def exactGroups(docs: DataFrame, normalize: Boolean = false): DataFrame = {

@@ -267,6 +267,20 @@ object DataOpsQueries {
 
   def entries: Seq[Entry] = Seq(
     // ---- deduplication ----
+    // per-doc n-gram novelty: fraction of the doc's distinct shingles
+    // appearing in NO other document (df = 1), exact ratio x1e6
+    Entry("text_novelty",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+        |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |       CAST((sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS novelty_q6
+        |FROM sh JOIN df USING (shingle) GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.noveltyScore(docs(s, d), n = 3))
+    },
     Entry("dedup_exact",
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin) {
