@@ -52,6 +52,9 @@ object Bench {
     "ts_counter_changes", "ts_heatmap", "ts_asof_forward",
     "ts_asof_tolerance", "ann_recall_eval", "ts_decompose",
     "mm_image_dhash", "ann_mmr_topk", "ts_distinct_count", "ts_forecast_holt", "ev_transitions", "ev_top_paths", "ev_funnel_ttc", "ts_robust_z", "text_novelty",
+    // round-12 second batch: cross-series arithmetic + user health
+    "ts_series_share", "ts_xcorr_lag", "ts_changepoint", "ts_acf",
+    "ts_outlier_iqr", "us_stickiness", "us_power_curve", "us_lifecycle",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

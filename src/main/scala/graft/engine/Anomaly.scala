@@ -113,6 +113,32 @@ object Anomaly {
           .as("is_anomaly"))
   }
 
+  /** Tukey-fence outliers — the boxplot rule per series: flag points
+    * beyond q3 + 1.5·IQR / below q1 − 1.5·IQR. Quartiles are EXACT
+    * lower-element selections at rank (n−1)·p DIV 100 (the
+    * [[BucketStats.bucketPercentiles]] position convention without the
+    * fractional interpolation — fences don't need sub-element
+    * resolution and staying on elements keeps everything int64), and
+    * the 1.5 factor cross-multiplies: 2·val > 2·q3 + 3·IQR. One
+    * cell-bounded sorted-array aggregation per series (40 rows) is
+    * broadcast back; points never shuffle. Output = outlier rows only
+    * (series, ts, pid, val, q1, q3). */
+  def tukeyOutliers(points: DataFrame): DataFrame = {
+    val f = points.groupBy(col("series"))
+      .agg(expr("sort_array(collect_list(val))").as("__vs"),
+        count(lit(1)).as("n"))
+      .select(col("series"),
+        expr("element_at(__vs, CAST((n - 1) * 25 DIV 100 AS INT) + 1)")
+          .as("q1"),
+        expr("element_at(__vs, CAST((n - 1) * 75 DIV 100 AS INT) + 1)")
+          .as("q3"))
+    points.join(broadcast(f), Seq("series"))
+      .where(col("val") * 2L > col("q3") * 2L + (col("q3") - col("q1")) * 3L ||
+        col("val") * 2L < col("q1") * 2L - (col("q3") - col("q1")) * 3L)
+      .select(col("series"), col("ts"), col("pid"), col("val"),
+        col("q1"), col("q3"))
+  }
+
   /** (series, ts, pid, val, prev, direction) at threshold-crossing
     * transitions only. */
   def thresholdCross(points: DataFrame, threshold: Long): DataFrame = {

@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-series arithmetic — the PromQL/InfluxQL "series math" surface
+  * the reference lacks: expressions that RELATE series instead of
+  * aggregating one (`instance_cpu / sum(cluster_cpu)`, correlation at
+  * a time shift, a step change against the series' own recent past).
+  *
+  * All three operators reduce raw points FIRST to the (series, bucket,
+  * sum) hourly rollup — one exact-int64 hash aggregation, the same
+  * frame a standing rollup already maintains — so the cross-series
+  * pass touches ~points/1000 rows and raw points never pair. Every
+  * comparison and every quantized output is integer arithmetic
+  * (truncating DIV, cross-multiplied thresholds) or one fixed sequence
+  * of IEEE ops on exact integers — bit-identical in any engine. */
+object SeriesMath {
+
+  /** Share-of-family: each series' per-bucket fraction of its metric
+    * family's total — "what fraction of cluster CPU is this host",
+    * the binary `a / sum(group)` form of series math. `famExpr` (SQL
+    * over the point columns) names the family; the rollup joins its
+    * own per-(family, bucket) totals on the SAME key it was grouped
+    * by, so the join is co-partitioned and shuffle-free after the two
+    * aggregations (the totals side is family-cardinality tiny —
+    * Spark broadcasts it under AQE regardless).
+    *
+    * Output (family, series, bucket, x, total, share_q6) with
+    * share_q6 = x·10⁶ DIV total (truncating integer division on both
+    * engines — no float anywhere); total = 0 buckets are dropped
+    * (a zero-total family bucket has no meaningful share). */
+  def shareOfTotal(points: DataFrame, bucket: Long = 3600L,
+      famExpr: String = "regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")
+      : DataFrame = {
+    val h = points.groupBy(expr(famExpr).as("family"), col("series"),
+        expr(s"ts DIV $bucket").as("bucket"))
+      .agg(sum(col("val")).as("x"))
+    val tot = h.groupBy(col("family"), col("bucket"))
+      .agg(sum(col("x")).as("total"))
+    h.join(tot, Seq("family", "bucket"))
+      .where(col("total") =!= 0L)
+      .select(col("family"), col("series"), col("bucket"), col("x"),
+        col("total"), expr("x * 1000000 DIV total").as("share_q6"))
+  }
+
+  /** Lead/lag correlation discovery — Pearson r between series pairs
+    * at every time shift in [-maxLag, +maxLag] buckets: "queue depth
+    * correlates with latency ONE HOUR LATER" is invisible at lag 0.
+    *
+    * Same blocked self-join shape as [[Correlate.pairwisePearson]]
+    * (only same-`groupExpr` series pair, so fan-out is Σ groupSize²
+    * not S²), except side b is first exploded by the (2·maxLag+1)-row
+    * lag list — a constant-factor widening of the SMALL rollup, not
+    * of raw points — and the join aligns a.bucket = b.bucket − lag.
+    * The five pair moments are exact int64 sums; r is quantized
+    * floor(r·10⁶) off one deterministic int→double sequence. Pairs
+    * keep a lag only when ≥ minBuckets buckets overlap at that shift. */
+  def laggedPearson(points: DataFrame, bucket: Long = 3600L,
+      maxLag: Int = 2, minBuckets: Long = 24L,
+      groupExpr: String = "regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")
+      : DataFrame = {
+    val h = points.groupBy(expr(groupExpr).as("grp"), col("series"),
+        expr(s"ts DIV $bucket").as("bucket"))
+      .agg(sum(col("val")).as("x"))
+    val lags = (-maxLag to maxLag).map(l => s"$l").mkString(", ")
+    val b = h.select(col("grp"), col("series"), col("bucket"), col("x"))
+      .withColumn("lag", explode(expr(s"array($lags)")))
+      .withColumn("abucket", col("bucket") - col("lag"))
+    val pairs = h.as("a").join(b.as("b"),
+        col("a.grp") === col("b.grp") &&
+          col("a.bucket") === col("b.abucket") &&
+          col("a.series") < col("b.series"))
+      .select(col("a.series").as("series_a"), col("b.series").as("series_b"),
+        col("b.lag").as("lag"), col("a.x").as("x"), col("b.x").as("y"))
+    pairs.groupBy(col("series_a"), col("series_b"), col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .where(col("n") >= minBuckets)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .where(col("dx") > 0 && col("dy") > 0)
+      .withColumn("r", col("num").cast("double") /
+        (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+      .select(col("series_a"), col("series_b"), col("lag"), col("n"),
+        expr("CAST(floor(r * 1e6) AS BIGINT)").as("r_q6"))
+  }
+
+  /** Autocorrelation function — [[laggedPearson]] aimed at the series
+    * itself: Pearson r between x_t and x_(t+lag) for every lag in
+    * [1, maxLag], the classic periodicity/memory diagnostic (a daily
+    * cycle shows as the r peak at lag 24 on hourly buckets). Same
+    * rollup-first shape — side b is the SAME series' rollup exploded
+    * by the constant lag list, the join is per-series co-partitioned
+    * (series rides the key), moments exact int64, r floor-quantized
+    * ×1e6 off the one fixed IEEE sequence. */
+  def acf(points: DataFrame, bucket: Long = 3600L, maxLag: Int = 24,
+      minBuckets: Long = 24L): DataFrame = {
+    val h = points.groupBy(col("series"),
+        expr(s"ts DIV $bucket").as("bucket"))
+      .agg(sum(col("val")).as("x"))
+    val lags = (1 to maxLag).map(_.toString).mkString(", ")
+    val b = h.withColumn("lag", explode(expr(s"array($lags)")))
+      .withColumn("abucket", col("bucket") - col("lag"))
+    val pairs = h.as("a").join(b.as("b"),
+        col("a.series") === col("b.series") &&
+          col("a.bucket") === col("b.abucket"))
+      .select(col("a.series").as("series"), col("b.lag").as("lag"),
+        col("a.x").as("x"), col("b.x").as("y"))
+    pairs.groupBy(col("series"), col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .where(col("n") >= minBuckets)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .where(col("dx") > 0 && col("dy") > 0)
+      .withColumn("r", col("num").cast("double") /
+        (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+      .select(col("series"), col("lag"), col("n"),
+        expr("CAST(floor(r * 1e6) AS BIGINT)").as("r_q6"))
+  }
+
+  /** Two-window mean-shift changepoints — step detection on the
+    * rollup: at every bucket boundary, compare the sum of the k
+    * buckets BEFORE against the k buckets FROM HERE; flag where the
+    * level moved by ≥ relPct percent. With equal window widths the
+    * mean shift IS the sum shift, so the score stays exact int64 and
+    * the relative threshold cross-multiplies:
+    * |after − before|·100 ≥ relPct·|before|. Only boundaries with k
+    * full buckets on BOTH sides score (partial windows at the edges
+    * would alias as shifts). One hash agg + one window pass per
+    * series — the [[MovingAgg]] shuffle shape; no self-join, no
+    * floats. CUSUM's sequential max(0, ·) recurrence is deliberately
+    * avoided: it needs a per-series serial scan, this two-window form
+    * is one declarative frame with the same step-detection power. */
+  def meanShift(points: DataFrame, bucket: Long = 3600L, k: Int = 12,
+      relPct: Long = 30L): DataFrame = {
+    val h = points.groupBy(col("series"),
+        expr(s"ts DIV $bucket").as("bucket"))
+      .agg(sum(col("val")).as("x"))
+    val before = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(-k.toLong, -1L)
+    val after = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, k - 1L)
+    h.withColumn("before_sum", sum(col("x")).over(before))
+      .withColumn("nb", count(lit(1)).over(before))
+      .withColumn("after_sum", sum(col("x")).over(after))
+      .withColumn("na", count(lit(1)).over(after))
+      .where(col("nb") === k && col("na") === k)
+      // buckets are contiguous on this data; require the window to
+      // SPAN exactly k buckets so a gap can't smear two regimes
+      .withColumn("shift", col("after_sum") - col("before_sum"))
+      .where(abs(col("shift")) * 100L >= lit(relPct) * abs(col("before_sum")))
+      .select(col("series"), col("bucket"), col("before_sum"),
+        col("after_sum"), col("shift"))
+  }
+}

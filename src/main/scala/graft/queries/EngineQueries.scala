@@ -72,7 +72,8 @@ object EngineQueries {
     toOneAggs ++ pairwise ++ filters ++ chains ++ merges ++ metadata ++
     ingest ++ asof ++ rangeJoin ++ sketches ++ sessionize ++ downsample ++
     counterRate ++ interpolate ++ movingAgg ++ anomaly ++ robust ++ decompose ++
-    forecast ++ correlate ++ funnel ++ bucketStats ++ timeWeighted
+    forecast ++ correlate ++ seriesMath ++ userStats ++ funnel ++
+    bucketStats ++ timeWeighted
 
   // ---- exact per-bucket distribution stats (beyond-reference) ----
   private def bucketStats = Seq(
@@ -479,6 +480,143 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.Correlate.pairwisePearson(I(s, d),
         bucket = 3600L, minBuckets = 24L,
         groupExpr = Some("regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")))
+    })
+
+  // ---- cross-series arithmetic (beyond-reference; SeriesMath) ----
+  private def seriesMath = Seq(
+    // share-of-family: each series' per-bucket fraction of its metric
+    // family's total (PromQL `a / sum(group)`), truncating-DIV
+    // quantized — integer end to end on both engines
+    Entry("ts_series_share",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT regexp_extract(series, '^[^.]+\\.[^.]+', 0) AS family, series, ts // 3600 AS bucket,
+         |       CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2, 3),
+         |t AS (SELECT family, bucket, CAST(sum(x) AS BIGINT) AS total FROM h GROUP BY 1, 2)
+         |SELECT h.family, h.series, h.bucket, h.x, t.total,
+         |       CAST(h.x * 1000000 // t.total AS BIGINT) AS share_q6
+         |FROM h JOIN t USING (family, bucket) WHERE t.total <> 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.shareOfTotal(I(s, d),
+        bucket = 3600L))
+    },
+    // lead/lag Pearson at shifts -2..+2 buckets — the lag list lives
+    // in its own hoisted CTE (the round-11 DuckDB binder-bug rule:
+    // never unnest in a SELECT that also JOINs USING)
+    Entry("ts_xcorr_lag",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT regexp_extract(series, '^[^.]+\\.[^.]+', 0) AS grp, series, ts // 3600 AS bucket,
+         |       CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2, 3),
+         |ls AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+         |pr AS (SELECT a.series AS series_a, b.series AS series_b, ls.lag AS lag, a.x AS x, b.x AS y
+         |       FROM h a JOIN h b ON a.grp = b.grp AND a.series < b.series
+         |       CROSS JOIN ls WHERE a.bucket = b.bucket - ls.lag),
+         |m AS (SELECT series_a, series_b, lag, count(*) AS n,
+         |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |       CAST(sum(x * y) AS BIGINT) AS sxy,
+         |       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM pr GROUP BY 1, 2, 3 HAVING count(*) >= 24),
+         |d AS (SELECT series_a, series_b, lag, n,
+         |       n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+         |      FROM m)
+         |SELECT series_a, series_b, CAST(lag AS BIGINT) AS lag, n,
+         |       CAST(floor(num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE)) * 1e6) AS BIGINT) AS r_q6
+         |FROM d WHERE dx > 0 AND dy > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.laggedPearson(I(s, d),
+        bucket = 3600L, maxLag = 2, minBuckets = 24L))
+    },
+    // autocorrelation at lags 1..24 — the periodicity diagnostic; the
+    // self-join is per-series co-partitioned, moments exact int64
+    Entry("ts_acf",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2),
+         |ls AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24]) AS lag),
+         |pr AS (SELECT a.series AS series, ls.lag AS lag, a.x AS x, b.x AS y
+         |       FROM h a JOIN h b ON a.series = b.series
+         |       CROSS JOIN ls WHERE a.bucket = b.bucket - ls.lag),
+         |m AS (SELECT series, lag, count(*) AS n,
+         |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |       CAST(sum(x * y) AS BIGINT) AS sxy,
+         |       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM pr GROUP BY 1, 2 HAVING count(*) >= 24),
+         |d AS (SELECT series, lag, n,
+         |       n * sxy - sx * sy AS num, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+         |      FROM m)
+         |SELECT series, CAST(lag AS BIGINT) AS lag, n,
+         |       CAST(floor(num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE)) * 1e6) AS BIGINT) AS r_q6
+         |FROM d WHERE dx > 0 AND dy > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.acf(I(s, d),
+        bucket = 3600L, maxLag = 24, minBuckets = 24L))
+    },
+    // Tukey boxplot-fence outliers: exact lower-element quartiles, the
+    // 1.5·IQR factor cross-multiplied — int64 end to end
+    Entry("ts_outlier_iqr",
+      s"""WITH p AS (SELECT series, ts, pid, val FROM ($PI)),
+         |s AS (SELECT series, list_sort(list(val)) AS vs, count(*) AS n FROM p GROUP BY 1),
+         |f AS (SELECT series, vs[CAST((n - 1) * 25 // 100 AS INT) + 1] AS q1,
+         |             vs[CAST((n - 1) * 75 // 100 AS INT) + 1] AS q3 FROM s)
+         |SELECT p.series, p.ts, p.pid, p.val, f.q1, f.q3
+         |FROM p JOIN f USING (series)
+         |WHERE p.val * 2 > f.q3 * 2 + (f.q3 - f.q1) * 3
+         |   OR p.val * 2 < f.q1 * 2 - (f.q3 - f.q1) * 3
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.tukeyOutliers(I(s, d)))
+    },
+    // two-window mean-shift changepoints: day-vs-day sums (k = 24
+    // buckets = one full season, so the diurnal cycle CANCELS between
+    // the windows and only true level shifts score — a 12h window
+    // flagged 41% of buckets on this data, pure seasonality aliasing),
+    // relative threshold cross-multiplied — exact int64 comparisons
+    Entry("ts_changepoint",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2),
+         |w AS (SELECT series, bucket,
+         |       CAST(sum(x) OVER wb AS BIGINT) AS before_sum, count(*) OVER wb AS nb,
+         |       CAST(sum(x) OVER wa AS BIGINT) AS after_sum, count(*) OVER wa AS na
+         |      FROM h WINDOW
+         |        wb AS (PARTITION BY series ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+         |        wa AS (PARTITION BY series ORDER BY bucket ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
+         |SELECT series, bucket, before_sum, after_sum, after_sum - before_sum AS shift
+         |FROM w WHERE nb = 24 AND na = 24
+         |  AND abs(after_sum - before_sum) * 100 >= 30 * abs(before_sum)
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.meanShift(I(s, d),
+        bucket = 3600L, k = 24, relPct = 30L))
+    })
+
+  // ---- user-activity health metrics (beyond-reference; UserStats) ----
+  private def userStats = Seq(
+    // DAU / trailing-7d WAU / stickiness ratio per active day; the
+    // sliding DISTINCT is an explode of the reduced user-day frame
+    Entry("us_stickiness",
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM e GROUP BY 1),
+        |g AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS slot),
+        |w AS (SELECT e.day + g.slot AS slot_day, e.user_id FROM e CROSS JOIN g),
+        |wau AS (SELECT slot_day, count(DISTINCT user_id) AS wau FROM w GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_q6
+        |FROM dau JOIN wau ON dau.day = wau.slot_day ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.stickiness(userEvents(s, d),
+        windowDays = 7))
+    },
+    // growth accounting: per day, actives split new / retained (seen
+    // within 7 days) / resurrected (returning after a longer gap)
+    Entry("us_lifecycle",
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+        |l AS (SELECT user_id, day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM e)
+        |SELECT day,
+        |       CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |FROM l GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.lifecycle(userEvents(s, d),
+        gapDays = 7L))
+    },
+    // engagement histogram: users active exactly k distinct days
+    Entry("us_power_curve",
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+        |a AS (SELECT user_id, count(*) AS active_days FROM e GROUP BY 1)
+        |SELECT active_days, count(*) AS n_users FROM a GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.powerCurve(userEvents(s, d)))
     })
 
   // ---- trailing moving-window aggregates (beyond-reference) ----

@@ -359,4 +359,46 @@ class PlanSpec extends AnyFunSuite {
     val n = Planner.query("count series `everything`", env).collect().head.getLong(0)
     assert(n === total)
   }
+
+  test("seriesMath: one window pass for changepoints; lag explode never degenerates to a cross join") {
+    import graft.engine.{SeriesMath, UserStats}
+    val pts = SeriesStore.pointsI(spark, dir)
+    // meanShift: a single Window node, no join anywhere — the whole
+    // detector is one shuffle on series + one frame pass
+    val ms = SeriesMath.meanShift(pts, bucket = 3600L, k = 24)
+    ms.collect()
+    // audit the FINAL adaptive plan only (the string repeats the tree
+    // under "== Initial Plan ==", which would double-count nodes)
+    val msp = plan(ms).split("== Initial Plan ==").head
+    assert(msp.linesIterator.count(_.contains("Window [")) === 1, msp)
+    assert(!msp.contains("Join"), msp)
+    // laggedPearson: the constant lag-list explode must stay a
+    // Generate feeding an equi-join — never a nested-loop/cartesian
+    val lp = SeriesMath.laggedPearson(pts, bucket = 3600L, maxLag = 2,
+      minBuckets = 10L)
+    lp.collect()
+    val lpp = plan(lp)
+    assert(lpp.contains("Generate"), lpp)
+    assert(!lpp.contains("CartesianProduct") &&
+      !lpp.contains("BroadcastNestedLoopJoin"), lpp)
+    // shareOfTotal joins rollup-vs-totals only: no explode, and the
+    // events scan reads a pruned schema (no props column)
+    val sh = SeriesMath.shareOfTotal(pts, bucket = 3600L)
+    sh.collect()
+    val shp = plan(sh)
+    assert(!shp.contains("Generate"), shp)
+    val shRead = shp.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!shRead.contains("props"), shRead)
+    // stickiness: the 7-slot explode widens the DISTINCT user-day
+    // frame (above an aggregate), never raw events — pin via the
+    // pruned scan (only user_id + ts leave the parquet reader)
+    val st = UserStats.stickiness(graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts"),
+        col("event_type")), windowDays = 7)
+    st.collect()
+    val stRead = plan(st).linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!stRead.contains("props") && !stRead.contains("event_type"),
+      stRead)
+  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{SeriesMath, UserStats}
+
+/** Pins the cross-series arithmetic and user-activity semantics:
+  * share quantization and zero-total drop, lag alignment direction,
+  * full-window-only changepoints, and the trailing-WAU day algebra. */
+class SeriesMathSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shareOfTotal: family shares sum via truncating DIV; zero-total bucket dropped") {
+    val pts = Seq(
+      ("i.a.1", 100L, 1L, 30L), ("i.a.2", 200L, 2L, 70L), // family i.a, bucket 0
+      ("i.b.1", 100L, 3L, 5L),                            // singleton family
+      ("i.z.1", 100L, 4L, 5L), ("i.z.2", 200L, 5L, -5L)   // total 0 -> dropped
+    ).toDF("series", "ts", "pid", "val")
+    val out = SeriesMath.shareOfTotal(pts, bucket = 3600L).collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("i.a.1") === ((30L, 100L, 300000L)))
+    assert(out("i.a.2") === ((70L, 100L, 700000L)))
+    assert(out("i.b.1") === ((5L, 5L, 1000000L)), "singleton owns its family")
+    assert(!out.contains("i.z.1") && !out.contains("i.z.2"),
+      "zero-total family bucket must be dropped")
+  }
+
+  test("laggedPearson: impulse pair peaks exactly at the shift between them") {
+    // a fires at bucket 10, b at bucket 11 — one bucket later. The
+    // join aligns a.bucket = b.bucket - lag, so the peak is lag = +1.
+    val pts = (0 until 30).flatMap { i =>
+      Seq(("g.m.a", i * 3600L, i.toLong, if (i == 10) 100L else 0L),
+        ("g.m.b", i * 3600L, 100L + i, if (i == 11) 100L else 0L))
+    }.toDF("series", "ts", "pid", "val")
+    val out = SeriesMath.laggedPearson(pts, bucket = 3600L, maxLag = 2,
+        minBuckets = 10L).collect()
+      .map(r => r.getInt(2) -> r.getLong(4)).toMap
+    // r = 1 mathematically; sqrt(dx)·sqrt(dy) rounds a hair above dx
+    // in IEEE, so the floor-quantized read is 999999 — the SAME fixed
+    // op sequence both engines run, which is what the oracle pins
+    assert(out(1) >= 999999L, s"aligned impulses must read r≈1: $out")
+    assert(out.filter(_._1 != 1).values.forall(_ < out(1)),
+      s"every other lag must score below the true shift: $out")
+  }
+
+  test("meanShift: only full-window boundaries score; flat series silent") {
+    // 12 buckets at 10 then 12 at 20: the single boundary with 12 full
+    // buckets on BOTH sides is bucket 12 (before 120, after 240).
+    val step = (0 until 24).map(i =>
+      ("s", i * 3600L, i.toLong, if (i < 12) 10L else 20L))
+    val flat = (0 until 24).map(i => ("f", i * 3600L, 100L + i, 10L))
+    val out = SeriesMath.meanShift((step ++ flat)
+        .toDF("series", "ts", "pid", "val"),
+      bucket = 3600L, k = 12, relPct = 30L).collect()
+    assert(out.length === 1, s"exactly one boundary qualifies: ${out.toSeq}")
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === (("s", 12L, 120L, 240L, 120L)))
+  }
+
+  test("acf: period-2 alternation peaks at even lags, troughs at odd") {
+    val pts = (0 until 40).map(i =>
+      ("s", i * 3600L, i.toLong, if (i % 2 == 0) 10L else 0L))
+      .toDF("series", "ts", "pid", "val")
+    val out = graft.engine.SeriesMath.acf(pts, bucket = 3600L, maxLag = 4,
+        minBuckets = 10L).collect()
+      .map(r => r.getInt(1) -> r.getLong(3)).toMap
+    assert(out(2) >= 999999L && out(4) >= 999999L, s"even lags ≈ +1: $out")
+    assert(out(1) <= -999000L && out(3) <= -999000L, s"odd lags ≈ -1: $out")
+  }
+
+  test("tukeyOutliers: exact lower-element quartiles, 1.5·IQR fences") {
+    // vals 10..29 (n=21 with the outlier): q1 = 6th element = 15,
+    // q3 = 16th = 25, IQR 10 -> upper fence 40: only 1000 flags
+    val pts = ((0 until 20).map(i => ("s", i * 10L, i.toLong, 10L + i)) :+
+      (("s", 999L, 99L, 1000L))).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.Anomaly.tukeyOutliers(pts).collect()
+    assert(out.length === 1, out.toSeq.toString)
+    val r = out.head
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((1000L, 15L, 25L)))
+  }
+
+  test("lifecycle: new / retained (≤7d gap) / resurrected split") {
+    val ev = Seq(
+      (1L, 100L, "a"),                 // day 0: new
+      (1L, 3L * 86400L, "a"),          // day 3: retained (gap 3)
+      (2L, 3L * 86400L + 5L, "a"),     // day 3: new
+      (1L, 20L * 86400L, "a")          // day 20: resurrected (gap 17)
+    ).toDF("user_id", "ts", "event_type")
+    val out = UserStats.lifecycle(ev, gapDays = 7L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) === ((1L, 0L, 0L)))
+    assert(out(3L) === ((1L, 1L, 0L)))
+    assert(out(20L) === ((0L, 0L, 1L)))
+  }
+
+  test("stickiness: trailing-7d WAU; only active days emitted") {
+    val ev = Seq(
+      (1L, 100L, "view"), (2L, 200L, "view"),       // day 0: users 1, 2
+      (1L, 86400L + 5L, "view"),                    // day 1: user 1
+      (3L, 8L * 86400L + 9L, "view")                // day 8: user 3
+    ).toDF("user_id", "ts", "event_type")
+    val out = UserStats.stickiness(ev, windowDays = 7).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) === ((2L, 2L, 1000000L)))
+    assert(out(1L) === ((1L, 2L, 500000L)), "day 0 actives still in the week")
+    assert(out(8L) === ((1L, 1L, 1000000L)), "day 0/1 fell out of [2, 8]")
+    assert(out.size === 3, "inactive days must not be emitted")
+  }
+
+  test("powerCurve: distinct active-day histogram, repeats collapse") {
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 86400L + 1L, "a"), // user 1: 2 days
+      (2L, 30L, "a"),                                          // user 2: 1 day
+      (3L, 5L * 86400L, "a"), (3L, 6L * 86400L, "a"),
+      (3L, 7L * 86400L, "a")                                   // user 3: 3 days
+    ).toDF("user_id", "ts", "event_type")
+    val out = UserStats.powerCurve(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
