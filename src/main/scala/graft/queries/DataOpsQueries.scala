@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Ann, Dedup, Multimodal, TextStats}
+import graft.llm.{Ann, Dedup, Multimodal, Pca, TextStats}
 
 /** Driver-contract registrations for the LLM-training-data pipeline
   * operators (dedup, similarity search, text analysis, multimodal) over
@@ -987,6 +987,22 @@ object DataOpsQueries {
         |       unnest(list_transform(t, x -> CASE WHEN n = 0 THEN 0 ELSE round(x / n, 6) END)) AS x
         |FROM n ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.truncateRenorm(emb(s, d), dims = 16))
+    },
+    // PCA verdict entry (the ts_sketch_stats pattern): per-dim EXACT
+    // integer variance moments replayed by the oracle + a global
+    // pca_ok boolean claiming the eigenbasis properties (orthonormal,
+    // PSD, eigenvalues ordered, top-k explained >= best-k raw dims);
+    // the oracle emits literal TRUE, so a broken eigensolve mismatches
+    Entry("embed_pca",
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT unnest(range(len(v))) AS dim,
+        |             unnest(list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT))) AS xq FROM e),
+        |m AS (SELECT dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+        |             CAST(sum(xq * xq) AS BIGINT) AS sxx FROM x GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+        |       TRUE AS pca_ok
+        |FROM m ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Pca.varianceWithVerdict(emb(s, d), dim = 64, k = 8))
     },
     // per-label centroid table: one elementwise mean per label cell
     Entry("embed_label_centroids",

@@ -546,6 +546,19 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.SeriesMath.acf(I(s, d),
         bucket = 3600L, maxLag = 24, minBuckets = 24L))
     },
+    // SAX symbolization (min-max banding, not z-score — the band
+    // index multiplies through by the bucket count so the PAA mean
+    // never materializes as a fraction; integer end to end)
+    Entry("ts_sax",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |g AS (SELECT series, ts // 3600 AS bucket, CAST(sum(val) AS BIGINT) AS s, count(*) AS n_points FROM p GROUP BY 1, 2),
+         |mm AS (SELECT series, min(val) AS vmin, max(val) AS vmax FROM p GROUP BY 1)
+         |SELECT g.series, g.bucket, g.n_points,
+         |       CAST(((g.s - mm.vmin * g.n_points) * 8) // ((mm.vmax - mm.vmin + 1) * g.n_points) AS BIGINT) AS sym
+         |FROM g JOIN mm USING (series) ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Sax.symbolize(I(s, d),
+        bucket = 3600L, alphabet = 8))
+    },
     // Tukey boxplot-fence outliers: exact lower-element quartiles, the
     // 1.5·IQR factor cross-multiplied — int64 end to end
     Entry("ts_outlier_iqr",

@@ -315,4 +315,51 @@ class AnnSpec extends AnyFunSuite {
     // correlates with cosine, far above the ~0.1 random-candidate floor
     assert(recallR >= 0.3, s"binary recall=$recallR")
   }
+
+  test("PCA: recovers the dominant axis, projections carry it, verdicts hold") {
+    import graft.llm.Pca
+    // 50 vectors living on two axes of a 64-dim space: dim 0 spread
+    // ±25 (variance ~217), dim 1 spread ±1 — the top PC must be ±e0
+    val rows = (0 until 50).map { i =>
+      val v = new Array[Float](64)
+      v(0) = (i - 25).toFloat
+      v(1) = (i % 3 - 1).toFloat
+      (i.toLong, v, 0L)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val (n, evals, evecs) = Pca.eigenBasis(df, dim = 64, k = 3)
+    assert(n === 50L)
+    assert(math.abs(evecs(0)(0)) > 0.999,
+      s"top PC must align with e0: ${evecs(0).take(4).toSeq}")
+    assert(evals(0) > evals(1) && evals(1) >= evals(2) - 1e-9, evals.toSeq.toString)
+    // projections: the first component carries the dim-0 spread
+    val pc = Pca.project(df, dim = 64, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c0 = pc(0L).head   // vec with v(0) = -25
+    val c49 = pc(49L).head // vec with v(0) = +24
+    assert(math.abs(c0 - c49) > 40.0, s"pc1 span: $c0 vs $c49")
+    // verdict entry: booleans true, 64 exact per-dim rows
+    val verdict = Pca.varianceWithVerdict(df, dim = 64, k = 3).collect()
+    assert(verdict.length === 64)
+    assert(verdict.forall(_.getBoolean(3)), "pca_ok must hold")
+    // dim 2..63 are constant zero -> var_num 0; dim 0 dominates
+    val byDim = verdict.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDim(2L) === 0L && byDim(63L) === 0L)
+    assert(byDim(0L) > byDim(1L) && byDim(1L) > 0L)
+  }
+
+  test("SAX: identity banding on a full-range series; PAA mean banded without fractions") {
+    // one point per bucket, vals 0..7, span 8 with alphabet 8 -> sym = val
+    val a = (0 until 8).map(i => ("a", i * 3600L, i.toLong, i.toLong))
+    // one 2-point bucket: {0, 7} -> PAA 3.5 -> band 3
+    val b = Seq(("b", 0L, 100L, 0L), ("b", 10L, 101L, 7L),
+      ("b", 3600L, 102L, 0L)) // second bucket pins vmin
+    val out = graft.engine.Sax.symbolize(
+      (a ++ b).toDF("series", "ts", "pid", "val"),
+      bucket = 3600L, alphabet = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    (0 until 8).foreach(i => assert(out(("a", i.toLong)) === i.toLong))
+    assert(out(("b", 0L)) === 3L, s"PAA 3.5 bands to 3: $out")
+    assert(out(("b", 1L)) === 0L)
+  }
 }
