@@ -323,4 +323,61 @@ object Funnel {
       .groupBy(col("cohort_wk"), col("week_k"))
       .agg(sum(col("__cnt")).as("n_users"))
   }
+
+  /** A user's live chain: first-entry anchor, ts of the last completed
+    * step, depth reached — 3 numbers, the smallest funnel state. */
+  final case class FunnelState(t1: Long, tLast: Long, depth: Int)
+
+  /** One live funnel advance: the user just reached `depth` at `ts`. */
+  final case class FunnelAdvance(user_id: Long, depth: Int, ts: Long)
+
+  /** Streaming funnel — the live half of [[funnel]] (same FIRST-ENTRY
+    * strict-order semantics): each arriving event either starts a
+    * user's chain (their first step-1 event) or advances it (the next
+    * step, strictly after the last one, within `window` of t1), and
+    * every advance is emitted the moment it lands — the live
+    * conversion ticker a dashboard wants, vs the batch replay's
+    * settled depths. State is one [[FunnelState]] per user (3 numbers;
+    * O(#users), never event-sized). Events are sorted by ts within
+    * each micro-batch so intra-batch disorder folds exactly like the
+    * batch walk; a cross-batch late event is ignored if its chain
+    * already advanced past it (live funnels are now-facing —
+    * re-running [[funnel]] over the settled store is the audit path,
+    * and with per-user in-order feeds the final streamed depth equals
+    * the batch depth user-for-user, which StreamingSpec pins). Append
+    * mode, no watermark, advance-sized output. */
+  def streamingFunnel(stream: DataFrame, steps: Seq[String],
+      window: Long): org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stepIdx = steps.zipWithIndex.toMap
+    stream.select(col("user_id"), col("ts"), col("event_type"))
+      .where(col("event_type").isin(steps: _*))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val batch = rows.toArray.sortBy(_._2)
+          var st = state.getOption
+          val out = Vector.newBuilder[FunnelAdvance]
+          batch.foreach { case (_, ts, etype) =>
+            st match {
+              case None if stepIdx(etype) == 0 =>
+                st = Some(FunnelState(ts, ts, 1))
+                out += FunnelAdvance(user, 1, ts)
+              case Some(s) if s.depth < steps.size &&
+                  stepIdx(etype) == s.depth &&
+                  ts > s.tLast && ts <= s.t1 + window =>
+                st = Some(FunnelState(s.t1, ts, s.depth + 1))
+                out += FunnelAdvance(user, s.depth + 1, ts)
+              case _ => // not the next step, out of window, or pre-entry
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -331,4 +331,43 @@ class StreamingSpec extends AnyFunSuite {
         ("t", 20L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming funnel advances live and ends at the batch depths; chain state carries across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val ev = Seq(
+      (1L, 10L, "view"),      // u1 enters
+      (1L, 20L, "click"),     // u1 depth 2
+      (2L, 15L, "click"),     // u2 pre-entry click: ignored
+      (2L, 30L, "view"),      // u2 enters
+      // ---- batch split: u1's purchase needs the chain CARRIED ----
+      (1L, 40L, "purchase"),  // u1 depth 3
+      (2L, 25L, "purchase"),  // late + out of order: ignored
+      (3L, 50L, "view"),      // u3 enters
+      (3L, 900L, "click"))    // outside u3's 100 s window: ignored
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = graft.engine.Funnel.streamingFunnel(
+      ms.toDF().toDF("user_id", "ts", "event_type"), steps, window = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_live").start()
+    try {
+      ms.addData(ev.take(4): _*)
+      q.processAllAvailable()
+      ms.addData(ev.drop(4): _*)
+      q.processAllAvailable()
+      val adv = spark.sql("SELECT user_id, depth, ts FROM funnel_live")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(adv === Set((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 40L),
+        (2L, 1, 30L), (3L, 1, 50L)), adv.toString)
+      // final streamed depth per user == batch funnel depth
+      val liveDepth = adv.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = graft.engine.Funnel.funnel(
+        ev.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, window = 100L)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      assert(liveDepth.map { case (u, d) => u -> d.toLong } === batch,
+        s"live=$liveDepth batch=$batch")
+    } finally q.stop()
+  }
 }
