@@ -55,7 +55,8 @@ object Bench {
     // round-12 second batch: cross-series arithmetic + user health
     "ts_series_share", "ts_xcorr_lag", "ts_changepoint", "ts_acf",
     "ts_outlier_iqr", "us_stickiness", "us_power_curve", "us_lifecycle",
-    "ts_sax", "embed_pca",
+    "ts_sax", "embed_pca", "ev_cohort_ltv", "ev_rfm",
+    "ts_anomaly_intervals",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

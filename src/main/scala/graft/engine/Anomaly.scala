@@ -139,6 +139,31 @@ object Anomaly {
         col("q1"), col("q3"))
   }
 
+  /** Incident intervals — anomalous POINTS merged into the incidents
+    * an on-call human actually pages on: consecutive [[robustZ]]
+    * anomalies on a series (gaps ≤ `maxGap` seconds apart) collapse
+    * into one (start_ts, end_ts, n_points, peak |rz|) row. The
+    * interval walk runs on the ANOMALY frame only — typically orders
+    * of magnitude smaller than points — via the sessionize idiom: one
+    * lag() marks gap-exceeding starts, one running sum numbers the
+    * intervals, one hash agg summarizes them. Integer end to end. */
+  def anomalyIntervals(points: DataFrame, maxGap: Long = 7200L)
+      : DataFrame = {
+    val a = robustZ(points).where(col("is_anomaly"))
+      .select(col("series"), col("ts"), col("rz_q6"))
+    val w = Window.partitionBy(col("series")).orderBy(col("ts").asc)
+    val run = Window.partitionBy(col("series")).orderBy(col("ts").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts") - col("__prev") > maxGap, 1L).otherwise(0L))
+      .withColumn("interval_id", sum(col("__new")).over(run))
+      .groupBy(col("series"), col("interval_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_points"),
+        max(abs(col("rz_q6"))).as("peak_rz_q6"))
+  }
+
   /** (series, ts, pid, val, prev, direction) at threshold-crossing
     * transitions only. */
   def thresholdCross(points: DataFrame, threshold: Long): DataFrame = {

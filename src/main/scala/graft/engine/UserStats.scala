@@ -79,4 +79,67 @@ object UserStats {
       .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
       .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
   }
+
+  /** Cohort LTV — revenue per signup cohort by week since signup: the
+    * triangle finance reads payback periods off. Users cohort by
+    * their FIRST `cohortEvent` week; every `revenueEvent`'s value
+    * (exact integer cents — same ×100 round as the integer point
+    * family) lands in (cohort_wk, event week − cohort week), plus the
+    * running cumulative per cohort. `events` needs (user_id, ts
+    * seconds, event_type, cents). Pre-cohort revenue (a purchase
+    * before the first signup) is dropped — it belongs to no cohort.
+    *
+    * Scale shape: the cohort frame is ONE min-agg (user-sized), the
+    * revenue stream joins it on user_id (co-partitioned hash join; at
+    * 100 TB both sides shuffle once on the user key they already
+    * aggregate on), the grid agg collapses to #cohorts × #weeks rows,
+    * and the cumulative is a window over that tiny grid. */
+  def cohortLtv(events: DataFrame, cohortEvent: String = "signup",
+      revenueEvent: String = "purchase",
+      bucket: Long = 604800L): DataFrame = {
+    val cohort = events.where(col("event_type") === cohortEvent)
+      .groupBy(col("user_id"))
+      .agg(min(expr(s"ts DIV $bucket")).as("cohort_wk"))
+    val rev = events.where(col("event_type") === revenueEvent)
+      .select(col("user_id"), expr(s"ts DIV $bucket").as("wk"),
+        col("cents"))
+    val grid = rev.join(cohort, Seq("user_id"))
+      .where(col("wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_k"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("ltv_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_wk")).orderBy(col("week_k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.withColumn("cum_ltv_cents", sum(col("ltv_cents")).over(w))
+  }
+
+  /** RFM segmentation — the CRM staple: each purchasing user scored
+    * 1..5 on Recency (latest purchase ts), Frequency (purchase
+    * count), and Monetary (total cents), by quintile. One hash
+    * aggregation to the per-user triple, then three ntile(5) windows
+    * over that user-sized frame (global sorts of USERS, not events —
+    * and each ordering carries user_id as the tiebreak, so every
+    * score is deterministic and the oracle replays bucket-for-bucket:
+    * SQL-standard ntile puts the remainder in the leading buckets in
+    * both engines). ntile needs a total order, so each scoring window
+    * is a single-partition sort OF USERS — fine to ~10⁸ users; at
+    * billions, swap to approx quintile cut points broadcast onto the
+    * frame (the scores stop being exactly rank-based, which is why
+    * that is not the default). Output (user_id, last_ts, n_purchases,
+    * cents, r, f, m, rfm). */
+  def rfm(events: DataFrame, revenueEvent: String = "purchase")
+      : DataFrame = {
+    val u = events.where(col("event_type") === revenueEvent)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("cents"))
+    def quintile(metric: String) = ntile(5).over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col(metric).asc, col("user_id").asc))
+    u.withColumn("r", quintile("last_ts").cast("long"))
+      .withColumn("f", quintile("n_purchases").cast("long"))
+      .withColumn("m", quintile("cents").cast("long"))
+      .withColumn("rfm", col("r") * 100L + col("f") * 10L + col("m"))
+  }
 }

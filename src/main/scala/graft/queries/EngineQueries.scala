@@ -47,6 +47,15 @@ object EngineQueries {
       .select(col("user_id"), expr("ts div 1000000000").as("ts"),
         col("event_type"))
 
+  /** [[userEvents]] + the event's value as exact integer cents (the
+    * ×100 round the integer point family uses) — the revenue axis for
+    * LTV / RFM. */
+  private def userEventsVal(s: SparkSession, d: String) =
+    graft.core.Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000000000").as("ts"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+
   private def env(s: SparkSession, d: String): Env = Env(
     catalog = SeriesStore.catalogAll(s, d),
     groups = Map("clicks" -> "^f\\.click\\..*"),
@@ -630,6 +639,41 @@ object EngineQueries {
         |a AS (SELECT user_id, count(*) AS active_days FROM e GROUP BY 1)
         |SELECT active_days, count(*) AS n_users FROM a GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.UserStats.powerCurve(userEvents(s, d)))
+    },
+    // cohort LTV triangle: revenue (exact integer cents, same ×100
+    // round as the integer point family) per signup cohort by weeks
+    // since signup, with the running cumulative per cohort
+    Entry("ev_cohort_ltv",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT user_id, min(ts // 604800) AS cohort_wk FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |r AS (SELECT user_id, ts // 604800 AS wk, cents FROM e WHERE event_type = 'purchase'),
+        |g AS (SELECT c.cohort_wk, r.wk - c.cohort_wk AS week_k, count(*) AS n_purchases,
+        |             CAST(sum(r.cents) AS BIGINT) AS ltv_cents
+        |      FROM r JOIN c USING (user_id) WHERE r.wk >= c.cohort_wk GROUP BY 1, 2)
+        |SELECT cohort_wk, week_k, n_purchases, ltv_cents,
+        |       CAST(sum(ltv_cents) OVER (PARTITION BY cohort_wk ORDER BY week_k
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ltv_cents
+        |FROM g ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.cohortLtv(userEventsVal(s, d)))
+    },
+    // RFM segmentation: per purchasing user, recency/frequency/
+    // monetary quintiles — ntile(5) with user_id tiebreaks so both
+    // engines bucket identically (SQL-standard remainder-first ntile)
+    Entry("ev_rfm",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS n_purchases,
+        |             CAST(sum(cents) AS BIGINT) AS cents FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |s AS (SELECT user_id, last_ts, n_purchases, cents,
+        |       CAST(ntile(5) OVER (ORDER BY last_ts, user_id) AS BIGINT) AS r,
+        |       CAST(ntile(5) OVER (ORDER BY n_purchases, user_id) AS BIGINT) AS f,
+        |       CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT) AS m
+        |      FROM u)
+        |SELECT user_id, last_ts, n_purchases, cents, r, f, m,
+        |       r * 100 + f * 10 + m AS rfm
+        |FROM s ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.rfm(userEventsVal(s, d)))
     })
 
   // ---- trailing moving-window aggregates (beyond-reference) ----
@@ -743,6 +787,35 @@ object EngineQueries {
          |       s.mad > 0 AND 6745 * abs(p.val - s.med) > 35000 * s.mad AS is_anomaly
          |FROM p JOIN s USING (series, hour) ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Anomaly.robustZ(I(s, d)))
+    },
+    // incident intervals: consecutive robust-z anomalies (gaps <= 2h)
+    // merged sessionize-style into (start, end, n, peak) rows — the
+    // walk runs on the anomaly frame only, never raw points
+    Entry("ts_anomaly_intervals",
+      s"""WITH p AS (SELECT series, ts, pid, val, (ts // 3600) % 24 AS hour FROM ($PI)),
+         |g AS (SELECT series, hour, list_sort(list(val)) AS vs FROM p GROUP BY 1, 2),
+         |m AS (SELECT series, hour, vs[CAST((len(vs) - 1) // 2 + 1 AS INT)] AS med FROM g),
+         |d AS (SELECT p.series, p.hour, abs(p.val - m.med) AS dv
+         |      FROM p JOIN m USING (series, hour)),
+         |g2 AS (SELECT series, hour, list_sort(list(dv)) AS ds FROM d GROUP BY 1, 2),
+         |s AS (SELECT g2.series, g2.hour, m.med,
+         |       ds[CAST((len(ds) - 1) // 2 + 1 AS INT)] AS mad
+         |      FROM g2 JOIN m USING (series, hour)),
+         |z AS (SELECT p.series, p.ts,
+         |       ((p.val - s.med) * 1000000
+         |         - ((((p.val - s.med) * 1000000) % s.mad) + s.mad) % s.mad) // s.mad AS rz_q6
+         |      FROM p JOIN s USING (series, hour)
+         |      WHERE s.mad > 0 AND 6745 * abs(p.val - s.med) > 35000 * s.mad),
+         |l AS (SELECT series, ts, rz_q6, lag(ts) OVER (PARTITION BY series ORDER BY ts) AS prev FROM z),
+         |n AS (SELECT series, ts, rz_q6,
+         |       CASE WHEN prev IS NULL OR ts - prev > 7200 THEN 1 ELSE 0 END AS nw FROM l),
+         |i AS (SELECT series, ts, rz_q6, sum(nw) OVER (PARTITION BY series ORDER BY ts
+         |        ROWS UNBOUNDED PRECEDING) AS interval_id FROM n)
+         |SELECT series, CAST(interval_id AS BIGINT) AS interval_id, min(ts) AS start_ts,
+         |       max(ts) AS end_ts, count(*) AS n_points, CAST(max(abs(rz_q6)) AS BIGINT) AS peak_rz_q6
+         |FROM i GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.anomalyIntervals(I(s, d),
+        maxGap = 7200L))
     })
 
   // ---- classical decomposition (beyond-reference analytics) ----

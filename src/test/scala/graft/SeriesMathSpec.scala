@@ -96,6 +96,20 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(out(20L) === ((0L, 0L, 1L)))
   }
 
+  test("anomalyIntervals: adjacent anomalies merge; a distant one opens a new incident") {
+    // hour-0 cell: ten 99s + ten 101s (med 101, mad 2 — ordinary
+    // points never flag) + three spikes; maxGap 600 merges the first
+    // two spikes (gap 500) and isolates the third (gap 2000)
+    val base = (0 until 20).map(i =>
+      ("s", 10L * i, i.toLong, if (i % 2 == 0) 99L else 101L))
+    val spikes = Seq(("s", 1000L, 50L, 200L), ("s", 1500L, 51L, 210L),
+      ("s", 3500L, 52L, 220L))
+    val out = graft.engine.Anomaly.anomalyIntervals(
+      (base ++ spikes).toDF("series", "ts", "pid", "val"), maxGap = 600L)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set((1000L, 1500L, 2L), (3500L, 3500L, 1L)), out.toString)
+  }
+
   test("stickiness: trailing-7d WAU; only active days emitted") {
     val ev = Seq(
       (1L, 100L, "view"), (2L, 200L, "view"),       // day 0: users 1, 2
@@ -109,6 +123,38 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(out(1L) === ((1L, 2L, 500000L)), "day 0 actives still in the week")
     assert(out(8L) === ((1L, 1L, 1000000L)), "day 0/1 fell out of [2, 8]")
     assert(out.size === 3, "inactive days must not be emitted")
+  }
+
+  test("cohortLtv: pre-cohort and cohortless revenue dropped; cumulative per cohort") {
+    val wk = 604800L
+    val ev = Seq(
+      (1L, 0L, "signup", 0L),
+      (1L, 100L, "purchase", 100L),          // cohort 0, week 0
+      (1L, wk + 5L, "purchase", 200L),       // cohort 0, week 1
+      (2L, 50L, "purchase", 999L),           // never signed up: dropped
+      (3L, wk + 1L, "signup", 0L),
+      (3L, 10L, "purchase", 888L)            // pre-cohort: dropped
+    ).toDF("user_id", "ts", "event_type", "cents")
+    val out = UserStats.cohortLtv(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === Map((0L, 0L) -> ((1L, 100L, 100L)),
+      (0L, 1L) -> ((1L, 200L, 300L))))
+  }
+
+  test("rfm: quintiles with user tiebreaks; equal frequency ranks by user id") {
+    val ev = (1 to 5).map(i =>
+      (i.toLong, 100L * i, "purchase", 10L * i))
+      .toDF("user_id", "ts", "event_type", "cents")
+    val out = UserStats.rfm(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // 5 users, 5 buckets: recency and monetary rank by the metric,
+    // frequency (all 1) falls back to the user_id tiebreak
+    (1 to 5).foreach { i =>
+      assert(out(i.toLong) === ((i.toLong, i.toLong, i.toLong, 111L * i)),
+        s"user $i: ${out(i.toLong)}")
+    }
   }
 
   test("powerCurve: distinct active-day histogram, repeats collapse") {
