@@ -122,4 +122,73 @@ object Forecast {
             kept.last._1, math.floor((l + b) * 1e6).toLong))
       }
   }
+
+  /** Holt-Winters ADDITIVE-SEASONAL forecast — the other half of
+    * InfluxDB `HOLT_WINTERS` ([[holt]] covers the non-seasonal form):
+    * level, trend, AND a per-season-slot component evolve as
+    * l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(y_t − l_t) + (1−γ)s_{t−m}; forecast = l + b + s_{next}.
+    *
+    * Runs over the HOURLY ROLLUP (season m = 24 hour-of-day slots —
+    * raw samples inside one hour carry no seasonal signal), bounded
+    * to the trailing `lastN` buckets per series exactly like
+    * [[holt]]. Classical init from the first season of the window:
+    * l₀ = mean of the first m buckets (one order-fixed left fold),
+    * b₀ = 0, s₀[k] = y_k − l₀; then ONE SQL `aggregate` fold whose
+    * accumulator carries (l, b, s ARRAY[m]) — the per-slot update is
+    * an indexed `transform`, so the whole recurrence is a single
+    * narrow expression per series, no joins, no window re-passes.
+    *
+    * The trailing window must be CONTIGUOUS buckets (a gap would
+    * silently misalign every later slot): series where the window
+    * spans more buckets than it holds, or shorter than two seasons,
+    * are dropped — the fold can't see what isn't there, and a
+    * forecast from a holed season would be wrong with confidence.
+    * Determinism: same textual op order in the oracle's recursive
+    * walk (the level expression is spelled out everywhere it feeds),
+    * output floor-quantized ×1e6. */
+  def holtWinters(points: DataFrame, bucket: Long = 3600L,
+      lastN: Int = 96, m: Int = 24, alpha: Double = 0.5,
+      beta: Double = 0.25, gamma: Double = 0.25): DataFrame = {
+    require(m >= 2 && lastN >= 2 * m && lastN <= 4096,
+      s"need lastN in [2m, 4096], m >= 2; got lastN=$lastN m=$m")
+    val h = points.groupBy(col("series"),
+        expr(s"ts DIV $bucket").as("bucket"))
+      .agg(sum(col("val")).cast("double").as("y"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket").desc)
+    val recent = h.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= lastN)
+    val a = alpha; val oa = 1.0 - alpha
+    val b = beta;  val ob = 1.0 - beta
+    val g = gamma; val og = 1.0 - gamma
+    // the new level feeds b' and s' — spelled out identically each
+    // time, in both engines, so the op order is pinned
+    val nl = s"$a * (e.y - element_at(acc.s, CAST(e.bucket % $m AS INT) + 1))" +
+      s" + $oa * (acc.l + acc.b)"
+    val fold =
+      s"""aggregate(slice(__a, ${m + 1}, $lastN),
+         |  struct(__l0 AS l, CAST(0.0 AS DOUBLE) AS b, __s0 AS s),
+         |  (acc, e) -> struct(
+         |    $nl AS l,
+         |    $b * (($nl) - acc.l) + $ob * acc.b AS b,
+         |    transform(acc.s, (v, j) ->
+         |      CASE WHEN j = CAST(e.bucket % $m AS INT)
+         |           THEN $g * (e.y - ($nl)) + $og * v ELSE v END) AS s),
+         |  acc -> acc.l + acc.b +
+         |    element_at(acc.s, CAST((__last + 1) % $m AS INT) + 1))""".stripMargin
+    recent.groupBy(col("series"))
+      .agg(expr("array_sort(collect_list(struct(bucket, y)))").as("__a"),
+        count(lit(1)).as("n_buckets"),
+        min(col("bucket")).as("__fb"), max(col("bucket")).as("__last"))
+      .where(col("n_buckets") >= 2L * m &&
+        col("__last") - col("__fb") + 1L === col("n_buckets"))
+      .withColumn("__l0", expr(
+        s"aggregate(slice(__a, 1, $m), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.y) / $m.0"))
+      .withColumn("__s0", expr(
+        s"""transform(sequence(0, ${m - 1}), k ->
+           |  element_at(__a, CAST((($m + k - __fb % $m) % $m) AS INT) + 1).y - __l0)""".stripMargin))
+      .select(col("series"), col("n_buckets"), col("__last").as("last_bucket"),
+        floor(expr(fold) * lit(1e6)).cast("long").as("forecast_q6"))
+  }
 }

@@ -280,9 +280,17 @@ object Ann {
     * rows). */
   private def coarseAssign(e: DataFrame, centroids: DataFrame): DataFrame = e
     .crossJoin(broadcast(centroids))
-    .withColumn("csim", round(
-      expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-        (col("nrm") * col("cnrm")), 9))
+    // a zero-norm side (possible for PQ SUBvectors — a block-sparse
+    // vector's subspace slice can be exactly zero) has no cosine:
+    // score it -2, below any real similarity, so assignment stays
+    // deterministic (ties → lowest cell) instead of ANSI-faulting.
+    // The oracle replays omit the branch: the shipped embedding
+    // corpora have no zero-norm (sub)vectors, so it is unreachable
+    // there — it exists for corpora that do.
+    .withColumn("csim", when(col("nrm") * col("cnrm") === 0d, lit(-2d))
+      .otherwise(round(
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("nrm") * col("cnrm")), 9)))
     .groupBy(col("vec_id"))
     .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
       // highest csim, ties → lowest cell (the -cell struct field)

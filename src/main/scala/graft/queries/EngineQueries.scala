@@ -872,6 +872,47 @@ object EngineQueries {
          |FROM walk WHERE i = n_samples ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Forecast.holt(I(s, d),
         lastN = 64, alpha = 0.5, beta = 0.25))
+    },
+    // Holt-Winters additive-seasonal (InfluxDB HOLT_WINTERS's other
+    // half) over the trailing 96 hourly buckets, season m=24. The
+    // oracle walks the SAME two-phase fold (24-bucket init mean +
+    // seasonal deltas, then the l/b/s recurrence) in one recursive
+    // CTE carrying the 24-slot seasonal LIST; the level expression is
+    // spelled out identically everywhere it feeds in both engines
+    Entry("ts_forecast_hw",
+      s"""WITH RECURSIVE p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(CAST(sum(val) AS BIGINT) AS DOUBLE) AS y FROM p GROUP BY 1, 2),
+         |r AS (SELECT series, bucket, y, row_number() OVER (PARTITION BY series ORDER BY bucket DESC) AS rk FROM h),
+         |m AS (SELECT series, list(struct_pack(bucket := bucket, y := y) ORDER BY bucket) AS a,
+         |             count(*) AS n, min(bucket) AS fb, max(bucket) AS lastb
+         |      FROM r WHERE rk <= 96 GROUP BY 1
+         |      HAVING count(*) >= 48 AND max(bucket) - min(bucket) + 1 = count(*)),
+         |walk AS (
+         |  SELECT series, a, n, fb, lastb, 1 AS i, a[1].y AS suml,
+         |         CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b,
+         |         CAST(NULL AS DOUBLE[]) AS s
+         |  FROM m
+         |  UNION ALL
+         |  SELECT series, a, n, fb, lastb, i + 1,
+         |    CASE WHEN i + 1 <= 24 THEN suml + a[i + 1].y ELSE suml END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN (suml + a[i + 1].y) / 24.0
+         |         ELSE 0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b) END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE 0.25 * ((0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b)) - l) + 0.75 * b END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN list_transform(range(24), k -> a[CAST((24 + k - fb % 24) % 24 AS INT) + 1].y - (suml + a[i + 1].y) / 24.0)
+         |         ELSE list_transform(range(24), j -> CASE WHEN j = CAST(a[i + 1].bucket % 24 AS INT)
+         |              THEN 0.25 * (a[i + 1].y - (0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b))) + 0.75 * s[j + 1]
+         |              ELSE s[j + 1] END) END
+         |  FROM walk WHERE i < n)
+         |SELECT series, CAST(n AS BIGINT) AS n_buckets, lastb AS last_bucket,
+         |       CAST(floor((l + b + s[CAST((lastb + 1) % 24 AS INT) + 1]) * 1000000.0) AS BIGINT) AS forecast_q6
+         |FROM walk WHERE i = n ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Forecast.holtWinters(I(s, d),
+        bucket = 3600L, lastN = 96, m = 24,
+        alpha = 0.5, beta = 0.25, gamma = 0.25))
     })
 
   // ---- anomaly detection (beyond-reference alerting layer) ----

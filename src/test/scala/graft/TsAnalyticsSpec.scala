@@ -319,6 +319,29 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(n.getLong(1) === 8L && n.getLong(3) === 5000000L)
   }
 
+  test("holtWinters: hand-traced seasonal recurrence; holed and short windows dropped") {
+    // m=2, lastN=4, one point per hourly bucket, y = [10, 20, 12, 22]:
+    //   init l0 = 15, s = [-5, 5], b = 0
+    //   bucket 2 (slot 0): nl = .5*(12-(-5)) + .5*15 = 16,
+    //     b = .25*1 = 0.25, s[0] = .25*(12-16) + .75*(-5) = -4.75
+    //   bucket 3 (slot 1): nl = .5*(22-5) + .5*16.25 = 16.625,
+    //     b = .25*.625 + .75*.25 = 0.34375,
+    //     s[1] = .25*(22-16.625) + .75*5 = 5.09375
+    //   forecast (slot 0) = 16.625 + 0.34375 - 4.75 = 12.21875
+    val ok = Seq(10L, 20L, 12L, 22L).zipWithIndex.map { case (v, i) =>
+      ("s", i * 3600L, i.toLong, v) }
+    val holed = Seq(0L, 1L, 3L, 4L).map(bk => ("g", bk * 3600L, bk, 5L))
+    val short3 = (0 until 3).map(i => ("t", i * 3600L, i.toLong, 5L))
+    val out = graft.engine.Forecast.holtWinters(
+      (ok ++ holed ++ short3).toDF("series", "ts", "pid", "val"),
+      bucket = 3600L, lastN = 4, m = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("s") === ((4L, 3L, 12218750L)), out.toString)
+    assert(!out.contains("g"), "a holed window would misalign slots: dropped")
+    assert(!out.contains("t"), "under two seasons: dropped")
+  }
+
   test("bucketMode: Long.MinValue participates without overflow (negated-count tie-break)") {
     val pts = Seq(("s", 0L, 1L, Long.MinValue), ("s", 1L, 2L, Long.MinValue),
       ("s", 2L, 3L, 5L)).toDF("series", "ts", "pid", "val")
