@@ -56,7 +56,7 @@ object Bench {
     "ts_series_share", "ts_xcorr_lag", "ts_changepoint", "ts_acf",
     "ts_outlier_iqr", "us_stickiness", "us_power_curve", "us_lifecycle",
     "ts_sax", "embed_pca", "ev_cohort_ltv", "ev_rfm",
-    "ts_anomaly_intervals", "ts_forecast_hw",
+    "ts_anomaly_intervals", "ts_forecast_hw", "text_ppl_buckets",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -191,4 +191,77 @@ object Forecast {
       .select(col("series"), col("n_buckets"), col("__last").as("last_bucket"),
         floor(expr(fold) * lit(1e6)).cast("long").as("forecast_q6"))
   }
+
+  /** Trailing bucket sums carried across micro-batches: ≤ lastN
+    * (bucket, exact int64 sum) pairs per series. */
+  final case class HwState(bucket: Array[Long], s: Array[Long])
+
+  /** One live seasonal forecast emission. */
+  final case class HwForecast(series: String, n_buckets: Long,
+      last_bucket: Long, forecast_q6: Long)
+
+  /** Live Holt-Winters — the streaming half of [[holtWinters]]: each
+    * micro-batch folds its points into the per-series trailing-lastN
+    * BUCKET-SUM table (exact int64 adds, so a bucket's sum is
+    * identical however its points split across batches), trims to the
+    * newest lastN buckets, and re-runs the same two-phase fold. After
+    * any prefix of the stream the emitted row equals [[holtWinters]]
+    * over the points seen so far — including a late point landing in
+    * a still-held bucket — which StreamingSpec pins. Series whose
+    * held window is holed or shorter than two seasons emit nothing
+    * yet, exactly like the batch drop. Update mode; state is ≤ lastN
+    * longs-pairs per series, never point-sized. */
+  def streamingHoltWinters(stream: DataFrame, bucket: Long = 3600L,
+      lastN: Int = 96, m: Int = 24, alpha: Double = 0.5,
+      beta: Double = 0.25, gamma: Double = 0.25): Dataset[HwForecast] = {
+    require(m >= 2 && lastN >= 2 * m && lastN <= 4096,
+      s"need lastN in [2m, 4096], m >= 2; got lastN=$lastN m=$m")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series"), expr(s"ts DIV $bucket").as("bucket"),
+        col("val"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[HwState]) =>
+          val sums = scala.collection.mutable.LongMap.empty[Long]
+          state.getOption.foreach(st =>
+            st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i)))
+          rows.foreach { case (_, bk, v) =>
+            sums(bk) = sums.getOrElse(bk, 0L) + v
+          }
+          val kept = sums.toArray.sortBy(_._1).takeRight(lastN)
+          state.update(HwState(kept.map(_._1), kept.map(_._2)))
+          val n = kept.length
+          val contiguous = n > 0 && kept.last._1 - kept.head._1 + 1 == n
+          if (n < 2 * m || !contiguous) Iterator.empty
+          else {
+            // identical two-phase recurrence to the batch fold, same
+            // op order on plain IEEE doubles
+            val y = kept.map(_._2.toDouble)
+            val fb = kept.head._1
+            var suml = 0.0
+            var i = 0
+            while (i < m) { suml = suml + y(i); i += 1 }
+            var l = suml / m.toDouble
+            var b = 0.0
+            val s = Array.tabulate(m)(k =>
+              y(((m + k - (fb % m).toInt) % m)) - l)
+            i = m
+            while (i < n) {
+              val k = ((fb + i) % m).toInt
+              val nl = alpha * (y(i) - s(k)) + (1.0 - alpha) * (l + b)
+              b = beta * (nl - l) + (1.0 - beta) * b
+              s(k) = gamma * (y(i) - nl) + (1.0 - gamma) * s(k)
+              l = nl
+              i += 1
+            }
+            val last = kept.last._1
+            val f = l + b + s(((last + 1) % m).toInt)
+            Iterator.single(HwForecast(series, n.toLong, last,
+              math.floor(f * 1e6).toLong))
+          }
+      }
+  }
 }

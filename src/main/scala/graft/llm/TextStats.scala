@@ -342,31 +342,81 @@ object TextStats {
     * reuse). Then two joins over distinct-pair-sized frames and one
     * integer-sum agg per document. No windows, no driver state,
     * linear in corpus size. */
-  def lmPerplexity(docs: DataFrame): DataFrame = {
+  def lmPerplexity(docs: DataFrame): DataFrame =
+    pairNll(docs, pin = false).select(col("doc_id"), col("n_pairs"),
+      expr("round(-sq / (n_pairs * 1e6), 6)").as("avg_nll"))
+
+  /** The shared bigram-NLL core of [[lmPerplexity]] and
+    * [[pplBuckets]]: (doc_id, n_pairs, sq) with sq the exact integer
+    * sum of ×1e6-quantized add-one bigram log-probs.
+    *
+    * The pair-count and unigram frames are each consumed TWICE (c2 /
+    * the scoring join; vocab count / the c1 join). In lmPerplexity's
+    * own flat plan Spark's ReusedExchange covers both, and an explicit
+    * persist only ADDS a materialization (measured: 2.6 → 4.3 s at
+    * sf1) — so `pin = false` there. Under pplBuckets' deeper plan
+    * (join + ntile above) the reuse BREAKS and the token explode
+    * re-ran 4× (measured: 5 parquet scans, 0 ReusedExchange, 10.1 s
+    * at sf1 → 3.3 s pinned) — so that caller pins: both frames
+    * persisted for the one pass, the DOC-sized output checkpointed
+    * eagerly, caches released before return (the minhashPrep
+    * pattern). */
+  private def pairNll(docs: DataFrame, pin: Boolean): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val t = docs.select(col("doc_id"), expr(tok).as("w"))
-    val uni = t.select(explode(col("w")).as("w1"))
+    val uni0 = t.select(explode(col("w")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val uni = if (pin) uni0.persist(lvl) else uni0
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val pairs = t.where(size(col("w")) >= 2)
+    val pairs0 = t.where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> " +
           "struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
         .as("p"))
       .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("k"))
+    val pairs = if (pin) pairs0.persist(lvl) else pairs0
     val c2 = pairs.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
     // k occurrences of a pair contribute k copies of the same
     // quantized logp, so sum(k * q) is bit-identical to the
     // occurrence-stream sum — still an exact integer
-    pairs.join(c2, Seq("w1", "w2")).join(uni, Seq("w1"))
+    val out = pairs.join(c2, Seq("w1", "w2")).join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("k"), expr(
         "CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT)")
         .as("q"))
       .groupBy("doc_id")
       .agg(sum(col("k")).as("n_pairs"), sum(expr("k * q")).as("sq"))
+    if (!pin) return out
+    val pinned = out.localCheckpoint(eager = true)
+    pairs.unpersist(blocking = true)
+    uni.unpersist(blocking = true)
+    pinned
+  }
+
+  /** CCNet-style perplexity terciles — the head/middle/tail split
+    * CC-pipeline curation keys on: within each LANGUAGE, documents
+    * rank by their LM score and cut into thirds (head = most
+    * target-like). The ranking key is the EXACT integer
+    * score_q6 = (−sq) DIV n_pairs (positive operands — truncation is
+    * floor in both engines) with doc_id tiebreak, so ntile(3) buckets
+    * identically everywhere (the RFM precedent). The per-language
+    * window sorts the DOC-sized score frame, never tokens; at extreme
+    * doc counts swap to broadcast approx cut points like RFM's note.
+    * Output (doc_id, lang, n_pairs, score_q6, bucket, tier). */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = pairNll(docs, pin = true)
       .select(col("doc_id"), col("n_pairs"),
-        expr("round(-sq / (n_pairs * 1e6), 6)").as("avg_nll"))
+        expr("(-sq) DIV n_pairs").as("score_q6"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score_q6").asc, col("doc_id").asc)
+    scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_pairs"), col("score_q6"),
+        col("bucket"),
+        expr("CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END")
+          .as("tier"))
   }
 
   /** BM25 document scoring against a fixed term set — the standard

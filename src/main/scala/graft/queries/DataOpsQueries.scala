@@ -1180,6 +1180,33 @@ object DataOpsQueries {
         |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.lmPerplexity(docs(s, d)))
     },
+    // CCNet head/middle/tail perplexity terciles per language: the
+    // ranking key is the exact integer (-sq) // n_pairs with doc_id
+    // tiebreak, so ntile(3) buckets identically in both engines
+    Entry("text_ppl_buckets",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS w1 FROM t),
+        |c1t AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM c1t),
+        |bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |       FROM t WHERE len(w) >= 2),
+        |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        |p AS (SELECT b.doc_id,
+        |       CAST(round(ln((c2t.c2 + 1) / CAST(c1t.c1 + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+        |      FROM bi b JOIN c2t ON c2t.w1 = b.w1 AND c2t.w2 = b.w2
+        |                JOIN c1t ON c1t.w1 = b.w1, vv),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST((-sum(q)) // count(*) AS BIGINT) AS score_q6
+        |       FROM p GROUP BY 1),
+        |j AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+        |n AS (SELECT doc_id, lang, n_pairs, score_q6,
+        |       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY score_q6, doc_id) AS BIGINT) AS bucket
+        |      FROM j)
+        |SELECT doc_id, lang, n_pairs, score_q6, bucket,
+        |       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM n ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.pplBuckets(docs(s, d)))
+    },
     // BM25 against a fixed term set: corpus stats are ONE broadcast
     // 1-row aggregate; every double derives from integer counts
     // through the same op order on both engines

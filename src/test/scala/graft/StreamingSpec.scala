@@ -332,6 +332,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters equals batch after every bucket split; short windows stay silent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the TsAnalyticsSpec hand-trace: m=2, buckets 0..3, y=[10,20,12,22]
+    // — but bucket 2's sum (12) arrives SPLIT across two batches (5+7)
+    val batch1 = Seq(("s", 0L, 10L), ("s", 3600L, 20L), ("s", 7200L, 5L),
+      ("t", 0L, 1L))                     // t: one bucket, never emits
+    val batch2 = Seq(("s", 7200L, 7L), ("s", 10800L, 22L))
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.engine.Forecast.streamingHoltWinters(
+      ms.toDF().toDF("series", "ts", "val"),
+      bucket = 3600L, lastN = 4, m = 2)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hw_live").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT series, n_buckets, last_bucket, forecast_q6 FROM hw_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(!rows.exists(_._1 == "t"), "a 1-bucket window must stay silent")
+      // final emission equals the batch operator over all points seen
+      val pts = (batch1 ++ batch2).filter(_._1 == "s").zipWithIndex
+        .map { case ((se, ts, v), i) => (se, ts, i.toLong, v) }
+        .toDF("series", "ts", "pid", "val")
+      val batch = graft.engine.Forecast.holtWinters(pts,
+        bucket = 3600L, lastN = 4, m = 2).collect().head
+      val fin = rows.filter(_._1 == "s").maxBy(_._3)
+      assert(fin === (("s", batch.getLong(1), batch.getLong(2),
+        batch.getLong(3))), s"live=$fin batch=$batch")
+      assert(fin._4 === 12218750L, "the hand-traced forecast")
+    } finally q.stop()
+  }
+
   test("streaming funnel advances live and ends at the batch depths; chain state carries across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
