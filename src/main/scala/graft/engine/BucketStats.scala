@@ -183,4 +183,33 @@ object BucketStats {
           .as("mode_val"),
         max(col("__c")).as("n_mode"))
   }
+
+  /** Multi-resolution rollup pyramid — the continuous-aggregate
+    * cascade a TSDB maintains (1h → 6h → 1d): every coarser level
+    * re-aggregates the level BELOW it, not raw points, so raw data is
+    * read and shuffled exactly once and each further level costs a
+    * rollup-sized (not point-sized) aggregation — count/sum/min/max
+    * all compose exactly. A GROUPING SETS form would recompute every
+    * level from raw points (3× the shuffle) for the same answer.
+    * Output (series, res, bucket_start, n_points, sum_val, min_val,
+    * max_val) with res ∈ {'1h','6h','1d'} and bucket_start in
+    * seconds; all exact int64. */
+  def rollupPyramid(points: DataFrame): DataFrame = {
+    val h1 = points
+      .groupBy(col("series"), expr("ts DIV 3600").as("b"))
+      .agg(count(lit(1)).as("n_points"), sum(col("val")).as("sum_val"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+    def up(lower: DataFrame, factor: Int) = lower
+      .groupBy(col("series"), expr(s"b DIV $factor").as("b"))
+      .agg(sum(col("n_points")).as("n_points"), sum(col("sum_val")).as("sum_val"),
+        min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
+    val h6 = up(h1, 6)
+    val d1 = up(h6, 4)
+    def shape(df: DataFrame, res: String, width: Long) = df.select(
+      col("series"), lit(res).as("res"), (col("b") * width).as("bucket_start"),
+      col("n_points"), col("sum_val"), col("min_val"), col("max_val"))
+    shape(h1, "1h", 3600L)
+      .unionByName(shape(h6, "6h", 21600L))
+      .unionByName(shape(d1, "1d", 86400L))
+  }
 }

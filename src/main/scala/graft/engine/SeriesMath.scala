@@ -125,6 +125,32 @@ object SeriesMath {
         expr("CAST(floor(r * 1e6) AS BIGINT)").as("r_q6"))
   }
 
+  /** Per-bucket least-squares trend slope — the "which way is this
+    * metric heading" arrow a dashboard draws per panel: within each
+    * `bucket`-second cell, the OLS slope of val against the offset
+    * INSIDE the bucket (t = ts mod bucket, so the moment magnitudes
+    * are bucket-bounded, not epoch-bounded). All five moments are
+    * exact int64 hash-aggregation sums; slope = num/den is ONE
+    * deterministic IEEE divide of exact integers, shipped
+    * floor-quantized ×1e6 per second. Cells with a degenerate time
+    * axis (n < 2 or all samples at one offset → den = 0) are
+    * dropped. Exact while n·Σt·y < 2^63 — with t < bucket this holds
+    * to ~10⁵ points per cell at |val| ≤ 10⁶; beyond, coarsen. */
+  def trendSlope(points: DataFrame, bucket: Long = 21600L): DataFrame = {
+    points.select(col("series"), expr(s"ts DIV $bucket").as("bucket"),
+        expr(s"ts % $bucket").as("t"), col("val").as("y"))
+      .groupBy(col("series"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+        sum(col("t") * col("t")).as("stt"))
+      .withColumn("num", col("n") * col("sty") - col("st") * col("sy"))
+      .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+      .where(col("den") > 0)
+      .select(col("series"), col("bucket"), col("n"),
+        expr("CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT)")
+          .as("slope_q6"))
+  }
+
   /** Two-window mean-shift changepoints — step detection on the
     * rollup: at every bucket boundary, compare the sum of the k
     * buckets BEFORE against the k buckets FROM HERE; flag where the

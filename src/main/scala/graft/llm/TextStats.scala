@@ -270,6 +270,17 @@ object TextStats {
       .select(col("doc_id"), col("pred_lang"))
   }
 
+  /** Language-ID audit — the [[langId]] heuristic evaluated against
+    * the labeled `lang` column as a confusion matrix (label,
+    * prediction, count): the quality-evaluation row a pipeline keeps
+    * next to the classifier it gates on (the ann_recall_eval
+    * pattern). One narrow prediction pass + one doc-keyed join + one
+    * hash agg; output is |langs|² at most. */
+  def langIdEval(docs: DataFrame): DataFrame =
+    langId(docs).join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Corpus-wide word n-gram frequencies (multiplicity counted),
     * thresholded — one explode + one hash aggregation, the standard
     * n-gram-LM / contamination-scan primitive. */

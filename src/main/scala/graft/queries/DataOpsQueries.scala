@@ -1180,6 +1180,28 @@ object DataOpsQueries {
         |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.lmPerplexity(docs(s, d)))
     },
+    // language-ID audit: the heuristic's confusion matrix against the
+    // labeled lang column (the ann_recall_eval evaluation pattern)
+    Entry("text_langid_eval",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |v AS (SELECT doc_id,
+        |  len(list_filter(w, s -> list_contains(['the','a','of','and','in','to','is'], s))) AS v_en,
+        |  len(list_filter(w, s -> list_contains(['der','die','das','und','ist','ein'], s))) AS v_de,
+        |  len(list_filter(w, s -> list_contains(['el','la','de','los','y','es'], s))) AS v_es,
+        |  len(list_filter(w, s -> list_contains(['le','la','les','et','est','un'], s))) AS v_fr,
+        |  len(list_filter(w, s -> list_contains(['的','是','在','了'], s))) AS v_zh
+        |FROM t),
+        |pr AS (SELECT doc_id,
+        |  CASE WHEN v_en >= v_de AND v_en >= v_es AND v_en >= v_fr AND v_en >= v_zh THEN 'en'
+        |       WHEN v_de >= v_es AND v_de >= v_fr AND v_de >= v_zh THEN 'de'
+        |       WHEN v_es >= v_fr AND v_es >= v_zh THEN 'es'
+        |       WHEN v_fr >= v_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM v)
+        |SELECT d.lang, pr.pred_lang, count(*) AS n_docs
+        |FROM pr JOIN documents d USING (doc_id) GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.langIdEval(docs(s, d)))
+    },
     // CCNet head/middle/tail perplexity terciles per language: the
     // ranking key is the exact integer (-sq) // n_pairs with doc_id
     // tiebreak, so ntile(3) buckets identically in both engines

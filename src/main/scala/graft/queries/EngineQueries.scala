@@ -150,6 +150,36 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.BucketStats.bucketMode(I(s, d),
         bucket = 21600L))
     },
+    // the continuous-aggregate cascade: 1h -> 6h -> 1d, each level
+    // re-aggregated from the one below (raw points read/shuffled once)
+    Entry("ts_rollup_pyramid",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |h1 AS (SELECT series, ts // 3600 AS b, count(*) AS n_points, CAST(sum(val) AS BIGINT) AS sum_val,
+         |        min(val) AS min_val, max(val) AS max_val FROM p GROUP BY 1, 2),
+         |h6 AS (SELECT series, b // 6 AS b, CAST(sum(n_points) AS BIGINT) AS n_points,
+         |        CAST(sum(sum_val) AS BIGINT) AS sum_val, min(min_val) AS min_val, max(max_val) AS max_val
+         |       FROM h1 GROUP BY 1, 2),
+         |d1 AS (SELECT series, b // 4 AS b, CAST(sum(n_points) AS BIGINT) AS n_points,
+         |        CAST(sum(sum_val) AS BIGINT) AS sum_val, min(min_val) AS min_val, max(max_val) AS max_val
+         |       FROM h6 GROUP BY 1, 2)
+         |SELECT series, '1h' AS res, b * 3600 AS bucket_start, n_points, sum_val, min_val, max_val FROM h1
+         |UNION ALL SELECT series, '6h', b * 21600, n_points, sum_val, min_val, max_val FROM h6
+         |UNION ALL SELECT series, '1d', b * 86400, n_points, sum_val, min_val, max_val FROM d1
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.BucketStats.rollupPyramid(I(s, d)))
+    },
+    // exact heavy value-bands at sketch cost: Misra-Gries candidates
+    // (guaranteed superset) + exact recount — so the oracle is a
+    // plain GROUP BY ... HAVING with no sketch semantics to replay
+    Entry("ts_heavy_hitters",
+      s"""WITH p AS (SELECT series, (val - (((val % 5000) + 5000) % 5000)) // 5000 AS bin FROM ($PI)),
+         |t AS (SELECT series, count(*) AS n_series FROM p GROUP BY 1),
+         |c AS (SELECT series, bin, count(*) AS cnt FROM p GROUP BY 1, 2)
+         |SELECT c.series, c.bin, c.cnt, t.n_series FROM c JOIN t USING (series)
+         |WHERE c.cnt * 8 > t.n_series ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.HeavyHitters.heavyValueBins(I(s, d),
+        binWidth = 5000L, k = 8))
+    },
     // histogram_quantile: percentiles read off the cumulative bins
     // (rank + uniform-within-bin interpolation) — the bin-bounded
     // percentile path for cells the exact sorted-array form outgrows.
@@ -554,6 +584,22 @@ object EngineQueries {
          |FROM d WHERE dx > 0 AND dy > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.SeriesMath.acf(I(s, d),
         bucket = 3600L, maxLag = 24, minBuckets = 24L))
+    },
+    // per-(series, 6h) OLS trend slope: five exact int64 moments, one
+    // deterministic IEEE divide, floor-quantized; degenerate cells out
+    Entry("ts_trend_slope",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |m AS (SELECT series, ts // 21600 AS bucket, count(*) AS n,
+         |       CAST(sum(ts % 21600) AS BIGINT) AS st, CAST(sum(val) AS BIGINT) AS sy,
+         |       CAST(sum((ts % 21600) * val) AS BIGINT) AS sty,
+         |       CAST(sum((ts % 21600) * (ts % 21600)) AS BIGINT) AS stt
+         |      FROM p GROUP BY 1, 2),
+         |d AS (SELECT series, bucket, n, n * sty - st * sy AS num, n * stt - st * st AS den FROM m)
+         |SELECT series, bucket, n,
+         |       CAST(floor(num::DOUBLE / den::DOUBLE * 1e6) AS BIGINT) AS slope_q6
+         |FROM d WHERE den > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.trendSlope(I(s, d),
+        bucket = 21600L))
     },
     // SAX symbolization (min-max banding, not z-score — the band
     // index multiplies through by the bucket count so the PAA mean

@@ -125,6 +125,58 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(out.size === 3, "inactive days must not be emitted")
   }
 
+  test("trendSlope: exact OLS per bucket; degenerate time axis dropped") {
+    val pts = Seq(
+      ("s", 0L, 1L, 0L), ("s", 1L, 2L, 2L), ("s", 2L, 3L, 4L), // slope 2
+      ("f", 0L, 1L, 7L), ("f", 5L, 2L, 7L),                    // flat: 0
+      ("d", 9L, 1L, 1L), ("d", 9L, 2L, 5L)                     // den 0: out
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.SeriesMath.trendSlope(pts, bucket = 21600L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out === Map("s" -> 2000000L, "f" -> 0L))
+  }
+
+  test("rollupPyramid: each level recomposes exactly from the one below") {
+    val pts = Seq(("s", 10L, 1L, 1L), ("s", 20L, 2L, 5L),
+      ("s", 6L * 3600L + 1L, 3L, 2L)).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.BucketStats.rollupPyramid(pts).collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(("1h", 0L)) === ((2L, 6L, 1L, 5L)))
+    assert(out(("1h", 6L * 3600L)) === ((1L, 2L, 2L, 2L)))
+    assert(out(("6h", 0L)) === ((2L, 6L, 1L, 5L)))
+    assert(out(("6h", 21600L)) === ((1L, 2L, 2L, 2L)))
+    assert(out(("1d", 0L)) === ((3L, 8L, 1L, 5L)))
+    assert(out.size === 5)
+  }
+
+  test("heavyValueBins: exactly the true heavy set; negative values floor-bin") {
+    val pts = ((0 until 7).map(i => ("s", i.toLong, i.toLong, 100L)) ++
+      Seq(("s", 7L, 7L, 5200L), ("s", 8L, 8L, 5300L), ("s", 9L, 9L, 10100L)) ++
+      Seq(("n", 0L, 10L, -1L), ("n", 1L, 11L, -1L), ("n", 2L, 12L, -1L),
+        ("n", 3L, 13L, 100L))
+    ).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.HeavyHitters.heavyValueBins(pts,
+      binWidth = 5000L, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // s: bin 0 at 7/10 (21 > 10 qualifies); bin 1 at 2/10 (6 < 10) out
+    // n: bin -1 at 3/4 (9 > 4); bin 0 at 1/4 out
+    assert(out === Map(("s", 0L) -> ((7L, 10L)), ("n", -1L) -> ((3L, 4L))))
+  }
+
+  test("langIdEval: confusion matrix of prediction vs label") {
+    val docs = Seq(
+      (1L, "the of and", "en", "src", 10L),
+      (2L, "der und ist", "en", "src", 11L),
+      (3L, "el la y los", "es", "src", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.llm.TextStats.langIdEval(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("en", "en") -> 1L, ("en", "de") -> 1L,
+      ("es", "es") -> 1L))
+  }
+
   test("cohortLtv: pre-cohort and cohortless revenue dropped; cumulative per cohort") {
     val wk = 604800L
     val ev = Seq(
