@@ -80,6 +80,33 @@ object UserStats {
       .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user session stats — [[graft.engine.Sessionize]] aimed at the
+    * USER axis (the product-analytics flavor: visit counts and visit
+    * lengths, not series activity): events more than `gap` seconds
+    * apart split sessions; per user, the session count, event count,
+    * and summed session duration. One lag window + running sum per
+    * user (the sessionize idiom) + two hash aggregations; all exact
+    * int64 seconds. */
+  def sessionStats(events: DataFrame, gap: Long = 1800L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc)
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events.select(col("user_id"), col("ts"))
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts") - col("__prev") > gap, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")) - min(col("ts"))).as("dur"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+        sum(col("dur")).as("dur_sum"))
+  }
+
   /** Cohort LTV — revenue per signup cohort by week since signup: the
     * triangle finance reads payback periods off. Users cohort by
     * their FIRST `cohortEvent` week; every `revenueEvent`'s value

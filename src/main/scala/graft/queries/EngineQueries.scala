@@ -686,6 +686,20 @@ object EngineQueries {
         |SELECT active_days, count(*) AS n_users FROM a GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.UserStats.powerCurve(userEvents(s, d)))
     },
+    // per-user session stats (sessionize on the USER axis): 30-min
+    // inactivity gap; exact counts and summed durations
+    Entry("us_sessions",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts FROM events),
+        |l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |n AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev > 1800 THEN 1 ELSE 0 END AS nw FROM l),
+        |i AS (SELECT user_id, ts, sum(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM n),
+        |s AS (SELECT user_id, sid, count(*) AS n_events, max(ts) - min(ts) AS dur FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(sum(dur) AS BIGINT) AS dur_sum
+        |FROM s GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.sessionStats(userEvents(s, d),
+        gap = 1800L))
+    },
     // cohort LTV triangle: revenue (exact integer cents, same ×100
     // round as the integer point family) per signup cohort by weeks
     // since signup, with the running cumulative per cohort

@@ -177,6 +177,15 @@ class SeriesMathSpec extends AnyFunSuite {
       ("es", "es") -> 1L))
   }
 
+  test("sessionStats: gap splits sessions; ts ties stay in one session") {
+    val ev = Seq((1L, 0L, "a"), (1L, 100L, "b"), (1L, 100L, "c"),
+      (1L, 5000L, "d"), (2L, 9L, "a")).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.UserStats.sessionStats(ev, gap = 1800L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(1L -> ((2L, 4L, 100L)), 2L -> ((1L, 1L, 0L))))
+  }
+
   test("cohortLtv: pre-cohort and cohortless revenue dropped; cumulative per cohort") {
     val wk = 604800L
     val ev = Seq(
