@@ -58,7 +58,7 @@ object Bench {
     "ts_sax", "embed_pca", "ev_cohort_ltv", "ev_rfm",
     "ts_anomaly_intervals", "ts_forecast_hw", "text_ppl_buckets",
     "ts_trend_slope", "ts_rollup_pyramid", "ts_heavy_hitters",
-    "text_langid_eval", "us_sessions",
+    "text_langid_eval", "us_sessions", "ts_psi_drift",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

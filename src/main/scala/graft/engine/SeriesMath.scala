@@ -125,6 +125,46 @@ object SeriesMath {
         expr("CAST(floor(r * 1e6) AS BIGINT)").as("r_q6"))
   }
 
+  /** Distribution drift per series — the Population Stability Index
+    * between the FIRST and SECOND half of the time range, over
+    * `binWidth`-wide value bands: PSI = Σ_bins (p−q)·ln(p/q), the
+    * "did this metric's distribution move" monitor ML and SRE teams
+    * both run (PSI < 0.1 stable, > 0.25 shifted, by convention).
+    *
+    * Exactness: bin counts are integer; add-one smoothing over the
+    * series' own occupied-bin count B makes p = (c₀+1)/(n₀+B) and
+    * q = (c₁+1)/(n₁+B) strictly positive rationals; each bin's
+    * (p−q)·ln(p/q) is ONE fixed IEEE sequence from those integers,
+    * floor-quantized ×1e9 BEFORE the per-series sum — so the total is
+    * an exact, order-independent integer (the DSIR trick). Plan: one
+    * hash agg to (series, bin, half) counts, tiny per-series totals
+    * broadcast back, one final agg — raw points shuffle once. */
+  def psiDrift(points: DataFrame, binWidth: Long = 5000L): DataFrame = {
+    val mid = points.agg(
+      expr("min(ts) + (max(ts) - min(ts)) DIV 2").as("mid"))
+    val binned = points.crossJoin(broadcast(mid)).select(col("series"),
+      expr(s"(val - (((val % $binWidth) + $binWidth) % $binWidth)) DIV $binWidth")
+        .as("bin"),
+      when(col("ts") <= col("mid"), 0L).otherwise(1L).as("half"))
+    val c = binned.groupBy(col("series"), col("bin"))
+      .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c1"))
+    val tot = c.groupBy(col("series"))
+      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        count(lit(1)).as("b"))
+    c.join(broadcast(tot), Seq("series"))
+      .withColumn("contrib_q9", expr(
+        """CAST(floor(
+          |  (CAST(c0 + 1 AS DOUBLE) / CAST(n0 + b AS DOUBLE)
+          |   - CAST(c1 + 1 AS DOUBLE) / CAST(n1 + b AS DOUBLE))
+          |  * ln((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + b AS DOUBLE))
+          |       / (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + b AS DOUBLE)))
+          |  * 1e9) AS BIGINT)""".stripMargin))
+      .groupBy(col("series"))
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(col("b")).as("n_bins"), sum(col("contrib_q9")).as("psi_q9"))
+  }
+
   /** Per-bucket least-squares trend slope — the "which way is this
     * metric heading" arrow a dashboard draws per panel: within each
     * `bucket`-second cell, the OLS slope of val against the offset

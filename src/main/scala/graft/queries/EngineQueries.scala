@@ -585,6 +585,34 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.SeriesMath.acf(I(s, d),
         bucket = 3600L, maxLag = 24, minBuckets = 24L))
     },
+    // PSI drift per series (first vs second half of the range, 5000-
+    // wide value bands, add-one smoothing): each bin's contribution
+    // floor-quantized ×1e9 BEFORE the sum — order-independent integer
+    Entry("ts_psi_drift",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |md AS (SELECT min(ts) + (max(ts) - min(ts)) // 2 AS mid FROM p),
+         |b AS (SELECT series, (val - (((val % 5000) + 5000) % 5000)) // 5000 AS bin,
+         |       CASE WHEN ts <= md.mid THEN 0 ELSE 1 END AS half FROM p, md),
+         |c AS (SELECT series, bin,
+         |       CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |       CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |      FROM b GROUP BY 1, 2),
+         |t AS (SELECT series, CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+         |       count(*) AS bcnt FROM c GROUP BY 1),
+         |k AS (SELECT c.series, c.c0, c.c1, t.n0, t.n1, t.bcnt,
+         |       CAST(floor(
+         |         (CAST(c.c0 + 1 AS DOUBLE) / CAST(t.n0 + t.bcnt AS DOUBLE)
+         |          - CAST(c.c1 + 1 AS DOUBLE) / CAST(t.n1 + t.bcnt AS DOUBLE))
+         |         * ln((CAST(c.c0 + 1 AS DOUBLE) / CAST(t.n0 + t.bcnt AS DOUBLE))
+         |              / (CAST(c.c1 + 1 AS DOUBLE) / CAST(t.n1 + t.bcnt AS DOUBLE)))
+         |         * 1e9) AS BIGINT) AS contrib_q9
+         |      FROM c JOIN t USING (series))
+         |SELECT series, max(n0) AS n0, max(n1) AS n1, CAST(max(bcnt) AS BIGINT) AS n_bins,
+         |       CAST(sum(contrib_q9) AS BIGINT) AS psi_q9
+         |FROM k GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.psiDrift(I(s, d),
+        binWidth = 5000L))
+    },
     // per-(series, 6h) OLS trend slope: five exact int64 moments, one
     // deterministic IEEE divide, floor-quantized; degenerate cells out
     Entry("ts_trend_slope",

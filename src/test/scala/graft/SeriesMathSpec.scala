@@ -125,6 +125,18 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(out.size === 3, "inactive days must not be emitted")
   }
 
+  test("psiDrift: identical halves read exactly 0; a shifted band reads positive") {
+    val same = (0 until 10).map(i => ("same", i * 10L, i.toLong, 100L))
+    val shift = (0 until 5).map(i => ("shift", i * 10L, 100L + i, 100L)) ++
+      (5 until 10).map(i => ("shift", i * 10L, 100L + i, 10000L))
+    val out = graft.engine.SeriesMath.psiDrift(
+      (same ++ shift).toDF("series", "ts", "pid", "val"), binWidth = 5000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("same") === ((1L, 0L)), "no drift must read exactly 0")
+    assert(out("shift")._1 === 2L && out("shift")._2 > 0L, out.toString)
+  }
+
   test("trendSlope: exact OLS per bucket; degenerate time axis dropped") {
     val pts = Seq(
       ("s", 0L, 1L, 0L), ("s", 1L, 2L, 2L), ("s", 2L, 3L, 4L), // slope 2
