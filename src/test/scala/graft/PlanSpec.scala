@@ -360,6 +360,17 @@ class PlanSpec extends AnyFunSuite {
     assert(n === total)
   }
 
+  test("rollupPyramid reads raw points once: higher levels reuse the 1h exchange") {
+    val df = graft.engine.BucketStats.rollupPyramid(
+      SeriesStore.pointsI(spark, dir))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // one parquet scan; the 6h/1d branches re-aggregate the 1h
+    // exchange instead of replaying the scan lineage
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1, p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("seriesMath: one window pass for changepoints; lag explode never degenerates to a cross join") {
     import graft.engine.{SeriesMath, UserStats}
     val pts = SeriesStore.pointsI(spark, dir)
