@@ -120,10 +120,29 @@ object Anomaly {
     * fractional interpolation — fences don't need sub-element
     * resolution and staying on elements keeps everything int64), and
     * the 1.5 factor cross-multiplies: 2·val > 2·q3 + 3·IQR. One
-    * cell-bounded sorted-array aggregation per series (40 rows) is
-    * broadcast back; points never shuffle. Output = outlier rows only
-    * (series, ts, pid, val, q1, q3). */
-  def tukeyOutliers(points: DataFrame): DataFrame = {
+    * sorted-array aggregation per series is broadcast back; points
+    * never shuffle. Output = outlier rows only
+    * (series, ts, pid, val, q1, q3).
+    *
+    * The quartile buffer holds a WHOLE series' values — bigger than
+    * [[BucketStats.bucketPercentiles]]'s per-(series, bucket) cells —
+    * so the same `maxCell` guard applies (0 = unguarded): an
+    * oversized series raises the reference-style loud error before
+    * the buffering aggregation can OOM a task silently; the remedies
+    * are a narrower time window or the [[Sketches]] quantile path. */
+  def tukeyOutliers(points: DataFrame, maxCell: Long = 0L): DataFrame = {
+    if (maxCell > 0) {
+      val worst = points.groupBy(col("series"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx")).head()
+      val mx = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      if (mx > maxCell)
+        throw graft.parser.QueryError(
+          s"Query has reached the maximum number of selected points " +
+            s"($maxCell). Please use another time window, an " +
+            s"aggregation function or select less series to reduce " +
+            s"the number of points.")
+    }
     val f = points.groupBy(col("series"))
       .agg(expr("sort_array(collect_list(val))").as("__vs"),
         count(lit(1)).as("n"))

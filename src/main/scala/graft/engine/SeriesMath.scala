@@ -64,7 +64,7 @@ object SeriesMath {
     val h = points.groupBy(expr(groupExpr).as("grp"), col("series"),
         expr(s"ts DIV $bucket").as("bucket"))
       .agg(sum(col("val")).as("x"))
-    val lags = (-maxLag to maxLag).map(l => s"$l").mkString(", ")
+    val lags = (-maxLag to maxLag).map(l => s"${l}L").mkString(", ")
     val b = h.select(col("grp"), col("series"), col("bucket"), col("x"))
       .withColumn("lag", explode(expr(s"array($lags)")))
       .withColumn("abucket", col("bucket") - col("lag"))
@@ -74,7 +74,17 @@ object SeriesMath {
           col("a.series") < col("b.series"))
       .select(col("a.series").as("series_a"), col("b.series").as("series_b"),
         col("b.lag").as("lag"), col("a.x").as("x"), col("b.x").as("y"))
-    pairs.groupBy(col("series_a"), col("series_b"), col("lag"))
+    pearsonQ6(pairs, Seq("series_a", "series_b", "lag"), minBuckets)
+  }
+
+  /** The one shared Pearson tail — the five exact-int64 pair moments,
+    * the integer covariance/variance algebra, and the floor-quantized
+    * r, grouped by `keys` (which must include the pair identity).
+    * ONE definition so the bit-identical IEEE op sequence can never
+    * drift between [[laggedPearson]], [[acf]], and their oracles. */
+  private def pearsonQ6(pairs: DataFrame, keys: Seq[String],
+      minBuckets: Long): DataFrame = {
+    pairs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
@@ -85,8 +95,8 @@ object SeriesMath {
       .where(col("dx") > 0 && col("dy") > 0)
       .withColumn("r", col("num").cast("double") /
         (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
-      .select(col("series_a"), col("series_b"), col("lag"), col("n"),
-        expr("CAST(floor(r * 1e6) AS BIGINT)").as("r_q6"))
+      .select(keys.map(col) ++ Seq(col("n"),
+        expr("CAST(floor(r * 1e6) AS BIGINT)").as("r_q6")): _*)
   }
 
   /** Autocorrelation function — [[laggedPearson]] aimed at the series
@@ -102,7 +112,7 @@ object SeriesMath {
     val h = points.groupBy(col("series"),
         expr(s"ts DIV $bucket").as("bucket"))
       .agg(sum(col("val")).as("x"))
-    val lags = (1 to maxLag).map(_.toString).mkString(", ")
+    val lags = (1 to maxLag).map(l => s"${l}L").mkString(", ")
     val b = h.withColumn("lag", explode(expr(s"array($lags)")))
       .withColumn("abucket", col("bucket") - col("lag"))
     val pairs = h.as("a").join(b.as("b"),
@@ -110,19 +120,7 @@ object SeriesMath {
           col("a.bucket") === col("b.abucket"))
       .select(col("a.series").as("series"), col("b.lag").as("lag"),
         col("a.x").as("x"), col("b.x").as("y"))
-    pairs.groupBy(col("series"), col("lag"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
-      .where(col("n") >= minBuckets)
-      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
-      .where(col("dx") > 0 && col("dy") > 0)
-      .withColumn("r", col("num").cast("double") /
-        (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
-      .select(col("series"), col("lag"), col("n"),
-        expr("CAST(floor(r * 1e6) AS BIGINT)").as("r_q6"))
+    pearsonQ6(pairs, Seq("series", "lag"), minBuckets)
   }
 
   /** Distribution drift per series — the Population Stability Index
@@ -217,9 +215,15 @@ object SeriesMath {
       .withColumn("nb", count(lit(1)).over(before))
       .withColumn("after_sum", sum(col("x")).over(after))
       .withColumn("na", count(lit(1)).over(after))
-      .where(col("nb") === k && col("na") === k)
-      // buckets are contiguous on this data; require the window to
-      // SPAN exactly k buckets so a gap can't smear two regimes
+      .withColumn("minb", min(col("bucket")).over(before))
+      .withColumn("maxa", max(col("bucket")).over(after))
+      // k ROWS is not k BUCKETS when the series has idle gaps — a
+      // row-count-only guard would stitch the 'before' window across
+      // a gap into the previous regime and flag an ordinary resume as
+      // a shift. Require the frames to also SPAN exactly k buckets.
+      .where(col("nb") === k && col("na") === k &&
+        col("bucket") - col("minb") === k.toLong &&
+        col("maxa") - col("bucket") === (k - 1).toLong)
       .withColumn("shift", col("after_sum") - col("before_sum"))
       .where(abs(col("shift")) * 100L >= lit(relPct) * abs(col("before_sum")))
       .select(col("series"), col("bucket"), col("before_sum"),

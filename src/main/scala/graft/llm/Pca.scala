@@ -28,8 +28,14 @@ import org.apache.spark.sql.functions._
   * 1e-6, PSD spectrum, top-k explained variance ≥ the best k RAW
   * dimensions' variance — the optimality property that makes PCA
   * PCA); the oracle emits literal TRUE, so any broken eigensolve
-  * hash-mismatches. Exact while n·Σxq² < 2^63: with |x| ≤ ~2 → xq²
-  * ≤ 4e6, safe through ~10⁹ vectors per the headroom note. */
+  * hash-mismatches. int64 headroom for the verdict moments: var_num
+  * = n·Σxq² − (Σxq)², and n·Σxq² grows like n²·mean(xq²) — worst
+  * case (every |x| at 2 → xq² = 4e6) bounds n at ~1.5e6 vectors; for
+  * unit-norm 64-dim embeddings (mean xq² ≈ 1.6e4 per dim) at ~2.4e7.
+  * Past that, ANSI mode faults the multiply loudly (this project
+  * always runs ANSI); the remedy is coarsening the quantization
+  * (×100 buys 10⁴× rows) — the covariance/eigenbasis path itself is
+  * double-precision and unaffected. */
 object Pca {
 
   /** One-pass raw moments: (n, Σv, Σvvᵀ row-major). */

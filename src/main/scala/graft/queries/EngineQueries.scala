@@ -666,12 +666,14 @@ object EngineQueries {
          |h AS (SELECT series, ts // 3600 AS bucket, CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2),
          |w AS (SELECT series, bucket,
          |       CAST(sum(x) OVER wb AS BIGINT) AS before_sum, count(*) OVER wb AS nb,
-         |       CAST(sum(x) OVER wa AS BIGINT) AS after_sum, count(*) OVER wa AS na
+         |       CAST(sum(x) OVER wa AS BIGINT) AS after_sum, count(*) OVER wa AS na,
+         |       min(bucket) OVER wb AS minb, max(bucket) OVER wa AS maxa
          |      FROM h WINDOW
          |        wb AS (PARTITION BY series ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
          |        wa AS (PARTITION BY series ORDER BY bucket ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
          |SELECT series, bucket, before_sum, after_sum, after_sum - before_sum AS shift
          |FROM w WHERE nb = 24 AND na = 24
+         |  AND bucket - minb = 24 AND maxa - bucket = 23
          |  AND abs(after_sum - before_sum) * 100 >= 30 * abs(before_sum)
          |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.SeriesMath.meanShift(I(s, d),

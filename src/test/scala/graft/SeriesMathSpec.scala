@@ -35,12 +35,12 @@ class SeriesMathSpec extends AnyFunSuite {
     }.toDF("series", "ts", "pid", "val")
     val out = SeriesMath.laggedPearson(pts, bucket = 3600L, maxLag = 2,
         minBuckets = 10L).collect()
-      .map(r => r.getInt(2) -> r.getLong(4)).toMap
+      .map(r => r.getLong(2) -> r.getLong(4)).toMap
     // r = 1 mathematically; sqrt(dx)·sqrt(dy) rounds a hair above dx
     // in IEEE, so the floor-quantized read is 999999 — the SAME fixed
     // op sequence both engines run, which is what the oracle pins
-    assert(out(1) >= 999999L, s"aligned impulses must read r≈1: $out")
-    assert(out.filter(_._1 != 1).values.forall(_ < out(1)),
+    assert(out(1L) >= 999999L, s"aligned impulses must read r≈1: $out")
+    assert(out.filter(_._1 != 1L).values.forall(_ < out(1L)),
       s"every other lag must score below the true shift: $out")
   }
 
@@ -65,9 +65,9 @@ class SeriesMathSpec extends AnyFunSuite {
       .toDF("series", "ts", "pid", "val")
     val out = graft.engine.SeriesMath.acf(pts, bucket = 3600L, maxLag = 4,
         minBuckets = 10L).collect()
-      .map(r => r.getInt(1) -> r.getLong(3)).toMap
-    assert(out(2) >= 999999L && out(4) >= 999999L, s"even lags ≈ +1: $out")
-    assert(out(1) <= -999000L && out(3) <= -999000L, s"odd lags ≈ -1: $out")
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(2L) >= 999999L && out(4L) >= 999999L, s"even lags ≈ +1: $out")
+    assert(out(1L) <= -999000L && out(3L) <= -999000L, s"odd lags ≈ -1: $out")
   }
 
   test("tukeyOutliers: exact lower-element quartiles, 1.5·IQR fences") {
@@ -108,6 +108,26 @@ class SeriesMathSpec extends AnyFunSuite {
       (base ++ spikes).toDF("series", "ts", "pid", "val"), maxGap = 600L)
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(out === Set((1000L, 1500L, 2L), (3500L, 3500L, 1L)), out.toString)
+  }
+
+  test("meanShift: an idle gap never stitches two regimes into one window") {
+    // 24 buckets at 10, a 6-bucket hole, 24 buckets at 20: the only
+    // boundary with 24 rows each side SPANS the gap — must not score
+    val pts = ((0 until 24).map(i => ("g", i * 3600L, i.toLong, 10L)) ++
+      (30 until 54).map(i => ("g", i * 3600L, i.toLong, 20L)))
+      .toDF("series", "ts", "pid", "val")
+    val out = graft.engine.SeriesMath.meanShift(pts, bucket = 3600L,
+      k = 24, relPct = 30L).collect()
+    assert(out.isEmpty, s"gap-spanning windows must not score: ${out.toSeq}")
+  }
+
+  test("tukeyOutliers: maxCell guard faults loudly on an oversized series") {
+    val pts = (0 until 50).map(i => ("big", i.toLong, i.toLong, i.toLong))
+      .toDF("series", "ts", "pid", "val")
+    val e = intercept[graft.parser.QueryError] {
+      graft.engine.Anomaly.tukeyOutliers(pts, maxCell = 10L).collect()
+    }
+    assert(e.getMessage.contains("maximum number of selected points"))
   }
 
   test("stickiness: trailing-7d WAU; only active days emitted") {
