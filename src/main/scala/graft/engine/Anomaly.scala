@@ -31,6 +31,25 @@ object Anomaly {
     points.select(col("series"), col("ts"), col("pid"), col("val"))
       .withColumn("hour", expr("(ts DIV 3600) % 24"))
 
+  /** The one shared pre-check for operators that buffer a whole cell
+    * in a sorted array: one cheap count aggregation finds the largest
+    * cell of `grouped`, and a cell over `maxCell` raises the
+    * reference's loud selected-points error (remedies named) instead
+    * of letting the buffering aggregation OOM a task silently. */
+  private def guardCellSize(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      maxCell: Long): Unit = {
+    val worst = grouped.agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    val mx = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    if (mx > maxCell)
+      throw graft.parser.QueryError(
+        s"Query has reached the maximum number of selected points " +
+          s"($maxCell). Please use another time window, an " +
+          s"aggregation function or select less series to reduce " +
+          s"the number of points.")
+  }
+
   /** The trained baseline table: exact integer moments per
     * (series, hour-of-day) — 24 rows per series. This is the frame a
     * deployment persists and retrains on its own cadence; both the
@@ -86,10 +105,18 @@ object Anomaly {
     * (cell-bounded like [[BucketStats.bucketPercentiles]] — cells the
     * exact form outgrows belong to the sketch path) + the 24-rows-
     * per-series stats broadcast back; points never shuffle for the
-    * scoring join. Output (series, ts, pid, val, hour, med, mad,
+    * scoring join. A cell holds ~1/24 of a series' points — unbounded
+    * in the corpus — so the same `maxCell` guard as
+    * [[bucketPercentiles]]/[[tukeyOutliers]] applies (0 = unguarded):
+    * an oversized (series, hour) cell raises the reference-style loud
+    * error before the buffering aggregation can OOM a task silently;
+    * the remedies are a narrower time window or the [[Sketches]]
+    * quantile path. Output (series, ts, pid, val, hour, med, mad,
     * rz_q6, is_anomaly). */
-  def robustZ(points: DataFrame): DataFrame = {
+  def robustZ(points: DataFrame, maxCell: Long = 0L): DataFrame = {
     val p = withHour(points)
+    if (maxCell > 0)
+      guardCellSize(p.groupBy(col("series"), col("hour")), maxCell)
     val med = p.groupBy(col("series"), col("hour"))
       .agg(expr("sort_array(collect_list(val))").as("__vs"))
       .select(col("series"), col("hour"), expr(
@@ -131,18 +158,7 @@ object Anomaly {
     * the buffering aggregation can OOM a task silently; the remedies
     * are a narrower time window or the [[Sketches]] quantile path. */
   def tukeyOutliers(points: DataFrame, maxCell: Long = 0L): DataFrame = {
-    if (maxCell > 0) {
-      val worst = points.groupBy(col("series"))
-        .agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("mx")).head()
-      val mx = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-      if (mx > maxCell)
-        throw graft.parser.QueryError(
-          s"Query has reached the maximum number of selected points " +
-            s"($maxCell). Please use another time window, an " +
-            s"aggregation function or select less series to reduce " +
-            s"the number of points.")
-    }
+    if (maxCell > 0) guardCellSize(points.groupBy(col("series")), maxCell)
     val f = points.groupBy(col("series"))
       .agg(expr("sort_array(collect_list(val))").as("__vs"),
         count(lit(1)).as("n"))
@@ -165,10 +181,12 @@ object Anomaly {
     * interval walk runs on the ANOMALY frame only — typically orders
     * of magnitude smaller than points — via the sessionize idiom: one
     * lag() marks gap-exceeding starts, one running sum numbers the
-    * intervals, one hash agg summarizes them. Integer end to end. */
-  def anomalyIntervals(points: DataFrame, maxGap: Long = 7200L)
-      : DataFrame = {
-    val a = robustZ(points).where(col("is_anomaly"))
+    * intervals, one hash agg summarizes them. Integer end to end.
+    * `maxCell` passes through to the composed [[robustZ]] (same
+    * guard, same loud error, 0 = unguarded). */
+  def anomalyIntervals(points: DataFrame, maxGap: Long = 7200L,
+      maxCell: Long = 0L): DataFrame = {
+    val a = robustZ(points, maxCell).where(col("is_anomaly"))
       .select(col("series"), col("ts"), col("rz_q6"))
     val w = Window.partitionBy(col("series")).orderBy(col("ts").asc)
     val run = Window.partitionBy(col("series")).orderBy(col("ts").asc)

@@ -36,6 +36,8 @@ object Funnel {
   def funnel(events: DataFrame, user: String, ts: String, etype: String,
       steps: Seq[String], window: Long): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct")
     val ut = events.where(col(etype).isin(steps: _*))
       .groupBy(col(user).as("user_id"), col(etype).as("__t"))
       .agg(sort_array(collect_list(col(ts))).as("tss"))
@@ -345,39 +347,81 @@ object Funnel {
     * re-running [[funnel]] over the settled store is the audit path,
     * and with per-user in-order feeds the final streamed depth equals
     * the batch depth user-for-user, which StreamingSpec pins). Append
-    * mode, no watermark, advance-sized output. */
+    * mode, advance-sized output.
+    *
+    * State is BOUNDED BY ACTIVE CHAINS, not all users ever seen: a
+    * watermark (`maxLateness` seconds of allowed disorder) drives an
+    * event-time timeout at t1 + window, the moment after which the
+    * chain can never legally advance — a lapsed chain's state is
+    * EVICTED, so on a 100 TB/day event stream the store holds only
+    * users inside an open funnel window. After eviction a later
+    * step-1 event starts a FRESH chain (the live re-entrant reading a
+    * conversion ticker wants); the settled batch [[funnel]] remains
+    * the first-entry-only audit, so a re-entered user is the one
+    * documented live-vs-batch divergence — users whose single chain
+    * never lapses agree user-for-user, which StreamingSpec pins. */
   def streamingFunnel(stream: DataFrame, steps: Seq[String],
-      window: Long): org.apache.spark.sql.Dataset[FunnelAdvance] = {
+      window: Long, maxLateness: Long = 0L)
+      : org.apache.spark.sql.Dataset[FunnelAdvance] = {
     require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct")
     val spark = stream.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val stepIdx = steps.zipWithIndex.toMap
-    stream.select(col("user_id"), col("ts"), col("event_type"))
+    stream.select(col("user_id"), col("ts"), col("event_type"),
+        timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
       .where(col("event_type").isin(steps: _*))
-      .as[(Long, Long, String)]
+      // __et rides along untouched: the event-time checker requires the
+      // watermarked attribute in the stateful operator's input
+      .as[(Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, String)],
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
-          val batch = rows.toArray.sortBy(_._2)
-          var st = state.getOption
-          val out = Vector.newBuilder[FunnelAdvance]
-          batch.foreach { case (_, ts, etype) =>
-            st match {
-              case None if stepIdx(etype) == 0 =>
-                st = Some(FunnelState(ts, ts, 1))
-                out += FunnelAdvance(user, 1, ts)
-              case Some(s) if s.depth < steps.size &&
-                  stepIdx(etype) == s.depth &&
-                  ts > s.tLast && ts <= s.t1 + window =>
-                st = Some(FunnelState(s.t1, ts, s.depth + 1))
-                out += FunnelAdvance(user, s.depth + 1, ts)
-              case _ => // not the next step, out of window, or pre-entry
+          if (state.hasTimedOut) {
+            // t1 + window is behind the watermark: the chain can never
+            // advance again — drop it so state stays active-sized.
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toArray.sortBy(_._2)
+            var st = state.getOption
+            val out = Vector.newBuilder[FunnelAdvance]
+            batch.foreach { case (_, ts, etype, _) =>
+              st match {
+                case None if stepIdx(etype) == 0 =>
+                  st = Some(FunnelState(ts, ts, 1))
+                  out += FunnelAdvance(user, 1, ts)
+                case Some(s) if s.depth < steps.size &&
+                    stepIdx(etype) == s.depth &&
+                    ts > s.tLast && ts <= s.t1 + window =>
+                  st = Some(FunnelState(s.t1, ts, s.depth + 1))
+                  out += FunnelAdvance(user, s.depth + 1, ts)
+                case Some(s) if stepIdx(etype) == 0 && ts > s.t1 + window =>
+                  // the old chain lapsed (its eviction may still be
+                  // pending — timeouts only fire on data-less batches):
+                  // the same fresh start eviction-then-arrival gives.
+                  st = Some(FunnelState(ts, ts, 1))
+                  out += FunnelAdvance(user, 1, ts)
+                case _ => // not the next step, out of window, or pre-entry
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              // evict once the watermark passes the chain's last legal
+              // advance (+ lateness slack already inside the watermark);
+              // clamp above the current watermark — Spark rejects a
+              // timeout at or below it (possible when replaying history).
+              state.setTimeoutTimestamp(math.max(
+                (s.t1 + window) * 1000L + 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
       }
   }
 }

@@ -56,7 +56,14 @@ object SeriesMath {
     * of raw points — and the join aligns a.bucket = b.bucket − lag.
     * The five pair moments are exact int64 sums; r is quantized
     * floor(r·10⁶) off one deterministic int→double sequence. Pairs
-    * keep a lag only when ≥ minBuckets buckets overlap at that shift. */
+    * keep a lag only when ≥ minBuckets buckets overlap at that shift.
+    * Exact while n·Σx² < 2^63, i.e. n·max|bucket sum| ≲ 3·10⁹ (the
+    * [[trendSlope]] headroom convention): hourly sums ≤ 10⁶ hold to
+    * ~3000 buckets (≈4 months); per-bucket sums ~10⁹ overflow within
+    * ~3 buckets and ANSI mode faults loudly. Coarsening the bucket
+    * does NOT buy headroom here (n shrinks but the sums grow in step);
+    * the remedies are a shorter time range or pre-scaled values
+    * (val DIV s before the rollup). */
   def laggedPearson(points: DataFrame, bucket: Long = 3600L,
       maxLag: Int = 2, minBuckets: Long = 24L,
       groupExpr: String = "regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")
@@ -106,7 +113,11 @@ object SeriesMath {
     * rollup-first shape — side b is the SAME series' rollup exploded
     * by the constant lag list, the join is per-series co-partitioned
     * (series rides the key), moments exact int64, r floor-quantized
-    * ×1e6 off the one fixed IEEE sequence. */
+    * ×1e6 off the one fixed IEEE sequence. Same int64 headroom as
+    * [[laggedPearson]] — exact while n·max|bucket sum| ≲ 3·10⁹; ANSI
+    * mode faults loudly beyond, and the remedy is a shorter range or
+    * pre-scaled values (coarsening the bucket does not help: the sums
+    * grow as fast as n shrinks). */
   def acf(points: DataFrame, bucket: Long = 3600L, maxLag: Int = 24,
       minBuckets: Long = 24L): DataFrame = {
     val h = points.groupBy(col("series"),

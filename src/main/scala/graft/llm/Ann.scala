@@ -283,7 +283,9 @@ object Ann {
     // a zero-norm side (possible for PQ SUBvectors — a block-sparse
     // vector's subspace slice can be exactly zero) has no cosine:
     // score it -2, below any real similarity, so assignment stays
-    // deterministic (ties → lowest cell) instead of ANSI-faulting.
+    // deterministic (ties → lowest cell). Unguarded, the 0/0 double
+    // divide yields NaN (double division never ANSI-faults), and a
+    // NaN csim would win max_by nondeterministically.
     // The oracle replays omit the branch: the shipped embedding
     // corpora have no zero-norm (sub)vectors, so it is unreachable
     // there — it exists for corpora that do.

@@ -130,6 +130,24 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maximum number of selected points"))
   }
 
+  test("robustZ/anomalyIntervals: maxCell guard faults on an oversized (series, hour) cell, passes under it") {
+    // 50 points all inside one hour → one (series, hour) cell of 50
+    val pts = (0 until 50).map(i => ("big", i.toLong, i.toLong, i.toLong))
+      .toDF("series", "ts", "pid", "val")
+    val e = intercept[graft.parser.QueryError] {
+      graft.engine.Anomaly.robustZ(pts, maxCell = 10L).collect()
+    }
+    assert(e.getMessage.contains("maximum number of selected points"))
+    val e2 = intercept[graft.parser.QueryError] {
+      graft.engine.Anomaly.anomalyIntervals(pts, maxCell = 10L).collect()
+    }
+    assert(e2.getMessage.contains("maximum number of selected points"))
+    // under the cap both run clean
+    assert(graft.engine.Anomaly.robustZ(pts, maxCell = 100L)
+      .collect().length == 50)
+    graft.engine.Anomaly.anomalyIntervals(pts, maxCell = 100L).collect()
+  }
+
   test("stickiness: trailing-7d WAU; only active days emitted") {
     val ev = Seq(
       (1L, 100L, "view"), (2L, 200L, "view"),       // day 0: users 1, 2

@@ -407,4 +407,38 @@ class StreamingSpec extends AnyFunSuite {
         s"live=$liveDepth batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming funnel evicts lapsed chains (state stays active-sized) and a later entry starts fresh") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = graft.engine.Funnel.streamingFunnel(
+      ms.toDF().toDF("user_id", "ts", "event_type"), steps, window = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_evict").start()
+    try {
+      // b1: u1 and u2 enter (windows close at 110 / 130)
+      ms.addData((1L, 10L, "view"), (2L, 30L, "view"))
+      q.processAllAvailable()
+      // b2: u9 enters far later — pushes the watermark to 300
+      ms.addData((9L, 300L, "view"))
+      q.processAllAvailable()
+      // b3: u9 advances; u1/u2 have no data and their timeouts are
+      // behind the 300 s watermark → their state is evicted here
+      ms.addData((9L, 310L, "click"))
+      q.processAllAvailable()
+      // b4: u1 re-enters AFTER its old window lapsed → fresh chain
+      ms.addData((1L, 400L, "view"), (1L, 420L, "click"))
+      q.processAllAvailable()
+      val adv = spark.sql("SELECT user_id, depth, ts FROM funnel_evict")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(adv === Set((1L, 1, 10L), (2L, 1, 30L), (9L, 1, 300L),
+        (9L, 2, 310L), (1L, 1, 400L), (1L, 2, 420L)), adv.toString)
+      // without eviction the store would still hold u1-old, u2 and u9
+      // (3 keys); eviction leaves at most {u9, u1-fresh}
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+    } finally q.stop()
+  }
 }

@@ -88,6 +88,15 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L), out.toString)
   }
 
+  test("funnel: duplicated step names are rejected loudly") {
+    val ev = Seq((1L, 10L, "view")).toDF("user_id", "ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "view"), window = 100L)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("funnelRetry: a stalled first entry retries from later step-1 events (the funnel divergence)") {
     val ev = Seq(
       // u1: first view's chain stalls (click lands outside the 100 s
