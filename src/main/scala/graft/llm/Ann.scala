@@ -701,9 +701,9 @@ object Ann {
     val dense = topK(scored, depth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dr"))
-    val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lexW = Window.orderBy(col("bm25_q6").desc, col("doc_id").asc)
     val lex = TextStats.bm25(docsMeta, terms)
-      .orderBy(col("bm25").desc, col("doc_id").asc).limit(depth)
+      .orderBy(col("bm25_q6").desc, col("doc_id").asc).limit(depth)
       .withColumn("lr", row_number().over(lexW))
       .select(col("doc_id"), col("lr"))
     // query-id list from the nQueries-row q frame, NOT a distinct()

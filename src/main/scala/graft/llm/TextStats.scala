@@ -27,9 +27,11 @@ object TextStats {
   /** Per-document top-k characteristic terms by tf-idf — the keyword
     * extraction step of corpus analysis/curation pipelines. tf is the
     * in-document term count, idf = ln(N/df) over the corpus; the score
-    * is quantized to fixed point (round(tf·idf·1e6) AS BIGINT) before
+    * is quantized to fixed point (floor(tf·idf·1e6) AS BIGINT) before
     * ranking so the ordering is engine-reproducible (the lm-perplexity
-    * trick), ties broken by term. The plan is two hash aggregations
+    * trick — floor, not round, per the Interpolate.scala rationale:
+    * the two engines' round() implementations can disagree by one ulp
+    * of the last digit on the SAME double), ties broken by term. The plan is two hash aggregations
     * (term counts, document frequencies), a broadcast of the 1-row
     * corpus size, and a per-document window — partitioned by doc_id,
     * never a global sort. */
@@ -43,7 +45,7 @@ object TextStats {
       .partitionBy(col("doc_id")).orderBy(col("q").desc, col("term").asc)
     tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .withColumn("q", expr(
-        "CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)"))
+        "CAST(floor(tf * ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"))
@@ -338,9 +340,14 @@ object TextStats {
     *
     * Exactness across engines: a per-document SUM of doubles is
     * addition-order-dependent, so each pair's logp is quantized to
-    * fixed point (round(logp*1e6) as BIGINT) and the document score is
-    * an exact integer sum — order-independent by construction, and the
-    * one double op per pair is bit-deterministic on both sides.
+    * fixed point (floor(logp*1e6) as BIGINT — floor because the two
+    * engines' round() half-boundary behavior can differ on the same
+    * double, the Interpolate.scala rationale) and the document score
+    * is an exact integer sum — order-independent by construction, and
+    * the one double op per pair is bit-deterministic on both sides.
+    * The doc-level average stays in integer land too:
+    * avg_nll_q6 = (−sq) DIV n_pairs (positive operands — truncation
+    * is floor in both engines; no double ever reappears).
     *
     * Scale shape: ONE pass over the exploded pair stream — it is
     * aggregated per (doc, w1, w2) first (map-side combine shrinks the
@@ -355,7 +362,7 @@ object TextStats {
     * linear in corpus size. */
   def lmPerplexity(docs: DataFrame): DataFrame =
     pairNll(docs, pin = false).select(col("doc_id"), col("n_pairs"),
-      expr("round(-sq / (n_pairs * 1e6), 6)").as("avg_nll"))
+      expr("(-sq) DIV n_pairs").as("avg_nll_q6"))
 
   /** The shared bigram-NLL core of [[lmPerplexity]] and
     * [[pplBuckets]]: (doc_id, n_pairs, sq) with sq the exact integer
@@ -394,7 +401,7 @@ object TextStats {
     val out = pairs.join(c2, Seq("w1", "w2")).join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("k"), expr(
-        "CAST(round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT)")
+        "CAST(floor(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT)")
         .as("q"))
       .groupBy("doc_id")
       .agg(sum(col("k")).as("n_pairs"), sum(expr("k * q")).as("sq"))
@@ -438,7 +445,8 @@ object TextStats {
     * 1-row aggregate broadcast to a narrow per-document map stage —
     * no shuffle touches the documents themselves. All doubles derive
     * from integer counts through a fixed op order, so the score is
-    * bit-deterministic. */
+    * bit-deterministic; it ships floor-quantized ×1e6 (bm25_q6) so no
+    * engine-specific round() step can disagree on the boundary. */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")))
@@ -463,7 +471,8 @@ object TextStats {
           lit(b) * col("dl").cast("double") / avgdl))
     }.reduce(_ + _)
     flagged.crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("dl"), round(score, 6).as("bm25"))
+      .select(col("doc_id"), col("dl"),
+        floor(score * lit(1e6)).cast("long").as("bm25_q6"))
   }
 
   /** PMI collocation extraction: pointwise mutual information of each
@@ -474,7 +483,8 @@ object TextStats {
     * or n-gram-LM training. Two count aggregations plus a join of the
     * (already frequency-pruned) bigram table against the unigram
     * table; integer counts everywhere until one deterministic double
-    * expression per surviving bigram. */
+    * expression per surviving bigram, shipped floor-quantized ×1e6
+    * (pmi_q6 — the Interpolate.scala round()-divergence rationale). */
   def pmi(docs: DataFrame, minFreq: Long = 20): DataFrame = {
     val t = docs.select(expr(tok).as("w"))
     val uni = t.select(explode(col("w")).as("tk"))
@@ -493,8 +503,8 @@ object TextStats {
       .join(uni.select(col("tk").as("w2"), col("c1").as("c1b")), Seq("w2"))
       .crossJoin(broadcast(totals)).crossJoin(broadcast(n2))
       .select(col("w1"), col("w2"), col("freq"), expr(
-        "round(ln((CAST(freq AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * c1a * c1b)), 6)")
-        .as("pmi"))
+        "CAST(floor(ln((CAST(freq AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * c1a * c1b)) * 1000000) AS BIGINT)")
+        .as("pmi_q6"))
   }
 
   /** Context-window chunking — the 1→N prep step that turns documents
@@ -587,16 +597,18 @@ object TextStats {
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(raw.agg(sum(col("cr")).as("tr"))))
       .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
-      // identical op order to the oracle: two ln's, subtract, scale.
-      // Accepted residual risk: JVM Math.log and libm ln may differ by
-      // 1 ulp, so a log-ratio landing WITHIN 1 ulp of a .5×10⁻⁶
-      // boundary could quantize differently across engines (floor
-      // would have the same boundary sensitivity at integers — no
-      // quantizer removes it). The inputs are integer-count ratios, so
-      // a boundary landing is a measure-zero corpus coincidence; the
-      // per-doc SUM of quantized integers stays exact either way.
+      // identical op order to the oracle: two ln's, subtract, scale,
+      // FLOOR. Floor (not round) removes the engines' round()-
+      // implementation divergence on identical doubles (the
+      // Interpolate.scala rationale); the residual risk that remains
+      // is shared by any quantizer — JVM Math.log and libm ln may
+      // differ by 1 ulp, so a log-ratio landing WITHIN 1 ulp of an
+      // integer ×1e6 boundary could still quantize differently. The
+      // inputs are integer-count ratios, so that landing is a
+      // measure-zero corpus coincidence; the per-doc SUM of quantized
+      // integers stays exact either way.
       .select(col("b"), expr(
-        s"CAST(round((ln((ct + 1) / CAST(tt + $buckets AS DOUBLE)) - " +
+        s"CAST(floor((ln((ct + 1) / CAST(tt + $buckets AS DOUBLE)) - " +
           s"ln((cr + 1) / CAST(tr + $buckets AS DOUBLE))) * 1000000) " +
           "AS BIGINT)").as("q"))
     val out = db.join(broadcast(dist), Seq("b"))

@@ -936,13 +936,13 @@ object DataOpsQueries {
         |       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
         |       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
         |      FROM d),
-        |bm AS (SELECT doc_id, round(
+        |bm AS (SELECT doc_id, CAST(floor((
         |    ln(1.0::DOUBLE + (n - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE)) * (CAST(tf_0 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_0 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
         |  + ln(1.0::DOUBLE + (n - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE)) * (CAST(tf_1 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_1 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
         |  + ln(1.0::DOUBLE + (n - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE)) * (CAST(tf_2 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_2 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
-        |  , 6) AS bm25
+        |  ) * 1000000) AS BIGINT) AS bm25_q6
         |FROM d, s),
-        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_q6 DESC, doc_id) AS lr
         |        FROM bm QUALIFY lr <= 20),
         |lc AS (SELECT qs.query_id, bmr.doc_id, bmr.lr
         |       FROM (SELECT query_id FROM q) qs, bmr
@@ -1082,7 +1082,7 @@ object DataOpsQueries {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
-        |s AS (SELECT doc_id, term, CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS q
+        |s AS (SELECT doc_id, term, CAST(floor(tf * ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS q
         |      FROM tf JOIN dfq USING (term), n)
         |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, term) AS BIGINT) AS rank, term
         |FROM s QUALIFY rank <= 3 ORDER BY ALL""".stripMargin) {
@@ -1172,11 +1172,11 @@ object DataOpsQueries {
         |       FROM t WHERE len(w) >= 2),
         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
         |p AS (SELECT b.doc_id,
-        |       CAST(round(ln((c2t.c2 + 1) / CAST(c1t.c1 + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+        |       CAST(floor(ln((c2t.c2 + 1) / CAST(c1t.c1 + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
         |      FROM bi b JOIN c2t ON c2t.w1 = b.w1 AND c2t.w2 = b.w2
         |                JOIN c1t ON c1t.w1 = b.w1, vv)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |       round(-sum(q) / (count(*) * 1e6), 6) AS avg_nll
+        |       CAST((-sum(q)) // count(*) AS BIGINT) AS avg_nll_q6
         |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.lmPerplexity(docs(s, d)))
     },
@@ -1214,7 +1214,7 @@ object DataOpsQueries {
         |       FROM t WHERE len(w) >= 2),
         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
         |p AS (SELECT b.doc_id,
-        |       CAST(round(ln((c2t.c2 + 1) / CAST(c1t.c1 + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
+        |       CAST(floor(ln((c2t.c2 + 1) / CAST(c1t.c1 + vv.v AS DOUBLE)) * 1000000) AS BIGINT) AS q
         |      FROM bi b JOIN c2t ON c2t.w1 = b.w1 AND c2t.w2 = b.w2
         |                JOIN c1t ON c1t.w1 = b.w1, vv),
         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1244,11 +1244,11 @@ object DataOpsQueries {
         |       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
         |       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
         |      FROM d)
-        |SELECT doc_id, dl, round(
+        |SELECT doc_id, dl, CAST(floor((
         |    ln(1.0::DOUBLE + (n - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE)) * (CAST(tf_0 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_0 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
         |  + ln(1.0::DOUBLE + (n - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE)) * (CAST(tf_1 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_1 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
         |  + ln(1.0::DOUBLE + (n - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE)) * (CAST(tf_2 AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) / (CAST(tf_2 AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
-        |  , 6) AS bm25
+        |  ) * 1000000) AS BIGINT) AS bm25_q6
         |FROM d, s ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.bm25(docs(s, d),
         terms = Seq("table", "spark", "query")))
@@ -1268,7 +1268,7 @@ object DataOpsQueries {
         |raw AS (SELECT b, sum(k) AS cr FROM db GROUP BY 1),
         |tgt AS (SELECT b, sum(k) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
         |tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt),
-        |dist AS (SELECT b, CAST(round((ln((coalesce(ct, 0) + 1) / CAST(tt + 1024 AS DOUBLE)) - ln((cr + 1) / CAST(tr + 1024 AS DOUBLE))) * 1000000) AS BIGINT) AS q
+        |dist AS (SELECT b, CAST(floor((ln((coalesce(ct, 0) + 1) / CAST(tt + 1024 AS DOUBLE)) - ln((cr + 1) / CAST(tr + 1024 AS DOUBLE))) * 1000000) AS BIGINT) AS q
         |         FROM raw LEFT JOIN tgt USING (b), tot)
         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
         |       CAST(sum(k * q) AS BIGINT) AS logw_q6
@@ -1287,7 +1287,7 @@ object DataOpsQueries {
         |c2t AS (SELECT w1, w2, count(*) AS freq FROM bi GROUP BY 1, 2),
         |n2t AS (SELECT count(*) AS n2 FROM bi)
         |SELECT c.w1, c.w2, c.freq,
-        |  round(ln((CAST(c.freq AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * a.c1 * b.c1)), 6) AS pmi
+        |  CAST(floor(ln((CAST(c.freq AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * a.c1 * b.c1)) * 1000000) AS BIGINT) AS pmi_q6
         |FROM c2t c JOIN c1t a ON a.tk = c.w1 JOIN c1t b ON b.tk = c.w2, tot, n2t
         |WHERE c.freq >= 20 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.pmi(docs(s, d), minFreq = 20))
