@@ -65,6 +65,35 @@ object EngineQueries {
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
 
+  /** Deterministic in-query fixture: two hourly series over 144
+    * contiguous hours, `fx.a` with a daily sawtooth AND a genuine
+    * +2000 level shift at hour 72, `fx.b` seasonal-only. The harness
+    * corpus has no contiguous ≥48 h series and no ≥30% level shift at
+    * k=24, so the ts_forecast_hw / ts_changepoint oracles hash-match
+    * on 0 rows there (vacuously); the `_fixture` twins run the same
+    * operators over this generated frame so the intricate oracle SQL
+    * is exercised non-vacuously at every sf. Pure integer arithmetic
+    * on an index — bit-identical in both engines, no files read. */
+  private def fxPoints(s: SparkSession): DataFrame =
+    s.range(144).selectExpr(
+        "explode(array(" +
+          "named_struct('series', 'fx.a', 'val', " +
+          "  1000L + 50L * (id % 24) + IF(id >= 72, 2000L, 0L)), " +
+          "named_struct('series', 'fx.b', 'val', " +
+          "  500L + 30L * ((id * 7L) % 24)))) AS p",
+        "id")
+      .select(col("p.series").as("series"), (col("id") * 3600L).as("ts"),
+        col("id").as("pid"), col("p.val").as("val"))
+
+  /** The DuckDB twin of [[fxPoints]] — CTEs ending in `p`. */
+  private val FXSQL =
+    """g AS (SELECT i FROM range(144) t(i)),
+      |p AS (SELECT 'fx.a' AS series, i * 3600 AS ts, i AS pid,
+      |             1000 + 50 * (i % 24) + CASE WHEN i >= 72 THEN 2000 ELSE 0 END AS val
+      |      FROM g
+      |      UNION ALL
+      |      SELECT 'fx.b', i * 3600, i, 500 + 30 * ((i * 7) % 24) FROM g)""".stripMargin
+
   /** Chain output with the float value rounded for oracle compare. */
   private def rounded(df: DataFrame): DataFrame =
     df.select(col("series"), col("ts"), round(col("val"), 6).as("val"))
@@ -678,6 +707,27 @@ object EngineQueries {
          |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.SeriesMath.meanShift(I(s, d),
         bucket = 3600L, k = 24, relPct = 30L))
+    },
+    // the same operator over the generated fixture (fxPoints): the
+    // level shift at hour 72 GUARANTEES flagged boundaries, so the
+    // window SQL is verified on non-empty output at every sf
+    Entry("ts_changepoint_fixture",
+      s"""WITH $FXSQL,
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(sum(val) AS BIGINT) AS x FROM p GROUP BY 1, 2),
+         |w AS (SELECT series, bucket,
+         |       CAST(sum(x) OVER wb AS BIGINT) AS before_sum, count(*) OVER wb AS nb,
+         |       CAST(sum(x) OVER wa AS BIGINT) AS after_sum, count(*) OVER wa AS na,
+         |       min(bucket) OVER wb AS minb, max(bucket) OVER wa AS maxa
+         |      FROM h WINDOW
+         |        wb AS (PARTITION BY series ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+         |        wa AS (PARTITION BY series ORDER BY bucket ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
+         |SELECT series, bucket, before_sum, after_sum, after_sum - before_sum AS shift
+         |FROM w WHERE nb = 24 AND na = 24
+         |  AND bucket - minb = 24 AND maxa - bucket = 23
+         |  AND abs(after_sum - before_sum) * 100 >= 30 * abs(before_sum)
+         |ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(graft.engine.SeriesMath.meanShift(fxPoints(s),
+        bucket = 3600L, k = 24, relPct = 30L))
     })
 
   // ---- user-activity health metrics (beyond-reference; UserStats) ----
@@ -1001,6 +1051,45 @@ object EngineQueries {
          |       CAST(floor((l + b + s[CAST((lastb + 1) % 24 AS INT) + 1]) * 1000000.0) AS BIGINT) AS forecast_q6
          |FROM walk WHERE i = n ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Forecast.holtWinters(I(s, d),
+        bucket = 3600L, lastN = 96, m = 24,
+        alpha = 0.5, beta = 0.25, gamma = 0.25))
+    },
+    // the same fold over the generated fixture (fxPoints): 144
+    // contiguous hourly buckets pass the 2-season contiguity guard,
+    // so the recursive-CTE walk is verified on 2 REAL rows at every
+    // sf (the harness corpus alone leaves ts_forecast_hw vacuous)
+    Entry("ts_forecast_hw_fixture",
+      s"""WITH RECURSIVE $FXSQL,
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(CAST(sum(val) AS BIGINT) AS DOUBLE) AS y FROM p GROUP BY 1, 2),
+         |r AS (SELECT series, bucket, y, row_number() OVER (PARTITION BY series ORDER BY bucket DESC) AS rk FROM h),
+         |m AS (SELECT series, list(struct_pack(bucket := bucket, y := y) ORDER BY bucket) AS a,
+         |             count(*) AS n, min(bucket) AS fb, max(bucket) AS lastb
+         |      FROM r WHERE rk <= 96 GROUP BY 1
+         |      HAVING count(*) >= 48 AND max(bucket) - min(bucket) + 1 = count(*)),
+         |walk AS (
+         |  SELECT series, a, n, fb, lastb, 1 AS i, a[1].y AS suml,
+         |         CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b,
+         |         CAST(NULL AS DOUBLE[]) AS s
+         |  FROM m
+         |  UNION ALL
+         |  SELECT series, a, n, fb, lastb, i + 1,
+         |    CASE WHEN i + 1 <= 24 THEN suml + a[i + 1].y ELSE suml END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN (suml + a[i + 1].y) / 24.0
+         |         ELSE 0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b) END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE 0.25 * ((0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b)) - l) + 0.75 * b END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN list_transform(range(24), k -> a[CAST((24 + k - fb % 24) % 24 AS INT) + 1].y - (suml + a[i + 1].y) / 24.0)
+         |         ELSE list_transform(range(24), j -> CASE WHEN j = CAST(a[i + 1].bucket % 24 AS INT)
+         |              THEN 0.25 * (a[i + 1].y - (0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b))) + 0.75 * s[j + 1]
+         |              ELSE s[j + 1] END) END
+         |  FROM walk WHERE i < n)
+         |SELECT series, CAST(n AS BIGINT) AS n_buckets, lastb AS last_bucket,
+         |       CAST(floor((l + b + s[CAST((lastb + 1) % 24 AS INT) + 1]) * 1000000.0) AS BIGINT) AS forecast_q6
+         |FROM walk WHERE i = n ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(graft.engine.Forecast.holtWinters(fxPoints(s),
         bucket = 3600L, lastN = 96, m = 24,
         alpha = 0.5, beta = 0.25, gamma = 0.25))
     })
