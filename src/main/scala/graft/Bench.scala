@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * representative without re-running every registered variant, and it
   * excludes the O(n²) oracle-check-only variants (ann_cosine_pairs,
   * dedup_ngram_jaccard) whose exact forms exist for the sf0.01
-  * differential test, not for scale.
+  * differential test, not for scale, and the constant-size generated
+  * fixtures (ts_forecast_hw_fixture, ts_changepoint_fixture) whose
+  * input never scales with sf.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -59,6 +61,10 @@ object Bench {
     "ts_anomaly_intervals", "ts_forecast_hw", "text_ppl_buckets",
     "ts_trend_slope", "ts_rollup_pyramid", "ts_heavy_hitters",
     "text_langid_eval", "us_sessions", "ts_psi_drift",
+    // round-13 additions: SLO burn-rate alerting, seasonality
+    // strength, capacity ETA, A/B readout
+    "ts_slo_burn", "ts_seasonal_strength", "ts_threshold_eta",
+    "ev_ab_test",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim
@@ -124,13 +130,26 @@ object Bench {
       if (times.isEmpty) None
       else Some((name, times(times.size / 2), times.last - times.head))
     }
-    val qjson = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    // the round driver captures only the LAST 2000 chars of output, so
+    // the layout is tail-critical: spreads go on their own EARLIER
+    // line (diagnostic, truncation-tolerated), and the final contract
+    // line ends with a compact fixed-order median ARRAY ("q", indexed
+    // by graft.Bench.headline) + metadata — ~850 chars, so every
+    // entry's median survives in the captured tail even though the
+    // full name→median map ("queries", kept for untruncated parsing)
+    // overflows the window (BENCH_r12 lost the first ~50 entries).
+    def f3(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    val qjson = results.map { case (k, med, _) => "\"" + k + "\":" + f3(med) }
       .mkString("{", ",", "}")
-    val sjson = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
+    val sjson = results.map { case (k, _, sp) => "\"" + k + "\":" + f3(sp) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = f3(results.map(_._2).sum)
     val failedJson = failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"reps":$reps,"sf":"$sfDir","failed":$failedJson,"note":"per-query value = median of $reps runs, spread = max-min; action = bit_xor(xxhash64(all columns)): full materialization, overflow-free"}""")
+    val med = results.map(r => r._1 -> r._2).toMap
+    val arr = headline.map(n => med.get(n).map(f3).getOrElse("null"))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"spread","unit":"sec","spread":$sjson,"note":"max-min over $reps reps per entry; per-query value = median; action = bit_xor(xxhash64(all columns)): full materialization, overflow-free"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"q":$arr,"order":"graft.Bench.headline","reps":$reps,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

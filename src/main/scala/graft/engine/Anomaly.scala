@@ -264,4 +264,48 @@ object Anomaly {
           out.result().iterator
       }
   }
+
+  /** Multi-window multi-burn-rate SLO alert (the Google SRE workbook
+    * recipe): a sample is BAD when val > threshold; the burn rate of
+    * a window is its bad-sample fraction divided by the error budget
+    * `budgetNum/budgetDen`, and a page fires only where BOTH the
+    * short window (fast detection) and the long window (sustained
+    * burn — filters blips) exceed `factorX10/10` × budget. This is
+    * the alerting layer's "error-budget is burning 14.4× too fast"
+    * policy, expressed as ONE declarative pass.
+    *
+    * Exactness: bad/total counts come from two RANGE frames over the
+    * same per-series ts ordering (the [[MovingAgg.trailingTime]]
+    * shape — one shuffle, window-function reuse), and both rate
+    * comparisons cross-multiply to pure int64 tests
+    * (bad·10·budgetDen ≥ factorX10·budgetNum·n), so no float ever
+    * appears. Alert-sized output (series, ts, short_bad, short_n,
+    * long_bad, long_n). Headroom: bad·10·budgetDen < 2^63 — bounded
+    * by window sample count × budgetDen, never by val. */
+  def sloBurn(points: DataFrame, threshold: Long,
+      shortWin: Long = 3600L, longWin: Long = 21600L,
+      budgetNum: Long = 1L, budgetDen: Long = 100L,
+      factorX10: Long = 144L): DataFrame = {
+    require(shortWin > 0 && longWin > shortWin,
+      "need 0 < shortWin < longWin")
+    require(budgetNum > 0 && budgetDen >= budgetNum && factorX10 > 0,
+      "budget must be a fraction in (0,1], factorX10 positive")
+    val ws = Window.partitionBy(col("series")).orderBy(col("ts").asc)
+      .rangeBetween(-(shortWin - 1L), Window.currentRow)
+    val wl = Window.partitionBy(col("series")).orderBy(col("ts").asc)
+      .rangeBetween(-(longWin - 1L), Window.currentRow)
+    val burn = (bad: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =>
+      bad * lit(10L) * lit(budgetDen) >= lit(factorX10) * lit(budgetNum) * n
+    points.select(col("series"), col("ts"),
+        when(col("val") > threshold, 1L).otherwise(0L).as("__bad"))
+      .withColumn("short_bad", sum(col("__bad")).over(ws))
+      .withColumn("short_n", count(lit(1)).over(ws))
+      .withColumn("long_bad", sum(col("__bad")).over(wl))
+      .withColumn("long_n", count(lit(1)).over(wl))
+      .where(burn(col("short_bad"), col("short_n")) &&
+        burn(col("long_bad"), col("long_n")))
+      .select(col("series"), col("ts"), col("short_bad"), col("short_n"),
+        col("long_bad"), col("long_n"))
+  }
 }

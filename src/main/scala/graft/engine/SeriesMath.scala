@@ -240,4 +240,92 @@ object SeriesMath {
       .select(col("series"), col("bucket"), col("before_sum"),
         col("after_sum"), col("shift"))
   }
+
+  /** Seasonality strength per series — the one-number "is this metric
+    * diurnal" diagnostic: the ANOVA R² of the hour-of-day factor,
+    * SSB/SST = (n·Σ_h s_h²/n_h − S1²) / (n·S2 − S1²), where (n_h, s_h)
+    * are the per-(series, hour) count/sum and (n, S1, S2) the series
+    * totals. 1 − R² is the residual share the hour baseline cannot
+    * explain — the "strength" STL diagnostics report, without running
+    * a decomposition.
+    *
+    * Exactness: all moments are int64 hash-aggregation sums; the only
+    * non-integer term, Σ_h s_h²/n_h, is folded over the ≤24 hour
+    * cells in FIXED ascending-hour order (sort_array + aggregate), so
+    * it is ONE deterministic IEEE sequence from integers and the final
+    * R² floor-quantizes ×1e6 identically in any engine. Headroom:
+    * n·S2 < 2^63 — at |val| ≤ 5.6e4 that holds to ~5e4 points per
+    * series per the seasonalZ bound times n; coarsen the window or
+    * pre-scale beyond. Degenerate series (SST = 0: constant value)
+    * are dropped — a constant has no variance to explain. Plan: one
+    * hash agg to 24 rows/series, one 24-element fold; raw points
+    * shuffle once. Output (series, n, strength_q6). */
+  def seasonalStrength(points: DataFrame): DataFrame =
+    points.select(col("series"), expr("(ts DIV 3600) % 24").as("hour"),
+        col("val"))
+      .groupBy(col("series"), col("hour"))
+      .agg(count(lit(1)).as("nh"), sum(col("val")).as("sh"),
+        sum(col("val") * col("val")).as("s2h"))
+      .groupBy(col("series"))
+      .agg(sum(col("nh")).as("n"), sum(col("sh")).as("s1"),
+        sum(col("s2h")).as("s2"),
+        expr("sort_array(collect_list(struct(hour, nh, sh)))").as("__hs"))
+      .withColumn("__ssb_num", expr(
+        """aggregate(__hs, CAST(0.0 AS DOUBLE),
+          |  (acc, e) -> acc + CAST(e.sh AS DOUBLE) * CAST(e.sh AS DOUBLE)
+          |                    / CAST(e.nh AS DOUBLE))""".stripMargin))
+      .where(col("n") * col("s2") - col("s1") * col("s1") > 0L)
+      .select(col("series"), col("n"), expr(
+        """CAST(floor(
+          |  (CAST(n AS DOUBLE) * __ssb_num - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |  / CAST(n * s2 - s1 * s1 AS DOUBLE) * 1e6) AS BIGINT)""".stripMargin)
+        .as("strength_q6"))
+
+  /** Capacity ETA — "when does this metric hit `cap`": a per-series
+    * global OLS fit of val against the HOUR offset from the series'
+    * own start (t = (ts − min ts) DIV 3600 — the hour unit keeps the
+    * moment magnitudes int64-safe where raw seconds would overflow
+    * n·Σt², same normalization idea as [[trendSlope]]'s in-bucket
+    * offset), then the fitted line solved for the crossing:
+    * eta_hours = (cap − (a + b·t_last)) / b from the last observed
+    * hour. Only series still BELOW cap at the fit's end and RISING
+    * (b > 0) get an ETA — a falling or already-breached series has
+    * none, and is dropped rather than reported with a negative
+    * countdown. All five moments are exact int64 sums; slope,
+    * intercept and eta are one fixed IEEE sequence from them,
+    * floor-quantized ×1e6 / ×1e3. Exact while n·Σt·y < 2^63 —
+    * with t ≤ 720 (a 30-day window) and |val| ≤ 10⁶ that holds to
+    * ~10⁵ points per series; shorten the window beyond. Plan: the
+    * per-series start rides a whole-partition window min over the ONE
+    * series shuffle, and the moment aggregation reuses that exchange
+    * — points are scanned and shuffled once, no self-join. Output
+    * (series, n, slope_q6, eta_hours_q3). */
+  def thresholdEta(points: DataFrame, cap: Long): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+    points.select(col("series"), col("ts"), col("val"))
+      .withColumn("__t0", min(col("ts")).over(w))
+      .withColumn("__tmax", max(col("ts")).over(w))
+      .select(col("series"),
+        expr("(ts - __t0) DIV 3600").as("t"), col("val").as("y"),
+        expr("(__tmax - __t0) DIV 3600").as("__tl"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+        sum(col("t") * col("t")).as("stt"),
+        max(col("__tl")).as("tlast"))
+      .withColumn("num", col("n") * col("sty") - col("st") * col("sy"))
+      .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+      .where(col("den") > 0 && col("num") > 0)
+      .withColumn("b", col("num").cast("double") / col("den").cast("double"))
+      .withColumn("a",
+        (col("sy").cast("double") - col("b") * col("st").cast("double")) /
+          col("n").cast("double"))
+      .withColumn("fit_last",
+        col("a") + col("b") * col("tlast").cast("double"))
+      .where(col("fit_last") < lit(cap).cast("double"))
+      .select(col("series"), col("n"),
+        expr("CAST(floor(b * 1e6) AS BIGINT)").as("slope_q6"),
+        floor((lit(cap).cast("double") - col("fit_last")) / col("b") *
+          lit(1e3)).cast("long").as("eta_hours_q3"))
+  }
 }

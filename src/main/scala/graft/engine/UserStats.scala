@@ -169,4 +169,56 @@ object UserStats {
       .withColumn("m", quintile("cents").cast("long"))
       .withColumn("rfm", col("r") * 100L + col("f") * 10L + col("m"))
   }
+
+  /** A/B conversion readout — per candidate goal event: the
+    * two-proportion pooled z-test between the control and treatment
+    * arms, the number an experimentation dashboard prints next to
+    * every metric. Arms come from `armExpr` over the user id
+    * (default: the parity split — a deterministic stand-in for the
+    * assignment column a real experiment platform would carry;
+    * deployments pass their own expression). A user converts on goal
+    * g when they emitted g at least `minCount` times (1 = the classic
+    * did-it-at-all conversion; pass a higher cut when the corpus is
+    * dense enough that everyone does everything — a universal
+    * conversion has no variance and reads NULL); every distinct user
+    * in the event stream is an exposure.
+    *
+    * Plan: one distinct (user, goal) reduction + one distinct-user
+    * arm frame, two hash aggs to a ≤ (#event_types × 2)-row frame,
+    * the 2-row arm totals broadcast — nothing user-sized survives the
+    * aggregation. Exactness: n/c are integers; p0, p1, pooled p and z
+    * are ONE fixed IEEE sequence from them, floor-quantized ×1e6.
+    * Degenerate splits (either arm empty, pooled p ∈ {0, 1} — no
+    * variance) emit a NULL z rather than a fake zero. Output
+    * (goal, n0, c0, n1, c1, z_q6). */
+  def abTest(events: DataFrame, armExpr: String = "user_id % 2",
+      minCount: Long = 1L): DataFrame = {
+    val ua = events.select(col("user_id"),
+        expr(armExpr).cast("long").as("arm")).distinct()
+    val arms = ua.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val tot = arms.agg(
+      sum(when(col("arm") === 0L, col("n"))).as("n0"),
+      sum(when(col("arm") === 1L, col("n"))).as("n1"))
+    val conv = events.select(col("user_id"),
+        expr(armExpr).cast("long").as("arm"),
+        col("event_type").as("goal"))
+      .groupBy(col("user_id"), col("arm"), col("goal"))
+      .agg(count(lit(1)).as("__k"))
+      .where(col("__k") >= minCount)
+      .groupBy(col("goal"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
+    conv.crossJoin(broadcast(tot))
+      .select(col("goal"), col("n0"), col("c0"), col("n1"), col("c1"),
+        expr(
+          """CAST(floor(CASE
+            |  WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
+            |    THEN CAST(NULL AS DOUBLE)
+            |  ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            |        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+            |    / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            |           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+            |  END * 1e6) AS BIGINT)""".stripMargin).as("z_q6"))
+  }
 }

@@ -728,6 +728,49 @@ object EngineQueries {
          |ORDER BY ALL""".stripMargin) {
       (s, _) => ordered(graft.engine.SeriesMath.meanShift(fxPoints(s),
         bucket = 3600L, k = 24, relPct = 30L))
+    },
+    // hour-of-day ANOVA R² per series ("is this metric diurnal"):
+    // integer moments + ONE fixed-order 24-element double fold —
+    // DuckDB's list_reduce over a plain DOUBLE list replays Spark's
+    // aggregate() lambda term-for-term in ascending-hour order
+    // (0.0 + t1 = t1 exactly, so the missing init cancels)
+    Entry("ts_seasonal_strength",
+      s"""WITH p AS (SELECT series, (ts // 3600) % 24 AS hour, val FROM ($PI)),
+         |h AS (SELECT series, hour, count(*) AS nh, CAST(sum(val) AS BIGINT) AS sh,
+         |       CAST(sum(val * val) AS BIGINT) AS s2h FROM p GROUP BY 1, 2),
+         |s AS (SELECT series, CAST(sum(nh) AS BIGINT) AS n, CAST(sum(sh) AS BIGINT) AS s1,
+         |       CAST(sum(s2h) AS BIGINT) AS s2,
+         |       list_reduce(list_transform(list(struct_pack(nh := nh, sh := sh) ORDER BY hour),
+         |         e -> CAST(e.sh AS DOUBLE) * CAST(e.sh AS DOUBLE) / CAST(e.nh AS DOUBLE)),
+         |         (a, b) -> a + b) AS ssb
+         |      FROM h GROUP BY 1)
+         |SELECT series, n,
+         |       CAST(floor((CAST(n AS DOUBLE) * ssb - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |                  / CAST(n * s2 - s1 * s1 AS DOUBLE) * 1e6) AS BIGINT) AS strength_q6
+         |FROM s WHERE n * s2 - s1 * s1 > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.seasonalStrength(I(s, d)))
+    },
+    // capacity ETA: global per-series OLS on the hour offset, solved
+    // for the cap crossing; only rising, still-below-cap series emit
+    Entry("ts_threshold_eta",
+      s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
+         |m AS (SELECT series, min(ts) AS t0, max(ts) AS tmax FROM p GROUP BY 1),
+         |t AS (SELECT p.series, (p.ts - m.t0) // 3600 AS t, p.val AS y,
+         |       (m.tmax - m.t0) // 3600 AS tl FROM p JOIN m USING (series)),
+         |a AS (SELECT series, count(*) AS n, CAST(sum(t) AS BIGINT) AS st,
+         |       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sty,
+         |       CAST(sum(t * t) AS BIGINT) AS stt, max(tl) AS tlast
+         |      FROM t GROUP BY 1),
+         |g AS (SELECT series, n, CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) AS b,
+         |       st, sy, tlast FROM a WHERE n * stt - st * st > 0 AND n * sty - st * sy > 0),
+         |e AS (SELECT series, n, b,
+         |       (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+         |         + b * CAST(tlast AS DOUBLE) AS fit_last FROM g)
+         |SELECT series, n, CAST(floor(b * 1e6) AS BIGINT) AS slope_q6,
+         |       CAST(floor((60000 - fit_last) / b * 1e3) AS BIGINT) AS eta_hours_q3
+         |FROM e WHERE fit_last < 60000 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.SeriesMath.thresholdEta(I(s, d),
+        cap = 60000L))
     })
 
   // ---- user-activity health metrics (beyond-reference; UserStats) ----
@@ -814,6 +857,32 @@ object EngineQueries {
         |       r * 100 + f * 10 + m AS rfm
         |FROM s ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.UserStats.rfm(userEventsVal(s, d)))
+    },
+    // A/B readout: two-proportion pooled z per goal event between the
+    // deterministic parity arms; conversion = >=14 goal events (the
+    // per-user median is 13 at every sf, so the cut stays partial —
+    // with >=1 every user converts on everything and z is all-NULL);
+    // degenerate splits emit NULL z
+    Entry("ev_ab_test",
+      """WITH ua AS (SELECT DISTINCT user_id, user_id % 2 AS arm FROM events),
+        |tot AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM ua),
+        |cv AS (SELECT user_id, user_id % 2 AS arm, event_type AS goal FROM events
+        |       GROUP BY 1, 2, 3 HAVING count(*) >= 14),
+        |c AS (SELECT goal, CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |              CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM cv GROUP BY 1)
+        |SELECT goal, n0, c0, n1, c1,
+        |  CAST(floor(CASE
+        |    WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |             * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |             * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    END * 1e6) AS BIGINT) AS z_q6
+        |FROM c, tot ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.abTest(userEvents(s, d),
+        minCount = 14L))
     })
 
   // ---- trailing moving-window aggregates (beyond-reference) ----
@@ -1139,6 +1208,25 @@ object EngineQueries {
          |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Anomaly.thresholdCross(I(s, d),
         threshold = 5000L))
+    },
+    // multi-window multi-burn-rate SLO alert (the SRE workbook
+    // policy): bad fraction over BOTH the 1h and 6h trailing RANGE
+    // windows must exceed 14.4× the 1% error budget — both rate
+    // tests cross-multiplied to pure int64
+    Entry("ts_slo_burn",
+      s"""WITH p AS (SELECT series, ts, CASE WHEN val > 10000 THEN 1 ELSE 0 END AS bad FROM ($PI)),
+         |w AS (SELECT series, ts,
+         |       CAST(sum(bad) OVER ws AS BIGINT) AS short_bad, count(*) OVER ws AS short_n,
+         |       CAST(sum(bad) OVER wl AS BIGINT) AS long_bad, count(*) OVER wl AS long_n
+         |      FROM p WINDOW
+         |        ws AS (PARTITION BY series ORDER BY ts RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+         |        wl AS (PARTITION BY series ORDER BY ts RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW))
+         |SELECT series, ts, short_bad, short_n, long_bad, long_n
+         |FROM w WHERE short_bad * 10 * 100 >= 144 * 1 * short_n
+         |        AND long_bad * 10 * 100 >= 144 * 1 * long_n
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.sloBurn(I(s, d),
+        threshold = 10000L))
     })
 
   // ---- grid interpolation / gap fill (beyond-reference) ----

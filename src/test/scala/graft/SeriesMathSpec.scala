@@ -279,4 +279,68 @@ class SeriesMathSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("sloBurn: long window suppresses short blips; sustained burn alerts from the exact boundary") {
+    // 100 good samples then 50 bad, one per minute: the short (1h)
+    // window crosses 14.4% at bad #9 but the long (6h) window only at
+    // bad #17 — the multi-window AND is the blip filter
+    val pts = (0 until 150).map(i =>
+      ("svc", i * 60L, i.toLong, if (i >= 100) 20000L else 0L)) ++
+      (0 until 150).map(i => ("quiet", i * 60L, (1000 + i).toLong, 0L))
+    val out = graft.engine.Anomaly.sloBurn(
+      pts.toDF("series", "ts", "pid", "val"), threshold = 10000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(out.forall(_._1 == "svc"), "an all-good series never alerts")
+    assert(out.length === 34, s"expected bads 16..49 to alert: ${out.length}")
+    assert(out.head._2 === 116L * 60L,
+      s"first alert at the long-window boundary: ${out.head}")
+  }
+
+  test("seasonalStrength: hour-determined series reads R²=1 exactly; constant series dropped") {
+    val diurnal = (0 until 48).map(i =>
+      ("day", i * 3600L, i.toLong, (i % 24).toLong))
+    val flat = (0 until 48).map(i =>
+      ("flat", i * 3600L, (100 + i).toLong, 7L))
+    val out = graft.engine.SeriesMath.seasonalStrength(
+      (diurnal ++ flat).toDF("series", "ts", "pid", "val"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("day" -> 1000000L),
+      s"hour explains everything; a constant has no variance: $out")
+  }
+
+  test("thresholdEta: a perfect 10/hour line hits cap 300 in exactly 10 hours; falling series dropped") {
+    val rising = (0 to 10).map(i =>
+      ("up", i * 3600L, i.toLong, 100L + 10L * i))
+    val falling = (0 to 10).map(i =>
+      ("down", i * 3600L, (100 + i).toLong, 300L - 10L * i))
+    val out = graft.engine.SeriesMath.thresholdEta(
+      (rising ++ falling).toDF("series", "ts", "pid", "val"), cap = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("up", 10000000L, 10000L)),
+      s"slope 10.000000/h, ETA 10.000 h, no row for the falling series: ${out.toSeq}")
+  }
+
+  test("abTest: pooled two-proportion z matches the hand computation; universal goal has no variance") {
+    val ev = Seq(
+      (1L, 10L, "visit"), (2L, 10L, "visit"), (3L, 10L, "visit"), (4L, 10L, "visit"),
+      (1L, 20L, "buy"), (3L, 20L, "buy"), (2L, 20L, "buy"))
+      .toDF("user_id", "ts", "event_type")
+    val out = UserStats.abTest(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // arms: 0 = {2,4}, 1 = {1,3}; buy: c0=1 (u2), c1=2 (u1,u3)
+    // z = (1 - 0.5)/sqrt(0.75·0.25·(1/2+1/2)) = 1.1547005…
+    assert(out("buy") === ((2L, 1L, 2L, 2L, Some(1154700L))), out.toString)
+    assert(out("visit") === ((2L, 2L, 2L, 2L, None)),
+      "everyone converts: pooled p = 1 has no variance, z is NULL")
+    // minCount raises the conversion bar: only u1 bought twice
+    val ev2 = ev.union(Seq((1L, 30L, "buy")).toDF("user_id", "ts", "event_type"))
+    val strict = UserStats.abTest(ev2, minCount = 2L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(strict("buy") === ((0L, 1L, Some(1154700L))),
+      s"c0=0, c1=1 (u1 only): $strict")
+  }
 }
