@@ -62,9 +62,9 @@ object Bench {
     "ts_trend_slope", "ts_rollup_pyramid", "ts_heavy_hitters",
     "text_langid_eval", "us_sessions", "ts_psi_drift",
     // round-13 additions: SLO burn-rate alerting, seasonality
-    // strength, capacity ETA, A/B readout
+    // strength, capacity ETA, A/B readout, Zipf audit
     "ts_slo_burn", "ts_seasonal_strength", "ts_threshold_eta",
-    "ev_ab_test",
+    "ev_ab_test", "text_zipf_fit",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

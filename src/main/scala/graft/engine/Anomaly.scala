@@ -308,4 +308,73 @@ object Anomaly {
       .select(col("series"), col("ts"), col("short_bad"), col("short_n"),
         col("long_bad"), col("long_n"))
   }
+
+  /** Trailing sample window carried across micro-batches: the (ts,
+    * badness) pairs inside the long window — bounded by
+    * longWin × sample rate per series, never the stream's history. */
+  final case class BurnState(ts: Array[Long], bad: Array[Long])
+
+  /** One live burn-rate page. */
+  final case class BurnAlert(series: String, ts: Long, short_bad: Long,
+      short_n: Long, long_bad: Long, long_n: Long)
+
+  /** Live SLO burn alerts — the streaming half of [[sloBurn]]: each
+    * arriving point joins the per-series trailing-longWin sample
+    * window held in state (trimmed as the window slides, so state is
+    * rate × longWin pairs per series — the exact sliding window an
+    * alert needs, never the full history), and a page is emitted the
+    * moment BOTH windows burn. Points sort by ts within each
+    * micro-batch, and equal-ts peers are inserted BEFORE any of them
+    * is scored — replicating the batch RANGE frame's peer semantics —
+    * so after any prefix of an in-order stream the emitted pages
+    * equal [[sloBurn]] over the points seen so far (StreamingSpec
+    * pins). A late point older than the held window's newest sample
+    * is scored against the current window (alerting is now-facing;
+    * the batch replay is the audit). Append mode, alert-sized
+    * output. Per-point cost is O(window samples) — the alerting rates
+    * this exists for (scrape intervals of seconds to minutes) keep
+    * that a few thousand comparisons. */
+  def streamingSloBurn(stream: DataFrame, threshold: Long,
+      shortWin: Long = 3600L, longWin: Long = 21600L,
+      budgetNum: Long = 1L, budgetDen: Long = 100L,
+      factorX10: Long = 144L): Dataset[BurnAlert] = {
+    require(shortWin > 0 && longWin > shortWin,
+      "need 0 < shortWin < longWin")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series"), col("ts"),
+        when(col("val") > threshold, 1L).otherwise(0L).as("bad"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[BurnState]) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          state.getOption.foreach(st =>
+            st.ts.indices.foreach(i => buf += ((st.ts(i), st.bad(i)))))
+          val out = Vector.newBuilder[BurnAlert]
+          def burns(b: Long, n: Long) =
+            b * 10L * budgetDen >= factorX10 * budgetNum * n
+          // whole equal-ts groups land before any member is scored —
+          // the batch RANGE frame's peer visibility
+          rows.toArray.sortBy(_._2).groupBy(_._2).toSeq.sortBy(_._1)
+            .foreach { case (ts, grp) =>
+              grp.foreach { case (_, t, bad) => buf += ((t, bad)) }
+              val keep = buf.filter(_._1 > ts - longWin).sortBy(_._1)
+              buf.clear(); buf ++= keep
+              var sb = 0L; var sn = 0L; var lb = 0L; var ln = 0L
+              buf.foreach { case (t, bad) =>
+                if (t > ts - longWin && t <= ts) {
+                  lb += bad; ln += 1
+                  if (t > ts - shortWin) { sb += bad; sn += 1 }
+                }
+              }
+              if (burns(sb, sn) && burns(lb, ln))
+                grp.foreach(_ => out += BurnAlert(series, ts, sb, sn, lb, ln))
+            }
+          state.update(BurnState(buf.map(_._1).toArray,
+            buf.map(_._2).toArray))
+          out.result().iterator
+      }
+  }
 }

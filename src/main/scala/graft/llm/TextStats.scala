@@ -619,4 +619,46 @@ object TextStats {
     db.unpersist(blocking = true)
     out
   }
+
+  /** Zipf rank-frequency fit per language — the "is this slice
+    * natural language" audit: OLS slope of ln(freq) against ln(rank)
+    * over the unigram table (natural text reads ≈ −1, Zipf 1949;
+    * boilerplate/generated/spammy slices bend away). The corpus-level
+    * twin of the per-doc quality gates: one number per language for
+    * the curation dashboard.
+    *
+    * Exactness: ranks come from a per-language row_number over
+    * (freq DESC, term) — total order, so both engines rank
+    * identically; ln(rank) and ln(freq) are floor-quantized ×1e3
+    * PER TERM before the moment sums (the lm-perplexity trick), so
+    * the five OLS moments are exact int64 and the slope is one IEEE
+    * divide (the 1e3 scales cancel in the ratio), floor-quantized
+    * ×1e6. Headroom: n·Σxy < 2^63 with x,y ≤ ln(10⁹)·10³ ≈ 2·10⁴
+    * holds to ~10⁶ vocabulary terms per language; raise `minFreq` to
+    * prune the long tail beyond. Plan: one token hash agg, one
+    * VOCABULARY-sized (never corpus-sized) per-language window sort,
+    * one moment agg. Output (lang, n_terms, slope_q6). */
+  def zipfFit(docs: DataFrame, minFreq: Long = 2L): DataFrame = {
+    val f = docs.select(col("lang"), explode(expr(tok)).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minFreq)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("freq").desc, col("w").asc)
+    f.withColumn("rank", row_number().over(wr))
+      .select(col("lang"),
+        expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT)")
+          .as("x"),
+        expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0) AS BIGINT)")
+          .as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n_terms") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_terms") * col("sxx") - col("sx") * col("sx"))
+      .where(col("den") > 0)
+      .select(col("lang"), col("n_terms"), expr(
+        "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT)")
+        .as("slope_q6"))
+  }
 }

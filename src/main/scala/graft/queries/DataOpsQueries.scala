@@ -1276,6 +1276,25 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.dsirWeights(docs(s, d),
         targetLang = "en", buckets = 1024))
     },
+    // Zipf rank-frequency slope per language: ranks from a total
+    // order (freq DESC, term), ln's floor-quantized ×1e3 PER TERM so
+    // the OLS moments are exact int64 and the slope one IEEE divide
+    Entry("text_zipf_fit",
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |f AS (SELECT lang, w, count(*) AS freq FROM t GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (SELECT lang,
+        |       CAST(floor(ln(CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, w) AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+        |       CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+        |      FROM f),
+        |a AS (SELECT lang, count(*) AS n_terms, CAST(sum(x) AS BIGINT) AS sx,
+        |       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |       CAST(sum(x * x) AS BIGINT) AS sxx FROM r GROUP BY 1)
+        |SELECT lang, n_terms,
+        |       CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |                  / CAST(n_terms * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS slope_q6
+        |FROM a WHERE n_terms * sxx - sx * sx > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.zipfFit(docs(s, d), minFreq = 2L))
+    },
     // PMI collocation mining over frequency-pruned bigrams
     Entry("text_pmi",
       """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),

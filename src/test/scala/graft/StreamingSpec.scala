@@ -441,4 +441,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
     } finally q.stop()
   }
+
+  test("streaming SLO burn pages exactly where the batch operator does; window state carries across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 100 good then 50 bad, one per minute (the SeriesMathSpec
+    // scenario: first page at bad #17 when the long window crosses),
+    // split mid-burst so the window state must carry
+    val pts = (0 until 150).map(i =>
+      ("svc", i * 60L, i.toLong, if (i >= 100) 20000L else 0L))
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Anomaly.streamingSloBurn(
+      ms.toDF().toDF("series", "ts", "pid", "val"), threshold = 10000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slo_live").start()
+    try {
+      ms.addData(pts.take(110): _*)
+      q.processAllAvailable()
+      ms.addData(pts.drop(110): _*)
+      q.processAllAvailable()
+      val live = spark.sql(
+        "SELECT series, ts, short_bad, short_n, long_bad, long_n FROM slo_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val batch = graft.engine.Anomaly.sloBurn(
+        pts.toDF("series", "ts", "pid", "val"), threshold = 10000L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(live === batch, s"live=${live.size} batch=${batch.size}")
+      assert(batch.nonEmpty, "the scenario must actually page")
+    } finally q.stop()
+  }
 }

@@ -91,6 +91,20 @@ class TextStatsSpec extends AnyFunSuite {
 
   private def round6(x: Double) = math.rint(x * 1e6) / 1e6
 
+  test("zipfFit: a perfect 1/rank corpus reads slope ≈ -1; ranks tie-break by term") {
+    // freqs 60/r for r=1..6: exact Zipf, so ln(freq) = ln(60) - ln(rank)
+    val words = Seq("wa" -> 60, "wb" -> 30, "wc" -> 20, "wd" -> 15,
+      "we" -> 12, "wf" -> 10)
+    val text = words.flatMap { case (w, k) => Seq.fill(k)(w) }.mkString(" ")
+    val docs = Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+    val out = TextStats.zipfFit(docs, minFreq = 1L).collect()
+    assert(out.length === 1)
+    val (n, slope) = (out(0).getLong(1), out(0).getLong(2))
+    assert(n === 6L)
+    assert(math.abs(slope + 1000000L) < 5000L,
+      s"quantized-log OLS of exact Zipf must read ≈ -1.000000: $slope")
+  }
+
   test("sampleMixture with only-absent sources yields an empty sample, not an error") {
     val out = TextStats.sampleMixture(mixCorpus, Map("nope" -> 1.0))
     assert(out.count() === 0L)
