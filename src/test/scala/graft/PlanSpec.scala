@@ -412,4 +412,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!stRead.contains("props") && !stRead.contains("event_type"),
       stRead)
   }
+
+  test("sloBurn/thresholdEta: one series shuffle carries everything downstream") {
+    import graft.engine.{Anomaly, SeriesMath}
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count only the final (executed) section
+    def exchanges(p: String) = p.split("== Initial Plan ==").head
+      .linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("ShuffleQueryStage"))
+    // both RANGE frames + the alert filter evaluate in ONE Window node
+    // above ONE exchange — a second shuffle or a split window pass
+    // would double the dominant cost at scale
+    val slo = Anomaly.sloBurn(SeriesStore.pointsI(spark, dir),
+      threshold = 10000L)
+    slo.collect()
+    val sp = plan(slo)
+    assert(exchanges(sp) === 1, sp)
+    assert(sp.split("== Initial Plan ==").head.linesIterator
+      .count(_.contains("+- Window ")) <= 1, sp)
+    // the OLS moment aggregation reuses the window's hash(series)
+    // partitioning — the per-series start must not cost a second
+    // shuffle or a points self-join
+    val eta = SeriesMath.thresholdEta(SeriesStore.pointsI(spark, dir),
+      cap = 60000L)
+    eta.collect()
+    val ep = plan(eta)
+    assert(exchanges(ep) === 1, ep)
+    assert(!ep.contains("SortMergeJoin") && !ep.contains("BroadcastHashJoin"),
+      ep)
+  }
 }
