@@ -388,4 +388,79 @@ object Multimodal {
       }
     }
   }
+
+  /** One merged run of silent windows inside a clip. */
+  final case class SilenceSpan(doc_id: Long, start_win: Long,
+      end_win: Long, n_windows: Long)
+
+  /** Silence segmentation — the trim step an ASR-data pipeline runs
+    * before transcription: the REAL decoded PCM is cut into `win`-
+    * sample windows, a window is silent when its mean |amplitude| is
+    * under `meanAbsMax` (compared as the exact integer cross-product
+    * sum|s| < meanAbsMax·n, so a short tail window is judged by its
+    * own length), and consecutive silent windows merge into one span
+    * row. Decode and the span walk are both per-clip local work inside
+    * the same partition-parallel pass as [[decodeAudio]] — no shuffle,
+    * no window functions; output is span-sized. The oracle replays
+    * the deterministic sample field, windows it with one hash agg,
+    * and merges runs with the gaps-and-islands idiom — so a wrong
+    * decode or a wrong merge both fail the hash. */
+  def audioSilence(docs: DataFrame, win: Int = 16,
+      meanAbsMax: Long = 900L): Dataset[SilenceSpan] = {
+    require(win >= 1 && meanAbsMax > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spread(docs.select(col("doc_id")).as[Long]).mapPartitions { batch =>
+      import javax.sound.sampled.{AudioInputStream, UnsupportedAudioFileException}
+      import javax.sound.sampled.spi.AudioFileReader
+      import scala.jdk.CollectionConverters._
+      val readers = java.util.ServiceLoader.load(classOf[AudioFileReader])
+        .asScala.toVector
+      val writer = wavWriter()
+      var cached: AudioFileReader = null
+      def open(bytes: Array[Byte]): AudioInputStream = {
+        if (cached != null) {
+          try return cached.getAudioInputStream(new ByteArrayInputStream(bytes))
+          catch { case _: UnsupportedAudioFileException => cached = null }
+        }
+        readers.foreach { r =>
+          try {
+            val in = r.getAudioInputStream(new ByteArrayInputStream(bytes))
+            cached = r
+            return in
+          } catch { case _: UnsupportedAudioFileException => }
+        }
+        throw new UnsupportedAudioFileException("no SPI provider accepts payload")
+      }
+      batch.flatMap { id =>
+        val in = open(renderWav(id, writer))
+        val pcm = in.readAllBytes()
+        in.close()
+        val n = pcm.length / 2
+        val spans = Vector.newBuilder[SilenceSpan]
+        var start = -1L
+        var w = 0
+        while (w * win < n) {
+          val lo = w * win
+          val hi = math.min(lo + win, n)
+          var sum = 0L
+          var i = lo
+          while (i < hi) {
+            val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)).toShort
+            sum += math.abs(s.toInt)
+            i += 1
+          }
+          val silent = sum < meanAbsMax * (hi - lo)
+          if (silent && start < 0) start = w.toLong
+          if (!silent && start >= 0) {
+            spans += SilenceSpan(id, start, w - 1L, w - start)
+            start = -1L
+          }
+          w += 1
+        }
+        if (start >= 0) spans += SilenceSpan(id, start, w - 1L, w - start)
+        spans.result()
+      }
+    }
+  }
 }

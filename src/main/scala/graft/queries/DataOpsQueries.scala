@@ -1390,5 +1390,25 @@ object DataOpsQueries {
         |       CAST(sum(abs((i*131 + doc_id) % 4096 - 2048)) AS BIGINT) AS sum_abs
         |FROM sm GROUP BY doc_id ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Multimodal.decodeAudio(docs(s, d)).toDF())
+    },
+    // silence segmentation over the REAL decoded PCM: 16-sample
+    // windows silent when sum|s| < 900·n (exact integer mean test),
+    // runs merged gaps-and-islands style — a wrong decode or a wrong
+    // merge both fail the hash
+    Entry("mm_audio_silence",
+      """WITH src AS (SELECT doc_id, 64 + doc_id % 64 AS ns FROM documents),
+        |sm AS (SELECT doc_id, t.i, abs((t.i*131 + doc_id) % 4096 - 2048) AS a
+        |       FROM src, range(0, 128) t(i) WHERE t.i < ns),
+        |w AS (SELECT doc_id, i // 16 AS win, count(*) AS n, CAST(sum(a) AS BIGINT) AS s
+        |      FROM sm GROUP BY 1, 2),
+        |sil AS (SELECT doc_id, win FROM w WHERE s < 900 * n),
+        |g AS (SELECT doc_id, win,
+        |       win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+        |      FROM sil)
+        |SELECT doc_id, CAST(min(win) AS BIGINT) AS start_win,
+        |       CAST(max(win) AS BIGINT) AS end_win,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM g GROUP BY doc_id, grp ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.audioSilence(docs(s, d)).toDF())
     })
 }

@@ -113,4 +113,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(wav.take(4), "US-ASCII") == "RIFF")
     assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
+
+  test("audioSilence merges silent-window runs exactly like a scalar replay of the PCM") {
+    val spans = Multimodal.audioSilence(docs, win = 16, meanAbsMax = 900L)
+      .collect().groupBy(_.doc_id)
+    // scalar reference walk over the SAME deterministic samples
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val ns = Multimodal.clipSamples(id)
+      val sil = (0 until (ns + 15) / 16).map { w =>
+        val idx = (w * 16) until math.min((w + 1) * 16, ns)
+        val sum = idx.map(i => math.abs(Multimodal.audioSample(id, i)).toLong).sum
+        sum < 900L * idx.size
+      }
+      val expect = Vector.newBuilder[(Long, Long, Long)]
+      var start = -1
+      sil.zipWithIndex.foreach { case (s, w) =>
+        if (s && start < 0) start = w
+        if (!s && start >= 0) { expect += ((start.toLong, w - 1L, (w - start).toLong)); start = -1 }
+      }
+      if (start >= 0) expect += ((start.toLong, sil.size - 1L, (sil.size - start).toLong))
+      val got = spans.getOrElse(id, Array.empty).sortBy(_.start_win)
+        .map(s => (s.start_win, s.end_win, s.n_windows)).toVector
+      assert(got === expect.result(), s"doc $id")
+    }
+  }
 }
