@@ -142,6 +142,59 @@ object Multimodal {
     }
   }
 
+  /** Per-image gray-level entropy row. */
+  final case class ImageEntropy(doc_id: Long, n_pixels: Long,
+      entropy_q9: Long)
+
+  /** Gray-level Shannon entropy per image — the blank/flat-image
+    * quality gate an image-corpus pipeline runs next to the dHash
+    * dedup: a near-constant image (screenshot letterbox, solid fill)
+    * reads near 0, a textured one near ln(16). The histogram is 16
+    * gray bands over the REAL decoded raster; each band's −p·ln(p)
+    * contribution is floor-quantized ×1e9 from the integer (count,
+    * n) pair BEFORE the per-image sum, so the total is an exact,
+    * order-independent integer (the PSI/DSIR trick — the shared
+    * measure-zero libm residual is the accepted class). Decode and
+    * the 16-bin fold are local to the partition-parallel codec pass;
+    * no shuffle, one row per image. */
+  def imageEntropy(docs: DataFrame, bins: Int = 16): Dataset[ImageEntropy] = {
+    require(bins >= 2 && 256 % bins == 0, "bins must divide 256")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    encodeMedia(docs).mapPartitions { batch =>
+      ImageIO.setUseCache(false)
+      val rd = pngReader()
+      batch.map { m =>
+        val img = readImage(rd, m.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val hist = new Array[Long](bins)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            hist(raster.getSample(x, y, 0) / width) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var q = 0L
+        var b = 0
+        while (b < bins) {
+          val c = hist(b)
+          if (c > 0L) {
+            val p = c.toDouble / n.toDouble
+            q += math.floor(-p * math.log(p) * 1e9).toLong
+          }
+          b += 1
+        }
+        ImageEntropy(m.doc_id, n, q)
+      }
+    }
+  }
+
   /** Per-image 64-bit difference hash, split into two unsigned 32-bit
     * halves so neither column ever carries a sign bit (int64-clean in
     * any engine). */

@@ -1391,6 +1391,22 @@ object DataOpsQueries {
         |FROM sm GROUP BY doc_id ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Multimodal.decodeAudio(docs(s, d)).toDF())
     },
+    // gray-level entropy per image (16 bands over the REAL raster):
+    // per-band -p*ln(p) floor-quantized x1e9 from the integer counts
+    // BEFORE the sum, so the total is an exact order-independent int
+    Entry("mm_image_entropy",
+      """WITH src AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id*3) % 8 AS h FROM documents),
+        |px AS (SELECT doc_id, ((t.i*31 + doc_id) % 256) // 16 AS bin
+        |       FROM src, range(0, 225) t(i) WHERE t.i < w*h),
+        |hb AS (SELECT doc_id, bin, count(*) AS c FROM px GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM hb GROUP BY 1)
+        |SELECT hb.doc_id, nn.n AS n_pixels,
+        |       CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |                           * ln(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |                           * 1e9) AS BIGINT)) AS BIGINT) AS entropy_q9
+        |FROM hb JOIN nn USING (doc_id) GROUP BY hb.doc_id, nn.n ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Multimodal.imageEntropy(docs(s, d)).toDF())
+    },
     // silence segmentation over the REAL decoded PCM: 16-sample
     // windows silent when sum|s| < 900·n (exact integer mean test),
     // runs merged gaps-and-islands style — a wrong decode or a wrong

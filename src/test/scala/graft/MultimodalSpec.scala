@@ -114,6 +114,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
   }
 
+  test("imageEntropy matches a scalar replay of the pixel field; flat image reads 0") {
+    val out = Multimodal.imageEntropy(docs).collect()
+      .map(e => e.doc_id -> (e.n_pixels, e.entropy_q9)).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val (w, h) = Multimodal.srcDims(id)
+      val n = w * h
+      val hist = new Array[Long](16)
+      (0 until n).foreach(i => hist(Multimodal.pix(id, i) / 16) += 1)
+      val q = hist.filter(_ > 0).map { c =>
+        val p = c.toDouble / n.toDouble
+        math.floor(-p * math.log(p) * 1e9).toLong
+      }.sum
+      assert(out(id) === ((n.toLong, q)), s"doc $id")
+      // the cycling pixel field is textured: well above 0
+      assert(q > 1000000000L, s"doc $id entropy $q")
+    }
+  }
+
   test("audioSilence merges silent-window runs exactly like a scalar replay of the PCM") {
     val spans = Multimodal.audioSilence(docs, win = 16, meanAbsMax = 900L)
       .collect().groupBy(_.doc_id)
