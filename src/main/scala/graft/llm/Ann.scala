@@ -780,6 +780,61 @@ object Ann {
       .select(col("label"), col("n_vecs"), col("pos"), col("cx"))
   }
 
+  /** Per-dimension embedding drift — the "did my embedding
+    * distribution move" monitor an ML-data pipeline keeps next to its
+    * encoder (the embedding-space analog of [[graft.engine.SeriesMath
+    * .psiDrift]]): vectors split into the FIRST and SECOND id-range
+    * halves (ids arrive roughly in ingest order, so the halves are a
+    * before/after read), and each dimension gets a Welch z for the
+    * mean shift between them — an encoder swap, a source-mix change,
+    * or a normalization bug shows up as a block of hot dimensions.
+    *
+    * Exactness: each component is floor-quantized ×1e6 FIRST (floor
+    * of the same widened double in any engine), so the per-(dim,
+    * half) moments are exact int64 sums whose aggregation order
+    * cannot matter; mu/var/z then follow by one fixed IEEE sequence,
+    * z floor-quantized ×1e6. Exact while n·q² < 2^63 — at |x| ≤ 5
+    * that is ~3·10⁵ vectors per half; re-quantize coarser (×1e3)
+    * beyond. Plan: one posexplode → hash agg to 2·d rows (map-side
+    * combine does the heavy lifting) → d-row final agg; the 1-row id
+    * midpoint broadcasts. Dims where both halves are constant emit
+    * NULL z. Output (dim, n0, n1, z_q6). */
+  def embedDrift(emb: DataFrame): DataFrame = {
+    val e = emb.where(col("embedding").isNotNull)
+    val mid = e.agg(expr(
+      "min(vec_id) + (max(vec_id) - min(vec_id)) DIV 2").as("mid"))
+    val moments = e.crossJoin(broadcast(mid))
+      .select(when(col("vec_id") <= col("mid"), 0L).otherwise(1L).as("half"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+      .groupBy(col("dim").cast("long").as("dim"), col("half"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+    moments.groupBy(col("dim"))
+      .agg(sum(when(col("half") === 0L, col("n"))).as("n0"),
+        sum(when(col("half") === 0L, col("s1"))).as("s10"),
+        sum(when(col("half") === 0L, col("s2"))).as("s20"),
+        sum(when(col("half") === 1L, col("n"))).as("n1"),
+        sum(when(col("half") === 1L, col("s1"))).as("s11"),
+        sum(when(col("half") === 1L, col("s2"))).as("s21"))
+      .where(col("n0").isNotNull && col("n1").isNotNull)
+      .select(col("dim"), col("n0"), col("n1"), expr(
+        """CAST(floor(CASE WHEN
+          |  (CAST(s20 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |   - (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE)) * (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE))) / CAST(n0 AS DOUBLE)
+          |  + (CAST(s21 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |   - (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE))) / CAST(n1 AS DOUBLE) <= 0.0
+          |  THEN CAST(NULL AS DOUBLE)
+          |  ELSE (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE))
+          |    / sqrt(
+          |      (CAST(s20 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |       - (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE)) * (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE))) / CAST(n0 AS DOUBLE)
+          |      + (CAST(s21 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |       - (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE))) / CAST(n1 AS DOUBLE))
+          |  END * 1e6) AS BIGINT)""".stripMargin).as("z_q6"))
+  }
+
   /** Embedding outlier detection — the prototypicality filter of an
     * embedding-curated corpus (the SemDeDup-family pruning signal):
     * per label cell, each vector's L2 distance to its cell centroid,

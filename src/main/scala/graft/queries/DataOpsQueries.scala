@@ -1019,6 +1019,43 @@ object DataOpsQueries {
     // engines compute identical distances; moments over ×1000-quantized
     // integer distances so mu/sd/z are bit-identical — no
     // aggregation-order ulps, no round() half-boundary exposure)
+    // per-dimension drift between the first/second id halves: Welch z
+    // over x1e6-floor-quantized component moments (exact int64 sums;
+    // one fixed IEEE sequence per dim, spelled identically here)
+    Entry("embed_drift",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |mm AS (SELECT min(vec_id) + (max(vec_id) - min(vec_id)) // 2 AS mid FROM e),
+        |x0 AS (SELECT vec_id, unnest(range(len(v))) AS dim, unnest(v) AS val FROM e),
+        |x AS (SELECT CASE WHEN vec_id <= (SELECT mid FROM mm) THEN 0 ELSE 1 END AS half,
+        |             CAST(dim AS BIGINT) AS dim,
+        |             CAST(floor(val * 1000000.0) AS BIGINT) AS q FROM x0),
+        |a AS (SELECT dim, half, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+        |       CAST(sum(q * q) AS BIGINT) AS s2 FROM x GROUP BY 1, 2),
+        |p AS (SELECT dim,
+        |       CAST(sum(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n0,
+        |       CAST(sum(CASE WHEN half = 0 THEN s1 END) AS BIGINT) AS s10,
+        |       CAST(sum(CASE WHEN half = 0 THEN s2 END) AS BIGINT) AS s20,
+        |       CAST(sum(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n1,
+        |       CAST(sum(CASE WHEN half = 1 THEN s1 END) AS BIGINT) AS s11,
+        |       CAST(sum(CASE WHEN half = 1 THEN s2 END) AS BIGINT) AS s21
+        |      FROM a GROUP BY 1)
+        |SELECT dim, n0, n1,
+        |  CAST(floor(CASE WHEN
+        |    (CAST(s20 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |     - (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE)) * (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE))) / CAST(n0 AS DOUBLE)
+        |    + (CAST(s21 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |     - (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE))) / CAST(n1 AS DOUBLE) <= 0.0
+        |    THEN CAST(NULL AS DOUBLE)
+        |    ELSE (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / sqrt(
+        |        (CAST(s20 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |         - (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE)) * (CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE))) / CAST(n0 AS DOUBLE)
+        |        + (CAST(s21 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |         - (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)) * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE))) / CAST(n1 AS DOUBLE))
+        |    END * 1e6) AS BIGINT) AS z_q6
+        |FROM p WHERE n0 IS NOT NULL AND n1 IS NOT NULL ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.embedDrift(emb(s, d)))
+    },
     Entry("embed_outliers",
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |m AS (SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM e),

@@ -362,4 +362,24 @@ class AnnSpec extends AnyFunSuite {
     assert(out(("b", 0L)) === 3L, s"PAA 3.5 bands to 3: $out")
     assert(out(("b", 1L)) === 0L)
   }
+
+  test("embedDrift: a shifted dimension reads the exact Welch z; a constant one reads NULL") {
+    // ids 0..9 → halves {0..4} / {5..9}; dim 0 jitters 0/1 and jumps
+    // +10 in the second half, dim 1 is constant (no variance → NULL)
+    val emb = (0 until 10).map { i =>
+      (i.toLong, Array((i % 2).toFloat + (if (i > 4) 10f else 0f), 7f))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.embedDrift(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // scalar replay of the exact quantized-moment Welch formula
+    def mom(vs: Seq[Long]) = (vs.size.toLong, vs.sum, vs.map(q => q * q).sum)
+    val (n0, s10, s20) = mom(Seq(0L, 1L, 0L, 1L, 0L).map(_ * 1000000L))
+    val (n1, s11, s21) = mom(Seq(11L, 10L, 11L, 10L, 11L).map(_ * 1000000L))
+    val v0 = (s20.toDouble / n0 - (s10.toDouble / n0) * (s10.toDouble / n0)) / n0
+    val v1 = (s21.toDouble / n1 - (s11.toDouble / n1) * (s11.toDouble / n1)) / n1
+    val z = (s11.toDouble / n1 - s10.toDouble / n0) / math.sqrt(v0 + v1)
+    assert(out(0L) === ((5L, 5L, Some(math.floor(z * 1e6).toLong))), out.toString)
+    assert(out(1L) === ((5L, 5L, None)), "constant dim has no variance")
+  }
 }
