@@ -282,37 +282,42 @@ object SeriesMath {
         .as("strength_q6"))
 
   /** Capacity ETA — "when does this metric hit `cap`": a per-series
-    * global OLS fit of val against the HOUR offset from the series'
-    * own start (t = (ts − min ts) DIV 3600 — the hour unit keeps the
-    * moment magnitudes int64-safe where raw seconds would overflow
-    * n·Σt², same normalization idea as [[trendSlope]]'s in-bucket
-    * offset), then the fitted line solved for the crossing:
-    * eta_hours = (cap − (a + b·t_last)) / b from the last observed
-    * hour. Only series still BELOW cap at the fit's end and RISING
-    * (b > 0) get an ETA — a falling or already-breached series has
-    * none, and is dropped rather than reported with a negative
-    * countdown. All five moments are exact int64 sums; slope,
-    * intercept and eta are one fixed IEEE sequence from them,
-    * floor-quantized ×1e6 / ×1e3. Exact while n·Σt·y < 2^63 —
-    * with t ≤ 720 (a 30-day window) and |val| ≤ 10⁶ that holds to
-    * ~10⁵ points per series; shorten the window beyond. Plan: the
-    * per-series start rides a whole-partition window min over the ONE
-    * series shuffle, and the moment aggregation reuses that exchange
-    * — points are scanned and shuffled once, no self-join. Output
-    * (series, n, slope_q6, eta_hours_q3). */
-  def thresholdEta(points: DataFrame, cap: Long): DataFrame = {
+    * OLS fit of val against the HOUR offset inside a TRAILING
+    * `windowHours` window ending at the series' last observation
+    * (t = (ts − (max ts − windowHours·3600)) DIV 3600, points before
+    * the window start dropped), then the fitted line solved for the
+    * crossing: eta_hours = (cap − (a + b·windowHours)) / b from the
+    * last observed hour. The trailing window is both the semantics a
+    * capacity forecast wants (the RECENT trend, not a lifetime
+    * average the old regime would dilute with years of history) and
+    * the int64 headroom bound: t ≤ windowHours BY CONSTRUCTION, so a
+    * 100×-longer history cannot grow the moment magnitudes — only
+    * in-window density can. Only series still BELOW cap at the fit's
+    * end and RISING (b > 0) get an ETA — a falling or
+    * already-breached series has none, and is dropped rather than
+    * reported with a negative countdown. All five moments are exact
+    * int64 sums; slope, intercept and eta are one fixed IEEE sequence
+    * from them, floor-quantized ×1e6 / ×1e3. Exact while
+    * n·Σt·y < 2^63 — with t ≤ 720 (the default 30-day window) and
+    * |val| ≤ 10⁶ that holds to ~10⁵ IN-WINDOW points per series;
+    * shorten the window beyond. Plan: the window start rides a
+    * whole-partition window max over the ONE series shuffle, and the
+    * moment aggregation reuses that exchange — points are scanned and
+    * shuffled once, no self-join. Output
+    * (series, n, slope_q6, eta_hours_q3); n counts in-window points. */
+  def thresholdEta(points: DataFrame, cap: Long,
+      windowHours: Int = 720): DataFrame = {
     val w = Window.partitionBy(col("series"))
     points.select(col("series"), col("ts"), col("val"))
-      .withColumn("__t0", min(col("ts")).over(w))
-      .withColumn("__tmax", max(col("ts")).over(w))
+      .withColumn("__w0",
+        max(col("ts")).over(w) - lit(windowHours * 3600L))
+      .where(col("ts") >= col("__w0"))
       .select(col("series"),
-        expr("(ts - __t0) DIV 3600").as("t"), col("val").as("y"),
-        expr("(__tmax - __t0) DIV 3600").as("__tl"))
+        expr("(ts - __w0) DIV 3600").as("t"), col("val").as("y"))
       .groupBy(col("series"))
       .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
         sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
-        sum(col("t") * col("t")).as("stt"),
-        max(col("__tl")).as("tlast"))
+        sum(col("t") * col("t")).as("stt"))
       .withColumn("num", col("n") * col("sty") - col("st") * col("sy"))
       .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
       .where(col("den") > 0 && col("num") > 0)
@@ -321,7 +326,7 @@ object SeriesMath {
         (col("sy").cast("double") - col("b") * col("st").cast("double")) /
           col("n").cast("double"))
       .withColumn("fit_last",
-        col("a") + col("b") * col("tlast").cast("double"))
+        col("a") + col("b") * lit(windowHours.toDouble))
       .where(col("fit_last") < lit(cap).cast("double"))
       .select(col("series"), col("n"),
         expr("CAST(floor(b * 1e6) AS BIGINT)").as("slope_q6"),

@@ -750,22 +750,24 @@ object EngineQueries {
          |FROM s WHERE n * s2 - s1 * s1 > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.SeriesMath.seasonalStrength(I(s, d)))
     },
-    // capacity ETA: global per-series OLS on the hour offset, solved
+    // capacity ETA: per-series OLS on the hour offset inside the
+    // trailing 720 h window (t <= 720 by construction — the int64
+    // headroom bound a 100x-longer history cannot break), solved
     // for the cap crossing; only rising, still-below-cap series emit
     Entry("ts_threshold_eta",
       s"""WITH p AS (SELECT series, ts, val FROM ($PI)),
-         |m AS (SELECT series, min(ts) AS t0, max(ts) AS tmax FROM p GROUP BY 1),
-         |t AS (SELECT p.series, (p.ts - m.t0) // 3600 AS t, p.val AS y,
-         |       (m.tmax - m.t0) // 3600 AS tl FROM p JOIN m USING (series)),
+         |m AS (SELECT series, max(ts) - 720 * 3600 AS w0 FROM p GROUP BY 1),
+         |t AS (SELECT p.series, (p.ts - m.w0) // 3600 AS t, p.val AS y
+         |      FROM p JOIN m USING (series) WHERE p.ts >= m.w0),
          |a AS (SELECT series, count(*) AS n, CAST(sum(t) AS BIGINT) AS st,
          |       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sty,
-         |       CAST(sum(t * t) AS BIGINT) AS stt, max(tl) AS tlast
+         |       CAST(sum(t * t) AS BIGINT) AS stt
          |      FROM t GROUP BY 1),
          |g AS (SELECT series, n, CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) AS b,
-         |       st, sy, tlast FROM a WHERE n * stt - st * st > 0 AND n * sty - st * sy > 0),
+         |       st, sy FROM a WHERE n * stt - st * st > 0 AND n * sty - st * sy > 0),
          |e AS (SELECT series, n, b,
          |       (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
-         |         + b * CAST(tlast AS DOUBLE) AS fit_last FROM g)
+         |         + b * CAST(720 AS DOUBLE) AS fit_last FROM g)
          |SELECT series, n, CAST(floor(b * 1e6) AS BIGINT) AS slope_q6,
          |       CAST(floor((60000 - fit_last) / b * 1e3) AS BIGINT) AS eta_hours_q3
          |FROM e WHERE fit_last < 60000 ORDER BY ALL""".stripMargin) {

@@ -320,6 +320,24 @@ class SeriesMathSpec extends AnyFunSuite {
       s"slope 10.000000/h, ETA 10.000 h, no row for the falling series: ${out.toSeq}")
   }
 
+  test("thresholdEta: only the trailing window is fitted — ancient flat history cannot dilute the recent trend") {
+    // 1000 h of flat 100s, then a clean 10/h ramp over the last 11 h.
+    // A lifetime fit would blend the ramp with the flat era (slope
+    // far below 10/h); the trailing 720 h window still SEES 709 h of
+    // the flat era, so shrink the window to 10 h and the fit must be
+    // the pure ramp: slope exactly 10/h, cap 300 hit in 10 h from the
+    // last point (val 200). n must count only in-window points (11).
+    val pts = ((0 until 1000).map(i => ("s", i * 3600L, i.toLong, 100L)) ++
+      (0 to 10).map(i => ("s", (1000 + i) * 3600L, (1000 + i).toLong,
+        100L + 10L * i))).toDF("series", "ts", "pid", "val")
+    val out = graft.engine.SeriesMath.thresholdEta(pts, cap = 300L,
+      windowHours = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("s", 11L, 10000000L, 10000L)),
+      s"pure ramp fit over 11 in-window points: ${out.toSeq}")
+  }
+
   test("abTest: pooled two-proportion z matches the hand computation; universal goal has no variance") {
     val ev = Seq(
       (1L, 10L, "visit"), (2L, 10L, "visit"), (3L, 10L, "visit"), (4L, 10L, "visit"),
