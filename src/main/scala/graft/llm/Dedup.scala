@@ -576,6 +576,40 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Dedup-recall audit — "how much of the TRUE near-duplicate mass
+    * does the cheap fingerprint recover?": the exact n-gram Jaccard
+    * pair set ≥ `theta` ([[ngramJaccardPairs]]) is the truth, the
+    * SimHash banded-Hamming pair set ([[simhashPairs]]) is the
+    * candidate generator under audit, and the output is per
+    * similarity band (floor(jaccard·10), 1.0 folded into band 9):
+    * how many true pairs exist, how many SimHash caught, and the
+    * recall ×1e6. This is the retrieval-quality-gate pattern
+    * (ann_recall_eval) aimed at dedup: SimHash estimates COSINE over
+    * token multisets, not Jaccard over shingle sets, so its recall
+    * genuinely degrades toward theta — the banded table is the
+    * curation-time decision input for "is a 2-long fingerprint
+    * enough, or does this corpus need MinHash?". The recall ratio is
+    * EXACT integer division ×1e6 — no float ever enters the audit.
+    *
+    * Scale shape: both inputs are the documented bucketed paths (the
+    * truth side inherits `maxDf`'s inverted-index cap); the audit
+    * adds one output-sized pair join + a ≤10-row aggregation. At
+    * 100 TB run it on a sampled slice — recall is a statistic, and
+    * the estimate concentrates long before the corpus is exhausted. */
+  def simhashRecallAudit(docs: DataFrame, n: Int = 3, theta: Double = 0.5,
+      maxDist: Int = 3, bands: Int = 4, maxDf: Long = 0L): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n, theta, maxDf)
+    val caught = simhashPairs(docs, maxDist, bands)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    truth.join(caught, Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+        .as("band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+      .withColumn("recall_q6",
+        expr("n_caught * 1000000L div n_true"))
+  }
+
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       // low 60 bits of md5 as a LONG (15 hex digits — portable)

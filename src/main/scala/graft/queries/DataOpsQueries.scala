@@ -35,6 +35,25 @@ object DataOpsQueries {
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin
 
+  /** Exact all-pairs replay of Dedup.simhashPairs (the banded search
+    * has pigeonhole-complete recall at maxDist < bands, so the two
+    * forms coincide) — shared by the standalone entry and the
+    * dedup-recall-eval composition. */
+  private val SIMHASH_PAIRS_SQL =
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(15), k ->
+      |        CAST(strpos('0123456789abcdef', substring(md5(tok), k+1, 1)) - 1 AS BIGINT)
+      |          << (4*(14-k)))) AS BIGINT) AS hv
+      |      FROM t),
+      |b AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+      |      FROM h, range(60) r(j) GROUP BY 1, 2),
+      |s AS (SELECT doc_id, CAST(sum(CASE WHEN tot > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+      |      FROM b GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY ALL""".stripMargin
+
   /** DuckDB replay of Ann.kmeansIvfTopK: one CTE block per Lloyd
     * iteration (assign by round-9 cosine with lowest-cell tie-break,
     * recompute per-cell means, empty cells keep their centroid), then
@@ -680,21 +699,25 @@ object DataOpsQueries {
     // banded Hamming search over the simhash fingerprints: Spark
     // buckets by 15-bit bands (pigeonhole recall for hamming <= 3),
     // the oracle checks the equivalent exact all-pairs form
-    Entry("dedup_simhash_pairs",
-      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
-        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(15), k ->
-        |        CAST(strpos('0123456789abcdef', substring(md5(tok), k+1, 1)) - 1 AS BIGINT)
-        |          << (4*(14-k)))) AS BIGINT) AS hv
-        |      FROM t),
-        |b AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
-        |      FROM h, range(60) r(j) GROUP BY 1, 2),
-        |s AS (SELECT doc_id, CAST(sum(CASE WHEN tot > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
-        |      FROM b GROUP BY 1),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY ALL""".stripMargin) {
+    Entry("dedup_simhash_pairs", SIMHASH_PAIRS_SQL) {
       (s, d) => ordered(Dedup.simhashPairs(docs(s, d), maxDist = 3, bands = 4))
+    },
+    // dedup-recall audit (the ann_recall_eval pattern aimed at
+    // dedup): per-jaccard-band recall of the simhash candidate set
+    // against the exact n-gram truth. Non-vacuous by construction —
+    // simhash estimates token-multiset cosine, not shingle jaccard,
+    // so band recall genuinely degrades toward theta.
+    Entry("dedup_recall_eval",
+      s"""WITH tru AS (SELECT id_a, id_b, jaccard FROM ($JACCARD_SQL) j),
+         |cand AS (SELECT id_a, id_b FROM ($SIMHASH_PAIRS_SQL) s)
+         |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
+         |       count(*) AS n_true,
+         |       CAST(count(cand.id_a) AS BIGINT) AS n_caught,
+         |       count(cand.id_a) * 1000000 // count(*) AS recall_q6
+         |FROM tru LEFT JOIN cand USING (id_a, id_b)
+         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.simhashRecallAudit(docs(s, d), n = 3,
+        theta = 0.5, maxDist = 3, bands = 4))
     },
     // SemDeDup (Abbas et al. 2023): the paper's actual shape —
     // cluster first (upstream k-means `label` + an adaptive

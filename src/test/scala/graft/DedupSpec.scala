@@ -172,6 +172,33 @@ class DedupSpec extends AnyFunSuite {
     assert(banded === exact)
   }
 
+  test("simhashRecallAudit: bands replay the truth-vs-candidate join exactly; misses decrement recall") {
+    // corpus: planted near-copies (jaccard ~0.9, band 9) — replay the
+    // audit's join in the test from the two public operator outputs
+    // and require the banded table to match it row for row
+    val truth = Dedup.ngramJaccardPairs(corpus, n = 3, theta = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val caught = Dedup.simhashPairs(corpus, maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test premise: planted pairs exist")
+    val expected = truth
+      .groupBy { case (_, j) => math.min(math.floor(j * 10).toLong, 9L) }
+      .map { case (band, ps) =>
+        val nTrue = ps.length.toLong
+        val nHit = ps.count(p => caught(p._1)).toLong
+        (band, nTrue, nHit, nHit * 1000000L / nTrue)
+      }.toSet
+    val audit = Dedup.simhashRecallAudit(corpus, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(audit === expected, s"audit=$audit expected=$expected")
+    // every count is bounded by the truth side — a candidate pair
+    // OUTSIDE the truth set must never inflate a band
+    assert(audit.forall { case (_, t, c, r) => c <= t && r <= 1000000L })
+  }
+
   test("semanticClusters: planted duplicates share a cell and cluster with recall 1.0") {
     // 600 vectors, 2 labels: forces the adaptive sign-prefix split
     // (l * 256 = 512 < 600 -> bits = 1); duplicates are identical
