@@ -65,6 +65,46 @@ object Funnel {
         expr(s"CAST($depth AS BIGINT)").as("depth"): _*)
   }
 
+  /** Funnel-significance readout — "did cohort B's per-step
+    * conversion move, and is the move real?": the [[funnel]] depths
+    * split into two cohorts by `armExpr` (the [[UserStats.abTest]]
+    * arm convention), and each step i ≥ 2 reports the at-risk counts
+    * (users whose depth reached i−1), the converted counts (depth
+    * reached i), and the pooled two-proportion z on the STEP
+    * conversion c/n — the per-step drill-down an overall-conversion
+    * A/B readout can't give (a loss at step 2 and a gain at step 3
+    * cancel in the aggregate but show here). z is
+    * [[UserStats.pooledZQ6]] — shared, so the two tests can't drift;
+    * degenerate splits emit NULL.
+    *
+    * Plan: everything after the funnel walk is a ≤ 2·(#steps+1)-row
+    * depth histogram crossed with a (#steps−1)-row step frame — the
+    * significance layer adds NO user-sized shuffle on top of the
+    * funnel's own one. Output (step, n0, c0, n1, c1, z_q6). */
+  def funnelSignificance(events: DataFrame, user: String, ts: String,
+      etype: String, steps: Seq[String], window: Long,
+      armExpr: String = "user_id % 2"): DataFrame = {
+    val f = funnel(events, user, ts, etype, steps, window)
+      .select(expr(armExpr).cast("long").as("arm"), col("depth"))
+    val hist = f.groupBy(col("arm"), col("depth"))
+      .agg(count(lit(1)).as("cnt"))
+    val stepFrame = events.sparkSession.range(2, steps.size + 1)
+      .toDF("step")
+    hist.crossJoin(broadcast(stepFrame))
+      .groupBy(col("step"))
+      .agg(
+        sum(when(col("arm") === 0L && col("depth") >= col("step") - 1,
+          col("cnt")).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0L && col("depth") >= col("step"),
+          col("cnt")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L && col("depth") >= col("step") - 1,
+          col("cnt")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1L && col("depth") >= col("step"),
+          col("cnt")).otherwise(0L)).as("c1"))
+      .select(col("step"), col("n0"), col("c0"), col("n1"), col("c1"),
+        UserStats.pooledZQ6.as("z_q6"))
+  }
+
   /** Max-depth funnel (ClickHouse windowFunnel semantics) — the
     * retry-later-entries variant [[funnel]] deliberately does not do:
     * EVERY step-1 event is a candidate chain start (t_{i+1} = the

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** User-activity health metrics over the raw event stream — the
@@ -191,6 +191,23 @@ object UserStats {
     * Degenerate splits (either arm empty, pooled p ∈ {0, 1} — no
     * variance) emit a NULL z rather than a fake zero. Output
     * (goal, n0, c0, n1, c1, z_q6). */
+  /** Pooled two-proportion z over (n0, c0, n1, c1) columns,
+    * floor-quantized ×1e6 — ONE fixed IEEE sequence from exact int64
+    * counts; NULL (not a fake 0) when either arm is empty or the
+    * pooled p has no variance. Shared by [[abTest]] and
+    * [[Funnel.funnelSignificance]] so the two z definitions can never
+    * drift from each other or their oracles. */
+  private[engine] def pooledZQ6: Column = expr(
+    """CAST(floor(CASE
+      |  WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
+      |    THEN CAST(NULL AS DOUBLE)
+      |  ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |    / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+      |  END * 1e6) AS BIGINT)""".stripMargin)
+
   def abTest(events: DataFrame, armExpr: String = "user_id % 2",
       minCount: Long = 1L): DataFrame = {
     val ua = events.select(col("user_id"),
@@ -210,15 +227,6 @@ object UserStats {
         sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c1"))
     conv.crossJoin(broadcast(tot))
       .select(col("goal"), col("n0"), col("c0"), col("n1"), col("c1"),
-        expr(
-          """CAST(floor(CASE
-            |  WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
-            |    THEN CAST(NULL AS DOUBLE)
-            |  ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-            |        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-            |    / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-            |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-            |           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
-            |  END * 1e6) AS BIGINT)""".stripMargin).as("z_q6"))
+        pooledZQ6.as("z_q6"))
   }
 }

@@ -232,35 +232,69 @@ object EngineQueries {
         binWidth = 500L, pcts = Seq(50, 95, 99)))
     })
 
+  // Oracle replay of Funnel.funnel (view -> click -> purchase, 7-day
+  // window) — shared by the standalone entry and the
+  // funnel-significance composition.
+  private val EV_FUNNEL_SQL =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
+      |           WHERE event_type IN ('view', 'click', 'purchase')),
+      |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
+      |pv AS (SELECT user_id,
+      |        any_value(CASE WHEN event_type = 'view' THEN tss END) AS l0,
+      |        any_value(CASE WHEN event_type = 'click' THEN tss END) AS l1,
+      |        any_value(CASE WHEN event_type = 'purchase' THEN tss END) AS l2
+      |       FROM ut GROUP BY 1),
+      |s1 AS (SELECT user_id, l1, l2,
+      |        CASE WHEN l0 IS NOT NULL AND len(l0) > 0 THEN l0[1] END AS t1 FROM pv),
+      |s2 AS (SELECT user_id, l2, t1,
+      |        list_filter(l1, x -> x > t1 AND x <= t1 + 604800) AS f1 FROM s1),
+      |s2b AS (SELECT user_id, l2, t1,
+      |        CASE WHEN f1 IS NOT NULL AND len(f1) > 0 THEN f1[1] END AS t2 FROM s2),
+      |s3 AS (SELECT user_id, t1, t2,
+      |        list_filter(l2, x -> x > t2 AND x <= t1 + 604800) AS f2 FROM s2b),
+      |s3b AS (SELECT user_id, t1, t2,
+      |        CASE WHEN f2 IS NOT NULL AND len(f2) > 0 THEN f2[1] END AS t3 FROM s3)
+      |SELECT user_id, t1, t2, t3,
+      |       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |            ELSE 1 END AS BIGINT) AS depth
+      |FROM s3b WHERE t1 IS NOT NULL ORDER BY ALL""".stripMargin
+
   // ---- ordered-funnel analytics over raw events (beyond-reference) ----
   private def funnel = Seq(
     // strict-order view -> click -> purchase within 7 days of the
     // first view, per user; timestamps exact int64, chain replayed
-    Entry("ev_funnel",
-      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts, event_type FROM events
-        |           WHERE event_type IN ('view', 'click', 'purchase')),
-        |ut AS (SELECT user_id, event_type, list_sort(list(ts)) AS tss FROM e GROUP BY 1, 2),
-        |pv AS (SELECT user_id,
-        |        any_value(CASE WHEN event_type = 'view' THEN tss END) AS l0,
-        |        any_value(CASE WHEN event_type = 'click' THEN tss END) AS l1,
-        |        any_value(CASE WHEN event_type = 'purchase' THEN tss END) AS l2
-        |       FROM ut GROUP BY 1),
-        |s1 AS (SELECT user_id, l1, l2,
-        |        CASE WHEN l0 IS NOT NULL AND len(l0) > 0 THEN l0[1] END AS t1 FROM pv),
-        |s2 AS (SELECT user_id, l2, t1,
-        |        list_filter(l1, x -> x > t1 AND x <= t1 + 604800) AS f1 FROM s1),
-        |s2b AS (SELECT user_id, l2, t1,
-        |        CASE WHEN f1 IS NOT NULL AND len(f1) > 0 THEN f1[1] END AS t2 FROM s2),
-        |s3 AS (SELECT user_id, t1, t2,
-        |        list_filter(l2, x -> x > t2 AND x <= t1 + 604800) AS f2 FROM s2b),
-        |s3b AS (SELECT user_id, t1, t2,
-        |        CASE WHEN f2 IS NOT NULL AND len(f2) > 0 THEN f2[1] END AS t3 FROM s3)
-        |SELECT user_id, t1, t2, t3,
-        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-        |            ELSE 1 END AS BIGINT) AS depth
-        |FROM s3b WHERE t1 IS NOT NULL ORDER BY ALL""".stripMargin) {
+    Entry("ev_funnel", EV_FUNNEL_SQL) {
       (s, d) => ordered(graft.engine.Funnel.funnel(userEvents(s, d),
         "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), window = 604800L))
+    },
+    // per-step conversion significance between the user_id%2 cohorts:
+    // at-risk (reached step-1) vs converted (reached step) counts per
+    // arm + the pooled two-proportion z — the per-step drill-down an
+    // overall A/B readout can't give; the steps frame is a hoisted
+    // CTE (the DuckDB unnest+JOIN binder pitfall)
+    Entry("ev_funnel_sig",
+      s"""WITH f AS (SELECT user_id, depth FROM ($EV_FUNNEL_SQL) x),
+         |a AS (SELECT user_id % 2 AS arm, depth FROM f),
+         |h AS (SELECT arm, depth, count(*) AS cnt FROM a GROUP BY 1, 2),
+         |st AS (SELECT unnest([2, 3]) AS step),
+         |j AS (SELECT step,
+         |       CAST(sum(CASE WHEN arm = 0 AND depth >= step - 1 THEN cnt ELSE 0 END) AS BIGINT) AS n0,
+         |       CAST(sum(CASE WHEN arm = 0 AND depth >= step THEN cnt ELSE 0 END) AS BIGINT) AS c0,
+         |       CAST(sum(CASE WHEN arm = 1 AND depth >= step - 1 THEN cnt ELSE 0 END) AS BIGINT) AS n1,
+         |       CAST(sum(CASE WHEN arm = 1 AND depth >= step THEN cnt ELSE 0 END) AS BIGINT) AS c1
+         |      FROM h CROSS JOIN st GROUP BY 1)
+         |SELECT CAST(step AS BIGINT) AS step, n0, c0, n1, c1,
+         |  CAST(floor(CASE
+         |    WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(NULL AS DOUBLE)
+         |    ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         |      / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |             * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |             * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         |    END * 1e6) AS BIGINT) AS z_q6
+         |FROM j ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Funnel.funnelSignificance(
+        userEvents(s, d), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), window = 604800L))
     },
     // the ClickHouse-windowFunnel max-depth variant: EVERY step-1

@@ -88,6 +88,35 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L), out.toString)
   }
 
+  test("funnelSignificance: per-step pooled z matches the hand computation; empty at-risk arm goes NULL") {
+    // arms by user_id % 2: arm 0 = {0, 2}, arm 1 = {1, 3}.
+    // Depths: u0 = 1, u2 = 2, u1 = 3, u3 = 2.
+    val ev = Seq(
+      (0L, 10L, "view"),
+      (2L, 10L, "view"), (2L, 20L, "click"),
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (3L, 10L, "view"), (3L, 20L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.engine.Funnel.funnelSignificance(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), window = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // step 2: n0=2 c0=1, n1=2 c1=2 → z = 0.5/sqrt(0.75·0.25·1) = 1.1547005
+    assert(out(2L) === ((2L, 1L, 2L, 2L, Some(1154700L))), out.toString)
+    // step 3: n0=1 c0=0, n1=2 c1=1 → z = 0.5/sqrt((1/3)(2/3)(3/2)) = 0.8660254
+    assert(out(3L) === ((1L, 0L, 2L, 1L, Some(866025L))), out.toString)
+    // arm-0 users never reach step 1's depth → n0 = 0 at step 2 → NULL z
+    val solo = graft.engine.Funnel.funnelSignificance(
+      Seq((1L, 10L, "view"), (1L, 20L, "click"))
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), window = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(solo === Map(2L -> None, 3L -> None), solo.toString)
+  }
+
   test("funnel: duplicated step names are rejected loudly") {
     val ev = Seq((1L, 10L, "view")).toDF("user_id", "ts", "event_type")
     val e = intercept[IllegalArgumentException] {
