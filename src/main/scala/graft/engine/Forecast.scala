@@ -65,6 +65,79 @@ object Forecast {
         floor(expr(fold) * lit(1e6)).cast("long").as("forecast_q6"))
   }
 
+  /** Walk-forward BACKTEST of [[holt]] — the forecast-trust gate as a
+    * first-class row (the recall@k / lang-ID-confusion pattern aimed
+    * at the forecast family): replay the SAME order-fixed fold over
+    * the trailing `lastN` samples, but score each step's prediction
+    * l+b against the next actual BEFORE folding it in. Per series:
+    *   n_evals  — one-step evaluations (window size − 1),
+    *   mae_q6   — mean |error| over the evaluations,
+    *   wape_q6  — Σ|error| / Σ|y| (scale-free; NULL when every y=0),
+    *   skill_q6 — 1 − Σ|error| / Σ|naive error| against the
+    *              last-value (random-walk) baseline: positive means
+    *              Holt beats naive, ≤ 0 means the smoothing adds
+    *              nothing — the number a dashboard needs before its
+    *              forecast deserves belief. NULL for constant series
+    *              (no naive error to beat).
+    * Every prediction uses strictly earlier samples (standard online
+    * backtest for smoothing models). Series with one sample have no
+    * evaluation and are dropped.
+    *
+    * Scale shape: identical to [[holt]] — window-bounded cell, one
+    * hash aggregation; the accumulator adds three running doubles and
+    * the previous sample. Determinism: the recurrence text mirrors
+    * the oracle walk token-for-token (the level expression spelled
+    * out where it feeds), and all three ratios are floor-quantized
+    * ×1e6 off bit-identical doubles. */
+  def holtBacktest(points: DataFrame, lastN: Int = 64,
+      alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    require(lastN >= 2 && lastN <= 4096, "lastN must be in [2, 4096]")
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0,
+      "need alpha in (0,1], beta in [0,1]")
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").desc, col("pid").desc)
+    val recent = points
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= lastN)
+    val a = alpha
+    val oa = 1.0 - alpha
+    val b = beta
+    val ob = 1.0 - beta
+    val nl = s"$a * e.y + $oa * (s.l + s.b)"
+    // the error terms read the PRE-update accumulator (s.l + s.b is
+    // the forecast made before e.y arrives; s.py is the naive one)
+    val fold =
+      s"""aggregate(slice(__a, 2, $lastN),
+         |  struct(element_at(__a, 1).y AS l, CAST(0.0 AS DOUBLE) AS b,
+         |    CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS say,
+         |    CAST(0.0 AS DOUBLE) AS sne, element_at(__a, 1).y AS py),
+         |  (s, e) -> struct(
+         |    $nl AS l,
+         |    $b * (($nl) - s.l) + $ob * s.b AS b,
+         |    s.sae + abs(e.y - (s.l + s.b)) AS sae,
+         |    s.say + abs(e.y) AS say,
+         |    s.sne + abs(e.y - s.py) AS sne,
+         |    e.y AS py),
+         |  s -> struct(s.sae AS sae, s.say AS say, s.sne AS sne))""".stripMargin
+    recent.groupBy(col("series"))
+      .agg(expr(
+        "array_sort(collect_list(struct(ts, pid, CAST(val AS DOUBLE) AS y)))")
+        .as("__a"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("series"), col("n"), expr(fold).as("__s"))
+      .select(col("series"),
+        (col("n") - 1).cast("long").as("n_evals"),
+        floor(col("__s.sae") / (col("n") - 1) * lit(1e6)).cast("long")
+          .as("mae_q6"),
+        when(col("__s.say") > 0d,
+          floor(col("__s.sae") / col("__s.say") * lit(1e6)).cast("long"))
+          .as("wape_q6"),
+        when(col("__s.sne") > 0d,
+          floor((lit(1.0) - col("__s.sae") / col("__s.sne")) * lit(1e6))
+            .cast("long")).as("skill_q6"))
+  }
+
   /** The trailing window carried across micro-batches: ≤ lastN
     * (ts, pid, y) triples per series — bounded state by the same
     * construction as the batch operator. */

@@ -1118,6 +1118,38 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.Forecast.holt(I(s, d),
         lastN = 64, alpha = 0.5, beta = 0.25))
     },
+    // walk-forward backtest of the Holt forecast: the oracle extends
+    // the SAME recursive walk with Σ|one-step error|, Σ|y| and the
+    // naive (last-value) Σ|error|, scoring each prediction against
+    // the next actual BEFORE folding it in — per-series MAE / WAPE /
+    // skill-vs-naive, each floor-quantized off the identical
+    // order-fixed IEEE sequence
+    Entry("ts_forecast_backtest",
+      s"""WITH RECURSIVE p AS (SELECT series, ts, pid, CAST(val AS DOUBLE) AS y FROM ($PI)),
+         |r AS (SELECT series, ts, pid, y, row_number() OVER (PARTITION BY series ORDER BY ts DESC, pid DESC) AS rk FROM p),
+         |m AS (SELECT series, list(y ORDER BY ts, pid) AS a, count(*) AS n_samples
+         |      FROM r WHERE rk <= 64 GROUP BY 1 HAVING count(*) >= 2),
+         |walk AS (
+         |  SELECT series, a, n_samples, 1 AS i, a[1] AS l, CAST(0.0 AS DOUBLE) AS b,
+         |         CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS say,
+         |         CAST(0.0 AS DOUBLE) AS sne, a[1] AS py FROM m
+         |  UNION ALL
+         |  SELECT series, a, n_samples, i + 1,
+         |    0.5 * a[i+1] + 0.5 * (l + b),
+         |    0.25 * ((0.5 * a[i+1] + 0.5 * (l + b)) - l) + 0.75 * b,
+         |    sae + abs(a[i+1] - (l + b)),
+         |    say + abs(a[i+1]),
+         |    sne + abs(a[i+1] - py),
+         |    a[i+1]
+         |  FROM walk WHERE i < n_samples)
+         |SELECT series, CAST(n_samples - 1 AS BIGINT) AS n_evals,
+         |       CAST(floor(sae / (n_samples - 1) * 1000000.0) AS BIGINT) AS mae_q6,
+         |       CASE WHEN say > 0 THEN CAST(floor(sae / say * 1000000.0) AS BIGINT) END AS wape_q6,
+         |       CASE WHEN sne > 0 THEN CAST(floor((1.0 - sae / sne) * 1000000.0) AS BIGINT) END AS skill_q6
+         |FROM walk WHERE i = n_samples ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Forecast.holtBacktest(I(s, d),
+        lastN = 64, alpha = 0.5, beta = 0.25))
+    },
     // Holt-Winters additive-seasonal (InfluxDB HOLT_WINTERS's other
     // half) over the trailing 96 hourly buckets, season m=24. The
     // oracle walks the SAME two-phase fold (24-bucket init mean +

@@ -357,6 +357,34 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(n.getLong(1) === 8L && n.getLong(3) === 5000000L)
   }
 
+  test("holt backtest: hand-traced errors; constant series score zero; singletons dropped") {
+    // y = [10, 20, 30], alpha 0.5, beta 0.25 (the holt test's trace):
+    //   pred@20 = 10        -> err 10;    l=15, b=1.25
+    //   pred@30 = 16.25     -> err 13.75
+    //   sae = 23.75, say = 50, naive sne = |20-10| + |30-20| = 20
+    //   mae = 11.875, wape = 0.475, skill = 1 - 23.75/20 = -0.1875
+    val pts = Seq(("s", 0L, 1L, 10L), ("s", 10L, 2L, 20L), ("s", 20L, 3L, 30L),
+      ("c", 0L, 1L, 7L), ("c", 10L, 2L, 7L), ("c", 20L, 3L, 7L),
+      ("one", 5L, 1L, 42L))
+      .toDF("series", "ts", "pid", "val")
+    val out = graft.engine.Forecast.holtBacktest(pts, lastN = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out("s") === ((2L, 11875000L, Some(475000L), Some(-187500L))),
+      out.toString)
+    assert(out("c") === ((2L, 0L, Some(0L), None)),
+      "constant series: zero error, no naive error to beat -> NULL skill")
+    assert(!out.contains("one"), "a single sample has no evaluation")
+    // the trailing-window bound holds: only the last N samples score
+    val long = (0 until 100).map(i => ("L", i.toLong, i.toLong, 5L))
+      .toDF("series", "ts", "pid", "val")
+    val n = graft.engine.Forecast.holtBacktest(long, lastN = 8)
+      .collect().head
+    assert(n.getLong(1) === 7L && n.getLong(2) === 0L)
+  }
+
   test("holtWinters: hand-traced seasonal recurrence; holed and short windows dropped") {
     // m=2, lastN=4, one point per hourly bucket, y = [10, 20, 12, 22]:
     //   init l0 = 15, s = [-5, 5], b = 0
