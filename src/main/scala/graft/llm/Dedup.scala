@@ -591,15 +591,43 @@ object Dedup {
     * enough, or does this corpus need MinHash?". The recall ratio is
     * EXACT integer division ×1e6 — no float ever enters the audit.
     *
-    * Scale shape: both inputs are the documented bucketed paths (the
-    * truth side inherits `maxDf`'s inverted-index cap); the audit
-    * adds one output-sized pair join + a ≤10-row aggregation. At
-    * 100 TB run it on a sampled slice — recall is a statistic, and
-    * the estimate concentrates long before the corpus is exhausted. */
+    * Scale shape: the truth side is PAIR-QUADRATIC IN DUPLICATE
+    * DENSITY — its inverted-index self-join emits Σ df² rows, and on
+    * a corpus where every document has c near-copies every shingle's
+    * df carries that factor, so the join grows c² (measured: the
+    * 100×-replicated sf10 corpus takes the sf0.1 truth join from
+    * 2.8 M to 28 G rows — a ~1 TB shuffle that exhausts local disk).
+    * `maxDf` does NOT rescue it there: replication lifts EVERY df
+    * past any useful cap, so the cap empties the truth set instead
+    * of bounding it. The scale path is SAMPLING: restrict the audit
+    * to documents whose portable md5 draw ≡ 0 (mod m) BEFORE both
+    * paths — the same 1/m² pair subspace on the truth and candidate
+    * sides, so per-band recall is estimated over sampled pairs, not
+    * distorted (recall is a statistic; the estimate concentrates
+    * long before the corpus is exhausted). `sampleMod` > 0 fixes m
+    * explicitly (1 = full audit); the default 0 picks m ADAPTIVELY
+    * as max(1, n_docs / sampleTarget) — the slice stays ~sampleTarget
+    * documents whatever the corpus size, so the audit's cost is
+    * CONSTANT in corpus scale by construction (the adaptive-cell
+    * precedent from semanticClusters). The one count() this takes is
+    * a 1-row stat, not a data-path collect. DedupSpec pins sampled ≡
+    * unsampled-over-the-filtered-subset exactly, and adaptive ≡ full
+    * below the target. */
   def simhashRecallAudit(docs: DataFrame, n: Int = 3, theta: Double = 0.5,
-      maxDist: Int = 3, bands: Int = 4, maxDf: Long = 0L): DataFrame = {
-    val truth = ngramJaccardPairs(docs, n, theta, maxDf)
-    val caught = simhashPairs(docs, maxDist, bands)
+      maxDist: Int = 3, bands: Int = 4, maxDf: Long = 0L,
+      sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
+    require(sampleMod >= 0L && sampleTarget >= 1L,
+      "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
+    val mod =
+      if (sampleMod > 0L) sampleMod
+      else math.max(1L, docs.count() / sampleTarget)
+    val slice =
+      if (mod <= 1L) docs
+      else docs.where(expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        % mod === 0)
+    val truth = ngramJaccardPairs(slice, n, theta, maxDf)
+    val caught = simhashPairs(slice, maxDist, bands)
       .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
     truth.join(caught, Seq("id_a", "id_b"), "left")
       .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")

@@ -706,10 +706,20 @@ object DataOpsQueries {
     // dedup): per-jaccard-band recall of the simhash candidate set
     // against the exact n-gram truth. Non-vacuous by construction —
     // simhash estimates token-multiset cosine, not shingle jaccard,
-    // so band recall genuinely degrades toward theta.
+    // so band recall genuinely degrades toward theta. The audit runs
+    // on an ADAPTIVE md5-sampled slice of ~2500 docs (full corpus
+    // below that, so sf0.01 is unsampled) — the exact truth side is
+    // pair-quadratic in duplicate density, and the slice keeps its
+    // cost constant in corpus scale; the oracle replays the same
+    // draw, threshold, and both pair paths over the slice.
     Entry("dedup_recall_eval",
-      s"""WITH tru AS (SELECT id_a, id_b, jaccard FROM ($JACCARD_SQL) j),
-         |cand AS (SELECT id_a, id_b FROM ($SIMHASH_PAIRS_SQL) s)
+      s"""WITH sdocs AS (SELECT * FROM documents
+         |  WHERE (CAST(list_sum(list_transform(range(15), k ->
+         |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+         |        << (4*(14-k)))) AS BIGINT))
+         |    % greatest(1, (SELECT count(*) FROM documents) // 2500) = 0),
+         |tru AS (SELECT id_a, id_b, jaccard FROM (${JACCARD_SQL.replace("FROM documents", "FROM sdocs")}) j),
+         |cand AS (SELECT id_a, id_b FROM (${SIMHASH_PAIRS_SQL.replace("FROM documents", "FROM sdocs")}) s)
          |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
          |       count(*) AS n_true,
          |       CAST(count(cand.id_a) AS BIGINT) AS n_caught,

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.expr
 import graft.llm.Dedup
 
 /** Pins the dedup operators on a corpus with planted near-duplicates:
@@ -197,6 +198,38 @@ class DedupSpec extends AnyFunSuite {
     // every count is bounded by the truth side — a candidate pair
     // OUTSIDE the truth set must never inflate a band
     assert(audit.forall { case (_, t, c, r) => c <= t && r <= 1000000L })
+  }
+
+  test("simhashRecallAudit sampleMod == the unsampled audit over the md5-filtered subset") {
+    // the scale path must be a pure input restriction — the audit of
+    // the sampled slice, not a different statistic
+    val mod = 2L
+    val slice = corpus.where(expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      % mod === 0)
+    assert(slice.count() > 0 && slice.count() < corpus.count(),
+      "test premise: the draw splits the corpus")
+    val sampled = Dedup.simhashRecallAudit(corpus, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4, sampleMod = mod).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = Dedup.simhashRecallAudit(slice, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sampled === direct, s"sampled=$sampled direct=$direct")
+    // adaptive mode (the default) stays a FULL audit below the
+    // target, and collapses to the explicit-mod audit above it
+    val full = Dedup.simhashRecallAudit(corpus, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val adaptive = Dedup.simhashRecallAudit(corpus, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(adaptive === full, "below sampleTarget the adaptive audit is the full audit")
+    val adaptiveTight = Dedup.simhashRecallAudit(corpus, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4, sampleTarget = corpus.count() / mod).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(adaptiveTight === sampled,
+      "above the target the adaptive mod equals the explicit one")
   }
 
   test("semanticClusters: planted duplicates share a cell and cluster with recall 1.0") {
