@@ -66,7 +66,7 @@ object Bench {
     "ts_slo_burn", "ts_seasonal_strength", "ts_threshold_eta",
     "ev_ab_test", "text_zipf_fit", "mm_audio_silence", "mm_image_entropy",
     "embed_drift", "dedup_recall_eval", "ev_funnel_sig",
-    "ts_forecast_backtest",
+    "ts_forecast_backtest", "ts_cusum",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -377,4 +377,94 @@ object Anomaly {
           out.result().iterator
       }
   }
+
+  /** Tabular CUSUM drift detector (Page 1954, the textbook two-sided
+    * form) over the HOURLY ROLLUP: the first `base` observed buckets
+    * of the trailing `lastN` train a baseline (μ, σ via one
+    * fixed-order fold), then the cumulative sums
+    *   S⁺ = max(0, S⁺ + (y − μ − k·σ)),  S⁻ = max(0, S⁻ + (μ − y − k·σ))
+    * walk the remaining buckets and an alarm row (series, bucket,
+    * side ±1, S/σ ×1e6) is emitted whenever either sum crosses h·σ,
+    * after which that sum RESETS — restart detection, so output is
+    * alarm-sized, not breach-sized. CUSUM accumulates many small
+    * shifts the per-point detectors ([[seasonalZ]], [[robustZ]])
+    * never see — the sustained-drift complement to [[thresholdCross]]
+    * (level) and SeriesMath.changepoints (single split).
+    *
+    * Gap policy: the walk steps over OBSERVED buckets — a gap just
+    * skips steps. Unlike Holt-Winters (where a hole misaligns every
+    * later seasonal slot) CUSUM has no positional state, so dropping
+    * holed series would only shrink coverage; drift against the
+    * baseline mean is well-defined on the observed sequence.
+    *
+    * Scale shape: the [[graft.engine.Forecast]] fold pattern —
+    * trailing-N buckets per series via WindowGroupLimit, ONE hash
+    * aggregation, one SQL `aggregate` whose accumulator carries the
+    * running sums plus the (bounded, alarm-sized) alarm array; cell
+    * memory lastN-bounded by construction. Baseline-constant series
+    * (σ = 0 — no scale for k·σ or h·σ) are dropped, as are series
+    * with fewer than `minBuckets` observed buckets. Determinism: the
+    * bucket sums are exact int64; the walk is one order-fixed IEEE
+    * sequence spelled textually identically in the oracle's
+    * recursive CTE, and S/σ is floor-quantized ×1e6. */
+  def cusum(points: DataFrame, lastN: Int = 168, base: Int = 24,
+      k: Double = 0.5, h: Double = 5.0, minBuckets: Int = 48,
+      bucketSec: Long = 3600L): DataFrame = {
+    require(lastN >= base + 1 && base >= 2, "need lastN > base >= 2")
+    require(minBuckets > base && minBuckets <= lastN,
+      "need base < minBuckets <= lastN")
+    require(k >= 0.0 && h > 0.0, "need k >= 0 and h > 0")
+    val hourly = points
+      .groupBy(col("series"),
+        expr(s"ts div $bucketSec").as("bucket"))
+      .agg(sum(col("val")).cast("long").cast("double").as("y"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket").desc)
+    val recent = hourly
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= lastN)
+    // the up/down candidate sums appear in three branches each —
+    // spelled out identically every time, in both engines, so the
+    // comparison and the stored value are the same double
+    val up = s"greatest(0.0, s.sp + (e.y - s.mu - $k * s.sg))"
+    val dn = s"greatest(0.0, s.sn + (s.mu - e.y - $k * s.sg))"
+    val fold =
+      s"""aggregate(slice(__a, 2, $lastN),
+         |  struct(1 AS i,
+         |    element_at(__a, 1).y AS sy,
+         |    element_at(__a, 1).y * element_at(__a, 1).y AS syy,
+         |    CAST(NULL AS DOUBLE) AS mu, CAST(NULL AS DOUBLE) AS sg,
+         |    CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+         |    CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, side: BIGINT, s: DOUBLE>>) AS al),
+         |  (s, e) -> struct(
+         |    s.i + 1 AS i,
+         |    CASE WHEN s.i + 1 <= $base THEN s.sy + e.y ELSE s.sy END AS sy,
+         |    CASE WHEN s.i + 1 <= $base THEN s.syy + e.y * e.y ELSE s.syy END AS syy,
+         |    CASE WHEN s.i + 1 = $base THEN (s.sy + e.y) / $base.0 ELSE s.mu END AS mu,
+         |    CASE WHEN s.i + 1 = $base THEN sqrt((s.syy + e.y * e.y) / $base.0 - ((s.sy + e.y) / $base.0) * ((s.sy + e.y) / $base.0)) ELSE s.sg END AS sg,
+         |    CASE WHEN s.i + 1 <= $base THEN 0.0
+         |         WHEN $up > $h * s.sg THEN 0.0
+         |         ELSE $up END AS sp,
+         |    CASE WHEN s.i + 1 <= $base THEN 0.0
+         |         WHEN $dn > $h * s.sg THEN 0.0
+         |         ELSE $dn END AS sn,
+         |    CASE WHEN s.i + 1 <= $base THEN s.al
+         |         WHEN $up > $h * s.sg THEN array_append(s.al,
+         |           named_struct('bucket', e.bucket, 'side', CAST(1 AS BIGINT), 's', $up))
+         |         WHEN $dn > $h * s.sg THEN array_append(s.al,
+         |           named_struct('bucket', e.bucket, 'side', CAST(-1 AS BIGINT), 's', $dn))
+         |         ELSE s.al END AS al),
+         |  s -> struct(s.sg AS sg, s.al AS al))""".stripMargin
+    recent.groupBy(col("series"))
+      .agg(expr("array_sort(collect_list(struct(bucket, y)))").as("__a"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= minBuckets)
+      .select(col("series"), expr(fold).as("__s"))
+      .where(col("__s.sg") > 0d)
+      .select(col("series"), explode(col("__s.al")).as("a"),
+        col("__s.sg").as("__sg"))
+      .select(col("series"), col("a.bucket").as("bucket"),
+        col("a.side").as("side"),
+        floor(col("a.s") / col("__sg") * lit(1e6)).cast("long")
+          .as("s_sigma_q6"))
+  }
 }

@@ -1295,6 +1295,47 @@ object EngineQueries {
          |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Anomaly.sloBurn(I(s, d),
         threshold = 10000L))
+    },
+    // two-sided tabular CUSUM drift alarms over the hourly rollup:
+    // baseline (mu, sigma) from the first 24 observed buckets, then
+    // S+/S- accumulate against k=0.5 sigma and alarm past h=5 sigma
+    // with reset. The oracle walks the identical order-fixed fold in
+    // one recursive CTE — the up/down candidate sums are spelled out
+    // identically in every branch of both engines
+    Entry("ts_cusum",
+      s"""WITH RECURSIVE p AS (SELECT series, ts, val FROM ($PI)),
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(CAST(sum(val) AS BIGINT) AS DOUBLE) AS y FROM p GROUP BY 1, 2),
+         |r AS (SELECT series, bucket, y, row_number() OVER (PARTITION BY series ORDER BY bucket DESC) AS rk FROM h),
+         |m AS (SELECT series, list(struct_pack(bucket := bucket, y := y) ORDER BY bucket) AS a, count(*) AS n
+         |      FROM r WHERE rk <= 168 GROUP BY 1 HAVING count(*) >= 48),
+         |walk AS (
+         |  SELECT series, a, n, 1 AS i, a[1].y AS sy, a[1].y * a[1].y AS syy,
+         |         CAST(NULL AS DOUBLE) AS mu, CAST(NULL AS DOUBLE) AS sg,
+         |         CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+         |         CAST(0 AS BIGINT) AS side, CAST(NULL AS DOUBLE) AS sa FROM m
+         |  UNION ALL
+         |  SELECT series, a, n, i + 1,
+         |    CASE WHEN i + 1 <= 24 THEN sy + a[i+1].y ELSE sy END,
+         |    CASE WHEN i + 1 <= 24 THEN syy + a[i+1].y * a[i+1].y ELSE syy END,
+         |    CASE WHEN i + 1 = 24 THEN (sy + a[i+1].y) / 24.0 ELSE mu END,
+         |    CASE WHEN i + 1 = 24 THEN sqrt((syy + a[i+1].y * a[i+1].y) / 24.0 - ((sy + a[i+1].y) / 24.0) * ((sy + a[i+1].y) / 24.0)) ELSE sg END,
+         |    CASE WHEN i + 1 <= 24 THEN 0.0
+         |         WHEN greatest(0.0, sp + (a[i+1].y - mu - 0.5 * sg)) > 5.0 * sg THEN 0.0
+         |         ELSE greatest(0.0, sp + (a[i+1].y - mu - 0.5 * sg)) END,
+         |    CASE WHEN i + 1 <= 24 THEN 0.0
+         |         WHEN greatest(0.0, sn + (mu - a[i+1].y - 0.5 * sg)) > 5.0 * sg THEN 0.0
+         |         ELSE greatest(0.0, sn + (mu - a[i+1].y - 0.5 * sg)) END,
+         |    CASE WHEN i + 1 > 24 AND greatest(0.0, sp + (a[i+1].y - mu - 0.5 * sg)) > 5.0 * sg THEN 1
+         |         WHEN i + 1 > 24 AND greatest(0.0, sn + (mu - a[i+1].y - 0.5 * sg)) > 5.0 * sg THEN -1
+         |         ELSE 0 END,
+         |    CASE WHEN i + 1 > 24 AND greatest(0.0, sp + (a[i+1].y - mu - 0.5 * sg)) > 5.0 * sg THEN greatest(0.0, sp + (a[i+1].y - mu - 0.5 * sg))
+         |         WHEN i + 1 > 24 AND greatest(0.0, sn + (mu - a[i+1].y - 0.5 * sg)) > 5.0 * sg THEN greatest(0.0, sn + (mu - a[i+1].y - 0.5 * sg))
+         |         ELSE CAST(NULL AS DOUBLE) END
+         |  FROM walk WHERE i < n)
+         |SELECT series, a[i].bucket AS bucket, CAST(side AS BIGINT) AS side,
+         |       CAST(floor(sa / sg * 1000000.0) AS BIGINT) AS s_sigma_q6
+         |FROM walk WHERE side != 0 AND sg > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Anomaly.cusum(I(s, d)))
     })
 
   // ---- grid interpolation / gap fill (beyond-reference) ----

@@ -357,6 +357,31 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(n.getLong(1) === 8L && n.getLong(3) === 5000000L)
   }
 
+  test("cusum: hand-traced two-sided alarms with reset; sigma-0 and short series dropped") {
+    // bucketSec=1 -> each point is its own bucket. base=2: baseline
+    // y=[10,14] -> mu=12, sigma=2; k=0.5 -> slack 1, h=2 -> alarm at 4.
+    //   y=16: S+ = 3        (no alarm)
+    //   y=16: S+ = 6 > 4    -> alarm +1, S/sigma = 3, reset
+    //   y=12: S+ = 0, S- = 0
+    //   y=8:  S- = 3        (no alarm)
+    //   y=8:  S- = 6 > 4    -> alarm -1, S/sigma = 3
+    val drift = Seq(10L, 14L, 16L, 16L, 12L, 8L, 8L).zipWithIndex
+      .map { case (v, i) => ("d", (i + 1).toLong, (i + 1).toLong, v) }
+    // constant baseline (sigma=0): dropped even though it jumps
+    val flat = Seq(5L, 5L, 100L, 100L).zipWithIndex
+      .map { case (v, i) => ("z", (i + 1).toLong, (i + 1).toLong, v) }
+    // too short for minBuckets=3
+    val short = Seq(("t", 1L, 1L, 9L), ("t", 2L, 2L, 9L))
+    val pts = (drift ++ flat ++ short)
+      .toDF("series", "ts", "pid", "val")
+    val out = graft.engine.Anomaly.cusum(pts, lastN = 10, base = 2,
+      k = 0.5, h = 2.0, minBuckets = 3, bucketSec = 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(("d", 4L, 1L, 3000000L), ("d", 7L, -1L, 3000000L)),
+      out.toString)
+  }
+
   test("holt backtest: hand-traced errors; constant series score zero; singletons dropped") {
     // y = [10, 20, 30], alpha 0.5, beta 0.25 (the holt test's trace):
     //   pred@20 = 10        -> err 10;    l=15, b=1.25
