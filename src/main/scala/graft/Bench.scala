@@ -151,7 +151,11 @@ object Bench {
     val arr = headline.map(n => med.get(n).map(f3).getOrElse("null"))
       .mkString("[", ",", "]")
     println(s"""{"metric":"spread","unit":"sec","spread":$sjson,"note":"max-min over $reps reps per entry; per-query value = median; action = bit_xor(xxhash64(all columns)): full materialization, overflow-free"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"q":$arr,"order":"graft.Bench.headline","reps":$reps,"sf":"$sfDir","failed":$failedJson}""")
+    // "value" (the headline total) sits AFTER the large "queries" map
+    // and the "q" array: the tail capture keeps the END of the line,
+    // so the total must land inside the final ~900 chars, not before
+    // the map that overflows the window (round-13 lost it).
+    println(s"""{"metric":"total","unit":"sec","queries":$qjson,"q":$arr,"value":$total,"order":"graft.Bench.headline","reps":$reps,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -235,33 +235,72 @@ object Anomaly {
     * decision — re-running [[thresholdCross]] over the settled store
     * is the audit path, and with per-series in-order feeds the two
     * agree event-for-event, which StreamingSpec pins). Append mode,
-    * no watermark, transition-sized output. */
+    * transition-sized output.
+    *
+    * State is BOUNDED BY REPORTING SERIES, not all series ever seen:
+    * once the watermark passes a series' newest sample + `idleEvict`
+    * seconds its 3-long state is EVICTED (event-time timeout — the
+    * [[graft.engine.Funnel.streamingFunnel]] pattern), so a fleet
+    * with series churn holds state only for series that reported
+    * within the idle horizon. A retired series RE-TRAINS on its next
+    * arrival: the first sample back emits no edge (the same
+    * first-sample rule a brand-new series gets) — the one documented
+    * live-vs-batch divergence across an idle gap longer than
+    * idleEvict; the settled batch [[thresholdCross]] is the audit.
+    * `maxLateness` sets the watermark delay and is therefore the
+    * cross-batch disorder budget: an event arriving in a LATER
+    * micro-batch more than maxLateness behind the newest event time
+    * seen is silently dropped by Spark — the default 3600 s tolerates
+    * an hour of transport skew at the cost of an hour's extra state
+    * retention (intra-batch disorder is always safe: each slice is
+    * sorted before folding). */
   def streamingThresholdCross(stream: DataFrame,
-      threshold: Long): Dataset[Crossing] = {
+      threshold: Long, idleEvict: Long = 86400L,
+      maxLateness: Long = 3600L): Dataset[Crossing] = {
+    require(idleEvict > 0 && maxLateness >= 0,
+      "need idleEvict > 0 and maxLateness >= 0")
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col("series"), col("ts"), col("pid"), col("val"))
-      .as[(String, Long, Long, Long)]
+    stream.select(col("series"), col("ts"), col("pid"), col("val"),
+        timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (series: String, rows: Iterator[(String, Long, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (series: String,
+         rows: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
          state: GroupState[CrossState]) =>
-          // one series' micro-batch slice: sort by (ts, pid) so
-          // intra-batch disorder cannot reorder the edge stream
-          val batch = rows.toArray.sortBy(r => (r._2, r._3))
-          var prev = state.getOption
-          val out = Vector.newBuilder[Crossing]
-          batch.foreach { case (_, ts, pid, v) =>
-            prev.foreach { p =>
-              if (p.value < threshold && v >= threshold)
-                out += Crossing(series, ts, pid, v, p.value, "up")
-              else if (p.value >= threshold && v < threshold)
-                out += Crossing(series, ts, pid, v, p.value, "down")
+          if (state.hasTimedOut) {
+            // no sample for idleEvict: retire the series — a later
+            // arrival re-trains exactly like a brand-new series
+            state.remove()
+            Iterator.empty
+          } else {
+            // one series' micro-batch slice: sort by (ts, pid) so
+            // intra-batch disorder cannot reorder the edge stream
+            val batch = rows.toArray.sortBy(r => (r._2, r._3))
+            var prev = state.getOption
+            val out = Vector.newBuilder[Crossing]
+            batch.foreach { case (_, ts, pid, v, _) =>
+              prev.foreach { p =>
+                if (p.value < threshold && v >= threshold)
+                  out += Crossing(series, ts, pid, v, p.value, "up")
+                else if (p.value >= threshold && v < threshold)
+                  out += Crossing(series, ts, pid, v, p.value, "down")
+              }
+              prev = Some(CrossState(ts, pid, v))
             }
-            prev = Some(CrossState(ts, pid, v))
+            prev.foreach { p =>
+              state.update(p)
+              // clamp above the current watermark — Spark rejects a
+              // timeout at or below it (possible replaying history)
+              state.setTimeoutTimestamp(math.max(
+                (p.ts + idleEvict) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            out.result().iterator
           }
-          prev.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -333,48 +372,76 @@ object Anomaly {
     * the batch replay is the audit). Append mode, alert-sized
     * output. Per-point cost is O(window samples) — the alerting rates
     * this exists for (scrape intervals of seconds to minutes) keep
-    * that a few thousand comparisons. */
+    * that a few thousand comparisons.
+    *
+    * State retires with the series: once the watermark passes a
+    * series' newest sample + longWin, every held pair is outside any
+    * window a future point could open, so the state is EVICTED
+    * (event-time timeout) — output-invariant by construction, and the
+    * store stays bounded by series REPORTING within the long window
+    * rather than all series ever seen. `maxLateness` is the
+    * cross-batch disorder budget (watermark delay): later-batch
+    * events more than maxLateness behind the newest event time are
+    * silently dropped by Spark; the 3600 s default trades an hour of
+    * extra retention for an hour of transport skew. */
   def streamingSloBurn(stream: DataFrame, threshold: Long,
       shortWin: Long = 3600L, longWin: Long = 21600L,
       budgetNum: Long = 1L, budgetDen: Long = 100L,
-      factorX10: Long = 144L): Dataset[BurnAlert] = {
+      factorX10: Long = 144L,
+      maxLateness: Long = 3600L): Dataset[BurnAlert] = {
     require(shortWin > 0 && longWin > shortWin,
       "need 0 < shortWin < longWin")
+    require(maxLateness >= 0, "need maxLateness >= 0")
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col("series"), col("ts"),
-        when(col("val") > threshold, 1L).otherwise(0L).as("bad"))
-      .as[(String, Long, Long)]
+        when(col("val") > threshold, 1L).otherwise(0L).as("bad"),
+        timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .as[(String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (series: String, rows: Iterator[(String, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (series: String,
+         rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
          state: GroupState[BurnState]) =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          state.getOption.foreach(st =>
-            st.ts.indices.foreach(i => buf += ((st.ts(i), st.bad(i)))))
-          val out = Vector.newBuilder[BurnAlert]
-          def burns(b: Long, n: Long) =
-            b * 10L * budgetDen >= factorX10 * budgetNum * n
-          // whole equal-ts groups land before any member is scored —
-          // the batch RANGE frame's peer visibility
-          rows.toArray.sortBy(_._2).groupBy(_._2).toSeq.sortBy(_._1)
-            .foreach { case (ts, grp) =>
-              grp.foreach { case (_, t, bad) => buf += ((t, bad)) }
-              val keep = buf.filter(_._1 > ts - longWin).sortBy(_._1)
-              buf.clear(); buf ++= keep
-              var sb = 0L; var sn = 0L; var lb = 0L; var ln = 0L
-              buf.foreach { case (t, bad) =>
-                if (t > ts - longWin && t <= ts) {
-                  lb += bad; ln += 1
-                  if (t > ts - shortWin) { sb += bad; sn += 1 }
+          if (state.hasTimedOut) {
+            // the watermark passed newest + longWin: nothing held can
+            // ever sit inside a future window — drop the series
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            state.getOption.foreach(st =>
+              st.ts.indices.foreach(i => buf += ((st.ts(i), st.bad(i)))))
+            val out = Vector.newBuilder[BurnAlert]
+            def burns(b: Long, n: Long) =
+              b * 10L * budgetDen >= factorX10 * budgetNum * n
+            // whole equal-ts groups land before any member is scored —
+            // the batch RANGE frame's peer visibility
+            rows.toArray.sortBy(_._2).groupBy(_._2).toSeq.sortBy(_._1)
+              .foreach { case (ts, grp) =>
+                grp.foreach { case (_, t, bad, _) => buf += ((t, bad)) }
+                val keep = buf.filter(_._1 > ts - longWin).sortBy(_._1)
+                buf.clear(); buf ++= keep
+                var sb = 0L; var sn = 0L; var lb = 0L; var ln = 0L
+                buf.foreach { case (t, bad) =>
+                  if (t > ts - longWin && t <= ts) {
+                    lb += bad; ln += 1
+                    if (t > ts - shortWin) { sb += bad; sn += 1 }
+                  }
                 }
+                if (burns(sb, sn) && burns(lb, ln))
+                  grp.foreach(_ => out += BurnAlert(series, ts, sb, sn, lb, ln))
               }
-              if (burns(sb, sn) && burns(lb, ln))
-                grp.foreach(_ => out += BurnAlert(series, ts, sb, sn, lb, ln))
-            }
-          state.update(BurnState(buf.map(_._1).toArray,
-            buf.map(_._2).toArray))
-          out.result().iterator
+            state.update(BurnState(buf.map(_._1).toArray,
+              buf.map(_._2).toArray))
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                (buf.map(_._1).max + longWin) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            out.result().iterator
+          }
       }
   }
 
@@ -466,5 +533,107 @@ object Anomaly {
         col("a.side").as("side"),
         floor(col("a.s") / col("__sg") * lit(1e6)).cast("long")
           .as("s_sigma_q6"))
+  }
+
+  /** Trailing bucket-sum table carried across micro-batches (≤
+    * lastN+1 exact int64 sums per series — the [[graft.engine.
+    * Forecast.HwState]] bound) plus the newest bucket already scored,
+    * so each alarm is emitted exactly once. */
+  final case class CusumState(bucket: Array[Long], s: Array[Long],
+      emitted: Long)
+
+  /** One live drift alarm. */
+  final case class CusumAlarm(series: String, bucket: Long, side: Long,
+      s_sigma_q6: Long)
+
+  /** Live CUSUM drift alarms — the streaming half of [[cusum]]: each
+    * micro-batch folds its points into the per-series trailing
+    * bucket-sum table (exact int64 adds, so a bucket split across
+    * batches sums identically), and the batch walk re-runs over the
+    * SEALED buckets — every held bucket except the newest, which the
+    * next bucket's first arrival seals. Sealing is what makes an
+    * emit-once alarm stream deterministic: an in-flight bucket's sum
+    * still grows, so scoring it early could fire an alarm a later
+    * point retracts. Alarms are emitted the first time their bucket
+    * is scored and never re-emitted; the running S⁺/S⁻ (and the
+    * post-alarm RESET) are recomputed from the held window each
+    * batch, so a reset carries across micro-batches by construction.
+    *
+    * Parity: while a series' observed history fits in lastN buckets
+    * the walk is prefix-causal (baseline = first `base` held buckets,
+    * sums only ever extend forward), so the streamed alarms over
+    * sealed buckets equal [[cusum]] over the same points —
+    * StreamingSpec pins this including a mid-window batch split and a
+    * reset carried across batches. Once the window slides past lastN,
+    * each alarm reflects the baseline IN FORCE when its bucket sealed
+    * (the live reading an operator wants); re-running [[cusum]] over
+    * the settled store is the audit, as with every alerting twin.
+    * Append mode, alarm-sized output; per-batch cost is one
+    * ≤lastN-step fold per series seen in the batch. */
+  def streamingCusum(stream: DataFrame, lastN: Int = 168,
+      base: Int = 24, k: Double = 0.5, h: Double = 5.0,
+      minBuckets: Int = 48, bucketSec: Long = 3600L)
+      : Dataset[CusumAlarm] = {
+    require(lastN >= base + 1 && base >= 2, "need lastN > base >= 2")
+    require(minBuckets > base && minBuckets <= lastN,
+      "need base < minBuckets <= lastN")
+    require(k >= 0.0 && h > 0.0, "need k >= 0 and h > 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series"), expr(s"ts div $bucketSec").as("bucket"),
+        col("val"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[CusumState]) =>
+          val sums = scala.collection.mutable.LongMap.empty[Long]
+          state.getOption.foreach(st =>
+            st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i)))
+          rows.foreach { case (_, bk, v) =>
+            sums(bk) = sums.getOrElse(bk, 0L) + v
+          }
+          // lastN sealed + the one unsealed newest
+          val kept = sums.toArray.sortBy(_._1).takeRight(lastN + 1)
+          var emitted = state.getOption.map(_.emitted).getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[CusumAlarm]
+          val closed = kept.dropRight(1)
+          if (closed.length >= minBuckets) {
+            // identical walk to the batch fold's SQL text, same op
+            // order on plain IEEE doubles
+            val y = closed.map(_._2.toDouble)
+            var sy = y(0); var syy = y(0) * y(0)
+            var i = 1
+            while (i < base) { sy += y(i); syy += y(i) * y(i); i += 1 }
+            val mu = sy / base.toDouble
+            val sg = math.sqrt(syy / base.toDouble - mu * mu)
+            if (sg > 0.0) {
+              var sp = 0.0; var sn = 0.0
+              i = base
+              while (i < y.length) {
+                val up = math.max(0.0, sp + (y(i) - mu - k * sg))
+                val dn = math.max(0.0, sn + (mu - y(i) - k * sg))
+                val bk = closed(i)._1
+                if (bk > emitted) {
+                  if (up > h * sg)
+                    out += CusumAlarm(series, bk, 1L,
+                      math.floor(up / sg * 1e6).toLong)
+                  else if (dn > h * sg)
+                    out += CusumAlarm(series, bk, -1L,
+                      math.floor(dn / sg * 1e6).toLong)
+                }
+                sp = if (up > h * sg) 0.0 else up
+                sn = if (dn > h * sg) 0.0 else dn
+                i += 1
+              }
+              // only a RUN of the walk advances the emit horizon —
+              // advancing it while still below minBuckets would
+              // suppress the alarms the first full walk back-fills
+              emitted = math.max(emitted, closed.last._1)
+            } else emitted = math.max(emitted, closed.last._1)
+          }
+          state.update(CusumState(kept.map(_._1), kept.map(_._2), emitted))
+          out.result().iterator
+      }
   }
 }

@@ -399,7 +399,18 @@ object Funnel {
     * conversion ticker wants); the settled batch [[funnel]] remains
     * the first-entry-only audit, so a re-entered user is the one
     * documented live-vs-batch divergence — users whose single chain
-    * never lapses agree user-for-user, which StreamingSpec pins. */
+    * never lapses agree user-for-user, which StreamingSpec pins.
+    *
+    * `maxLateness` is ALSO the cross-batch disorder budget: the
+    * watermark it sets (max event time seen − maxLateness) causes
+    * Spark to SILENTLY DROP any event that arrives in a later
+    * micro-batch with ts below the watermark. The default 0 therefore
+    * tolerates zero cross-batch disorder — exactly-ordered feeds (or
+    * single-batch tests) only; a production deployment with
+    * out-of-order transports should set maxLateness to its p99
+    * delivery skew, paying for it with that much extra state
+    * retention before eviction. Intra-batch disorder is always safe
+    * (each micro-batch is sorted before folding). */
   def streamingFunnel(stream: DataFrame, steps: Seq[String],
       window: Long, maxLateness: Long = 0L)
       : org.apache.spark.sql.Dataset[FunnelAdvance] = {

@@ -633,9 +633,13 @@ object TextStats {
     * PER TERM before the moment sums (the lm-perplexity trick), so
     * the five OLS moments are exact int64 and the slope is one IEEE
     * divide (the 1e3 scales cancel in the ratio), floor-quantized
-    * ×1e6. Headroom: n·Σxy < 2^63 with x,y ≤ ln(10⁹)·10³ ≈ 2·10⁴
-    * holds to ~10⁶ vocabulary terms per language; raise `minFreq` to
-    * prune the long tail beyond. Plan: one token hash agg, one
+    * ×1e6. Headroom: with x,y ≤ ln(10⁹)·10³ ≈ 2·10⁴, both
+    * n·Σxy and Σx·Σy grow as n²·4·10⁸, so int64 holds to
+    * n ≈ √(2^63/4·10⁸) ≈ 1.5·10⁵ vocabulary terms per language —
+    * raise `minFreq` to prune the long tail before that (the default
+    * minFreq=2 plus Zipf itself keeps real vocabularies far under it;
+    * a 10⁵-term language slice would need a ≳10⁹-token corpus slice
+    * routed through one zipfFit call). Plan: one token hash agg, one
     * VOCABULARY-sized (never corpus-sized) per-language window sort,
     * one moment agg. Output (lang, n_terms, slope_q6). */
   def zipfFit(docs: DataFrame, minFreq: Long = 2L): DataFrame = {

@@ -448,8 +448,11 @@ class StreamingSpec extends AnyFunSuite {
     // 100 good then 50 bad, one per minute (the SeriesMathSpec
     // scenario: first page at bad #17 when the long window crosses),
     // split mid-burst so the window state must carry
+    // base offset: an event at ts 0 sits AT the initial watermark and
+    // the watermarked operator drops it — real feeds never start at
+    // epoch 0, so the scenario starts at a positive base
     val pts = (0 until 150).map(i =>
-      ("svc", i * 60L, i.toLong, if (i >= 100) 20000L else 0L))
+      ("svc", 1000000L + i * 60L, i.toLong, if (i >= 100) 20000L else 0L))
     val ms = MemoryStream[(String, Long, Long, Long)]
     val q = graft.engine.Anomaly.streamingSloBurn(
       ms.toDF().toDF("series", "ts", "pid", "val"), threshold = 10000L)
@@ -470,6 +473,124 @@ class StreamingSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4), r.getLong(5))).toSet
       assert(live === batch, s"live=${live.size} batch=${batch.size}")
       assert(batch.nonEmpty, "the scenario must actually page")
+    } finally q.stop()
+  }
+
+  test("streaming threshold-cross evicts idle series and re-trains on re-arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Anomaly.streamingThresholdCross(
+      ms.toDF().toDF("series", "ts", "pid", "val"), threshold = 50L,
+      idleEvict = 100L, maxLateness = 0L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cross_evict").start()
+    try {
+      // b1: s crosses up (prev 10 → 60); timeout arms at 20 + 100
+      ms.addData(("s", 10L, 1L, 10L), ("s", 20L, 2L, 60L))
+      q.processAllAvailable()
+      // b2: w pushes the watermark to 10000, far past s's timeout
+      ms.addData(("w", 10000L, 1L, 10L))
+      q.processAllAvailable()
+      // b3: a data-less batch for s — its timeout fires here
+      ms.addData(("w", 10010L, 2L, 10L))
+      q.processAllAvailable()
+      // b4: s re-arrives BELOW the threshold — with the old prev=60
+      // still held this would be a 'down' edge; a retired series
+      // re-trains instead, so the first sample back emits nothing
+      ms.addData(("s", 10020L, 3L, 5L))
+      q.processAllAvailable()
+      val live = spark.sql("SELECT series, ts, direction FROM cross_evict")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(live === Set(("s", 20L, "up")), live.toString)
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+      // and the re-trained series alerts again on its next real edge
+      ms.addData(("s", 10030L, 4L, 70L))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT series, ts, direction FROM cross_evict")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(after === Set(("s", 20L, "up"), ("s", 10030L, "up")), after.toString)
+    } finally q.stop()
+  }
+
+  test("streaming SLO burn evicts a series once the watermark clears its long window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Anomaly.streamingSloBurn(
+      ms.toDF().toDF("series", "ts", "pid", "val"), threshold = 10L,
+      shortWin = 60L, longWin = 120L, maxLateness = 0L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slo_evict").start()
+    try {
+      // b1: s pages twice (every bad sample burns with budget 1%);
+      // positive base — ts 0 would sit at the initial watermark
+      ms.addData(("s", 1000000L, 1L, 20L), ("s", 1000030L, 2L, 20L))
+      q.processAllAvailable()
+      // b2: w pushes the watermark far past s's 30 + 120 timeout
+      ms.addData(("w", 1100000L, 1L, 0L))
+      q.processAllAvailable()
+      // b3: a data-less batch for s — eviction fires
+      ms.addData(("w", 1100010L, 2L, 0L))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+      // b4: s re-arrives — a FRESH window (short_n = long_n = 1), not
+      // the stale pairs, proves the held samples were dropped
+      ms.addData(("s", 1100020L, 3L, 20L))
+      q.processAllAvailable()
+      val live = spark.sql(
+        "SELECT ts, short_bad, short_n, long_bad, long_n FROM slo_evict WHERE series = 's'")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(live === Set((1000000L, 1L, 1L, 1L, 1L),
+        (1000030L, 2L, 2L, 2L, 2L),
+        (1100020L, 1L, 1L, 1L, 1L)), live.toString)
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM fires exactly where batch does: mid-window split, reset carried across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // baseline buckets 0-3 = 10,14,10,14 (mu=12, sg=2, k*sg=1,
+    // h*sg=4); drift buckets 4-12 = 15 → S⁺ walks 2,4,6: an alarm
+    // (and reset) at every third drift bucket: 6, 9, 12
+    val vals = Seq(10L, 14L, 10L, 14L) ++ Seq.fill(9)(15L)
+    val pts = vals.zipWithIndex.map { case (v, b) =>
+      ("c", b * 10L + 1L, b.toLong, v) }
+    // bucket 13 seals bucket 12 for the stream; batch scores it too
+    // (S⁺ = max(0, 12-12-1) = 0 → no alarm), so the sets agree
+    val sentinel = ("c", 131L, 99L, 12L)
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Anomaly.streamingCusum(
+      ms.toDF().toDF("series", "ts", "pid", "val"), lastN = 20,
+      base = 4, k = 0.5, h = 2.0, minBuckets = 6, bucketSec = 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_live").start()
+    try {
+      // split right after bucket 8 (S⁺ = 4, mid-accumulation, one
+      // reset already behind): both the post-alarm reset at 6 and the
+      // in-flight S⁺ must carry into the next micro-batch's walk
+      ms.addData(pts.take(9): _*)
+      q.processAllAvailable()
+      ms.addData(pts.drop(9) :+ sentinel: _*)
+      q.processAllAvailable()
+      val live = spark.sql(
+        "SELECT series, bucket, side, s_sigma_q6 FROM cusum_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = graft.engine.Anomaly.cusum(
+        (pts :+ sentinel).toDF("series", "ts", "pid", "val"), lastN = 20,
+        base = 4, k = 0.5, h = 2.0, minBuckets = 6, bucketSec = 10L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(live === batch, s"live=$live batch=$batch")
+      assert(live === Set(("c", 6L, 1L, 3000000L), ("c", 9L, 1L, 3000000L),
+        ("c", 12L, 1L, 3000000L)), live.toString)
+      // no duplicate emissions: bucket 6's alarm appeared once even
+      // though the second batch's walk re-crossed it
+      assert(spark.sql("SELECT count(*) FROM cusum_live").head.getLong(0) === 3L)
     } finally q.stop()
   }
 }
