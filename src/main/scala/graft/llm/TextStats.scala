@@ -13,16 +13,21 @@ object TextStats {
   private val tok = "split(trim(text), '\\\\s+')"
 
   /** Per-document token statistics: token count, char count, average
-    * token length, lexical diversity (distinct/total tokens). */
+    * token length, lexical diversity (distinct/total tokens). The two
+    * ratios are floor-quantized ×1e6 (the repo-wide fixed-point
+    * convention — floor, never round, per the Interpolate.scala
+    * rationale: engines' round() can disagree by 1 ulp on the SAME
+    * double; the ratio itself is one correctly-rounded IEEE divide of
+    * exact int64s, identical in any engine). */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       expr(s"CAST(size($tok) AS bigint)").as("n_tokens"),
       col("n_chars"),
-      expr(s"round(aggregate(transform($tok, t -> length(t)), 0L, (a, x) -> a + x) / CAST(size($tok) AS double), 6)")
-        .as("avg_token_len"),
-      expr(s"round(CAST(size(array_distinct($tok)) AS double) / size($tok), 6)")
-        .as("lexical_diversity"))
+      expr(s"CAST(floor(aggregate(transform($tok, t -> length(t)), 0L, (a, x) -> a + x) / CAST(size($tok) AS double) * 1e6) AS BIGINT)")
+        .as("avg_token_len_q6"),
+      expr(s"CAST(floor(CAST(size(array_distinct($tok)) AS double) / size($tok) * 1e6) AS BIGINT)")
+        .as("lexical_diversity_q6"))
 
   /** Per-document top-k characteristic terms by tf-idf — the keyword
     * extraction step of corpus analysis/curation pipelines. tf is the
@@ -144,10 +149,15 @@ object TextStats {
     * without-replacement draw, reproducible across engines and
     * re-runs with no RNG state. The global top-n is a
     * TakeOrderedAndProject (per-partition top-n, merge of n·#parts
-    * rows — never a full sort). Keys are rounded to 9 decimals before
-    * ranking with doc_id ties (the ANN determinism contract; a key
-    * landing within 1 ulp of a rounding boundary is the same
-    * accepted measure-zero risk the other ln-based ops carry). */
+    * rows — never a full sort). Keys are floor-quantized ×1e9 to
+    * int64 before ranking with doc_id ties: floor, not round, because
+    * the two engines' round() implementations can disagree by 1 ulp
+    * on the SAME double (the Interpolate.scala rationale) and here a
+    * flipped key near a boundary changes which DOCUMENT is selected —
+    * a whole-row diff, not a last-digit one. The residual shared by
+    * any quantizer (libm-vs-JVM ln differing by 1 ulp exactly at a
+    * quantization boundary) is the measure-zero coincidence every
+    * ln-derived op in this repo carries. */
   def sampleWeighted(docs: DataFrame, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, "n must be at least 1")
@@ -155,7 +165,7 @@ object TextStats {
     docs.select(col("doc_id"), col(weightCol))
       // u in (0, 1]: (hv + 1) / 2^60 — never 0, so ln is finite
       .withColumn("key_q9", expr(
-        s"round(-ln(($hv + 1) / 1152921504606846976.0) / $weightCol, 9)"))
+        s"CAST(floor(-ln(($hv + 1) / 1152921504606846976.0) / $weightCol * 1e9) AS BIGINT)"))
       .orderBy(col("key_q9").asc, col("doc_id").asc)
       .limit(n)
   }
@@ -177,8 +187,9 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_rate",
-        round(col("n_oov") / col("n_tokens").cast("double"), 6))
+      .withColumn("oov_rate_q6",
+        floor(col("n_oov") / col("n_tokens").cast("double") * 1e6)
+          .cast("long"))
   }
 
   /** Sequence-packing preparation: assign documents to packing bins by
@@ -207,7 +218,9 @@ object TextStats {
 
   /** Combined Gopher-style quality gate vector (Rae et al. 2021 §A1.1
     * shape): per document the word count, mean word length, lexical
-    * diversity, and most-frequent-word fraction, each with its gate,
+    * diversity, and most-frequent-word fraction (ratios
+    * floor-quantized ×1e6, gates compared in the same fixed point so
+    * the conjunction is pure int64), each with its gate,
     * plus the conjunction — the single-pass document filter a corpus
     * pipeline runs before dedup. One explode + two hash aggregations
     * (per-(doc,term) counts, then per-doc rollup) — no window, no
@@ -224,30 +237,34 @@ object TextStats {
         count(lit(1)).as("n_distinct"),
         sum(col("c") * length(col("term"))).as("char_sum"))
       .select(col("doc_id"), col("n_words"),
-        round(col("char_sum") / col("n_words").cast("double"), 6).as("mean_len"),
-        round(col("n_distinct") / col("n_words").cast("double"), 6).as("diversity"),
-        round(col("top_c") / col("n_words").cast("double"), 6).as("top_word_frac"))
+        floor(col("char_sum") / col("n_words").cast("double") * 1e6)
+          .cast("long").as("mean_len_q6"),
+        floor(col("n_distinct") / col("n_words").cast("double") * 1e6)
+          .cast("long").as("diversity_q6"),
+        floor(col("top_c") / col("n_words").cast("double") * 1e6)
+          .cast("long").as("top_word_frac_q6"))
       .withColumn("passes",
         col("n_words").between(minWords, maxWords) &&
-          col("mean_len").between(minMeanLen, maxMeanLen) &&
-          (col("diversity") > minDiversity) &&
-          (col("top_word_frac") < maxTopFrac))
+          col("mean_len_q6").between(math.floor(minMeanLen * 1e6).toLong,
+            math.floor(maxMeanLen * 1e6).toLong) &&
+          (col("diversity_q6") > math.floor(minDiversity * 1e6).toLong) &&
+          (col("top_word_frac_q6") < math.floor(maxTopFrac * 1e6).toLong))
   }
 
   /** Corpus language distribution with size stats. */
   def langDist(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
-      round(avg(col("n_chars")), 6).as("avg_chars"),
+      floor(avg(col("n_chars")) * 1e6).cast("long").as("avg_chars_q6"),
       max(col("n_chars")).as("max_chars"))
 
   /** Quality score in [0,1]: lexical diversity blended with a length
     * prior (docs under ~100 tokens are down-weighted). */
   def qualityScore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr(s"""round(0.5 * (CAST(size(array_distinct($tok)) AS double) / size($tok))
-              |    + 0.5 * least(1.0, CAST(size($tok) AS double) / 100.0), 6)""".stripMargin)
-        .as("quality"))
+      expr(s"""CAST(floor((0.5 * (CAST(size(array_distinct($tok)) AS double) / size($tok))
+              |    + 0.5 * least(1.0, CAST(size($tok) AS double) / 100.0)) * 1e6) AS BIGINT)""".stripMargin)
+        .as("quality_q6"))
 
   /** Stopword-vote language ID (n-gram-free heuristic): counts hits
     * against tiny per-language stopword lists; deterministic argmax
@@ -320,16 +337,17 @@ object TextStats {
       .groupBy(col("doc_id")).agg(sum(col("c")).as("total"),
         count(lit(1)).as("distinct"), max(col("c")).as("mx"))
     val s2 = gramStats(2).select(col("doc_id"),
-      round(col("mx") / col("total").cast("double"), 6).as("top2_frac"))
+      floor(col("mx") / col("total").cast("double") * 1e6)
+        .cast("long").as("top2_frac_q6"))
     val s3 = gramStats(3).select(col("doc_id"),
-      round(lit(1.0) - col("distinct") / col("total").cast("double"), 6)
-        .as("dup3_frac"))
+      floor((lit(1.0) - col("distinct") / col("total").cast("double")) * 1e6)
+        .cast("long").as("dup3_frac_q6"))
     docs.select(col("doc_id"))
       .join(s2, Seq("doc_id"), "left")
       .join(s3, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+        coalesce(col("top2_frac_q6"), lit(0L)).as("top2_frac_q6"),
+        coalesce(col("dup3_frac_q6"), lit(0L)).as("dup3_frac_q6"))
   }
 
   /** Bigram-LM perplexity scoring — the CCNet/Wikipedia-LM quality

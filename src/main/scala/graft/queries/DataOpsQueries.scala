@@ -524,7 +524,7 @@ object DataOpsQueries {
         |      << (4*(14-k)))) AS BIGINT) AS hv
         |  FROM documents),
         |k AS (SELECT doc_id, n_chars,
-        |       round(-ln((CAST(hv AS DOUBLE) + 1) / 1152921504606846976.0) / n_chars, 9) AS key_q9
+        |       CAST(floor(-ln((CAST(hv AS DOUBLE) + 1) / 1152921504606846976.0) / n_chars * 1e9) AS BIGINT) AS key_q9
         |      FROM h)
         |SELECT doc_id, n_chars, key_q9 FROM k
         |ORDER BY key_q9, doc_id LIMIT 50""".stripMargin) {
@@ -561,13 +561,13 @@ object DataOpsQueries {
         |       count(*) AS n_distinct, sum(c * length(term)) AS char_sum
         |      FROM tc GROUP BY 1),
         |s AS (SELECT doc_id, n_words,
-        |       round(char_sum / CAST(n_words AS DOUBLE), 6) AS mean_len,
-        |       round(n_distinct / CAST(n_words AS DOUBLE), 6) AS diversity,
-        |       round(top_c / CAST(n_words AS DOUBLE), 6) AS top_word_frac
+        |       CAST(floor(char_sum / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS mean_len_q6,
+        |       CAST(floor(n_distinct / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS diversity_q6,
+        |       CAST(floor(top_c / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS top_word_frac_q6
         |      FROM d),
         |gated AS (SELECT doc_id FROM s
-        |          WHERE (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
-        |            AND diversity > 0.3 AND top_word_frac < 0.2),
+        |          WHERE (n_words BETWEEN 50 AND 100000) AND (mean_len_q6 BETWEEN 3000000 AND 10000000)
+        |            AND diversity_q6 > 300000 AND top_word_frac_q6 < 200000),
         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |cur AS (SELECT doc.doc_id, doc.source FROM documents doc
         |        JOIN gated USING (doc_id) JOIN k USING (doc_id)),
@@ -599,13 +599,13 @@ object DataOpsQueries {
         |       count(*) AS n_distinct, sum(c * length(term)) AS char_sum
         |      FROM tc GROUP BY 1),
         |s AS (SELECT doc_id, n_words,
-        |       round(char_sum / CAST(n_words AS DOUBLE), 6) AS mean_len,
-        |       round(n_distinct / CAST(n_words AS DOUBLE), 6) AS diversity,
-        |       round(top_c / CAST(n_words AS DOUBLE), 6) AS top_word_frac
+        |       CAST(floor(char_sum / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS mean_len_q6,
+        |       CAST(floor(n_distinct / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS diversity_q6,
+        |       CAST(floor(top_c / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS top_word_frac_q6
         |      FROM d)
-        |SELECT doc_id, n_words, mean_len, diversity, top_word_frac,
-        |       (n_words BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
-        |       AND diversity > 0.3 AND top_word_frac < 0.2 AS passes
+        |SELECT doc_id, n_words, mean_len_q6, diversity_q6, top_word_frac_q6,
+        |       (n_words BETWEEN 50 AND 100000) AND (mean_len_q6 BETWEEN 3000000 AND 10000000)
+        |       AND diversity_q6 > 300000 AND top_word_frac_q6 < 200000 AS passes
         |FROM s ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.gopherGates(docs(s, d)))
     },
@@ -620,7 +620,7 @@ object DataOpsQueries {
         |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |      FROM t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1)
         |SELECT doc_id, n_tokens, n_oov,
-        |       round(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+        |       CAST(floor(n_oov / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT) AS oov_rate_q6
         |FROM d ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.vocabCoverage(docs(s, d), vocabSize = 100))
     },
@@ -1140,8 +1140,8 @@ object DataOpsQueries {
     Entry("text_token_stats",
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)
         |SELECT doc_id, len(w) AS n_tokens, n_chars,
-        |       round(list_sum(list_transform(w, s -> length(s))) / CAST(len(w) AS DOUBLE), 6) AS avg_token_len,
-        |       round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS lexical_diversity
+        |       CAST(floor(list_sum(list_transform(w, s -> length(s))) / CAST(len(w) AS DOUBLE) * 1e6) AS BIGINT) AS avg_token_len_q6,
+        |       CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1e6) AS BIGINT) AS lexical_diversity_q6
         |FROM t ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.tokenStats(docs(s, d)))
     },
@@ -1164,15 +1164,16 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.bpeTokenCount(docs(s, d)))
     },
     Entry("text_lang_dist",
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(floor(avg(n_chars) * 1e6) AS BIGINT) AS avg_chars_q6,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.langDist(docs(s, d)))
     },
     Entry("text_quality",
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-        |SELECT doc_id, round(0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
-        |                   + 0.5 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0), 6) AS quality
+        |SELECT doc_id, CAST(floor((0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+        |                   + 0.5 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)) * 1e6) AS BIGINT) AS quality_q6
         |FROM t ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.qualityScore(docs(s, d)))
     },
@@ -1211,16 +1212,16 @@ object DataOpsQueries {
         |         i -> array_to_string(w[i+1:i+2], ' '))) AS g
         |       FROM t WHERE len(w) >= 2),
         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-        |s2 AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top2_frac
+        |s2 AS (SELECT doc_id, CAST(floor(max(c) / CAST(sum(c) AS DOUBLE) * 1e6) AS BIGINT) AS top2_frac_q6
         |       FROM c2 GROUP BY 1),
         |g3 AS (SELECT doc_id, unnest(list_transform(range(len(w) - 2),
         |         i -> array_to_string(w[i+1:i+3], ' '))) AS g
         |       FROM t WHERE len(w) >= 3),
         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
-        |s3 AS (SELECT doc_id, round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup3_frac
+        |s3 AS (SELECT doc_id, CAST(floor((1 - count(*) / CAST(sum(c) AS DOUBLE)) * 1e6) AS BIGINT) AS dup3_frac_q6
         |       FROM c3 GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(s2.top2_frac, 0.0) AS top2_frac,
-        |       COALESCE(s3.dup3_frac, 0.0) AS dup3_frac
+        |SELECT d.doc_id, COALESCE(s2.top2_frac_q6, 0) AS top2_frac_q6,
+        |       COALESCE(s3.dup3_frac_q6, 0) AS dup3_frac_q6
         |FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
         |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.repetition(docs(s, d)))

@@ -129,11 +129,11 @@ class DedupSpec extends AnyFunSuite {
       (4L, "a b c a b c a b c", "en", "s", 17L)) // repeating trigram loop
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val r = TextStats.repetition(docs).collect()
-      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
-    assert(r(1L) === ((1.0, 0.75))) // 5×"spam spam"; 4 trigrams 1 distinct
-    assert(r(2L) === ((0.166667, 0.0))) // round-6, like every float entry
-    assert(r(3L) === ((0.0, 0.0)))
-    assert(r(4L)._2 > 0.5) // looped trigrams are mostly duplicates
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) === ((1000000L, 750000L))) // 5×"spam spam"; 4 trigrams 1 distinct
+    assert(r(2L) === ((166666L, 0L))) // floor-q6, like every fixed-point entry
+    assert(r(3L) === ((0L, 0L)))
+    assert(r(4L)._2 > 500000L) // looped trigrams are mostly duplicates
   }
 
   test("exact groups: identical content collapses, hash is stable") {

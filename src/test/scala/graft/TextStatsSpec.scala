@@ -56,14 +56,14 @@ class TextStatsSpec extends AnyFunSuite {
     val docs = ((0 until 500).map(i => (i.toLong, 1L)) :+ ((999L, 1000000000L)))
       .toDF("doc_id", "w")
     val out = TextStats.sampleWeighted(docs, weightCol = "w", n = 20)
-      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(out.length === 20)
     assert(out.head._1 === 999L,
       s"the 1e9-weight doc's key ~0 must rank first: ${out.take(3).toSeq}")
     // keys ascend and the draw reproduces exactly (seedless)
     assert(out.map(_._2).toSeq === out.map(_._2).sorted.toSeq)
     val again = TextStats.sampleWeighted(docs, weightCol = "w", n = 20)
-      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(again.toSeq === out.toSeq)
     // temperature/proportionality direction: doubling every weight
     // halves every key but keeps the SAME selected set (scale-free)
@@ -80,16 +80,14 @@ class TextStatsSpec extends AnyFunSuite {
       Seq((900L, "alpha beta zzz-rare"), (901L, "qq ww ee rr"))
     ).toDF("doc_id", "text")
     val out = TextStats.vocabCoverage(docs, vocabSize = 3).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     // vocab = {alpha, beta, gamma} (frequency 51, 51, 50 beat the
     // singletons); the 50 base docs are fully covered
-    (0 until 50).foreach(i => assert(out(i.toLong) === ((3L, 0L, 0.0))))
-    assert(out(900L) === ((3L, 1L, round6(1.0 / 3))))
-    assert(out(901L) === ((4L, 4L, 1.0)), "fully alien doc: OOV rate 1")
+    (0 until 50).foreach(i => assert(out(i.toLong) === ((3L, 0L, 0L))))
+    assert(out(900L) === ((3L, 1L, 333333L)), "floor(1/3 x 1e6)")
+    assert(out(901L) === ((4L, 4L, 1000000L)), "fully alien doc: OOV rate 1")
   }
-
-  private def round6(x: Double) = math.rint(x * 1e6) / 1e6
 
   test("zipfFit: a perfect 1/rank corpus reads slope ≈ -1; ranks tie-break by term") {
     // freqs 60/r for r=1..6: exact Zipf, so ln(freq) = ln(60) - ln(rank)
