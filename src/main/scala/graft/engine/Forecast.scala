@@ -265,6 +265,113 @@ object Forecast {
         floor(expr(fold) * lit(1e6)).cast("long").as("forecast_q6"))
   }
 
+  /** Walk-forward BACKTEST of [[holtWinters]] — the trust gate for
+    * the forecast a dashboard actually watches (diurnal metrics), the
+    * [[holtBacktest]] recipe extended to the (l, b, s[m]) fold: replay
+    * the same two-phase recurrence over the trailing lastN buckets,
+    * scoring each step's one-step prediction l + b + s[slot] against
+    * the next bucket's actual BEFORE folding it in. Two baselines run
+    * in lockstep on the same bucket series:
+    *   skill_naive_q6 — 1 − Σ|err| / Σ|naive err| vs the last-value
+    *     (random-walk) forecast,
+    *   skill_holt_q6  — 1 − Σ|err| / Σ|holt err| vs NON-SEASONAL
+    *     Holt (same α/β, warm-started over the same first-season
+    *     buckets): whether the seasonal term EARNS its complexity —
+    *     positive means the s[m] state is carrying real signal, ≤ 0
+    *     means plain smoothing would forecast as well.
+    * Evaluation starts after the m-bucket initialization (no model
+    * has a seasonal state before one full season), so n_evals =
+    * n_buckets − m and every prediction uses strictly earlier
+    * buckets. Gates identical to [[holtWinters]] (contiguous window,
+    * ≥ 2 seasons) — the fold can't score what it couldn't forecast.
+    *
+    * Scale shape: the same single WindowGroupLimit-bounded hash
+    * aggregation as [[holtWinters]]; the accumulator adds two Holt
+    * doubles, four running sums, and the previous bucket value.
+    * Determinism: one order-fixed IEEE sequence (level expression
+    * spelled out everywhere it feeds, prediction read from the
+    * pre-update accumulator), mirrored token-for-token in the
+    * oracle's recursive CTE; all ratios floor-quantized ×1e6. */
+  def hwBacktest(points: DataFrame, bucket: Long = 3600L,
+      lastN: Int = 96, m: Int = 24, alpha: Double = 0.5,
+      beta: Double = 0.25, gamma: Double = 0.25): DataFrame = {
+    require(m >= 2 && lastN >= 2 * m && lastN <= 4096,
+      s"need lastN in [2m, 4096], m >= 2; got lastN=$lastN m=$m")
+    val h = points.groupBy(col("series"),
+        expr(s"ts DIV $bucket").as("bucket"))
+      .agg(sum(col("val")).cast("double").as("y"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket").desc)
+    val recent = h.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= lastN)
+    val a = alpha; val oa = 1.0 - alpha
+    val b = beta;  val ob = 1.0 - beta
+    val g = gamma; val og = 1.0 - gamma
+    val nl = s"$a * (e.y - element_at(acc.s, CAST(e.bucket % $m AS INT) + 1))" +
+      s" + $oa * (acc.l + acc.b)"
+    // the pre-update one-step forecast: what the model believed
+    // BEFORE seeing e.y
+    val pred = s"acc.l + acc.b + element_at(acc.s, CAST(e.bucket % $m AS INT) + 1)"
+    // the parallel non-seasonal Holt recurrence (holt()'s fold text)
+    val hnl = s"$a * e.y + $oa * (acc.hl + acc.hb)"
+    val hwu = s"$a * e.y + $oa * (s.l + s.b)"
+    val fold =
+      s"""aggregate(slice(__a, ${m + 1}, $lastN),
+         |  struct(__l0 AS l, CAST(0.0 AS DOUBLE) AS b, __s0 AS s,
+         |    __h.l AS hl, __h.b AS hb,
+         |    CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS say,
+         |    CAST(0.0 AS DOUBLE) AS sne, CAST(0.0 AS DOUBLE) AS she,
+         |    element_at(__a, $m).y AS py),
+         |  (acc, e) -> struct(
+         |    $nl AS l,
+         |    $b * (($nl) - acc.l) + $ob * acc.b AS b,
+         |    transform(acc.s, (v, j) ->
+         |      CASE WHEN j = CAST(e.bucket % $m AS INT)
+         |           THEN $g * (e.y - ($nl)) + $og * v ELSE v END) AS s,
+         |    $hnl AS hl,
+         |    $b * (($hnl) - acc.hl) + $ob * acc.hb AS hb,
+         |    acc.sae + abs(e.y - ($pred)) AS sae,
+         |    acc.say + abs(e.y) AS say,
+         |    acc.sne + abs(e.y - acc.py) AS sne,
+         |    acc.she + abs(e.y - (acc.hl + acc.hb)) AS she,
+         |    e.y AS py),
+         |  acc -> struct(acc.sae AS sae, acc.say AS say,
+         |    acc.sne AS sne, acc.she AS she))""".stripMargin
+    recent.groupBy(col("series"))
+      .agg(expr("array_sort(collect_list(struct(bucket, y)))").as("__a"),
+        count(lit(1)).as("n_buckets"),
+        min(col("bucket")).as("__fb"), max(col("bucket")).as("__last"))
+      .where(col("n_buckets") >= 2L * m &&
+        col("__last") - col("__fb") + 1L === col("n_buckets"))
+      .withColumn("__l0", expr(
+        s"aggregate(slice(__a, 1, $m), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.y) / $m.0"))
+      .withColumn("__s0", expr(
+        s"""transform(sequence(0, ${m - 1}), k ->
+           |  element_at(__a, CAST((($m + k - __fb % $m) % $m) AS INT) + 1).y - __l0)""".stripMargin))
+      // Holt warm-up over the same first season: buckets 2..m of the
+      // window, init l = y1, b = 0 — the holt() fold verbatim
+      .withColumn("__h", expr(
+        s"""aggregate(slice(__a, 2, ${m - 1}),
+           |  struct(element_at(__a, 1).y AS l, CAST(0.0 AS DOUBLE) AS b),
+           |  (s, e) -> struct(
+           |    $hwu AS l,
+           |    $b * (($hwu) - s.l) + $ob * s.b AS b))""".stripMargin))
+      .select(col("series"),
+        (col("n_buckets") - m).cast("long").as("n_evals"),
+        expr(fold).as("__f"))
+      .select(col("series"), col("n_evals"),
+        floor(col("__f.sae") / col("n_evals") * lit(1e6)).cast("long")
+          .as("mae_q6"),
+        when(col("__f.say") > 0d,
+          floor(col("__f.sae") / col("__f.say") * lit(1e6)).cast("long"))
+          .as("wape_q6"),
+        when(col("__f.sne") > 0d,
+          floor((lit(1.0) - col("__f.sae") / col("__f.sne")) * lit(1e6))
+            .cast("long")).as("skill_naive_q6"),
+        when(col("__f.she") > 0d,
+          floor((lit(1.0) - col("__f.sae") / col("__f.she")) * lit(1e6))
+            .cast("long")).as("skill_holt_q6"))
+  }
+
   /** Trailing bucket sums carried across micro-batches: ≤ lastN
     * (bucket, exact int64 sum) pairs per series. */
   final case class HwState(bucket: Array[Long], s: Array[Long])

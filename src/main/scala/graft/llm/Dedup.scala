@@ -591,6 +591,17 @@ object Dedup {
     * enough, or does this corpus need MinHash?". The recall ratio is
     * EXACT integer division ×1e6 — no float ever enters the audit.
     *
+    * The mh_caught / mh_recall_q6 columns grade [[minhashLshPairs]] —
+    * the operator whose recall-loss knobs (`maxDf` on the truth side,
+    * `mhMaxBucket` on the candidate side) a curation run actually
+    * tunes — over the SAME slice and truth set: at the default
+    * 128-hash / 32-band setting every band reads 1.0 on this corpus
+    * (the property the dedup_minhash_lsh oracle already certifies:
+    * verified banded output equals the exact pair set), and the row
+    * exists so a TUNED setting (fewer bands, a biting mhMaxBucket)
+    * shows exactly which similarity bands pay — DedupSpec pins the
+    * capped-vs-uncapped ordering on a planted over-cap cluster.
+    *
     * Scale shape: the truth side is PAIR-QUADRATIC IN DUPLICATE
     * DENSITY — its inverted-index self-join emits Σ df² rows, and on
     * a corpus where every document has c near-copies every shingle's
@@ -615,9 +626,15 @@ object Dedup {
     * below the target. */
   def simhashRecallAudit(docs: DataFrame, n: Int = 3, theta: Double = 0.5,
       maxDist: Int = 3, bands: Int = 4, maxDf: Long = 0L,
-      sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
+      sampleMod: Long = 0L, sampleTarget: Long = 2500L,
+      mhHashes: Int = 128, mhBands: Int = 32,
+      mhMaxBucket: Long = 0L): DataFrame = {
     require(sampleMod >= 0L && sampleTarget >= 1L,
       "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
+    // one eager 1-row count job at plan-construction time (not a
+    // data-path collect): the md5 draw's modulus must be a literal
+    // inside the filter expression, so it cannot stay lazy — callers
+    // building the plan without ever running it still pay this count
     val mod =
       if (sampleMod > 0L) sampleMod
       else math.max(1L, docs.count() / sampleTarget)
@@ -629,13 +646,27 @@ object Dedup {
     val truth = ngramJaccardPairs(slice, n, theta, maxDf)
     val caught = simhashPairs(slice, maxDist, bands)
       .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    // the MinHash column audits the operator whose recall knobs a
+    // curation run actually tunes: the REAL banded-LSH path (signature
+    // -> band buckets -> occupancy cap -> candidate join -> exact
+    // verification) over the same slice — any banding or maxBucket
+    // miss decrements mh_recall_q6 against the same truth set
+    val mcaught = minhashLshPairs(slice, n, mhHashes, mhBands, theta,
+        mhMaxBucket)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__mhit"))
     truth.join(caught, Seq("id_a", "id_b"), "left")
+      .join(mcaught, Seq("id_a", "id_b"), "left")
       .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
         .as("band"))
       .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"),
+        sum(coalesce(col("__mhit"), lit(0L))).as("mh_caught"))
       .withColumn("recall_q6",
         expr("n_caught * 1000000L div n_true"))
+      .withColumn("mh_recall_q6",
+        expr("mh_caught * 1000000L div n_true"))
+      .select(col("band"), col("n_true"), col("n_caught"),
+        col("recall_q6"), col("mh_caught"), col("mh_recall_q6"))
   }
 
   def simhash(docs: DataFrame): DataFrame = {

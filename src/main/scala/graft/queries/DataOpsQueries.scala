@@ -719,13 +719,22 @@ object DataOpsQueries {
          |        << (4*(14-k)))) AS BIGINT))
          |    % greatest(1, (SELECT count(*) FROM documents) // 2500) = 0),
          |tru AS (SELECT id_a, id_b, jaccard FROM (${JACCARD_SQL.replace("FROM documents", "FROM sdocs")}) j),
-         |cand AS (SELECT id_a, id_b FROM (${SIMHASH_PAIRS_SQL.replace("FROM documents", "FROM sdocs")}) s)
+         |cand AS (SELECT id_a, id_b FROM (${SIMHASH_PAIRS_SQL.replace("FROM documents", "FROM sdocs")}) s),
+         |mcand AS (SELECT id_a, id_b FROM tru)
          |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
          |       count(*) AS n_true,
          |       CAST(count(cand.id_a) AS BIGINT) AS n_caught,
-         |       count(cand.id_a) * 1000000 // count(*) AS recall_q6
+         |       count(cand.id_a) * 1000000 // count(*) AS recall_q6,
+         |       CAST(count(mcand.id_a) AS BIGINT) AS mh_caught,
+         |       count(mcand.id_a) * 1000000 // count(*) AS mh_recall_q6
          |FROM tru LEFT JOIN cand USING (id_a, id_b)
+         |         LEFT JOIN mcand USING (id_a, id_b)
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      // mcand = tru is the oracle's STATEMENT that uncapped 128/32
+      // banded MinHash recovers the exact pair set on this corpus
+      // (the dedup_minhash_lsh oracle's own property) — the Spark
+      // side runs the real signature->band->verify path, so any
+      // banding miss turns the entry red rather than hiding
       (s, d) => ordered(Dedup.simhashRecallAudit(docs(s, d), n = 3,
         theta = 0.5, maxDist = 3, bands = 4))
     },

@@ -1229,6 +1229,62 @@ object EngineQueries {
       (s, _) => ordered(graft.engine.Forecast.holtWinters(fxPoints(s),
         bucket = 3600L, lastN = 96, m = 24,
         alpha = 0.5, beta = 0.25, gamma = 0.25))
+    },
+    // walk-forward backtest of the seasonal forecast over the same
+    // fixture (the level-shifted fx.a + pure-seasonal fx.b make every
+    // skill column non-vacuous): the oracle extends the HW walk with
+    // the parallel non-seasonal Holt state and the four error sums,
+    // scoring each one-step prediction BEFORE folding it in —
+    // prototype-validated against an independent python replay of the
+    // Spark fold before registration
+    Entry("ts_forecast_hw_backtest",
+      s"""WITH RECURSIVE $FXSQL,
+         |h AS (SELECT series, ts // 3600 AS bucket, CAST(CAST(sum(val) AS BIGINT) AS DOUBLE) AS y FROM p GROUP BY 1, 2),
+         |r AS (SELECT series, bucket, y, row_number() OVER (PARTITION BY series ORDER BY bucket DESC) AS rk FROM h),
+         |m AS (SELECT series, list(struct_pack(bucket := bucket, y := y) ORDER BY bucket) AS a,
+         |             count(*) AS n, min(bucket) AS fb, max(bucket) AS lastb
+         |      FROM r WHERE rk <= 96 GROUP BY 1
+         |      HAVING count(*) >= 48 AND max(bucket) - min(bucket) + 1 = count(*)),
+         |walk AS (
+         |  SELECT series, a, n, fb, lastb, 1 AS i, a[1].y AS suml,
+         |         CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b,
+         |         CAST(NULL AS DOUBLE[]) AS s,
+         |         a[1].y AS hl, CAST(0.0 AS DOUBLE) AS hb,
+         |         CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS say,
+         |         CAST(0.0 AS DOUBLE) AS sne, CAST(0.0 AS DOUBLE) AS she,
+         |         a[1].y AS py
+         |  FROM m
+         |  UNION ALL
+         |  SELECT series, a, n, fb, lastb, i + 1,
+         |    CASE WHEN i + 1 <= 24 THEN suml + a[i + 1].y ELSE suml END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN (suml + a[i + 1].y) / 24.0
+         |         ELSE 0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b) END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE 0.25 * ((0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b)) - l) + 0.75 * b END,
+         |    CASE WHEN i + 1 < 24 THEN NULL
+         |         WHEN i + 1 = 24 THEN list_transform(range(24), k -> a[CAST((24 + k - fb % 24) % 24 AS INT) + 1].y - (suml + a[i + 1].y) / 24.0)
+         |         ELSE list_transform(range(24), j -> CASE WHEN j = CAST(a[i + 1].bucket % 24 AS INT)
+         |              THEN 0.25 * (a[i + 1].y - (0.5 * (a[i + 1].y - s[CAST(a[i + 1].bucket % 24 AS INT) + 1]) + 0.5 * (l + b))) + 0.75 * s[j + 1]
+         |              ELSE s[j + 1] END) END,
+         |    0.5 * a[i + 1].y + 0.5 * (hl + hb),
+         |    0.25 * ((0.5 * a[i + 1].y + 0.5 * (hl + hb)) - hl) + 0.75 * hb,
+         |    CASE WHEN i + 1 > 24 THEN sae + abs(a[i + 1].y - (l + b + s[CAST(a[i + 1].bucket % 24 AS INT) + 1])) ELSE sae END,
+         |    CASE WHEN i + 1 > 24 THEN say + abs(a[i + 1].y) ELSE say END,
+         |    CASE WHEN i + 1 > 24 THEN sne + abs(a[i + 1].y - py) ELSE sne END,
+         |    CASE WHEN i + 1 > 24 THEN she + abs(a[i + 1].y - (hl + hb)) ELSE she END,
+         |    a[i + 1].y
+         |  FROM walk WHERE i < n)
+         |SELECT series, CAST(n - 24 AS BIGINT) AS n_evals,
+         |       CAST(floor(sae / (n - 24) * 1000000.0) AS BIGINT) AS mae_q6,
+         |       CASE WHEN say > 0 THEN CAST(floor(sae / say * 1000000.0) AS BIGINT) END AS wape_q6,
+         |       CASE WHEN sne > 0 THEN CAST(floor((1.0 - sae / sne) * 1000000.0) AS BIGINT) END AS skill_naive_q6,
+         |       CASE WHEN she > 0 THEN CAST(floor((1.0 - sae / she) * 1000000.0) AS BIGINT) END AS skill_holt_q6
+         |FROM walk WHERE i = n ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(graft.engine.Forecast.hwBacktest(fxPoints(s),
+        bucket = 3600L, lastN = 96, m = 24,
+        alpha = 0.5, beta = 0.25, gamma = 0.25))
     })
 
   // ---- anomaly detection (beyond-reference alerting layer) ----

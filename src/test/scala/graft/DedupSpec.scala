@@ -232,6 +232,40 @@ class DedupSpec extends AnyFunSuite {
       "above the target the adaptive mod equals the explicit one")
   }
 
+  test("recall audit MinHash column: 1.0 uncapped; a biting maxBucket loses exactly the over-cap cluster's band") {
+    // plant a 7-doc identical cluster (doc 7 + six copies): its C(7,2)
+    // = 21 pairs all sit at jaccard 1.0 (band 9), and every band
+    // bucket the cluster occupies holds 7 docs — over any cap < 7
+    val mega = (0 until 6).map(i => (200L + i, baseText(7)))
+    val bases = (0 until 20).map(d => (d.toLong, baseText(d)))
+    val dups = (0 until 5).map { d =>
+      val toks = baseText(d).split(" ").toVector.updated(20, "CHANGED")
+      (100L + d, toks.mkString(" "))
+    }
+    val c2 = (bases ++ dups ++ mega).toDF("doc_id", "text")
+    def audit(cap: Long) = Dedup.simhashRecallAudit(c2, n = 3,
+      theta = 0.5, maxDist = 3, bands = 4, mhMaxBucket = cap).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val un = audit(0L)
+    val capped = audit(3L)
+    // uncapped 128/32 banding recovers the whole truth set — the
+    // dedup_minhash_lsh oracle's certified property, per band here
+    assert(un.values.forall { case (t, _, _, mc, mr) =>
+      mc === t && mr === 1000000L }, un.toString)
+    // the cap loses exactly the over-cap cluster's 21 pairs (band 9:
+    // the near-copy pairs live there too and keep their occupancy-2
+    // buckets), leaving every other band untouched
+    assert(capped(9L)._4 === un(9L)._1 - 21L, capped.toString)
+    assert(capped(9L)._5 < 1000000L)
+    assert(capped.forall { case (b, (_, _, _, mc, _)) => mc <= un(b)._4 },
+      "capped recall can never exceed uncapped")
+    // the SimHash columns are cap-independent: same candidates,
+    // same truth
+    assert(capped.view.mapValues(v => (v._1, v._2, v._3)).toMap ===
+      un.view.mapValues(v => (v._1, v._2, v._3)).toMap)
+  }
+
   test("semanticClusters: planted duplicates share a cell and cluster with recall 1.0") {
     // 600 vectors, 2 labels: forces the adaptive sign-prefix split
     // (l * 256 = 512 < 600 -> bits = 1); duplicates are identical

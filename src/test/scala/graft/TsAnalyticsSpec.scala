@@ -433,6 +433,38 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(!out.contains("t"), "under two seasons: dropped")
   }
 
+  test("hwBacktest: hand-traced one-step errors; seasonal beats naive and plain Holt; constant series NULL skills") {
+    // m=2, one point per 10 s bucket, y = [10,20,10,20,12,22,12,22]
+    // (season [10,20], +2 level shift at bucket 4): init l0=15,
+    // s=[-5,5], b=0; Holt warm over y[1]: hl=15, hb=1.25; py=20.
+    // Walking the six evals by hand (independent python replay of the
+    // fold): sae=3.23828125, say=98, sne=58, she=38.916542...
+    //   mae_q6 = floor(3.23828125/6*1e6)        = 539713
+    //   wape_q6 = floor(3.23828125/98*1e6)      = 33043
+    //   skill_naive_q6 = floor((1-sae/58)*1e6)  = 944167
+    //   skill_holt_q6  = floor((1-sae/she)*1e6) = 916789
+    val ys = Seq(10L, 20L, 10L, 20L, 12L, 22L, 12L, 22L)
+    val pts = ys.zipWithIndex.map { case (v, i) =>
+      ("s", i * 10L, i.toLong, v) } ++
+      // constant series: zero error AND zero naive/holt error -> the
+      // skill ratios have no denominator and must be NULL, not 1
+      (0 until 6).map(i => ("c", i * 10L, i.toLong, 5L)) ++
+      // holed window: bucket 2 missing -> dropped like holtWinters
+      Seq(0L, 1L, 3L, 4L, 5L).map(bk => ("g", bk * 10L, bk, 5L))
+    val out = graft.engine.Forecast.hwBacktest(
+      pts.toDF("series", "ts", "pid", "val"),
+      bucket = 10L, lastN = 8, m = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out("s") === ((6L, 539713L, Some(33043L), Some(944167L),
+      Some(916789L))), out.toString)
+    assert(out("c") === ((4L, 0L, Some(0L), None, None)), out.toString)
+    assert(!out.contains("g"), "a holed window would misalign slots: dropped")
+  }
+
   test("bucketMode: Long.MinValue participates without overflow (negated-count tie-break)") {
     val pts = Seq(("s", 0L, 1L, Long.MinValue), ("s", 1L, 2L, Long.MinValue),
       ("s", 2L, 3L, 5L)).toDF("series", "ts", "pid", "val")
