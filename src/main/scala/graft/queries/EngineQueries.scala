@@ -126,8 +126,11 @@ object EngineQueries {
          |  CAST(vs[CAST((n - 1) * 95 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 95 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 95 // 100 AS INT) + 2] - vs[CAST((n - 1) * 95 // 100 AS INT) + 1]) * ((n - 1) * 95 % 100) END) AS BIGINT) AS p95_q100,
          |  CAST(vs[CAST((n - 1) * 99 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 99 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 99 // 100 AS INT) + 2] - vs[CAST((n - 1) * 99 // 100 AS INT) + 1]) * ((n - 1) * 99 % 100) END) AS BIGINT) AS p99_q100
          |FROM g ORDER BY ALL""".stripMargin) {
+      // (series, 6h) cell: sf10 worst 43 points (real time ranges
+      // grow with sf, so per-bucket density stays flat) -> 100k is a
+      // scale-independent loud bound far under buffering-OOM size
       (s, d) => ordered(graft.engine.BucketStats.bucketPercentiles(I(s, d),
-        bucket = 21600L, pcts = Seq(50, 95, 99)))
+        bucket = 21600L, pcts = Seq(50, 95, 99), maxCell = 100000L))
     },
     // Prometheus-style cumulative value histogram per series; the bin
     // is FLOOR division on both sides (DuckDB // truncates like Spark
@@ -717,7 +720,9 @@ object EngineQueries {
          |WHERE p.val * 2 > f.q3 * 2 + (f.q3 - f.q1) * 3
          |   OR p.val * 2 < f.q1 * 2 - (f.q3 - f.q1) * 3
          |ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(graft.engine.Anomaly.tukeyOutliers(I(s, d)))
+      // whole-series cell: sf10 worst 265,600 points -> 3M (~11x)
+      (s, d) => ordered(graft.engine.Anomaly.tukeyOutliers(I(s, d),
+        maxCell = 3000000L))
     },
     // two-window mean-shift changepoints: day-vs-day sums (k = 24
     // buckets = one full season, so the diurnal cycle CANCELS between
@@ -1031,7 +1036,12 @@ object EngineQueries {
          |       END AS rz_q6,
          |       s.mad > 0 AND 6745 * abs(p.val - s.med) > 35000 * s.mad AS is_anomaly
          |FROM p JOIN s USING (series, hour) ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(graft.engine.Anomaly.robustZ(I(s, d)))
+      // maxCell guards the (series, hour) sorted-array cell: sf10
+      // measured the worst harness cell at 11,091 points, so 120k
+      // (~10x) demonstrates the guarded path with loud-failure
+      // headroom long before a buffering task could OOM
+      (s, d) => ordered(graft.engine.Anomaly.robustZ(I(s, d),
+        maxCell = 120000L))
     },
     // incident intervals: consecutive robust-z anomalies (gaps <= 2h)
     // merged sessionize-style into (start, end, n, peak) rows — the
@@ -1059,8 +1069,10 @@ object EngineQueries {
          |SELECT series, CAST(interval_id AS BIGINT) AS interval_id, min(ts) AS start_ts,
          |       max(ts) AS end_ts, count(*) AS n_points, CAST(max(abs(rz_q6)) AS BIGINT) AS peak_rz_q6
          |FROM i GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
+      // same (series, hour) cell bound as ts_robust_z (the guard
+      // passes through the shared robust-z scorer)
       (s, d) => ordered(graft.engine.Anomaly.anomalyIntervals(I(s, d),
-        maxGap = 7200L))
+        maxGap = 7200L, maxCell = 120000L))
     })
 
   // ---- classical decomposition (beyond-reference analytics) ----
@@ -1611,8 +1623,11 @@ object EngineQueries {
          |  CAST(vs[CAST((n - 1) * 95 // 100 AS INT) + 1] * 100 + (CASE WHEN (n - 1) * 95 % 100 = 0 THEN 0 ELSE (vs[CAST((n - 1) * 95 // 100 AS INT) + 2] - vs[CAST((n - 1) * 95 // 100 AS INT) + 1]) * ((n - 1) * 95 % 100) END) AS BIGINT) AS p95_q100
          |FROM g ORDER BY ALL""".stripMargin) {
       (s, d) => {
+        // bucket 2^40 = one whole-series cell: same 3M bound as
+        // ts_outlier_iqr (sf10 worst series 265,600 points)
         val pct = graft.engine.BucketStats.bucketPercentiles(I(s, d),
-          bucket = 1L << 40, pcts = Seq(50, 95)).drop("bucket")
+          bucket = 1L << 40, pcts = Seq(50, 95),
+          maxCell = 3000000L).drop("bucket")
         val cd = I(s, d).groupBy(col("series"))
           .agg(countDistinct(col("ts")).as("n_ts"))
         ordered(pct.join(cd, Seq("series"))
