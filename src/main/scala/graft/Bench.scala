@@ -67,6 +67,10 @@ object Bench {
     "ev_ab_test", "text_zipf_fit", "mm_audio_silence", "mm_image_entropy",
     "embed_drift", "dedup_recall_eval", "ev_funnel_sig",
     "ts_forecast_backtest", "ts_cusum",
+    // round-14 additions: the per-source curation rollup and the
+    // PII scrub over the real corpus (the fixture twins stay out —
+    // constant-size inputs)
+    "text_source_quality", "text_pii_scrub",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -638,6 +638,50 @@ object TextStats {
     out
   }
 
+  /** The contact/PII regex classes a curation scrub redacts, in
+    * redaction order (email first — its local part can contain dots
+    * and digits the later classes would half-match). Patterns stay in
+    * the common Java-regex/RE2 subset (no backrefs, no lookaround) so
+    * both engines match identically. */
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** PII span extraction — the audit half of the contact scrub: one
+    * row per (document, class, occurrence) with the matched text, the
+    * review table a privacy pass samples before committing to
+    * redaction (the contaminationSpans span idiom over regex classes
+    * instead of probe shingles). Narrow per-class extracts unioned;
+    * no shuffle, no UDF, linear in corpus bytes. `idx` is the 0-based
+    * occurrence index within (doc, class). */
+  def piiSpans(docs: DataFrame): DataFrame =
+    piiPatterns.map { case (kind, pat) =>
+      docs.select(col("doc_id"), lit(kind).as("kind"),
+        posexplode(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .as(Seq("idx", "match")))
+    }.reduce(_ unionAll _)
+      .select(col("doc_id"), col("kind"), col("idx").cast("long").as("idx"),
+        col("match"))
+
+  /** PII/contact scrub — the redaction pass next to decontamination
+    * in a curation pipeline: per-class match counts (each counted on
+    * the ORIGINAL text, so overlapping classes report independently)
+    * plus the redacted text with every class replaced by its
+    * <CLASS> placeholder, applied in the fixed [[piiPatterns]] order
+    * (the same sequential regexp_replace chain in both engines — op
+    * order is part of the contract since an earlier replacement can
+    * consume a later class's half-match). One narrow projection. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (kind, pat) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as(s"n_$kind") }
+    val clean = piiPatterns.foldLeft(col("text")) { case (c, (kind, pat)) =>
+      regexp_replace(c, lit(pat), lit(s"<${kind.toUpperCase}>")) }
+    docs.select((col("doc_id") +: counts :+ clean.as("clean_text")): _*)
+  }
+
   /** Zipf rank-frequency fit per language — the "is this slice
     * natural language" audit: OLS slope of ln(freq) against ln(rank)
     * over the unigram table (natural text reads ≈ −1, Zipf 1949;
@@ -659,27 +703,30 @@ object TextStats {
     * a 10⁵-term language slice would need a ≳10⁹-token corpus slice
     * routed through one zipfFit call). Plan: one token hash agg, one
     * VOCABULARY-sized (never corpus-sized) per-language window sort,
-    * one moment agg. Output (lang, n_terms, slope_q6). */
-  def zipfFit(docs: DataFrame, minFreq: Long = 2L): DataFrame = {
-    val f = docs.select(col("lang"), explode(expr(tok)).as("w"))
-      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    * one moment agg. Output (keyCol, n_terms, slope_q6); `keyCol`
+    * picks the grouping (lang for the language audit, source for the
+    * per-source quality rollup). */
+  def zipfFit(docs: DataFrame, minFreq: Long = 2L,
+      keyCol: String = "lang"): DataFrame = {
+    val f = docs.select(col(keyCol), explode(expr(tok)).as("w"))
+      .groupBy(col(keyCol), col("w")).agg(count(lit(1)).as("freq"))
       .where(col("freq") >= minFreq)
     val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("freq").desc, col("w").asc)
+      .partitionBy(col(keyCol)).orderBy(col("freq").desc, col("w").asc)
     f.withColumn("rank", row_number().over(wr))
-      .select(col("lang"),
+      .select(col(keyCol),
         expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT)")
           .as("x"),
         expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0) AS BIGINT)")
           .as("y"))
-      .groupBy(col("lang"))
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .withColumn("num", col("n_terms") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n_terms") * col("sxx") - col("sx") * col("sx"))
       .where(col("den") > 0)
-      .select(col("lang"), col("n_terms"), expr(
+      .select(col(keyCol), col("n_terms"), expr(
         "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT)")
         .as("slope_q6"))
   }

@@ -18,6 +18,45 @@ object DataOpsQueries {
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
 
+  /** Generated PII fixture — the real corpus contains no contact
+    * strings, so the scrub/span oracles would verify only the no-op
+    * path; this 40-doc frame plants an email per doc plus phone /
+    * ipv4 / ssn strings on fixed moduli. Pure integer/string
+    * construction, bit-identical in both engines (the fxPoints
+    * precedent). */
+  private def piiFx(s: SparkSession): DataFrame =
+    s.range(40).selectExpr("id AS doc_id",
+      "concat('alpha beta contact user', CAST(id AS STRING), '@example.com gamma', " +
+        "CASE WHEN id % 3 = 0 THEN ' call 555-123-4567 now' ELSE '' END, " +
+        "CASE WHEN id % 5 = 0 THEN concat(' node 10.0.0.', CAST(id AS STRING), ' up') ELSE '' END, " +
+        "CASE WHEN id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END, " +
+        "' tail words') AS text")
+
+  /** The DuckDB twin of [[piiFx]] — one CTE named `pfx`. */
+  private val PIIFX =
+    """pfx AS (SELECT i AS doc_id,
+      |  'alpha beta contact user' || CAST(i AS VARCHAR) || '@example.com gamma' ||
+      |  (CASE WHEN i % 3 = 0 THEN ' call 555-123-4567 now' ELSE '' END) ||
+      |  (CASE WHEN i % 5 = 0 THEN ' node 10.0.0.' || CAST(i AS VARCHAR) || ' up' ELSE '' END) ||
+      |  (CASE WHEN i % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END) ||
+      |  ' tail words' AS text
+      |  FROM range(40) t(i))""".stripMargin
+
+  /** The scrub's SELECT body (counts on the original text, then the
+    * fixed-order redaction chain) — shared by the real-corpus entry
+    * and the planted fixture twin. */
+  private val PII_SCRUB_BODY =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean_text""".stripMargin
+
   /** DuckDB shingle CTE shared by the jaccard oracles. */
   private val SH =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -420,6 +459,62 @@ object DataOpsQueries {
          |       CAST(floor(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_rate_q6
          |FROM per GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Dedup.dupRateBySource(docs(s, d)))
+    },
+    // per-source quality rollup: the curation run's first read —
+    // near-dup fraction + Gopher gate pass rate + Zipf slope per
+    // source, each stage the verified operator unchanged (the oracle
+    // composes the three verified walks over shared CTEs)
+    Entry("text_source_quality",
+      s"""WITH RECURSIVE $SH,
+         |jp AS (SELECT id_a, id_b FROM it
+         |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |      UNION SELECT id_b, id_a FROM jp),
+         |walk(id, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, w.lbl FROM e JOIN walk w ON w.id = e.dst),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS lbl FROM walk GROUP BY 1),
+         |dupd AS (SELECT doc_id FROM cl WHERE doc_id <> lbl),
+         |per AS (SELECT d.source, CASE WHEN dupd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |        FROM documents d LEFT JOIN dupd USING (doc_id)),
+         |duprate AS (SELECT source, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |       CAST(floor(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_rate_q6
+         |       FROM per GROUP BY 1),
+         |gt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
+         |gtc AS (SELECT doc_id, term, count(*) AS c FROM gt GROUP BY 1, 2),
+         |gd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c,
+         |       count(*) AS n_distinct, sum(c * length(term)) AS char_sum
+         |      FROM gtc GROUP BY 1),
+         |gs AS (SELECT doc_id,
+         |       (n_words BETWEEN 50 AND 100000)
+         |       AND (CAST(floor(char_sum / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) BETWEEN 3000000 AND 10000000)
+         |       AND CAST(floor(n_distinct / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) > 300000
+         |       AND CAST(floor(top_c / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) < 200000 AS passes
+         |      FROM gd),
+         |gates AS (SELECT d.source,
+         |       CAST(sum(CASE WHEN gs.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |       CAST(floor(CAST(sum(CASE WHEN gs.passes THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS pass_rate_q6
+         |      FROM documents d JOIN gs USING (doc_id) GROUP BY 1),
+         |zt AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+         |zf AS (SELECT source, w, count(*) AS freq FROM zt GROUP BY 1, 2 HAVING count(*) >= 2),
+         |zr AS (SELECT source,
+         |       CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source ORDER BY freq DESC, w) AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         |       CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+         |      FROM zf),
+         |za AS (SELECT source, count(*) AS n_terms, CAST(sum(x) AS BIGINT) AS sx,
+         |       CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |       CAST(sum(x * x) AS BIGINT) AS sxx FROM zr GROUP BY 1),
+         |zipf AS (SELECT source, n_terms,
+         |       CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+         |                  / CAST(n_terms * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS slope_q6
+         |      FROM za WHERE n_terms * sxx - sx * sx > 0)
+         |SELECT duprate.source, n_docs, n_dups, dup_rate_q6, n_pass, pass_rate_q6,
+         |       n_terms, slope_q6
+         |FROM duprate JOIN gates USING (source) LEFT JOIN zipf USING (source)
+         |ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.llm.Curate.sourceQualityReport(docs(s, d)))
     },
     // cross-source overlap matrix: source-pair shingle-set Jaccard +
     // containment over distinct (source, shingle) — where duplication
@@ -1239,6 +1334,46 @@ object DataOpsQueries {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.fingerprint(docs(s, d)))
+    },
+    // PII/contact scrub over the REAL corpus: verifies the regex
+    // classes against arbitrary text and the no-op path (the shipped
+    // corpus plants no contacts; the fixture twin below is the
+    // non-vacuous redaction check)
+    Entry("text_pii_scrub",
+      s"""$PII_SCRUB_BODY
+         |FROM documents ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.piiScrub(docs(s, d)))
+    },
+    Entry("text_pii_scrub_fixture",
+      s"""WITH $PIIFX
+         |$PII_SCRUB_BODY
+         |FROM pfx ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(TextStats.piiScrub(piiFx(s)))
+    },
+    // the span/audit half over the planted fixture: one row per
+    // (doc, class, occurrence) with the matched text — idx built by
+    // list_transform (unnest stays in its own CTE, no JOIN USING in
+    // the same SELECT: the DuckDB 1.0.0 binder rule)
+    Entry("text_pii_spans_fixture",
+      s"""WITH $PIIFX,
+         |cls AS (
+         |  SELECT doc_id, 'email' AS kind,
+         |         regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') AS l FROM pfx
+         |  UNION ALL
+         |  SELECT doc_id, 'ipv4',
+         |         regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}') FROM pfx
+         |  UNION ALL
+         |  SELECT doc_id, 'phone',
+         |         regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}') FROM pfx
+         |  UNION ALL
+         |  SELECT doc_id, 'ssn',
+         |         regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}') FROM pfx),
+         |x AS (SELECT doc_id, kind,
+         |        unnest(list_transform(range(len(l)), j -> struct_pack(idx := j, m := l[j+1]))) AS s
+         |      FROM cls)
+         |SELECT doc_id, kind, CAST(s.idx AS BIGINT) AS idx, s.m AS "match"
+         |FROM x ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(TextStats.piiSpans(piiFx(s)))
     },
     // bigram-LM perplexity filter (CCNet-style): per-pair logp is
     // quantized to fixed point so the per-doc score is an exact

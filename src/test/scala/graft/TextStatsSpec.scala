@@ -138,4 +138,50 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(4L)._2 > out(3L)._2, "mixed beats never-in-target")
     assert(out(3L)._2 < 0L, "a bucket absent from target scores negative")
   }
+
+  test("piiSpans/piiScrub: planted contacts extracted per class, redacted in class order, clean docs untouched") {
+    val docs = Seq(
+      (1L, "mail bob.smith@corp.example.org and alice@x.io now"),
+      (2L, "server 192.168.0.1 ssn 123-45-6789 call 555-123-4567"),
+      (3L, "clean text only")).toDF("doc_id", "text")
+    val spans = TextStats.piiSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(spans === Set(
+      (1L, "email", 0L, "bob.smith@corp.example.org"),
+      (1L, "email", 1L, "alice@x.io"),
+      (2L, "ipv4", 0L, "192.168.0.1"),
+      (2L, "ssn", 0L, "123-45-6789"),
+      (2L, "phone", 0L, "555-123-4567")), spans.toString)
+    val scrub = TextStats.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(scrub(1L) === ((2L, 0L, 0L, 0L,
+      "mail <EMAIL> and <EMAIL> now")), scrub(1L).toString)
+    assert(scrub(2L) === ((0L, 1L, 1L, 1L,
+      "server <IPV4> ssn <SSN> call <PHONE>")), scrub(2L).toString)
+    assert(scrub(3L) === ((0L, 0L, 0L, 0L, "clean text only")),
+      "a contact-free document passes through byte-identical")
+  }
+
+  test("sourceQualityReport: duplicate-heavy source reads its dup rate; all-singleton vocab carries NULL slope") {
+    // 'dup': three identical 60-token docs (two are near-dup losers;
+    // every term has freq 3 and a constant ln-freq fits slope 0);
+    // 'uniq': two disjoint-vocabulary docs (no pairs; every term is a
+    // singleton, pruned by minFreq=2 -> no zipf row -> NULL columns)
+    val dupText = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val docs = (
+      (1 to 3).map(i => (i.toLong, dupText, "dup")) ++
+      (1 to 2).map(i => (10L + i,
+        (1 to 60).map(k => s"u${i}x$k").mkString(" "), "uniq"))
+    ).toDF("doc_id", "text", "source")
+    val out = graft.llm.Curate.sourceQualityReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), Option(r.get(6)), Option(r.get(7)))))
+      .toMap
+    assert(out("dup") === ((3L, 2L, 666666L, 3L, 1000000L,
+      Some(60L), Some(0L))), out("dup").toString)
+    assert(out("uniq") === ((2L, 0L, 0L, 2L, 1000000L, None, None)),
+      out("uniq").toString)
+  }
 }
