@@ -40,26 +40,53 @@ object Curate {
     *   ([[TextStats.zipfFit]] keyed on source — natural language
     *   reads ≈ −1; boilerplate/generated slices bend away).
     * Each stage is the verified operator unchanged; the rollup adds
-    * only source-sized joins, so the whole report is one Catalyst
-    * plan whose heavy lifting (the pair walk, the token aggs) is
-    * exactly what the standalone entries already pay. Sources whose
-    * pruned vocabulary is under 2 terms carry NULL slope columns
-    * (zipfFit's den > 0 gate). Output (source, n_docs, n_dups,
-    * dup_rate_q6, n_pass, pass_rate_q6, n_terms, slope_q6). */
+    * only source-sized joins.
+    *
+    * Scale split: the gate and Zipf stages are LINEAR and run over
+    * the full corpus; the dup stage's exact pair walk is
+    * pair-quadratic in duplicate density (the measured 28 G-row sf10
+    * blowup — maxDf can't rescue a replicated corpus), so it runs on
+    * the ADAPTIVE md5-sampled slice ([[Dedup.simhashRecallAudit]]'s
+    * scale path): `sampleMod` > 0 fixes the modulus (1 = full), the
+    * default 0 targets ~`sampleTarget` docs whatever the corpus size
+    * — constant dup-stage cost by construction. The dup columns are
+    * therefore the SLICE'S internal dup statistics: a duplicate whose
+    * partner fell outside the slice is not counted, so the rate is a
+    * downward-biased estimate that still RANKS sources (the decision
+    * the table exists for); below the target the slice is the corpus
+    * and the columns are exact. Sources missing from the slice (or
+    * whose pruned vocabulary can't fit a line) carry NULL dup / slope
+    * columns. Output (source, n_docs, n_pass, pass_rate_q6, n_terms,
+    * slope_q6, dup_docs, dup_dups, dup_rate_q6). */
   def sourceQualityReport(docs: DataFrame, n: Int = 3,
-      theta: Double = 0.5, minFreq: Long = 2L): DataFrame = {
-    val dup = Dedup.dupRateBySource(docs, n, theta)
+      theta: Double = 0.5, minFreq: Long = 2L,
+      sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
+    require(sampleMod >= 0L && sampleTarget >= 1L,
+      "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
+    // eager 1-row count at plan-construction time (the recall-audit
+    // precedent): the draw's modulus must be a filter literal
+    val mod =
+      if (sampleMod > 0L) sampleMod
+      else math.max(1L, docs.count() / sampleTarget)
+    val slice =
+      if (mod <= 1L) docs
+      else docs.where(expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        % mod === 0)
+    val dup = Dedup.dupRateBySource(slice, n, theta)
+      .select(col("source"), col("n_docs").as("dup_docs"),
+        col("n_dups").as("dup_dups"), col("dup_rate_q6"))
     val gates = TextStats.gopherGates(docs)
       .select(col("doc_id"), col("passes"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
-      .agg(sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"),
-        count(lit(1)).as("__n"))
-      .select(col("source"), col("n_pass"),
-        floor(col("n_pass") / col("__n").cast("double") * 1e6)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        floor(col("n_pass") / col("n_docs").cast("double") * 1e6)
           .cast("long").as("pass_rate_q6"))
     val zipf = TextStats.zipfFit(docs, minFreq, keyCol = "source")
-    dup.join(gates, Seq("source"))
-      .join(zipf, Seq("source"), "left")
+    gates.join(zipf, Seq("source"), "left")
+      .join(dup, Seq("source"), "left")
   }
 }

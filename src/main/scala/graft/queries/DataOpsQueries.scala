@@ -465,7 +465,12 @@ object DataOpsQueries {
     // source, each stage the verified operator unchanged (the oracle
     // composes the three verified walks over shared CTEs)
     Entry("text_source_quality",
-      s"""WITH RECURSIVE $SH,
+      s"""WITH RECURSIVE sdocs AS (SELECT * FROM documents
+         |  WHERE (CAST(list_sum(list_transform(range(15), k ->
+         |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+         |        << (4*(14-k)))) AS BIGINT))
+         |    % greatest(1, (SELECT count(*) FROM documents) // 2500) = 0),
+         |${SH.replace("FROM documents", "FROM sdocs")},
          |jp AS (SELECT id_a, id_b FROM it
          |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |      WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5),
@@ -478,8 +483,8 @@ object DataOpsQueries {
          |cl AS (SELECT id AS doc_id, min(lbl) AS lbl FROM walk GROUP BY 1),
          |dupd AS (SELECT doc_id FROM cl WHERE doc_id <> lbl),
          |per AS (SELECT d.source, CASE WHEN dupd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
-         |        FROM documents d LEFT JOIN dupd USING (doc_id)),
-         |duprate AS (SELECT source, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |        FROM sdocs d LEFT JOIN dupd USING (doc_id)),
+         |duprate AS (SELECT source, count(*) AS dup_docs, CAST(sum(is_dup) AS BIGINT) AS dup_dups,
          |       CAST(floor(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_rate_q6
          |       FROM per GROUP BY 1),
          |gt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
@@ -493,7 +498,7 @@ object DataOpsQueries {
          |       AND CAST(floor(n_distinct / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) > 300000
          |       AND CAST(floor(top_c / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) < 200000 AS passes
          |      FROM gd),
-         |gates AS (SELECT d.source,
+         |gates AS (SELECT d.source, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN gs.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
          |       CAST(floor(CAST(sum(CASE WHEN gs.passes THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS pass_rate_q6
          |      FROM documents d JOIN gs USING (doc_id) GROUP BY 1),
@@ -510,9 +515,9 @@ object DataOpsQueries {
          |       CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
          |                  / CAST(n_terms * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS slope_q6
          |      FROM za WHERE n_terms * sxx - sx * sx > 0)
-         |SELECT duprate.source, n_docs, n_dups, dup_rate_q6, n_pass, pass_rate_q6,
-         |       n_terms, slope_q6
-         |FROM duprate JOIN gates USING (source) LEFT JOIN zipf USING (source)
+         |SELECT gates.source, n_docs, n_pass, pass_rate_q6, n_terms, slope_q6,
+         |       dup_docs, dup_dups, dup_rate_q6
+         |FROM gates LEFT JOIN zipf USING (source) LEFT JOIN duprate USING (source)
          |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.llm.Curate.sourceQualityReport(docs(s, d)))
     },

@@ -177,11 +177,13 @@ class TextStatsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "source")
     val out = graft.llm.Curate.sourceQualityReport(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), Option(r.get(6)), Option(r.get(7)))))
+        Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7)), Option(r.get(8)))))
       .toMap
-    assert(out("dup") === ((3L, 2L, 666666L, 3L, 1000000L,
-      Some(60L), Some(0L))), out("dup").toString)
-    assert(out("uniq") === ((2L, 0L, 0L, 2L, 1000000L, None, None)),
-      out("uniq").toString)
+    // below sampleTarget the slice is the corpus: dup columns exact
+    assert(out("dup") === ((3L, 3L, 1000000L, Some(60L), Some(0L),
+      Some(3L), Some(2L), Some(666666L))), out("dup").toString)
+    assert(out("uniq") === ((2L, 2L, 1000000L, None, None,
+      Some(2L), Some(0L), Some(0L))), out("uniq").toString)
   }
 }
