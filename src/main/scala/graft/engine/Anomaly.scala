@@ -569,29 +569,58 @@ object Anomaly {
     * (the live reading an operator wants); re-running [[cusum]] over
     * the settled store is the audit, as with every alerting twin.
     * Append mode, alarm-sized output; per-batch cost is one
-    * ≤lastN-step fold per series seen in the batch. */
+    * ≤lastN-step fold per series seen in the batch.
+    *
+    * State retires with the series (the streamingThresholdCross
+    * pattern): once the watermark passes the newest sample +
+    * `idleEvict` seconds (default lastN buckets of silence) the
+    * series' bucket table is EVICTED and a later arrival re-trains
+    * from scratch — the live reading (the batch operator's trailing
+    * window would be dominated by the silence gap anyway; re-running
+    * [[cusum]] over the settled store is the audit, which keeps old
+    * observed buckets per its gap policy — the documented divergence
+    * across an eviction). `maxLateness` is the cross-batch disorder
+    * budget: later-batch events below the watermark are silently
+    * dropped by Spark; the 3600 s default trades an hour of extra
+    * retention for an hour of transport skew (intra-batch disorder is
+    * always safe — bucket sums are order-free int64 adds). */
   def streamingCusum(stream: DataFrame, lastN: Int = 168,
       base: Int = 24, k: Double = 0.5, h: Double = 5.0,
-      minBuckets: Int = 48, bucketSec: Long = 3600L)
+      minBuckets: Int = 48, bucketSec: Long = 3600L,
+      idleEvict: Long = 0L, maxLateness: Long = 3600L)
       : Dataset[CusumAlarm] = {
     require(lastN >= base + 1 && base >= 2, "need lastN > base >= 2")
     require(minBuckets > base && minBuckets <= lastN,
       "need base < minBuckets <= lastN")
     require(k >= 0.0 && h > 0.0, "need k >= 0 and h > 0")
+    require(idleEvict >= 0 && maxLateness >= 0,
+      "need idleEvict >= 0 (0 = lastN buckets) and maxLateness >= 0")
+    val evict = if (idleEvict > 0L) idleEvict else lastN * bucketSec
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col("series"), expr(s"ts div $bucketSec").as("bucket"),
-        col("val"))
-      .as[(String, Long, Long)]
+        col("val"), timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .as[(String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (series: String, rows: Iterator[(String, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (series: String,
+         rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
          state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            // idleEvict of silence: retire the series — a later
+            // arrival re-trains a fresh baseline
+            state.remove()
+            Iterator.empty
+          } else {
           val sums = scala.collection.mutable.LongMap.empty[Long]
           state.getOption.foreach(st =>
             st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i)))
-          rows.foreach { case (_, bk, v) =>
+          var maxTs = Long.MinValue
+          rows.foreach { case (_, bk, v, et) =>
             sums(bk) = sums.getOrElse(bk, 0L) + v
+            maxTs = math.max(maxTs, et.getTime / 1000L)
           }
           // lastN sealed + the one unsealed newest
           val kept = sums.toArray.sortBy(_._1).takeRight(lastN + 1)
@@ -633,7 +662,12 @@ object Anomaly {
             } else emitted = math.max(emitted, closed.last._1)
           }
           state.update(CusumState(kept.map(_._1), kept.map(_._2), emitted))
+          if (maxTs > Long.MinValue)
+            state.setTimeoutTimestamp(math.max(
+              (maxTs + evict) * 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
           out.result().iterator
+          }
       }
   }
 }

@@ -162,37 +162,61 @@ object Forecast {
     * executor path (plain Scala doubles — IEEE semantics identical
     * to the SQL fold). Update mode semantics: one row per touched
     * series per batch. */
+  /** State retires with the series: the watermark passing the newest
+    * held sample + `idleEvict` seconds drops the buffer (event-time
+    * timeout — the alerting twins' round-14 pattern), so the store is
+    * bounded by series that reported within the horizon; a re-arrival
+    * re-trains from its own samples. `maxLateness` is the cross-batch
+    * disorder budget (later-batch events below the watermark are
+    * silently dropped by Spark); within it, late points still re-slot
+    * exactly as the batch window places them. */
   def streamingHolt(stream: DataFrame, lastN: Int = 64,
-      alpha: Double = 0.5, beta: Double = 0.25): Dataset[HoltForecast] = {
+      alpha: Double = 0.5, beta: Double = 0.25,
+      idleEvict: Long = 86400L, maxLateness: Long = 3600L)
+      : Dataset[HoltForecast] = {
     require(lastN >= 1 && lastN <= 4096, "lastN must be in [1, 4096]")
+    require(idleEvict > 0 && maxLateness >= 0,
+      "need idleEvict > 0 and maxLateness >= 0")
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col("series"), col("ts"), col("pid"),
-        col("val").cast("double"))
-      .as[(String, Long, Long, Double)]
+        col("val").cast("double"),
+        timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (series: String, rows: Iterator[(String, Long, Long, Double)],
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (series: String,
+         rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
          state: GroupState[HoltState]) =>
-          val prev = state.getOption
-            .map(s => Array.tabulate(s.ts.length)(i =>
-              (s.ts(i), s.pid(i), s.y(i))))
-            .getOrElse(Array.empty[(Long, Long, Double)])
-          val merged = (prev ++ rows.map(r => (r._2, r._3, r._4)))
-            .sortBy(r => (r._1, r._2))
-          val kept = merged.takeRight(lastN)
-          state.update(HoltState(kept.map(_._1), kept.map(_._2),
-            kept.map(_._3)))
-          // identical recurrence to the batch fold, same op order
-          var l = kept.head._3
-          var b = 0.0
-          kept.iterator.drop(1).foreach { case (_, _, y) =>
-            val nl = alpha * y + (1.0 - alpha) * (l + b)
-            b = beta * (nl - l) + (1.0 - beta) * b
-            l = nl
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .map(s => Array.tabulate(s.ts.length)(i =>
+                (s.ts(i), s.pid(i), s.y(i))))
+              .getOrElse(Array.empty[(Long, Long, Double)])
+            val merged = (prev ++ rows.map(r => (r._2, r._3, r._4)))
+              .sortBy(r => (r._1, r._2))
+            val kept = merged.takeRight(lastN)
+            state.update(HoltState(kept.map(_._1), kept.map(_._2),
+              kept.map(_._3)))
+            state.setTimeoutTimestamp(math.max(
+              (kept.last._1 + idleEvict) * 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
+            // identical recurrence to the batch fold, same op order
+            var l = kept.head._3
+            var b = 0.0
+            kept.iterator.drop(1).foreach { case (_, _, y) =>
+              val nl = alpha * y + (1.0 - alpha) * (l + b)
+              b = beta * (nl - l) + (1.0 - beta) * b
+              l = nl
+            }
+            Iterator.single(HoltForecast(series, kept.length.toLong,
+              kept.last._1, math.floor((l + b) * 1e6).toLong))
           }
-          Iterator.single(HoltForecast(series, kept.length.toLong,
-            kept.last._1, math.floor((l + b) * 1e6).toLong))
       }
   }
 
@@ -391,28 +415,55 @@ object Forecast {
     * held window is holed or shorter than two seasons emit nothing
     * yet, exactly like the batch drop. Update mode; state is ≤ lastN
     * longs-pairs per series, never point-sized. */
+  /** State retires with the series (the round-14 eviction pattern):
+    * the watermark passing the newest sample + `idleEvict` seconds
+    * (default: the window's own span, lastN buckets) drops the bucket
+    * table; a re-arrival re-trains — after that much silence the held
+    * window could never again be contiguous with new data, so the
+    * forecast it supported is unreachable anyway. `maxLateness` is
+    * the cross-batch disorder budget (below-watermark events are
+    * silently dropped); within it a late point still lands in its
+    * held bucket exactly as before. */
   def streamingHoltWinters(stream: DataFrame, bucket: Long = 3600L,
       lastN: Int = 96, m: Int = 24, alpha: Double = 0.5,
-      beta: Double = 0.25, gamma: Double = 0.25): Dataset[HwForecast] = {
+      beta: Double = 0.25, gamma: Double = 0.25,
+      idleEvict: Long = 0L, maxLateness: Long = 3600L)
+      : Dataset[HwForecast] = {
     require(m >= 2 && lastN >= 2 * m && lastN <= 4096,
       s"need lastN in [2m, 4096], m >= 2; got lastN=$lastN m=$m")
+    require(idleEvict >= 0 && maxLateness >= 0,
+      "need idleEvict >= 0 (0 = lastN buckets) and maxLateness >= 0")
+    val evict = if (idleEvict > 0L) idleEvict else lastN * bucket
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col("series"), expr(s"ts DIV $bucket").as("bucket"),
-        col("val"))
-      .as[(String, Long, Long)]
+        col("val"), timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .as[(String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (series: String, rows: Iterator[(String, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (series: String,
+         rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
          state: GroupState[HwState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val sums = scala.collection.mutable.LongMap.empty[Long]
           state.getOption.foreach(st =>
             st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i)))
-          rows.foreach { case (_, bk, v) =>
+          var maxTs = Long.MinValue
+          rows.foreach { case (_, bk, v, et) =>
             sums(bk) = sums.getOrElse(bk, 0L) + v
+            maxTs = math.max(maxTs, et.getTime / 1000L)
           }
           val kept = sums.toArray.sortBy(_._1).takeRight(lastN)
           state.update(HwState(kept.map(_._1), kept.map(_._2)))
+          if (maxTs > Long.MinValue)
+            state.setTimeoutTimestamp(math.max(
+              (maxTs + evict) * 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
           val n = kept.length
           val contiguous = n > 0 && kept.last._1 - kept.head._1 + 1 == n
           if (n < 2 * m || !contiguous) Iterator.empty
@@ -441,6 +492,7 @@ object Forecast {
             val f = l + b + s(((last + 1) % m).toInt)
             Iterator.single(HwForecast(series, n.toLong, last,
               math.floor(f * 1e6).toLong))
+          }
           }
       }
   }

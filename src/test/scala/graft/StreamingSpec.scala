@@ -335,11 +335,17 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming Holt-Winters equals batch after every bucket split; short windows stay silent") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    // the TsAnalyticsSpec hand-trace: m=2, buckets 0..3, y=[10,20,12,22]
-    // — but bucket 2's sum (12) arrives SPLIT across two batches (5+7)
-    val batch1 = Seq(("s", 0L, 10L), ("s", 3600L, 20L), ("s", 7200L, 5L),
-      ("t", 0L, 1L))                     // t: one bucket, never emits
-    val batch2 = Seq(("s", 7200L, 7L), ("s", 10800L, 22L))
+    // the TsAnalyticsSpec hand-trace: m=2, y=[10,20,12,22] — but
+    // bucket 2's sum (12) arrives SPLIT across two batches (5+7).
+    // Base 3600000 (an EVEN bucket count, so slot parity and the
+    // hand-traced forecast are unchanged): an event at ts 0 would sit
+    // at the initial watermark and be dropped by the watermarked
+    // operator
+    val B = 3600000L
+    val batch1 = Seq(("s", B, 10L), ("s", B + 3600L, 20L),
+      ("s", B + 7200L, 5L),
+      ("t", B, 1L))                      // t: one bucket, never emits
+    val batch2 = Seq(("s", B + 7200L, 7L), ("s", B + 10800L, 22L))
     val ms = MemoryStream[(String, Long, Long)]
     val q = graft.engine.Forecast.streamingHoltWinters(
       ms.toDF().toDF("series", "ts", "val"),
@@ -591,6 +597,97 @@ class StreamingSpec extends AnyFunSuite {
       // no duplicate emissions: bucket 6's alarm appeared once even
       // though the second batch's walk re-crossed it
       assert(spark.sql("SELECT count(*) FROM cusum_live").head.getLong(0) === 3L)
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM evicts an idle series once the watermark clears its window; re-arrival re-trains") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val vals = Seq(10L, 14L, 10L, 14L) ++ Seq.fill(5)(15L)
+    val pts = vals.zipWithIndex.map { case (v, b) =>
+      ("c", b * 10L + 1L, b.toLong, v) }
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Anomaly.streamingCusum(
+      ms.toDF().toDF("series", "ts", "pid", "val"), lastN = 20,
+      base = 4, k = 0.5, h = 2.0, minBuckets = 6, bucketSec = 10L,
+      maxLateness = 0L) // default idleEvict = 20 buckets = 200 s
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_evict").start()
+    try {
+      // b1: sealed buckets 0..7 walk and fire at bucket 6
+      ms.addData(pts: _*)
+      q.processAllAvailable()
+      // b2: w pushes the watermark far past c's 81 + 200 timeout
+      ms.addData(("w", 100000L, 1L, 10L))
+      q.processAllAvailable()
+      // b3: a data-less batch for c — eviction fires
+      ms.addData(("w", 100010L, 2L, 10L))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+      // b4: c re-arrives and RE-TRAINS — one bucket of fresh state,
+      // far below minBuckets, so no alarm can fire from stale sums
+      ms.addData(("c", 100020L, 99L, 1000L))
+      q.processAllAvailable()
+      val live = spark.sql("SELECT series, bucket, side FROM cusum_evict")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(live === Set(("c", 6L, 1L)), live.toString)
+    } finally q.stop()
+  }
+
+  test("streaming Holt evicts an idle series; re-arrival re-trains from its own samples") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Double)]
+    val q = graft.engine.Forecast.streamingHolt(
+      ms.toDF().toDF("series", "ts", "pid", "val"), lastN = 8,
+      idleEvict = 100L, maxLateness = 0L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("holt_evict").start()
+    try {
+      ms.addData(("s", 10L, 1L, 10.0), ("s", 20L, 2L, 20.0))
+      q.processAllAvailable()
+      ms.addData(("w", 10000L, 1L, 1.0))
+      q.processAllAvailable()
+      ms.addData(("w", 10010L, 2L, 1.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+      // re-arrival: n_samples restarts at 1 — the old buffer is gone
+      ms.addData(("s", 10020L, 3L, 50.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_samples, last_ts, forecast_q6 FROM holt_evict " +
+          "WHERE series = 's' ORDER BY last_ts DESC LIMIT 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+      assert(last === ((1L, 10020L, 50000000L)),
+        s"a retired series re-trains from scratch: $last")
+    } finally q.stop()
+  }
+
+  test("streaming Holt-Winters evicts an idle series once the watermark clears its window span") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val B = 3600000L
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.engine.Forecast.streamingHoltWinters(
+      ms.toDF().toDF("series", "ts", "val"),
+      bucket = 3600L, lastN = 4, m = 2, maxLateness = 0L)
+      // default idleEvict = lastN * bucket = 14400 s of silence
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hw_evict").start()
+    try {
+      ms.addData(("s", B, 10L), ("s", B + 3600L, 20L),
+        ("s", B + 7200L, 12L), ("s", B + 10800L, 22L))
+      q.processAllAvailable()
+      // w pushes the watermark far past s's (B+10800) + 14400 timeout
+      ms.addData(("w", B + 10000000L, 1L))
+      q.processAllAvailable()
+      ms.addData(("w", B + 10000100L, 1L))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
     } finally q.stop()
   }
 }
