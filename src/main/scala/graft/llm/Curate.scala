@@ -86,7 +86,10 @@ object Curate {
         floor(col("n_pass") / col("n_docs").cast("double") * 1e6)
           .cast("long").as("pass_rate_q6"))
     val zipf = TextStats.zipfFit(docs, minFreq, keyCol = "source")
-    gates.join(zipf, Seq("source"), "left")
-      .join(dup, Seq("source"), "left")
+    // both right sides are ≤ #sources rows; the dup stage ends in a
+    // localCheckpoint (no stats), so Catalyst would sort-merge it —
+    // say broadcast explicitly
+    gates.join(broadcast(zipf), Seq("source"), "left")
+      .join(broadcast(dup), Seq("source"), "left")
   }
 }

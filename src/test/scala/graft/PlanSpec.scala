@@ -442,4 +442,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!ep.contains("SortMergeJoin") && !ep.contains("BroadcastHashJoin"),
       ep)
   }
+
+  test("pii scrub: one narrow codegen projection — no shuffle, no join, no window") {
+    // parquet-backed input: a local Seq collapses to LocalTableScan
+    // and proves nothing about the distributed plan
+    val docs = graft.core.Tables.documents(spark, dir)
+    val sc = graft.llm.TextStats.piiScrub(docs)
+    sc.collect()
+    val p = plan(sc)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // "*(n) Project" is executedPlan.toString's whole-stage-codegen
+    // marker — the regex counts and the redaction chain stay fused
+    assert(p.contains("*(1) Project"), p)
+  }
+
+  test("source-quality rollup: source-level joins broadcast; no cartesian; zipf window partitioned") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, (0 until 60).map(k => s"w${(i + k) % 40}").mkString(" "),
+        s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.llm.Curate.sourceQualityReport(docs)
+    r.collect()
+    val p = plan(r)
+    // the source-sized gate/zipf/dup ROLLUPS join by broadcast and
+    // nothing multiplies; the only sort-merge allowed is the
+    // doc-keyed dup-loser join inside dupRateBySource (its right side
+    // is data-dependent — up to doc-sized on a fully-duplicated
+    // corpus, so a forced broadcast there would be the 100× mistake)
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("doc_id")), smj.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the zipf ranking window is PARTITIONED by source — a global
+    // (unpartitioned) window would single-task the vocabulary
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition(source"), p)
+  }
 }
