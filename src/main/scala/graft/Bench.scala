@@ -70,7 +70,7 @@ object Bench {
     // round-14 additions: the per-source curation rollup and the
     // PII scrub over the real corpus (the fixture twins stay out —
     // constant-size inputs)
-    "text_source_quality", "text_pii_scrub",
+    "text_source_quality", "text_pii_scrub", "sample_mixture_report",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -141,6 +141,41 @@ object TextStats {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Mixture-quality report — the trust-gate row for the sampling
+    * family (the recall@k / backtest pattern): replay
+    * [[sampleMixture]] and report, per weighted source, the corpus
+    * count, the drawn count, the TARGET proportion w_s/Σw, the
+    * ACHIEVED proportion n_s/Σn, and their signed gap — the one
+    * table that says whether the seedless md5 draw actually landed
+    * the requested mixture before a training run trusts it.
+    * Deterministic (the draw has no RNG state), so the oracle replays
+    * it exactly; proportions floor-quantized ×1e6 off IEEE-identical
+    * divides, err_q6 an exact int64 difference. Source-sized
+    * aggregations over the already-narrow mixture filter — no new
+    * corpus pass beyond the draw itself. */
+  def mixtureReport(docs: DataFrame,
+      weights: Map[String, Double]): DataFrame = {
+    val sampled = sampleMixture(docs, weights)
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", w).where(col("w") > 0)
+    val norm = cnt.agg(sum(col("w")).as("sw"))
+    val sc = sampled.groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    val tot = sampled.agg(count(lit(1)).as("n_total"))
+    cnt.join(sc, Seq("source"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .crossJoin(broadcast(norm))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        floor(col("w") / col("sw") * lit(1e6)).cast("long")
+          .as("target_q6"),
+        floor(col("n_sampled") / col("n_total").cast("double") * lit(1e6))
+          .cast("long").as("achieved_q6"))
+      .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
     * exponential races over the seedless md5 draw: doc i gets key
     * −ln(u_i)/w_i (u_i uniform in (0, 1] from the hash, w_i a

@@ -615,6 +615,40 @@ object DataOpsQueries {
       (s, d) => ordered(TextStats.sampleMixture(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
+    // the sampling family's trust-gate row: replay the mixture draw
+    // and report achieved-vs-target proportions per weighted source
+    // (the recall@k / backtest pattern aimed at sampling)
+    Entry("sample_mixture_report",
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(range(15), k ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |      << (4*(14-k)))) AS BIGINT) AS hv
+        |  FROM documents),
+        |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |wt AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+        |                    WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
+        |                    ELSE 0.0 END AS w
+        |       FROM cnt),
+        |t AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM wt WHERE w > 0),
+        |samp AS (SELECT h.doc_id, h.source FROM h JOIN wt USING (source), t
+        |         WHERE wt.w > 0 AND CAST(hv AS DOUBLE) <
+        |               wt.w * t.t / CAST(wt.n AS DOUBLE) * 1152921504606846976.0),
+        |sc AS (SELECT source, count(*) AS n_sampled FROM samp GROUP BY 1),
+        |norm AS (SELECT sum(w) AS sw FROM wt WHERE w > 0),
+        |tots AS (SELECT count(*) AS n_total FROM samp)
+        |SELECT wt.source, wt.n AS n_docs,
+        |       coalesce(sc.n_sampled, 0) AS n_sampled,
+        |       CAST(floor(wt.w / norm.sw * 1e6) AS BIGINT) AS target_q6,
+        |       CAST(floor(coalesce(sc.n_sampled, 0) / CAST(tots.n_total AS DOUBLE) * 1e6) AS BIGINT) AS achieved_q6,
+        |       CAST(floor(coalesce(sc.n_sampled, 0) / CAST(tots.n_total AS DOUBLE) * 1e6) AS BIGINT)
+        |         - CAST(floor(wt.w / norm.sw * 1e6) AS BIGINT) AS err_q6
+        |FROM wt CROSS JOIN norm CROSS JOIN tots
+        |LEFT JOIN sc ON sc.source = wt.source
+        |WHERE wt.w > 0 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.mixtureReport(docs(s, d),
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
+    },
     // weighted sampling without replacement (Efraimidis-Spirakis
     // exponential races, weight = n_chars): smallest 50 keys win
     Entry("sample_weighted",

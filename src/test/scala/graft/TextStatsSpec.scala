@@ -52,6 +52,24 @@ class TextStatsSpec extends AnyFunSuite {
     assert(dN > 45 && dN < 90, s"source d drew $dN, expected ~67")
   }
 
+  test("mixtureReport: targets sum to 1, achieved tracks the draw, argmin source err is measurement-true") {
+    val out = TextStats.mixtureReport(mixCorpus, Map("a" -> 1.0, "d" -> 1.0))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet === Set("a", "d"), "only weighted sources report")
+    assert(out("a")._3 === 500000L && out("d")._3 === 500000L,
+      "equal weights -> equal targets")
+    // d (argmin) keeps every doc; achieved is the exact drawn ratio
+    val (aN, dN) = (out("a")._2, out("d")._2)
+    assert(dN === 100L && out("d")._1 === 100L)
+    assert(out("a")._1 === 800L)
+    val total = (aN + dN).toDouble
+    assert(out("a")._4 === math.floor(aN / total * 1e6).toLong)
+    assert(out("d")._5 === out("d")._4 - 500000L, "err is the exact gap")
+    // the draw lands near the target (binomial noise, ~3 sigma bound)
+    assert(math.abs(out("a")._5) < 200000L, out("a").toString)
+  }
+
   test("sampleWeighted: huge weights always win, sample is deterministic and size-n") {
     val docs = ((0 until 500).map(i => (i.toLong, 1L)) :+ ((999L, 1000000000L)))
       .toDF("doc_id", "w")
