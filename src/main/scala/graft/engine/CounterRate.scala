@@ -77,29 +77,55 @@ object CounterRate {
     * with the settled-store [[bucketedRate]] as the audit path. With
     * per-series in-order feeds the two agree increase-for-increase
     * (StreamingSpec pins it, including the cross-batch state carry).
-    * Append mode, no watermark; downstream can bucket the emitted
-    * stream for live rate panels. */
-  def streamingIncrease(stream: DataFrame): Dataset[Increase] = {
+    * Append mode; downstream can bucket the emitted stream for live
+    * rate panels.
+    *
+    * State retires with the series (the round-14 eviction pattern
+    * shared by every alerting twin): the watermark passing the newest
+    * sample + `idleEvict` drops the 3-long state; the first sample
+    * back emits nothing (a counter that vanished for a day restarts
+    * its lag, exactly like a brand-new series — and a counter restart
+    * across the gap would have read as a reset anyway). `maxLateness`
+    * is the cross-batch disorder budget: later-batch events below the
+    * watermark are silently dropped by Spark. */
+  def streamingIncrease(stream: DataFrame, idleEvict: Long = 86400L,
+      maxLateness: Long = 3600L): Dataset[Increase] = {
+    require(idleEvict > 0 && maxLateness >= 0,
+      "need idleEvict > 0 and maxLateness >= 0")
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col("series"), col("ts"), col("pid"), col("val"))
-      .as[(String, Long, Long, Long)]
+    stream.select(col("series"), col("ts"), col("pid"), col("val"),
+        timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (series: String, rows: Iterator[(String, Long, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (series: String,
+         rows: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
          state: GroupState[PrevSample]) =>
-          val batch = rows.toArray.sortBy(r => (r._2, r._3))
-          var prev = state.getOption
-          val out = Vector.newBuilder[Increase]
-          batch.foreach { case (_, ts, pid, v) =>
-            prev.foreach { p =>
-              out += Increase(series, ts, pid, v,
-                if (v >= p.value) v - p.value else v)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toArray.sortBy(r => (r._2, r._3))
+            var prev = state.getOption
+            val out = Vector.newBuilder[Increase]
+            batch.foreach { case (_, ts, pid, v, _) =>
+              prev.foreach { p =>
+                out += Increase(series, ts, pid, v,
+                  if (v >= p.value) v - p.value else v)
+              }
+              prev = Some(PrevSample(ts, pid, v))
             }
-            prev = Some(PrevSample(ts, pid, v))
+            prev.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(math.max(
+                (p.ts + idleEvict) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            out.result().iterator
           }
-          prev.foreach(state.update)
-          out.result().iterator
       }
   }
 }

@@ -123,7 +123,12 @@ object Rollup {
   /** Per-series running stats via flatMapGroupsWithState: emits the
     * updated snapshot for every series touched by a micro-batch.
     * Duplicate and out-of-order timestamps are folded exactly like
-    * the batch catalog (first/last decided by (ts, pid) order). */
+    * the batch catalog (first/last decided by (ts, pid) order).
+    * Deliberately NO idle eviction (unlike the alerting/forecast
+    * twins): this state IS the catalog — the reference's series table
+    * never forgets a series until DROP, and a catalog that silently
+    * dropped quiet series would corrupt `list series` parity. Its
+    * bound is the catalog's own O(#series) row count. */
   def liveStats(src: Dataset[Ingest.PointIn]): Dataset[SeriesStats] = {
     val spark = src.sparkSession
     import spark.implicits._

@@ -636,6 +636,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming counter increase evicts an idle series; the sample back emits nothing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.CounterRate.streamingIncrease(
+      ms.toDF().toDF("series", "ts", "pid", "val"),
+      idleEvict = 100L, maxLateness = 0L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("inc_evict").start()
+    try {
+      ms.addData(("s", 10L, 1L, 100L), ("s", 20L, 2L, 130L)) // +30
+      q.processAllAvailable()
+      ms.addData(("w", 10000L, 1L, 1L))
+      q.processAllAvailable()
+      ms.addData(("w", 10010L, 2L, 2L)) // s's timeout (120) fires
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+      // with prev=130 still held this would read as a reset (emit 5);
+      // a retired series restarts its lag instead
+      ms.addData(("s", 10020L, 3L, 5L))
+      q.processAllAvailable()
+      val live = spark.sql("SELECT series, ts, increase FROM inc_evict")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(live === Set(("s", 20L, 30L), ("w", 10010L, 1L)), live.toString)
+    } finally q.stop()
+  }
+
   test("streaming Holt evicts an idle series; re-arrival re-trains from its own samples") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
