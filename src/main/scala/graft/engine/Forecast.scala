@@ -138,6 +138,76 @@ object Forecast {
             .cast("long")).as("skill_q6"))
   }
 
+  /** Forecast-residual anomaly detection — the alerting layer a
+    * forecast exists for: walk the same trailing-window Holt fold as
+    * [[holtBacktest]], and flag each point whose one-step-ahead
+    * residual |y_t − (l+b)| exceeds `k` × the mean absolute residual
+    * of all earlier steps (the self-calibrating scale a static
+    * threshold can't give a trending series). The first `minWarm`
+    * evaluations never flag (the scale is still forming); flagged
+    * residuals still fold into the scale (one spike inflates the
+    * scale slightly rather than splitting the walk into two
+    * regimes — documented bias toward under-alerting right after a
+    * spike). Output: one row per flagged point (series, ts,
+    * forecast_q6, resid_q6).
+    *
+    * Scale shape: identical to [[holt]] — WindowGroupLimit bounds
+    * the cell to lastN, one hash aggregation, and the fold's
+    * accumulator adds a flagged-points array that is ≤ lastN by
+    * construction. Determinism: the recurrence and the flag
+    * comparison (`k·sae/(cnt−1)`, multiply before divide) mirror the
+    * oracle walk token-for-token on bit-identical doubles; emitted
+    * values floor-quantize ×1e6. */
+  def holtResidualAnomaly(points: DataFrame, lastN: Int = 64,
+      alpha: Double = 0.5, beta: Double = 0.25, k: Double = 4.0,
+      minWarm: Int = 8): DataFrame = {
+    require(lastN >= 2 && lastN <= 4096, "lastN must be in [2, 4096]")
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0,
+      "need alpha in (0,1], beta in [0,1]")
+    require(k > 0.0 && minWarm >= 1, "need k > 0 and minWarm >= 1")
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts").desc, col("pid").desc)
+    val recent = points
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= lastN)
+    val a = alpha
+    val oa = 1.0 - alpha
+    val b = beta
+    val ob = 1.0 - beta
+    val nl = s"$a * e.y + $oa * (s.l + s.b)"
+    // resid/flag read the PRE-update accumulator: s.l + s.b is the
+    // forecast made before e.y arrives; s.cnt - 1 is the number of
+    // residuals already folded into s.sae
+    val anT = "array<struct<ts: bigint, forecast_q6: bigint, resid_q6: bigint>>"
+    val fold =
+      s"""aggregate(slice(__a, 2, $lastN),
+         |  struct(element_at(__a, 1).y AS l, CAST(0.0 AS DOUBLE) AS b,
+         |    CAST(0.0 AS DOUBLE) AS sae, CAST(1 AS BIGINT) AS cnt,
+         |    CAST(array() AS $anT) AS an),
+         |  (s, e) -> struct(
+         |    $nl AS l,
+         |    $b * (($nl) - s.l) + $ob * s.b AS b,
+         |    s.sae + abs(e.y - (s.l + s.b)) AS sae,
+         |    s.cnt + 1 AS cnt,
+         |    CASE WHEN s.cnt - 1 >= $minWarm AND abs(e.y - (s.l + s.b)) >
+         |           $k * s.sae / CAST(s.cnt - 1 AS DOUBLE)
+         |      THEN concat(s.an, array(struct(e.ts AS ts,
+         |        CAST(floor((s.l + s.b) * 1e6) AS BIGINT) AS forecast_q6,
+         |        CAST(floor((e.y - (s.l + s.b)) * 1e6) AS BIGINT) AS resid_q6)))
+         |      ELSE s.an END AS an),
+         |  s -> s.an)""".stripMargin
+    recent.groupBy(col("series"))
+      .agg(expr(
+        "array_sort(collect_list(struct(ts, pid, CAST(val AS DOUBLE) AS y)))")
+        .as("__a"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("series"), explode(expr(fold)).as("f"))
+      .select(col("series"), col("f.ts").as("ts"),
+        col("f.forecast_q6").as("forecast_q6"),
+        col("f.resid_q6").as("resid_q6"))
+  }
+
   /** The trailing window carried across micro-batches: ≤ lastN
     * (ts, pid, y) triples per series — bounded state by the same
     * construction as the batch operator. */

@@ -509,6 +509,35 @@ object Dedup {
       (col("id") === col("lbl")).as("keep"))
   }
 
+  /** Quality-aware cluster representatives — the selection a curation
+    * run actually wants from [[dupClusters]]: instead of keeping the
+    * MINIMUM doc_id (an arbitrary survivor), keep the HIGHEST-quality
+    * member of each near-dup cluster (ties → lowest doc_id), with the
+    * quality key supplied as a column of `docs` (n_chars = keep the
+    * longest, or any upstream score). Output is one row per clustered
+    * document: (doc_id, cluster_id, quality, keep).
+    *
+    * Scale shape: the cluster table is pair-incident-docs-sized
+    * (≪ corpus); the argmax per cluster is a map-side-combinable
+    * max(struct(quality, −doc_id)) aggregation — no per-cluster
+    * window sort, so a mega-cluster costs a comparison fold, not a
+    * sort cell. Quality joins in on doc_id (a narrow corpus
+    * projection against the small cluster table — AQE broadcasts the
+    * cluster side when it fits). */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      qualityCol: String = "n_chars"): DataFrame = {
+    val cl = dupClusters(pairs).select(col("doc_id"), col("cluster_id"))
+    val q = docs.select(col("doc_id"),
+      col(qualityCol).cast("long").as("quality"))
+    val members = cl.join(q, Seq("doc_id"))
+    val best = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("b"))
+    members.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("quality") === col("b.quality") &&
+          col("doc_id") === -col("b.nd")).as("keep"))
+  }
+
   /** Per-source duplication report — the summary table a curation run
     * prints: for each source, how many documents it contributed and
     * what fraction were near-duplicates (non-keepers of their dup

@@ -765,4 +765,93 @@ object TextStats {
         "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT)")
         .as("slope_q6"))
   }
+
+  /** Line-level boilerplate detection — the CCNet / RefinedWeb
+    * curation pass that exact-dedup misses: a line (split on '\n',
+    * trim-normalized) appearing in ≥ `minDf` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, footers). One row per
+    * (doc, line) with the line's corpus document-frequency and its
+    * flag; whitespace-only lines are never boilerplate (their df
+    * reports 0) — a scrub keeps paragraph structure.
+    *
+    * Scale shape: the df aggregation and the re-join key on
+    * md5(trimmed line) — a fixed 32-char key, so shuffle width per
+    * line is bounded no matter how long lines get (the 60-bit SimHash
+    * rationale; md5 because both engines emit identical lowercase
+    * hex). The df table is distinct-lines-sized; map-side combine
+    * takes the per-partition duplicates out before the exchange. No
+    * window, no self-join — two hash shuffles, both on the bounded
+    * key. */
+  def boilerplateLines(docs: DataFrame, minDf: Long = 2L): DataFrame = {
+    require(minDf >= 2L, "minDf must be at least 2")
+    val l = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        col("line"), md5(trim(col("line"))).as("lh"),
+        (trim(col("line")) =!= "").as("nonblank"))
+    val dfTab = l.where(col("nonblank"))
+      .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
+    l.join(dfTab, Seq("lh"), "left")
+      .select(col("doc_id"), col("line_no"), col("line"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        (coalesce(col("df"), lit(0L)) >= minDf).as("is_boilerplate"))
+  }
+
+  /** Boilerplate scrub — the removal half of [[boilerplateLines]]:
+    * per document the line count, the number of boilerplate lines
+    * removed, and the text rebuilt from the surviving lines in
+    * original order (empty string when everything was boilerplate).
+    * The rebuild is a per-doc collect of its own (bounded) line list
+    * — array_sort on the unique line_no restores order without a
+    * window sort, so the only exchanges are [[boilerplateLines]]'s
+    * two bounded-key shuffles plus one doc_id aggregation. */
+  def boilerplateScrub(docs: DataFrame, minDf: Long = 2L): DataFrame =
+    boilerplateLines(docs, minDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boilerplate"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("is_boilerplate"),
+              struct(col("line_no"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+
+  /** Token-budget mixture plan — the table a training run derives its
+    * per-source sampling from: given target weights and a total token
+    * budget, each source reports its corpus size (docs, tokens), its
+    * target share and token allocation, the sampling RATE a
+    * downsampler would apply (capped at 1), and the EPOCHS factor
+    * (allocation / available — > 1e6 means the source must repeat to
+    * meet its share, the oversampling a mixture board reviews before
+    * committing). Shares and rates are floor-quantized ×1e6 off
+    * IEEE-identical divides (each one divide of exact int64s, same
+    * op order in the oracle); `target_tokens` floors w/Σw·budget with
+    * the multiply BEFORE the floor on both sides. One token-count
+    * projection (size(split) — no explode) + a source-sized
+    * aggregation; the weight/normalization frames are single-row
+    * broadcasts. */
+  def mixturePlan(docs: DataFrame, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0L, "budgetTokens must be positive")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val per = docs
+      .select(col("source"), expr(s"CAST(size($tok) AS BIGINT)").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("w", w).where(col("w") > 0)
+    val norm = per.agg(sum(col("w")).as("sw"))
+    per.crossJoin(broadcast(norm))
+      .withColumn("share", col("w") / col("sw"))
+      .withColumn("target_tokens",
+        floor(col("share") * lit(budgetTokens.toDouble)).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(col("share") * lit(1e6)).cast("long").as("target_share_q6"),
+        col("target_tokens"),
+        floor(least(col("target_tokens") / col("n_tokens").cast("double"),
+          lit(1.0)) * lit(1e6)).cast("long").as("rate_q6"),
+        floor(col("target_tokens") / col("n_tokens").cast("double")
+          * lit(1e6)).cast("long").as("epochs_q6"))
+  }
 }

@@ -42,6 +42,53 @@ object DataOpsQueries {
       |  ' tail words' AS text
       |  FROM range(40) t(i))""".stripMargin
 
+  /** Generated boilerplate fixture — the real corpus has no newlines,
+    * so the line-level boilerplate oracles would verify only the
+    * one-line no-op path; this 30-doc frame plants a header line in
+    * every doc, a footer on even ids, a unique content line on
+    * multiples of 3, and a whitespace-only line on multiples of 5
+    * (the never-boilerplate edge). Pure integer/string construction,
+    * bit-identical in both engines (the piiFx precedent). */
+  private def blFx(s: SparkSession): DataFrame =
+    s.range(30).selectExpr("id AS doc_id",
+      "concat('subscribe to our newsletter', chr(10), " +
+        "'body line ', CAST(id AS STRING), ' alpha', " +
+        "CASE WHEN id % 3 = 0 THEN concat(chr(10), 'content block ', CAST(id AS STRING)) ELSE '' END, " +
+        "CASE WHEN id % 5 = 0 THEN concat(chr(10), '  ') ELSE '' END, " +
+        "CASE WHEN id % 2 = 0 THEN concat(chr(10), 'all rights reserved') ELSE '' END) AS text")
+
+  /** The DuckDB twin of [[blFx]] — one CTE named `bfx`. */
+  private val BLFX =
+    """bfx AS (SELECT i AS doc_id,
+      |  'subscribe to our newsletter' || chr(10) ||
+      |  'body line ' || CAST(i AS VARCHAR) || ' alpha' ||
+      |  (CASE WHEN i % 3 = 0 THEN chr(10) || 'content block ' || CAST(i AS VARCHAR) ELSE '' END) ||
+      |  (CASE WHEN i % 5 = 0 THEN chr(10) || '  ' ELSE '' END) ||
+      |  (CASE WHEN i % 2 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+      |  FROM range(30) t(i))""".stripMargin
+
+  /** The boilerplate line walk's CTE chain over a source named by the
+    * caller: split → position/line table → trimmed-line df (md5 key,
+    * whitespace-only lines excluded) → per-line flag at minDf 2.
+    * Shared by the real-corpus and fixture entries; yields a CTE
+    * named `bl` with (doc_id, line_no, line, df, is_boilerplate). */
+  private def blSql(src: String): String =
+    s"""base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src),
+       |x AS (SELECT doc_id, unnest(list_transform(range(len(ls)), j -> struct_pack(no := j, ln := ls[j+1]))) AS s FROM base),
+       |l AS (SELECT doc_id, CAST(s.no AS BIGINT) AS line_no, s.ln AS line FROM x),
+       |d AS (SELECT md5(trim(line)) AS lh, count(DISTINCT doc_id) AS df FROM l WHERE trim(line) <> '' GROUP BY 1),
+       |bl AS (SELECT l.doc_id, l.line_no, l.line, CAST(coalesce(d.df, 0) AS BIGINT) AS df,
+       |              coalesce(d.df, 0) >= 2 AS is_boilerplate
+       |       FROM l LEFT JOIN d ON md5(trim(l.line)) = d.lh)""".stripMargin
+
+  /** The scrub aggregation over [[blSql]]'s `bl` CTE — shared by the
+    * real-corpus and fixture scrub entries. */
+  private val BL_SCRUB_BODY =
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(coalesce(sum(CASE WHEN is_boilerplate THEN 1 END), 0) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN NOT is_boilerplate THEN line END, chr(10) ORDER BY line_no), '') AS clean_text
+      |FROM bl GROUP BY doc_id""".stripMargin
+
   /** The scrub's SELECT body (counts on the original text, then the
     * fixed-order redaction chain) — shared by the real-corpus entry
     * and the planted fixture twin. */
@@ -576,6 +623,32 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.dupClusters(
         Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5)))
     },
+    // quality-aware representatives: same cluster walk, but keep the
+    // LONGEST member (n_chars, ties → lowest doc_id) instead of the
+    // arbitrary min-id — the selection a curation run ships; the
+    // oracle's row_number tie-break is exactly the Spark side's
+    // max(struct(quality, -doc_id)) argmax
+    Entry("dedup_cluster_best",
+      s"""WITH RECURSIVE $SH,
+         |p AS (SELECT id_a, id_b FROM it
+         |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |walk(id, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, w.lbl FROM e JOIN walk w ON w.id = e.dst),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1),
+         |mq AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars AS quality
+         |       FROM cl JOIN documents d USING (doc_id))
+         |SELECT doc_id, cluster_id, quality,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+         |FROM mq ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.clusterRepresentatives(docs(s, d),
+        Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5)))
+    },
     // deterministic stratified sampling: md5(doc_id)-derived uniform
     // draw vs per-language rates — reproducible across engines, which
     // is exactly what the bit-identical oracle pins
@@ -648,6 +721,34 @@ object DataOpsQueries {
         |WHERE wt.w > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.mixtureReport(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
+    },
+    // token-budget mixture plan: per-source rates + repeat factors
+    // for a 100k-token budget (weights 4/2/1/1 sum to 8.0 exactly in
+    // any order, and each share is an exact binary fraction); the
+    // multiply-before-floor and multiply-before-divide op orders
+    // mirror the Spark side token-for-token
+    Entry("text_mixture_plan",
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |       FROM documents GROUP BY 1),
+        |wt AS (SELECT source, n_docs, n_tokens,
+        |        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+        |                    WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
+        |                    ELSE 0.0 END AS w
+        |       FROM per),
+        |norm AS (SELECT sum(w) AS sw FROM wt WHERE w > 0),
+        |f AS (SELECT wt.*, wt.w / norm.sw AS share,
+        |        CAST(floor(wt.w / norm.sw * 100000.0) AS BIGINT) AS target_tokens
+        |      FROM wt CROSS JOIN norm WHERE wt.w > 0)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(floor(share * 1000000.0) AS BIGINT) AS target_share_q6,
+        |  target_tokens,
+        |  CAST(floor(least(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0) * 1000000.0) AS BIGINT) AS rate_q6,
+        |  CAST(floor(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS epochs_q6
+        |FROM f ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.mixturePlan(docs(s, d),
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+        budgetTokens = 100000L))
     },
     // weighted sampling without replacement (Efraimidis-Spirakis
     // exponential races, weight = n_chars): smallest 50 keys win
@@ -1413,6 +1514,34 @@ object DataOpsQueries {
          |SELECT doc_id, kind, CAST(s.idx AS BIGINT) AS idx, s.m AS "match"
          |FROM x ORDER BY ALL""".stripMargin) {
       (s, _) => ordered(TextStats.piiSpans(piiFx(s)))
+    },
+    // line-level boilerplate scrub (CCNet/RefinedWeb line df pass)
+    // over the REAL corpus: no newlines → every doc is one unique
+    // line, so this verifies the generic walk's no-op path (the pii
+    // precedent); the fixture twins below are the non-vacuous checks
+    Entry("text_boilerplate_scrub",
+      s"""WITH ${blSql("documents")}
+         |$BL_SCRUB_BODY ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.boilerplateScrub(docs(s, d)))
+    },
+    // the detection half over the planted fixture: per (doc, line)
+    // the corpus document-frequency and the flag — header df 30,
+    // footer df 15, content/body df 1, whitespace-only line df 0
+    Entry("text_boilerplate_fixture",
+      s"""WITH $BLFX,
+         |${blSql("bfx")}
+         |SELECT doc_id, line_no, line, df, is_boilerplate
+         |FROM bl ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(TextStats.boilerplateLines(blFx(s)))
+    },
+    // the removal half over the fixture: text rebuilt from surviving
+    // lines in original order (string_agg ORDER BY line_no = the
+    // array_sort-by-unique-line_no rebuild)
+    Entry("text_boilerplate_scrub_fixture",
+      s"""WITH $BLFX,
+         |${blSql("bfx")}
+         |$BL_SCRUB_BODY ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(TextStats.boilerplateScrub(blFx(s)))
     },
     // bigram-LM perplexity filter (CCNet-style): per-pair logp is
     // quantized to fixed point so the per-doc score is an exact

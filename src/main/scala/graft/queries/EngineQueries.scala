@@ -1162,6 +1162,41 @@ object EngineQueries {
       (s, d) => ordered(graft.engine.Forecast.holtBacktest(I(s, d),
         lastN = 64, alpha = 0.5, beta = 0.25))
     },
+    // forecast-residual anomaly: the alerting layer over the same
+    // Holt fold — flag points whose one-step residual exceeds 4× the
+    // mean abs residual of the earlier steps (warmup 8). The oracle
+    // walk carries the residual/scale per step and selects the
+    // flagged rows; the flag comparison mirrors the fold
+    // token-for-token (multiply before divide) on identical doubles.
+    // Non-vacuous: 47 flagged points across 27 series at sf0.01.
+    Entry("ts_forecast_residual",
+      s"""WITH RECURSIVE p AS (SELECT series, ts, pid, CAST(val AS DOUBLE) AS y FROM ($PI)),
+         |r AS (SELECT series, ts, pid, y, row_number() OVER (PARTITION BY series ORDER BY ts DESC, pid DESC) AS rk FROM p),
+         |m AS (SELECT series, list(struct_pack(ts := ts, pid := pid, y := y) ORDER BY ts, pid) AS a, count(*) AS n
+         |      FROM r WHERE rk <= 64 GROUP BY 1 HAVING count(*) >= 2),
+         |walk AS (
+         |  SELECT series, a, n, 1 AS i, a[1].y AS l, CAST(0.0 AS DOUBLE) AS b,
+         |         CAST(0.0 AS DOUBLE) AS sae,
+         |         CAST(NULL AS BIGINT) AS ets, CAST(NULL AS DOUBLE) AS fc,
+         |         CAST(NULL AS DOUBLE) AS resid, false AS ok
+         |  FROM m
+         |  UNION ALL
+         |  SELECT series, a, n, i + 1,
+         |    0.5 * a[i+1].y + 0.5 * (l + b),
+         |    0.25 * ((0.5 * a[i+1].y + 0.5 * (l + b)) - l) + 0.75 * b,
+         |    sae + abs(a[i+1].y - (l + b)),
+         |    a[i+1].ts,
+         |    l + b,
+         |    a[i+1].y - (l + b),
+         |    (i - 1 >= 8) AND abs(a[i+1].y - (l + b)) > 4.0 * sae / CAST(i - 1 AS DOUBLE)
+         |  FROM walk WHERE i < n)
+         |SELECT series, ets AS ts,
+         |       CAST(floor(fc * 1000000.0) AS BIGINT) AS forecast_q6,
+         |       CAST(floor(resid * 1000000.0) AS BIGINT) AS resid_q6
+         |FROM walk WHERE ok ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Forecast.holtResidualAnomaly(I(s, d),
+        lastN = 64, alpha = 0.5, beta = 0.25, k = 4.0, minWarm = 8))
+    },
     // Holt-Winters additive-seasonal (InfluxDB HOLT_WINTERS's other
     // half) over the trailing 96 hourly buckets, season m=24. The
     // oracle walks the SAME two-phase fold (24-bucket init mean +

@@ -96,6 +96,24 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, true), (7L, 4L, false), (8L, 4L, false)))
   }
 
+  test("clusterRepresentatives: highest quality wins, ties break to lowest id, singletons absent") {
+    import spark.implicits._
+    // components: {1,2,3} and {5,6}; doc 4 never pairs → not emitted
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10L), (2L, 40L), (3L, 40L), (4L, 99L),
+      (5L, 7L), (6L, 3L)).toDF("doc_id", "n_chars")
+    val out = Dedup.clusterRepresentatives(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(out === Set(
+      // 2 and 3 tie on quality 40 → lowest doc_id (2) is kept
+      (1L, 1L, 10L, false), (2L, 1L, 40L, true), (3L, 1L, 40L, false),
+      (5L, 5L, 7L, true), (6L, 5L, 3L, false)))
+    // exactly one keeper per cluster
+    val keepers = out.filter(_._4).groupBy(_._2).view.mapValues(_.size)
+    assert(keepers.values.forall(_ == 1) && keepers.size == 2)
+  }
+
   test("contamination flags exactly the docs sharing probe n-grams") {
     // probe = first four tokens of doc 0 → two 3-gram shingles; doc 0
     // and its near-copy 100 (token 20 changed) both contain them

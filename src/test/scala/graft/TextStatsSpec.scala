@@ -204,4 +204,48 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out("uniq") === ((2L, 2L, 1000000L, None, None,
       Some(2L), Some(0L), Some(0L))), out("uniq").toString)
   }
+
+  test("boilerplateLines/Scrub: shared lines flagged at minDf, blanks never, rebuild keeps order") {
+    import spark.implicits._
+    // 3 docs share a header; docs 0/1 share a footer; bodies unique;
+    // doc 0 carries a whitespace-only line; doc 2 is ALL boilerplate
+    val docs = Seq(
+      (0L, "HEADER\nbody zero\n  \nFOOTER"),
+      (1L, "HEADER\nbody one\nFOOTER"),
+      (2L, "HEADER")).toDF("doc_id", "text")
+    val lines = TextStats.boilerplateLines(docs, minDf = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(lines((0L, 0L)) === (("HEADER", 3L, true)))
+    assert(lines((0L, 1L)) === (("body zero", 1L, false)))
+    // whitespace-only: df reports 0 and never flags
+    assert(lines((0L, 2L)) === (("  ", 0L, false)))
+    assert(lines((0L, 3L)) === (("FOOTER", 2L, true)))
+    assert(lines((2L, 0L)) === (("HEADER", 3L, true)))
+    val scrub = TextStats.boilerplateScrub(docs, minDf = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(scrub(0L) === ((4L, 2L, "body zero\n  ")))
+    assert(scrub(1L) === ((3L, 2L, "body one")))
+    // everything removed → empty string, counts still reported
+    assert(scrub(2L) === ((1L, 1L, "")))
+  }
+
+  test("mixturePlan: under-capacity source caps rate at 1 and reads its repeat factor") {
+    import spark.implicits._
+    // a: 800 docs × 3 tokens = 2400; d: 100 × 3 = 300. Weights 1:1,
+    // budget 1000 → share 0.5, target 500 each: a downsamples at
+    // 500/2400, d must repeat at 500/300 (epochs > 1, rate capped)
+    val plan = TextStats.mixturePlan(mixCorpus,
+        Map("a" -> 1.0, "d" -> 1.0), budgetTokens = 1000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(plan.keySet === Set("a", "d"), "unweighted sources are absent")
+    assert(plan("a") === ((800L, 2400L, 500000L, 500L,
+      floorQ6(500.0 / 2400.0), floorQ6(500.0 / 2400.0))))
+    assert(plan("d") === ((100L, 300L, 500000L, 500L,
+      1000000L, floorQ6(500.0 / 300.0))))
+  }
+
+  private def floorQ6(x: Double): Long = math.floor(x * 1e6).toLong
 }

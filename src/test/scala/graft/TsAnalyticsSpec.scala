@@ -410,6 +410,26 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(n.getLong(1) === 7L && n.getLong(2) === 0L)
   }
 
+  test("holtResidualAnomaly: a spike after warmup flags with its pre-update forecast; early spikes and steady series never flag") {
+    import spark.implicits._
+    // "s": constant 10 for 11 points then a spike to 100 — every
+    // warmup residual is 0 (l stays 10, b stays 0, sae stays 0), so
+    // at the spike cnt-1 = 10 >= 8 and |90| > 4·0: flagged with the
+    // pre-update forecast 10
+    val spiked = (0 until 11).map(i => ("s", i.toLong, i.toLong, 10L)) :+
+      (("s", 11L, 11L, 100L))
+    // "w": the same spike at arrival 4 (cnt-1 = 2 < 8) — suppressed
+    val early = (0 until 3).map(i => ("w", i.toLong, i.toLong, 10L)) :+
+      (("w", 3L, 3L, 100L))
+    // "c": steady — zero residuals never exceed the (zero) scale
+    val steady = (0 until 20).map(i => ("c", i.toLong, i.toLong, 10L))
+    val out = graft.engine.Forecast.holtResidualAnomaly(
+      (spiked ++ early ++ steady).toDF("series", "ts", "pid", "val"),
+      lastN = 64, k = 4.0, minWarm = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("s", 11L, 10000000L, 90000000L)), out.toSeq)
+  }
+
   test("holtWinters: hand-traced seasonal recurrence; holed and short windows dropped") {
     // m=2, lastN=4, one point per hourly bucket, y = [10, 20, 12, 22]:
     //   init l0 = 15, s = [-5, 5], b = 0
