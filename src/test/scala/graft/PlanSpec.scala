@@ -480,4 +480,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window [") ||
       p.contains("windowspecdefinition(source"), p)
   }
+
+  test("round-14 second batch: residual fold rides one series exchange; boilerplate/keeper/plan shapes hold") {
+    def finalPlan(p: String) = p.split("== Initial Plan ==").head
+    def exchanges(p: String) = finalPlan(p).linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("ShuffleQueryStage") && !l.contains("BroadcastExchange"))
+
+    // holtResidualAnomaly: WindowGroupLimit bounds the cell to lastN
+    // BELOW the exchange, and the collect_list aggregation reuses the
+    // window's hash(series) partitioning — one shuffle total
+    val ra = graft.engine.Forecast.holtResidualAnomaly(
+      SeriesStore.pointsI(spark, dir))
+    ra.collect()
+    val rp = plan(ra)
+    assert(rp.contains("WindowGroupLimit"), rp)
+    assert(exchanges(rp) === 1, rp)
+
+    // boilerplateScrub: no window sort anywhere (the rebuild is an
+    // array_sort inside the doc agg), the df join keys on the bounded
+    // md5 hash, and both corpus scans prune to (doc_id, text)
+    val docs = graft.core.Tables.documents(spark, dir)
+    val bs = graft.llm.TextStats.boilerplateScrub(docs)
+    bs.collect()
+    val bp = plan(bs)
+    assert(!bp.contains("Window ["), bp)
+    assert(!bp.contains("CartesianProduct"), bp)
+    assert(finalPlan(bp).linesIterator.filter(_.contains("ReadSchema"))
+      .forall(l => !l.contains("lang") && !l.contains("n_chars")), bp)
+
+    // clusterRepresentatives: the per-cluster argmax is an
+    // aggregation (max over a (quality, -doc_id) struct), never a
+    // row_number window — a mega-cluster costs a fold, not a sort cell
+    val cr = graft.llm.Dedup.clusterRepresentatives(docs,
+      graft.llm.Dedup.minhashLshPairs(docs, n = 3, numHashes = 128,
+        bands = 32, theta = 0.5, maxBucket = 16L))
+    cr.collect()
+    val cp = plan(cr)
+    assert(!cp.contains("Window ["), cp)
+    assert(!cp.contains("CartesianProduct"), cp)
+
+    // mixturePlan: the weighted-source predicate reaches the parquet
+    // scan as a data filter, and the only shuffles are the
+    // source-sized aggregation + the 1-row normalization
+    val mp = graft.llm.TextStats.mixturePlan(docs,
+      Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+      100000L)
+    mp.collect()
+    val mpp = plan(mp)
+    assert(!mpp.contains("Window ["), mpp)
+    // source agg + the norm subtree's distinct-source agg + its 1-row
+    // SinglePartition — all three source-sized, none corpus-sized
+    assert(exchanges(mpp) <= 3, mpp)
+    assert(finalPlan(mpp).linesIterator.filter(_.contains("FileScan"))
+      .forall(_.contains("DataFilters: [CASE WHEN")), mpp)
+  }
 }
