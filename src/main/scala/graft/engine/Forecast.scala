@@ -290,6 +290,88 @@ object Forecast {
       }
   }
 
+  /** One live residual alert (a point whose one-step residual beat
+    * the trailing scale). */
+  final case class HoltResidualAlert(series: String, ts: Long,
+      forecast_q6: Long, resid_q6: Long)
+
+  /** Live forecast-residual alerting — the streaming half of
+    * [[holtResidualAnomaly]] (every alerting operator here ships a
+    * live twin): each micro-batch merges arrivals into the same
+    * per-series trailing-lastN buffer [[streamingHolt]] carries,
+    * re-runs the residual fold over the refreshed window, and emits
+    * the window's CURRENT flag set for every touched series — after
+    * any prefix of the stream the emission equals
+    * [[holtResidualAnomaly]] over the points seen so far
+    * (StreamingSpec pins the agreement, including a spike split
+    * across batches). The fold is the identical order-fixed IEEE
+    * recurrence in plain Scala doubles (the streamingHolt precedent);
+    * state is lastN-bounded and retires via the same event-time
+    * idle eviction (a retired series re-trains on next arrival). */
+  def streamingHoltResidual(stream: DataFrame, lastN: Int = 64,
+      alpha: Double = 0.5, beta: Double = 0.25, k: Double = 4.0,
+      minWarm: Int = 8, idleEvict: Long = 86400L,
+      maxLateness: Long = 3600L): Dataset[HoltResidualAlert] = {
+    require(lastN >= 2 && lastN <= 4096, "lastN must be in [2, 4096]")
+    require(k > 0.0 && minWarm >= 1, "need k > 0 and minWarm >= 1")
+    require(idleEvict > 0 && maxLateness >= 0,
+      "need idleEvict > 0 and maxLateness >= 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series"), col("ts"), col("pid"),
+        col("val").cast("double"),
+        timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (series: String,
+         rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[HoltState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .map(s => Array.tabulate(s.ts.length)(i =>
+                (s.ts(i), s.pid(i), s.y(i))))
+              .getOrElse(Array.empty[(Long, Long, Double)])
+            val merged = (prev ++ rows.map(r => (r._2, r._3, r._4)))
+              .sortBy(r => (r._1, r._2))
+            val kept = merged.takeRight(lastN)
+            state.update(HoltState(kept.map(_._1), kept.map(_._2),
+              kept.map(_._3)))
+            state.setTimeoutTimestamp(math.max(
+              (kept.last._1 + idleEvict) * 1000L,
+              state.getCurrentWatermarkMs() + 1000L))
+            // identical recurrence and flag comparison to the batch
+            // fold: resid reads the pre-update (l + b), the scale is
+            // k·sae/(cnt−1) with the multiply first
+            val alerts = Array.newBuilder[HoltResidualAlert]
+            var l = kept.head._3
+            var b = 0.0
+            var sae = 0.0
+            var cnt = 1L
+            kept.iterator.drop(1).foreach { case (ts, _, y) =>
+              val fc = l + b
+              val resid = y - fc
+              if (cnt - 1 >= minWarm &&
+                  math.abs(resid) > k * sae / (cnt - 1).toDouble)
+                alerts += HoltResidualAlert(series, ts,
+                  math.floor(fc * 1e6).toLong,
+                  math.floor(resid * 1e6).toLong)
+              sae += math.abs(resid)
+              cnt += 1
+              val nl = alpha * y + (1.0 - alpha) * fc
+              b = beta * (nl - l) + (1.0 - beta) * b
+              l = nl
+            }
+            alerts.result().iterator
+          }
+      }
+  }
+
   /** Holt-Winters ADDITIVE-SEASONAL forecast — the other half of
     * InfluxDB `HOLT_WINTERS` ([[holt]] covers the non-seasonal form):
     * level, trend, AND a per-season-slot component evolve as

@@ -664,6 +664,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Holt residual alert fires exactly where batch does; warmup carries across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Double)]
+    val q = graft.engine.Forecast.streamingHoltResidual(
+      ms.toDF().toDF("series", "ts", "pid", "val"),
+      lastN = 64, k = 4.0, minWarm = 8)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("resid_live").start()
+    def batchOf(pts: Seq[(String, Long, Long, Double)]) =
+      graft.engine.Forecast.holtResidualAnomaly(
+        pts.toDF("series", "ts", "pid", "val"),
+        lastN = 64, k = 4.0, minWarm = 8).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    try {
+      // "s" completes warmup in batch 1; "t" splits its warmup across
+      // the batches (the carried buffer must rebuild the scale)
+      val b1 = (0 until 11).map(i => ("s", i.toLong, i.toLong, 10.0)) ++
+        (0 until 6).map(i => ("t", i.toLong, i.toLong, 20.0))
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM resid_live").count() === 0L,
+        "no alert may fire during warmup")
+      assert(batchOf(b1).isEmpty)
+      val b2 = Seq(("s", 11L, 11L, 100.0)) ++
+        (6 until 11).map(i => ("t", i.toLong, i.toLong, 20.0)) :+
+        (("t", 11L, 11L, 120.0))
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val live = spark.sql(
+        "SELECT series, ts, forecast_q6, resid_q6 FROM resid_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(live === batchOf(b1 ++ b2), s"live $live")
+      assert(live === Set(("s", 11L, 10000000L, 90000000L),
+        ("t", 11L, 20000000L, 100000000L)))
+    } finally q.stop()
+  }
+
+  test("streaming Holt residual alert evicts an idle series; a lone re-arrival alerts nothing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Double)]
+    val q = graft.engine.Forecast.streamingHoltResidual(
+      ms.toDF().toDF("series", "ts", "pid", "val"),
+      lastN = 8, k = 4.0, minWarm = 2,
+      idleEvict = 100L, maxLateness = 0L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("resid_evict").start()
+    try {
+      ms.addData(("s", 10L, 1L, 10.0), ("s", 20L, 2L, 20.0))
+      q.processAllAvailable()
+      // the watermark passes s's idle horizon: its buffer retires
+      ms.addData(("w", 10000L, 1L, 1.0))
+      q.processAllAvailable()
+      ms.addData(("w", 10010L, 2L, 1.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+      // a retired series re-trains: one sample = no evaluation, no
+      // alert — and no stale pre-eviction scale resurrects
+      ms.addData(("s", 10020L, 3L, 500.0))
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT * FROM resid_evict WHERE series = 's'").count() === 0L)
+    } finally q.stop()
+  }
+
   test("streaming Holt evicts an idle series; re-arrival re-trains from its own samples") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
