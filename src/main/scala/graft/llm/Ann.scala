@@ -199,6 +199,56 @@ object Ann {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Cell-bounded k-nearest-neighbor SELF-join — every vector gets
+    * its k nearest neighbors WITHIN its deterministic cell (the
+    * semanticClusters cell: upstream k-means `label` × adaptive
+    * sign-bit prefix sized so expected occupancy stays ~`targetCell`).
+    * This is the batch kNN graph SemDeDup-style pruning, kNN-LM
+    * datastores, and distillation neighbor-mining build first — the
+    * all-queries analog of [[cosineTopK]], whose broadcast-the-queries
+    * shape cannot serve N queries.
+    *
+    * Semantics are explicitly CELL-BOUNDED (the IVF nprobe=1 analog,
+    * and SemDeDup's own within-cluster restriction): cross-cell
+    * neighbors are not candidates. Near-identical vectors share a
+    * cell (DedupSpec pins the planted-duplicate recall), so the graph
+    * edges that matter for dedup/mining survive. The oracle
+    * recomputes the identical integer cells, so the entry is EXACT
+    * for what the operator claims.
+    *
+    * Scale shape: the scored join emits N·occupancy rows with
+    * occupancy ~targetCell by construction (adaptive bits — the
+    * corpus growing 100× adds ~7 prefix bits, work stays
+    * N·targetCell·dim); the two-phase topK reduces map-side to k per
+    * (query, partition), so only narrow (sim, id) structs shuffle,
+    * never embeddings. The one .head() is an eager 1-row stat at
+    * plan-construction time (the simhashRecallAudit precedent). */
+  def knnJoin(emb: DataFrame, k: Int = 5, targetCell: Int = 256)
+      : DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val stats = emb.agg(count(lit(1)).as("n"),
+      countDistinct(col("label")).as("l")).head()
+    val n = stats.getLong(0)
+    val l = math.max(stats.getLong(1), 1L)
+    var bits = 0
+    while (bits < 32 && (l * targetCell.toLong << bits) < n) bits += 1
+    val prefix =
+      if (bits == 0) lit(0L)
+      else expr(s"aggregate(transform(slice(v, 1, $bits), " +
+        "x -> CASE WHEN x >= 0 THEN 1L ELSE 0L END), 0L, (a, x) -> a * 2 + x)")
+    val e = emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("cell", col("label").cast("long") * (1L << bits) + prefix)
+    val a = e.select(col("cell"), col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = e.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val scored = a.join(b, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+    topK(scored, k)
+  }
+
   /** Approximate top-k via IVF (inverted-file) coarse quantization:
     * corpus vectors are bucketed into `nlist` coarse cells (here the
     * precomputed `label` column acts as the coarse quantizer — a

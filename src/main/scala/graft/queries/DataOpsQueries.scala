@@ -1052,6 +1052,30 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.mmrTopK(emb(s, d), nQueries = 10, k = 5,
         nCandidates = 20, lambda = 0.5))
     },
+    // cell-bounded kNN self-join (the batch kNN graph): every vector's
+    // top-5 within its label × adaptive-sign-prefix cell — the oracle
+    // recomputes the identical integer cells, so the within-cell
+    // semantics verify exactly (cross-cell misses are the operator's
+    // own documented contract, the IVF nprobe=1 analog)
+    Entry("ann_knn_join",
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT count(*) AS n, count(DISTINCT label) AS l FROM e0),
+        |bsel AS (SELECT coalesce(min(b), 32) AS bits FROM range(0, 33) r(b), c
+        |         WHERE l * 256 * (1::BIGINT << b) >= n),
+        |n0 AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |        label::BIGINT * (1::BIGINT << bits) + coalesce(list_sum(
+        |          list_transform(range(1, bits + 1), i ->
+        |            CASE WHEN v[i] >= 0 THEN (1::BIGINT << (bits - i)) ELSE 0 END)), 0) AS cell
+        |       FROM e0, bsel),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+        |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS sim
+        |      FROM n0 a JOIN n0 b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |       vec_id AS neighbor_id
+        |FROM p QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Ann.knnJoin(emb(s, d), k = 5))
+    },
     Entry("ann_cosine_pairs",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),

@@ -52,6 +52,27 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin: every vector gets a same-cluster top-1; within-cell ranking equals brute force on the cell") {
+    // corpus: 120 vectors, 6 labels of 20 → adaptive bits = 0 (6·256
+    // ≥ 120), so cells ARE the labels and within-cell kNN is exact
+    // brute force over each 20-vector cluster
+    val out = Ann.knnJoin(corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every vector is a query with exactly k neighbors
+    assert(out.length === 120 * 5, s"${out.length}")
+    val labelOf = (id: Long) => id % 6
+    out.foreach { case (q, _, n) =>
+      assert(labelOf(n) === labelOf(q), s"cell-bounded: $q -> $n")
+    }
+    // within one cell the ranking equals the broadcast exact search
+    // restricted to that cell (same sim rounding, same tie-break)
+    val cell0 = corpus.where(col("label") === 0)
+    val exact = Ann.cosineTopK(cell0, nQueries = 1, k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val mine = out.filter(_._1 == 0L).map(t => (t._2, t._3)).toSet
+    assert(mine === exact, s"$mine vs $exact")
+  }
+
   test("null embeddings are dropped, never ranked first") {
     // a null-embedding row used to produce a null sim that array_sort
     // and the ranking window order FIRST, displacing true neighbors
