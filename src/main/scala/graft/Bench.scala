@@ -75,7 +75,7 @@ object Bench {
     // cluster keepers, token-budget mixture plan, forecast-residual
     // alerts (the boilerplate fixture twins stay out — constant-size)
     "text_boilerplate_scrub", "dedup_cluster_best", "text_mixture_plan",
-    "ts_forecast_residual", "ann_knn_join",
+    "ts_forecast_residual", "ann_knn_join", "dedup_semantic_recall",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -458,6 +458,14 @@ object Dedup {
     * not semantic duplicates; the exact all-pairs form remains as the
     * oracle-only dedup_semantic_exact entry. */
   def semanticClusters(emb: DataFrame, theta: Double,
+      targetCell: Int = 256): DataFrame =
+    dupClusters(semanticPairs(emb, theta, targetCell))
+
+  /** The pair stage of [[semanticClusters]], exposed for the recall
+    * audit: cosine-threshold pairs WITHIN the deterministic cells
+    * (label × adaptive sign-bit prefix). Same plan as before the
+    * extraction — one celled self-join, occupancy-bounded. */
+  def semanticPairs(emb: DataFrame, theta: Double,
       targetCell: Int = 256): DataFrame = {
     val stats = emb.agg(count(lit(1)).as("n"),
       countDistinct(col("label")).as("l")).head()
@@ -477,12 +485,48 @@ object Dedup {
       col("v").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("cell"), col("vec_id").as("id_b"),
       col("v"), col("nrm"))
-    val pairs = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+    a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
       .withColumn("sim",
         round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 9))
       .where(col("sim") >= theta)
       .select(col("id_a"), col("id_b"))
-    dupClusters(pairs)
+  }
+
+  /** SemDeDup recall audit — the trust gate for the celled semantic
+    * dedup (the [[simhashRecallAudit]] pattern on the embedding
+    * side): exact all-pairs cosine truth vs [[semanticPairs]]
+    * candidates over the SAME adaptive md5-sampled slice, recall per
+    * similarity band. The celled operator's documented miss mode is
+    * cross-cell pairs; this row MEASURES that loss by band — high
+    * bands (true near-duplicates, aligned sign patterns) should read
+    * ~1e6, low bands read the cell restriction's real cost. The
+    * exact truth side is all-pairs QUADRATIC, so the audit samples
+    * vectors (not pairs) adaptively: mod = max(1, n/sampleTarget)
+    * keeps the slice ~sampleTarget vectors at any corpus size —
+    * constant audit cost by construction. The one count() is an
+    * eager 1-row stat at plan-construction time. */
+  def semanticRecallAudit(emb: DataFrame, theta: Double = 0.45,
+      targetCell: Int = 256, sampleMod: Long = 0L,
+      sampleTarget: Long = 1000L): DataFrame = {
+    require(sampleMod >= 0L && sampleTarget >= 1L,
+      "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
+    val mod =
+      if (sampleMod > 0L) sampleMod
+      else math.max(1L, emb.count() / sampleTarget)
+    val slice =
+      if (mod <= 1L) emb
+      else emb.where(expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        % mod === 0)
+    val truth = Ann.cosinePairs(slice, theta)
+    val caught = semanticPairs(slice, theta, targetCell)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    truth.join(caught, Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("sim") * 10), lit(9L)).cast("long")
+        .as("band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+      .withColumn("recall_q6", expr("n_caught * 1000000L div n_true"))
   }
 
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {

@@ -981,6 +981,46 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.simhashRecallAudit(docs(s, d), n = 3,
         theta = 0.5, maxDist = 3, bands = 4))
     },
+    // SemDeDup recall audit: exact all-pairs cosine truth vs the
+    // celled pair stage over the same adaptive md5 slice, recall per
+    // similarity band — the trust-gate row for the one dedup family
+    // member (semantic) that had no recall measurement; the truth
+    // side is pair-quadratic, so the audit samples VECTORS adaptively
+    // (~1000 at any sf), the dedup_recall_eval scale argument
+    Entry("dedup_semantic_recall",
+      """WITH semb AS (SELECT * FROM embeddings
+        |  WHERE (CAST(list_sum(list_transform(range(15), k ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+        |        << (4*(14-k)))) AS BIGINT))
+        |    % greatest(1, (SELECT count(*) FROM embeddings) // 1000) = 0),
+        |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM semb),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0),
+        |tru AS (SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE sim >= 0.45),
+        |c AS (SELECT count(*) AS n, count(DISTINCT label) AS l FROM e0),
+        |bsel AS (SELECT coalesce(min(b), 32) AS bits FROM range(0, 33) r(b), c
+        |         WHERE l * 256 * (1::BIGINT << b) >= n),
+        |n0 AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |        label::BIGINT * (1::BIGINT << bits) + coalesce(list_sum(
+        |          list_transform(range(1, bits + 1), i ->
+        |            CASE WHEN v[i] >= 0 THEN (1::BIGINT << (bits - i)) ELSE 0 END)), 0) AS cell
+        |       FROM e0, bsel),
+        |cand AS (SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS s2
+        |  FROM n0 a JOIN n0 b ON a.cell = b.cell AND a.vec_id < b.vec_id) WHERE s2 >= 0.45)
+        |SELECT CAST(least(floor(sim * 10), 9) AS BIGINT) AS band,
+        |       count(*) AS n_true,
+        |       CAST(count(cand.id_a) AS BIGINT) AS n_caught,
+        |       count(cand.id_a) * 1000000 // count(*) AS recall_q6
+        |FROM tru LEFT JOIN cand USING (id_a, id_b)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(Dedup.semanticRecallAudit(emb(s, d),
+        theta = 0.45, sampleTarget = 1000L))
+    },
     // SemDeDup (Abbas et al. 2023): the paper's actual shape —
     // cluster first (upstream k-means `label` + an adaptive
     // sign-prefix sub-block holding cells at ~256 vectors), then

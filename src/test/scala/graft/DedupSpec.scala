@@ -306,6 +306,39 @@ class DedupSpec extends AnyFunSuite {
       (2L, 2L, true), (3L, 2L, false)))
   }
 
+  test("semanticRecallAudit: planted duplicates read band-9 recall 1.0; sampling replays the filtered subset exactly") {
+    // same 600-vector corpus as the semanticClusters pin: identical
+    // copies (cos = 1.0) always share a cell, so the top band's
+    // recall is 1e6 by construction
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(600) { i =>
+      (i.toLong, i % 2, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }
+    val planted = base.map {
+      case (1L, _, _) => (1L, base(0)._2, base(0)._3)
+      case (3L, _, _) => (3L, base(2)._2, base(2)._3)
+      case row => row
+    }
+    val emb = planted.toDF("vec_id", "label", "embedding")
+    val full = Dedup.semanticRecallAudit(emb, theta = 0.99, sampleMod = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(full(9L)._1 >= 2L, s"both planted pairs are truth rows: $full")
+    assert(full(9L)._3 === 1000000L,
+      s"identical copies always share a cell: $full")
+    // adaptive/sampled run == the unsampled audit over the md5-kept
+    // subset (the simhashRecallAudit sampling pin)
+    val hv = "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    val kept = emb.where(expr(s"$hv % 3 = 0"))
+    val sampled = Dedup.semanticRecallAudit(emb, theta = 0.45, sampleMod = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val replay = Dedup.semanticRecallAudit(kept, theta = 0.45, sampleMod = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(sampled === replay, s"$sampled vs $replay")
+  }
+
   test("substring dup-spans: shared passages counted exactly, disjoint docs zero") {
     // corpus: docs 0..19 have disjoint vocabularies (zero shared
     // windows); 100..104 are near-copies of 0..4 with token 20
