@@ -251,6 +251,51 @@ object TextStats {
       .select(col("doc_id"), col("stream"), col("bin"), col("n_tokens"))
   }
 
+  /** Packing-efficiency report — the trust-gate row for [[packBins]]
+    * (the mixtureReport / recall-audit pattern: every planning
+    * operator ships the table that says whether to trust it): per
+    * stream the document/token totals, the bin count, the FILL rate
+    * (tokens per bin-capacity slot — greedy contiguous packing can
+    * exceed 1e6 because a straddling document's tokens all count in
+    * its starting bin), the OVERSIZE count (docs longer than the
+    * context — they can never fit one bin and need [[chunkWindows]]
+    * first), and the STRADDLE count (docs crossing a bin boundary —
+    * the attention-mask contamination a packing board weighs against
+    * padding waste). A fill rate far under 1e6 or a high straddle
+    * share says re-order or re-chunk before training.
+    *
+    * Exactness: counts and token sums are exact int64; the straddle
+    * test compares integer divisions of the int64 cumulative sums
+    * (DIV — floor-exact at any corpus size, no double in the
+    * comparison); fill_q6 is one IEEE divide of exact int64s,
+    * floor-quantized ×1e6. Scale shape: re-runs [[packBins]]'s
+    * per-stream window on the SAME (stream, doc_id) ordering — the
+    * sort ride-shares packBins' exchange — then one stream-sized
+    * hash aggregation; output is `streams` rows. */
+  def packEfficiency(docs: DataFrame, contextLen: Int = 4096,
+      streams: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    packBins(docs, contextLen, streams)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .groupBy(col("stream"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin")) + 1L).as("n_bins"),
+        sum(when(col("n_tokens") > contextLen.toLong, 1L).otherwise(0L))
+          .as("n_oversize"),
+        sum(when(
+          expr(s"(cum - n_tokens) DIV $contextLen") =!=
+            expr(s"(cum - 1) DIV $contextLen"), 1L).otherwise(0L))
+          .as("n_straddle"))
+      .select(col("stream"), col("n_docs"), col("n_tokens"), col("n_bins"),
+        floor(col("n_tokens") /
+            (col("n_bins") * lit(contextLen.toLong)).cast("double") * 1e6)
+          .cast("long").as("fill_q6"),
+        col("n_oversize"), col("n_straddle"))
+  }
+
   /** Combined Gopher-style quality gate vector (Rae et al. 2021 §A1.1
     * shape): per document the word count, mean word length, lexical
     * diversity, and most-frequent-word fraction (ratios

@@ -881,6 +881,29 @@ object DataOpsQueries {
         |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.packBins(docs(s, d), contextLen = 512))
     },
+    // packing trust gate: per-stream fill rate, oversize docs, and
+    // boundary straddles over the same greedy cumsum assignment
+    Entry("text_pack_efficiency",
+      """WITH toks AS (SELECT doc_id, doc_id % 8 AS stream,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        | FROM documents),
+        |c AS (SELECT stream, n,
+        |  sum(n) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  CAST(floor((sum(n) OVER (PARTITION BY stream ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n) / 512.0) AS BIGINT) AS bin
+        | FROM toks)
+        |SELECT stream, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(n) AS n_tokens, max(bin) + 1 AS n_bins,
+        |  CAST(floor(sum(n) / (CAST(max(bin) + 1 AS DOUBLE) * 512) * 1e6)
+        |    AS BIGINT) AS fill_q6,
+        |  CAST(sum(CASE WHEN n > 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oversize,
+        |  CAST(sum(CASE WHEN (cum - n) // 512 != (cum - 1) // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+        |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(TextStats.packEfficiency(docs(s, d), contextLen = 512))
+    },
     // deterministic train/val/test assignment + reproducible global-
     // shuffle key (same md5 draw as sample_stratified)
     Entry("sample_split",

@@ -247,5 +247,22 @@ class TextStatsSpec extends AnyFunSuite {
       1000000L, floorQ6(500.0 / 300.0))))
   }
 
+  test("packEfficiency: hand-traced fills, oversize and straddle counts per stream") {
+    import spark.implicits._
+    // stream 0 (ids 0,2,4): 3,4,6 tokens → cums 3,7,13, bins 0,0,1;
+    // doc 2 spans [3,7) and doc 4 spans [7,13) — both cross a 4-token
+    // boundary; doc 4 is oversize. stream 1 (ids 1,3,5): 2,2,4 →
+    // cums 2,4,8, bins 0,0,1; doc 5 spans [4,8) exactly — no straddle.
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"), (2L, "a b c d"),
+      (3L, "a b"), (4L, "a b c d e f"), (5L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = TextStats.packEfficiency(docs, contextLen = 4, streams = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(0L) === ((3L, 13L, 2L, floorQ6(13.0 / 8.0), 1L, 2L)))
+    assert(out(1L) === ((3L, 8L, 2L, 1000000L, 0L, 0L)))
+  }
+
   private def floorQ6(x: Double): Long = math.floor(x * 1e6).toLong
 }
