@@ -286,7 +286,16 @@ object Ann {
   /** IVF probe + exact scoring over a cell-assigned corpus: each query
     * scores only the `nprobe` cells whose centroids are nearest. */
   private def probeAndScore(e: DataFrame, cent: DataFrame, nQueries: Int,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    topK(probeScored(e, cent, nQueries, nprobe), k)
+
+  /** The scored-candidate frame of an IVF probe search (probe the
+    * nprobe nearest cells per query, score every vector in them) —
+    * shared by [[probeAndScore]]'s top-k and [[nprobeCurve]], which
+    * also COUNTS it (the measured scan cost a recall is traded
+    * against). */
+  private def probeScored(e: DataFrame, cent: DataFrame, nQueries: Int,
+      nprobe: Int): DataFrame = {
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // probe the nprobe nearest cells per query (centroid table is tiny)
@@ -304,10 +313,60 @@ object Ann {
       .where(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     // score only vectors in probed cells
-    val scored = probes.join(e, Seq("cell"))
+    probes.join(e, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
-    topK(scored, k)
+  }
+
+  /** IVF nprobe tuning curve — the table the ONE tunable IVF knob is
+    * actually set from: for each probe setting, micro-averaged
+    * recall@k against the exact top-k AND the MEASURED number of
+    * candidates scored (cell occupancies are skewed, so the real
+    * scan cost is not the analytic nprobe/nlist fraction — measure,
+    * don't guess). One row per nprobe:
+    * (nprobe, n_queries, n_scanned, n_hit, n_truth, recall_q6);
+    * recall is monotone in nprobe and reaches exactly 1e6 at
+    * nprobe = nlist (a full probe scans every cell — AnnSpec pins
+    * both properties).
+    *
+    * Cost: the coarse quantizer trains ONCE (the curve varies only
+    * the search-time knob); the exact truth list is one
+    * query-bounded corpus scan, localCheckpoint'ed at nQueries·k
+    * rows so the per-setting joins replay nothing. Each setting then
+    * re-runs the probe scan — a narrow query-bounded pass whose size
+    * is precisely the n_scanned it reports; persisting the
+    * corpus-sized assignment to dodge those passes would be the
+    * wrong trade at 100 TB (the trainCoarse persist rationale). */
+  def nprobeCurve(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, iters: Int = 2, trainMod: Int = 1,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
+      "each nprobe must be in [1, nlist]")
+    val e = withNorm(emb)
+    val cent = trainCoarse(e, nlist, iters, trainMod)
+    val assigned = coarseAssign(e, cent)
+    val exact = cosineTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val truth = exact.agg(count(lit(1)).as("n_truth"))
+    nprobes.map { p =>
+      val scored = probeScored(assigned, cent, nQueries, p)
+      val scanned = scored.agg(count(lit(1)).as("n_scanned"))
+      val hits = exact
+        .join(topK(scored, k)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      scanned.crossJoin(hits)
+        .select(lit(p.toLong).as("nprobe"),
+          lit(nQueries.toLong).as("n_queries"),
+          col("n_scanned"), col("n_hit"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(truth))
+      .withColumn("recall_q6",
+        floor(col("n_hit") / col("n_truth").cast("double") * lit(1e6))
+          .cast("long"))
+      .select(col("nprobe"), col("n_queries"), col("n_scanned"),
+        col("n_hit"), col("n_truth"), col("recall_q6"))
   }
 
   /** IVF with a trained coarse quantizer: spherical k-means over the

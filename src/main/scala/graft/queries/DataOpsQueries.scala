@@ -201,45 +201,55 @@ object DataOpsQueries {
        |WHERE sel[t.rnk].vec_id IS NOT NULL ORDER BY ALL""".stripMargin
   }
 
-  private def kmeansIvfSql(nlist: Int, iters: Int, nQueries: Int,
-      k: Int, nprobe: Int, trainMod: Int = 1): String = {
+  /** CTE chain of the kmeans-IVF replay, ending at the scored-
+    * candidate frame `sc$fx` — no leading WITH, no final SELECT.
+    * Every CTE name carries the suffix `fx` so SEVERAL probe
+    * settings can compose in one statement (the nprobe-curve
+    * oracle); fx = "" reproduces the standalone oracles' text
+    * unchanged. */
+  private def kmeansIvfBody(nlist: Int, iters: Int, nQueries: Int,
+      nprobe: Int, trainMod: Int, fx: String): String = {
     def csim(cvOwner: String) =
       s"round(list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * ${cvOwner}cv[j])) / (nrm * ${cvOwner}cnrm), 9)"
     val iterBlocks = (1 to iters).map { i =>
-      val prev = if (i == 1) "c0" else s"c${i - 1}"
-      s"""a$i AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM nt, $prev),
-         |b$i AS (SELECT vec_id, v, nrm, cell FROM a$i
+      val prev = if (i == 1) s"c0$fx" else s"c${i - 1}$fx"
+      s"""a$i$fx AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM nt$fx, $prev),
+         |b$i$fx AS (SELECT vec_id, v, nrm, cell FROM a$i$fx
          |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
-         |m$i AS (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM b$i),
-         |g$i AS (SELECT cell, pos, avg(x) AS cx FROM m$i GROUP BY 1, 2),
-         |u$i AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM g$i GROUP BY 1),
-         |c$i AS (SELECT p.cell, COALESCE(u$i.cv, p.cv) AS cv,
-         |         sqrt(list_sum(list_transform(COALESCE(u$i.cv, p.cv), x -> x * x))) AS cnrm
-         |        FROM $prev p LEFT JOIN u$i ON u$i.cell = p.cell)""".stripMargin
+         |m$i$fx AS (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM b$i$fx),
+         |g$i$fx AS (SELECT cell, pos, avg(x) AS cx FROM m$i$fx GROUP BY 1, 2),
+         |u$i$fx AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM g$i$fx GROUP BY 1),
+         |c$i$fx AS (SELECT p.cell, COALESCE(u$i$fx.cv, p.cv) AS cv,
+         |         sqrt(list_sum(list_transform(COALESCE(u$i$fx.cv, p.cv), x -> x * x))) AS cnrm
+         |        FROM $prev p LEFT JOIN u$i$fx ON u$i$fx.cell = p.cell)""".stripMargin
     }.mkString(",\n")
-    val last = s"c$iters"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-       |nt AS (SELECT * FROM n WHERE vec_id % $trainMod = 0),
-       |c0 AS (SELECT CAST(vec_id // $trainMod AS INT) AS cell, v AS cv,
-       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM nt WHERE vec_id < ${nlist.toLong * trainMod}),
+    val last = s"c$iters$fx"
+    s"""e$fx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |n$fx AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e$fx),
+       |nt$fx AS (SELECT * FROM n$fx WHERE vec_id % $trainMod = 0),
+       |c0$fx AS (SELECT CAST(vec_id // $trainMod AS INT) AS cell, v AS cv,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM nt$fx WHERE vec_id < ${nlist.toLong * trainMod}),
        |$iterBlocks,
-       |af AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n, $last),
-       |bf AS (SELECT vec_id, v, nrm, cell FROM af
+       |af$fx AS (SELECT vec_id, v, nrm, cell, ${csim("")} AS csim FROM n$fx, $last),
+       |bf$fx AS (SELECT vec_id, v, nrm, cell FROM af$fx
        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) = 1),
-       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries),
-       |pr AS (SELECT query_id, qv, qn, cell,
+       |q$fx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n$fx WHERE vec_id < $nQueries),
+       |pr$fx AS (SELECT query_id, qv, qn, cell,
        |        round(list_sum(list_transform(range(1, len(qv) + 1), j -> qv[j] * cv[j])) / (qn * cnrm), 9) AS csim
-       |       FROM q, $last),
-       |probes AS (SELECT query_id, qv, qn, cell FROM pr
+       |       FROM q$fx, $last),
+       |probes$fx AS (SELECT query_id, qv, qn, cell FROM pr$fx
        |           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) <= $nprobe),
-       |sc AS (SELECT p.query_id, b.vec_id,
+       |sc$fx AS (SELECT p.query_id, b.vec_id,
        |        round(list_sum(list_transform(range(1, len(p.qv) + 1), j -> p.qv[j] * b.v[j])) / (p.qn * b.nrm), 9) AS sim
-       |       FROM probes p JOIN bf b ON b.cell = p.cell AND b.vec_id <> p.query_id)
+       |       FROM probes$fx p JOIN bf$fx b ON b.cell = p.cell AND b.vec_id <> p.query_id)""".stripMargin
+  }
+
+  private def kmeansIvfSql(nlist: Int, iters: Int, nQueries: Int,
+      k: Int, nprobe: Int, trainMod: Int = 1): String =
+    s"""WITH ${kmeansIvfBody(nlist, iters, nQueries, nprobe, trainMod, "")}
        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
        |       vec_id AS neighbor_id
        |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
-  }
 
   /** Oracle replay of Ann.pqTopK: per-subspace L2 Lloyd (same init,
     * round-9 distances, ties → lowest code, empty cells keep their
@@ -1233,6 +1243,41 @@ object DataOpsQueries {
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.recallAtK(emb(s, d), nQueries = 10, k = 5,
         nlist = 8, iters = 2, nprobe = 3, trainMod = 4))
+    },
+
+    // the IVF tuning curve: recall@5 AND measured scan cost per
+    // nprobe setting, one trained quantizer — the composed oracle
+    // replays each probe setting's full candidate frame (suffixed
+    // CTE bodies), so both the hit counts and the scanned-candidate
+    // counts are exact
+    Entry("ann_nprobe_curve", {
+      val ps = Seq(1, 2, 4, 8)
+      val bodies = ps.map(p =>
+        kmeansIvfBody(nlist = 8, iters = 2, nQueries = 10, nprobe = p,
+          trainMod = 4, fx = s"_$p")).mkString(",\n")
+      val rows = ps.map(p =>
+        s"""r_$p AS (SELECT CAST($p AS BIGINT) AS nprobe,
+           |  CAST(10 AS BIGINT) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sc_$p) AS n_scanned,
+           |  (SELECT CAST(count(iv.neighbor_id) AS BIGINT) FROM ex
+           |     LEFT JOIN (SELECT query_id, vec_id AS neighbor_id FROM sc_$p
+           |       QUALIFY row_number() OVER (PARTITION BY query_id
+           |         ORDER BY sim DESC, vec_id) <= 5) iv
+           |     USING (query_id, neighbor_id)) AS n_hit)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM (
+         |${exactTopSql(nQueries = 10, k = 5)}) x),
+         |$bodies,
+         |$rows,
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM ex)
+         |SELECT nprobe, n_queries, n_scanned, n_hit, n_truth,
+         |  CAST(floor(n_hit / CAST(n_truth AS DOUBLE) * 1e6) AS BIGINT)
+         |    AS recall_q6
+         |FROM (${ps.map(p => s"SELECT * FROM r_$p").mkString(" UNION ALL ")}), t
+         |ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => ordered(Ann.nprobeCurve(emb(s, d), nQueries = 10, k = 5,
+        nlist = 8, iters = 2, trainMod = 4, nprobes = Seq(1, 2, 4, 8)))
     },
 
     // product quantization: 4 subspaces × 8-entry L2 codebooks, ADC scan

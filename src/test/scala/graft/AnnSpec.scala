@@ -164,6 +164,22 @@ class AnnSpec extends AnyFunSuite {
       s"fewer probes can only lose neighbors: $partial")
   }
 
+  test("nprobeCurve: recall monotone in nprobe, full probe reads exactly 1e6 and scans the corpus") {
+    val rows = Ann.nprobeCurve(corpus, nQueries = 6, k = 5,
+      nlist = 6, iters = 2, nprobes = Seq(1, 3, 6)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(rows.keySet === Set(1L, 3L, 6L))
+    // truth is nQueries × k = 30 on this corpus
+    assert(rows.values.forall(_._3 === 30L))
+    // recall and scan cost are monotone in nprobe
+    assert(rows(1L)._4 <= rows(3L)._4 && rows(3L)._4 <= rows(6L)._4)
+    assert(rows(1L)._1 < rows(3L)._1 && rows(3L)._1 < rows(6L)._1)
+    // nprobe = nlist scans every non-self vector and recovers exact search
+    assert(rows(6L)._4 === 1000000L)
+    assert(rows(6L)._1 === 6L * 119L)
+  }
+
   test("recall on the shipped sf0.01 embeddings (real distribution, default sizing)") {
     // the synthetic 6-cluster corpus above validates the mechanism;
     // this pins recall on the ACTUAL embeddings table the driver
