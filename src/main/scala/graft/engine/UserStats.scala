@@ -229,4 +229,54 @@ object UserStats {
       .select(col("goal"), col("n0"), col("c0"), col("n1"), col("c1"),
         pooledZQ6.as("z_q6"))
   }
+
+  /** Experiment design readout — the power half of [[abTest]] (the
+    * trust-gate-per-family pattern): per goal, alongside the arm
+    * counts and z, the observed arm rates, the signed observed
+    * effect, the MINIMUM DETECTABLE EFFECT at the current sample
+    * sizes (two-sided α = 0.05, 80 % power — the normal-approximation
+    * textbook formula with the baseline-arm variance), and the
+    * PER-ARM sample size that would detect the observed effect at
+    * that power (NULL when the observed effect is zero — no n
+    * detects nothing). This is the table that says whether a NULL or
+    * small z means "no effect" or "underpowered experiment".
+    *
+    * The z quantiles appear as the literal sum (1.959964 + 0.841621)
+    * in BOTH engines, so the constant is one identical IEEE add, and
+    * every derived value is one fixed IEEE sequence from exact int64
+    * counts, floor-quantized ×1e6 (n_required is a ceil of the same
+    * shared double — exact on equal inputs, no round() boundary).
+    * Same plan as [[abTest]]: the power columns are a projection on
+    * its goal-sized output. */
+  def abPower(events: DataFrame, armExpr: String = "user_id % 2",
+      minCount: Long = 1L): DataFrame = {
+    val zs = "(1.959964 + 0.841621)"
+    abTest(events, armExpr, minCount)
+      // an empty arm would make these 0/0 = NaN double divides (double
+      // division never ANSI-faults) and NaN casts diverge by engine —
+      // guard to NULL, which then propagates through every derived
+      // column below (a NULL comparison falls to the CASE ELSE branch,
+      // whose arithmetic is NULL on NULL inputs)
+      .withColumn("p0", expr(
+        "CASE WHEN n0 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) END"))
+      .withColumn("p1", expr(
+        "CASE WHEN n1 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END"))
+      .select(col("goal"), col("n0"), col("c0"), col("n1"), col("c1"),
+        col("z_q6"),
+        expr("CAST(floor(p0 * 1e6) AS BIGINT)").as("p0_q6"),
+        expr("CAST(floor(p1 * 1e6) AS BIGINT)").as("p1_q6"),
+        expr("CAST(floor((p1 - p0) * 1e6) AS BIGINT)").as("effect_q6"),
+        expr(
+          s"""CAST(floor(CASE
+             |  WHEN p0 * (1.0 - p0) = 0.0 THEN CAST(NULL AS DOUBLE)
+             |  ELSE $zs * sqrt(p0 * (1.0 - p0)
+             |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+             |  END * 1e6) AS BIGINT)""".stripMargin).as("mde_q6"),
+        expr(
+          s"""CASE WHEN p1 = p0 THEN CAST(NULL AS BIGINT)
+             |  ELSE CAST(ceil($zs * $zs
+             |    * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+             |    / ((p1 - p0) * (p1 - p0))) AS BIGINT) END""".stripMargin)
+          .as("n_required"))
+  }
 }

@@ -924,6 +924,47 @@ object EngineQueries {
         |FROM c, tot ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.UserStats.abTest(userEvents(s, d),
         minCount = 14L))
+    },
+    // the power half of the A/B readout: observed rates, minimum
+    // detectable effect at the current n, and the per-arm n the
+    // OBSERVED effect would need (α=0.05 two-sided, 80% power) — the
+    // z quantiles appear as the same literal sum in both engines
+    Entry("ev_ab_power",
+      """WITH ua AS (SELECT DISTINCT user_id, user_id % 2 AS arm FROM events),
+        |tot AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM ua),
+        |cv AS (SELECT user_id, user_id % 2 AS arm, event_type AS goal FROM events
+        |       GROUP BY 1, 2, 3 HAVING count(*) >= 14),
+        |c AS (SELECT goal, CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |              CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM cv GROUP BY 1),
+        |p AS (SELECT goal, n0, c0, n1, c1,
+        |  CASE WHEN n0 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS p0,
+        |  CASE WHEN n1 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1,
+        |  CAST(floor(CASE
+        |    WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |             * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |             * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    END * 1e6) AS BIGINT) AS z_q6
+        | FROM c, tot)
+        |SELECT goal, n0, c0, n1, c1, z_q6,
+        |  CAST(floor(p0 * 1e6) AS BIGINT) AS p0_q6,
+        |  CAST(floor(p1 * 1e6) AS BIGINT) AS p1_q6,
+        |  CAST(floor((p1 - p0) * 1e6) AS BIGINT) AS effect_q6,
+        |  CAST(floor(CASE
+        |    WHEN p0 * (1.0 - p0) = 0.0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (1.959964 + 0.841621) * sqrt(p0 * (1.0 - p0)
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    END * 1e6) AS BIGINT) AS mde_q6,
+        |  CASE WHEN p1 = p0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+        |      * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+        |      / ((p1 - p0) * (p1 - p0))) AS BIGINT) END AS n_required
+        |FROM p ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.UserStats.abPower(userEvents(s, d),
+        minCount = 14L))
     })
 
   // ---- trailing moving-window aggregates (beyond-reference) ----

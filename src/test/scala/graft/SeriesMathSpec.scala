@@ -361,4 +361,23 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(strict("buy") === ((0L, 1L, Some(1154700L))),
       s"c0=0, c1=1 (u1 only): $strict")
   }
+
+  test("abPower: hand-computed MDE and required n; degenerate goals read NULL") {
+    val ev = Seq(
+      (1L, 10L, "visit"), (2L, 10L, "visit"), (3L, 10L, "visit"), (4L, 10L, "visit"),
+      (1L, 20L, "buy"), (3L, 20L, "buy"), (2L, 20L, "buy"))
+      .toDF("user_id", "ts", "event_type")
+    val out = UserStats.abPower(ev).collect()
+      .map(r => r.getString(0) -> ((6 to 10).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i))))).toMap
+    val zs = 1.959964 + 0.841621
+    // buy: p0 = 1/2, p1 = 2/2 → effect 0.5; mde = zs·sqrt(.25·1) = zs/2;
+    // n = ceil(zs²·(0.25 + 0)/0.25) = ceil(zs²) = 8
+    assert(out("buy") === Seq(Some(500000L), Some(1000000L), Some(500000L),
+      Some(math.floor(zs * 0.5 * 1e6).toLong), Some(math.ceil(zs * zs).toLong)))
+    // visit: both arms fully convert — zero baseline variance (mde
+    // NULL) and zero effect (n_required NULL)
+    assert(out("visit") === Seq(Some(1000000L), Some(1000000L), Some(0L),
+      None, None))
+  }
 }
