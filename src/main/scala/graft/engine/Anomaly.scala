@@ -247,13 +247,17 @@ object Anomaly {
     * first-sample rule a brand-new series gets) — the one documented
     * live-vs-batch divergence across an idle gap longer than
     * idleEvict; the settled batch [[thresholdCross]] is the audit.
-    * `maxLateness` sets the watermark delay and is therefore the
-    * cross-batch disorder budget: an event arriving in a LATER
-    * micro-batch more than maxLateness behind the newest event time
-    * seen is silently dropped by Spark — the default 3600 s tolerates
-    * an hour of transport skew at the cost of an hour's extra state
-    * retention (intra-batch disorder is always safe: each slice is
-    * sorted before folding). */
+    * `maxLateness` sets the watermark delay: an event arriving in a
+    * LATER micro-batch more than maxLateness behind the newest event
+    * time seen is silently dropped by Spark. The fold itself is
+    * MONOTONE: an admitted cross-batch event at or behind the held
+    * newest (ts, pid) is ignored rather than folded against the
+    * newer held sample (which would emit edges the batch operator
+    * never produces and regress the held state), so cross-batch
+    * disorder costs at most a missed edge, never a spurious one —
+    * the settled batch twin is the audit for the missed ones.
+    * Intra-batch disorder is always safe: each slice is sorted
+    * before folding. */
   def streamingThresholdCross(stream: DataFrame,
       threshold: Long, idleEvict: Long = 86400L,
       maxLateness: Long = 3600L): Dataset[Crossing] = {
@@ -283,13 +287,21 @@ object Anomaly {
             var prev = state.getOption
             val out = Vector.newBuilder[Crossing]
             batch.foreach { case (_, ts, pid, v, _) =>
-              prev.foreach { p =>
-                if (p.value < threshold && v >= threshold)
-                  out += Crossing(series, ts, pid, v, p.value, "up")
-                else if (p.value >= threshold && v < threshold)
-                  out += Crossing(series, ts, pid, v, p.value, "down")
+              // monotone guard: a cross-batch late event at or behind
+              // the held newest sample is ignored — folding it against
+              // the NEWER held sample would emit an edge the batch
+              // operator never produces and regress the held state
+              val stale = prev.exists(p =>
+                ts < p.ts || (ts == p.ts && pid <= p.pid))
+              if (!stale) {
+                prev.foreach { p =>
+                  if (p.value < threshold && v >= threshold)
+                    out += Crossing(series, ts, pid, v, p.value, "up")
+                  else if (p.value >= threshold && v < threshold)
+                    out += Crossing(series, ts, pid, v, p.value, "down")
+                }
+                prev = Some(CrossState(ts, pid, v))
               }
-              prev = Some(CrossState(ts, pid, v))
             }
             prev.foreach { p =>
               state.update(p)
@@ -540,7 +552,7 @@ object Anomaly {
     * Forecast.HwState]] bound) plus the newest bucket already scored,
     * so each alarm is emitted exactly once. */
   final case class CusumState(bucket: Array[Long], s: Array[Long],
-      emitted: Long)
+      emitted: Long, newest: Long)
 
   /** One live drift alarm. */
   final case class CusumAlarm(series: String, bucket: Long, side: Long,
@@ -560,11 +572,18 @@ object Anomaly {
     * batch, so a reset carries across micro-batches by construction.
     *
     * Parity: while a series' observed history fits in lastN buckets
-    * the walk is prefix-causal (baseline = first `base` held buckets,
-    * sums only ever extend forward), so the streamed alarms over
-    * sealed buckets equal [[cusum]] over the same points —
-    * StreamingSpec pins this including a mid-window batch split and a
-    * reset carried across batches. Once the window slides past lastN,
+    * AND buckets arrive in order across micro-batches (no event for
+    * an already-sealed bucket lands in a LATER batch) the walk is
+    * prefix-causal (baseline = first `base` held buckets, sums only
+    * ever extend forward), so the streamed alarms over sealed buckets
+    * equal [[cusum]] over the same points — StreamingSpec pins this
+    * including a mid-window batch split and a reset carried across
+    * batches. A cross-batch late event the watermark still admits
+    * (possible when maxLateness > 0) updates its held bucket sum —
+    * keeping every LATER bucket's baseline and S walk exact — but an
+    * already-scored bucket's own verdict is immutable (append-mode
+    * alarms cannot retract); the settled batch twin is the audit for
+    * those, as for every emit-once alerting twin here. Once the window slides past lastN,
     * each alarm reflects the baseline IN FORCE when its bucket sealed
     * (the live reading an operator wants); re-running [[cusum]] over
     * the settled store is the audit, as with every alerting twin.
@@ -661,10 +680,16 @@ object Anomaly {
               emitted = math.max(emitted, closed.last._1)
             } else emitted = math.max(emitted, closed.last._1)
           }
-          state.update(CusumState(kept.map(_._1), kept.map(_._2), emitted))
-          if (maxTs > Long.MinValue)
+          // the eviction clock is the ALL-TIME newest event time, not
+          // the batch-local max: an admitted late-only batch must not
+          // pull the deadline earlier
+          val newest = math.max(maxTs,
+            state.getOption.map(_.newest).getOrElse(Long.MinValue))
+          state.update(CusumState(kept.map(_._1), kept.map(_._2), emitted,
+            newest))
+          if (newest > Long.MinValue)
             state.setTimeoutTimestamp(math.max(
-              (maxTs + evict) * 1000L,
+              (newest + evict) * 1000L,
               state.getCurrentWatermarkMs() + 1000L))
           out.result().iterator
           }

@@ -86,8 +86,13 @@ object CounterRate {
     * back emits nothing (a counter that vanished for a day restarts
     * its lag, exactly like a brand-new series — and a counter restart
     * across the gap would have read as a reset anyway). `maxLateness`
-    * is the cross-batch disorder budget: later-batch events below the
-    * watermark are silently dropped by Spark. */
+    * sets the watermark delay (later-batch events below it are
+    * silently dropped by Spark); the fold is additionally MONOTONE —
+    * an admitted cross-batch event at or behind the held newest
+    * sample is ignored rather than read against the newer held value
+    * (which would fake a reset and emit a phantom increase), so
+    * cross-batch disorder costs a missed increase, never a phantom
+    * one. */
   def streamingIncrease(stream: DataFrame, idleEvict: Long = 86400L,
       maxLateness: Long = 3600L): Dataset[Increase] = {
     require(idleEvict > 0 && maxLateness >= 0,
@@ -112,11 +117,20 @@ object CounterRate {
             var prev = state.getOption
             val out = Vector.newBuilder[Increase]
             batch.foreach { case (_, ts, pid, v, _) =>
-              prev.foreach { p =>
-                out += Increase(series, ts, pid, v,
-                  if (v >= p.value) v - p.value else v)
+              // monotone guard (the streamingThresholdCross rule): a
+              // cross-batch late event at or behind the held newest
+              // sample is ignored — read against the NEWER held value
+              // it would fake a counter reset and emit a phantom
+              // increase the batch operator never produces
+              val stale = prev.exists(p =>
+                ts < p.ts || (ts == p.ts && pid <= p.pid))
+              if (!stale) {
+                prev.foreach { p =>
+                  out += Increase(series, ts, pid, v,
+                    if (v >= p.value) v - p.value else v)
+                }
+                prev = Some(PrevSample(ts, pid, v))
               }
-              prev = Some(PrevSample(ts, pid, v))
             }
             prev.foreach { p =>
               state.update(p)

@@ -300,11 +300,15 @@ object Forecast {
     * live twin): each micro-batch merges arrivals into the same
     * per-series trailing-lastN buffer [[streamingHolt]] carries,
     * re-runs the residual fold over the refreshed window, and emits
-    * the window's CURRENT flag set for every touched series — after
-    * any prefix of the stream the emission equals
+    * EXACTLY ONCE each flag newer than the previously held newest
+    * point (a pager must not re-fire O(window) times for one spike) —
+    * the union of emissions over an in-order stream equals
     * [[holtResidualAnomaly]] over the points seen so far
-    * (StreamingSpec pins the agreement, including a spike split
-    * across batches). The fold is the identical order-fixed IEEE
+    * (StreamingSpec pins the agreement AND the no-duplicates count,
+    * including a spike split across batches). An admitted cross-batch
+    * late point folds into the window (keeping later scores exact)
+    * but its own behind-horizon flag is immutable, the shared
+    * emit-once contract of every alerting twin here. The fold is the identical order-fixed IEEE
     * recurrence in plain Scala doubles (the streamingHolt precedent);
     * state is lastN-bounded and retires via the same event-time
     * idle eviction (a retired series re-trains on next arrival). */
@@ -337,6 +341,13 @@ object Forecast {
               .map(s => Array.tabulate(s.ts.length)(i =>
                 (s.ts(i), s.pid(i), s.y(i))))
               .getOrElse(Array.empty[(Long, Long, Double)])
+            // emit-once horizon: flags at or behind the previously
+            // held newest point were already emitted (or, for an
+            // admitted late point, are immutable) — re-emitting the
+            // window's whole flag set every touched batch would page
+            // a downstream consumer O(window) times per alarm
+            val prevNewest =
+              if (prev.isEmpty) Long.MinValue else prev.last._1
             val merged = (prev ++ rows.map(r => (r._2, r._3, r._4)))
               .sortBy(r => (r._1, r._2))
             val kept = merged.takeRight(lastN)
@@ -356,7 +367,7 @@ object Forecast {
             kept.iterator.drop(1).foreach { case (ts, _, y) =>
               val fc = l + b
               val resid = y - fc
-              if (cnt - 1 >= minWarm &&
+              if (ts > prevNewest && cnt - 1 >= minWarm &&
                   math.abs(resid) > k * sae / (cnt - 1).toDouble)
                 alerts += HoltResidualAlert(series, ts,
                   math.floor(fc * 1e6).toLong,
@@ -550,7 +561,8 @@ object Forecast {
 
   /** Trailing bucket sums carried across micro-batches: ≤ lastN
     * (bucket, exact int64 sum) pairs per series. */
-  final case class HwState(bucket: Array[Long], s: Array[Long])
+  final case class HwState(bucket: Array[Long], s: Array[Long],
+      newest: Long)
 
   /** One live seasonal forecast emission. */
   final case class HwForecast(series: String, n_buckets: Long,
@@ -611,10 +623,15 @@ object Forecast {
             maxTs = math.max(maxTs, et.getTime / 1000L)
           }
           val kept = sums.toArray.sortBy(_._1).takeRight(lastN)
-          state.update(HwState(kept.map(_._1), kept.map(_._2)))
-          if (maxTs > Long.MinValue)
+          // the eviction clock is the ALL-TIME newest event time, not
+          // the batch-local max: an admitted late-only batch must not
+          // pull the deadline earlier
+          val newest = math.max(maxTs,
+            state.getOption.map(_.newest).getOrElse(Long.MinValue))
+          state.update(HwState(kept.map(_._1), kept.map(_._2), newest))
+          if (newest > Long.MinValue)
             state.setTimeoutTimestamp(math.max(
-              (maxTs + evict) * 1000L,
+              (newest + evict) * 1000L,
               state.getCurrentWatermarkMs() + 1000L))
           val n = kept.length
           val contiguous = n > 0 && kept.last._1 - kept.head._1 + 1 == n

@@ -213,9 +213,12 @@ object UserStats {
     val ua = events.select(col("user_id"),
         expr(armExpr).cast("long").as("arm")).distinct()
     val arms = ua.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    // an absent arm must read 0, not NULL — the oracle's
+    // sum(CASE WHEN..ELSE 0 END) over per-user rows yields 0 there,
+    // and the z/power guards key on n = 0
     val tot = arms.agg(
-      sum(when(col("arm") === 0L, col("n"))).as("n0"),
-      sum(when(col("arm") === 1L, col("n"))).as("n1"))
+      coalesce(sum(when(col("arm") === 0L, col("n"))), lit(0L)).as("n0"),
+      coalesce(sum(when(col("arm") === 1L, col("n"))), lit(0L)).as("n1"))
     val conv = events.select(col("user_id"),
         expr(armExpr).cast("long").as("arm"),
         col("event_type").as("goal"))
@@ -268,7 +271,8 @@ object UserStats {
         expr("CAST(floor((p1 - p0) * 1e6) AS BIGINT)").as("effect_q6"),
         expr(
           s"""CAST(floor(CASE
-             |  WHEN p0 * (1.0 - p0) = 0.0 THEN CAST(NULL AS DOUBLE)
+             |  WHEN n0 = 0 OR n1 = 0 OR p0 * (1.0 - p0) = 0.0
+             |    THEN CAST(NULL AS DOUBLE)
              |  ELSE $zs * sqrt(p0 * (1.0 - p0)
              |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
              |  END * 1e6) AS BIGINT)""".stripMargin).as("mde_q6"),

@@ -954,7 +954,7 @@ object EngineQueries {
         |  CAST(floor(p1 * 1e6) AS BIGINT) AS p1_q6,
         |  CAST(floor((p1 - p0) * 1e6) AS BIGINT) AS effect_q6,
         |  CAST(floor(CASE
-        |    WHEN p0 * (1.0 - p0) = 0.0 THEN CAST(NULL AS DOUBLE)
+        |    WHEN n0 = 0 OR n1 = 0 OR p0 * (1.0 - p0) = 0.0 THEN CAST(NULL AS DOUBLE)
         |    ELSE (1.959964 + 0.841621) * sqrt(p0 * (1.0 - p0)
         |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
         |    END * 1e6) AS BIGINT) AS mde_q6,

@@ -181,6 +181,49 @@ class PlanSpec extends AnyFunSuite {
     // global range sort of the corpus
     assert(bp.contains("hashpartitioning(stream"), bp)
     assert(!bp.contains("rangepartitioning"), bp)
+    // the efficiency report rides the SAME stream exchange: its
+    // second window and the per-stream aggregation both require
+    // hashpartitioning(stream), which the packBins window already
+    // established — one shuffle total, never a re-exchange
+    val eff = graft.llm.TextStats.packEfficiency(docs, contextLen = 8,
+      streams = 4)
+    eff.collect()
+    // count the FINAL AQE plan only — executedPlan.toString repeats
+    // the pre-AQE Initial Plan below it, double-counting exchanges
+    val ep = plan(eff).split("== Initial Plan ==").head
+    val effShuffles = "Exchange hashpartitioning".r.findAllIn(ep).size
+    assert(effShuffles == 1, s"packEfficiency re-exchanged: $effShuffles\n$ep")
+    assert(!ep.contains("rangepartitioning"), ep)
+  }
+
+  test("abPower adds no exchange over abTest; nprobeCurve trains once (bounded lineage)") {
+    import spark.implicits._
+    val ev = (0L until 200L).map(i =>
+      (i % 40L, i, if (i % 3 == 0) "buy" else "visit"))
+      .toDF("user_id", "ts", "event_type")
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      // final AQE plan only (toString repeats the Initial Plan)
+      "Exchange hashpartitioning".r
+        .findAllIn(plan(df).split("== Initial Plan ==").head).size
+    }
+    // the power columns are a projection on abTest's goal-sized
+    // output — same aggregation plan, zero added exchanges
+    assert(shuffles(graft.engine.UserStats.abPower(ev)) ==
+      shuffles(graft.engine.UserStats.abTest(ev)))
+    // the curve varies only the search-time knob: the quantizer
+    // trains ONCE (localCheckpoint'ed centroids), the exact truth is
+    // checkpointed at nQueries·k rows, so adding probe settings adds
+    // only their own probe/topk stages — not another training chain
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val one = shuffles(graft.llm.Ann.nprobeCurve(emb, nQueries = 5, k = 3,
+      nlist = 4, iters = 2, nprobes = Seq(2)))
+    val three = shuffles(graft.llm.Ann.nprobeCurve(emb, nQueries = 5, k = 3,
+      nlist = 4, iters = 2, nprobes = Seq(1, 2, 4)))
+    // per extra setting: probe-topk's two narrow exchanges + the
+    // 1-row stat joins — far below a re-run of training (>= 10)
+    assert(three - one <= 2 * 8,
+      s"extra nprobe settings must not re-train: $one -> $three")
   }
 
   test("LM-score/BM25/PMI: corpus stats broadcast, no windows, no global sort") {

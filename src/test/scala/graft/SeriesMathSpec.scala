@@ -380,4 +380,19 @@ class SeriesMathSpec extends AnyFunSuite {
     assert(out("visit") === Seq(Some(1000000L), Some(1000000L), Some(0L),
       None, None))
   }
+
+  test("abPower: an empty arm reads n=0 and NULL everywhere derived, never NaN or a fault") {
+    // all user_ids even → arm 1 is empty; the oracle's
+    // sum(CASE..ELSE 0) reads 0 there, so the Spark side must too
+    val ev = Seq((2L, 10L, "buy"), (4L, 20L, "buy"))
+      .toDF("user_id", "ts", "event_type")
+    val row = UserStats.abPower(ev).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getLong(1) === 2L && r.getLong(3) === 0L, "n0=2, n1=0")
+    // z, p1, effect, mde, n_required are all NULL on the empty arm
+    assert(Seq(5, 7, 8, 9, 10).forall(r.isNullAt),
+      s"empty-arm derived columns must be NULL: $r")
+    assert(r.getLong(6) === 1000000L, "p0 is still real")
+  }
 }

@@ -221,6 +221,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("threshold cross and counter increase ignore admitted cross-batch late events (monotone guard)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.engine.Anomaly.streamingThresholdCross(
+      ms.toDF().toDF("series", "ts", "pid", "val"), threshold = 50L,
+      maxLateness = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cross_late").start()
+    val ms2 = MemoryStream[(String, Long, Long, Long)]
+    val q2 = graft.engine.CounterRate.streamingIncrease(
+      ms2.toDF().toDF("series", "ts", "pid", "val"), maxLateness = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incr_late").start()
+    try {
+      ms.addData(("s", 100L, 1L, 60L)); q.processAllAvailable()
+      // admitted by the 3600 s watermark but BEHIND the held sample:
+      // folding 60 -> 10 would fabricate a 'down' the batch twin
+      // (which sorts 10@50 before 60@100) never emits
+      ms.addData(("s", 50L, 2L, 10L)); q.processAllAvailable()
+      ms.addData(("s", 200L, 3L, 10L)); q.processAllAvailable()
+      val live = spark.sql("SELECT series, ts, direction FROM cross_late")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+      // the late event costs the up@100 edge the batch twin sees (the
+      // documented miss) but no spurious edge exists and state never
+      // regressed: the genuine 60 -> 10 'down' lands at ts=200
+      assert(live === Set(("s", 200L, "down")), live.toString)
+
+      ms2.addData(("c", 100L, 1L, 100L)); q2.processAllAvailable()
+      // read against the newer held 100 this would fake a reset and
+      // emit a phantom increase of 10
+      ms2.addData(("c", 50L, 2L, 10L)); q2.processAllAvailable()
+      ms2.addData(("c", 200L, 3L, 120L)); q2.processAllAvailable()
+      val inc = spark.sql("SELECT series, ts, increase FROM incr_late")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(inc === Set(("c", 200L, 20L)), inc.toString)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("streaming session windows finalize past the watermark and agree with batch sessionize") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -701,6 +742,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(live === batchOf(b1 ++ b2), s"live $live")
       assert(live === Set(("s", 11L, 10000000L, 90000000L),
         ("t", 11L, 20000000L, 100000000L)))
+      // a third batch touching t re-walks a window that still holds
+      // the flagged spike — emit-once: the alarm must NOT re-fire
+      // (t@12 forecast 82.5 vs 82.0 is a sub-scale residual, no flag
+      // in batch either)
+      ms.addData(("t", 12L, 12L, 82.0))
+      q.processAllAvailable()
+      val after = spark.sql(
+        "SELECT series, ts, forecast_q6, resid_q6 FROM resid_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(after.toSet === batchOf(b1 ++ b2 :+ (("t", 12L, 12L, 82.0))))
+      assert(after.length === 2,
+        s"an alarm re-fired on a later touch: ${after.toSeq}")
     } finally q.stop()
   }
 
