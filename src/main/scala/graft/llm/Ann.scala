@@ -226,20 +226,7 @@ object Ann {
   def knnJoin(emb: DataFrame, k: Int = 5, targetCell: Int = 256)
       : DataFrame = {
     require(k >= 1, "k must be at least 1")
-    val stats = emb.agg(count(lit(1)).as("n"),
-      countDistinct(col("label")).as("l")).head()
-    val n = stats.getLong(0)
-    val l = math.max(stats.getLong(1), 1L)
-    var bits = 0
-    while (bits < 32 && (l * targetCell.toLong << bits) < n) bits += 1
-    val prefix =
-      if (bits == 0) lit(0L)
-      else expr(s"aggregate(transform(slice(v, 1, $bits), " +
-        "x -> CASE WHEN x >= 0 THEN 1L ELSE 0L END), 0L, (a, x) -> a * 2 + x)")
-    val e = emb.select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-      .withColumn("cell", col("label").cast("long") * (1L << bits) + prefix)
+    val e = Cells.celled(emb, targetCell)
     val a = e.select(col("cell"), col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("cell"), col("vec_id"), col("v"), col("nrm"))

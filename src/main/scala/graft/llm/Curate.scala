@@ -61,18 +61,7 @@ object Curate {
   def sourceQualityReport(docs: DataFrame, n: Int = 3,
       theta: Double = 0.5, minFreq: Long = 2L,
       sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
-    require(sampleMod >= 0L && sampleTarget >= 1L,
-      "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
-    // eager 1-row count at plan-construction time (the recall-audit
-    // precedent): the draw's modulus must be a filter literal
-    val mod =
-      if (sampleMod > 0L) sampleMod
-      else math.max(1L, docs.count() / sampleTarget)
-    val slice =
-      if (mod <= 1L) docs
-      else docs.where(expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        % mod === 0)
+    val slice = Adaptive.slice(docs, "doc_id", sampleMod, sampleTarget)
     val dup = Dedup.dupRateBySource(slice, n, theta)
       .select(col("source"), col("n_docs").as("dup_docs"),
         col("n_dups").as("dup_dups"), col("dup_rate_q6"))

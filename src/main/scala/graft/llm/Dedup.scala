@@ -467,20 +467,7 @@ object Dedup {
     * extraction — one celled self-join, occupancy-bounded. */
   def semanticPairs(emb: DataFrame, theta: Double,
       targetCell: Int = 256): DataFrame = {
-    val stats = emb.agg(count(lit(1)).as("n"),
-      countDistinct(col("label")).as("l")).head()
-    val n = stats.getLong(0)
-    val l = math.max(stats.getLong(1), 1L)
-    var bits = 0
-    while (bits < 32 && (l * targetCell.toLong << bits) < n) bits += 1
-    val prefix =
-      if (bits == 0) lit(0L)
-      else expr(s"aggregate(transform(slice(v, 1, $bits), " +
-        "x -> CASE WHEN x >= 0 THEN 1L ELSE 0L END), 0L, (a, x) -> a * 2 + x)")
-    val e = emb.select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-      .withColumn("cell", col("label").cast("long") * (1L << bits) + prefix)
+    val e = Cells.celled(emb, targetCell)
     val a = e.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("cell"), col("vec_id").as("id_b"),
@@ -508,16 +495,7 @@ object Dedup {
   def semanticRecallAudit(emb: DataFrame, theta: Double = 0.45,
       targetCell: Int = 256, sampleMod: Long = 0L,
       sampleTarget: Long = 1000L): DataFrame = {
-    require(sampleMod >= 0L && sampleTarget >= 1L,
-      "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
-    val mod =
-      if (sampleMod > 0L) sampleMod
-      else math.max(1L, emb.count() / sampleTarget)
-    val slice =
-      if (mod <= 1L) emb
-      else emb.where(expr(
-        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        % mod === 0)
+    val slice = Adaptive.slice(emb, "vec_id", sampleMod, sampleTarget)
     val truth = Ann.cosinePairs(slice, theta)
     val caught = semanticPairs(slice, theta, targetCell)
       .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
@@ -702,20 +680,7 @@ object Dedup {
       sampleMod: Long = 0L, sampleTarget: Long = 2500L,
       mhHashes: Int = 128, mhBands: Int = 32,
       mhMaxBucket: Long = 0L): DataFrame = {
-    require(sampleMod >= 0L && sampleTarget >= 1L,
-      "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
-    // one eager 1-row count job at plan-construction time (not a
-    // data-path collect): the md5 draw's modulus must be a literal
-    // inside the filter expression, so it cannot stay lazy — callers
-    // building the plan without ever running it still pay this count
-    val mod =
-      if (sampleMod > 0L) sampleMod
-      else math.max(1L, docs.count() / sampleTarget)
-    val slice =
-      if (mod <= 1L) docs
-      else docs.where(expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        % mod === 0)
+    val slice = Adaptive.slice(docs, "doc_id", sampleMod, sampleTarget)
     val truth = ngramJaccardPairs(slice, n, theta, maxDf)
     val caught = simhashPairs(slice, maxDist, bands)
       .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))

@@ -83,6 +83,17 @@ object TextStats {
       .select(col("doc_id"), col(keyCol))
   }
 
+  /** The per-source weight column shared by [[sampleMixture]],
+    * [[mixtureReport]] and [[mixturePlan]]: a deterministic CASE fold
+    * over the sorted weight map (0.0 for unweighted sources). One
+    * helper so the report/plan tables can never read a different
+    * weight than the draw they grade. */
+  private def weightCase(weights: Map[String, Double])
+      : org.apache.spark.sql.Column =
+    weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+
   /** Weighted source mixing — the data-mixture operator (Pile/DoReMi
     * shape): given target weights per source, sample each source at
     * the largest rate consistent with the target proportions and
@@ -96,9 +107,7 @@ object TextStats {
   def sampleMixture(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
     val hv = expr(
       "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
-    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
-    }
+    val w = weightCase(weights)
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       .withColumn("w", w).where(col("w") > 0)
     val tmin = cnt.agg(min(col("n").cast("double") / col("w")).as("t"))
@@ -156,9 +165,7 @@ object TextStats {
   def mixtureReport(docs: DataFrame,
       weights: Map[String, Double]): DataFrame = {
     val sampled = sampleMixture(docs, weights)
-    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
-    }
+    val w = weightCase(weights)
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w", w).where(col("w") > 0)
     val norm = cnt.agg(sum(col("w")).as("sw"))
@@ -878,9 +885,7 @@ object TextStats {
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0L, "budgetTokens must be positive")
     require(weights.values.forall(_ > 0.0), "weights must be positive")
-    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
-    }
+    val w = weightCase(weights)
     val per = docs
       .select(col("source"), expr(s"CAST(size($tok) AS BIGINT)").as("nt"))
       .groupBy(col("source"))
