@@ -480,7 +480,7 @@ object Ann {
         expr("transform(embedding, x -> CAST(x AS double))").as("v"))
       .withColumn("scale",
         expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
-      .select(col("vec_id"), col("scale"), expr(
+      .select(col("vec_id"), col("v"), col("scale"), expr(
         "transform(v, x -> CASE WHEN scale = 0D THEN 0 ELSE CAST(round(x / scale) AS INT) END)")
         .as("qv"))
 
@@ -505,6 +505,57 @@ object Ann {
     val scored = recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
     topK(scored, k)
+  }
+
+  /** Quantization distortion audit — the trust gate for the
+    * compression family (the recall-eval pattern aimed at storage):
+    * one row per scheme with the corpus-wide reconstruction error of
+    * SQ8 (absmax int8) and PQ (m-subspace codebooks) — the table that
+    * says how much geometry a 4×/16× storage saving actually costs
+    * BEFORE a store commits to serving from codes. Columns
+    * (scheme, n_vectors, sum_se_q9, mse_q9, max_se_q9): per-vector
+    * squared L2 reconstruction error, floor-quantized ×1e9.
+    *
+    * Exactness: each per-vector (or per-subvector) error is ONE
+    * fixed-order IEEE fold of the same reconstruction both engines
+    * compute (code·scale for SQ8, the trained centroid for PQ — the
+    * oracle replays the identical Lloyd training), floor-quantized to
+    * int64 BEFORE the corpus sum (the embedDrift trick), so the
+    * aggregate is exact and order-independent however partitions
+    * arrive; mse is one integer division. Headroom: measured sf0.01
+    * sums sit ~1e10-1e11 q9-units per 500 vectors; even 100×
+    * replication leaves four decades under int64.
+    *
+    * Scale shape: SQ8 is one narrow pass; PQ is the already-audited
+    * training plus ONE broadcast codebook join over the subvector
+    * stream — nothing new shuffles; output is 2 rows. */
+  def quantDistortion(emb: DataFrame, m: Int = 4, nlist: Int = 8,
+      iters: Int = 2, trainMod: Int = 1): DataFrame = {
+    val e = withNorm(emb)
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val sqv = int8Codes(emb)
+      .withColumn("se", expr(
+        """CAST(floor(aggregate(zip_with(v, transform(qv, c -> c * scale),
+          |  (x, r) -> (x - r) * (x - r)), 0D, (a, x) -> a + x) * 1e9)
+          |AS BIGINT)""".stripMargin))
+      .select(col("vec_id"), col("se"))
+    val sv = pqSubs(e, m, d)
+    val book = trainPq(sv, nlist, iters, trainMod)
+    val pqv = pqAssign(sv, book)
+      .join(broadcast(book.select(col("sub"), col("cid"), col("cv"))),
+        Seq("sub", "cid"))
+      .withColumn("seq", expr(
+        """CAST(floor(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+          |  0D, (a, x) -> a + x) * 1e9) AS BIGINT)""".stripMargin))
+      .groupBy(col("vec_id")).agg(sum(col("seq")).as("se"))
+    def rowOf(scheme: String, per: DataFrame) = per
+      .agg(count(lit(1)).as("n_vectors"), sum(col("se")).as("sum_se_q9"),
+        max(col("se")).as("max_se_q9"))
+      .select(lit(scheme).as("scheme"), col("n_vectors"), col("sum_se_q9"),
+        expr("sum_se_q9 DIV n_vectors").as("mse_q9"), col("max_se_q9"))
+    rowOf("pq", pqv) unionAll rowOf("sq8", sqv)
   }
 
   /** Hyperplane constant j, derived from md5("plane:j") — the

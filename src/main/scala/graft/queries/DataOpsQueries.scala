@@ -255,8 +255,13 @@ object DataOpsQueries {
     * round-9 distances, ties → lowest code, empty cells keep their
     * centroid), then the ADC scan with per-subspace partials quantized
     * to fixed point (×2^30) before the cross-subspace integer sum. */
-  private def pqSql(m: Int, d: Int, nlist: Int, iters: Int,
-      nQueries: Int, k: Int, trainMod: Int = 1): String = {
+  /** CTE chain of the PQ replay (subvectors → Lloyd codebooks →
+    * code assignment), ending at `cod`/`bk` — no leading WITH, no
+    * query stage. Shared by the top-k oracle ([[pqSql]]) and the
+    * distortion-audit oracle, which reconstructs from the same codes
+    * instead of scoring queries. */
+  private def pqBodySql(m: Int, d: Int, nlist: Int, iters: Int,
+      trainMod: Int): String = {
     val Q = "1073741824.0"
     def l2(sv: String, cv: String) =
       s"round(list_sum(list_transform(range(1, $d + 1), j -> ($sv[j] - $cv[j]) * ($sv[j] - $cv[j]))), 9)"
@@ -273,7 +278,7 @@ object DataOpsQueries {
          |        FROM $prev p LEFT JOIN u$i ON u$i.sub = p.sub AND u$i.cid = p.cid)""".stripMargin
     }.mkString(",\n")
     val last = s"c$iters"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
        |sv AS (SELECT vec_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS sv FROM e, range(0, $m) s(i)),
        |svt AS (SELECT * FROM sv WHERE vec_id % $trainMod = 0),
        |c0 AS (SELECT sub, CAST(vec_id // $trainMod AS INT) AS cid, sv AS cv FROM svt WHERE vec_id < ${nlist.toLong * trainMod}),
@@ -283,7 +288,13 @@ object DataOpsQueries {
        |af AS (SELECT t.vec_id, t.sub, c.cid, ${l2("t.sv", "c.cv")} AS dist
        |       FROM sv t JOIN bk c ON c.sub = t.sub),
        |cod AS (SELECT vec_id, sub, cid FROM af
-       |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)""".stripMargin
+  }
+
+  private def pqSql(m: Int, d: Int, nlist: Int, iters: Int,
+      nQueries: Int, k: Int, trainMod: Int = 1): String = {
+    val Q = "1073741824.0"
+    s"""WITH ${pqBodySql(m, d, nlist, iters, trainMod)},
        |q AS (SELECT vec_id AS query_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS qn FROM e WHERE vec_id < $nQueries),
        |qs AS (SELECT query_id, s.i AS sub, v[(s.i*$d+1):(s.i*$d+$d)] AS qsv, qn FROM q, range(0, $m) s(i)),
        |pd AS (SELECT qs.query_id, cod.vec_id, qs.qn, c.cn2q,
@@ -1295,6 +1306,39 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.ivfPqTopK(emb(s, d), nQueries = 10, k = 5,
         nlist = 8, iters = 2, nprobe = 3, m = 4, pqNlist = 8, pqIters = 2,
         trainMod = 4))
+    },
+
+    // compression trust gate: corpus-wide squared reconstruction
+    // error of SQ8 and PQ — per-vector errors floor-quantized x1e9
+    // BEFORE the corpus sum (exact order-independent int64); the PQ
+    // side replays the identical Lloyd training via the shared body
+    Entry("ann_quant_distortion", {
+      // the shipped embeddings are 64-dim → m=4 subspaces of d=16
+      // (the ann_pq_topk parameterization)
+      val d = 16
+      s"""WITH ${pqBodySql(m = 4, d = d, nlist = 8, iters = 2, trainMod = 4)},
+         |perr AS (SELECT cod.vec_id,
+         |  CAST(floor(list_sum(list_transform(range(1, $d + 1),
+         |    j -> (t.sv[j] - c.cv[j]) * (t.sv[j] - c.cv[j]))) * 1e9) AS BIGINT) AS seq
+         | FROM cod JOIN bk c ON c.sub = cod.sub AND c.cid = cod.cid
+         |      JOIN sv t ON t.vec_id = cod.vec_id AND t.sub = cod.sub),
+         |pqv AS (SELECT vec_id, sum(seq) AS se FROM perr GROUP BY 1),
+         |sq AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         |sqv AS (SELECT vec_id, CAST(floor(list_sum(list_transform(v,
+         |    x -> CASE WHEN scale = 0 THEN 0.0
+         |         ELSE (x - CAST(round(x / scale) AS INT) * scale)
+         |            * (x - CAST(round(x / scale) AS INT) * scale) END))
+         |    * 1e9) AS BIGINT) AS se FROM sq),
+         |r1 AS (SELECT 'pq' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
+         |  max(se) AS max_se_q9 FROM pqv),
+         |r2 AS (SELECT 'sq8' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
+         |  max(se) AS max_se_q9 FROM sqv)
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => ordered(Ann.quantDistortion(emb(s, d), m = 4, nlist = 8,
+        iters = 2, trainMod = 4))
     },
 
     // int8 scalar quantization (absmax), exploded to scalar rows so

@@ -164,6 +164,30 @@ class AnnSpec extends AnyFunSuite {
       s"fewer probes can only lose neighbors: $partial")
   }
 
+  test("quantDistortion: exactly-representable corpus reads zero; jittered corpus reads sq8 << pq") {
+    import spark.implicits._
+    // integer components with per-vector absmax 127 → scale = 1.0, so
+    // SQ8 reconstructs exactly; 8 vectors with nlist=8 are their own
+    // PQ codebook → zero distortion in every subspace
+    val zero = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        if (j == 0) 127.0f else ((i * 16 + j) % 5).toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val z = Ann.quantDistortion(zero, m = 4, nlist = 8, iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(z("sq8") === ((8L, 0L, 0L, 0L)), z.toString)
+    assert(z("pq") === ((8L, 0L, 0L, 0L)), z.toString)
+    // on the jittered cluster corpus the int8 step error (~absmax/254
+    // per component) is decades below the PQ cluster radius
+    val real = Ann.quantDistortion(corpus, m = 4, nlist = 6, iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(real("pq")._2 > 0L, real.toString)
+    assert(real("sq8")._2 < real("pq")._2,
+      s"sq8 mse must undercut pq mse: $real")
+  }
+
   test("nprobeCurve: recall monotone in nprobe, full probe reads exactly 1e6 and scans the corpus") {
     val rows = Ann.nprobeCurve(corpus, nQueries = 6, k = 5,
       nlist = 6, iters = 2, nprobes = Seq(1, 3, 6)).collect()
