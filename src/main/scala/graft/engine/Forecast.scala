@@ -345,9 +345,13 @@ object Forecast {
             // held newest point were already emitted (or, for an
             // admitted late point, are immutable) — re-emitting the
             // window's whole flag set every touched batch would page
-            // a downstream consumer O(window) times per alarm
-            val prevNewest =
-              if (prev.isEmpty) Long.MinValue else prev.last._1
+            // a downstream consumer O(window) times per alarm. The
+            // horizon is the full (ts, pid) order the buffer itself
+            // sorts by: a same-second higher-pid arrival is NEW, not
+            // behind (the streamingThresholdCross guard's ordering)
+            val (hTs, hPid) =
+              if (prev.isEmpty) (Long.MinValue, Long.MinValue)
+              else (prev.last._1, prev.last._2)
             val merged = (prev ++ rows.map(r => (r._2, r._3, r._4)))
               .sortBy(r => (r._1, r._2))
             val kept = merged.takeRight(lastN)
@@ -364,10 +368,11 @@ object Forecast {
             var b = 0.0
             var sae = 0.0
             var cnt = 1L
-            kept.iterator.drop(1).foreach { case (ts, _, y) =>
+            kept.iterator.drop(1).foreach { case (ts, pid, y) =>
               val fc = l + b
               val resid = y - fc
-              if (ts > prevNewest && cnt - 1 >= minWarm &&
+              if ((ts > hTs || (ts == hTs && pid > hPid)) &&
+                  cnt - 1 >= minWarm &&
                   math.abs(resid) > k * sae / (cnt - 1).toDouble)
                 alerts += HoltResidualAlert(series, ts,
                   math.floor(fc * 1e6).toLong,
@@ -561,6 +566,10 @@ object Forecast {
 
   /** Trailing bucket sums carried across micro-batches: ≤ lastN
     * (bucket, exact int64 sum) pairs per series. */
+  /** `newest` (round 14) changed the state encoder schema: a
+    * pre-upgrade checkpoint cannot restart against this operator —
+    * wipe and re-train (the CusumState caveat; the trailing window
+    * makes re-training the standard recovery anyway). */
   final case class HwState(bucket: Array[Long], s: Array[Long],
       newest: Long)
 

@@ -755,6 +755,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(after.toSet === batchOf(b1 ++ b2 :+ (("t", 12L, 12L, 82.0))))
       assert(after.length === 2,
         s"an alarm re-fired on a later touch: ${after.toSeq}")
+      // a same-second HIGHER-PID arrival is NEW under the buffer's
+      // (ts, pid) order — the emit-once horizon must not swallow it
+      val b4 = ("t", 12L, 13L, 200.0)
+      ms.addData(b4)
+      q.processAllAvailable()
+      val fin = spark.sql(
+        "SELECT series, ts, forecast_q6, resid_q6 FROM resid_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(fin.toSet === batchOf(b1 ++ b2 ++ Seq(
+        ("t", 12L, 12L, 82.0), b4)))
+      assert(fin.length === 3,
+        s"the same-second spike must emit exactly once: ${fin.toSeq}")
     } finally q.stop()
   }
 
