@@ -77,9 +77,10 @@ object Bench {
     "text_boilerplate_scrub", "dedup_cluster_best", "text_mixture_plan",
     "ts_forecast_residual", "ann_knn_join", "dedup_semantic_recall",
     // round-14 third batch: packing trust gate, IVF tuning curve,
-    // A/B power readout, quantization distortion audit
+    // A/B power readout, quantization distortion audit, downsample
+    // fidelity gate
     "text_pack_efficiency", "ann_nprobe_curve", "ev_ab_power",
-    "ann_quant_distortion",
+    "ann_quant_distortion", "ts_downsample_fidelity",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -42,6 +42,61 @@ object Downsample {
         col("__keep.ts").as("ts"), col("__keep.val").as("val"))
   }
 
+  /** Downsample fidelity report — the trust gate for [[ltob]] (the
+    * recall-eval pattern aimed at visualization): per series, how far
+    * the kept-point POLYLINE strays from the raw data it replaces —
+    * the number that says whether a bucket width is safe to render
+    * before a dashboard commits to it. Each raw point interior to the
+    * kept hull is compared against linear interpolation between its
+    * bracketing kept points; output (series, n_raw, n_kept,
+    * n_interior, max_err_q6, mean_err_q6) with errors floor-quantized
+    * ×1e6 per point BEFORE the max/mean (exact int64 aggregation;
+    * mean is one integer division, NULL when nothing is interior).
+    * A raw point that IS its bucket's kept point brackets to itself
+    * (error 0); raw points outside the hull are not interior.
+    *
+    * Plan: the LTOB pass itself + ONE per-series window over the
+    * tagged union of raw and kept rows (LOCF brackets in both
+    * directions — the [[graft.engine.Interpolate]] idiom) + one
+    * series-sized aggregation; the brackets ride the same series
+    * exchange, nothing quadratic at any duplicate density. */
+  def fidelityReport(points: DataFrame, bucket: Long): DataFrame = {
+    val kept = ltob(points, bucket)
+      .select(col("series"), col("ts"), col("val"), lit(1L).as("flag"))
+    val raw = points
+      .select(col("series"), col("ts"), col("val"), lit(0L).as("flag"))
+    // kept rows sort FIRST at an equal ts (flag desc), so a raw row
+    // that coincides with a kept point sees it as BOTH brackets
+    val wp = Window.partitionBy(col("series"))
+      .orderBy(col("ts").asc, col("flag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("series"))
+      .orderBy(col("ts").desc, col("flag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptCnt = kept.groupBy(col("series")).agg(count(lit(1)).as("n_kept"))
+    val b = raw.unionAll(kept)
+      .withColumn("pts", last(when(col("flag") === 1L, col("ts")), ignoreNulls = true).over(wp))
+      .withColumn("pval", last(when(col("flag") === 1L, col("val")), ignoreNulls = true).over(wp))
+      .withColumn("nts", last(when(col("flag") === 1L, col("ts")), ignoreNulls = true).over(wn))
+      .withColumn("nval", last(when(col("flag") === 1L, col("val")), ignoreNulls = true).over(wn))
+      .where(col("flag") === 0L)
+      .withColumn("err_q6", expr(
+        """CAST(floor(abs(val - CASE WHEN nts = pts THEN pval
+          |  ELSE pval + (nval - pval)
+          |    * (CAST(ts - pts AS DOUBLE) / CAST(nts - pts AS DOUBLE)) END)
+          |  * 1e6) AS BIGINT)""".stripMargin))
+    b.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("err_q6").isNotNull, 1L).otherwise(0L)).as("n_interior"),
+        max(col("err_q6")).as("max_err_q6"),
+        sum(col("err_q6")).as("sum_err_q6"))
+      .join(keptCnt, Seq("series"))
+      .select(col("series"), col("n_raw"), col("n_kept"), col("n_interior"),
+        col("max_err_q6"),
+        expr("CASE WHEN n_interior = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE sum_err_q6 DIV n_interior END").as("mean_err_q6"))
+  }
+
   /** M4 downsampling (Jugel et al., VLDB 2014): per (series, bucket)
     * the four points a pixel column needs for error-free line
     * rendering — first, last, min, max — as ONE hash aggregation

@@ -1566,19 +1566,64 @@ object EngineQueries {
     })
 
   // ---- LTOB visualization downsampling (beyond-reference) ----
+  /** CTE chain of the LTOB replay (float family → neighbor areas →
+    * ranked per-bucket keeps `k`) — shared by the downsample oracle
+    * and the fidelity-report oracle so the selection text can never
+    * drift between the operator and its audit. */
+  private def ltobBodySql: String =
+    s"""p AS (SELECT series, ts, val, pid FROM ($PF)),
+       |n AS (SELECT series, ts, val, pid,
+       |       coalesce(round(abs(val - (lag(val) OVER w + lead(val) OVER w) / 2.0), 9), -1.0) AS area
+       |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid)),
+       |k AS (SELECT series, ts // 3600 AS bucket, ts, val,
+       |       row_number() OVER (PARTITION BY series, ts // 3600 ORDER BY area DESC, ts, pid) AS rk
+       |      FROM n)""".stripMargin
+
   private def downsample = Seq(
     // one kept point per (series, 1h bucket): the largest-effective-
     // area point against its immediate neighbors, ties -> earliest
     Entry("ts_downsample_ltob",
-      s"""WITH p AS (SELECT series, ts, val, pid FROM ($PF)),
-         |n AS (SELECT series, ts, val, pid,
-         |       coalesce(round(abs(val - (lag(val) OVER w + lead(val) OVER w) / 2.0), 9), -1.0) AS area
-         |      FROM p WINDOW w AS (PARTITION BY series ORDER BY ts, pid)),
-         |k AS (SELECT series, ts // 3600 AS bucket, ts, val,
-         |       row_number() OVER (PARTITION BY series, ts // 3600 ORDER BY area DESC, ts, pid) AS rk
-         |      FROM n)
+      s"""WITH $ltobBodySql
          |SELECT series, bucket, ts, val FROM k WHERE rk = 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Downsample.ltob(F(s, d), bucket = 3600L))
+    },
+    // the downsample trust gate: max/mean polyline error of the LTOB
+    // keeps against the raw points they replace — per-point errors
+    // floor-quantized x1e6 before the max/mean, brackets via LOCF
+    // windows over the tagged raw+kept union (kept sorts first at an
+    // equal ts, so a kept raw twin brackets to itself)
+    Entry("ts_downsample_fidelity",
+      s"""WITH $ltobBodySql,
+         |kk AS (SELECT series, ts, val FROM k WHERE rk = 1),
+         |u AS (SELECT series, ts, val, 0 AS flag FROM p
+         |      UNION ALL SELECT series, ts, val, 1 FROM kk),
+         |b AS (SELECT series, ts, val, flag,
+         |       last_value(CASE WHEN flag = 1 THEN ts END IGNORE NULLS) OVER wp AS pts,
+         |       last_value(CASE WHEN flag = 1 THEN val END IGNORE NULLS) OVER wp AS pval,
+         |       last_value(CASE WHEN flag = 1 THEN ts END IGNORE NULLS) OVER wn AS nts,
+         |       last_value(CASE WHEN flag = 1 THEN val END IGNORE NULLS) OVER wn AS nval
+         |      FROM u
+         |      WINDOW wp AS (PARTITION BY series ORDER BY ts, flag DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wn AS (PARTITION BY series ORDER BY ts DESC, flag DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e AS (SELECT series,
+         |       CAST(floor(abs(val - CASE WHEN nts = pts THEN pval
+         |         ELSE pval + (nval - pval)
+         |           * (CAST(ts - pts AS DOUBLE) / CAST(nts - pts AS DOUBLE)) END)
+         |         * 1e6) AS BIGINT) AS err_q6
+         |      FROM b WHERE flag = 0),
+         |kc AS (SELECT series, CAST(count(*) AS BIGINT) AS n_kept FROM kk GROUP BY 1),
+         |a AS (SELECT series, CAST(count(*) AS BIGINT) AS n_raw,
+         |       CAST(sum(CASE WHEN err_q6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_interior,
+         |       max(err_q6) AS max_err_q6, sum(err_q6) AS sum_err_q6
+         |      FROM e GROUP BY 1)
+         |SELECT a.series, n_raw, n_kept, n_interior, max_err_q6,
+         |  CASE WHEN n_interior = 0 THEN NULL
+         |       ELSE sum_err_q6 // n_interior END AS mean_err_q6
+         |FROM a JOIN kc ON kc.series = a.series ORDER BY ALL""".stripMargin) {
+      (s, d) => ordered(graft.engine.Downsample.fidelityReport(F(s, d),
+        bucket = 3600L))
     },
     // M4 (first/last/min/max per pixel bucket): one hash agg, no
     // window; tie-breaks replayed via DuckDB's ordered aggregates

@@ -765,6 +765,24 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert((t0.getLong(7), t0.getLong(9)) === ((0L, 0L)))
   }
 
+  test("fidelityReport: a dropped point's polyline error is exact; kept twins and singletons read zero") {
+    // bucket=4: b0 {ts0} and b2 {ts9} are singleton keeps; b1 holds
+    // the spike (ts5, 10.0, area 6) and the flat point (ts6, 4.0,
+    // area 3) — LTOB keeps the spike, so ts6 interpolates between
+    // (5, 10.0) and (9, 4.0): 10 − 6·(1/4) = 8.5, err 4.5 exactly
+    // (the 0.25 fraction is an exact binary double)
+    val pts = Seq(
+      ("s", 0L, 4.0, 1L), ("s", 5L, 10.0, 2L), ("s", 6L, 4.0, 3L),
+      ("s", 9L, 4.0, 4L),
+      ("t", 0L, 1.0, 1L)
+    ).toDF("series", "ts", "val", "pid")
+    val out = graft.engine.Downsample.fidelityReport(pts, bucket = 4L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("s") === ((4L, 3L, 4L, 4500000L, 1125000L)), out.toString)
+    assert(out("t") === ((1L, 1L, 1L, 0L, 0L)), out.toString)
+  }
+
   test("gaps: only silences over the threshold; dup-ts points never fake a gap; series isolated") {
     val pts = Seq(
       ("s", 0L, 1L), ("s", 5L, 2L), ("s", 5L, 3L), // dup ts
