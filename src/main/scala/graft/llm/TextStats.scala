@@ -120,6 +120,42 @@ object TextStats {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Live mixture sampling — the streaming half of [[sampleMixture]]
+    * (the one sampling-family member without a live twin): the same
+    * seedless md5(doc_id) draw against per-source keep RATES compiled
+    * in as literals (the streamingIvfAssign pattern — rates come from
+    * a planning pass such as [[mixturePlan]]/[[sampleMixture]]'s
+    * w·T/n over a reference corpus; a stream has no stable corpus
+    * counts to derive them from live). Stateless narrow filter: no
+    * state store, no watermark, append mode with any sink, and —
+    * because the draw has no RNG state — the kept set over any prefix
+    * equals [[sampleMixture]]'s output whenever the rates match the
+    * batch computation (StreamingSpec pins it on exactly-representable
+    * rates). Sources absent from `rates` are dropped. */
+  def streamingSampleMixture(stream: DataFrame,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be keep probabilities in [0, 1]")
+    val hv = expr(
+      "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    stream.where(hv < rate * lit(1152921504606846976.0))
+  }
+
+  /** Live achieved-mixture monitor — the streaming half of
+    * [[mixtureReport]]: cumulative per-source kept counts over the
+    * [[streamingSampleMixture]] filter, the running table a mixture
+    * dashboard compares against its targets while the draw is still
+    * in flight. One streaming aggregation (complete/update mode),
+    * source-sized state; counts are exact and, after any prefix,
+    * equal the batch groupBy over the same kept set. */
+  def streamingMixtureMonitor(stream: DataFrame,
+      rates: Map[String, Double]): DataFrame =
+    streamingSampleMixture(stream, rates)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+
   /** Temperature-weighted source sampling — the multilingual-mix
     * operator (the p_s ∝ n_s^α upweighting mBERT/XLM-style recipes
     * use, α < 1 flattening the source distribution so small sources

@@ -262,6 +262,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("streaming mixture filter matches batch sampleMixture; the monitor's counts settle exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // a=800 docs, d=100 docs, weights 1:1 → T = min(800/1, 100/1) =
+    // 100 → rates a = 100/800 = 0.125 (exact binary), d = 1.0 — the
+    // same literals the batch op derives, so the kept sets are equal
+    val rows = (0 until 800).map(i => (i.toLong, "w", "a")) ++
+      (0 until 100).map(i => (3000L + i, "w", "d"))
+    val rates = Map("a" -> 0.125, "d" -> 1.0)
+    val batch = graft.llm.TextStats.sampleMixture(
+      rows.toDF("doc_id", "text", "source"),
+      Map("a" -> 1.0, "d" -> 1.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.llm.TextStats.streamingSampleMixture(
+      ms.toDF().toDF("doc_id", "text", "source"), rates)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_live").start()
+    val qm = graft.llm.TextStats.streamingMixtureMonitor(
+      ms.toDF().toDF("doc_id", "text", "source"), rates)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mix_monitor").start()
+    try {
+      // split mid-source so the draw spans micro-batches
+      ms.addData(rows.take(500): _*)
+      q.processAllAvailable(); qm.processAllAvailable()
+      ms.addData(rows.drop(500): _*)
+      q.processAllAvailable(); qm.processAllAvailable()
+      val live = spark.sql("SELECT doc_id, source FROM mix_live")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(live === batch,
+        s"stateless draw must equal the batch mixture: ${live.size} vs ${batch.size}")
+      val mon = spark.sql("SELECT source, n_sampled FROM mix_monitor")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = batch.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(mon === want, s"monitor $mon vs batch $want")
+      assert(mon("d") === 100L, "the argmin source keeps everything")
+    } finally { q.stop(); qm.stop() }
+  }
+
   test("streaming session windows finalize past the watermark and agree with batch sessionize") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
