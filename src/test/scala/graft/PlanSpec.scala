@@ -196,6 +196,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!ep.contains("rangepartitioning"), ep)
   }
 
+  test("fidelityReport rides the series exchange; quantDistortion's lineage stays bounded") {
+    import spark.implicits._
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      "Exchange hashpartitioning".r
+        .findAllIn(plan(df).split("== Initial Plan ==").head).size
+    }
+    // the LTOB window, both LOCF bracket windows, the per-series agg
+    // and the kept-count join all require hashpartitioning(series):
+    // a handful of exchanges over the union's two branches, never a
+    // rangepartitioning (no global sort) and never a per-point join
+    val pts = (0L until 256L).map(i =>
+      ("s" + (i % 4), i, math.sin(i.toDouble), i)).toDF("series", "ts", "val", "pid")
+    val fid = graft.engine.Downsample.fidelityReport(pts, bucket = 16L)
+    fid.collect()
+    val fp = plan(fid).split("== Initial Plan ==").head
+    assert(!fp.contains("rangepartitioning"), fp)
+    assert(shuffles(fid) <= 6, s"fidelity re-exchanged: ${shuffles(fid)}")
+    // distortion = one PQ training (localCheckpoint'ed per round) +
+    // one broadcast codebook join + 1-row aggs: the same bounded
+    // lineage budget the kmeans entries carry
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val qd = graft.llm.Ann.quantDistortion(emb, m = 4, nlist = 4, iters = 2)
+    assert(shuffles(qd) <= 15, s"distortion lineage blew up: ${shuffles(qd)}")
+  }
+
   test("abPower adds no exchange over abTest; nprobeCurve trains once (bounded lineage)") {
     import spark.implicits._
     val ev = (0L until 200L).map(i =>
