@@ -549,14 +549,14 @@ object Anomaly {
 
   /** Trailing bucket-sum table carried across micro-batches (≤
     * lastN+1 exact int64 sums per series — the [[graft.engine.
-    * Forecast.HwState]] bound) plus the newest bucket already scored,
-    * so each alarm is emitted exactly once. */
-  /** `newest` (the all-time max event time, round 14) changed the
-    * state ENCODER SCHEMA: a checkpoint written by the 3-field shape
-    * cannot restart against this operator (Spark's state-store schema
-    * check rejects it) — wipe the checkpoint and re-train; the state
-    * is a trailing window, so re-training is the same recovery an
-    * idle eviction already gives. */
+    * Forecast.HwState]] bound) plus the newest bucket already scored
+    * (so each alarm is emitted exactly once) and the all-time newest
+    * event time (the eviction clock — a late-only batch must not pull
+    * the deadline earlier). `newest` (round 14) changed the state
+    * ENCODER SCHEMA: a checkpoint written by the 3-field shape cannot
+    * restart against this operator — wipe and re-train; the state is
+    * a trailing window, so re-training is the same recovery an idle
+    * eviction already gives. */
   final case class CusumState(bucket: Array[Long], s: Array[Long],
       emitted: Long, newest: Long)
 

@@ -73,24 +73,28 @@ object Downsample {
     val wn = Window.partitionBy(col("series"))
       .orderBy(col("ts").desc, col("flag").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val keptCnt = kept.groupBy(col("series")).agg(count(lit(1)).as("n_kept"))
-    val b = raw.unionAll(kept)
+    // ONE aggregation over the tagged union carries both the raw-side
+    // error stats and the kept count — re-aggregating a second LTOB
+    // subtree just to count keeps would pay the downsample window
+    // twice (Catalyst does not dedupe the common subtree)
+    raw.unionAll(kept)
       .withColumn("pts", last(when(col("flag") === 1L, col("ts")), ignoreNulls = true).over(wp))
       .withColumn("pval", last(when(col("flag") === 1L, col("val")), ignoreNulls = true).over(wp))
       .withColumn("nts", last(when(col("flag") === 1L, col("ts")), ignoreNulls = true).over(wn))
       .withColumn("nval", last(when(col("flag") === 1L, col("val")), ignoreNulls = true).over(wn))
-      .where(col("flag") === 0L)
       .withColumn("err_q6", expr(
-        """CAST(floor(abs(val - CASE WHEN nts = pts THEN pval
-          |  ELSE pval + (nval - pval)
-          |    * (CAST(ts - pts AS DOUBLE) / CAST(nts - pts AS DOUBLE)) END)
-          |  * 1e6) AS BIGINT)""".stripMargin))
-    b.groupBy(col("series"))
-      .agg(count(lit(1)).as("n_raw"),
+        """CASE WHEN flag = 0 THEN
+          |  CAST(floor(abs(val - CASE WHEN nts = pts THEN pval
+          |    ELSE pval + (nval - pval)
+          |      * (CAST(ts - pts AS DOUBLE) / CAST(nts - pts AS DOUBLE)) END)
+          |    * 1e6) AS BIGINT)
+          |ELSE CAST(NULL AS BIGINT) END""".stripMargin))
+      .groupBy(col("series"))
+      .agg(sum(when(col("flag") === 0L, 1L).otherwise(0L)).as("n_raw"),
+        sum(col("flag")).as("n_kept"),
         sum(when(col("err_q6").isNotNull, 1L).otherwise(0L)).as("n_interior"),
         max(col("err_q6")).as("max_err_q6"),
         sum(col("err_q6")).as("sum_err_q6"))
-      .join(keptCnt, Seq("series"))
       .select(col("series"), col("n_raw"), col("n_kept"), col("n_interior"),
         col("max_err_q6"),
         expr("CASE WHEN n_interior = 0 THEN CAST(NULL AS BIGINT) " +

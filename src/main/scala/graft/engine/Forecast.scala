@@ -564,11 +564,12 @@ object Forecast {
             .cast("long")).as("skill_holt_q6"))
   }
 
-  /** Trailing bucket sums carried across micro-batches: ≤ lastN
-    * (bucket, exact int64 sum) pairs per series. */
-  /** `newest` (round 14) changed the state encoder schema: a
-    * pre-upgrade checkpoint cannot restart against this operator —
-    * wipe and re-train (the CusumState caveat; the trailing window
+  /** Trailing bucket sums carried across micro-batches (≤ lastN
+    * (bucket, exact int64 sum) pairs per series) plus the all-time
+    * newest event time (the eviction clock). `newest` (round 14)
+    * changed the state encoder schema: a pre-upgrade checkpoint
+    * cannot restart against this operator — wipe and re-train (the
+    * [[graft.engine.Anomaly.CusumState]] caveat; the trailing window
     * makes re-training the standard recovery anyway). */
   final case class HwState(bucket: Array[Long], s: Array[Long],
       newest: Long)

@@ -138,10 +138,7 @@ object TextStats {
       "rates must be keep probabilities in [0, 1]")
     val hv = expr(
       "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
-    }
-    stream.where(hv < rate * lit(1152921504606846976.0))
+    stream.where(hv < weightCase(rates) * lit(1152921504606846976.0))
   }
 
   /** Live achieved-mixture monitor — the streaming half of

@@ -210,10 +210,10 @@ class PlanSpec extends AnyFunSuite {
     val pts = (0L until 256L).map(i =>
       ("s" + (i % 4), i, math.sin(i.toDouble), i)).toDF("series", "ts", "val", "pid")
     val fid = graft.engine.Downsample.fidelityReport(pts, bucket = 16L)
-    fid.collect()
+    val fidShuffles = shuffles(fid) // collects once, plan is then final
     val fp = plan(fid).split("== Initial Plan ==").head
     assert(!fp.contains("rangepartitioning"), fp)
-    assert(shuffles(fid) <= 6, s"fidelity re-exchanged: ${shuffles(fid)}")
+    assert(fidShuffles <= 6, s"fidelity re-exchanged: $fidShuffles")
     // distortion = one PQ training (localCheckpoint'ed per round) +
     // one broadcast codebook join + 1-row aggs: the same bounded
     // lineage budget the kmeans entries carry
