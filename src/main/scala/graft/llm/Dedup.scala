@@ -679,7 +679,7 @@ object Dedup {
       maxDist: Int = 3, bands: Int = 4, maxDf: Long = 0L,
       sampleMod: Long = 0L, sampleTarget: Long = 2500L,
       mhHashes: Int = 128, mhBands: Int = 32,
-      mhMaxBucket: Long = 0L): DataFrame = {
+      mhMaxBucket: Long = 0L, jcMaxDf: Long = 10L): DataFrame = {
     val slice = Adaptive.slice(docs, "doc_id", sampleMod, sampleTarget)
     val truth = ngramJaccardPairs(slice, n, theta, maxDf)
     val caught = simhashPairs(slice, maxDist, bands)
@@ -692,19 +692,30 @@ object Dedup {
     val mcaught = minhashLshPairs(slice, n, mhHashes, mhBands, theta,
         mhMaxBucket)
       .select(col("id_a"), col("id_b"), lit(1L).as("__mhit"))
+    // the capped-Jaccard column grades the EXACT family's own scale
+    // knob (maxDf — hot shingles dropped from the inverted index): a
+    // pair whose capped intersection falls below θ is the cap's real
+    // recall cost, measured per band over the same truth set
+    val jcaught = ngramJaccardPairs(slice, n, theta, jcMaxDf)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__jhit"))
     truth.join(caught, Seq("id_a", "id_b"), "left")
       .join(mcaught, Seq("id_a", "id_b"), "left")
+      .join(jcaught, Seq("id_a", "id_b"), "left")
       .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
         .as("band"))
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_caught"),
-        sum(coalesce(col("__mhit"), lit(0L))).as("mh_caught"))
+        sum(coalesce(col("__mhit"), lit(0L))).as("mh_caught"),
+        sum(coalesce(col("__jhit"), lit(0L))).as("jc_caught"))
       .withColumn("recall_q6",
         expr("n_caught * 1000000L div n_true"))
       .withColumn("mh_recall_q6",
         expr("mh_caught * 1000000L div n_true"))
+      .withColumn("jc_recall_q6",
+        expr("jc_caught * 1000000L div n_true"))
       .select(col("band"), col("n_true"), col("n_caught"),
-        col("recall_q6"), col("mh_caught"), col("mh_recall_q6"))
+        col("recall_q6"), col("mh_caught"), col("mh_recall_q6"),
+        col("jc_caught"), col("jc_recall_q6"))
   }
 
   def simhash(docs: DataFrame): DataFrame = {

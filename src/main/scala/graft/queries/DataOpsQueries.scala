@@ -121,6 +121,26 @@ object DataOpsQueries {
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin
 
+  /** JACCARD_SQL's capped twin (the scale path): shingles with
+    * df > maxDf are dropped from the inverted index before the
+    * self-join while sizes still count all shingles — shared by the
+    * capped entry and the recall audit's jc columns so the capped
+    * semantics can never drift from their grade. */
+  private def jaccardCappedSql(maxDf: Long): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+       |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+       |       FROM toks WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > $maxDf),
+       |idx AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
+       |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+       |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin
+
   /** Exact all-pairs replay of Dedup.simhashPairs (the banded search
     * has pigeonhole-complete recall at maxDist < bands, so the two
     * forms coincide) — shared by the standalone entry and the
@@ -426,20 +446,7 @@ object DataOpsQueries {
     // key's fan-out at maxDf²) while sizes still count all shingles —
     // this entry pins the capped semantics exactly, not just the
     // cap-off variant above
-    Entry("dedup_ngram_jaccard_capped",
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
-        |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
-        |       FROM toks WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 10),
-        |idx AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)),
-        |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |       FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
-        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin) {
+    Entry("dedup_ngram_jaccard_capped", jaccardCappedSql(10L)) {
       (s, d) => ordered(Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5,
         maxDf = 10L))
     },
@@ -1007,15 +1014,19 @@ object DataOpsQueries {
          |    % greatest(1, (SELECT count(*) FROM documents) // 2500) = 0),
          |tru AS (SELECT id_a, id_b, jaccard FROM (${JACCARD_SQL.replace("FROM documents", "FROM sdocs")}) j),
          |cand AS (SELECT id_a, id_b FROM (${SIMHASH_PAIRS_SQL.replace("FROM documents", "FROM sdocs")}) s),
-         |mcand AS (SELECT id_a, id_b FROM tru)
+         |mcand AS (SELECT id_a, id_b FROM tru),
+         |jcand AS (SELECT id_a, id_b FROM (${jaccardCappedSql(10L).replace("FROM documents", "FROM sdocs")}) c)
          |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
          |       count(*) AS n_true,
          |       CAST(count(cand.id_a) AS BIGINT) AS n_caught,
          |       count(cand.id_a) * 1000000 // count(*) AS recall_q6,
          |       CAST(count(mcand.id_a) AS BIGINT) AS mh_caught,
-         |       count(mcand.id_a) * 1000000 // count(*) AS mh_recall_q6
+         |       count(mcand.id_a) * 1000000 // count(*) AS mh_recall_q6,
+         |       CAST(count(jcand.id_a) AS BIGINT) AS jc_caught,
+         |       count(jcand.id_a) * 1000000 // count(*) AS jc_recall_q6
          |FROM tru LEFT JOIN cand USING (id_a, id_b)
          |         LEFT JOIN mcand USING (id_a, id_b)
+         |         LEFT JOIN jcand USING (id_a, id_b)
          |GROUP BY 1 ORDER BY ALL""".stripMargin) {
       // mcand = tru is the oracle's STATEMENT that uncapped 128/32
       // banded MinHash recovers the exact pair set on this corpus

@@ -284,6 +284,34 @@ class DedupSpec extends AnyFunSuite {
       un.view.mapValues(v => (v._1, v._2, v._3)).toMap)
   }
 
+  test("recall audit capped-Jaccard column: the df cap loses exactly the hot cluster's band") {
+    // the 7-doc identical cluster gives every one of its shingles
+    // df = 7: a cap of 3 drops them ALL from the inverted index, so
+    // its 21 band-9 pairs vanish from the capped path — while the
+    // base/dup pairs ride their df<=2 shingles unharmed; at the
+    // default cap 10 nothing on this corpus is hot and jc == truth
+    val mega = (0 until 6).map(i => (200L + i, baseText(7)))
+    val bases = (0 until 20).map(d => (d.toLong, baseText(d)))
+    val dups = (0 until 5).map { d =>
+      val toks = baseText(d).split(" ").toVector.updated(20, "CHANGED")
+      (100L + d, toks.mkString(" "))
+    }
+    val c2 = (bases ++ dups ++ mega).toDF("doc_id", "text")
+    def audit(cap: Long) = Dedup.simhashRecallAudit(c2, n = 3,
+      theta = 0.5, maxDist = 3, bands = 4, jcMaxDf = cap).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(6),
+        r.getLong(7)))).toMap
+    val free = audit(10L)
+    assert(free.values.forall { case (t, jc, jr) =>
+      jc === t && jr === 1000000L },
+      s"a cap no shingle reaches must be free: $free")
+    val biting = audit(3L)
+    assert(biting(9L)._2 === free(9L)._1 - 21L, biting.toString)
+    assert(biting(9L)._3 < 1000000L)
+    assert(biting.forall { case (b, (_, jc, _)) => jc <= free(b)._2 },
+      "capped recall can never exceed uncapped")
+  }
+
   test("semanticClusters: planted duplicates share a cell and cluster with recall 1.0") {
     // 600 vectors, 2 labels: forces the adaptive sign-prefix split
     // (l * 256 = 512 < 600 -> bits = 1); duplicates are identical
