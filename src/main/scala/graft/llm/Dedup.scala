@@ -130,6 +130,20 @@ object Dedup {
     // scale that stage IS the job (the minhashPrep lesson)
     val sh = shingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dup pairs are output-sized: pin them and release the cache
+    // NOW (composing callers like dupRateBySource re-consume the
+    // result, never the shingles)
+    val out = jaccardPairsFrom(sh, theta, maxDf).localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
+    out
+  }
+
+  /** [[ngramJaccardPairs]]'s core over an already-persisted shingle
+    * frame — exposed separately so [[simhashRecallAudit]] can derive
+    * the uncapped truth AND the df-capped grade from ONE shingle pass
+    * instead of re-shingling the slice per path. */
+  private def jaccardPairsFrom(sh: DataFrame, theta: Double,
+      maxDf: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val idx =
       if (maxDf <= 0) sh
@@ -145,19 +159,13 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val pairs = inter
+    inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
       .withColumn("jaccard",
         round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
       .where(col("jaccard") >= theta)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // near-dup pairs are output-sized: pin them and release the cache
-    // NOW (composing callers like dupRateBySource re-consume the
-    // result, never the shingles)
-    val out = pairs.localCheckpoint(eager = true)
-    sh.unpersist(blocking = true)
-    out
   }
 
   /** Shared minhash prep for the batch ([[minhashLshPairs]]) and
@@ -680,8 +688,29 @@ object Dedup {
       sampleMod: Long = 0L, sampleTarget: Long = 2500L,
       mhHashes: Int = 128, mhBands: Int = 32,
       mhMaxBucket: Long = 0L, jcMaxDf: Long = 10L): DataFrame = {
-    val slice = Adaptive.slice(docs, "doc_id", sampleMod, sampleTarget)
-    val truth = ngramJaccardPairs(slice, n, theta, maxDf)
+    val mod = Adaptive.modulus(docs, sampleMod, sampleTarget)
+    val slice = Adaptive.sliceAt(docs, "doc_id", mod)
+    // ONE shingle pass feeds both the uncapped truth and the capped
+    // grade (re-shingling the slice per path would double the
+    // audit's dominant stage)
+    val sh = shingles(slice, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = jaccardPairsFrom(sh, theta, maxDf)
+      .localCheckpoint(eager = true)
+    // the capped-Jaccard column grades the EXACT family's own scale
+    // knob (maxDf — hot shingles dropped from the inverted index): a
+    // pair whose capped intersection falls below θ is the cap's real
+    // recall cost, measured per band over the same truth set. df is a
+    // CORPUS-GLOBAL statistic that thins with the slice (~df/mod under
+    // the uniform draw), so the graded cap scales proportionally —
+    // max(1, jcMaxDf/mod) bites on the slice where jcMaxDf would on
+    // the corpus in expectation; below the sample target the slice IS
+    // the corpus and the cap is exact
+    val jcaught = jaccardPairsFrom(sh, theta,
+        math.max(1L, jcMaxDf / mod))
+      .select(col("id_a"), col("id_b"), lit(1L).as("__jhit"))
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
     val caught = simhashPairs(slice, maxDist, bands)
       .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
     // the MinHash column audits the operator whose recall knobs a
@@ -692,12 +721,6 @@ object Dedup {
     val mcaught = minhashLshPairs(slice, n, mhHashes, mhBands, theta,
         mhMaxBucket)
       .select(col("id_a"), col("id_b"), lit(1L).as("__mhit"))
-    // the capped-Jaccard column grades the EXACT family's own scale
-    // knob (maxDf — hot shingles dropped from the inverted index): a
-    // pair whose capped intersection falls below θ is the cap's real
-    // recall cost, measured per band over the same truth set
-    val jcaught = ngramJaccardPairs(slice, n, theta, jcMaxDf)
-      .select(col("id_a"), col("id_b"), lit(1L).as("__jhit"))
     truth.join(caught, Seq("id_a", "id_b"), "left")
       .join(mcaught, Seq("id_a", "id_b"), "left")
       .join(jcaught, Seq("id_a", "id_b"), "left")

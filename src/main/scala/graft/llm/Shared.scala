@@ -18,18 +18,27 @@ import org.apache.spark.sql.functions._
   * cannot stay lazy, and callers building the plan without running it
   * still pay that one count job. */
 private[llm] object Adaptive {
-  def slice(df: DataFrame, idCol: String, sampleMod: Long,
-      sampleTarget: Long): DataFrame = {
+  /** The slice's modulus: explicit when sampleMod > 0, else derived
+    * from the eager count (exposed separately because corpus-GLOBAL
+    * statistics inside an audit — e.g. a df cap — must scale with the
+    * thinning the modulus applies). */
+  def modulus(df: DataFrame, sampleMod: Long, sampleTarget: Long): Long = {
     require(sampleMod >= 0L && sampleTarget >= 1L,
       "sampleMod must be >= 0 (0 = adaptive) and sampleTarget >= 1")
-    val mod =
-      if (sampleMod > 0L) sampleMod
-      else math.max(1L, df.count() / sampleTarget)
+    if (sampleMod > 0L) sampleMod
+    else math.max(1L, df.count() / sampleTarget)
+  }
+
+  /** The deterministic md5 slice at an already-resolved modulus. */
+  def sliceAt(df: DataFrame, idCol: String, mod: Long): DataFrame =
     if (mod <= 1L) df
     else df.where(expr(
       s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
       % mod === 0)
-  }
+
+  def slice(df: DataFrame, idCol: String, sampleMod: Long,
+      sampleTarget: Long): DataFrame =
+    sliceAt(df, idCol, modulus(df, sampleMod, sampleTarget))
 }
 
 /** The deterministic embedding cell shared by the SemDeDup family

@@ -126,7 +126,7 @@ object DataOpsQueries {
     * self-join while sizes still count all shingles — shared by the
     * capped entry and the recall audit's jc columns so the capped
     * semantics can never drift from their grade. */
-  private def jaccardCappedSql(maxDf: Long): String =
+  private def jaccardCappedSql(maxDf: String): String =
     s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
        |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
@@ -446,7 +446,7 @@ object DataOpsQueries {
     // key's fan-out at maxDf²) while sizes still count all shingles —
     // this entry pins the capped semantics exactly, not just the
     // cap-off variant above
-    Entry("dedup_ngram_jaccard_capped", jaccardCappedSql(10L)) {
+    Entry("dedup_ngram_jaccard_capped", jaccardCappedSql("10")) {
       (s, d) => ordered(Dedup.ngramJaccardPairs(docs(s, d), n = 3, theta = 0.5,
         maxDf = 10L))
     },
@@ -1015,7 +1015,14 @@ object DataOpsQueries {
          |tru AS (SELECT id_a, id_b, jaccard FROM (${JACCARD_SQL.replace("FROM documents", "FROM sdocs")}) j),
          |cand AS (SELECT id_a, id_b FROM (${SIMHASH_PAIRS_SQL.replace("FROM documents", "FROM sdocs")}) s),
          |mcand AS (SELECT id_a, id_b FROM tru),
-         |jcand AS (SELECT id_a, id_b FROM (${jaccardCappedSql(10L).replace("FROM documents", "FROM sdocs")}) c)
+         |jcand AS (SELECT id_a, id_b FROM (${
+      // the slice modulus thins every shingle's df ~1/mod, so the
+      // graded cap scales with it: greatest(1, 10 // mod) — the
+      // modulus reads the FULL corpus count (the placeholder survives
+      // the sdocs rewrite, which must not touch it)
+      jaccardCappedSql("greatest(1, 10 // greatest(1, __FULLCOUNT__ // 2500))")
+        .replace("FROM documents", "FROM sdocs")
+        .replace("__FULLCOUNT__", "(SELECT count(*) FROM documents)")}) c)
          |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
          |       count(*) AS n_true,
          |       CAST(count(cand.id_a) AS BIGINT) AS n_caught,

@@ -17,6 +17,21 @@ class DedupSpec extends AnyFunSuite {
   // 100..104 are near-copies of docs 0..4 with one token changed
   private def baseText(d: Int) =
     (0 until 40).map(k => s"t${d}_$k").mkString(" ")
+  /** [[corpus]] plus a planted 7-doc identical cluster (doc 7 + six
+    * copies at ids 200+): its C(7,2) = 21 pairs all sit at jaccard
+    * 1.0 (band 9), every one of its shingles has df = 7, and every
+    * band bucket it occupies holds 7 docs — the biting-cap fixture
+    * shared by the MinHash maxBucket and capped-Jaccard audit pins. */
+  private def megaCorpus = {
+    val mega = (0 until 6).map(i => (200L + i, baseText(7)))
+    val bases = (0 until 20).map(d => (d.toLong, baseText(d)))
+    val dups = (0 until 5).map { d =>
+      val toks = baseText(d).split(" ").toVector.updated(20, "CHANGED")
+      (100L + d, toks.mkString(" "))
+    }
+    (bases ++ dups ++ mega).toDF("doc_id", "text")
+  }
+
   private def corpus = {
     val bases = (0 until 20).map(d => (d.toLong, baseText(d)))
     val dups = (0 until 5).map { d =>
@@ -254,13 +269,7 @@ class DedupSpec extends AnyFunSuite {
     // plant a 7-doc identical cluster (doc 7 + six copies): its C(7,2)
     // = 21 pairs all sit at jaccard 1.0 (band 9), and every band
     // bucket the cluster occupies holds 7 docs — over any cap < 7
-    val mega = (0 until 6).map(i => (200L + i, baseText(7)))
-    val bases = (0 until 20).map(d => (d.toLong, baseText(d)))
-    val dups = (0 until 5).map { d =>
-      val toks = baseText(d).split(" ").toVector.updated(20, "CHANGED")
-      (100L + d, toks.mkString(" "))
-    }
-    val c2 = (bases ++ dups ++ mega).toDF("doc_id", "text")
+    val c2 = megaCorpus
     def audit(cap: Long) = Dedup.simhashRecallAudit(c2, n = 3,
       theta = 0.5, maxDist = 3, bands = 4, mhMaxBucket = cap).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
@@ -290,13 +299,7 @@ class DedupSpec extends AnyFunSuite {
     // its 21 band-9 pairs vanish from the capped path — while the
     // base/dup pairs ride their df<=2 shingles unharmed; at the
     // default cap 10 nothing on this corpus is hot and jc == truth
-    val mega = (0 until 6).map(i => (200L + i, baseText(7)))
-    val bases = (0 until 20).map(d => (d.toLong, baseText(d)))
-    val dups = (0 until 5).map { d =>
-      val toks = baseText(d).split(" ").toVector.updated(20, "CHANGED")
-      (100L + d, toks.mkString(" "))
-    }
-    val c2 = (bases ++ dups ++ mega).toDF("doc_id", "text")
+    val c2 = megaCorpus
     def audit(cap: Long) = Dedup.simhashRecallAudit(c2, n = 3,
       theta = 0.5, maxDist = 3, bands = 4, jcMaxDf = cap).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(6),
@@ -310,6 +313,22 @@ class DedupSpec extends AnyFunSuite {
     assert(biting(9L)._3 < 1000000L)
     assert(biting.forall { case (b, (_, jc, _)) => jc <= free(b)._2 },
       "capped recall can never exceed uncapped")
+    // df is corpus-global and thins ~1/mod with the slice, so the
+    // graded cap scales: a mod-3 audit at jcMaxDf=9 must equal the
+    // direct audit of the slice at cap 9/3 = 3
+    val mod = 3L
+    val slice = megaCorpus.where(expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      % mod === 0)
+    val scaled = Dedup.simhashRecallAudit(megaCorpus, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4, sampleMod = mod, jcMaxDf = 9L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6), r.getLong(7)))
+      .toSet
+    val direct = Dedup.simhashRecallAudit(slice, n = 3, theta = 0.5,
+      maxDist = 3, bands = 4, jcMaxDf = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(scaled === direct, s"scaled=$scaled direct=$direct")
   }
 
   test("semanticClusters: planted duplicates share a cell and cluster with recall 1.0") {
