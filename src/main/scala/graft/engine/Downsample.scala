@@ -49,11 +49,20 @@ object Downsample {
     * before a dashboard commits to it. Each raw point interior to the
     * kept hull is compared against linear interpolation between its
     * bracketing kept points; output (series, n_raw, n_kept,
-    * n_interior, max_err_q6, mean_err_q6) with errors floor-quantized
-    * ×1e6 per point BEFORE the max/mean (exact int64 aggregation;
-    * mean is one integer division, NULL when nothing is interior).
-    * A raw point that IS its bucket's kept point brackets to itself
-    * (error 0); raw points outside the hull are not interior.
+    * n_interior, max_err_q6, mean_err_q6). Errors are measured on
+    * ×1e6 floor-quantized values: every operand (val and both bracket
+    * vals) quantizes to int64 FIRST (`floor(val·1e6)` — one IEEE
+    * multiply of the stored double, identical in any engine), then
+    * the interpolation error is the pure-integer cross-multiplied
+    * form |(vq−pq)·(nts−pts) − (nq−pq)·(ts−pts)| DIV (nts−pts) — no
+    * float division/multiplication/fold past the quantization, so no
+    * engine's arithmetic can perturb a single error unit (int64
+    * headroom: q6 values ≤ ~1e11 × bracket gaps ≤ ~1e7 s keeps the
+    * cross products under ~2e18). max/mean are exact int64
+    * aggregation; mean is one integer division, NULL when nothing is
+    * interior. A raw point that IS its bucket's kept point brackets
+    * to itself (error 0); raw points outside the hull are not
+    * interior.
     *
     * Plan: the LTOB pass itself + ONE per-series window over the
     * tagged union of raw and kept rows (LOCF brackets in both
@@ -62,9 +71,11 @@ object Downsample {
     * exchange, nothing quadratic at any duplicate density. */
   def fidelityReport(points: DataFrame, bucket: Long): DataFrame = {
     val kept = ltob(points, bucket)
-      .select(col("series"), col("ts"), col("val"), lit(1L).as("flag"))
+      .select(col("series"), col("ts"),
+        expr("CAST(floor(val * 1e6) AS BIGINT)").as("vq"), lit(1L).as("flag"))
     val raw = points
-      .select(col("series"), col("ts"), col("val"), lit(0L).as("flag"))
+      .select(col("series"), col("ts"),
+        expr("CAST(floor(val * 1e6) AS BIGINT)").as("vq"), lit(0L).as("flag"))
     // kept rows sort FIRST at an equal ts (flag desc), so a raw row
     // that coincides with a kept point sees it as BOTH brackets
     val wp = Window.partitionBy(col("series"))
@@ -79,15 +90,14 @@ object Downsample {
     // twice (Catalyst does not dedupe the common subtree)
     raw.unionAll(kept)
       .withColumn("pts", last(when(col("flag") === 1L, col("ts")), ignoreNulls = true).over(wp))
-      .withColumn("pval", last(when(col("flag") === 1L, col("val")), ignoreNulls = true).over(wp))
+      .withColumn("pq", last(when(col("flag") === 1L, col("vq")), ignoreNulls = true).over(wp))
       .withColumn("nts", last(when(col("flag") === 1L, col("ts")), ignoreNulls = true).over(wn))
-      .withColumn("nval", last(when(col("flag") === 1L, col("val")), ignoreNulls = true).over(wn))
+      .withColumn("nq", last(when(col("flag") === 1L, col("vq")), ignoreNulls = true).over(wn))
       .withColumn("err_q6", expr(
         """CASE WHEN flag = 0 THEN
-          |  CAST(floor(abs(val - CASE WHEN nts = pts THEN pval
-          |    ELSE pval + (nval - pval)
-          |      * (CAST(ts - pts AS DOUBLE) / CAST(nts - pts AS DOUBLE)) END)
-          |    * 1e6) AS BIGINT)
+          |  CASE WHEN nts = pts THEN abs(vq - pq)
+          |  ELSE abs((vq - pq) * (nts - pts) - (nq - pq) * (ts - pts))
+          |    DIV (nts - pts) END
           |ELSE CAST(NULL AS BIGINT) END""".stripMargin))
       .groupBy(col("series"))
       .agg(sum(when(col("flag") === 0L, 1L).otherwise(0L)).as("n_raw"),

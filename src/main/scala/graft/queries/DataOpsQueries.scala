@@ -292,7 +292,10 @@ object DataOpsQueries {
          |b$i AS (SELECT vec_id, sub, sv, cid FROM a$i
          |       QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
          |m$i AS (SELECT sub, cid, unnest(range(1, $d + 1)) AS pos, unnest(sv) AS x FROM b$i),
-         |g$i AS (SELECT sub, cid, pos, avg(x) AS cx FROM m$i GROUP BY 1, 2, 3),
+         |g$i AS (SELECT sub, cid, pos,
+         |        CAST(sum(CAST(floor(x * 1073741824) AS BIGINT)) AS DOUBLE)
+         |          / CAST(count(*) * 1073741824 AS DOUBLE) AS cx
+         |        FROM m$i GROUP BY 1, 2, 3),
          |u$i AS (SELECT sub, cid, list(cx ORDER BY pos) AS cv FROM g$i GROUP BY 1, 2),
          |c$i AS (SELECT p.sub, p.cid, COALESCE(u$i.cv, p.cv) AS cv
          |        FROM $prev p LEFT JOIN u$i ON u$i.sub = p.sub AND u$i.cid = p.cid)""".stripMargin
@@ -362,7 +365,10 @@ object DataOpsQueries {
          |pb$i AS (SELECT vec_id, sub, sv, cid FROM pa$i
          |       QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
          |pm$i AS (SELECT sub, cid, unnest(range(1, $d + 1)) AS pos, unnest(sv) AS x FROM pb$i),
-         |pg$i AS (SELECT sub, cid, pos, avg(x) AS cx FROM pm$i GROUP BY 1, 2, 3),
+         |pg$i AS (SELECT sub, cid, pos,
+         |        CAST(sum(CAST(floor(x * 1073741824) AS BIGINT)) AS DOUBLE)
+         |          / CAST(count(*) * 1073741824 AS DOUBLE) AS cx
+         |        FROM pm$i GROUP BY 1, 2, 3),
          |pu$i AS (SELECT sub, cid, list(cx ORDER BY pos) AS cv FROM pg$i GROUP BY 1, 2),
          |pc$i AS (SELECT p.sub, p.cid, COALESCE(pu$i.cv, p.cv) AS cv
          |        FROM $prev p LEFT JOIN pu$i ON pu$i.sub = p.sub AND pu$i.cid = p.cid)""".stripMargin
@@ -411,7 +417,57 @@ object DataOpsQueries {
        |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
   }
 
+  /** The 12 engine-behavior probes the canary expects a DuckDB 1.0.0
+    * oracle to pass (verified against 1.0.0 when frozen). Each probe
+    * pins one arithmetic behavior the repo's fixed-point discipline
+    * leans on: round half-away on doubles, round(x, 9), sequential
+    * list folds, SUM/windowed-SUM/AVG accumulation, floor-of-ratio,
+    * truncating integer division, and ln/sqrt/pow at q9. */
+  private val envProbes = Seq("avg_is_sum_div_count", "floor_ratio",
+    "fold_seq_absorb", "fold_tenths", "int_div_trunc", "ln_q9", "pow_q9",
+    "round9", "round_half_away", "sqrt_q9", "sum_tenths", "win_sum_tenths")
+
+  private val reportEnvSql: String =
+    """WITH vp AS (SELECT string_split(substr(version(), 2), '.') AS parts),
+      |ver AS (SELECT (CAST(parts[1] AS BIGINT) * 100 + CAST(parts[2] AS BIGINT)) * 100 AS enc FROM vp),
+      |probes(name, pass) AS (VALUES
+      |  ('avg_is_sum_div_count', (SELECT avg(x) FROM (SELECT unnest(list_transform(range(1000), y -> 0.1::DOUBLE)) AS x)) = (SELECT sum(x) FROM (SELECT unnest(list_transform(range(1000), y -> 0.1::DOUBLE)) AS x)) / 1000.0),
+      |  ('floor_ratio', floor(49999999.0::DOUBLE / 3.0 / 512 * 1e6) = 32552082682.0),
+      |  ('fold_seq_absorb', list_sum([1e16::DOUBLE, 3.0::DOUBLE, 3.0::DOUBLE, -1e16::DOUBLE]) = 8.0),
+      |  ('fold_tenths', list_sum(list_transform(range(1000), x -> 0.1::DOUBLE)) = 99.9999999999986),
+      |  ('int_div_trunc', (-7) // 2 = -3),
+      |  ('ln_q9', floor(ln(7.0::DOUBLE) * 1e9) = 1945910149.0),
+      |  ('pow_q9', floor(power(1.1::DOUBLE, 7) * 1e9) = 1948717100.0),
+      |  ('round9', round(0.1234567895::DOUBLE, 9) = 0.12345679::DOUBLE AND round(2.675::DOUBLE, 2) = 2.68::DOUBLE),
+      |  ('round_half_away', round(2.5::DOUBLE) = 3.0 AND round(3.5::DOUBLE) = 4.0 AND round(-2.5::DOUBLE) = -3.0),
+      |  ('sqrt_q9', floor(sqrt(2.0::DOUBLE) * 1e9) = 1414213562.0),
+      |  ('sum_tenths', (SELECT sum(x) FROM (SELECT unnest(list_transform(range(1000), y -> 0.1::DOUBLE)) AS x)) = 99.9999999999986),
+      |  ('win_sum_tenths', (SELECT max(s) FROM (SELECT sum(x) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS s FROM (SELECT unnest(range(1000)) AS i, unnest(list_transform(range(1000), y -> 0.1::DOUBLE)) AS x))) = 99.9999999999999))
+      |SELECT 'duckdb:' || lpad(CAST(i AS VARCHAR), 6, '0') AS probe
+      |FROM (SELECT unnest(range((SELECT enc FROM ver))) AS i)
+      |UNION ALL
+      |SELECT 'pass:' || name AS probe FROM probes WHERE pass
+      |ORDER BY ALL""".stripMargin
+
   def entries: Seq[Entry] = Seq(
+    // standing oracle-environment canary (the r14 driver-red trio
+    // could not be reproduced against DuckDB 1.0.0 — this entry makes
+    // any oracle-engine drift diagnosable in ONE round, in-band). The
+    // Spark side emits the EXPECTED frame for a DuckDB 1.0.0 oracle:
+    // (major·100+minor)·100 = 10 000 version rows plus the 12 probes
+    // above, all of which 1.0.0 passes. The oracle derives its frame
+    // from version() and live arithmetic. Green ⇒ the driver's oracle
+    // engine is probe-identical to DuckDB 1.0.0. Red ⇒ oracle_rows
+    // decodes the engine: (major·100 + minor)·100 + #passing probes.
+    Entry("report_env", reportEnvSql) { (s, _) =>
+      val vers = s.range(10000).select(
+        concat(lit("duckdb:"), lpad(col("id").cast("string"), 6, "0"))
+          .as("probe"))
+      import s.implicits._
+      val passes = envProbes.toDF("n")
+        .select(concat(lit("pass:"), col("n")).as("probe"))
+      ordered(vers.unionAll(passes))
+    },
     // ---- deduplication ----
     // per-doc n-gram novelty: fraction of the doc's distinct shingles
     // appearing in NO other document (df = 1), exact ratio x1e6
@@ -923,7 +979,7 @@ object DataOpsQueries {
         | FROM toks)
         |SELECT stream, CAST(count(*) AS BIGINT) AS n_docs,
         |  sum(n) AS n_tokens, max(bin) + 1 AS n_bins,
-        |  CAST(floor(sum(n) / (CAST(max(bin) + 1 AS DOUBLE) * 512) * 1e6)
+        |  CAST(sum(n) * 1000000 // ((max(bin) + 1) * 512)
         |    AS BIGINT) AS fill_q6,
         |  CAST(sum(CASE WHEN n > 512 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_oversize,
@@ -1336,17 +1392,19 @@ object DataOpsQueries {
       val d = 16
       s"""WITH ${pqBodySql(m = 4, d = d, nlist = 8, iters = 2, trainMod = 4)},
          |perr AS (SELECT cod.vec_id,
-         |  CAST(floor(list_sum(list_transform(range(1, $d + 1),
-         |    j -> (t.sv[j] - c.cv[j]) * (t.sv[j] - c.cv[j]))) * 1e9) AS BIGINT) AS seq
+         |  CAST(list_sum(list_transform(range(1, $d + 1),
+         |    j -> CAST(floor((t.sv[j] - c.cv[j]) * (t.sv[j] - c.cv[j]) * 1e9)
+         |         AS BIGINT))) AS BIGINT) AS seq
          | FROM cod JOIN bk c ON c.sub = cod.sub AND c.cid = cod.cid
          |      JOIN sv t ON t.vec_id = cod.vec_id AND t.sub = cod.sub),
          |pqv AS (SELECT vec_id, sum(seq) AS se FROM perr GROUP BY 1),
          |sq AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
-         |sqv AS (SELECT vec_id, CAST(floor(list_sum(list_transform(v,
-         |    x -> CASE WHEN scale = 0 THEN 0.0
-         |         ELSE (x - CAST(round(x / scale) AS INT) * scale)
-         |            * (x - CAST(round(x / scale) AS INT) * scale) END))
-         |    * 1e9) AS BIGINT) AS se FROM sq),
+         |sqv AS (SELECT vec_id, CAST(list_sum(list_transform(v,
+         |    x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(floor((x - CAST(round(x / scale) AS INT) * scale)
+         |            * (x - CAST(round(x / scale) AS INT) * scale) * 1e9)
+         |            AS BIGINT) END))
+         |    AS BIGINT) AS se FROM sq),
          |r1 AS (SELECT 'pq' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
          |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
          |  max(se) AS max_se_q9 FROM pqv),

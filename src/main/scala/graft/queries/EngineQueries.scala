@@ -1594,24 +1594,25 @@ object EngineQueries {
     // equal ts, so a kept raw twin brackets to itself)
     Entry("ts_downsample_fidelity",
       s"""WITH $ltobBodySql,
-         |kk AS (SELECT series, ts, val FROM k WHERE rk = 1),
-         |u AS (SELECT series, ts, val, 0 AS flag FROM p
-         |      UNION ALL SELECT series, ts, val, 1 FROM kk),
-         |b AS (SELECT series, ts, val, flag,
+         |kk AS (SELECT series, ts, CAST(floor(val * 1e6) AS BIGINT) AS vq
+         |       FROM k WHERE rk = 1),
+         |u AS (SELECT series, ts, CAST(floor(val * 1e6) AS BIGINT) AS vq,
+         |             0 AS flag FROM p
+         |      UNION ALL SELECT series, ts, vq, 1 FROM kk),
+         |b AS (SELECT series, ts, vq, flag,
          |       last_value(CASE WHEN flag = 1 THEN ts END IGNORE NULLS) OVER wp AS pts,
-         |       last_value(CASE WHEN flag = 1 THEN val END IGNORE NULLS) OVER wp AS pval,
+         |       last_value(CASE WHEN flag = 1 THEN vq END IGNORE NULLS) OVER wp AS pq,
          |       last_value(CASE WHEN flag = 1 THEN ts END IGNORE NULLS) OVER wn AS nts,
-         |       last_value(CASE WHEN flag = 1 THEN val END IGNORE NULLS) OVER wn AS nval
+         |       last_value(CASE WHEN flag = 1 THEN vq END IGNORE NULLS) OVER wn AS nq
          |      FROM u
          |      WINDOW wp AS (PARTITION BY series ORDER BY ts, flag DESC
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |             wn AS (PARTITION BY series ORDER BY ts DESC, flag DESC
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |e AS (SELECT series,
-         |       CAST(floor(abs(val - CASE WHEN nts = pts THEN pval
-         |         ELSE pval + (nval - pval)
-         |           * (CAST(ts - pts AS DOUBLE) / CAST(nts - pts AS DOUBLE)) END)
-         |         * 1e6) AS BIGINT) AS err_q6
+         |       CASE WHEN nts = pts THEN abs(vq - pq)
+         |            ELSE CAST(abs((vq - pq) * (nts - pts) - (nq - pq) * (ts - pts))
+         |                 // (nts - pts) AS BIGINT) END AS err_q6
          |      FROM b WHERE flag = 0),
          |kc AS (SELECT series, CAST(count(*) AS BIGINT) AS n_kept FROM kk GROUP BY 1),
          |a AS (SELECT series, CAST(count(*) AS BIGINT) AS n_raw,
