@@ -552,13 +552,22 @@ object Anomaly {
     * Forecast.HwState]] bound) plus the newest bucket already scored
     * (so each alarm is emitted exactly once) and the all-time newest
     * event time (the eviction clock — a late-only batch must not pull
-    * the deadline earlier). `newest` (round 14) changed the state
-    * ENCODER SCHEMA: a checkpoint written by the 3-field shape cannot
-    * restart against this operator — wipe and re-train; the state is
-    * a trailing window, so re-training is the same recovery an idle
-    * eviction already gives. */
+    * the deadline earlier), plus a state-format VERSION stamp:
+    * `ver` lets any future semantic change to the held fields fail
+    * the first post-upgrade micro-batch with an explicit
+    * wipe-and-retrain message instead of silently misreading carried
+    * state (pre-`ver` checkpoints still fail earlier, at Spark's own
+    * state-schema check — nothing can make an encoder-shape change
+    * graceful; the stamp governs every change AFTER it). Wipe and
+    * re-train on either failure; the state is a trailing window, so
+    * re-training is the same recovery an idle eviction already
+    * gives. */
   final case class CusumState(bucket: Array[Long], s: Array[Long],
-      emitted: Long, newest: Long)
+      emitted: Long, newest: Long, ver: Long = Anomaly.CusumStateVer)
+
+  /** Current [[CusumState]] format version — bump on any SEMANTIC
+    * change to how the held fields are produced or read. */
+  val CusumStateVer = 1L
 
   /** One live drift alarm. */
   final case class CusumAlarm(series: String, bucket: Long, side: Long,
@@ -640,8 +649,14 @@ object Anomaly {
             Iterator.empty
           } else {
           val sums = scala.collection.mutable.LongMap.empty[Long]
-          state.getOption.foreach(st =>
-            st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i)))
+          state.getOption.foreach { st =>
+            require(st.ver == CusumStateVer,
+              s"cusum state format v${st.ver}, operator expects " +
+                s"v$CusumStateVer: checkpoint written by an " +
+                "incompatible version — wipe the checkpoint and " +
+                "re-train (the trailing window rebuilds itself)")
+            st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i))
+          }
           var maxTs = Long.MinValue
           rows.foreach { case (_, bk, v, et) =>
             sums(bk) = sums.getOrElse(bk, 0L) + v

@@ -566,13 +566,20 @@ object Forecast {
 
   /** Trailing bucket sums carried across micro-batches (≤ lastN
     * (bucket, exact int64 sum) pairs per series) plus the all-time
-    * newest event time (the eviction clock). `newest` (round 14)
-    * changed the state encoder schema: a pre-upgrade checkpoint
-    * cannot restart against this operator — wipe and re-train (the
-    * [[graft.engine.Anomaly.CusumState]] caveat; the trailing window
-    * makes re-training the standard recovery anyway). */
+    * newest event time (the eviction clock) and a state-format
+    * VERSION stamp — `ver` makes any future semantic change to the
+    * held fields fail the first post-upgrade micro-batch with an
+    * explicit wipe-and-retrain message (the
+    * [[graft.engine.Anomaly.CusumState]] convention; encoder-SHAPE
+    * changes still fail earlier at Spark's own state-schema check).
+    * Wipe and re-train on either failure — the trailing window makes
+    * re-training the standard recovery anyway. */
   final case class HwState(bucket: Array[Long], s: Array[Long],
-      newest: Long)
+      newest: Long, ver: Long = Forecast.HwStateVer)
+
+  /** Current [[HwState]] format version — bump on any SEMANTIC
+    * change to how the held fields are produced or read. */
+  val HwStateVer = 1L
 
   /** One live seasonal forecast emission. */
   final case class HwForecast(series: String, n_buckets: Long,
@@ -625,8 +632,14 @@ object Forecast {
             Iterator.empty
           } else {
           val sums = scala.collection.mutable.LongMap.empty[Long]
-          state.getOption.foreach(st =>
-            st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i)))
+          state.getOption.foreach { st =>
+            require(st.ver == HwStateVer,
+              s"holt-winters state format v${st.ver}, operator expects " +
+                s"v$HwStateVer: checkpoint written by an incompatible " +
+                "version — wipe the checkpoint and re-train (the " +
+                "trailing window rebuilds itself)")
+            st.bucket.indices.foreach(i => sums(st.bucket(i)) = st.s(i))
+          }
           var maxTs = Long.MinValue
           rows.foreach { case (_, bk, v, et) =>
             sums(bk) = sums.getOrElse(bk, 0L) + v

@@ -349,10 +349,64 @@ object Ann {
           col("n_scanned"), col("n_hit"))
     }.reduce(_ unionAll _)
       .crossJoin(broadcast(truth))
-      .withColumn("recall_q6",
-        floor(col("n_hit") / col("n_truth").cast("double") * lit(1e6))
-          .cast("long"))
+      .withColumn("recall_q6", expr("n_hit * 1000000L DIV n_truth"))
       .select(col("nprobe"), col("n_queries"), col("n_scanned"),
+        col("n_hit"), col("n_truth"), col("recall_q6"))
+  }
+
+  /** IVF nlist tuning curve — the OTHER half of the IVF tuning
+    * surface ([[nprobeCurve]] varies the runtime knob; this varies
+    * the INDEX knob): for each candidate cell count, at a fixed
+    * probe fraction (nprobe = ⌈nlist·probeFrac⌉), the recall@k
+    * against the exact top-k, the measured scan cost, and the
+    * TRAINING cost the setting commits the index builder to. One row
+    * per nlist: (nlist, nprobe, n_queries, n_train_vectors,
+    * train_pairs, n_scanned, n_hit, n_truth, recall_q6), where
+    * `train_pairs` = n_train_vectors·nlist·iters is the exact number
+    * of (vector, centroid) distance evaluations Lloyd performs —
+    * exact by construction (every sampled vector scores every
+    * centroid each round; no skew term), so reporting the product IS
+    * the measurement.
+    *
+    * Cost: unlike nprobeCurve, each setting legitimately RE-TRAINS —
+    * nlist is baked into the quantizer, so per-setting training
+    * chains are the expected plan shape here (PlanSpec pins the
+    * contrast). The exact truth list is shared (one checkpointed
+    * query-bounded scan); each setting adds its own sampled Lloyd
+    * plus a narrow probe scan. */
+  def nlistCurve(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nlists: Seq[Int] = Seq(2, 4, 8, 16), iters: Int = 2,
+      trainMod: Int = 1, probeFrac: Double = 0.25): DataFrame = {
+    require(nlists.nonEmpty && nlists.forall(_ >= 1), "nlists must be >= 1")
+    require(probeFrac > 0.0 && probeFrac <= 1.0, "probeFrac in (0, 1]")
+    val e = withNorm(emb)
+    val exact = cosineTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val truth = exact.agg(count(lit(1)).as("n_truth"))
+    val nTrain = (if (trainMod <= 1) e
+                  else e.where(col("vec_id") % trainMod === 0))
+      .agg(count(lit(1)).as("n_train_vectors"))
+    nlists.map { nl =>
+      val np = math.max(1, math.ceil(nl * probeFrac).toInt)
+      val cent = trainCoarse(e, nl, iters, trainMod)
+      val scored = probeScored(coarseAssign(e, cent), cent, nQueries, np)
+      val scanned = scored.agg(count(lit(1)).as("n_scanned"))
+      val hits = exact
+        .join(topK(scored, k)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      scanned.crossJoin(hits)
+        .select(lit(nl.toLong).as("nlist"), lit(np.toLong).as("nprobe"),
+          lit(nQueries.toLong).as("n_queries"),
+          col("n_scanned"), col("n_hit"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(truth))
+      .crossJoin(broadcast(nTrain))
+      .withColumn("train_pairs", expr(s"n_train_vectors * nlist * ${iters}L"))
+      .withColumn("recall_q6", expr("n_hit * 1000000L DIV n_truth"))
+      .select(col("nlist"), col("nprobe"), col("n_queries"),
+        col("n_train_vectors"), col("train_pairs"), col("n_scanned"),
         col("n_hit"), col("n_truth"), col("recall_q6"))
   }
 

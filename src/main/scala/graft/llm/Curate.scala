@@ -43,28 +43,34 @@ object Curate {
     * only source-sized joins.
     *
     * Scale split: the gate and Zipf stages are LINEAR and run over
-    * the full corpus; the dup stage's exact pair walk is
-    * pair-quadratic in duplicate density (the measured 28 G-row sf10
-    * blowup — maxDf can't rescue a replicated corpus), so it runs on
-    * the ADAPTIVE md5-sampled slice ([[Dedup.simhashRecallAudit]]'s
-    * scale path): `sampleMod` > 0 fixes the modulus (1 = full), the
-    * default 0 targets ~`sampleTarget` docs whatever the corpus size
-    * — constant dup-stage cost by construction. The dup columns are
-    * therefore the SLICE'S internal dup statistics: a duplicate whose
-    * partner fell outside the slice is not counted, so the rate is a
-    * downward-biased estimate that still RANKS sources (the decision
-    * the table exists for); below the target the slice is the corpus
-    * and the columns are exact. Sources missing from the slice (or
-    * whose pruned vocabulary can't fit a line) carry NULL dup / slope
-    * columns. Output (source, n_docs, n_pass, pass_rate_q6, n_terms,
-    * slope_q6, dup_docs, dup_dups, dup_rate_q6). */
+    * the full corpus; the dup stage is the CAPPED MinHash-LSH pair
+    * walk ([[Dedup.minhashLshPairs]] with `maxBucket`, the stage
+    * `dedup_cluster_best` measured FLAT sf1→sf10 where the exact
+    * inverted-index walk read 21× for 10× data) feeding
+    * [[Dedup.dupClusters]], so the dup columns are FULL-CORPUS dup
+    * counts at linear cost — every source gets a row, no slice bias,
+    * no NULL dup columns (the r14-flagged caveat, retired). The only
+    * approximation left is the cap's own documented recall trade: a
+    * band bucket holding more than `maxBucket` docs is skipped, so a
+    * mega-duplicate-group's rate can read low (at the correctness SF
+    * the capped pair set equals the exact one — the
+    * dedup_minhash_capped argument — so the oracle pins the exact
+    * walk unchanged). Sources whose pruned vocabulary can't fit a
+    * line still carry a NULL slope. Output (source, n_docs, n_pass,
+    * pass_rate_q6, n_terms, slope_q6, dup_docs, dup_dups,
+    * dup_rate_q6); ratio columns are pure int64 `·1e6 DIV`. */
   def sourceQualityReport(docs: DataFrame, n: Int = 3,
       theta: Double = 0.5, minFreq: Long = 2L,
-      sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
-    val slice = Adaptive.slice(docs, "doc_id", sampleMod, sampleTarget)
-    val dup = Dedup.dupRateBySource(slice, n, theta)
-      .select(col("source"), col("n_docs").as("dup_docs"),
-        col("n_dups").as("dup_dups"), col("dup_rate_q6"))
+      maxBucket: Long = 16L): DataFrame = {
+    val losers = Dedup.dupClusters(Dedup.minhashLshPairs(docs, n,
+        numHashes = 128, bands = 32, theta = theta, maxBucket = maxBucket))
+      .where(!col("keep")).select(col("doc_id"), lit(1L).as("is_dup"))
+    val dup = docs.select(col("doc_id"), col("source"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("dup_docs"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("dup_dups"))
+      .withColumn("dup_rate_q6", expr("dup_dups * 1000000L DIV dup_docs"))
     val gates = TextStats.gopherGates(docs)
       .select(col("doc_id"), col("passes"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -72,8 +78,7 @@ object Curate {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"))
       .select(col("source"), col("n_docs"), col("n_pass"),
-        floor(col("n_pass") / col("n_docs").cast("double") * 1e6)
-          .cast("long").as("pass_rate_q6"))
+        expr("n_pass * 1000000L DIV n_docs").as("pass_rate_q6"))
     val zipf = TextStats.zipfFit(docs, minFreq, keyCol = "source")
     // both right sides are ≤ #sources rows; the dup stage ends in a
     // localCheckpoint (no stats), so Catalyst would sort-merge it —

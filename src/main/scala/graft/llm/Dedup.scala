@@ -585,8 +585,7 @@ object Dedup {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("is_dup")), lit(0L)).as("n_dups"))
-      .withColumn("dup_rate_q6", expr(
-        "CAST(floor(CAST(n_dups AS double) / CAST(n_docs AS double) * 1e6) AS BIGINT)"))
+      .withColumn("dup_rate_q6", expr("n_dups * 1000000L DIV n_docs"))
   }
 
   /** 60-bit SimHash per document from md5-derived token hashes

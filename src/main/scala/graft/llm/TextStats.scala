@@ -24,9 +24,9 @@ object TextStats {
       col("doc_id"),
       expr(s"CAST(size($tok) AS bigint)").as("n_tokens"),
       col("n_chars"),
-      expr(s"CAST(floor(aggregate(transform($tok, t -> length(t)), 0L, (a, x) -> a + x) / CAST(size($tok) AS double) * 1e6) AS BIGINT)")
+      expr(s"aggregate(transform($tok, t -> length(t)), 0L, (a, x) -> a + x) * 1000000L DIV CAST(size($tok) AS BIGINT)")
         .as("avg_token_len_q6"),
-      expr(s"CAST(floor(CAST(size(array_distinct($tok)) AS double) / size($tok) * 1e6) AS BIGINT)")
+      expr(s"CAST(size(array_distinct($tok)) AS BIGINT) * 1000000L DIV CAST(size($tok) AS BIGINT)")
         .as("lexical_diversity_q6"))
 
   /** Per-document top-k characteristic terms by tf-idf — the keyword
@@ -153,6 +153,51 @@ object TextStats {
     streamingSampleMixture(stream, rates)
       .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
 
+  /** Live mixture DRIFT monitor — the event-time-windowed streaming
+    * twin of [[mixtureReport]]: per (window, planned source) the kept
+    * count, the window total, the achieved proportion, the PLAN's
+    * target proportion, and the signed gap — the alert feed that says
+    * the live draw is bending away from the plan while it is still
+    * in flight (a source going quiet upstream shows as a negative
+    * err_q6 in that window, where the cumulative [[
+    * streamingMixtureMonitor]] would take hours to move).
+    *
+    * Targets come from the PLAN weights quantized ×1e6 on the driver
+    * (exact integers, emitted as literals — the [[mixtureReport]]
+    * convention), so target_q6 is a constant per source and every
+    * ratio is pure int64 DIV. The per-source counts ride ONE windowed
+    * aggregation as conditional sums over the compiled source list
+    * (no second agg, no stream-stream join — Structured Streaming
+    * forbids joining two streaming aggregates), then explode to rows.
+    * Append mode past the watermark; window×|plan| state. `ts` is
+    * epoch seconds. */
+  def streamingMixtureDrift(stream: DataFrame, rates: Map[String, Double],
+      weights: Map[String, Double], windowSec: Long = 3600L,
+      maxLateness: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "plan weights must be positive")
+    val srcs = weights.keys.toSeq.sorted
+    val wq = srcs.map(s => s -> math.floor(weights(s) * 1e6).toLong).toMap
+    val swq = wq.values.sum
+    val perSrc = srcs.map(s =>
+      sum(when(col("source") === s, 1L).otherwise(0L)).as(s"__c_$s"))
+    val pairs = srcs.map(s =>
+      s"struct('$s' AS source, __c_$s AS n_sampled, ${wq(s)}L AS wq)")
+      .mkString(", ")
+    streamingSampleMixture(stream, rates)
+      .select(col("source"), timestamp_seconds(col("ts")).as("__et"))
+      .withWatermark("__et", s"$maxLateness seconds")
+      .groupBy(window(col("__et"), s"$windowSec seconds"))
+      .agg(count(lit(1)).as("n_total"), perSrc: _*)
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("n_total"), explode(expr(s"array($pairs)")).as("x"))
+      .select(col("window_start"), col("x.source").as("source"),
+        col("x.n_sampled").as("n_sampled"), col("n_total"),
+        expr("x.n_sampled * 1000000L DIV n_total").as("achieved_q6"),
+        expr(s"x.wq * 1000000L DIV ${swq}L").as("target_q6"))
+      .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
+  }
+
   /** Temperature-weighted source sampling — the multilingual-mix
     * operator (the p_s ∝ n_s^α upweighting mBERT/XLM-style recipes
     * use, α < 1 flattening the source distribution so small sources
@@ -191,17 +236,21 @@ object TextStats {
     * table that says whether the seedless md5 draw actually landed
     * the requested mixture before a training run trusts it.
     * Deterministic (the draw has no RNG state), so the oracle replays
-    * it exactly; proportions floor-quantized ×1e6 off IEEE-identical
-    * divides, err_q6 an exact int64 difference. Source-sized
-    * aggregations over the already-narrow mixture filter — no new
-    * corpus pass beyond the draw itself. */
+    * it exactly; proportions are pure int64 `·1e6 DIV` ratios — the
+    * target over ×1e6-quantized weights (wq/Σwq, so the weight sum is
+    * an exact integer fold no engine's float accumulation order can
+    * move), the achieved over exact counts — and err_q6 an exact
+    * int64 difference. Source-sized aggregations over the
+    * already-narrow mixture filter — no new corpus pass beyond the
+    * draw itself. */
   def mixtureReport(docs: DataFrame,
       weights: Map[String, Double]): DataFrame = {
     val sampled = sampleMixture(docs, weights)
     val w = weightCase(weights)
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w", w).where(col("w") > 0)
-    val norm = cnt.agg(sum(col("w")).as("sw"))
+      .withColumn("wq", expr("CAST(floor(w * 1e6) AS BIGINT)"))
+    val norm = cnt.agg(sum(col("wq")).as("swq"))
     val sc = sampled.groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     val tot = sampled.agg(count(lit(1)).as("n_total"))
     cnt.join(sc, Seq("source"), "left")
@@ -209,10 +258,8 @@ object TextStats {
       .crossJoin(broadcast(norm))
       .crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_sampled"),
-        floor(col("w") / col("sw") * lit(1e6)).cast("long")
-          .as("target_q6"),
-        floor(col("n_sampled") / col("n_total").cast("double") * lit(1e6))
-          .cast("long").as("achieved_q6"))
+        expr("wq * 1000000L DIV swq").as("target_q6"),
+        expr("n_sampled * 1000000L DIV n_total").as("achieved_q6"))
       .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
   }
 
@@ -263,8 +310,7 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate_q6",
-        floor(col("n_oov") / col("n_tokens").cast("double") * 1e6)
-          .cast("long"))
+        expr("n_oov * 1000000L DIV n_tokens"))
   }
 
   /** Sequence-packing preparation: assign documents to packing bins by
@@ -340,9 +386,10 @@ object TextStats {
 
   /** Combined Gopher-style quality gate vector (Rae et al. 2021 §A1.1
     * shape): per document the word count, mean word length, lexical
-    * diversity, and most-frequent-word fraction (ratios
-    * floor-quantized ×1e6, gates compared in the same fixed point so
-    * the conjunction is pure int64), each with its gate,
+    * diversity, and most-frequent-word fraction (ratios are pure
+    * int64 `·1e6 DIV` — no double anywhere — and gates compare in the
+    * same fixed point, so the conjunction is engine-proof int64),
+    * each with its gate,
     * plus the conjunction — the single-pass document filter a corpus
     * pipeline runs before dedup. One explode + two hash aggregations
     * (per-(doc,term) counts, then per-doc rollup) — no window, no
@@ -359,12 +406,9 @@ object TextStats {
         count(lit(1)).as("n_distinct"),
         sum(col("c") * length(col("term"))).as("char_sum"))
       .select(col("doc_id"), col("n_words"),
-        floor(col("char_sum") / col("n_words").cast("double") * 1e6)
-          .cast("long").as("mean_len_q6"),
-        floor(col("n_distinct") / col("n_words").cast("double") * 1e6)
-          .cast("long").as("diversity_q6"),
-        floor(col("top_c") / col("n_words").cast("double") * 1e6)
-          .cast("long").as("top_word_frac_q6"))
+        expr("char_sum * 1000000L DIV n_words").as("mean_len_q6"),
+        expr("n_distinct * 1000000L DIV n_words").as("diversity_q6"),
+        expr("top_c * 1000000L DIV n_words").as("top_word_frac_q6"))
       .withColumn("passes",
         col("n_words").between(minWords, maxWords) &&
           col("mean_len_q6").between(math.floor(minMeanLen * 1e6).toLong,
@@ -375,17 +419,29 @@ object TextStats {
 
   /** Corpus language distribution with size stats. */
   def langDist(docs: DataFrame): DataFrame =
+    // avg as a SPLIT integer floor-division — quotient·1e6 plus the
+    // remainder's scaled quotient — exact at any corpus size without
+    // the sum·1e6 overflow a direct DIV identity would hit
     docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
-      floor(avg(col("n_chars")) * 1e6).cast("long").as("avg_chars_q6"),
+      sum(col("n_chars")).as("sc"),
       max(col("n_chars")).as("max_chars"))
+    .select(col("lang"), col("n_docs"),
+      expr("sc DIV n_docs * 1000000L + (sc % n_docs) * 1000000L DIV n_docs")
+        .as("avg_chars_q6"),
+      col("max_chars"))
 
   /** Quality score in [0,1]: lexical diversity blended with a length
     * prior (docs under ~100 tokens are down-weighted). */
   def qualityScore(docs: DataFrame): DataFrame =
+    // pure int64: 0.5·(distinct/n)·1e6 + 0.5·least(1, n/100)·1e6 =
+    // (distinct·500000 + least(500000, n·5000)·n) DIV n — one
+    // cross-multiplied floor division (the pack-fill identity)
     docs.select(col("doc_id"),
-      expr(s"""CAST(floor((0.5 * (CAST(size(array_distinct($tok)) AS double) / size($tok))
-              |    + 0.5 * least(1.0, CAST(size($tok) AS double) / 100.0)) * 1e6) AS BIGINT)""".stripMargin)
+      expr(s"""(CAST(size(array_distinct($tok)) AS BIGINT) * 500000L
+              |  + least(500000L, CAST(size($tok) AS BIGINT) * 5000L)
+              |    * CAST(size($tok) AS BIGINT))
+              |DIV CAST(size($tok) AS BIGINT)""".stripMargin)
         .as("quality_q6"))
 
   /** Stopword-vote language ID (n-gram-free heuristic): counts hits
@@ -459,11 +515,9 @@ object TextStats {
       .groupBy(col("doc_id")).agg(sum(col("c")).as("total"),
         count(lit(1)).as("distinct"), max(col("c")).as("mx"))
     val s2 = gramStats(2).select(col("doc_id"),
-      floor(col("mx") / col("total").cast("double") * 1e6)
-        .cast("long").as("top2_frac_q6"))
+      expr("mx * 1000000L DIV total").as("top2_frac_q6"))
     val s3 = gramStats(3).select(col("doc_id"),
-      floor((lit(1.0) - col("distinct") / col("total").cast("double")) * 1e6)
-        .cast("long").as("dup3_frac_q6"))
+      expr("(total - distinct) * 1000000L DIV total").as("dup3_frac_q6"))
     docs.select(col("doc_id"))
       .join(s2, Seq("doc_id"), "left")
       .join(s3, Seq("doc_id"), "left")
@@ -769,20 +823,76 @@ object TextStats {
     "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
     "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
     "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
-    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    // full-form colon groups only (the compressed `::` form would
+    // need lookarounds outside the Java∩RE2 subset); ≥4 groups so
+    // clock times don't shape-match
+    "ipv6" -> "(?:[0-9a-fA-F]{1,4}:){3,7}[0-9a-fA-F]{1,4}",
+    // country code + check digits + 10-30 alphanumerics; [[piiSpans]]
+    // additionally mod-97-checks candidates. MUST redact before
+    // ccard: an IBAN's digit tail is a 13-16-digit run the ccard
+    // shape would otherwise split mid-account
+    "iban" -> "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}",
+    // dashed 4-4-4-N or contiguous 13-16 digits; [[piiSpans]]
+    // additionally Luhn-checks candidates
+    "ccard" -> "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|[0-9]{13,16}")
+
+  /** Luhn checksum over a candidate's digits (separators stripped):
+    * from the RIGHT, double every second digit, subtract 9 when the
+    * double exceeds 9, and sum — valid iff the sum ≡ 0 (mod 10). One
+    * integer fold over the digit array, identical in any engine
+    * (ISO/IEC 7812's published algorithm). `m` is a column/field
+    * reference inside a SQL expression. */
+  private def luhnSql(m: String): String =
+    s"""aggregate(sequence(1, length(regexp_replace($m, '[^0-9]', ''))),
+       |  0, (a, i) -> a + (CASE WHEN i % 2 = 1
+       |    THEN CAST(substring(reverse(regexp_replace($m, '[^0-9]', '')), i, 1) AS INT)
+       |    ELSE CASE WHEN CAST(substring(reverse(regexp_replace($m, '[^0-9]', '')), i, 1) AS INT) * 2 > 9
+       |         THEN CAST(substring(reverse(regexp_replace($m, '[^0-9]', '')), i, 1) AS INT) * 2 - 9
+       |         ELSE CAST(substring(reverse(regexp_replace($m, '[^0-9]', '')), i, 1) AS INT) * 2 END
+       |    END)) % 10 = 0""".stripMargin
+
+  /** IBAN mod-97 (ISO 13616): move the first 4 chars to the end, map
+    * letters A→10…Z→35, and fold the resulting digit string into a
+    * running remainder — one char at a time, ×10 for a digit, ×100
+    * for a letter, mod 97 each step so the accumulator never exceeds
+    * int range. Valid iff the remainder is 1. Pure integer fold via
+    * ascii(), identical in any engine. */
+  private def ibanSql(m: String): String = {
+    val r = s"concat(substring($m, 5), substring($m, 1, 4))"
+    s"""aggregate(sequence(1, length($m)), 0, (a, i) ->
+       |  CASE WHEN ascii(substring($r, i, 1)) >= 65
+       |    THEN (a * 100 + ascii(substring($r, i, 1)) - 55) % 97
+       |    ELSE (a * 10 + ascii(substring($r, i, 1)) - 48) % 97 END) = 1""".stripMargin
+  }
+
+  /** Per-class candidate validation for [[piiSpans]]: checksum
+    * classes only emit spans that PASS their check (the review table
+    * lists real cards/accounts, not shape coincidences); shape-only
+    * classes pass everything through. */
+  private val piiValidSql: Map[String, String => String] = Map(
+    "ccard" -> luhnSql, "iban" -> ibanSql)
 
   /** PII span extraction — the audit half of the contact scrub: one
     * row per (document, class, occurrence) with the matched text, the
     * review table a privacy pass samples before committing to
     * redaction (the contaminationSpans span idiom over regex classes
-    * instead of probe shingles). Narrow per-class extracts unioned;
-    * no shuffle, no UDF, linear in corpus bytes. `idx` is the 0-based
-    * occurrence index within (doc, class). */
+    * instead of probe shingles). Checksum classes (ccard via Luhn,
+    * iban via mod-97 — [[luhnSql]]/[[ibanSql]], integer folds both
+    * engines replay) emit only VALIDATED candidates; `idx` stays the
+    * candidate's 0-based occurrence index on the original text, so a
+    * filtered-out shape coincidence leaves a visible gap. Narrow
+    * per-class extracts unioned; no shuffle, no UDF, linear in
+    * corpus bytes. */
   def piiSpans(docs: DataFrame): DataFrame =
     piiPatterns.map { case (kind, pat) =>
-      docs.select(col("doc_id"), lit(kind).as("kind"),
+      val spans = docs.select(col("doc_id"), lit(kind).as("kind"),
         posexplode(regexp_extract_all(col("text"), lit(pat), lit(0)))
           .as(Seq("idx", "match")))
+      piiValidSql.get(kind) match {
+        case Some(v) => spans.where(expr(v("match")))
+        case None    => spans
+      }
     }.reduce(_ unionAll _)
       .select(col("doc_id"), col("kind"), col("idx").cast("long").as("idx"),
         col("match"))
@@ -794,7 +904,11 @@ object TextStats {
     * <CLASS> placeholder, applied in the fixed [[piiPatterns]] order
     * (the same sequential regexp_replace chain in both engines — op
     * order is part of the contract since an earlier replacement can
-    * consume a later class's half-match). One narrow projection. */
+    * consume a later class's half-match). Checksum classes count and
+    * redact SHAPE candidates — a redaction pass over-redacts by
+    * design (a Luhn-failing 16-digit run is still not trainable
+    * text); [[piiSpans]] is where validity is adjudicated. One
+    * narrow projection. */
   def piiScrub(docs: DataFrame): DataFrame = {
     val counts = piiPatterns.map { case (kind, pat) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))
@@ -861,6 +975,14 @@ object TextStats {
     * flag; whitespace-only lines are never boilerplate (their df
     * reports 0) — a scrub keeps paragraph structure.
     *
+    * `normalized = true` switches the df key to the RefinedWeb
+    * near-duplicate variant (Penedo et al. 2023's line dedup):
+    * whitespace runs collapse to one space and digit runs mask to a
+    * single '0' BEFORE hashing, so "Page 7 of 30" / "Page 8 of 30"
+    * footers and re-indented banners share one key. The emitted
+    * `line` stays the ORIGINAL text — normalization exists only
+    * inside the key — and blankness is still judged on the raw trim.
+    *
     * Scale shape: the df aggregation and the re-join key on
     * md5(trimmed line) — a fixed 32-char key, so shuffle width per
     * line is bounded no matter how long lines get (the 60-bit SimHash
@@ -869,12 +991,18 @@ object TextStats {
     * takes the per-partition duplicates out before the exchange. No
     * window, no self-join — two hash shuffles, both on the bounded
     * key. */
-  def boilerplateLines(docs: DataFrame, minDf: Long = 2L): DataFrame = {
+  def boilerplateLines(docs: DataFrame, minDf: Long = 2L,
+      normalized: Boolean = false): DataFrame = {
     require(minDf >= 2L, "minDf must be at least 2")
+    val key =
+      if (normalized)
+        md5(regexp_replace(regexp_replace(trim(col("line")),
+          lit("\\s+"), lit(" ")), lit("[0-9]+"), lit("0")))
+      else md5(trim(col("line")))
     val l = docs.select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
       .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
-        col("line"), md5(trim(col("line"))).as("lh"),
+        col("line"), key.as("lh"),
         (trim(col("line")) =!= "").as("nonblank"))
     val dfTab = l.where(col("nonblank"))
       .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
@@ -892,8 +1020,9 @@ object TextStats {
     * — array_sort on the unique line_no restores order without a
     * window sort, so the only exchanges are [[boilerplateLines]]'s
     * two bounded-key shuffles plus one doc_id aggregation. */
-  def boilerplateScrub(docs: DataFrame, minDf: Long = 2L): DataFrame =
-    boilerplateLines(docs, minDf)
+  def boilerplateScrub(docs: DataFrame, minDf: Long = 2L,
+      normalized: Boolean = false): DataFrame =
+    boilerplateLines(docs, minDf, normalized)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("is_boilerplate"), 1L).otherwise(0L)).as("n_removed"),
@@ -909,13 +1038,15 @@ object TextStats {
     * downsampler would apply (capped at 1), and the EPOCHS factor
     * (allocation / available — > 1e6 means the source must repeat to
     * meet its share, the oversampling a mixture board reviews before
-    * committing). Shares and rates are floor-quantized ×1e6 off
-    * IEEE-identical divides (each one divide of exact int64s, same
-    * op order in the oracle); `target_tokens` floors w/Σw·budget with
-    * the multiply BEFORE the floor on both sides. One token-count
-    * projection (size(split) — no explode) + a source-sized
-    * aggregation; the weight/normalization frames are single-row
-    * broadcasts. */
+    * committing). Every ratio is pure int64: weights quantize ×1e6 to
+    * int (wq/Σwq — the weight sum is an exact integer fold), the
+    * budget allocation and epochs use the SPLIT floor-division
+    * identity `a DIV b · s + (a % b) · s DIV b` so nothing overflows
+    * below ~9.2e12 tokens per source, and the rate caps via
+    * least(·, 1e6) AFTER the scaled division (monotone, so the cap
+    * commutes with the floor). One token-count projection
+    * (size(split) — no explode) + a source-sized aggregation; the
+    * weight/normalization frames are single-row broadcasts. */
   def mixturePlan(docs: DataFrame, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0L, "budgetTokens must be positive")
@@ -926,17 +1057,18 @@ object TextStats {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .withColumn("w", w).where(col("w") > 0)
-    val norm = per.agg(sum(col("w")).as("sw"))
+      .withColumn("wq", expr("CAST(floor(w * 1e6) AS BIGINT)"))
+    val norm = per.agg(sum(col("wq")).as("swq"))
     per.crossJoin(broadcast(norm))
-      .withColumn("share", col("w") / col("sw"))
-      .withColumn("target_tokens",
-        floor(col("share") * lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("target_tokens", expr(
+        s"${budgetTokens}L DIV swq * wq + (${budgetTokens}L % swq) * wq DIV swq"))
+      .withColumn("epochs_q6", expr(
+        "target_tokens DIV n_tokens * 1000000L" +
+          " + (target_tokens % n_tokens) * 1000000L DIV n_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        floor(col("share") * lit(1e6)).cast("long").as("target_share_q6"),
+        expr("wq * 1000000L DIV swq").as("target_share_q6"),
         col("target_tokens"),
-        floor(least(col("target_tokens") / col("n_tokens").cast("double"),
-          lit(1.0)) * lit(1e6)).cast("long").as("rate_q6"),
-        floor(col("target_tokens") / col("n_tokens").cast("double")
-          * lit(1e6)).cast("long").as("epochs_q6"))
+        least(col("epochs_q6"), lit(1000000L)).as("rate_q6"),
+        col("epochs_q6"))
   }
 }

@@ -30,17 +30,49 @@ object DataOpsQueries {
         "CASE WHEN id % 3 = 0 THEN ' call 555-123-4567 now' ELSE '' END, " +
         "CASE WHEN id % 5 = 0 THEN concat(' node 10.0.0.', CAST(id AS STRING), ' up') ELSE '' END, " +
         "CASE WHEN id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END, " +
+        "CASE WHEN id % 4 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END, " +
+        "CASE WHEN id % 11 = 0 THEN ' card 4111-1111-1111-1112 bad' ELSE '' END, " +
+        "CASE WHEN id % 6 = 0 THEN ' via 2001:0db8:85a3:0000:0000:8a2e:0370:7334 net' ELSE '' END, " +
+        "CASE WHEN id % 9 = 0 THEN ' acct GB82WEST12345698765432 ref' ELSE '' END, " +
+        "CASE WHEN id % 13 = 0 THEN ' acct GB82WEST12345698765431 ref' ELSE '' END, " +
         "' tail words') AS text")
 
-  /** The DuckDB twin of [[piiFx]] — one CTE named `pfx`. */
+  /** The DuckDB twin of [[piiFx]] — one CTE named `pfx`. The %11 card
+    * and %13 IBAN plants FAIL their checksums (Luhn / mod-97), so the
+    * span audit must drop them while the shape-based scrub still
+    * counts and redacts them. */
   private val PIIFX =
     """pfx AS (SELECT i AS doc_id,
       |  'alpha beta contact user' || CAST(i AS VARCHAR) || '@example.com gamma' ||
       |  (CASE WHEN i % 3 = 0 THEN ' call 555-123-4567 now' ELSE '' END) ||
       |  (CASE WHEN i % 5 = 0 THEN ' node 10.0.0.' || CAST(i AS VARCHAR) || ' up' ELSE '' END) ||
       |  (CASE WHEN i % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END) ||
+      |  (CASE WHEN i % 4 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END) ||
+      |  (CASE WHEN i % 11 = 0 THEN ' card 4111-1111-1111-1112 bad' ELSE '' END) ||
+      |  (CASE WHEN i % 6 = 0 THEN ' via 2001:0db8:85a3:0000:0000:8a2e:0370:7334 net' ELSE '' END) ||
+      |  (CASE WHEN i % 9 = 0 THEN ' acct GB82WEST12345698765432 ref' ELSE '' END) ||
+      |  (CASE WHEN i % 13 = 0 THEN ' acct GB82WEST12345698765431 ref' ELSE '' END) ||
       |  ' tail words' AS text
       |  FROM range(40) t(i))""".stripMargin
+
+  /** DuckDB twin of TextStats.luhnSql over a match expression `m`
+    * (regexp_replace needs the explicit 'g' flag DuckDB requires). */
+  private def duckLuhn(m: String): String =
+    s"""list_sum(list_transform(range(1, length(regexp_replace($m, '[^0-9]', '', 'g')) + 1), i ->
+       |  CASE WHEN i % 2 = 1 THEN CAST(substring(reverse(regexp_replace($m, '[^0-9]', '', 'g')), i, 1) AS INT)
+       |       ELSE CASE WHEN CAST(substring(reverse(regexp_replace($m, '[^0-9]', '', 'g')), i, 1) AS INT) * 2 > 9
+       |            THEN CAST(substring(reverse(regexp_replace($m, '[^0-9]', '', 'g')), i, 1) AS INT) * 2 - 9
+       |            ELSE CAST(substring(reverse(regexp_replace($m, '[^0-9]', '', 'g')), i, 1) AS INT) * 2 END END)) % 10 = 0""".stripMargin
+
+  /** DuckDB twin of TextStats.ibanSql — the same one-char-at-a-time
+    * mod-97 fold, expressed as list_reduce over a 0-prepended value
+    * list (letters encode as 100000+v so the lambda picks ×100). */
+  private def duckIban(m: String): String =
+    s"""list_reduce(list_prepend(0, list_transform(range(1, length($m) + 1), i ->
+       |  CASE WHEN ascii(substring(substring($m, 5) || substring($m, 1, 4), i, 1)) >= 65
+       |       THEN 100000 + ascii(substring(substring($m, 5) || substring($m, 1, 4), i, 1)) - 55
+       |       ELSE ascii(substring(substring($m, 5) || substring($m, 1, 4), i, 1)) - 48 END)),
+       |  (a, x) -> CASE WHEN x >= 100000 THEN (a * 100 + x - 100000) % 97 ELSE (a * 10 + x) % 97 END) = 1""".stripMargin
 
   /** Generated boilerplate fixture — the real corpus has no newlines,
     * so the line-level boilerplate oracles would verify only the
@@ -72,14 +104,40 @@ object DataOpsQueries {
     * whitespace-only lines excluded) → per-line flag at minDf 2.
     * Shared by the real-corpus and fixture entries; yields a CTE
     * named `bl` with (doc_id, line_no, line, df, is_boilerplate). */
-  private def blSql(src: String): String =
+  private def blSql(src: String, normalized: Boolean = false): String = {
+    val key =
+      if (normalized)
+        "md5(regexp_replace(regexp_replace(trim(%s), '\\s+', ' ', 'g'), '[0-9]+', '0', 'g'))"
+      else "md5(trim(%s))"
     s"""base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src),
        |x AS (SELECT doc_id, unnest(list_transform(range(len(ls)), j -> struct_pack(no := j, ln := ls[j+1]))) AS s FROM base),
        |l AS (SELECT doc_id, CAST(s.no AS BIGINT) AS line_no, s.ln AS line FROM x),
-       |d AS (SELECT md5(trim(line)) AS lh, count(DISTINCT doc_id) AS df FROM l WHERE trim(line) <> '' GROUP BY 1),
+       |d AS (SELECT ${key.format("line")} AS lh, count(DISTINCT doc_id) AS df FROM l WHERE trim(line) <> '' GROUP BY 1),
        |bl AS (SELECT l.doc_id, l.line_no, l.line, CAST(coalesce(d.df, 0) AS BIGINT) AS df,
        |              coalesce(d.df, 0) >= 2 AS is_boilerplate
-       |       FROM l LEFT JOIN d ON md5(trim(l.line)) = d.lh)""".stripMargin
+       |       FROM l LEFT JOIN d ON ${key.format("l.line")} = d.lh)""".stripMargin
+  }
+
+  /** Fixture for the NORMALIZED boilerplate variant: a shared header,
+    * a per-doc unique body (letter-keyed so digit masking cannot
+    * collide it), a "Page N of 30" footer that only digit masking
+    * unifies, and a copyright line whose doc-0 copy is re-indented
+    * (caught only after whitespace collapse — exact df 1). */
+  private def nbFx(s: SparkSession): DataFrame =
+    s.range(30).selectExpr("id AS doc_id",
+      "concat('Top Header', chr(10), " +
+        "'body ', chr(97 + CAST(id % 5 AS INT)), chr(97 + CAST(id DIV 5 AS INT)), ' keep', chr(10), " +
+        "'Page ', CAST(id AS STRING), ' of 30', chr(10), " +
+        "CASE WHEN id = 0 THEN '(c)  Example   Press' ELSE '(c) Example Press' END) AS text")
+
+  /** The DuckDB twin of [[nbFx]] — one CTE named `nfx`. */
+  private val NBFX =
+    """nfx AS (SELECT i AS doc_id,
+      |  'Top Header' || chr(10) ||
+      |  'body ' || chr(CAST(97 + i % 5 AS INT)) || chr(CAST(97 + i // 5 AS INT)) || ' keep' || chr(10) ||
+      |  'Page ' || CAST(i AS VARCHAR) || ' of 30' || chr(10) ||
+      |  (CASE WHEN i = 0 THEN '(c)  Example   Press' ELSE '(c) Example Press' END) AS text
+      |  FROM range(30) t(i))""".stripMargin
 
   /** The scrub aggregation over [[blSql]]'s `bl` CTE — shared by the
     * real-corpus and fixture scrub entries. */
@@ -98,11 +156,17 @@ object DataOpsQueries {
       |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
       |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
       |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |  CAST(len(regexp_extract_all(text, '(?:[0-9a-fA-F]{1,4}:){3,7}[0-9a-fA-F]{1,4}')) AS BIGINT) AS n_ipv6,
+      |  CAST(len(regexp_extract_all(text, '[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}')) AS BIGINT) AS n_iban,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|[0-9]{13,16}')) AS BIGINT) AS n_ccard,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
       |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
       |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
       |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-      |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean_text""".stripMargin
+      |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+      |    '(?:[0-9a-fA-F]{1,4}:){3,7}[0-9a-fA-F]{1,4}', '<IPV6>', 'g'),
+      |    '[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}', '<IBAN>', 'g'),
+      |    '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|[0-9]{13,16}', '<CCARD>', 'g') AS clean_text""".stripMargin
 
   /** DuckDB shingle CTE shared by the jaccard oracles. */
   private val SH =
@@ -587,7 +651,7 @@ object DataOpsQueries {
          |per AS (SELECT d.source, CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
          |        FROM documents d LEFT JOIN dup USING (doc_id))
          |SELECT source, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups,
-         |       CAST(floor(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_rate_q6
+         |       CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_q6
          |FROM per GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Dedup.dupRateBySource(docs(s, d)))
     },
@@ -596,12 +660,7 @@ object DataOpsQueries {
     // source, each stage the verified operator unchanged (the oracle
     // composes the three verified walks over shared CTEs)
     Entry("text_source_quality",
-      s"""WITH RECURSIVE sdocs AS (SELECT * FROM documents
-         |  WHERE (CAST(list_sum(list_transform(range(15), k ->
-         |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
-         |        << (4*(14-k)))) AS BIGINT))
-         |    % greatest(1, (SELECT count(*) FROM documents) // 2500) = 0),
-         |${SH.replace("FROM documents", "FROM sdocs")},
+      s"""WITH RECURSIVE $SH,
          |jp AS (SELECT id_a, id_b FROM it
          |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |      WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5),
@@ -614,9 +673,9 @@ object DataOpsQueries {
          |cl AS (SELECT id AS doc_id, min(lbl) AS lbl FROM walk GROUP BY 1),
          |dupd AS (SELECT doc_id FROM cl WHERE doc_id <> lbl),
          |per AS (SELECT d.source, CASE WHEN dupd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
-         |        FROM sdocs d LEFT JOIN dupd USING (doc_id)),
+         |        FROM documents d LEFT JOIN dupd USING (doc_id)),
          |duprate AS (SELECT source, count(*) AS dup_docs, CAST(sum(is_dup) AS BIGINT) AS dup_dups,
-         |       CAST(floor(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS dup_rate_q6
+         |       CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_q6
          |       FROM per GROUP BY 1),
          |gt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
          |gtc AS (SELECT doc_id, term, count(*) AS c FROM gt GROUP BY 1, 2),
@@ -625,13 +684,13 @@ object DataOpsQueries {
          |      FROM gtc GROUP BY 1),
          |gs AS (SELECT doc_id,
          |       (n_words BETWEEN 50 AND 100000)
-         |       AND (CAST(floor(char_sum / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) BETWEEN 3000000 AND 10000000)
-         |       AND CAST(floor(n_distinct / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) > 300000
-         |       AND CAST(floor(top_c / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) < 200000 AS passes
+         |       AND (CAST(char_sum * 1000000 // n_words AS BIGINT) BETWEEN 3000000 AND 10000000)
+         |       AND CAST(n_distinct * 1000000 // n_words AS BIGINT) > 300000
+         |       AND CAST(top_c * 1000000 // n_words AS BIGINT) < 200000 AS passes
          |      FROM gd),
          |gates AS (SELECT d.source, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN gs.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-         |       CAST(floor(CAST(sum(CASE WHEN gs.passes THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS pass_rate_q6
+         |       CAST(sum(CASE WHEN gs.passes THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS pass_rate_q6
          |      FROM documents d JOIN gs USING (doc_id) GROUP BY 1),
          |zt AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
          |zf AS (SELECT source, w, count(*) AS freq FROM zt GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -800,14 +859,14 @@ object DataOpsQueries {
         |         WHERE wt.w > 0 AND CAST(hv AS DOUBLE) <
         |               wt.w * t.t / CAST(wt.n AS DOUBLE) * 1152921504606846976.0),
         |sc AS (SELECT source, count(*) AS n_sampled FROM samp GROUP BY 1),
-        |norm AS (SELECT sum(w) AS sw FROM wt WHERE w > 0),
+        |norm AS (SELECT CAST(sum(CAST(floor(w * 1e6) AS BIGINT)) AS BIGINT) AS swq FROM wt WHERE w > 0),
         |tots AS (SELECT count(*) AS n_total FROM samp)
         |SELECT wt.source, wt.n AS n_docs,
         |       coalesce(sc.n_sampled, 0) AS n_sampled,
-        |       CAST(floor(wt.w / norm.sw * 1e6) AS BIGINT) AS target_q6,
-        |       CAST(floor(coalesce(sc.n_sampled, 0) / CAST(tots.n_total AS DOUBLE) * 1e6) AS BIGINT) AS achieved_q6,
-        |       CAST(floor(coalesce(sc.n_sampled, 0) / CAST(tots.n_total AS DOUBLE) * 1e6) AS BIGINT)
-        |         - CAST(floor(wt.w / norm.sw * 1e6) AS BIGINT) AS err_q6
+        |       CAST(CAST(floor(wt.w * 1e6) AS BIGINT) * 1000000 // norm.swq AS BIGINT) AS target_q6,
+        |       CAST(coalesce(sc.n_sampled, 0) * 1000000 // tots.n_total AS BIGINT) AS achieved_q6,
+        |       CAST(coalesce(sc.n_sampled, 0) * 1000000 // tots.n_total AS BIGINT)
+        |         - CAST(CAST(floor(wt.w * 1e6) AS BIGINT) * 1000000 // norm.swq AS BIGINT) AS err_q6
         |FROM wt CROSS JOIN norm CROSS JOIN tots
         |LEFT JOIN sc ON sc.source = wt.source
         |WHERE wt.w > 0 ORDER BY ALL""".stripMargin) {
@@ -815,29 +874,35 @@ object DataOpsQueries {
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
     // token-budget mixture plan: per-source rates + repeat factors
-    // for a 100k-token budget (weights 4/2/1/1 sum to 8.0 exactly in
-    // any order, and each share is an exact binary fraction); the
-    // multiply-before-floor and multiply-before-divide op orders
-    // mirror the Spark side token-for-token
+    // for a 100k-token budget; every ratio is pure int64 — weights
+    // quantize x1e6 to integers (wq/sum(wq)), the budget allocation
+    // and epochs use the split floor-division identity, the rate caps
+    // via least AFTER the scaled division — mirroring the Spark side
+    // token-for-token
     Entry("text_mixture_plan",
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
         |       FROM documents GROUP BY 1),
         |wt AS (SELECT source, n_docs, n_tokens,
-        |        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+        |        CAST(floor(CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
         |                    WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
-        |                    ELSE 0.0 END AS w
+        |                    ELSE 0.0 END * 1e6) AS BIGINT) AS wq
         |       FROM per),
-        |norm AS (SELECT sum(w) AS sw FROM wt WHERE w > 0),
-        |f AS (SELECT wt.*, wt.w / norm.sw AS share,
-        |        CAST(floor(wt.w / norm.sw * 100000.0) AS BIGINT) AS target_tokens
-        |      FROM wt CROSS JOIN norm WHERE wt.w > 0)
+        |norm AS (SELECT CAST(sum(wq) AS BIGINT) AS swq FROM wt WHERE wq > 0),
+        |f AS (SELECT wt.*,
+        |        CAST(100000 // norm.swq * wt.wq
+        |          + (100000 % norm.swq) * wt.wq // norm.swq AS BIGINT) AS target_tokens
+        |      FROM wt CROSS JOIN norm WHERE wt.wq > 0),
+        |g AS (SELECT f.*, norm.swq,
+        |        CAST(target_tokens // n_tokens * 1000000
+        |          + (target_tokens % n_tokens) * 1000000 // n_tokens AS BIGINT) AS epochs_q6
+        |      FROM f CROSS JOIN norm)
         |SELECT source, n_docs, n_tokens,
-        |  CAST(floor(share * 1000000.0) AS BIGINT) AS target_share_q6,
+        |  CAST(wq * 1000000 // swq AS BIGINT) AS target_share_q6,
         |  target_tokens,
-        |  CAST(floor(least(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0) * 1000000.0) AS BIGINT) AS rate_q6,
-        |  CAST(floor(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS epochs_q6
-        |FROM f ORDER BY ALL""".stripMargin) {
+        |  least(epochs_q6, 1000000) AS rate_q6,
+        |  epochs_q6
+        |FROM g ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.mixturePlan(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
         budgetTokens = 100000L))
@@ -888,9 +953,9 @@ object DataOpsQueries {
         |       count(*) AS n_distinct, sum(c * length(term)) AS char_sum
         |      FROM tc GROUP BY 1),
         |s AS (SELECT doc_id, n_words,
-        |       CAST(floor(char_sum / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS mean_len_q6,
-        |       CAST(floor(n_distinct / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS diversity_q6,
-        |       CAST(floor(top_c / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS top_word_frac_q6
+        |       CAST(char_sum * 1000000 // n_words AS BIGINT) AS mean_len_q6,
+        |       CAST(n_distinct * 1000000 // n_words AS BIGINT) AS diversity_q6,
+        |       CAST(top_c * 1000000 // n_words AS BIGINT) AS top_word_frac_q6
         |      FROM d),
         |gated AS (SELECT doc_id FROM s
         |          WHERE (n_words BETWEEN 50 AND 100000) AND (mean_len_q6 BETWEEN 3000000 AND 10000000)
@@ -926,9 +991,9 @@ object DataOpsQueries {
         |       count(*) AS n_distinct, sum(c * length(term)) AS char_sum
         |      FROM tc GROUP BY 1),
         |s AS (SELECT doc_id, n_words,
-        |       CAST(floor(char_sum / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS mean_len_q6,
-        |       CAST(floor(n_distinct / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS diversity_q6,
-        |       CAST(floor(top_c / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS top_word_frac_q6
+        |       CAST(char_sum * 1000000 // n_words AS BIGINT) AS mean_len_q6,
+        |       CAST(n_distinct * 1000000 // n_words AS BIGINT) AS diversity_q6,
+        |       CAST(top_c * 1000000 // n_words AS BIGINT) AS top_word_frac_q6
         |      FROM d)
         |SELECT doc_id, n_words, mean_len_q6, diversity_q6, top_word_frac_q6,
         |       (n_words BETWEEN 50 AND 100000) AND (mean_len_q6 BETWEEN 3000000 AND 10000000)
@@ -947,7 +1012,7 @@ object DataOpsQueries {
         |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         |      FROM t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1)
         |SELECT doc_id, n_tokens, n_oov,
-        |       CAST(floor(n_oov / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT) AS oov_rate_q6
+        |       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_rate_q6
         |FROM d ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.vocabCoverage(docs(s, d), vocabSize = 100))
     },
@@ -1356,13 +1421,54 @@ object DataOpsQueries {
          |$rows,
          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM ex)
          |SELECT nprobe, n_queries, n_scanned, n_hit, n_truth,
-         |  CAST(floor(n_hit / CAST(n_truth AS DOUBLE) * 1e6) AS BIGINT)
+         |  CAST(n_hit * 1000000 // n_truth AS BIGINT)
          |    AS recall_q6
          |FROM (${ps.map(p => s"SELECT * FROM r_$p").mkString(" UNION ALL ")}), t
          |ORDER BY ALL""".stripMargin
     }) {
       (s, d) => ordered(Ann.nprobeCurve(emb(s, d), nQueries = 10, k = 5,
         nlist = 8, iters = 2, trainMod = 4, nprobes = Seq(1, 2, 4, 8)))
+    },
+
+    // the nlist tuning curve: the INDEX knob's table — per cell
+    // count (fixed probe fraction 1/4) the recall, measured scan
+    // cost, and the training cost the setting buys; each setting
+    // legitimately re-trains (nlist is baked into the quantizer), so
+    // the oracle composes one full suffixed training replay per row
+    Entry("ann_nlist_curve", {
+      val nls = Seq(2, 4, 8, 16)
+      val iters = 2
+      def npOf(nl: Int) = math.max(1, math.ceil(nl * 0.25).toInt)
+      val bodies = nls.map(nl =>
+        kmeansIvfBody(nlist = nl, iters = iters, nQueries = 10,
+          nprobe = npOf(nl), trainMod = 4, fx = s"_n$nl")).mkString(",\n")
+      val rows = nls.map { nl =>
+        s"""r_n$nl AS (SELECT CAST($nl AS BIGINT) AS nlist,
+           |  CAST(${npOf(nl)} AS BIGINT) AS nprobe,
+           |  CAST(10 AS BIGINT) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM nt_n$nl) AS n_train_vectors,
+           |  (SELECT CAST(count(*) * $nl * $iters AS BIGINT) FROM nt_n$nl) AS train_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sc_n$nl) AS n_scanned,
+           |  (SELECT CAST(count(iv.neighbor_id) AS BIGINT) FROM ex
+           |     LEFT JOIN (SELECT query_id, vec_id AS neighbor_id FROM sc_n$nl
+           |       QUALIFY row_number() OVER (PARTITION BY query_id
+           |         ORDER BY sim DESC, vec_id) <= 5) iv
+           |     USING (query_id, neighbor_id)) AS n_hit)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM (
+         |${exactTopSql(nQueries = 10, k = 5)}) x),
+         |$bodies,
+         |$rows,
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM ex)
+         |SELECT nlist, nprobe, n_queries, n_train_vectors, train_pairs,
+         |  n_scanned, n_hit, n_truth,
+         |  CAST(n_hit * 1000000 // n_truth AS BIGINT) AS recall_q6
+         |FROM (${nls.map(nl => s"SELECT * FROM r_n$nl").mkString(" UNION ALL ")}), t
+         |ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => ordered(Ann.nlistCurve(emb(s, d), nQueries = 10, k = 5,
+        nlists = Seq(2, 4, 8, 16), iters = 2, trainMod = 4,
+        probeFrac = 0.25))
     },
 
     // product quantization: 4 subspaces × 8-entry L2 codebooks, ADC scan
@@ -1644,8 +1750,8 @@ object DataOpsQueries {
     Entry("text_token_stats",
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)
         |SELECT doc_id, len(w) AS n_tokens, n_chars,
-        |       CAST(floor(list_sum(list_transform(w, s -> length(s))) / CAST(len(w) AS DOUBLE) * 1e6) AS BIGINT) AS avg_token_len_q6,
-        |       CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1e6) AS BIGINT) AS lexical_diversity_q6
+        |       CAST(CAST(list_sum(list_transform(w, s -> length(s))) AS BIGINT) * 1000000 // len(w) AS BIGINT) AS avg_token_len_q6,
+        |       CAST(CAST(len(list_distinct(w)) AS BIGINT) * 1000000 // len(w) AS BIGINT) AS lexical_diversity_q6
         |FROM t ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.tokenStats(docs(s, d)))
     },
@@ -1669,15 +1775,16 @@ object DataOpsQueries {
     },
     Entry("text_lang_dist",
       """SELECT lang, count(*) AS n_docs,
-        |       CAST(floor(avg(n_chars) * 1e6) AS BIGINT) AS avg_chars_q6,
+        |       CAST(sum(n_chars) // count(*) * 1000000 + (sum(n_chars) % count(*)) * 1000000 // count(*) AS BIGINT) AS avg_chars_q6,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.langDist(docs(s, d)))
     },
     Entry("text_quality",
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-        |SELECT doc_id, CAST(floor((0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
-        |                   + 0.5 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)) * 1e6) AS BIGINT) AS quality_q6
+        |SELECT doc_id, CAST((CAST(len(list_distinct(w)) AS BIGINT) * 500000
+        |      + least(500000, CAST(len(w) AS BIGINT) * 5000) * CAST(len(w) AS BIGINT))
+        |     // CAST(len(w) AS BIGINT) AS BIGINT) AS quality_q6
         |FROM t ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.qualityScore(docs(s, d)))
     },
@@ -1716,13 +1823,13 @@ object DataOpsQueries {
         |         i -> array_to_string(w[i+1:i+2], ' '))) AS g
         |       FROM t WHERE len(w) >= 2),
         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-        |s2 AS (SELECT doc_id, CAST(floor(max(c) / CAST(sum(c) AS DOUBLE) * 1e6) AS BIGINT) AS top2_frac_q6
+        |s2 AS (SELECT doc_id, CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top2_frac_q6
         |       FROM c2 GROUP BY 1),
         |g3 AS (SELECT doc_id, unnest(list_transform(range(len(w) - 2),
         |         i -> array_to_string(w[i+1:i+3], ' '))) AS g
         |       FROM t WHERE len(w) >= 3),
         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
-        |s3 AS (SELECT doc_id, CAST(floor((1 - count(*) / CAST(sum(c) AS DOUBLE)) * 1e6) AS BIGINT) AS dup3_frac_q6
+        |s3 AS (SELECT doc_id, CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT) AS dup3_frac_q6
         |       FROM c3 GROUP BY 1)
         |SELECT d.doc_id, COALESCE(s2.top2_frac_q6, 0) AS top2_frac_q6,
         |       COALESCE(s3.dup3_frac_q6, 0) AS dup3_frac_q6
@@ -1767,12 +1874,25 @@ object DataOpsQueries {
          |         regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}') FROM pfx
          |  UNION ALL
          |  SELECT doc_id, 'ssn',
-         |         regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}') FROM pfx),
+         |         regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}') FROM pfx
+         |  UNION ALL
+         |  SELECT doc_id, 'ipv6',
+         |         regexp_extract_all(text, '(?:[0-9a-fA-F]{1,4}:){3,7}[0-9a-fA-F]{1,4}') FROM pfx
+         |  UNION ALL
+         |  SELECT doc_id, 'ccard',
+         |         regexp_extract_all(text, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|[0-9]{13,16}') FROM pfx
+         |  UNION ALL
+         |  SELECT doc_id, 'iban',
+         |         regexp_extract_all(text, '[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}') FROM pfx),
          |x AS (SELECT doc_id, kind,
          |        unnest(list_transform(range(len(l)), j -> struct_pack(idx := j, m := l[j+1]))) AS s
          |      FROM cls)
          |SELECT doc_id, kind, CAST(s.idx AS BIGINT) AS idx, s.m AS "match"
-         |FROM x ORDER BY ALL""".stripMargin) {
+         |FROM x
+         |WHERE kind NOT IN ('ccard', 'iban')
+         |   OR (kind = 'ccard' AND ${duckLuhn("s.m")})
+         |   OR (kind = 'iban' AND ${duckIban("s.m")})
+         |ORDER BY ALL""".stripMargin) {
       (s, _) => ordered(TextStats.piiSpans(piiFx(s)))
     },
     // line-level boilerplate scrub (CCNet/RefinedWeb line df pass)
@@ -1802,6 +1922,23 @@ object DataOpsQueries {
          |${blSql("bfx")}
          |$BL_SCRUB_BODY ORDER BY ALL""".stripMargin) {
       (s, _) => ordered(TextStats.boilerplateScrub(blFx(s)))
+    },
+    // the RefinedWeb NEAR-duplicate variant: whitespace-collapsed +
+    // digit-masked keys unify "Page N of 30" footers and the
+    // re-indented doc-0 copyright (both exact-df 1 — the md5 key
+    // alone misses them); bodies stay letter-unique
+    Entry("text_boilerplate_norm_fixture",
+      s"""WITH $NBFX,
+         |${blSql("nfx", normalized = true)}
+         |SELECT doc_id, line_no, line, df, is_boilerplate
+         |FROM bl ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(TextStats.boilerplateLines(nbFx(s), normalized = true))
+    },
+    Entry("text_boilerplate_norm_scrub_fixture",
+      s"""WITH $NBFX,
+         |${blSql("nfx", normalized = true)}
+         |$BL_SCRUB_BODY ORDER BY ALL""".stripMargin) {
+      (s, _) => ordered(TextStats.boilerplateScrub(nbFx(s), normalized = true))
     },
     // bigram-LM perplexity filter (CCNet-style): per-pair logp is
     // quantized to fixed point so the per-doc score is an exact

@@ -204,6 +204,27 @@ class AnnSpec extends AnyFunSuite {
     assert(rows(6L)._1 === 6L * 119L)
   }
 
+  test("nlistCurve: full probe fraction recovers exact search at every nlist; train_pairs is the Lloyd evaluation count") {
+    // probeFrac = 1 → nprobe = nlist for every setting → every row
+    // must read recall 1e6 (the index knob cannot lose what a full
+    // probe rescues) and scan every non-self vector
+    val rows = Ann.nlistCurve(corpus, nQueries = 6, k = 5,
+      nlists = Seq(2, 4), iters = 2, probeFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(7), r.getLong(8)))).toMap
+    assert(rows.keySet === Set(2L, 4L))
+    for ((nl, (np, nTrain, pairs, scanned, nTruth, recall)) <- rows) {
+      assert(np === nl, "probeFrac 1 probes every cell")
+      assert(pairs === nTrain * nl * 2L,
+        "train_pairs = sample × nlist × iters exactly")
+      assert(scanned === 6L * 119L, "full probe scans every non-self vector")
+      assert(nTruth === 30L)
+      assert(recall === 1000000L, s"nlist=$nl full-probe recall")
+    }
+    // training cost grows linearly with nlist at fixed sample/iters
+    assert(rows(4L)._3 === 2L * rows(2L)._3)
+  }
+
   test("recall on the shipped sf0.01 embeddings (real distribution, default sizing)") {
     // the synthetic 6-cluster corpus above validates the mechanism;
     // this pins recall on the ACTUAL embeddings table the driver

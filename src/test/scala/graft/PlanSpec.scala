@@ -250,6 +250,18 @@ class PlanSpec extends AnyFunSuite {
     // 1-row stat joins — far below a re-run of training (>= 10)
     assert(three - one <= 2 * 8,
       s"extra nprobe settings must not re-train: $one -> $three")
+    // the CONTRAST: nlistCurve's knob is baked into the quantizer,
+    // so each extra setting IS expected to bring its own training
+    // chain — at least the two Lloyd-round re-center exchanges plus
+    // the probe/topk stages (an ABSOLUTE bound: comparing against
+    // nprobeCurve's growth is AQE-environment-sensitive and flaked
+    // under the full-suite JVM)
+    val nOne = shuffles(graft.llm.Ann.nlistCurve(emb, nQueries = 5, k = 3,
+      nlists = Seq(2), iters = 2))
+    val nTwo = shuffles(graft.llm.Ann.nlistCurve(emb, nQueries = 5, k = 3,
+      nlists = Seq(2, 4), iters = 2))
+    assert(nTwo - nOne >= 4,
+      s"an nlist setting re-trains by design: $nOne -> $nTwo")
   }
 
   test("LM-score/BM25/PMI: corpus stats broadcast, no windows, no global sort") {

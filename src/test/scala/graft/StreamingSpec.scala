@@ -302,6 +302,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); qm.stop() }
   }
 
+  test("streaming mixture drift: windowed achieved-vs-plan rows finalize exactly (append mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // rates 1.0 keep everything → the kept set is the input, so the
+    // windowed proportions are hand-checkable; plan weights 3:1 →
+    // targets 750000 / 250000. Window 0: 6 a + 2 d; window 1: 2 a + 2 d
+    val rows = Seq.tabulate(6)(i => (i.toLong, "w", "a", 10L + i)) ++
+      Seq((100L, "w", "d", 20L), (101L, "w", "d", 30L)) ++
+      Seq((200L, "w", "a", 70L), (201L, "w", "a", 80L),
+        (300L, "w", "d", 75L), (301L, "w", "d", 85L))
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = graft.llm.TextStats.streamingMixtureDrift(
+      ms.toDF().toDF("doc_id", "text", "source", "ts"),
+      rates = Map("a" -> 1.0, "d" -> 1.0),
+      weights = Map("a" -> 3.0, "d" -> 1.0), windowSec = 60L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_drift").start()
+    try {
+      // split mid-window so the count spans micro-batches
+      ms.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      ms.addData((999L, "w", "a", 100000L)) // push the watermark
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT window_start, source, n_sampled, n_total, achieved_q6, " +
+          "target_q6, err_q6 FROM mix_drift WHERE window_start < 1000")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6)))).toMap
+      assert(out((0L, "a")) === ((6L, 8L, 750000L, 750000L, 0L)),
+        out.toString)
+      assert(out((0L, "d")) === ((2L, 8L, 250000L, 250000L, 0L)))
+      // window 1 drifts: a reads 50% against a 75% plan
+      assert(out((60L, "a")) === ((2L, 4L, 500000L, 750000L, -250000L)))
+      assert(out((60L, "d")) === ((2L, 4L, 500000L, 250000L, 250000L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows finalize past the watermark and agree with batch sessionize") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -161,7 +161,13 @@ class TextStatsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "mail bob.smith@corp.example.org and alice@x.io now"),
       (2L, "server 192.168.0.1 ssn 123-45-6789 call 555-123-4567"),
-      (3L, "clean text only")).toDF("doc_id", "text")
+      (3L, "clean text only"),
+      // checksum classes: a Luhn-valid card, a Luhn-FAILING card, a
+      // mod-97-valid IBAN, a mod-97-FAILING IBAN, an ipv6 address
+      (4L, "card 4111-1111-1111-1111 or 4111-1111-1111-1112 done"),
+      (5L, "acct GB82WEST12345698765432 alt GB82WEST12345698765431"),
+      (6L, "via 2001:0db8:85a3:0000:0000:8a2e:0370:7334 net"))
+      .toDF("doc_id", "text")
     val spans = TextStats.piiSpans(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
       .toSet
@@ -170,16 +176,35 @@ class TextStatsSpec extends AnyFunSuite {
       (1L, "email", 1L, "alice@x.io"),
       (2L, "ipv4", 0L, "192.168.0.1"),
       (2L, "ssn", 0L, "123-45-6789"),
-      (2L, "phone", 0L, "555-123-4567")), spans.toString)
+      (2L, "phone", 0L, "555-123-4567"),
+      // the invalid card/IBAN are shape candidates but FAIL their
+      // checksum — dropped from the audit, leaving the idx gap
+      (4L, "ccard", 0L, "4111-1111-1111-1111"),
+      (5L, "iban", 0L, "GB82WEST12345698765432"),
+      (6L, "ipv6", 0L, "2001:0db8:85a3:0000:0000:8a2e:0370:7334")),
+      spans.toString)
     val scrub = TextStats.piiScrub(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getString(5)))).toMap
-    assert(scrub(1L) === ((2L, 0L, 0L, 0L,
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getString(8)))).toMap
+    assert(scrub(1L) === ((2L, 0L, 0L, 0L, 0L, 0L, 0L,
       "mail <EMAIL> and <EMAIL> now")), scrub(1L).toString)
-    assert(scrub(2L) === ((0L, 1L, 1L, 1L,
+    assert(scrub(2L) === ((0L, 1L, 1L, 1L, 0L, 0L, 0L,
       "server <IPV4> ssn <SSN> call <PHONE>")), scrub(2L).toString)
-    assert(scrub(3L) === ((0L, 0L, 0L, 0L, "clean text only")),
+    assert(scrub(3L) === ((0L, 0L, 0L, 0L, 0L, 0L, 0L, "clean text only")),
       "a contact-free document passes through byte-identical")
+    // the scrub is SHAPE-based: both cards/IBANs count and redact;
+    // column order is (ipv6, iban, ccard) — iban redacts BEFORE
+    // ccard so an account's digit tail can't be split mid-IBAN
+    assert(scrub(4L) === ((0L, 0L, 0L, 0L, 0L, 0L, 2L,
+      "card <CCARD> or <CCARD> done")), scrub(4L).toString)
+    // each IBAN's 14-digit tail also shape-matches ccard on the
+    // ORIGINAL text (counts are independent per class), but the
+    // redaction sees whole <IBAN> placeholders
+    assert(scrub(5L) === ((0L, 0L, 0L, 0L, 0L, 2L, 2L,
+      "acct <IBAN> alt <IBAN>")), scrub(5L).toString)
+    assert(scrub(6L) === ((0L, 0L, 0L, 0L, 1L, 0L, 0L,
+      "via <IPV6> net")), scrub(6L).toString)
   }
 
   test("sourceQualityReport: duplicate-heavy source reads its dup rate; all-singleton vocab carries NULL slope") {
@@ -229,6 +254,36 @@ class TextStatsSpec extends AnyFunSuite {
     assert(scrub(1L) === ((3L, 2L, "body one")))
     // everything removed → empty string, counts still reported
     assert(scrub(2L) === ((1L, 1L, "")))
+  }
+
+  test("boilerplateLines normalized: digit-masked footers and re-indented banners unify; exact keys miss them") {
+    import spark.implicits._
+    // "Page N" differs per doc (exact df 1); doc 0's banner is
+    // re-indented (exact df 1 vs 2 for the others); bodies unique
+    val docs = Seq(
+      (0L, "Page 1 of 9\n(c)  Press\nbody aa"),
+      (1L, "Page 2 of 9\n(c) Press\nbody bb"),
+      (2L, "Page 3 of 9\n(c) Press\nbody cc")).toDF("doc_id", "text")
+    val exact = TextStats.boilerplateLines(docs, minDf = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(4)).toMap
+    assert(!exact((0L, 0L)) && !exact((1L, 0L)),
+      "exact keys can't see the page footer family")
+    assert(!exact((0L, 1L)) && exact((1L, 1L)),
+      "exact keys miss the re-indented doc-0 banner")
+    val norm = TextStats.boilerplateLines(docs, minDf = 2L,
+      normalized = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // original text is preserved in the output; only the KEY masks
+    assert(norm((0L, 0L)) === (("Page 1 of 9", 3L, true)))
+    assert(norm((0L, 1L)) === (("(c)  Press", 3L, true)))
+    assert(norm((2L, 1L)) === (("(c) Press", 3L, true)))
+    assert(norm((1L, 2L)) === (("body bb", 1L, false)))
+    val scrub = TextStats.boilerplateScrub(docs, minDf = 2L,
+      normalized = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(scrub(0L) === ((3L, 2L, "body aa")))
   }
 
   test("mixturePlan: under-capacity source caps rate at 1 and reads its repeat factor") {
