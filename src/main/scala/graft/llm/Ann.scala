@@ -568,8 +568,9 @@ object Ann {
   /** Quantization distortion audit — the trust gate for the
     * compression family (the recall-eval pattern aimed at storage):
     * one row per scheme with the corpus-wide reconstruction error of
-    * SQ8 (absmax int8) and PQ (m-subspace codebooks) — the table that
-    * says how much geometry a 4×/16× storage saving actually costs
+    * SQ8 (absmax int8), PQ (m-subspace codebooks), and BIN (1-bit
+    * sign codes, mean-|x| scale) — the table that says how much
+    * geometry a 4×/16×/32× storage saving actually costs
     * BEFORE a store commits to serving from codes. Columns
     * (scheme, n_vectors, sum_se_q9, mse_q9, max_se_q9): per-vector
     * squared L2 reconstruction error, floor-quantized ×1e9.
@@ -587,9 +588,9 @@ object Ann {
     * sums sit ~1e10-1e11 q9-units per 500 vectors; even 100×
     * replication leaves four decades under int64.
     *
-    * Scale shape: SQ8 is one narrow pass; PQ is the already-audited
-    * training plus ONE broadcast codebook join over the subvector
-    * stream — nothing new shuffles; output is 2 rows. */
+    * Scale shape: SQ8 and BIN are each one narrow pass; PQ is the
+    * already-audited training plus ONE broadcast codebook join over
+    * the subvector stream — nothing new shuffles; output is 3 rows. */
   def quantDistortion(emb: DataFrame, m: Int = 4, nlist: Int = 8,
       iters: Int = 2, trainMod: Int = 1): DataFrame = {
     val e = withNorm(emb)
@@ -613,12 +614,30 @@ object Ann {
           |  (x, y) -> CAST(floor((x - y) * (x - y) * 1e9) AS BIGINT)),
           |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
       .groupBy(col("vec_id")).agg(sum(col("seq")).as("se"))
+    // 1-bit sign quantization (the 32× storage point past SQ8/PQ):
+    // r_j = ±s with s = mean(|x_j|) — the L2-optimal 1-bit scale
+    // (Rastegari et al. 2016's α). The mean is made exact the
+    // trainPq way: |x| quantizes ×2^30 to int64 per component, the
+    // sum is exact integer, the scale one IEEE divide — then the
+    // same per-component q9 error floors as the other schemes.
+    val binv = e.where(col("v").isNotNull)
+      .withColumn("s", expr(
+        """CAST(aggregate(v, CAST(0 AS BIGINT),
+          |  (a, x) -> a + CAST(floor(abs(x) * 1073741824D) AS BIGINT))
+          |AS DOUBLE) / CAST(CAST(size(v) AS BIGINT) * 1073741824L AS DOUBLE)"""
+          .stripMargin))
+      .withColumn("se", expr(
+        """aggregate(v, CAST(0 AS BIGINT), (a, x) -> a +
+          |  CAST(floor((x - CASE WHEN x >= 0D THEN s ELSE -s END)
+          |    * (x - CASE WHEN x >= 0D THEN s ELSE -s END) * 1e9)
+          |  AS BIGINT))""".stripMargin))
+      .select(col("vec_id"), col("se"))
     def rowOf(scheme: String, per: DataFrame) = per
       .agg(count(lit(1)).as("n_vectors"), sum(col("se")).as("sum_se_q9"),
         max(col("se")).as("max_se_q9"))
       .select(lit(scheme).as("scheme"), col("n_vectors"), col("sum_se_q9"),
         expr("sum_se_q9 DIV n_vectors").as("mse_q9"), col("max_se_q9"))
-    rowOf("pq", pqv) unionAll rowOf("sq8", sqv)
+    rowOf("pq", pqv) unionAll rowOf("sq8", sqv) unionAll rowOf("bin", binv)
   }
 
   /** Hyperplane constant j, derived from md5("plane:j") — the

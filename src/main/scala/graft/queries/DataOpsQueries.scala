@@ -481,15 +481,18 @@ object DataOpsQueries {
        |FROM sc QUALIFY rank <= $k ORDER BY ALL""".stripMargin
   }
 
-  /** The 12 engine-behavior probes the canary expects a DuckDB 1.0.0
+  /** The 14 engine-behavior probes the canary expects a DuckDB 1.0.0
     * oracle to pass (verified against 1.0.0 when frozen). Each probe
     * pins one arithmetic behavior the repo's fixed-point discipline
     * leans on: round half-away on doubles, round(x, 9), sequential
     * list folds, SUM/windowed-SUM/AVG accumulation, floor-of-ratio,
-    * truncating integer division, and ln/sqrt/pow at q9. */
+    * truncating integer division, ln/sqrt/pow at q9, the
+    * list_reduce modular fold (the IBAN mod-97 shape), and global
+    * regex extract/replace semantics (the PII/boilerplate shape). */
   private val envProbes = Seq("avg_is_sum_div_count", "floor_ratio",
-    "fold_seq_absorb", "fold_tenths", "int_div_trunc", "ln_q9", "pow_q9",
-    "round9", "round_half_away", "sqrt_q9", "sum_tenths", "win_sum_tenths")
+    "fold_seq_absorb", "fold_tenths", "int_div_trunc", "list_reduce_fold",
+    "ln_q9", "pow_q9", "regex_global", "round9", "round_half_away",
+    "sqrt_q9", "sum_tenths", "win_sum_tenths")
 
   private val reportEnvSql: String =
     """WITH vp AS (SELECT string_split(substr(version(), 2), '.') AS parts),
@@ -500,7 +503,9 @@ object DataOpsQueries {
       |  ('fold_seq_absorb', list_sum([1e16::DOUBLE, 3.0::DOUBLE, 3.0::DOUBLE, -1e16::DOUBLE]) = 8.0),
       |  ('fold_tenths', list_sum(list_transform(range(1000), x -> 0.1::DOUBLE)) = 99.9999999999986),
       |  ('int_div_trunc', (-7) // 2 = -3),
+      |  ('list_reduce_fold', list_reduce(list_prepend(0, [7, 8, 9]), (a, x) -> (a * 10 + x) % 97) = 13),
       |  ('ln_q9', floor(ln(7.0::DOUBLE) * 1e9) = 1945910149.0),
+      |  ('regex_global', len(regexp_extract_all('a1b22c333 4444', '[0-9]+')) = 4 AND regexp_replace('x   y  z', '\s+', ' ', 'g') = 'x y z' AND regexp_extract_all('GB82WEST12', '[A-Z]{2}[0-9]{2}')[1] = 'GB82'),
       |  ('pow_q9', floor(power(1.1::DOUBLE, 7) * 1e9) = 1948717100.0),
       |  ('round9', round(0.1234567895::DOUBLE, 9) = 0.12345679::DOUBLE AND round(2.675::DOUBLE, 2) = 2.68::DOUBLE),
       |  ('round_half_away', round(2.5::DOUBLE) = 3.0 AND round(3.5::DOUBLE) = 4.0 AND round(-2.5::DOUBLE) = -3.0),
@@ -518,7 +523,7 @@ object DataOpsQueries {
     // could not be reproduced against DuckDB 1.0.0 — this entry makes
     // any oracle-engine drift diagnosable in ONE round, in-band). The
     // Spark side emits the EXPECTED frame for a DuckDB 1.0.0 oracle:
-    // (major·100+minor)·100 = 10 000 version rows plus the 12 probes
+    // (major·100+minor)·100 = 10 000 version rows plus the 14 probes
     // above, all of which 1.0.0 passes. The oracle derives its frame
     // from version() and live arithmetic. Green ⇒ the driver's oracle
     // engine is probe-identical to DuckDB 1.0.0. Red ⇒ oracle_rows
@@ -1511,13 +1516,24 @@ object DataOpsQueries {
          |            * (x - CAST(round(x / scale) AS INT) * scale) * 1e9)
          |            AS BIGINT) END))
          |    AS BIGINT) AS se FROM sq),
+         |bs AS (SELECT vec_id, v,
+         |  CAST(list_sum(list_transform(v, x -> CAST(floor(abs(x) * 1073741824) AS BIGINT))) AS DOUBLE)
+         |    / CAST(len(v) * 1073741824::BIGINT AS DOUBLE) AS s FROM e),
+         |binv AS (SELECT vec_id, CAST(list_sum(list_transform(v, x ->
+         |    CAST(floor((x - CASE WHEN x >= 0 THEN s ELSE -s END)
+         |      * (x - CASE WHEN x >= 0 THEN s ELSE -s END) * 1e9) AS BIGINT)))
+         |    AS BIGINT) AS se FROM bs),
          |r1 AS (SELECT 'pq' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
          |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
          |  max(se) AS max_se_q9 FROM pqv),
          |r2 AS (SELECT 'sq8' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
          |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
-         |  max(se) AS max_se_q9 FROM sqv)
-         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY ALL""".stripMargin
+         |  max(se) AS max_se_q9 FROM sqv),
+         |r3 AS (SELECT 'bin' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
+         |  max(se) AS max_se_q9 FROM binv)
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         |ORDER BY ALL""".stripMargin
     }) {
       (s, d) => ordered(Ann.quantDistortion(emb(s, d), m = 4, nlist = 8,
         iters = 2, trainMod = 4))

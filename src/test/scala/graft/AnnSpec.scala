@@ -178,14 +178,30 @@ class AnnSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))).toMap
     assert(z("sq8") === ((8L, 0L, 0L, 0L)), z.toString)
     assert(z("pq") === ((8L, 0L, 0L, 0L)), z.toString)
+    // the 1-bit scheme CANNOT represent this corpus (mixed component
+    // magnitudes) — its row must exist and read a real loss
+    assert(z("bin")._1 === 8L && z("bin")._3 > 0L, z.toString)
+    // an equal-|component| corpus IS 1-bit-representable: s = |c|
+    // exactly (the ×2^30 quantization of a power-of-two magnitude is
+    // exact), signs recover every component
+    val pm = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        if ((i + j) % 3 == 0) -2.0f else 2.0f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val zb = Ann.quantDistortion(pm, m = 4, nlist = 8, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(zb("bin") === 0L, zb.toString)
     // on the jittered cluster corpus the int8 step error (~absmax/254
-    // per component) is decades below the PQ cluster radius
+    // per component) is decades below the PQ cluster radius, and the
+    // 1-bit loss dominates the 8-bit loss
     val real = Ann.quantDistortion(corpus, m = 4, nlist = 6, iters = 2)
       .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
       .toMap
     assert(real("pq")._2 > 0L, real.toString)
     assert(real("sq8")._2 < real("pq")._2,
       s"sq8 mse must undercut pq mse: $real")
+    assert(real("sq8")._2 < real("bin")._2,
+      s"1-bit codes must lose more geometry than 8-bit: $real")
   }
 
   test("nprobeCurve: recall monotone in nprobe, full probe reads exactly 1e6 and scans the corpus") {
