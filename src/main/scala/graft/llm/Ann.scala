@@ -383,8 +383,7 @@ object Ann {
     val exact = cosineTopK(emb, nQueries, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val truth = exact.agg(count(lit(1)).as("n_truth"))
-    val nTrain = (if (trainMod <= 1) e
-                  else e.where(col("vec_id") % trainMod === 0))
+    val nTrain = trainSample(e, trainMod)
       .agg(count(lit(1)).as("n_train_vectors"))
     nlists.map { nl =>
       val np = math.max(1, math.ceil(nl * probeFrac).toInt)
@@ -464,6 +463,14 @@ object Ann {
     * sampled training exactly. At 100 TB pick trainMod ≈ N / 256·k so
     * training touches a fixed-size sample regardless of corpus
     * growth. */
+  /** The Lloyd training sample: every vector at trainMod ≤ 1, else
+    * the deterministic 1/trainMod `vec_id % trainMod == 0` subset —
+    * ONE definition shared by [[trainCoarse]] and [[nlistCurve]]'s
+    * train-cost column, so the reported train_pairs can never drift
+    * from the population Lloyd actually scores. */
+  private def trainSample(e: DataFrame, trainMod: Int): DataFrame =
+    if (trainMod <= 1) e else e.where(col("vec_id") % trainMod === 0)
+
   private def trainCoarse(e: DataFrame, nlist: Int, iters: Int,
       trainMod: Int = 1): DataFrame = {
     // the training sample is consumed iters+1 times (seed + one
@@ -477,8 +484,7 @@ object Ann {
     // trade (the documented scale path is picking trainMod ≈ N/256k,
     // which makes the persisted frame corpus-size-independent).
     val doPersist = trainMod > 1
-    val te0 = if (trainMod <= 1) e
-              else e.where(col("vec_id") % trainMod === 0)
+    val te0 = trainSample(e, trainMod)
     val te = if (doPersist)
       te0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else te0

@@ -57,20 +57,18 @@ object Curate {
     * dedup_minhash_capped argument — so the oracle pins the exact
     * walk unchanged). Sources whose pruned vocabulary can't fit a
     * line still carry a NULL slope. Output (source, n_docs, n_pass,
-    * pass_rate_q6, n_terms, slope_q6, dup_docs, dup_dups,
-    * dup_rate_q6); ratio columns are pure int64 `·1e6 DIV`. */
+    * pass_rate_q6, n_terms, slope_q6, dup_dups, dup_rate_q6); ratio
+    * columns are pure int64 `·1e6 DIV` over the ONE per-source doc
+    * count (the gate stage's — the dup stage aggregates only the
+    * pair-incident LOSERS, ≪ corpus, so it adds no corpus pass). */
   def sourceQualityReport(docs: DataFrame, n: Int = 3,
       theta: Double = 0.5, minFreq: Long = 2L,
       maxBucket: Long = 16L): DataFrame = {
-    val losers = Dedup.dupClusters(Dedup.minhashLshPairs(docs, n,
+    val dup = Dedup.dupClusters(Dedup.minhashLshPairs(docs, n,
         numHashes = 128, bands = 32, theta = theta, maxBucket = maxBucket))
-      .where(!col("keep")).select(col("doc_id"), lit(1L).as("is_dup"))
-    val dup = docs.select(col("doc_id"), col("source"))
-      .join(losers, Seq("doc_id"), "left")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("dup_docs"),
-        coalesce(sum(col("is_dup")), lit(0L)).as("dup_dups"))
-      .withColumn("dup_rate_q6", expr("dup_dups * 1000000L DIV dup_docs"))
+      .where(!col("keep")).select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_dups"))
     val gates = TextStats.gopherGates(docs)
       .select(col("doc_id"), col("passes"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -85,5 +83,7 @@ object Curate {
     // say broadcast explicitly
     gates.join(broadcast(zipf), Seq("source"), "left")
       .join(broadcast(dup), Seq("source"), "left")
+      .withColumn("dup_dups", coalesce(col("dup_dups"), lit(0L)))
+      .withColumn("dup_rate_q6", expr("dup_dups * 1000000L DIV n_docs"))
   }
 }

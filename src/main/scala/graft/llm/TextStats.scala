@@ -94,6 +94,36 @@ object TextStats {
       case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
     }
 
+  /** Normalized ×1e6-quantized integer weights, computed ON THE
+    * DRIVER (plain Scala arithmetic — deterministic, no engine fold
+    * anywhere in the weight path): wq_s = floor(w_s/Σw · 1e6). Shared
+    * by [[mixtureReport]], [[mixturePlan]] and
+    * [[streamingMixtureDrift]] so target proportions are
+    * scale-INVARIANT in the weights (passing raw corpus sizes is
+    * legal) and every downstream ratio stays inside int64 (wq ≤ 1e6
+    * by construction, where quantizing unnormalized weights overflowed
+    * at w > ~9.2e6 and floored sub-1e-6 weights to zero). Rejects a
+    * weight below 1e-6 of the total — it would quantize to 0 and
+    * silently vanish from the plan. */
+  private def quantWeights(weights: Map[String, Double]): Map[String, Long] = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be positive")
+    val sw = weights.values.sum
+    val wq = weights.map { case (k, v) =>
+      k -> math.floor(v / sw * 1e6).toLong }
+    wq.foreach { case (k, q) => require(q > 0L,
+      s"weight for '$k' is under 1e-6 of the total — it would quantize to 0") }
+    wq
+  }
+
+  /** Literal integer CASE over the quantized weights (0 for unlisted
+    * sources) — the [[weightCase]] shape with driver-computed int64
+    * constants, safe for ANY source-name characters. */
+  private def wqCase(wq: Map[String, Long]): org.apache.spark.sql.Column =
+    wq.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, q)) => when(col("source") === k, lit(q)).otherwise(acc)
+    }
+
   /** Weighted source mixing — the data-mixture operator (Pile/DoReMi
     * shape): given target weights per source, sample each source at
     * the largest rate consistent with the target proportions and
@@ -162,39 +192,45 @@ object TextStats {
     * err_q6 in that window, where the cumulative [[
     * streamingMixtureMonitor]] would take hours to move).
     *
-    * Targets come from the PLAN weights quantized ×1e6 on the driver
-    * (exact integers, emitted as literals — the [[mixtureReport]]
-    * convention), so target_q6 is a constant per source and every
-    * ratio is pure int64 DIV. The per-source counts ride ONE windowed
-    * aggregation as conditional sums over the compiled source list
-    * (no second agg, no stream-stream join — Structured Streaming
-    * forbids joining two streaming aggregates), then explode to rows.
-    * Append mode past the watermark; window×|plan| state. `ts` is
-    * epoch seconds. */
+    * Targets come from the PLAN weights via [[quantWeights]] —
+    * normalized ×1e6 integers computed on the driver and emitted as
+    * literals (scale-invariant, the [[mixtureReport]] convention) —
+    * so target_q6 is a constant per source and every ratio is pure
+    * int64 DIV. The kept stream is restricted to the PLANNED sources
+    * before the window total, so achieved proportions are measured
+    * against the same population the plan describes (a rates-kept
+    * source outside `weights` must not dilute every planned source
+    * into phantom negative drift — the batch report's n_total scope).
+    * The per-source counts ride ONE windowed aggregation as
+    * conditional sums over the compiled source list (no second agg,
+    * no stream-stream join — Structured Streaming forbids joining two
+    * streaming aggregates), then explode to rows; all construction is
+    * Column-API, so any source-name characters are safe. Append mode
+    * past the watermark; window×|plan| state. `ts` is epoch
+    * seconds. */
   def streamingMixtureDrift(stream: DataFrame, rates: Map[String, Double],
       weights: Map[String, Double], windowSec: Long = 3600L,
       maxLateness: Long = 0L): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
-      "plan weights must be positive")
-    val srcs = weights.keys.toSeq.sorted
-    val wq = srcs.map(s => s -> math.floor(weights(s) * 1e6).toLong).toMap
+    val wq = quantWeights(weights)
     val swq = wq.values.sum
-    val perSrc = srcs.map(s =>
-      sum(when(col("source") === s, 1L).otherwise(0L)).as(s"__c_$s"))
-    val pairs = srcs.map(s =>
-      s"struct('$s' AS source, __c_$s AS n_sampled, ${wq(s)}L AS wq)")
-      .mkString(", ")
+    val srcs = wq.keys.toSeq.sorted
+    val perSrc = srcs.zipWithIndex.map { case (s, i) =>
+      sum(when(col("source") === s, 1L).otherwise(0L)).as(s"__c_$i") }
+    val pairs = array(srcs.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("source"), col(s"__c_$i").as("n_sampled"),
+        lit(wq(s) * 1000000L / swq).as("target_q6")) }: _*)
     streamingSampleMixture(stream, rates)
+      .where(col("source").isin(srcs: _*))
       .select(col("source"), timestamp_seconds(col("ts")).as("__et"))
       .withWatermark("__et", s"$maxLateness seconds")
       .groupBy(window(col("__et"), s"$windowSec seconds"))
       .agg(count(lit(1)).as("n_total"), perSrc: _*)
       .select(unix_timestamp(col("window.start")).as("window_start"),
-        col("n_total"), explode(expr(s"array($pairs)")).as("x"))
+        col("n_total"), explode(pairs).as("x"))
       .select(col("window_start"), col("x.source").as("source"),
         col("x.n_sampled").as("n_sampled"), col("n_total"),
         expr("x.n_sampled * 1000000L DIV n_total").as("achieved_q6"),
-        expr(s"x.wq * 1000000L DIV ${swq}L").as("target_q6"))
+        col("x.target_q6").as("target_q6"))
       .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
   }
 
@@ -236,29 +272,33 @@ object TextStats {
     * table that says whether the seedless md5 draw actually landed
     * the requested mixture before a training run trusts it.
     * Deterministic (the draw has no RNG state), so the oracle replays
-    * it exactly; proportions are pure int64 `·1e6 DIV` ratios — the
-    * target over ×1e6-quantized weights (wq/Σwq, so the weight sum is
-    * an exact integer fold no engine's float accumulation order can
-    * move), the achieved over exact counts — and err_q6 an exact
+    * it exactly; proportions are pure int64 ratios — the TARGET is
+    * computed entirely on the driver from the [[quantWeights]]
+    * normalized integers (wq·1e6 DIV Σwq, emitted as a literal per
+    * source: no engine arithmetic touches the weight path at all, and
+    * the weights may be any positive scale — raw corpus sizes are
+    * legal), the achieved an exact-count `·1e6 DIV`, err_q6 an exact
     * int64 difference. Source-sized aggregations over the
     * already-narrow mixture filter — no new corpus pass beyond the
     * draw itself. */
   def mixtureReport(docs: DataFrame,
       weights: Map[String, Double]): DataFrame = {
     val sampled = sampleMixture(docs, weights)
-    val w = weightCase(weights)
+    val wq = quantWeights(weights)
+    val swq = wq.values.sum
+    val target = wq.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, q)) =>
+        when(col("source") === k, lit(q * 1000000L / swq)).otherwise(acc)
+    }
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("w", w).where(col("w") > 0)
-      .withColumn("wq", expr("CAST(floor(w * 1e6) AS BIGINT)"))
-    val norm = cnt.agg(sum(col("wq")).as("swq"))
+      .withColumn("wq", wqCase(wq)).where(col("wq") > 0)
     val sc = sampled.groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     val tot = sampled.agg(count(lit(1)).as("n_total"))
     cnt.join(sc, Seq("source"), "left")
       .na.fill(0L, Seq("n_sampled"))
-      .crossJoin(broadcast(norm))
       .crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_sampled"),
-        expr("wq * 1000000L DIV swq").as("target_q6"),
+        target.as("target_q6"),
         expr("n_sampled * 1000000L DIV n_total").as("achieved_q6"))
       .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
   }
@@ -1038,35 +1078,40 @@ object TextStats {
     * downsampler would apply (capped at 1), and the EPOCHS factor
     * (allocation / available — > 1e6 means the source must repeat to
     * meet its share, the oversampling a mixture board reviews before
-    * committing). Every ratio is pure int64: weights quantize ×1e6 to
-    * int (wq/Σwq — the weight sum is an exact integer fold), the
-    * budget allocation and epochs use the SPLIT floor-division
-    * identity `a DIV b · s + (a % b) · s DIV b` so nothing overflows
-    * below ~9.2e12 tokens per source, and the rate caps via
-    * least(·, 1e6) AFTER the scaled division (monotone, so the cap
-    * commutes with the floor). One token-count projection
-    * (size(split) — no explode) + a source-sized aggregation; the
-    * weight/normalization frames are single-row broadcasts. */
+    * committing). The weight path runs entirely ON THE DRIVER over
+    * the [[quantWeights]] normalized integers — target share and
+    * token allocation are exact BigInt arithmetic emitted as literals
+    * (scale-invariant in the weights, no overflow at any budget),
+    * and only the epochs/rate ratio touches data: the SPLIT
+    * floor-division identity `a DIV b · 1e6 + (a % b) · 1e6 DIV b`
+    * over the int64 token counts (exact below ~9.2e12 tokens per
+    * source), capped via least(·, 1e6) AFTER the scaled division
+    * (monotone, so the cap commutes with the floor). One token-count
+    * projection (size(split) — no explode) + a source-sized
+    * aggregation. */
   def mixturePlan(docs: DataFrame, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0L, "budgetTokens must be positive")
-    require(weights.values.forall(_ > 0.0), "weights must be positive")
-    val w = weightCase(weights)
+    val wq = quantWeights(weights)
+    val swq = wq.values.sum
+    def perSource(f: Long => Long) =
+      wq.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, q)) =>
+        when(col("source") === k, lit(f(q))).otherwise(acc) }
+    val target = perSource(q =>
+      (BigInt(budgetTokens) * q / swq).toLong)
+    val share = perSource(q => q * 1000000L / swq)
     val per = docs
       .select(col("source"), expr(s"CAST(size($tok) AS BIGINT)").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      .withColumn("w", w).where(col("w") > 0)
-      .withColumn("wq", expr("CAST(floor(w * 1e6) AS BIGINT)"))
-    val norm = per.agg(sum(col("wq")).as("swq"))
-    per.crossJoin(broadcast(norm))
-      .withColumn("target_tokens", expr(
-        s"${budgetTokens}L DIV swq * wq + (${budgetTokens}L % swq) * wq DIV swq"))
+      .withColumn("wq", wqCase(wq)).where(col("wq") > 0)
+    per
+      .withColumn("target_tokens", target)
       .withColumn("epochs_q6", expr(
         "target_tokens DIV n_tokens * 1000000L" +
           " + (target_tokens % n_tokens) * 1000000L DIV n_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        expr("wq * 1000000L DIV swq").as("target_share_q6"),
+        share.as("target_share_q6"),
         col("target_tokens"),
         least(col("epochs_q6"), lit(1000000L)).as("rate_q6"),
         col("epochs_q6"))

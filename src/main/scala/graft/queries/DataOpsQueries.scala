@@ -518,6 +518,22 @@ object DataOpsQueries {
       |SELECT 'pass:' || name AS probe FROM probes WHERE pass
       |ORDER BY ALL""".stripMargin
 
+  /** Driver-side quantization of the shipped mixture weights —
+    * the TextStats.quantWeights mirror (same Scala arithmetic), so
+    * the oracle's target literals are the EXACT integers the Spark
+    * side emits; no engine arithmetic touches the weight path on
+    * either side. */
+  private val mixWeights = Seq("src0" -> 4.0, "src1" -> 2.0,
+    "src2" -> 1.0, "src3" -> 1.0)
+  private val mixWq: Seq[(String, Long)] = {
+    val sw = mixWeights.map(_._2).sum
+    mixWeights.map { case (k, v) => k -> math.floor(v / sw * 1e6).toLong }
+  }
+  private val mixSwq: Long = mixWq.map(_._2).sum
+  private val MIX_TARGET_CASE = "CASE wt.source " + mixWq.map {
+    case (k, q) => s"WHEN '$k' THEN ${q * 1000000L / mixSwq}"
+  }.mkString(" ") + " ELSE 0 END"
+
   def entries: Seq[Entry] = Seq(
     // standing oracle-environment canary (the r14 driver-red trio
     // could not be reproduced against DuckDB 1.0.0 — this entry makes
@@ -677,11 +693,8 @@ object DataOpsQueries {
          |  SELECT e.src, w.lbl FROM e JOIN walk w ON w.id = e.dst),
          |cl AS (SELECT id AS doc_id, min(lbl) AS lbl FROM walk GROUP BY 1),
          |dupd AS (SELECT doc_id FROM cl WHERE doc_id <> lbl),
-         |per AS (SELECT d.source, CASE WHEN dupd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
-         |        FROM documents d LEFT JOIN dupd USING (doc_id)),
-         |duprate AS (SELECT source, count(*) AS dup_docs, CAST(sum(is_dup) AS BIGINT) AS dup_dups,
-         |       CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_q6
-         |       FROM per GROUP BY 1),
+         |duprate AS (SELECT d.source, CAST(count(*) AS BIGINT) AS dup_dups
+         |       FROM dupd JOIN documents d USING (doc_id) GROUP BY 1),
          |gt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
          |gtc AS (SELECT doc_id, term, count(*) AS c FROM gt GROUP BY 1, 2),
          |gd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c,
@@ -711,7 +724,8 @@ object DataOpsQueries {
          |                  / CAST(n_terms * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS slope_q6
          |      FROM za WHERE n_terms * sxx - sx * sx > 0)
          |SELECT gates.source, n_docs, n_pass, pass_rate_q6, n_terms, slope_q6,
-         |       dup_docs, dup_dups, dup_rate_q6
+         |       CAST(coalesce(dup_dups, 0) AS BIGINT) AS dup_dups,
+         |       CAST(coalesce(dup_dups, 0) * 1000000 // n_docs AS BIGINT) AS dup_rate_q6
          |FROM gates LEFT JOIN zipf USING (source) LEFT JOIN duprate USING (source)
          |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.llm.Curate.sourceQualityReport(docs(s, d)))
@@ -848,7 +862,7 @@ object DataOpsQueries {
     // and report achieved-vs-target proportions per weighted source
     // (the recall@k / backtest pattern aimed at sampling)
     Entry("sample_mixture_report",
-      """WITH h AS (SELECT doc_id, source,
+      s"""WITH h AS (SELECT doc_id, source,
         |  CAST(list_sum(list_transform(range(15), k ->
         |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
         |      << (4*(14-k)))) AS BIGINT) AS hv
@@ -864,50 +878,48 @@ object DataOpsQueries {
         |         WHERE wt.w > 0 AND CAST(hv AS DOUBLE) <
         |               wt.w * t.t / CAST(wt.n AS DOUBLE) * 1152921504606846976.0),
         |sc AS (SELECT source, count(*) AS n_sampled FROM samp GROUP BY 1),
-        |norm AS (SELECT CAST(sum(CAST(floor(w * 1e6) AS BIGINT)) AS BIGINT) AS swq FROM wt WHERE w > 0),
         |tots AS (SELECT count(*) AS n_total FROM samp)
         |SELECT wt.source, wt.n AS n_docs,
         |       coalesce(sc.n_sampled, 0) AS n_sampled,
-        |       CAST(CAST(floor(wt.w * 1e6) AS BIGINT) * 1000000 // norm.swq AS BIGINT) AS target_q6,
+        |       CAST($MIX_TARGET_CASE AS BIGINT) AS target_q6,
         |       CAST(coalesce(sc.n_sampled, 0) * 1000000 // tots.n_total AS BIGINT) AS achieved_q6,
         |       CAST(coalesce(sc.n_sampled, 0) * 1000000 // tots.n_total AS BIGINT)
-        |         - CAST(CAST(floor(wt.w * 1e6) AS BIGINT) * 1000000 // norm.swq AS BIGINT) AS err_q6
-        |FROM wt CROSS JOIN norm CROSS JOIN tots
+        |         - CAST($MIX_TARGET_CASE AS BIGINT) AS err_q6
+        |FROM wt CROSS JOIN tots
         |LEFT JOIN sc ON sc.source = wt.source
         |WHERE wt.w > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.mixtureReport(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
-    // token-budget mixture plan: per-source rates + repeat factors
-    // for a 100k-token budget; every ratio is pure int64 — weights
-    // quantize x1e6 to integers (wq/sum(wq)), the budget allocation
-    // and epochs use the split floor-division identity, the rate caps
-    // via least AFTER the scaled division — mirroring the Spark side
-    // token-for-token
-    Entry("text_mixture_plan",
-      """WITH per AS (SELECT source, count(*) AS n_docs,
-        |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
-        |       FROM documents GROUP BY 1),
-        |wt AS (SELECT source, n_docs, n_tokens,
-        |        CAST(floor(CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
-        |                    WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
-        |                    ELSE 0.0 END * 1e6) AS BIGINT) AS wq
-        |       FROM per),
-        |norm AS (SELECT CAST(sum(wq) AS BIGINT) AS swq FROM wt WHERE wq > 0),
-        |f AS (SELECT wt.*,
-        |        CAST(100000 // norm.swq * wt.wq
-        |          + (100000 % norm.swq) * wt.wq // norm.swq AS BIGINT) AS target_tokens
-        |      FROM wt CROSS JOIN norm WHERE wt.wq > 0),
-        |g AS (SELECT f.*, norm.swq,
-        |        CAST(target_tokens // n_tokens * 1000000
-        |          + (target_tokens % n_tokens) * 1000000 // n_tokens AS BIGINT) AS epochs_q6
-        |      FROM f CROSS JOIN norm)
-        |SELECT source, n_docs, n_tokens,
-        |  CAST(wq * 1000000 // swq AS BIGINT) AS target_share_q6,
-        |  target_tokens,
-        |  least(epochs_q6, 1000000) AS rate_q6,
-        |  epochs_q6
-        |FROM g ORDER BY ALL""".stripMargin) {
+    // token-budget mixture plan for a 100k-token budget: the weight
+    // path (shares + allocations) is driver-computed exact integer
+    // literals on BOTH sides (the quantWeights mirror above); only
+    // the epochs/rate ratio touches data, via the split
+    // floor-division identity, capped AFTER the scaled division
+    Entry("text_mixture_plan", {
+      val shareCase = "CASE source " + mixWq.map { case (k, q) =>
+        s"WHEN '$k' THEN ${q * 1000000L / mixSwq}" }.mkString(" ") +
+        " ELSE 0 END"
+      val tokensCase = "CASE source " + mixWq.map { case (k, q) =>
+        s"WHEN '$k' THEN ${(BigInt(100000) * q / mixSwq).toLong}" }
+        .mkString(" ") + " ELSE 0 END"
+      val inList = mixWq.map { case (k, _) => s"'$k'" }.mkString(", ")
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |       FROM documents GROUP BY 1),
+         |wt AS (SELECT source, n_docs, n_tokens,
+         |        CAST($shareCase AS BIGINT) AS target_share_q6,
+         |        CAST($tokensCase AS BIGINT) AS target_tokens
+         |       FROM per WHERE source IN ($inList)),
+         |g AS (SELECT wt.*,
+         |        CAST(target_tokens // n_tokens * 1000000
+         |          + (target_tokens % n_tokens) * 1000000 // n_tokens AS BIGINT) AS epochs_q6
+         |      FROM wt)
+         |SELECT source, n_docs, n_tokens, target_share_q6, target_tokens,
+         |  least(epochs_q6, 1000000) AS rate_q6,
+         |  epochs_q6
+         |FROM g ORDER BY ALL""".stripMargin
+    }) {
       (s, d) => ordered(TextStats.mixturePlan(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
         budgetTokens = 100000L))

@@ -220,14 +220,13 @@ class TextStatsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "source")
     val out = graft.llm.Curate.sourceQualityReport(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        Option(r.get(4)), Option(r.get(5)),
-        Option(r.get(6)), Option(r.get(7)), Option(r.get(8)))))
+        Option(r.get(4)), Option(r.get(5)), r.getLong(6), r.getLong(7))))
       .toMap
-    // below sampleTarget the slice is the corpus: dup columns exact
+    // full-corpus dup columns: the two near-dup losers, exact rate
     assert(out("dup") === ((3L, 3L, 1000000L, Some(60L), Some(0L),
-      Some(3L), Some(2L), Some(666666L))), out("dup").toString)
+      2L, 666666L)), out("dup").toString)
     assert(out("uniq") === ((2L, 2L, 1000000L, None, None,
-      Some(2L), Some(0L), Some(0L))), out("uniq").toString)
+      0L, 0L)), out("uniq").toString)
   }
 
   test("boilerplateLines/Scrub: shared lines flagged at minDf, blanks never, rebuild keeps order") {
