@@ -343,6 +343,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture drift scopes totals to PLANNED sources: a rates-kept unplanned source cannot fake drift") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // rates keep a, d AND x; the plan covers only a:d at 3:1. Window
+    // 0 receives 6 a + 2 d (a perfect 3:1) + 8 x — the x rows must
+    // not dilute n_total into phantom negative drift on a and d
+    val rows = Seq.tabulate(6)(i => (i.toLong, "w", "a", 10L + i)) ++
+      Seq((100L, "w", "d", 20L), (101L, "w", "d", 30L)) ++
+      Seq.tabulate(8)(i => (500L + i, "w", "x", 12L + i))
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = graft.llm.TextStats.streamingMixtureDrift(
+      ms.toDF().toDF("doc_id", "text", "source", "ts"),
+      rates = Map("a" -> 1.0, "d" -> 1.0, "x" -> 1.0),
+      weights = Map("a" -> 3.0, "d" -> 1.0), windowSec = 60L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_drift_scope").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      ms.addData((999L, "w", "a", 100000L))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT source, n_sampled, n_total, err_q6 FROM mix_drift_scope " +
+          "WHERE window_start < 1000").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(out("a") === ((6L, 8L, 0L)), out.toString)
+      assert(out("d") === ((2L, 8L, 0L)), out.toString)
+      assert(!out.contains("x"), "unplanned sources emit no drift rows")
+    } finally q.stop()
+  }
+
   test("streaming session windows finalize past the watermark and agree with batch sessionize") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

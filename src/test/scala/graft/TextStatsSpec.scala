@@ -205,6 +205,34 @@ class TextStatsSpec extends AnyFunSuite {
       "acct <IBAN> alt <IBAN>")), scrub(5L).toString)
     assert(scrub(6L) === ((0L, 0L, 0L, 0L, 1L, 0L, 0L,
       "via <IPV6> net")), scrub(6L).toString)
+    // idx is the ORIGINAL occurrence index: an invalid-then-valid
+    // card keeps the valid span at idx 1, leaving the visible gap
+    val gap = TextStats.piiSpans(Seq(
+      (7L, "card 4111-1111-1111-1112 then 4111-1111-1111-1111 ok"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(gap.toSeq === Seq(("ccard", 1L, "4111-1111-1111-1111")),
+      gap.mkString(","))
+  }
+
+  test("mixture targets are scale-invariant in the weights: raw corpus sizes give the 4/2/1/1 proportions") {
+    import spark.implicits._
+    val docs = (
+      (0 until 40).map(i => (i.toLong, "w", "a")) ++
+      (0 until 10).map(i => (100L + i, "w", "d"))).toDF("doc_id", "text", "source")
+    def targets(w: Map[String, Double]) =
+      TextStats.mixtureReport(docs, w).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val small = targets(Map("a" -> 4.0, "d" -> 1.0))
+    val huge = targets(Map("a" -> 4.0e9, "d" -> 1.0e9))
+    assert(small === Map("a" -> 800000L, "d" -> 200000L), small.toString)
+    assert(huge === small,
+      s"weights are relative — magnitude must not matter: $huge")
+    // a weight under 1e-6 of the total would silently vanish: reject
+    val tiny = intercept[IllegalArgumentException] {
+      TextStats.mixtureReport(docs, Map("a" -> 2e7, "d" -> 1.0)).collect()
+    }
+    assert(tiny.getMessage.contains("quantize to 0"), tiny.getMessage)
   }
 
   test("sourceQualityReport: duplicate-heavy source reads its dup rate; all-singleton vocab carries NULL slope") {
