@@ -81,10 +81,11 @@ object Bench {
     // fidelity gate
     "text_pack_efficiency", "ann_nprobe_curve", "ev_ab_power",
     "ann_quant_distortion", "ts_downsample_fidelity",
-    // round-15 addition: the IVF nlist (index-knob) tuning curve —
-    // the other round-15 entries stay out (normalized-boilerplate
-    // fixture twins and the env canary are constant-size inputs)
-    "ann_nlist_curve",
+    // round-15 additions: the IVF nlist (index-knob) tuning curve,
+    // the per-source PII incidence rollup, and the incremental
+    // boilerplate delta — fixture twins and the env canary stay out
+    // (constant-size inputs)
+    "ann_nlist_curve", "text_pii_by_source", "text_boilerplate_incremental",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -958,6 +958,36 @@ object TextStats {
     docs.select((col("doc_id") +: counts :+ clean.as("clean_text")): _*)
   }
 
+  /** Per-source PII incidence rollup — the privacy dashboard's ONE
+    * table (the sourceQualityReport pattern aimed at redaction): per
+    * source the document count, how many documents carry ANY contact
+    * candidate, the incidence rate, and the per-class match totals —
+    * the numbers that decide which source needs a redaction pass (or
+    * exclusion) before training. Counts are [[piiScrub]]'s
+    * shape-candidate counts (the scrub's own population — a privacy
+    * decision over-counts by design; [[piiSpans]] adjudicates
+    * validity). One regex projection + one source-sized hash
+    * aggregation; pure int64, rate via `·1e6 DIV`. */
+  def piiBySource(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (kind, pat) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as(s"n_$kind") }
+    val perDoc = docs.select(
+      (col("source") +: counts): _*)
+    val anyPii = piiPatterns.map { case (kind, _) => col(s"n_$kind") }
+      .reduce(_ + _) > 0L
+    val aggCols = count(lit(1)).as("n_docs") +:
+      sum(col("has_pii")).as("docs_with_pii") +:
+      piiPatterns.map { case (kind, _) =>
+        sum(col(s"n_$kind")).as(s"n_$kind") }
+    perDoc
+      .withColumn("has_pii", when(anyPii, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("pii_rate_q6",
+        expr("docs_with_pii * 1000000L DIV n_docs"))
+  }
+
   /** Zipf rank-frequency fit per language — the "is this slice
     * natural language" audit: OLS slope of ln(freq) against ln(rank)
     * over the unigram table (natural text reads ≈ −1, Zipf 1949;
@@ -1051,6 +1081,27 @@ object TextStats {
         coalesce(col("df"), lit(0L)).as("df"),
         (coalesce(col("df"), lit(0L)) >= minDf).as("is_boilerplate"))
   }
+
+  /** Incremental line-boilerplate detection — the daily-delta shape
+    * of [[boilerplateLines]] (the [[graft.llm.Dedup]]
+    * incrementalMinhash pattern): flag the NEW documents' lines
+    * against the document-frequency of the WHOLE corpus (seen ∪ new —
+    * a banner introduced BY the delta still flags if it repeats
+    * within the delta, and a seen-corpus footer flags a single new
+    * occurrence), emitting rows for the new documents only. At 100 TB
+    * the seen side's (line-key → df) table is a standing index
+    * maintained across runs (distinct-lines-sized, ~bytes per line);
+    * this method recomputes it from the seen frame so the operator is
+    * self-contained and oracle-checkable. Requires disjoint doc_ids
+    * between the frames (the incremental contract). Same `normalized`
+    * knob as the batch pass. */
+  def boilerplateIncremental(newDocs: DataFrame, seenDocs: DataFrame,
+      minDf: Long = 2L, normalized: Boolean = false): DataFrame =
+    boilerplateLines(
+      seenDocs.select(col("doc_id"), col("text"))
+        .unionAll(newDocs.select(col("doc_id"), col("text"))),
+      minDf, normalized)
+      .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
 
   /** Boilerplate scrub — the removal half of [[boilerplateLines]]:
     * per document the line count, the number of boilerplate lines

@@ -147,6 +147,38 @@ object DataOpsQueries {
       |  coalesce(string_agg(CASE WHEN NOT is_boilerplate THEN line END, chr(10) ORDER BY line_no), '') AS clean_text
       |FROM bl GROUP BY doc_id""".stripMargin
 
+  /** The seven PII class patterns as DuckDB regex literals — the
+    * TextStats.piiPatterns mirror, used by the per-source incidence
+    * rollup (order irrelevant there; the scrub body below keeps its
+    * own fixed chain order). */
+  private val PII_CLASSES: Seq[(String, String)] = Seq(
+    "email" -> """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""",
+    "ipv4" -> """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}""",
+    "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv6" -> "(?:[0-9a-fA-F]{1,4}:){3,7}[0-9a-fA-F]{1,4}",
+    "iban" -> "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}",
+    "ccard" -> "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{1,4}|[0-9]{13,16}")
+
+  /** Per-source PII incidence oracle over a source named by the
+    * caller (`documents` or a fixture CTE). */
+  private def piiBySourceSql(src: String): String = {
+    val cls = PII_CLASSES.map { case (k, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$k"
+    }.mkString(",\n|  ")
+    val anySum = PII_CLASSES.map { case (k, _) => s"n_$k" }.mkString(" + ")
+    val sums = PII_CLASSES.map { case (k, _) =>
+      s"CAST(sum(n_$k) AS BIGINT) AS n_$k" }.mkString(",\n|  ")
+    s"""c AS (SELECT source,
+       |  $cls
+       | FROM $src)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN $anySum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  $sums,
+       |  CAST(sum(CASE WHEN $anySum > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS pii_rate_q6
+       |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin
+  }
+
   /** The scrub's SELECT body (counts on the original text, then the
     * fixed-order redaction chain) — shared by the real-corpus entry
     * and the planted fixture twin. */
@@ -1923,6 +1955,24 @@ object DataOpsQueries {
          |ORDER BY ALL""".stripMargin) {
       (s, _) => ordered(TextStats.piiSpans(piiFx(s)))
     },
+    // per-source PII incidence: the privacy dashboard's decision
+    // table (which source needs redaction/exclusion before training);
+    // the real corpus is contact-free → real per-source zeros (the
+    // text_pii_scrub no-op precedent), the fixture twin below is the
+    // non-vacuous check
+    Entry("text_pii_by_source",
+      s"""WITH ${piiBySourceSql("documents")}""".stripMargin) {
+      (s, d) => ordered(TextStats.piiBySource(docs(s, d)))
+    },
+    Entry("text_pii_by_source_fixture",
+      s"""WITH $PIIFX,
+         |pfs AS (SELECT doc_id, text,
+         |        'fs' || CAST(doc_id % 3 AS VARCHAR) AS source FROM pfx),
+         |${piiBySourceSql("pfs")}""".stripMargin) {
+      (s, _) => ordered(TextStats.piiBySource(piiFx(s)
+        .withColumn("source",
+          expr("concat('fs', CAST(doc_id % 3 AS STRING))"))))
+    },
     // line-level boilerplate scrub (CCNet/RefinedWeb line df pass)
     // over the REAL corpus: no newlines → every doc is one unique
     // line, so this verifies the generic walk's no-op path (the pii
@@ -1950,6 +2000,36 @@ object DataOpsQueries {
          |${blSql("bfx")}
          |$BL_SCRUB_BODY ORDER BY ALL""".stripMargin) {
       (s, _) => ordered(TextStats.boilerplateScrub(blFx(s)))
+    },
+    // the daily-delta shape: NEW docs' lines flagged against the
+    // seen∪new document frequency (the incrementalMinhash pattern) —
+    // equivalent to the batch walk restricted to the delta, which is
+    // exactly what the oracle pins; the real corpus splits on the
+    // dedup_incremental boundary (single-line docs → the df is the
+    // exact-dup family, so the entry is non-vacuous here too)
+    Entry("text_boilerplate_incremental",
+      s"""WITH ${blSql("documents")}
+         |SELECT doc_id, line_no, line, df, is_boilerplate
+         |FROM bl WHERE doc_id >= 250 ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val all = docs(s, d)
+        ordered(TextStats.boilerplateIncremental(
+          all.where(col("doc_id") >= 250), all.where(col("doc_id") < 250)))
+      }
+    },
+    // the multi-line fixture twin: seen = docs 0-14, delta = 15-29;
+    // the shared header/footer span the boundary, so a single new
+    // occurrence flags against the standing df
+    Entry("text_boilerplate_incr_fixture",
+      s"""WITH $BLFX,
+         |${blSql("bfx")}
+         |SELECT doc_id, line_no, line, df, is_boilerplate
+         |FROM bl WHERE doc_id >= 15 ORDER BY ALL""".stripMargin) {
+      (s, _) => {
+        val all = blFx(s)
+        ordered(TextStats.boilerplateIncremental(
+          all.where(col("doc_id") >= 15), all.where(col("doc_id") < 15)))
+      }
     },
     // the RefinedWeb NEAR-duplicate variant: whitespace-collapsed +
     // digit-masked keys unify "Page N of 30" footers and the

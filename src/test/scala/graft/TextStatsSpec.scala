@@ -313,6 +313,44 @@ class TextStatsSpec extends AnyFunSuite {
     assert(scrub(0L) === ((3L, 2L, "body aa")))
   }
 
+  test("boilerplateIncremental: delta lines flag against seen∪delta df; only delta rows emit") {
+    import spark.implicits._
+    // seen corpus carries FOOT on two docs; the delta introduces BANR
+    // twice (flags via its own repetition) and one FOOT (flags via
+    // the standing seen df); bodies stay unique
+    val seen = Seq(
+      (0L, "FOOT\nold zero"), (1L, "FOOT\nold one")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "BANR\nnew ten\nFOOT"),
+      (11L, "BANR\nnew eleven")).toDF("doc_id", "text")
+    val out = TextStats.boilerplateIncremental(delta, seen).collect()
+      .map(r => (r.getLong(0), r.getString(2)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.keySet.forall(_._1 >= 10L), "seen docs emit no rows")
+    assert(out((10L, "BANR")) === ((2L, true)),
+      "a banner introduced BY the delta flags on intra-delta df")
+    assert(out((10L, "FOOT")) === ((3L, true)),
+      "one new occurrence flags against the standing seen df")
+    assert(out((10L, "new ten")) === ((1L, false)))
+    assert(out((11L, "new eleven")) === ((1L, false)))
+  }
+
+  test("piiBySource: incidence and per-class totals roll up per source; clean source reads zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@x.io and b@y.io", "s0"),
+      (2L, "clean words only", "s0"),
+      (3L, "call 555-123-4567", "s1"),
+      (4L, "also clean", "s2")).toDF("doc_id", "text", "source")
+    val out = TextStats.piiBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getLong(10)))).toMap
+    // tuple = (n_docs, docs_with_pii, n_email, n_phone, pii_rate_q6)
+    assert(out("s0") === ((2L, 1L, 2L, 0L, 500000L)), out("s0").toString)
+    assert(out("s1") === ((1L, 1L, 0L, 1L, 1000000L)), out("s1").toString)
+    assert(out("s2") === ((1L, 0L, 0L, 0L, 0L)), out("s2").toString)
+  }
+
   test("mixturePlan: under-capacity source caps rate at 1 and reads its repeat factor") {
     import spark.implicits._
     // a: 800 docs × 3 tokens = 2400; d: 100 × 3 = 300. Weights 1:1,
