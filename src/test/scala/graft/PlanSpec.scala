@@ -549,9 +549,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(r)
     // the source-sized gate/zipf/dup ROLLUPS join by broadcast and
     // nothing multiplies; the only sort-merge allowed is the
-    // doc-keyed dup-loser join inside dupRateBySource (its right side
-    // is data-dependent — up to doc-sized on a fully-duplicated
-    // corpus, so a forced broadcast there would be the 100× mistake)
+    // doc-keyed dup-loser join inside the full-corpus capped-MinHash
+    // dup stage (its right side is data-dependent — up to doc-sized
+    // on a fully-duplicated corpus, so a forced broadcast there would
+    // be the 100× mistake)
     val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
     assert(smj.forall(_.contains("doc_id")), smj.mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
