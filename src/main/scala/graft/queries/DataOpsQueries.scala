@@ -1092,7 +1092,7 @@ object DataOpsQueries {
         |    ROWS UNBOUNDED PRECEDING) - n) / 512.0) AS BIGINT) AS bin
         | FROM toks)
         |SELECT stream, CAST(count(*) AS BIGINT) AS n_docs,
-        |  sum(n) AS n_tokens, max(bin) + 1 AS n_bins,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens, max(bin) + 1 AS n_bins,
         |  CAST(sum(n) * 1000000 // ((max(bin) + 1) * 512)
         |    AS BIGINT) AS fill_q6,
         |  CAST(sum(CASE WHEN n > 512 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1552,7 +1552,8 @@ object DataOpsQueries {
          |         AS BIGINT))) AS BIGINT) AS seq
          | FROM cod JOIN bk c ON c.sub = cod.sub AND c.cid = cod.cid
          |      JOIN sv t ON t.vec_id = cod.vec_id AND t.sub = cod.sub),
-         |pqv AS (SELECT vec_id, sum(seq) AS se FROM perr GROUP BY 1),
+         |pqv AS (SELECT vec_id, CAST(sum(seq) AS BIGINT) AS se
+         |  FROM perr GROUP BY 1),
          |sq AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
          |sqv AS (SELECT vec_id, CAST(list_sum(list_transform(v,
          |    x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
@@ -1568,13 +1569,16 @@ object DataOpsQueries {
          |      * (x - CASE WHEN x >= 0 THEN s ELSE -s END) * 1e9) AS BIGINT)))
          |    AS BIGINT) AS se FROM bs),
          |r1 AS (SELECT 'pq' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
-         |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
+         |  CAST(sum(se) AS BIGINT) AS sum_se_q9,
+         |  CAST(sum(se) // count(*) AS BIGINT) AS mse_q9,
          |  max(se) AS max_se_q9 FROM pqv),
          |r2 AS (SELECT 'sq8' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
-         |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
+         |  CAST(sum(se) AS BIGINT) AS sum_se_q9,
+         |  CAST(sum(se) // count(*) AS BIGINT) AS mse_q9,
          |  max(se) AS max_se_q9 FROM sqv),
          |r3 AS (SELECT 'bin' AS scheme, CAST(count(*) AS BIGINT) AS n_vectors,
-         |  sum(se) AS sum_se_q9, sum(se) // count(*) AS mse_q9,
+         |  CAST(sum(se) AS BIGINT) AS sum_se_q9,
+         |  CAST(sum(se) // count(*) AS BIGINT) AS mse_q9,
          |  max(se) AS max_se_q9 FROM binv)
          |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
          |ORDER BY ALL""".stripMargin

@@ -1620,8 +1620,8 @@ object EngineQueries {
          |       max(err_q6) AS max_err_q6, sum(err_q6) AS sum_err_q6
          |      FROM e GROUP BY 1)
          |SELECT a.series, n_raw, n_kept, n_interior, max_err_q6,
-         |  CASE WHEN n_interior = 0 THEN NULL
-         |       ELSE sum_err_q6 // n_interior END AS mean_err_q6
+         |  CAST(CASE WHEN n_interior = 0 THEN NULL
+         |       ELSE sum_err_q6 // n_interior END AS BIGINT) AS mean_err_q6
          |FROM a JOIN kc ON kc.series = a.series ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Downsample.fidelityReport(F(s, d),
         bucket = 3600L))

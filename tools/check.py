@@ -14,6 +14,23 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB result types the driver's arrow/pandas hash path represents as
+# the same logical type Spark emits. A FINAL oracle projection outside
+# this set (HUGEINT from sum(BIGINT), DECIMAL, ...) is a driver-side
+# hash mismatch that fetchall()-based local replay can NEVER reproduce
+# (round-15 post-mortem: the 2-round driver-red trio). check.py WARNS;
+# lint_oracles.py FAILS.
+SPARK_OK_TYPES = ("BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                  "FLOAT", "REAL", "DOUBLE", "VARCHAR", "DATE",
+                  "TIMESTAMP", "TIMESTAMP WITH TIME ZONE")
+
+
+def spark_expressible(t):
+    t = str(t).upper().strip()
+    if t.endswith("[]"):  # list column: element type must be expressible
+        return spark_expressible(t[:-2])
+    return t in SPARK_OK_TYPES
+
 
 def canon_type(t):
     t = str(t).upper()
@@ -66,7 +83,16 @@ def main(sf_dir, out_dir):
             my_types = dict(zip(my_cols, [canon_type(con.execute(
                 f'SELECT typeof("{c}") FROM \'{out_dir}/{name}/*.parquet\' LIMIT 1').fetchone()[0])
                 for c in my_cols])) if mine else {}
-            ref_t = con.execute(f"SELECT * FROM ({sql}) LIMIT 1")
+            # raw (non-canonicalized) oracle column types: the driver
+            # hashes TYPED values, so a HUGEINT column is red there even
+            # when canon values below agree — surface it as a warning
+            raw_types = dict((c, t) for c, t, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) AS _q").fetchall())
+            bad_types = {c: t for c, t in raw_types.items()
+                         if not spark_expressible(t)}
+            if bad_types:
+                res["oracle_raw_types"] = raw_types
+                res["driver_red_types"] = bad_types
             ref_types = {}
             if ref_rows:
                 for c in ref_cols:
@@ -87,7 +113,8 @@ def main(sf_dir, out_dir):
             if not res["hash_match"] and res["rows_match"]:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 res["first_diffs"] = diffs
-            res["ok"] = res["rows_match"] and res["schema_match"] and res["hash_match"]
+            res["ok"] = (res["rows_match"] and res["schema_match"] and
+                         res["hash_match"] and not bad_types)
         except Exception as e:
             res["err"] = str(e)[:500]
             # a DuckDB INTERNAL error invalidates the whole database

@@ -12,7 +12,15 @@ This lint makes that failure mode impossible to ship again:
   * each statement EXECUTED as `SELECT count(*) FROM (<sql>) AS _q`
     against the tiny sf0.001 tables — EXPLAIN alone does NOT reproduce
     the round-11 crash (verified: the bad unnest+JOIN USING form passes
-    EXPLAIN and only faults in the executor), so binding is not enough.
+    EXPLAIN and only faults in the executor), so binding is not enough;
+  * every RESULT COLUMN TYPE checked against the Spark-expressible set
+    (round-15 post-mortem: `sum(BIGINT)` returns HUGEINT, and the
+    driver's dataframe/arrow hash path renders HUGEINT as
+    float64/decimal128 while Spark emits int64 — a permanent
+    hash-mismatch that fetchall()-based local replay can NEVER see.
+    Types outside the whitelist — HUGEINT, DECIMAL, UHUGEINT,
+    INTERVAL, ... — fail the lint; wrap the offending expression in
+    CAST(... AS BIGINT/DOUBLE) in the FINAL projection).
 
 Usage:
   python3 tools/lint_oracles.py <oracle_sql.json> [sfDir]
@@ -33,7 +41,7 @@ import duckdb
 # differential checker) — a drift between the two would make the lint
 # report spurious missing-table failures or silently under-register
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check import TABLES  # noqa: E402
+from check import TABLES, spark_expressible  # noqa: E402
 
 
 def lint_one(name, sql, sf_dir):
@@ -44,6 +52,12 @@ def lint_one(name, sql, sf_dir):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         con.execute(f"SELECT count(*) FROM ({sql}) AS _q").fetchone()
+        desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) AS _q").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if not spark_expressible(t)]
+        if bad:
+            return ("TypeError: non-Spark-expressible result column(s) " +
+                    ", ".join(f"{c}:{t}" for c, t in bad) +
+                    " — CAST in the final projection (round-15 HUGEINT class)")
         return None
     except Exception as e:  # noqa: BLE001 — report every failure kind
         return f"{type(e).__name__}: {e}"
