@@ -58,7 +58,9 @@ object Downsample {
     * float division/multiplication/fold past the quantization, so no
     * engine's arithmetic can perturb a single error unit (int64
     * headroom: q6 values ≤ ~1e11 × bracket gaps ≤ ~1e7 s keeps the
-    * cross products under ~2e18). max/mean are exact int64
+    * cross products under ~2e18 — ENFORCED at runtime: a row whose
+    * |q6 delta| × gap would pass 2^61 raises instead of overflowing
+    * into a plausible error number). max/mean are exact int64
     * aggregation; mean is one integer division, NULL when nothing is
     * interior. A raw point that IS its bucket's kept point brackets
     * to itself (error 0); raw points outside the hull are not
@@ -94,8 +96,20 @@ object Downsample {
       .withColumn("nts", last(when(col("flag") === 1L, col("ts")), ignoreNulls = true).over(wn))
       .withColumn("nq", last(when(col("flag") === 1L, col("vq")), ignoreNulls = true).over(wn))
       .withColumn("err_q6", expr(
+        // headroom guard: each cross product must stay under 2^61 so
+        // their difference stays inside int64 — a q6 delta × bracket
+        // gap beyond that would OVERFLOW SILENTLY into a plausible
+        // error number, the one failure mode a trust gate must never
+        // have, so it raises instead (two int compares per interior
+        // row, same codegen stage)
         """CASE WHEN flag = 0 THEN
           |  CASE WHEN nts = pts THEN abs(vq - pq)
+          |  WHEN abs(vq - pq) > 2305843009213693952L DIV (nts - pts)
+          |    OR abs(nq - pq) > 2305843009213693952L DIV (nts - pts)
+          |  THEN CAST(raise_error(concat(
+          |    'fidelityReport: int64 headroom exceeded (|q6 delta| x ',
+          |    'bracket gap > 2^61) in series ', series,
+          |    ' at ts ', CAST(ts AS STRING))) AS BIGINT)
           |  ELSE abs((vq - pq) * (nts - pts) - (nq - pq) * (ts - pts))
           |    DIV (nts - pts) END
           |ELSE CAST(NULL AS BIGINT) END""".stripMargin))

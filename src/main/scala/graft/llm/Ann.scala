@@ -1218,8 +1218,22 @@ object Ann {
   def binaryTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       rerank: Int = 50): DataFrame = {
     val e = withNorm(emb).where(col("embedding").isNotNull)
-    val dim = emb.where(col("embedding").isNotNull)
-      .select(size(col("embedding")).as("d")).head().getInt(0)
+    val cand = rankedHamming(e, rerank, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank: only rerank*nQueries ids rejoin the float corpus
+    topK(binaryRescore(cand, e), k)
+  }
+
+  /** The sign-bit Hamming candidate list shared by [[binaryTopK]] and
+    * [[rerankCurve]]: the packed-word signature scan reduced to each
+    * query's `depth` smallest Hamming distances, WITH the candidate's
+    * global rank `r` (ham asc, vec_id asc — a deterministic TOTAL
+    * order, so the top-r for any r <= depth is exactly the r-prefix:
+    * the property rerankCurve's shared-scan design rests on). Output
+    * (query_id, vec_id, r). */
+  private def rankedHamming(e: DataFrame, depth: Int,
+      nQueries: Int): DataFrame = {
+    val dim = e.select(size(col("v")).as("d")).head().getInt(0)
     val nWords = (dim + 31) / 32
     // packed signature words: bit j of word w = 1 iff v[32w+j] >= 0
     val wordCols = (0 until nWords).map { w =>
@@ -1240,30 +1254,85 @@ object Ann {
     val scanned = sigs.crossJoin(broadcast(qSigs))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("ham", ham)
-    // two-phase smallest-`rerank` Hamming per query: local top inside
+    // two-phase smallest-`depth` Hamming per query: local top inside
     // each scan partition (map-side, bounded array_sort), then a rank
-    // over the <= rerank * P narrow survivors — no global sort, and
+    // over the <= depth * P narrow survivors — no global sort, and
     // nothing vector-sized ever shuffles
     val local = scanned
       .select(col("query_id"), col("ham"), col("vec_id"))
       .groupBy(col("query_id"), spark_partition_id().as("part"))
       .agg(expr(
-        s"slice(array_sort(collect_list(struct(ham, vec_id))), 1, $rerank)")
+        s"slice(array_sort(collect_list(struct(ham, vec_id))), 1, $depth)")
         .as("top"))
     val merged = local
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.ham").as("ham"), col("c.vec_id").as("vec_id"))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("ham").asc, col("vec_id").asc)
-    val cand = merged.withColumn("r", row_number().over(wCand))
-      .where(col("r") <= rerank)
-      .select(col("query_id"), col("vec_id"))
-    // exact rerank: only rerank*nQueries ids rejoin the float corpus
-    val scored = cand
+    merged.withColumn("r", row_number().over(wCand))
+      .where(col("r") <= depth)
+      .select(col("query_id"), col("vec_id"), col("r"))
+  }
+
+  /** Exact float re-score of a (query_id, vec_id) candidate frame:
+    * only the candidates' ids rejoin the float corpus (rerank-bounded
+    * reads), round-9 cosine like every sim in the family. Shared by
+    * [[binaryTopK]] and [[rerankCurve]]. */
+  private def binaryRescore(cand: DataFrame, e: DataFrame): DataFrame =
+    cand
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("query_id"))
       .join(e, Seq("vec_id"))
       .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
-    topK(scored, k)
+
+  /** Binary-search rerank tuning curve — the sign-bit family's one
+    * knob measured the way [[nprobeCurve]] measures nprobe: per rerank
+    * depth, the micro-averaged recall@k against the exact top-k AND
+    * the number of float-vector reads the rerank actually paid (the
+    * cost a binary index trades recall against — the Hamming scan is
+    * 32× compressed and depth-independent; the float reads are the
+    * only depth-scaled cost). One row per depth: (rerank, n_queries,
+    * n_float_reads, n_hit, n_truth, recall_q6); recall is monotone in
+    * depth, and a depth >= corpus size makes the prefilter vacuous —
+    * the result IS the exact top-k (AnnSpec pins both).
+    *
+    * Cost: signatures are computed and Hamming-scanned ONCE at
+    * max(reranks) — the candidate order (ham asc, vec_id asc) is a
+    * deterministic TOTAL order, so every smaller depth's candidate
+    * set is exactly a prefix of the max-depth ranking; the curve
+    * localCheckpoints the <= nQueries·max(reranks) ranked survivors
+    * and each setting replays only its rerank-bounded float re-score
+    * (PlanSpec pins the single-scan shape: unlike [[nlistCurve]],
+    * nothing per-setting touches the signature frame). The exact
+    * truth is the same checkpointed query-bounded scan as the other
+    * curves. */
+  def rerankCurve(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      reranks: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(reranks.nonEmpty && reranks.forall(_ >= k),
+      "each rerank depth must be >= k (fewer candidates than results)")
+    val e = withNorm(emb).where(col("embedding").isNotNull)
+    val cand = rankedHamming(e, reranks.max, nQueries)
+      .localCheckpoint(true)
+    val exact = cosineTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val truth = exact.agg(count(lit(1)).as("n_truth"))
+    reranks.map { d =>
+      val sel = cand.where(col("r") <= d)
+      val reads = sel.agg(count(lit(1)).as("n_float_reads"))
+      val hits = exact
+        .join(topK(binaryRescore(
+            sel.select(col("query_id"), col("vec_id")), e), k)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      reads.crossJoin(hits)
+        .select(lit(d.toLong).as("rerank"),
+          lit(nQueries.toLong).as("n_queries"),
+          col("n_float_reads"), col("n_hit"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(truth))
+      .withColumn("recall_q6", expr("n_hit * 1000000L DIV n_truth"))
+      .select(col("rerank"), col("n_queries"), col("n_float_reads"),
+        col("n_hit"), col("n_truth"), col("recall_q6"))
   }
 }

@@ -49,13 +49,21 @@ object Curate {
     * inverted-index walk read 21× for 10× data) feeding
     * [[Dedup.dupClusters]], so the dup columns are FULL-CORPUS dup
     * counts at linear cost — every source gets a row, no slice bias,
-    * no NULL dup columns (the r14-flagged caveat, retired). The only
-    * approximation left is the cap's own documented recall trade: a
-    * band bucket holding more than `maxBucket` docs is skipped, so a
-    * mega-duplicate-group's rate can read low (at the correctness SF
-    * the capped pair set equals the exact one — the
-    * dedup_minhash_capped argument — so the oracle pins the exact
-    * walk unchanged). Sources whose pruned vocabulary can't fit a
+    * no NULL dup columns (the r14-flagged caveat, retired). TWO
+    * approximations remain, both on the recall side: (a) the cap's
+    * documented trade — a band bucket holding more than `maxBucket`
+    * docs is skipped, so a mega-duplicate-group's rate can read low —
+    * and (b) MinHash banding itself, which admits a pair at J near
+    * theta only with probability 1−(1−J^r)^b (≈13% miss at J = 0.5
+    * with 32 bands of 4 rows), where the DuckDB oracle walks the
+    * EXACT full-corpus Jaccard pair set. At the correctness SF the
+    * banded+capped pair set happens to equal the exact one (the
+    * dedup_minhash_capped argument extended to the band stage —
+    * verified, not guaranteed: a corpus with a borderline-J pair the
+    * bands miss would diverge from the oracle, which is the accepted
+    * price of the linear-cost scale path; dedup_recall_eval is the
+    * standing measurement of exactly this gap).
+    * Sources whose pruned vocabulary can't fit a
     * line still carry a NULL slope. Output (source, n_docs, n_pass,
     * pass_rate_q6, n_terms, slope_q6, dup_dups, dup_rate_q6); ratio
     * columns are pure int64 `·1e6 DIV` over the ONE per-source doc

@@ -272,33 +272,37 @@ object TextStats {
     * table that says whether the seedless md5 draw actually landed
     * the requested mixture before a training run trusts it.
     * Deterministic (the draw has no RNG state), so the oracle replays
-    * it exactly; proportions are pure int64 ratios — the TARGET is
-    * computed entirely on the driver from the [[quantWeights]]
-    * normalized integers (wq·1e6 DIV Σwq, emitted as a literal per
-    * source: no engine arithmetic touches the weight path at all, and
-    * the weights may be any positive scale — raw corpus sizes are
-    * legal), the achieved an exact-count `·1e6 DIV`, err_q6 an exact
-    * int64 difference. Source-sized aggregations over the
-    * already-narrow mixture filter — no new corpus pass beyond the
-    * draw itself. */
+    * it exactly; proportions are pure int64 ratios — the per-source
+    * weight integers come from [[quantWeights]] (driver-side BigInt,
+    * scale-invariant literals), and the TARGET normalizes them over
+    * the planned sources actually PRESENT in the corpus (wq·1e6 DIV
+    * Σ_present wq, one exact int64 window-sum over the source-sized
+    * frame): [[sampleMixture]]'s rates make achieved proportions sum
+    * to 1 over the present sources, so a planned source absent from
+    * the corpus must renormalize the target the same way or every
+    * present source would read a systematic phantom err_q6 (and the
+    * absent source is visible as its missing row — the draw can't be
+    * graded against a plan it was never able to run). The achieved is
+    * an exact-count `·1e6 DIV`, err_q6 an exact int64 difference.
+    * Source-sized aggregations over the already-narrow mixture filter
+    * — no new corpus pass beyond the draw itself. */
   def mixtureReport(docs: DataFrame,
       weights: Map[String, Double]): DataFrame = {
     val sampled = sampleMixture(docs, weights)
     val wq = quantWeights(weights)
-    val swq = wq.values.sum
-    val target = wq.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (k, q)) =>
-        when(col("source") === k, lit(q * 1000000L / swq)).otherwise(acc)
-    }
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("wq", wqCase(wq)).where(col("wq") > 0)
     val sc = sampled.groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     val tot = sampled.agg(count(lit(1)).as("n_total"))
+    // no orderBy → the frame is the whole (single, source-sized)
+    // partition: one exact int64 sum, no second corpus pass
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     cnt.join(sc, Seq("source"), "left")
       .na.fill(0L, Seq("n_sampled"))
       .crossJoin(broadcast(tot))
+      .withColumn("swqp", sum(col("wq")).over(wAll))
       .select(col("source"), col("n_docs"), col("n_sampled"),
-        target.as("target_q6"),
+        expr("wq * 1000000L DIV swqp").as("target_q6"),
         expr("n_sampled * 1000000L DIV n_total").as("achieved_q6"))
       .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
   }
@@ -988,6 +992,33 @@ object TextStats {
         expr("docs_with_pii * 1000000L DIV n_docs"))
   }
 
+  /** Per-source, per-class PII PRECISION — the trust-gate row for the
+    * privacy family (the recall@k / dedup-recall pattern aimed at
+    * redaction): for each checksum-bearing class, of the SHAPE
+    * candidates [[piiScrub]]/[[piiBySource]] count per source, how
+    * many pass their real validation ([[luhnSql]] / [[ibanSql]] — the
+    * [[piiSpans]] verdicts rolled up)? A source full of Luhn-failing
+    * 16-digit runs (order ids, hashes) reads low precision — redact
+    * but don't panic; a high-precision source carries REAL accounts —
+    * escalate. Only the validatable classes get rows (shape-only
+    * classes have no ground truth to be precise against); a source
+    * with no candidates for a class has no row. One regex projection
+    * per class + one (source × class)-sized aggregation, pure int64,
+    * rate via `·1e6 DIV`. */
+  def piiPrecisionBySource(docs: DataFrame): DataFrame = {
+    val pats = piiPatterns.toMap
+    piiValidSql.toSeq.sortBy(_._1).map { case (kind, v) =>
+      docs.select(col("source"), lit(kind).as("kind"),
+          explode(regexp_extract_all(col("text"), lit(pats(kind)), lit(0)))
+            .as("match"))
+        .withColumn("valid", when(expr(v("match")), 1L).otherwise(0L))
+    }.reduce(_ unionAll _)
+      .groupBy(col("source"), col("kind"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("valid")).as("n_valid"))
+      .withColumn("precision_q6",
+        expr("n_valid * 1000000L DIV n_candidates"))
+  }
+
   /** Zipf rank-frequency fit per language — the "is this slice
     * natural language" audit: OLS slope of ln(freq) against ln(rank)
     * over the unigram table (natural text reads ≈ −1, Zipf 1949;
@@ -1064,19 +1095,72 @@ object TextStats {
   def boilerplateLines(docs: DataFrame, minDf: Long = 2L,
       normalized: Boolean = false): DataFrame = {
     require(minDf >= 2L, "minDf must be at least 2")
+    val l = lineFrame(docs, normalized)
+    l.join(boilerplateIndex(docs, normalized), Seq("lh"), "left")
+      .select(col("doc_id"), col("line_no"), col("line"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        (coalesce(col("df"), lit(0L)) >= minDf).as("is_boilerplate"))
+  }
+
+  /** The per-(doc, line) exploded frame with the boilerplate line key
+    * — ONE definition shared by [[boilerplateLines]],
+    * [[boilerplateIndex]] and [[streamingBoilerplate]], so the
+    * streaming twin can never hash a line differently than the index
+    * it probes. */
+  private def lineFrame(docs: DataFrame,
+      normalized: Boolean): DataFrame = {
     val key =
       if (normalized)
         md5(regexp_replace(regexp_replace(trim(col("line")),
           lit("\\s+"), lit(" ")), lit("[0-9]+"), lit("0")))
       else md5(trim(col("line")))
-    val l = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
       .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
         col("line"), key.as("lh"),
         (trim(col("line")) =!= "").as("nonblank"))
-    val dfTab = l.where(col("nonblank"))
+  }
+
+  /** The standing (line-key → document-frequency) index the streaming
+    * twin probes: distinct-lines-sized (lh, df), nonblank lines only,
+    * built with the SAME key as the batch pass. At 100 TB this table
+    * is maintained across runs (a daily job merges each delta's
+    * counts in — the boilerplateIncremental seen-side made explicit);
+    * computing it from a frame keeps the pair self-contained and
+    * oracle-checkable. */
+  def boilerplateIndex(docs: DataFrame,
+      normalized: Boolean = false): DataFrame =
+    lineFrame(docs, normalized).where(col("nonblank"))
       .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
-    l.join(dfTab, Seq("lh"), "left")
+
+  /** Live boilerplate flagging — the streaming twin of
+    * [[boilerplateIncremental]]'s scoring half (the streamingSeasonalZ
+    * train/score split): arriving documents' lines probe the STANDING
+    * df index as a stream-static broadcast join — stateless, append
+    * mode, no watermark, no state store, so any sink works and a
+    * micro-batch's rows equal [[boilerplateLines]]-against-the-index
+    * for exactly those documents (StreamingSpec pins the parity).
+    * Deliberate semantics: the index is FROZEN for the life of the
+    * query — a banner repeating only WITHIN the live stream does not
+    * raise df on the fly (counting it live would need corpus-lifetime
+    * per-line state, unbounded); the operational loop is the
+    * [[boilerplateIncremental]] batch refreshing the index
+    * periodically and the stream restarting against it (StreamingSpec
+    * pins an index-update-between-runs flip). Same `normalized` knob,
+    * same output schema as the batch pass.
+    *
+    * Scale note: the hint broadcasts the index once per query, which
+    * is right for the index a scrub actually needs — at 100 TB feed
+    * the `df >= minDf` SLICE (the only keys that can flag; a
+    * sub-threshold line then reads df 0, its flag unchanged), which
+    * is nav-bar/footer-sized, not corpus-sized. Passing the full
+    * unpruned line table would be the one way to make this operator
+    * not fit an executor. */
+  def streamingBoilerplate(stream: DataFrame, dfIndex: DataFrame,
+      minDf: Long = 2L, normalized: Boolean = false): DataFrame = {
+    require(minDf >= 2L, "minDf must be at least 2")
+    lineFrame(stream, normalized)
+      .join(broadcast(dfIndex), Seq("lh"), "left")
       .select(col("doc_id"), col("line_no"), col("line"),
         coalesce(col("df"), lit(0L)).as("df"),
         (coalesce(col("df"), lit(0L)) >= minDf).as("is_boilerplate"))
@@ -1129,40 +1213,43 @@ object TextStats {
     * downsampler would apply (capped at 1), and the EPOCHS factor
     * (allocation / available — > 1e6 means the source must repeat to
     * meet its share, the oversampling a mixture board reviews before
-    * committing). The weight path runs entirely ON THE DRIVER over
-    * the [[quantWeights]] normalized integers — target share and
-    * token allocation are exact BigInt arithmetic emitted as literals
-    * (scale-invariant in the weights, no overflow at any budget),
-    * and only the epochs/rate ratio touches data: the SPLIT
-    * floor-division identity `a DIV b · 1e6 + (a % b) · 1e6 DIV b`
-    * over the int64 token counts (exact below ~9.2e12 tokens per
-    * source), capped via least(·, 1e6) AFTER the scaled division
-    * (monotone, so the cap commutes with the floor). One token-count
-    * projection (size(split) — no explode) + a source-sized
-    * aggregation. */
+    * committing). The per-source weight integers come from
+    * [[quantWeights]] (driver-side BigInt literals, scale-invariant);
+    * shares and allocations normalize them over the planned sources
+    * actually PRESENT in the corpus (one exact int64 window-sum over
+    * the source-sized frame) so the FULL budget is always allocated —
+    * under the all-plan Σwq a planned source absent from the corpus
+    * would silently strand its slice of the budget, the exact
+    * under-allocation a mixture board exists to catch. Allocation
+    * uses the SPLIT floor-division identity `B DIV s · wq +
+    * (B % s) · wq DIV s` (exact, no overflow at any budget: both
+    * addends stay under B and ~1e15 respectively), the epochs/rate
+    * ratio the same split form over the int64 token counts (exact
+    * below ~9.2e12 tokens per source), capped via least(·, 1e6) AFTER
+    * the scaled division (monotone, so the cap commutes with the
+    * floor). One token-count projection (size(split) — no explode) +
+    * a source-sized aggregation. */
   def mixturePlan(docs: DataFrame, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0L, "budgetTokens must be positive")
     val wq = quantWeights(weights)
-    val swq = wq.values.sum
-    def perSource(f: Long => Long) =
-      wq.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (k, q)) =>
-        when(col("source") === k, lit(f(q))).otherwise(acc) }
-    val target = perSource(q =>
-      (BigInt(budgetTokens) * q / swq).toLong)
-    val share = perSource(q => q * 1000000L / swq)
     val per = docs
       .select(col("source"), expr(s"CAST(size($tok) AS BIGINT)").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .withColumn("wq", wqCase(wq)).where(col("wq") > 0)
+    // no orderBy → whole-partition frame over the source-sized rows
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     per
-      .withColumn("target_tokens", target)
+      .withColumn("swqp", sum(col("wq")).over(wAll))
+      .withColumn("target_tokens", expr(
+        s"${budgetTokens}L DIV swqp * wq" +
+          s" + ${budgetTokens}L % swqp * wq DIV swqp"))
       .withColumn("epochs_q6", expr(
         "target_tokens DIV n_tokens * 1000000L" +
           " + (target_tokens % n_tokens) * 1000000L DIV n_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        share.as("target_share_q6"),
+        expr("wq * 1000000L DIV swqp").as("target_share_q6"),
         col("target_tokens"),
         least(col("epochs_q6"), lit(1000000L)).as("rate_q6"),
         col("epochs_q6"))

@@ -179,6 +179,31 @@ object DataOpsQueries {
        |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin
   }
 
+  /** Per-source per-checksum-class precision (TextStats.
+    * piiPrecisionBySource twin): candidates by shape, validity by the
+    * [[duckLuhn]]/[[duckIban]] folds, grouped source × class. */
+  private def piiPrecisionSql(src: String): String = {
+    val pats = PII_CLASSES.toMap
+    s"""cand AS (
+       |  SELECT source, 'ccard' AS kind,
+       |         unnest(regexp_extract_all(text, '${pats("ccard")}')) AS m
+       |  FROM $src
+       |  UNION ALL
+       |  SELECT source, 'iban',
+       |         unnest(regexp_extract_all(text, '${pats("iban")}')) AS m
+       |  FROM $src),
+       |v AS (SELECT source, kind,
+       |        CASE WHEN kind = 'ccard'
+       |             THEN CASE WHEN ${duckLuhn("m")} THEN 1 ELSE 0 END
+       |             ELSE CASE WHEN ${duckIban("m")} THEN 1 ELSE 0 END
+       |        END AS valid
+       |      FROM cand)
+       |SELECT source, kind, CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(sum(valid) AS BIGINT) AS n_valid,
+       |  CAST(sum(valid) * 1000000 // count(*) AS BIGINT) AS precision_q6
+       |FROM v GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+  }
+
   /** The scrub's SELECT body (counts on the original text, then the
     * fixed-order redaction chain) — shared by the real-corpus entry
     * and the planted fixture twin. */
@@ -552,19 +577,22 @@ object DataOpsQueries {
 
   /** Driver-side quantization of the shipped mixture weights —
     * the TextStats.quantWeights mirror (same Scala arithmetic), so
-    * the oracle's target literals are the EXACT integers the Spark
-    * side emits; no engine arithmetic touches the weight path on
-    * either side. */
+    * the oracle's weight literals are the EXACT integers the Spark
+    * side emits. Normalization over the PRESENT planned sources
+    * (Σ_present wq) happens engine-side on both sides — exact int64,
+    * so either engine computes the identical targets. */
   private val mixWeights = Seq("src0" -> 4.0, "src1" -> 2.0,
     "src2" -> 1.0, "src3" -> 1.0)
   private val mixWq: Seq[(String, Long)] = {
     val sw = mixWeights.map(_._2).sum
     mixWeights.map { case (k, v) => k -> math.floor(v / sw * 1e6).toLong }
   }
-  private val mixSwq: Long = mixWq.map(_._2).sum
-  private val MIX_TARGET_CASE = "CASE wt.source " + mixWq.map {
-    case (k, q) => s"WHEN '$k' THEN ${q * 1000000L / mixSwq}"
-  }.mkString(" ") + " ELSE 0 END"
+  /** Integer wq literals as a SQL CASE over `ref` (a source column) —
+    * BIGINT-typed so `wq * 1000000` can never overflow INT32. */
+  private def mixWqCase(ref: String): String =
+    s"CASE $ref " + mixWq.map {
+      case (k, q) => s"WHEN '$k' THEN CAST($q AS BIGINT)"
+    }.mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
 
   def entries: Seq[Entry] = Seq(
     // standing oracle-environment canary (the r14 driver-red trio
@@ -584,6 +612,30 @@ object DataOpsQueries {
       val passes = envProbes.toDF("n")
         .select(concat(lit("pass:"), col("n")).as("probe"))
       ordered(vers.unionAll(passes))
+    },
+    // TYPE canary — the round-15 post-mortem instrumented: the oracle
+    // deliberately emits ONE uncast sum()-derived column (HUGEINT in
+    // DuckDB) next to its CAST twin, while Spark emits both as plain
+    // BIGINT with the identical value (1000 × 1000000007). EXPECTED
+    // DRIVER RESULT: rows/schema match, hash MISMATCH — the driver's
+    // typed dataframe/arrow compare renders HUGEINT as
+    // float64/decimal128 ("1000000007000.0" vs "1000000007000").
+    // A hash MATCH here would falsify the round-15 mechanism (the
+    // driver canonicalizes types) and reopen the trio diagnosis.
+    // Local tools pass it by construction (fetchall + canon types) and
+    // exempt it from the type lint by name (TYPE_CANARY) — the
+    // asymmetry between the local green and the driver red IS the
+    // measurement. Keep red forever; it guards the whole oracle suite
+    // against the one bug class local replay cannot see.
+    Entry("report_env_types",
+      """SELECT 'hugeint_sum' AS probe,
+        |       sum(x) AS uncast_q,
+        |       CAST(sum(x) AS BIGINT) AS cast_q
+        |FROM (SELECT 1000000007::BIGINT AS x FROM range(1000))""".stripMargin) {
+      (s, _) =>
+        s.range(1).select(lit("hugeint_sum").as("probe"),
+          lit(1000000007000L).as("uncast_q"),
+          lit(1000000007000L).as("cast_q"))
     },
     // ---- deduplication ----
     // per-doc n-gram novelty: fraction of the doc's distinct shingles
@@ -711,7 +763,13 @@ object DataOpsQueries {
     // per-source quality rollup: the curation run's first read —
     // near-dup fraction + Gopher gate pass rate + Zipf slope per
     // source, each stage the verified operator unchanged (the oracle
-    // composes the three verified walks over shared CTEs)
+    // composes the three verified walks over shared CTEs). Oracle
+    // scope: the dup stage's oracle is the EXACT Jaccard pair walk,
+    // while the Spark side is banded MinHash-LSH + maxBucket — the
+    // pin holds because at this SF the banded pair set equals the
+    // exact one (verified, not guaranteed on an arbitrary corpus;
+    // Curate.sourceQualityReport's docstring carries the recall
+    // bound, dedup_recall_eval measures the gap)
     Entry("text_source_quality",
       s"""WITH RECURSIVE $SH,
          |jp AS (SELECT id_a, id_b FROM it
@@ -903,9 +961,11 @@ object DataOpsQueries {
         |wt AS (SELECT source, n,
         |        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
         |                    WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
-        |                    ELSE 0.0 END AS w
+        |                    ELSE 0.0 END AS w,
+        |        ${mixWqCase("source")} AS wq
         |       FROM cnt),
         |t AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM wt WHERE w > 0),
+        |swp AS (SELECT CAST(sum(wq) AS BIGINT) AS swqp FROM wt WHERE w > 0),
         |samp AS (SELECT h.doc_id, h.source FROM h JOIN wt USING (source), t
         |         WHERE wt.w > 0 AND CAST(hv AS DOUBLE) <
         |               wt.w * t.t / CAST(wt.n AS DOUBLE) * 1152921504606846976.0),
@@ -913,40 +973,40 @@ object DataOpsQueries {
         |tots AS (SELECT count(*) AS n_total FROM samp)
         |SELECT wt.source, wt.n AS n_docs,
         |       coalesce(sc.n_sampled, 0) AS n_sampled,
-        |       CAST($MIX_TARGET_CASE AS BIGINT) AS target_q6,
+        |       CAST(wt.wq * 1000000 // swp.swqp AS BIGINT) AS target_q6,
         |       CAST(coalesce(sc.n_sampled, 0) * 1000000 // tots.n_total AS BIGINT) AS achieved_q6,
         |       CAST(coalesce(sc.n_sampled, 0) * 1000000 // tots.n_total AS BIGINT)
-        |         - CAST($MIX_TARGET_CASE AS BIGINT) AS err_q6
-        |FROM wt CROSS JOIN tots
+        |         - CAST(wt.wq * 1000000 // swp.swqp AS BIGINT) AS err_q6
+        |FROM wt CROSS JOIN tots CROSS JOIN swp
         |LEFT JOIN sc ON sc.source = wt.source
         |WHERE wt.w > 0 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.mixtureReport(docs(s, d),
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)))
     },
-    // token-budget mixture plan for a 100k-token budget: the weight
-    // path (shares + allocations) is driver-computed exact integer
-    // literals on BOTH sides (the quantWeights mirror above); only
-    // the epochs/rate ratio touches data, via the split
+    // token-budget mixture plan for a 100k-token budget: integer wq
+    // literals on BOTH sides (the quantWeights mirror above),
+    // normalized over the PRESENT planned sources engine-side (exact
+    // int64 — the full budget is allocated even when a planned source
+    // is absent); allocation and epochs/rate use the split
     // floor-division identity, capped AFTER the scaled division
     Entry("text_mixture_plan", {
-      val shareCase = "CASE source " + mixWq.map { case (k, q) =>
-        s"WHEN '$k' THEN ${q * 1000000L / mixSwq}" }.mkString(" ") +
-        " ELSE 0 END"
-      val tokensCase = "CASE source " + mixWq.map { case (k, q) =>
-        s"WHEN '$k' THEN ${(BigInt(100000) * q / mixSwq).toLong}" }
-        .mkString(" ") + " ELSE 0 END"
       val inList = mixWq.map { case (k, _) => s"'$k'" }.mkString(", ")
       s"""WITH per AS (SELECT source, count(*) AS n_docs,
          |        CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
          |       FROM documents GROUP BY 1),
          |wt AS (SELECT source, n_docs, n_tokens,
-         |        CAST($shareCase AS BIGINT) AS target_share_q6,
-         |        CAST($tokensCase AS BIGINT) AS target_tokens
+         |        ${mixWqCase("source")} AS wq
          |       FROM per WHERE source IN ($inList)),
-         |g AS (SELECT wt.*,
+         |swp AS (SELECT CAST(sum(wq) AS BIGINT) AS s FROM wt),
+         |a AS (SELECT wt.*,
+         |        CAST(wt.wq * 1000000 // swp.s AS BIGINT) AS target_share_q6,
+         |        CAST(100000 // swp.s * wt.wq
+         |          + 100000 % swp.s * wt.wq // swp.s AS BIGINT) AS target_tokens
+         |      FROM wt CROSS JOIN swp),
+         |g AS (SELECT a.*,
          |        CAST(target_tokens // n_tokens * 1000000
          |          + (target_tokens % n_tokens) * 1000000 // n_tokens AS BIGINT) AS epochs_q6
-         |      FROM wt)
+         |      FROM a)
          |SELECT source, n_docs, n_tokens, target_share_q6, target_tokens,
          |  least(epochs_q6, 1000000) AS rate_q6,
          |  epochs_q6
@@ -1809,6 +1869,55 @@ object DataOpsQueries {
       (s, d) => ordered(Ann.binaryTopK(emb(s, d), nQueries = 10, k = 5,
         rerank = 50))
     },
+    // binary rerank tuning curve (the nprobe_curve pattern aimed at
+    // the sign-bit family's one knob): ONE shared Hamming ranking at
+    // the max depth — every smaller depth's candidate set is a prefix
+    // of the deterministic (ham, vec_id) order — with per-depth float
+    // re-scores; the oracle scores the max-depth candidates once and
+    // ranks each prefix
+    Entry("ann_rerank_curve", {
+      val ds = Seq(8, 16, 32, 64)
+      val maxD = ds.max
+      val perDepth = ds.map(d =>
+        s"""tk_$d AS (SELECT query_id, vec_id FROM sc WHERE r <= $d
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sim DESC, vec_id) <= 5),
+           |r_$d AS (SELECT CAST($d AS BIGINT) AS rerank,
+           |  CAST(10 AS BIGINT) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM rk WHERE r <= $d)
+           |    AS n_float_reads,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN tk_$d t
+           |     ON t.query_id = ex.query_id AND t.vec_id = ex.neighbor_id)
+           |    AS n_hit)""".stripMargin).mkString(",\n")
+      val union = ds.map(d => s"SELECT * FROM r_$d")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |sg AS (SELECT vec_id,
+         |        CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN v[j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS w0,
+         |        CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN v[32 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS w1
+         |       FROM e),
+         |q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1 FROM sg WHERE vec_id < 10),
+         |h AS (SELECT q.query_id, sg.vec_id,
+         |        bit_count(xor(sg.w0, q.qw0)) + bit_count(xor(sg.w1, q.qw1)) AS ham
+         |      FROM sg, q WHERE sg.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, vec_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS r
+         |       FROM h QUALIFY r <= $maxD),
+         |sc AS (SELECT c.query_id, c.vec_id, c.r,
+         |        round(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j])) / (a.nrm * b.nrm), 9) AS sim
+         |       FROM rk c JOIN n a ON a.vec_id = c.query_id JOIN n b ON b.vec_id = c.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |${exactTopSql(nQueries = 10, k = 5)}) x),
+         |$perDepth
+         |SELECT rerank, n_queries, n_float_reads, n_hit,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_truth,
+         |  CAST(n_hit * 1000000 // (SELECT count(*) FROM ex) AS BIGINT) AS recall_q6
+         |FROM ($union) u ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => ordered(Ann.rerankCurve(emb(s, d), nQueries = 10, k = 5,
+        reranks = Seq(8, 16, 32, 64)))
+    },
 
     // ---- text analysis ----
     Entry("text_token_stats",
@@ -1974,6 +2083,25 @@ object DataOpsQueries {
          |        'fs' || CAST(doc_id % 3 AS VARCHAR) AS source FROM pfx),
          |${piiBySourceSql("pfs")}""".stripMargin) {
       (s, _) => ordered(TextStats.piiBySource(piiFx(s)
+        .withColumn("source",
+          expr("concat('fs', CAST(doc_id % 3 AS STRING))"))))
+    },
+    // per-source PII PRECISION: of the scrub's shape candidates, how
+    // many pass Luhn / mod-97 (the span audit's verdicts rolled up) —
+    // the trust-gate column pair the incidence table above decides
+    // redaction-vs-escalation from. Real corpus plants no candidates
+    // → zero rows (the no-op path, ts_changepoint precedent); the
+    // fixture twin carries valid AND checksum-failing plants
+    Entry("text_pii_precision",
+      s"""WITH ${piiPrecisionSql("documents")}""".stripMargin) {
+      (s, d) => ordered(TextStats.piiPrecisionBySource(docs(s, d)))
+    },
+    Entry("text_pii_precision_fixture",
+      s"""WITH $PIIFX,
+         |pfs AS (SELECT doc_id, text,
+         |        'fs' || CAST(doc_id % 3 AS VARCHAR) AS source FROM pfx),
+         |${piiPrecisionSql("pfs")}""".stripMargin) {
+      (s, _) => ordered(TextStats.piiPrecisionBySource(piiFx(s)
         .withColumn("source",
           expr("concat('fs', CAST(doc_id % 3 AS STRING))"))))
     },

@@ -241,6 +241,31 @@ class AnnSpec extends AnyFunSuite {
     assert(rows(4L)._3 === 2L * rows(2L)._3)
   }
 
+  test("rerankCurve: recall and float reads monotone in depth; corpus-deep rerank IS exact search") {
+    val rows = Ann.rerankCurve(corpus, nQueries = 6, k = 5,
+      reranks = Seq(8, 32, 119)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(rows.keySet === Set(8L, 32L, 119L))
+    // truth is nQueries × k = 30 on this corpus
+    assert(rows.values.forall(_._3 === 30L))
+    // float reads are MEASURED: min(depth, N−1) per query
+    assert(rows(8L)._1 === 6L * 8L)
+    assert(rows(32L)._1 === 6L * 32L)
+    assert(rows(119L)._1 === 6L * 119L)
+    // recall is monotone in depth (prefix candidate sets)
+    assert(rows(8L)._4 <= rows(32L)._4 && rows(32L)._4 <= rows(119L)._4)
+    // depth >= corpus−1 makes the Hamming prefilter vacuous: the
+    // re-score IS brute force, recall exactly 1e6...
+    assert(rows(119L)._4 === 1000000L)
+    // ...and binaryTopK at that depth returns cosineTopK verbatim
+    val ex = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bt = Ann.binaryTopK(corpus, nQueries = 6, k = 5, rerank = 119)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bt === ex, "full-depth binary rerank must equal exact search")
+  }
+
   test("recall on the shipped sf0.01 embeddings (real distribution, default sizing)") {
     // the synthetic 6-cluster corpus above validates the mechanism;
     // this pins recall on the ACTUAL embeddings table the driver

@@ -262,6 +262,17 @@ class PlanSpec extends AnyFunSuite {
       nlists = Seq(2, 4), iters = 2))
     assert(nTwo - nOne >= 4,
       s"an nlist setting re-trains by design: $nOne -> $nTwo")
+    // rerankCurve sits on the nprobeCurve side of the contrast: the
+    // signature Hamming scan runs ONCE at max depth (checkpointed
+    // ranked candidates), so extra depths add only their own
+    // rerank-bounded rescore/topk + 1-row stat stages — never a
+    // second signature scan
+    val rOne = shuffles(graft.llm.Ann.rerankCurve(emb, nQueries = 5, k = 3,
+      reranks = Seq(8)))
+    val rThree = shuffles(graft.llm.Ann.rerankCurve(emb, nQueries = 5, k = 3,
+      reranks = Seq(4, 8, 16)))
+    assert(rThree - rOne <= 2 * 8,
+      s"extra rerank depths must not re-scan signatures: $rOne -> $rThree")
   }
 
   test("LM-score/BM25/PMI: corpus stats broadcast, no windows, no global sort") {
@@ -604,16 +615,17 @@ class PlanSpec extends AnyFunSuite {
 
     // mixturePlan: the weighted-source predicate reaches the parquet
     // scan as a data filter, and the only shuffles are the
-    // source-sized aggregation + the 1-row normalization
+    // source-sized aggregation + the SinglePartition hop for the
+    // present-weight window-sum — both carry <= #sources rows
     val mp = graft.llm.TextStats.mixturePlan(docs,
       Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
       100000L)
     mp.collect()
     val mpp = plan(mp)
-    assert(!mpp.contains("Window ["), mpp)
-    // source agg + the norm subtree's distinct-source agg + its 1-row
-    // SinglePartition — all three source-sized, none corpus-sized
-    assert(exchanges(mpp) <= 3, mpp)
+    // exactly ONE window, sitting on the POST-aggregation frame (its
+    // input is the source-keyed HashAggregate, never the corpus scan)
+    assert("Window \\[".r.findAllIn(finalPlan(mpp)).size === 1, mpp)
+    assert(exchanges(mpp) <= 2, mpp)
     assert(finalPlan(mpp).linesIterator.filter(_.contains("FileScan"))
       .forall(_.contains("DataFilters: [CASE WHEN")), mpp)
   }

@@ -967,4 +967,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
     } finally q.stop()
   }
+
+  test("streaming boilerplate: arrivals flag against the standing index; an index refresh flips a line between runs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // seen corpus: the cookie banner repeats in 2 docs (df 2), the
+    // motto appears once (df 1 — below the minDf 2 threshold)
+    val seen1 = Seq(
+      (1L, "cookie banner\nreal text one"),
+      (2L, "cookie banner\nreal text two"),
+      (3L, "our motto\nreal text three")).toDF("doc_id", "text")
+    val idx1 = graft.llm.TextStats.boilerplateIndex(seen1)
+    val arrival = (100L, "cookie banner\nour motto\nfresh line")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.llm.TextStats.streamingBoilerplate(
+        ms.toDF().toDF("doc_id", "text"), idx1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bp_live").start()
+    try {
+      ms.addData(arrival)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT line, df, is_boilerplate FROM bp_live")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got === Set(
+        ("cookie banner", 2L, true), // seen-corpus banner flags live
+        ("our motto", 1L, false),    // sub-threshold df passes
+        ("fresh line", 0L, false)),  // never-seen line passes
+        got.toString)
+      // micro-batch parity: the same docs through the same scorer as
+      // a plain batch frame produce identical rows
+      val batch = graft.llm.TextStats.streamingBoilerplate(
+          Seq(arrival).toDF("doc_id", "text"), idx1)
+        .collect().map(r => (r.getString(2), r.getLong(3), r.getBoolean(4)))
+        .toSet
+      assert(batch === got, s"live=$got batch=$batch")
+      // stateless by construction: a broadcast probe holds no state
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static boilerplate must not create a state store")
+    } finally q.stop()
+    // the operational loop: the motto has since repeated in the seen
+    // corpus, the index is rebuilt, the stream restarts against it —
+    // the SAME arrival now flags the motto
+    val idx2 = graft.llm.TextStats.boilerplateIndex(seen1.unionAll(
+      Seq((4L, "our motto\nmore text")).toDF("doc_id", "text")))
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = graft.llm.TextStats.streamingBoilerplate(
+        ms2.toDF().toDF("doc_id", "text"), idx2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bp_live2").start()
+    try {
+      ms2.addData(arrival)
+      q2.processAllAvailable()
+      val got2 = spark.sql("SELECT line, is_boilerplate FROM bp_live2")
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+      assert(got2 === Set(("cookie banner", true), ("our motto", true),
+        ("fresh line", false)), got2.toString)
+    } finally q2.stop()
+  }
 }

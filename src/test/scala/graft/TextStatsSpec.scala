@@ -351,6 +351,27 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out("s2") === ((1L, 0L, 0L, 0L, 0L)), out("s2").toString)
   }
 
+  test("piiPrecisionBySource: Luhn/mod-97 verdicts roll up per source and class; clean sources have no row") {
+    import spark.implicits._
+    val docs = Seq(
+      // one Luhn-valid and one Luhn-failing card
+      (1L, "pay 4111-1111-1111-1111 or 4111-1111-1111-1112 today", "s0"),
+      // one mod-97-valid and one failing IBAN; their 14-digit tails
+      // ALSO shape-match ccard (classes count independently on the
+      // original text) and both fail Luhn — the low-precision read
+      // that tells a reviewer "order-id-like runs, not real cards"
+      (2L, "acct GB82WEST12345698765432 ref", "s1"),
+      (3L, "acct GB82WEST12345698765431 ref", "s1"),
+      (4L, "clean text only", "s2")).toDF("doc_id", "text", "source")
+    val out = TextStats.piiPrecisionBySource(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("s0", "ccard")) === ((2L, 1L, 500000L)), out.toString)
+    assert(out(("s1", "iban")) === ((2L, 1L, 500000L)), out.toString)
+    assert(out(("s1", "ccard")) === ((2L, 0L, 0L)), out.toString)
+    assert(out.size === 3, "candidate-free (source, class) pairs have no row")
+  }
+
   test("mixturePlan: under-capacity source caps rate at 1 and reads its repeat factor") {
     import spark.implicits._
     // a: 800 docs × 3 tokens = 2400; d: 100 × 3 = 300. Weights 1:1,
@@ -365,6 +386,37 @@ class TextStatsSpec extends AnyFunSuite {
       floorQ6(500.0 / 2400.0), floorQ6(500.0 / 2400.0))))
     assert(plan("d") === ((100L, 300L, 500000L, 500L,
       1000000L, floorQ6(500.0 / 300.0))))
+  }
+
+  test("mixtureReport: an absent planned source renormalizes targets over the present ones") {
+    // plan a:1, d:1, zz:2 but zz has no corpus docs: the sampler's
+    // rates make achieved proportions sum to 1 over the PRESENT
+    // sources, so targets must renormalize the same way — otherwise
+    // both present sources would read a phantom err while the draw is
+    // exactly on the mix it was able to run
+    val out = TextStats.mixtureReport(mixCorpus,
+        Map("a" -> 1.0, "d" -> 1.0, "zz" -> 2.0))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(out.keySet === Set("a", "d"), "the absent source has no row")
+    assert(out("a")._1 === 500000L && out("d")._1 === 500000L,
+      "targets renormalize over the present planned sources")
+    // the draw is the identical two-source draw -> identical errs
+    val two = TextStats.mixtureReport(mixCorpus, Map("a" -> 1.0, "d" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(out.view.mapValues(_._2).toMap === two)
+  }
+
+  test("mixturePlan: an absent planned source never strands budget — present sources absorb it all") {
+    val plan = TextStats.mixturePlan(mixCorpus,
+        Map("a" -> 1.0, "d" -> 1.0, "zz" -> 2.0), budgetTokens = 1000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(plan.keySet === Set("a", "d"))
+    assert(plan("a")._1 === 500000L && plan("d")._1 === 500000L,
+      "shares renormalize over the present planned sources")
+    assert(plan.values.map(_._2).sum === 1000L,
+      "the full budget is allocated across the present sources")
   }
 
   test("packEfficiency: hand-traced fills, oversize and straddle counts per stream") {

@@ -783,6 +783,23 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out("t") === ((1L, 1L, 1L, 0L, 0L)), out.toString)
   }
 
+  test("fidelityReport: a value swing past the int64 cross-product headroom raises, never overflows silently") {
+    // bucket 1 holds a 9.2e6-valued spike and a 0-valued point — LTOB
+    // drops one of them, and EITHER way the dropped point's |q6
+    // delta| (9.2e12) times its bracket gap (~2e9 s) is ~1.8e22 ≫
+    // 2^63, which without the guard wraps into a plausible err_q6
+    val pts = Seq(
+      ("s", 0L, 0.0, 1L), ("s", 4L, 9.2e6, 2L), ("s", 5L, 0.0, 3L),
+      ("s", 2000000000L, 0.0, 4L)
+    ).toDF("series", "ts", "val", "pid")
+    val e = intercept[Exception] {
+      graft.engine.Downsample.fidelityReport(pts, bucket = 4L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("headroom")), msgs(e).mkString(" | "))
+  }
+
   test("gaps: only silences over the threshold; dup-ts points never fake a gap; series isolated") {
     val pts = Seq(
       ("s", 0L, 1L), ("s", 5L, 2L), ("s", 5L, 3L), // dup ts

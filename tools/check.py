@@ -24,6 +24,12 @@ SPARK_OK_TYPES = ("BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
                   "FLOAT", "REAL", "DOUBLE", "VARCHAR", "DATE",
                   "TIMESTAMP", "TIMESTAMP WITH TIME ZONE")
 
+# Entries whose oracle DELIBERATELY emits a non-expressible type (the
+# report_env_types canary keeps one uncast HUGEINT next to its CAST
+# twin so the driver's typed compare stays measurable in-band). Both
+# tools skip the type gate for these BY NAME; everything else fails.
+TYPE_CANARY = {"report_env_types"}
+
 
 def spark_expressible(t):
     t = str(t).upper().strip()
@@ -88,8 +94,9 @@ def main(sf_dir, out_dir):
             # when canon values below agree — surface it as a warning
             raw_types = dict((c, t) for c, t, *_ in con.execute(
                 f"DESCRIBE SELECT * FROM ({sql}) AS _q").fetchall())
-            bad_types = {c: t for c, t in raw_types.items()
-                         if not spark_expressible(t)}
+            bad_types = {} if name in TYPE_CANARY else {
+                c: t for c, t in raw_types.items()
+                if not spark_expressible(t)}
             if bad_types:
                 res["oracle_raw_types"] = raw_types
                 res["driver_red_types"] = bad_types
