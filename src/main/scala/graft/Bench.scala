@@ -86,10 +86,12 @@ object Bench {
     // boilerplate delta — fixture twins and the env canary stay out
     // (constant-size inputs)
     "ann_nlist_curve", "text_pii_by_source", "text_boilerplate_incremental",
-    // round-16 additions: the binary rerank (search-knob) tuning
-    // curve and the per-source PII precision rollup — the type canary
-    // and the precision fixture stay out (constant-size inputs)
-    "ann_rerank_curve", "text_pii_precision",
+    // round-16 additions: the binary rerank (search-knob), LSH bits
+    // (bucket-size-knob) and sampling temperature (alpha-knob) tuning
+    // curves and the per-source PII precision rollup — the type
+    // canary and the precision fixture stay out (constant-size)
+    "ann_rerank_curve", "ann_lsh_curve", "sample_temperature_curve",
+    "text_pii_precision",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

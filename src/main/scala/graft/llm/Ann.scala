@@ -687,15 +687,31 @@ object Ann {
     // H[(t*bits + b)*dim + i]
     val dim = emb.where(col("embedding").isNotNull)
       .select(size(col("embedding")).as("d")).head().getInt(0)
-    // signature per (vec, table): `bits` sign bits of hyperplane dots,
-    // via the native codegen'd expression (graft.functions
-    // .LshSignatures, registered by Tables.sessionBuilder) — the
-    // equivalent nested higher-order-function expression evaluates its
-    // lambdas per element interpreted, an order of magnitude slower
-    // for tables*bits*dim multiply-adds per vector. Same sequential
-    // fold order and md5-derived planes, so the sign bits stay
-    // bit-identical to the DuckDB oracle. A null vector yields a null
-    // signature array → posexplode drops the row.
+    val pairs = lshCandidates(e, nQueries, bits, tables, dim)
+    val cands = pairs
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+    val scored = cands.withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+    topK(scored, k)
+  }
+
+  /** The deduped LSH candidate-pair frame shared by [[lshTopK]] and
+    * [[lshCurve]]: signature per (vec, table) via the native
+    * codegen'd expression (graft.functions.LshSignatures, registered
+    * by Tables.sessionBuilder — the equivalent nested
+    * higher-order-function form evaluates its lambdas per element
+    * interpreted, an order of magnitude slower for tables*bits*dim
+    * multiply-adds per vector; same sequential fold order and
+    * md5-derived planes, so the sign bits stay bit-identical to the
+    * DuckDB oracle; a null vector yields a null signature array →
+    * posexplode drops the row), then (table, signature) bucket join
+    * and a distinct over the (query_id, vec_id) PAIRS — two longs —
+    * before any embedding array is re-attached: shuffling and
+    * distinct-ing the vectors themselves is the expensive
+    * anti-pattern. */
+  private def lshCandidates(e: DataFrame, nQueries: Int, bits: Int,
+      tables: Int, dim: Int): DataFrame = {
     def sigs(df: DataFrame) = df
       .select(col("*"),
         posexplode(expr(s"graft_lsh_sigs(v, $tables, $bits, $dim)"))
@@ -704,19 +720,63 @@ object Ann {
     val corpus = sigs(e)
     val queries = sigs(e.where(col("vec_id") < nQueries))
       .select(col("t"), col("sig"), col("vec_id").as("query_id"))
-    // dedupe candidate PAIRS (two longs) before re-attaching the
-    // embedding arrays — shuffling and distinct-ing the vectors
-    // themselves is the expensive anti-pattern
-    val pairs = corpus.select(col("t"), col("sig"), col("vec_id"))
+    corpus.select(col("t"), col("sig"), col("vec_id"))
       .join(queries, Seq("t", "sig"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
-    val cands = pairs
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn")), Seq("query_id"))
-      .join(e, Seq("vec_id"))
-    val scored = cands.withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
-    topK(scored, k)
+  }
+
+  /** LSH bits tuning curve — the hyperplane family's bucket-size knob
+    * measured like the other three index curves ([[nprobeCurve]] /
+    * [[nlistCurve]] / [[rerankCurve]]): per `bits` setting at a fixed
+    * table count, the micro-averaged recall@k against the exact top-k
+    * AND the MEASURED deduped candidate-pair count the buckets
+    * actually emitted (expected occupancy is N/2^bits per table, but
+    * real corpora are skewed — measure, don't guess). One row per
+    * setting: (bits, tables, n_queries, n_candidates, n_hit, n_truth,
+    * recall_q6) — the table that picks log2(N/30) with evidence
+    * instead of the docstring rule of thumb.
+    *
+    * Cost: `bits` is baked into the signature (the plane index is
+    * (t·bits + b)·dim + i), so each setting legitimately re-signs the
+    * corpus — the [[nlistCurve]] side of the per-setting contrast,
+    * but each pass is one narrow codegen'd projection, not a Lloyd
+    * chain. The exact truth is the same checkpointed query-bounded
+    * scan as the other curves; candidate counting reuses the
+    * two-long pair frame, never re-attached vectors. */
+  def lshCurve(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      bitsList: Seq[Int] = Seq(2, 4, 6, 8), tables: Int = 16): DataFrame = {
+    require(bitsList.nonEmpty && bitsList.forall(b => b >= 1 && b <= 30),
+      "each bits setting must be in [1, 30]")
+    val e = withNorm(emb)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
+    val exact = cosineTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val truth = exact.agg(count(lit(1)).as("n_truth"))
+    bitsList.map { b =>
+      val pairs = lshCandidates(e, nQueries, b, tables, dim)
+      val nCand = pairs.agg(count(lit(1)).as("n_candidates"))
+      val scored = pairs
+        .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")), Seq("query_id"))
+        .join(e, Seq("vec_id"))
+        .withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
+      val hits = exact
+        .join(topK(scored, k)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      nCand.crossJoin(hits)
+        .select(lit(b.toLong).as("bits"), lit(tables.toLong).as("tables"),
+          lit(nQueries.toLong).as("n_queries"),
+          col("n_candidates"), col("n_hit"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(truth))
+      .withColumn("recall_q6", expr("n_hit * 1000000L DIV n_truth"))
+      .select(col("bits"), col("tables"), col("n_queries"),
+        col("n_candidates"), col("n_hit"), col("n_truth"),
+        col("recall_q6"))
   }
 
   /** Product-quantized search — the classic memory-bound scale path

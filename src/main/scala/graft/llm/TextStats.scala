@@ -264,6 +264,58 @@ object TextStats {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature (α) tuning curve — the sampling family's knob
+    * measured the way the index families' knobs are ([[nprobeCurve]]
+    * / rerank / bits curves): per α and per source, the corpus count,
+    * the drawn count, the α-flattened TARGET share n_s^α / Σ n^α, the
+    * ACHIEVED share, and their signed gap — the one table a
+    * multilingual mix picks its temperature from (α = 1 keeps every
+    * document, so achieved ≡ raw proportions and err reads 0 up to
+    * the two quantizers' last digit — exactly 0 on dyadic count
+    * ratios; smaller α flattens toward uniform, upweighting small
+    * sources at the cost of repeating them). Each setting replays [[sampleTemperature]]'s
+    * deterministic draw, so the curve is oracle-checkable end to end.
+    *
+    * Fixed-point contract: per source ONE pow (the measure-zero 1-ulp
+    * acceptance [[sampleTemperature]] already carries), normalized by
+    * the MAX pow before quantization — wq = floor(w/w_max · 1e9) ≤
+    * 1e9, so wq·1e6 and Σwq stay inside int64 at ANY corpus size
+    * (quantizing pow(n) directly would overflow a 9.2M-doc source at
+    * α = 1); w_max = max(w) equals pow(max n) bitwise (pow is
+    * monotone and both engines compute it from the same integer).
+    * Everything past the two IEEE ops (pow, the w/w_max·1e9 scale) is
+    * exact int64 `·1e6 DIV`. Per setting: the narrow draw filter +
+    * ONE source-sized drawn-count agg — the draw total is a window
+    * sum over that frame (every drawn row's source exists in cnt, so
+    * Σ n_sampled IS the total: no second corpus pass), and the weight
+    * window-sums ride the same source-sized frame (the
+    * [[mixtureReport]] shape). */
+  def temperatureCurve(docs: DataFrame,
+      alphas: Seq[Double] = Seq(0.3, 0.5, 0.7, 1.0)): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a > 0.0 && a <= 1.0),
+      "each alpha must be in (0, 1]")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    alphas.map { a =>
+      val aq = math.round(a * 100)
+      val sampled = sampleTemperature(docs, a)
+      val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("wd", expr(s"pow(CAST(n_docs AS DOUBLE), ${a}D)"))
+      val sc = sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"))
+      cnt.join(sc, Seq("source"), "left")
+        .na.fill(0L, Seq("n_sampled"))
+        .withColumn("n_total", sum(col("n_sampled")).over(wAll))
+        .withColumn("wq", expr(
+          "CAST(floor(wd / max(wd) OVER () * 1e9) AS BIGINT)"))
+        .withColumn("swq", sum(col("wq")).over(wAll))
+        .select(lit(aq).as("alpha_q2"), col("source"), col("n_docs"),
+          col("n_sampled"),
+          expr("wq * 1000000L DIV swq").as("target_q6"),
+          expr("n_sampled * 1000000L DIV n_total").as("achieved_q6"))
+        .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Mixture-quality report — the trust-gate row for the sampling
     * family (the recall@k / backtest pattern): replay
     * [[sampleMixture]] and report, per weighted source, the corpus

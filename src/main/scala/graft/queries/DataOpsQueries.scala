@@ -1051,6 +1051,53 @@ object DataOpsQueries {
         |ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(TextStats.sampleTemperature(docs(s, d), alpha = 0.3))
     },
+    // temperature (alpha) tuning curve: per setting the deterministic
+    // draw replayed + achieved-vs-target shares; weights are ONE pow
+    // per source normalized by the max pow before x1e9 quantization
+    // (int64 at any corpus size), everything after exact `·1e6 DIV`
+    Entry("sample_temperature_curve", {
+      val as = Seq(0.3, 0.5, 0.7, 1.0)
+      def q(a: Double) = math.round(a * 100)
+      val per = as.map { a =>
+        val i = q(a)
+        s"""cnt_$i AS (SELECT source, count(*) AS n,
+           |        pow(CAST(count(*) AS DOUBLE), $a) AS w
+           |       FROM documents GROUP BY 1),
+           |t_$i AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM cnt_$i),
+           |wm_$i AS (SELECT max(w) AS wm FROM cnt_$i),
+           |sw_$i AS (SELECT CAST(sum(CAST(floor(w / wm * 1e9) AS BIGINT)) AS BIGINT) AS swq
+           |          FROM cnt_$i, wm_$i),
+           |samp_$i AS (SELECT h.doc_id, h.source
+           |            FROM h JOIN cnt_$i USING (source), t_$i
+           |            WHERE CAST(hv AS DOUBLE) <
+           |              cnt_$i.w * t_$i.t / CAST(cnt_$i.n AS DOUBLE) * 1152921504606846976.0),
+           |sc_$i AS (SELECT source, count(*) AS n_sampled FROM samp_$i GROUP BY 1),
+           |tot_$i AS (SELECT count(*) AS n_total FROM samp_$i),
+           |r_$i AS (SELECT CAST($i AS BIGINT) AS alpha_q2, c.source,
+           |  CAST(c.n AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sc_$i.n_sampled, 0) AS BIGINT) AS n_sampled,
+           |  CAST(CAST(floor(c.w / wm_$i.wm * 1e9) AS BIGINT) * 1000000
+           |    // sw_$i.swq AS BIGINT) AS target_q6,
+           |  CAST(coalesce(sc_$i.n_sampled, 0) * 1000000
+           |    // tot_$i.n_total AS BIGINT) AS achieved_q6
+           | FROM cnt_$i c CROSS JOIN wm_$i CROSS JOIN sw_$i CROSS JOIN tot_$i
+           | LEFT JOIN sc_$i ON sc_$i.source = c.source)""".stripMargin
+      }.mkString(",\n")
+      val union = as.map(a => s"SELECT * FROM r_${q(a)}")
+        .mkString(" UNION ALL ")
+      s"""WITH h AS (SELECT doc_id, source,
+         |  CAST(list_sum(list_transform(range(15), k ->
+         |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+         |      << (4*(14-k)))) AS BIGINT) AS hv
+         |  FROM documents),
+         |$per
+         |SELECT alpha_q2, source, n_docs, n_sampled, target_q6, achieved_q6,
+         |  achieved_q6 - target_q6 AS err_q6
+         |FROM ($union) u ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => ordered(TextStats.temperatureCurve(docs(s, d),
+        alphas = Seq(0.3, 0.5, 0.7, 1.0)))
+    },
     // the composed curation pipeline: gates -> exact-dedup keepers ->
     // weighted mixture, each stage the verified operator unchanged;
     // the oracle replays the full chain including the stage-3 rates
@@ -1446,6 +1493,57 @@ object DataOpsQueries {
         |       vec_id AS neighbor_id
         |FROM sc QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Ann.lshTopK(emb(s, d), nQueries = 10, k = 5))
+    },
+    // LSH bits tuning curve: ONE shared md5 plane list sized for the
+    // max setting (each setting indexes its own (t*bits+b)*dim range
+    // of the same deterministic sequence), per-setting signature +
+    // bucket-join CTEs — bits is baked into the signature, so
+    // re-signing per setting is the semantics (the nlist side of the
+    // per-setting contrast); candidates and hits counted exactly
+    Entry("ann_lsh_curve", {
+      val bs = Seq(2, 4, 6, 8)
+      val maxB = bs.max
+      val perBits = bs.map(b =>
+        s"""sg_$b AS (SELECT vec_id, t,
+           |        list_sum(list_transform(range($b), bb ->
+           |          CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+           |            v[i] * pls[(t * $b + bb) * len(v) + i])) >= 0
+           |          THEN 1 << ($b - 1 - bb) ELSE 0 END)) AS sig
+           |       FROM n, pl, range(16) tt$b(t)),
+           |cand_$b AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+           |         FROM sg_$b q JOIN sg_$b c ON q.t = c.t AND q.sig = c.sig
+           |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |sc_$b AS (SELECT ca.query_id, ca.vec_id,
+           |        round(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cn.v[i])) / (qn.nrm * cn.nrm), 9) AS sim
+           |       FROM cand_$b ca JOIN n qn ON qn.vec_id = ca.query_id JOIN n cn ON cn.vec_id = ca.vec_id),
+           |tk_$b AS (SELECT query_id, vec_id FROM sc_$b
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sim DESC, vec_id) <= 5),
+           |r_$b AS (SELECT CAST($b AS BIGINT) AS bits,
+           |  CAST(16 AS BIGINT) AS tables, CAST(10 AS BIGINT) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand_$b) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN tk_$b t2
+           |     ON t2.query_id = ex.query_id AND t2.vec_id = ex.neighbor_id)
+           |    AS n_hit)""".stripMargin).mkString(",\n")
+      val union = bs.map(b => s"SELECT * FROM r_$b").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |pj0 AS (SELECT unnest(range(16 * $maxB * (SELECT len(v) FROM n LIMIT 1))) AS j),
+         |pj AS (SELECT j, CAST(list_sum(list_transform(range(13), k ->
+         |         CAST(strpos('0123456789abcdef', substring(md5('plane:' || CAST(j AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+         |           << (4*(12-k)))) AS BIGINT) / 2251799813685248.0 - 1.0 AS p
+         |       FROM pj0),
+         |pl AS (SELECT list(p ORDER BY j) AS pls FROM pj),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |${exactTopSql(nQueries = 10, k = 5)}) x),
+         |$perBits
+         |SELECT bits, tables, n_queries, n_candidates, n_hit,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_truth,
+         |  CAST(n_hit * 1000000 // (SELECT count(*) FROM ex) AS BIGINT) AS recall_q6
+         |FROM ($union) u ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => ordered(Ann.lshCurve(emb(s, d), nQueries = 10, k = 5,
+        bitsList = Seq(2, 4, 6, 8), tables = 16))
     },
     // IVF is deterministic end to end: centroids are per-cell means of
     // the label quantizer, probe selection uses round-9 sims with a

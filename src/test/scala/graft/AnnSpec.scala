@@ -266,6 +266,30 @@ class AnnSpec extends AnyFunSuite {
     assert(bt === ex, "full-depth binary rerank must equal exact search")
   }
 
+  test("lshCurve: candidates shrink as bits grow; the default-setting row agrees with lshTopK's own hits") {
+    val rows = Ann.lshCurve(corpus, nQueries = 6, k = 5,
+      bitsList = Seq(1, 4, 8), tables = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))).toMap
+    assert(rows.keySet === Set(1L, 4L, 8L))
+    assert(rows.values.forall(_._3 === 30L))
+    // finer buckets emit fewer candidate pairs — the knob's cost side
+    assert(rows(1L)._1 > rows(4L)._1 && rows(4L)._1 >= rows(8L)._1,
+      rows.toString)
+    // ...and recall degrades with them at the coarse->fine extremes
+    assert(rows(1L)._4 >= rows(8L)._4, rows.toString)
+    // 1 bit x 16 tables on a 120-vector corpus: buckets of ~60, the
+    // candidate set is near-total and recall with it
+    assert(rows(1L)._4 >= 800000L, rows.toString)
+    // the curve's (bits=4, tables=16) row counts exactly the hits the
+    // standalone lshTopK search scores against the same exact truth
+    val ex = Ann.cosineTopK(corpus, nQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.lshTopK(corpus, nQueries = 6, k = 5, bits = 4,
+      tables = 16).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows(4L)._2 === (ex intersect lsh).size.toLong, rows.toString)
+  }
+
   test("recall on the shipped sf0.01 embeddings (real distribution, default sizing)") {
     // the synthetic 6-cluster corpus above validates the mechanism;
     // this pins recall on the ACTUAL embeddings table the driver

@@ -351,6 +351,34 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out("s2") === ((1L, 0L, 0L, 0L, 0L)), out("s2").toString)
   }
 
+  test("temperatureCurve: alpha=1 reproduces raw proportions with zero error; flattening upweights the smallest source") {
+    val out = TextStats.temperatureCurve(mixCorpus, alphas = Seq(0.5, 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(out.size === 8, "2 alphas x 4 sources")
+    // alpha = 1: every rate is 1 (T = min n/n = 1), the draw keeps the
+    // whole corpus and achieved == target == n_s/N exactly -> err 0
+    for (s <- Seq("a", "b", "c", "d")) {
+      val (n, drawn, tgt, ach, err) = out((100L, s))
+      assert(drawn === n, s"alpha=1 keeps all of $s")
+      assert(err === 0L, s"alpha=1 err for $s: $tgt vs $ach")
+    }
+    assert(out((100L, "a"))._3 === 533333L) // 800/1500 floored x1e6
+    assert(out((100L, "d"))._3 === 66666L)  // 100/1500
+    // alpha = 0.5 flattens: the smallest source's target share RISES
+    // and the largest source's falls; the argmin source still keeps
+    // every doc (rate 1 at the argmin of n/w = n^(1-alpha))
+    assert(out((50L, "d"))._3 > out((100L, "d"))._3)
+    assert(out((50L, "a"))._3 < out((100L, "a"))._3)
+    assert(out((50L, "d"))._2 === 100L, "smallest source keeps everything")
+    // targets sum to ~1e6 within per-source flooring at both settings
+    for (aq <- Seq(50L, 100L)) {
+      val ts = Seq("a", "b", "c", "d").map(s => out((aq, s))._3).sum
+      assert(ts > 1000000L - 8L && ts <= 1000000L, s"alpha=$aq: $ts")
+    }
+  }
+
   test("piiPrecisionBySource: Luhn/mod-97 verdicts roll up per source and class; clean sources have no row") {
     import spark.implicits._
     val docs = Seq(
