@@ -610,16 +610,7 @@ object Ann {
           |  (x, r) -> CAST(floor((x - r) * (x - r) * 1e9) AS BIGINT)),
           |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
       .select(col("vec_id"), col("se"))
-    val sv = pqSubs(e, m, d)
-    val book = trainPq(sv, nlist, iters, trainMod)
-    val pqv = pqAssign(sv, book)
-      .join(broadcast(book.select(col("sub"), col("cid"), col("cv"))),
-        Seq("sub", "cid"))
-      .withColumn("seq", expr(
-        """aggregate(zip_with(sv, cv,
-          |  (x, y) -> CAST(floor((x - y) * (x - y) * 1e9) AS BIGINT)),
-          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-      .groupBy(col("vec_id")).agg(sum(col("seq")).as("se"))
+    val pqv = pqSeQ9(pqSubs(e, m, d), nlist, iters, trainMod)
     // 1-bit sign quantization (the 32× storage point past SQ8/PQ):
     // r_j = ±s with s = mean(|x_j|) — the L2-optimal 1-bit scale
     // (Rastegari et al. 2016's α). The mean is made exact the
@@ -644,6 +635,63 @@ object Ann {
       .select(lit(scheme).as("scheme"), col("n_vectors"), col("sum_se_q9"),
         expr("sum_se_q9 DIV n_vectors").as("mse_q9"), col("max_se_q9"))
     rowOf("pq", pqv) unionAll rowOf("sq8", sqv) unionAll rowOf("bin", binv)
+  }
+
+  /** Per-vector PQ squared reconstruction error (q9): train the
+    * codebook over the subvector stream, assign, and difference each
+    * subvector against its named centroid — the [[quantDistortion]]
+    * error path, shared with [[pqCurve]]. Same exactness argument:
+    * per-component q9 floors of single IEEE ops on engine-identical
+    * inputs, then integer-only aggregation. */
+  private def pqSeQ9(sv: DataFrame, nlist: Int, iters: Int,
+      trainMod: Int): DataFrame = {
+    val book = trainPq(sv, nlist, iters, trainMod)
+    pqAssign(sv, book)
+      .join(broadcast(book.select(col("sub"), col("cid"), col("cv"))),
+        Seq("sub", "cid"))
+      .withColumn("seq", expr(
+        """aggregate(zip_with(sv, cv,
+          |  (x, y) -> CAST(floor((x - y) * (x - y) * 1e9) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .groupBy(col("vec_id")).agg(sum(col("seq")).as("se"))
+  }
+
+  /** PQ rate-distortion tuning curve — the compression family's knob
+    * measured like the four search-side curves ([[nprobeCurve]] /
+    * [[nlistCurve]] / [[rerankCurve]] / [[lshCurve]]): per `m`
+    * (subspace count, fixed `ks`-entry codebooks) the measured
+    * reconstruction error (sum/mse/max, q9 — the [[quantDistortion]]
+    * error path) NEXT TO the storage it buys (dim·8 raw bytes → m
+    * byte-aligned codes, the faiss layout; ks = 16 fits 4 bits but
+    * ships as a byte). One row per m: (m, ks, n_vectors, bytes_raw,
+    * bytes_code, compression_x, sum_se_q9, mse_q9, max_se_q9) — the
+    * table a 100 TB store picks its m from with evidence instead of
+    * the "more subspaces = finer" rule of thumb.
+    *
+    * Cost: `m` is baked into the codebook geometry (the subvector
+    * split feeds training), so each setting legitimately re-trains —
+    * the [[nlistCurve]] side of the per-setting contrast (PlanSpec
+    * pins it): mList.size full Lloyd chains, each the already-audited
+    * broadcast-codebook shape. Error aggregation per setting is one
+    * integer agg over the code stream; nothing else touches the
+    * corpus. */
+  def pqCurve(emb: DataFrame, mList: Seq[Int] = Seq(4, 8, 16),
+      ks: Int = 16, iters: Int = 2, trainMod: Int = 1): DataFrame = {
+    require(mList.nonEmpty && mList.forall(_ >= 1), "each m must be >= 1")
+    val e = withNorm(emb)
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
+    mList.map { m =>
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val per = pqSeQ9(pqSubs(e, m, dim / m), ks, iters, trainMod)
+      per.agg(count(lit(1)).as("n_vectors"), sum(col("se")).as("sum_se_q9"),
+          max(col("se")).as("max_se_q9"))
+        .select(lit(m.toLong).as("m"), lit(ks.toLong).as("ks"),
+          col("n_vectors"), lit(dim * 8L).as("bytes_raw"),
+          lit(m.toLong).as("bytes_code"),
+          lit(dim * 8L / m).as("compression_x"), col("sum_se_q9"),
+          expr("sum_se_q9 DIV n_vectors").as("mse_q9"), col("max_se_q9"))
+    }.reduce(_ unionAll _)
   }
 
   /** Hyperplane constant j, derived from md5("plane:j") — the
@@ -674,26 +722,50 @@ object Ann {
     *
     * Size `bits` to the corpus: expected bucket occupancy is
     * N / 2^bits, and recall collapses once buckets shrink to a couple
-    * of vectors — use roughly log2(N / 30). Measured on the driver's
-    * shipped sf0.01 embeddings (500 vectors, dim 64, near-random):
-    * bits=4/tables=16 reaches recall@5 = 0.90 vs exact search
-    * (AnnSpec pins >= 0.8 there), while bits=8 collapses buckets to
-    * ~2 vectors and recall with them. */
+    * of vectors — [[autoBits]] applies the rule (≈ log2(N / 30)) and
+    * is the DEFAULT (`bits = 0`): the [[lshCurve]] measured that a
+    * FIXED bits setting rots as the corpus grows (its sf10 candidate
+    * counts ran 5.6× the sf0.1 sweep at the coarse settings — 100×
+    * the data needs ~7 more bits, not the old setting re-run).
+    * Measured on the driver's shipped sf0.01 embeddings (500 vectors,
+    * dim 64, near-random): bits=4/tables=16 — exactly autoBits(500)
+    * — reaches recall@5 = 0.90 vs exact search (AnnSpec pins >= 0.8
+    * there), while bits=8 collapses buckets to ~2 vectors and recall
+    * with them. */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      bits: Int = 4, tables: Int = 16): DataFrame = {
+      bits: Int = 0, tables: Int = 16): DataFrame = {
     val e = withNorm(emb)
     // one metadata-sized lookup for the dimensionality, then a flat
     // (tables*bits*dim) hyperplane constant, indexed as
     // H[(t*bits + b)*dim + i]
     val dim = emb.where(col("embedding").isNotNull)
       .select(size(col("embedding")).as("d")).head().getInt(0)
-    val pairs = lshCandidates(e, nQueries, bits, tables, dim)
+    val useBits =
+      if (bits > 0) bits
+      else autoBits(emb.where(col("embedding").isNotNull).count())
+    val pairs = lshCandidates(e, nQueries, useBits, tables, dim)
     val cands = pairs
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("query_id"))
       .join(e, Seq("vec_id"))
     val scored = cands.withColumn("sim", round(dotCol / (col("qn") * col("nrm")), 9))
     topK(scored, k)
+  }
+
+  /** Corpus-sized default for [[lshTopK]]'s `bits` knob — the
+    * docstring rule (expected bucket occupancy ≈ `targetBucket`, i.e.
+    * bits ≈ log2(n / targetBucket), rounded, floored at 1 and capped
+    * at the signature-int bound) with [[lshCurve]] as the calibration
+    * evidence: the curve measured fixed bits mistuning as N grows
+    * (bits must track log2(N/30) — at the shipped sf0.01 corpus the
+    * rule lands exactly on the measured-best 4). Derived from a cheap
+    * corpus count; pass an explicit `bits` to pin a setting (the
+    * oracled entries do, so their output is SF-invariant). */
+  def autoBits(n: Long, targetBucket: Long = 30L): Int = {
+    require(targetBucket >= 1L, "targetBucket must be >= 1")
+    if (n <= targetBucket) 1
+    else math.min(30, math.max(1,
+      math.round(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
   }
 
   /** The deduped LSH candidate-pair frame shared by [[lshTopK]] and

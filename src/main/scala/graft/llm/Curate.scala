@@ -61,8 +61,14 @@ object Curate {
     * dedup_minhash_capped argument extended to the band stage —
     * verified, not guaranteed: a corpus with a borderline-J pair the
     * bands miss would diverge from the oracle, which is the accepted
-    * price of the linear-cost scale path; dedup_recall_eval is the
-    * standing measurement of exactly this gap).
+    * price of the linear-cost scale path). BOTH residuals are now
+    * MEASURED at the operator's own settings, not just formula-
+    * scoped: dedup_recall_eval grades the (32, 4) banded+capped path
+    * per Jaccard band against the exact truth, and
+    * [[Dedup.bandCurve]] (dedup_band_curve + its planted mid-J
+    * fixture) measures the banding knob itself — at J ≈ 0.565 the
+    * fixture reads recall 0.20 / 0.97 / 1.0 for (16,8) / (32,4) /
+    * (64,2), the evidence behind this report's 32-band default.
     * Sources whose pruned vocabulary can't fit a
     * line still carry a NULL slope. Output (source, n_docs, n_pass,
     * pass_rate_q6, n_terms, slope_q6, dup_dups, dup_rate_q6); ratio

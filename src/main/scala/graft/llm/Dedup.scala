@@ -740,6 +740,138 @@ object Dedup {
         col("jc_caught"), col("jc_recall_q6"))
   }
 
+  /** Low 60 bits of md5 (15 hex digits) as a non-negative Long — the
+    * [[simhash]] portability trick on the driver side, so hash-family
+    * constants derive identically however they are recomputed (the
+    * [[Ann.md5Plane]] precedent). */
+  private def md5Low60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** The PORTABLE affine MinHash family used by [[bandCurve]]:
+    * h_j(x) = (a_j·x + b_j) mod p over the md5-low-60-of-shingle
+    * value reduced mod p, p = 2³¹−1 (prime). Every term stays under
+    * 2⁶² (a_j, x < 2³¹), so the arithmetic is exact int64 in ANY
+    * engine — no wrapping, no overflow fault — and the DuckDB oracle
+    * recomputes the EXACT signatures (the production family in
+    * [[MinHashSig]] deliberately wraps mod 2⁶⁴, which only Spark can
+    * replay; a curve whose per-setting catches depend on the hash
+    * values needs the portable family). a_j/b_j are md5-derived
+    * constants of j alone ([[md5Plane]]-style), a_j ∈ [1, p−1],
+    * b_j ∈ [0, p−1]. */
+  private[graft] val MH_P = 2147483647L
+  private[graft] def mhA(j: Int): Long = md5Low60(s"mh:a:$j") % (MH_P - 1L) + 1L
+  private[graft] def mhB(j: Int): Long = md5Low60(s"mh:b:$j") % MH_P
+
+  /** [[MinHashSig]]'s one-buffer shape over the portable family. */
+  private final class PortableMinHashSig(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    private val as = Array.tabulate(numHashes)(mhA)
+    private val bs = Array.tabulate(numHashes)(mhB)
+    def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], h0p: Long): Array[Long] = {
+      var j = 0
+      while (j < numHashes) {
+        val h = (as(j) * h0p + bs(j)) % MH_P
+        if (h < buf(j)) buf(j) = h
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < numHashes) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** MinHash banding tuning curve — the banding knob measured at the
+    * operator's OWN settings instead of the (1−J^r)^b formula (the
+    * scoped ≈13%-at-J=0.5 caveat in [[graft.llm.Curate]], converted
+    * to evidence): per (bands, rows) split of `numHashes` portable
+    * minhashes, the per-Jaccard-band recall of the BAND-BUCKET
+    * candidate stage against the exact pair truth, plus the measured
+    * deduped candidate-pair count the buckets emitted. One row per
+    * (setting × Jaccard decile): (bands, rows_per_band, band, n_true,
+    * n_caught, recall_q6, n_candidates) — the table a corpus owner
+    * picks banding from like the four ANN curves.
+    *
+    * Determinism: signatures use the PORTABLE affine family
+    * ([[mhA]]/[[mhB]] mod 2³¹−1 over md5-low-60 shingle values) so
+    * the DuckDB oracle recomputes the exact signatures, buckets,
+    * candidates and therefore the exact same misses — a curve whose
+    * whole point is the pairs that DON'T collide cannot assert
+    * recall 1 the way the production entries do. Band keys are
+    * md5 over the comma-joined decimal band slice (engine-identical
+    * strings). Because the settings divide 128 into CONTIGUOUS
+    * slices with rows halving (16×8 → 32×4 → 64×2), band sets are
+    * nested refinements: agreeing on an 8-row band implies agreeing
+    * on both its 4-row halves, so finer-banded candidate sets are
+    * POINTWISE supersets — recall and candidate count are monotone
+    * nondecreasing in `bands` by construction, not just in
+    * expectation (DedupSpec pins it).
+    *
+    * Scale shape: the [[simhashRecallAudit]] adaptive slice bounds
+    * the audit at ~`sampleTarget` docs at ANY corpus size; ONE
+    * shingle pass feeds truth and signatures, ONE signature
+    * aggregation feeds every setting (bands only re-slice the
+    * checkpointed 128-long rows — nothing per-setting touches
+    * shingles, the nprobe side of the per-setting contrast). */
+  def bandCurve(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+      bandsList: Seq[Int] = Seq(16, 32, 64), theta: Double = 0.5,
+      sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
+    require(bandsList.nonEmpty &&
+      bandsList.forall(b => b >= 1 && numHashes % b == 0),
+      "each bands setting must divide numHashes")
+    val mod = Adaptive.modulus(docs, sampleMod, sampleTarget)
+    val slice = Adaptive.sliceAt(docs, "doc_id", mod)
+    val sh = shingles(slice, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = jaccardPairsFrom(sh, theta, 0L).localCheckpoint(eager = true)
+    val sigAgg = udaf(new PortableMinHashSig(numHashes))
+    val sig = sh
+      .withColumn("h0p", expr(
+        s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MH_P"))
+      .groupBy(col("doc_id")).agg(sigAgg(col("h0p")).as("sig"))
+      .localCheckpoint(eager = true)
+    sh.unpersist(blocking = true)
+    bandsList.map { bands =>
+      val rows = numHashes / bands
+      val bk = sig.select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+             |  md5(array_join(transform(sequence(0, ${rows - 1}),
+             |    r -> CAST(sig[b * $rows + r] AS STRING)), ',')))"""
+            .stripMargin)).as(Seq("bpos", "bkey")))
+      val cands = bk.as("a")
+        .join(bk.as("b"),
+          col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct().localCheckpoint(eager = true)
+      val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+      truth
+        .join(cands.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+          .as("band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+        .crossJoin(broadcast(nCand))
+        .select(lit(bands.toLong).as("bands"),
+          lit(rows.toLong).as("rows_per_band"), col("band"),
+          col("n_true"), col("n_caught"),
+          expr("n_caught * 1000000L DIV n_true").as("recall_q6"),
+          col("n_candidates"))
+    }.reduce(_ unionAll _)
+  }
+
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       // low 60 bits of md5 as a LONG (15 hex digits — portable)

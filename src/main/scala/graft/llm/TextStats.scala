@@ -1176,14 +1176,74 @@ object TextStats {
   /** The standing (line-key → document-frequency) index the streaming
     * twin probes: distinct-lines-sized (lh, df), nonblank lines only,
     * built with the SAME key as the batch pass. At 100 TB this table
-    * is maintained across runs (a daily job merges each delta's
-    * counts in — the boilerplateIncremental seen-side made explicit);
-    * computing it from a frame keeps the pair self-contained and
-    * oracle-checkable. */
+    * is maintained across runs — [[mergeBoilerplateIndex]] folds each
+    * day's delta in without re-reading the corpus; computing it from
+    * a frame keeps the pair self-contained and oracle-checkable. */
   def boilerplateIndex(docs: DataFrame,
       normalized: Boolean = false): DataFrame =
     lineFrame(docs, normalized).where(col("nonblank"))
       .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("df"))
+
+  /** The daily index refresh — (standing index, delta docs) →
+    * refreshed index, the operational loop of [[streamingBoilerplate]]
+    * as a first-class operator instead of a full rebuild: the delta's
+    * own (lh, df) table is built by the SAME [[lineFrame]] key and
+    * document-frequency rule as [[boilerplateIndex]], then the two
+    * distinct-lines-sized tables sum dfs on the shared key. Under the
+    * incremental contract (delta doc_ids disjoint from every document
+    * the standing index counted — the [[boilerplateIncremental]]
+    * requirement), per-side countDistinct sums are EXACTLY the
+    * union's countDistinct, so merge ≡ rebuild over seen ∪ delta (the
+    * oracle pins the equivalence). At 100 TB the refresh therefore
+    * costs one pass over the DELTA plus an index-sized merge shuffle
+    * — the corpus is never re-read. */
+  def mergeBoilerplateIndex(seenIndex: DataFrame, deltaDocs: DataFrame,
+      normalized: Boolean = false): DataFrame =
+    seenIndex.select(col("lh"), col("df"))
+      .unionAll(boilerplateIndex(deltaDocs, normalized))
+      .groupBy(col("lh")).agg(sum(col("df")).as("df"))
+
+  /** Boilerplate aggressiveness curve — the scrub's `minDf` knob
+    * measured like the tuning curves of the approximate families: per
+    * threshold, how many lines would flag, how many characters they
+    * carry (what a scrub would remove), and how many documents are
+    * touched. One row per threshold: (min_df, n_lines, n_flagged,
+    * chars_flagged, n_docs_hit) — the table that picks the
+    * aggressiveness/precision trade from evidence (minDf 2 removes
+    * every repeated line; a conservative pipeline raises it until
+    * chars_flagged stops being dominated by legitimate repeated
+    * content).
+    *
+    * Cost: the whole curve rides the ONE df-join pass
+    * [[boilerplateLines]] already does — thresholds are conditional
+    * aggregates over the same (df, chars) line frame, stacked to
+    * rows; no per-setting pass anywhere (the nprobe side of the
+    * per-setting contrast). Blank lines report df 0 and can never
+    * flag, exactly as the scrub treats them. */
+  def boilerplateCurve(docs: DataFrame,
+      thresholds: Seq[Long] = Seq(2L, 3L, 5L, 10L),
+      normalized: Boolean = false): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 2L),
+      "each minDf must be at least 2")
+    val lf = lineFrame(docs, normalized)
+      .join(boilerplateIndex(docs, normalized), Seq("lh"), "left")
+      .select(col("doc_id"), coalesce(col("df"), lit(0L)).as("df"),
+        length(col("line")).cast("long").as("nc"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("df") >= t, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(col("df") >= t, col("nc")).otherwise(0L)).as(s"c$i"),
+        countDistinct(when(col("df") >= t, col("doc_id"))).as(s"d$i"))
+    }
+    val one = lf.agg(count(lit(1)).as("n_lines"), aggs: _*)
+    val stackExpr = thresholds.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS BIGINT), n$i, c$i, d$i" }
+      .mkString(", ")
+    one.selectExpr("n_lines",
+        s"stack(${thresholds.size}, $stackExpr)" +
+          " AS (min_df, n_flagged, chars_flagged, n_docs_hit)")
+      .select(col("min_df"), col("n_lines"), col("n_flagged"),
+        col("chars_flagged"), col("n_docs_hit"))
+  }
 
   /** Live boilerplate flagging — the streaming twin of
     * [[boilerplateIncremental]]'s scoring half (the streamingSeasonalZ
@@ -1192,13 +1252,18 @@ object TextStats {
     * mode, no watermark, no state store, so any sink works and a
     * micro-batch's rows equal [[boilerplateLines]]-against-the-index
     * for exactly those documents (StreamingSpec pins the parity).
-    * Deliberate semantics: the index is FROZEN for the life of the
-    * query — a banner repeating only WITHIN the live stream does not
-    * raise df on the fly (counting it live would need corpus-lifetime
-    * per-line state, unbounded); the operational loop is the
-    * [[boilerplateIncremental]] batch refreshing the index
-    * periodically and the stream restarting against it (StreamingSpec
-    * pins an index-update-between-runs flip). Same `normalized` knob,
+    * Deliberate semantics: a banner repeating only WITHIN the live
+    * stream does not raise df on the fly (counting it live would need
+    * corpus-lifetime per-line state, unbounded); the operational loop
+    * is a batch job refreshing the index between runs
+    * ([[mergeBoilerplateIndex]] summing each delta's counts in) and
+    * the stream restarting against it (StreamingSpec pins an
+    * index-update-between-runs flip). Note the static side is
+    * re-executed by Spark every micro-batch, so "frozen" holds only
+    * because the CALLER hands in an immutable snapshot (the in-memory
+    * frames the spec uses, or an immutable file snapshot); rewriting
+    * a file-backed index mid-query could change flags without a
+    * restart — persist it or snapshot the path if that matters. Same `normalized` knob,
     * same output schema as the batch pass.
     *
     * Scale note: the hint broadcasts the index once per query, which
@@ -1269,10 +1334,13 @@ object TextStats {
     * [[quantWeights]] (driver-side BigInt literals, scale-invariant);
     * shares and allocations normalize them over the planned sources
     * actually PRESENT in the corpus (one exact int64 window-sum over
-    * the source-sized frame) so the FULL budget is always allocated —
-    * under the all-plan Σwq a planned source absent from the corpus
-    * would silently strand its slice of the budget, the exact
-    * under-allocation a mixture board exists to catch. Allocation
+    * the source-sized frame) so no planned-but-absent source strands
+    * its share — under the all-plan Σwq a planned source absent from
+    * the corpus would silently strand its slice of the budget, the
+    * exact under-allocation a mixture board exists to catch. (The
+    * per-source floor divisions still leave a remainder of at most
+    * #present-sources − 1 tokens unallocated — deterministic,
+    * bounded, and negligible against any real budget.) Allocation
     * uses the SPLIT floor-division identity `B DIV s · wq +
     * (B % s) · wq DIV s` (exact, no overflow at any budget: both
     * addends stay under B and ~1e15 respectively), the epochs/rate

@@ -139,6 +139,29 @@ object DataOpsQueries {
       |  (CASE WHEN i = 0 THEN '(c)  Example   Press' ELSE '(c) Example Press' END) AS text
       |  FROM range(30) t(i))""".stripMargin
 
+  /** The text_boilerplate_curve oracle over a caller-named source:
+    * the [[blSql]] df walk once, every threshold a conditional
+    * aggregate over the same line frame (sums CAST back to BIGINT —
+    * DuckDB folds sum(BIGINT) to HUGEINT), stacked to rows. */
+  private def blCurveSql(src: String, thresholds: Seq[Long],
+      normalized: Boolean = false): String = {
+    val conds = thresholds.zipWithIndex.map { case (t, i) =>
+      s"""  CAST(coalesce(sum(CASE WHEN df >= $t THEN 1 END), 0) AS BIGINT) AS n$i,
+         |  CAST(coalesce(sum(CASE WHEN df >= $t THEN nc END), 0) AS BIGINT) AS c$i,
+         |  CAST(count(DISTINCT CASE WHEN df >= $t THEN doc_id END) AS BIGINT) AS d$i""".stripMargin
+    }.mkString(",\n")
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      s"SELECT CAST($t AS BIGINT) AS min_df, n_lines, n$i AS n_flagged," +
+        s" c$i AS chars_flagged, d$i AS n_docs_hit FROM a"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${blSql(src, normalized)},
+       |lf AS (SELECT doc_id, df, CAST(length(line) AS BIGINT) AS nc FROM bl),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       |$conds
+       |FROM lf)
+       |SELECT * FROM ($rows) u ORDER BY ALL""".stripMargin
+  }
+
   /** The scrub aggregation over [[blSql]]'s `bl` CTE — shared by the
     * real-corpus and fixture scrub entries. */
   private val BL_SCRUB_BODY =
@@ -261,6 +284,77 @@ object DataOpsQueries {
        |SELECT id_a, id_b, round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5 ORDER BY ALL""".stripMargin
+
+  /** The dedup_band_curve oracle over a caller-named source: the
+    * adaptive md5 slice, ONE portable-minhash signature table (md5
+    * low-60 shingle values under the [[Dedup.mhA]]/[[Dedup.mhB]]
+    * affine family mod 2³¹−1 — every product < 2⁶², exact int64 in
+    * both engines), per-setting band-key/candidate CTEs, and the
+    * per-Jaccard-decile recall grade against the exact pair truth. */
+  private def bandCurveSql(src: String): String = {
+    val aList = (0 until 128).map(Dedup.mhA).mkString("[", ", ", "]")
+    val bList = (0 until 128).map(Dedup.mhB).mkString("[", ", ", "]")
+    val settings = Seq(16, 32, 64)
+    val perSetting = settings.map { bands =>
+      val rows = 128 / bands
+      s"""bk_$bands AS (SELECT doc_id, i // $rows AS band,
+         |  md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bkey
+         |  FROM mh GROUP BY doc_id, i // $rows),
+         |cd_$bands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk_$bands a JOIN bk_$bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |r_$bands AS (SELECT CAST($bands AS BIGINT) AS bands,
+         |  CAST($rows AS BIGINT) AS rows_per_band,
+         |  CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
+         |  count(*) AS n_true,
+         |  CAST(count(cd_$bands.id_a) AS BIGINT) AS n_caught,
+         |  count(cd_$bands.id_a) * 1000000 // count(*) AS recall_q6,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cd_$bands) AS n_candidates
+         |  FROM tru LEFT JOIN cd_$bands USING (id_a, id_b)
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val union = settings.map(b => s"SELECT * FROM r_$b")
+      .mkString(" UNION ALL ")
+    s"""WITH sdocs AS (SELECT * FROM $src
+       |  WHERE (CAST(list_sum(list_transform(range(15), k ->
+       |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+       |        << (4*(14-k)))) AS BIGINT))
+       |    % greatest(1, (SELECT count(*) FROM $src) // 2500) = 0),
+       |wtok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM sdocs),
+       |shg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+       |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+       |       FROM wtok WHERE len(w) >= 3),
+       |hx AS (SELECT doc_id, (CAST(list_sum(list_transform(range(15), k ->
+       |      CAST(strpos('0123456789abcdef', substring(md5(shingle), k+1, 1)) - 1 AS BIGINT)
+       |        << (4*(14-k)))) AS BIGINT)) % 2147483647 AS h0p FROM shg),
+       |ab AS (SELECT $aList AS al, $bList AS bl),
+       |mh AS (SELECT doc_id, i, min((al[i+1] * h0p + bl[i+1]) % 2147483647) AS mv
+       |       FROM hx, ab, range(128) r(i) GROUP BY 1, 2),
+       |tru AS (SELECT id_a, id_b, jaccard FROM (${JACCARD_SQL.replace("FROM documents", "FROM sdocs")}) j),
+       |$perSetting
+       |SELECT * FROM ($union) u ORDER BY ALL""".stripMargin
+  }
+
+  /** 30 planted near-dup pairs at J = 13/23 (≈0.565 — the near-θ
+    * decile where banding choice actually matters): docs (2k, 2k+1)
+    * share a 15-token prefix (13 of 18 shingles) and differ in a
+    * 5-token tail; tokens are k-keyed so cross-pair Jaccard is 0. */
+  private def bcFx(s: SparkSession): DataFrame =
+    s.range(60).selectExpr("id AS doc_id",
+      "concat(" +
+        "array_join(transform(sequence(0, 14), j -> concat('s', CAST(id DIV 2 AS STRING), 'x', CAST(j AS STRING))), ' '), " +
+        "' ', " +
+        "array_join(transform(sequence(0, 4), j -> concat('u', CAST(id AS STRING), 'y', CAST(j AS STRING))), ' ')) AS text")
+
+  /** The DuckDB twin of [[bcFx]] — one CTE named `bcfx`. (No line may
+    * START with `||`: this constant is re-interpolated into a
+    * stripMargin template, which would eat the first pipe.) */
+  private val BCFX =
+    """bcfx AS (SELECT i AS doc_id,
+      |  array_to_string(list_transform(range(0, 15), j -> 's' || CAST(i // 2 AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ') ||
+      |  ' ' ||
+      |  array_to_string(list_transform(range(0, 5), j -> 'u' || CAST(i AS VARCHAR) || 'y' || CAST(j AS VARCHAR)), ' ') AS text
+      |  FROM range(60) t(i))""".stripMargin
 
   /** Exact all-pairs replay of Dedup.simhashPairs (the banded search
     * has pigeonhole-complete recall at maxDist < bands, so the two
@@ -433,6 +527,33 @@ object DataOpsQueries {
        |       FROM sv t JOIN bk c ON c.sub = t.sub),
        |cod AS (SELECT vec_id, sub, cid FROM af
        |        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)""".stripMargin
+  }
+
+  /** One (parenthesized, self-contained) row of the ann_pq_curve
+    * oracle: the [[pqBodySql]] training/assignment replay at subspace
+    * count `m` plus the ann_quant_distortion q9 error blocks, folded
+    * to the curve's single summary row. Parenthesized WITH subqueries
+    * keep each m's CTE names private so the settings UNION cleanly. */
+  private def pqCurveRowSql(m: Int, dim: Int, nlist: Int, iters: Int,
+      trainMod: Int): String = {
+    val d = dim / m
+    s"""(WITH ${pqBodySql(m = m, d = d, nlist = nlist, iters = iters, trainMod = trainMod)},
+       |perr AS (SELECT cod.vec_id,
+       |  CAST(list_sum(list_transform(range(1, $d + 1),
+       |    j -> CAST(floor((t.sv[j] - c.cv[j]) * (t.sv[j] - c.cv[j]) * 1e9)
+       |         AS BIGINT))) AS BIGINT) AS seq
+       | FROM cod JOIN bk c ON c.sub = cod.sub AND c.cid = cod.cid
+       |      JOIN sv t ON t.vec_id = cod.vec_id AND t.sub = cod.sub),
+       |pqv AS (SELECT vec_id, CAST(sum(seq) AS BIGINT) AS se
+       |  FROM perr GROUP BY 1)
+       |SELECT CAST($m AS BIGINT) AS m, CAST($nlist AS BIGINT) AS ks,
+       |  CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(${dim * 8} AS BIGINT) AS bytes_raw,
+       |  CAST($m AS BIGINT) AS bytes_code,
+       |  CAST(${dim * 8 / m} AS BIGINT) AS compression_x,
+       |  CAST(sum(se) AS BIGINT) AS sum_se_q9,
+       |  CAST(sum(se) // count(*) AS BIGINT) AS mse_q9,
+       |  max(se) AS max_se_q9 FROM pqv)""".stripMargin
   }
 
   private def pqSql(m: Int, d: Int, nlist: Int, iters: Int,
@@ -1320,6 +1441,31 @@ object DataOpsQueries {
       (s, d) => ordered(Dedup.simhashRecallAudit(docs(s, d), n = 3,
         theta = 0.5, maxDist = 3, bands = 4))
     },
+    // MinHash banding curve: per (bands, rows) split of 128 PORTABLE
+    // affine minhashes (md5-derived a/b mod 2^31-1 — exact int64 in
+    // both engines, so the oracle recomputes the exact signatures,
+    // buckets, and therefore the exact MISSES the curve exists to
+    // measure), band-bucket candidate recall per Jaccard decile vs
+    // the exact truth over the shared adaptive slice + the measured
+    // candidate count; converts Curate's (1-J^r)^b formula caveat
+    // into a measurement at the operator's own settings
+    Entry("dedup_band_curve", bandCurveSql("documents")) {
+      (s, d) => ordered(Dedup.bandCurve(docs(s, d), n = 3, numHashes = 128,
+        bandsList = Seq(16, 32, 64), theta = 0.5))
+    },
+    // the planted mid-J twin: the real corpus's near-dups all sit in
+    // the J>=0.9 decile where every banding catches everything, so
+    // the curve's MISS measurement is vacuous there (the pii
+    // precedent) — 30 planted pairs at J = 13/23 ~ 0.565 make the
+    // banding contrast real: (16,8) misses most of them, (64,2)
+    // catches all, and the oracle replays the exact portable-hash
+    // collisions either way
+    Entry("dedup_band_curve_fixture",
+      s"""WITH $BCFX,
+         |${bandCurveSql("bcfx").stripPrefix("WITH ")}""".stripMargin) {
+      (s, _) => ordered(Dedup.bandCurve(bcFx(s), n = 3, numHashes = 128,
+        bandsList = Seq(16, 32, 64), theta = 0.5))
+    },
     // SemDeDup recall audit: exact all-pairs cosine truth vs the
     // celled pair stage over the same adaptive md5 slice, recall per
     // similarity band — the trust-gate row for the one dedup family
@@ -1492,7 +1638,11 @@ object DataOpsQueries {
         |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
         |       vec_id AS neighbor_id
         |FROM sc QUALIFY rank <= 5 ORDER BY ALL""".stripMargin) {
-      (s, d) => ordered(Ann.lshTopK(emb(s, d), nQueries = 10, k = 5))
+      // explicit bits=4 pins the oracle's setting at every SF (the
+      // default is the corpus-sized Ann.autoBits, which happens to
+      // read 4 at the correctness SF but grows with the corpus)
+      (s, d) => ordered(Ann.lshTopK(emb(s, d), nQueries = 10, k = 5,
+        bits = 4))
     },
     // LSH bits tuning curve: ONE shared md5 plane list sized for the
     // max setting (each setting indexes its own (t*bits+b)*dim range
@@ -1743,6 +1893,18 @@ object DataOpsQueries {
     }) {
       (s, d) => ordered(Ann.quantDistortion(emb(s, d), m = 4, nlist = 8,
         iters = 2, trainMod = 4))
+    },
+    // PQ rate-distortion tuning curve: the compression knob measured
+    // like the four search curves — per m the q9 reconstruction error
+    // NEXT TO the bytes it buys (64 doubles → m codes); each setting
+    // legitimately re-trains (m is baked into the codebook geometry —
+    // the nlist side of the per-setting contrast, PlanSpec-pinned)
+    Entry("ann_pq_curve",
+      Seq(4, 8, 16).map(m => pqCurveRowSql(m, dim = 64, nlist = 16,
+          iters = 2, trainMod = 4))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY ALL")) {
+      (s, d) => ordered(Ann.pqCurve(emb(s, d), mList = Seq(4, 8, 16),
+        ks = 16, iters = 2, trainMod = 4))
     },
 
     // int8 scalar quantization (absmax), exploded to scalar rows so
@@ -2260,6 +2422,58 @@ object DataOpsQueries {
         ordered(TextStats.boilerplateIncremental(
           all.where(col("doc_id") >= 15), all.where(col("doc_id") < 15)))
       }
+    },
+    // the daily INDEX refresh as a first-class operator: the standing
+    // (lh, df) index built from the seen half is merged with the
+    // delta's own index by summing dfs on the shared key — under the
+    // disjoint-doc_ids contract that is EXACTLY the rebuild over
+    // seen ∪ delta, which is what the oracle computes (the
+    // incremental-equivalence pattern); the refresh never re-reads
+    // the seen corpus, only its distinct-lines-sized index
+    Entry("text_boilerplate_index_merge",
+      s"""WITH ${blSql("documents")}
+         |SELECT lh, CAST(df AS BIGINT) AS df FROM d ORDER BY ALL""".stripMargin) {
+      (s, d) => {
+        val all = docs(s, d)
+        ordered(TextStats.mergeBoilerplateIndex(
+          TextStats.boilerplateIndex(all.where(col("doc_id") < 250)),
+          all.where(col("doc_id") >= 250)))
+      }
+    },
+    // the multi-line fixture twin of the merge (seen = docs 0-14,
+    // delta = 15-29): header/footer dfs span the boundary, so the
+    // merged counts differ from BOTH sides' own indexes — non-vacuous
+    // for the sum-on-shared-key path
+    Entry("text_boilerplate_merge_fixture",
+      s"""WITH $BLFX,
+         |${blSql("bfx")}
+         |SELECT lh, CAST(df AS BIGINT) AS df FROM d ORDER BY ALL""".stripMargin) {
+      (s, _) => {
+        val all = blFx(s)
+        ordered(TextStats.mergeBoilerplateIndex(
+          TextStats.boilerplateIndex(all.where(col("doc_id") < 15)),
+          all.where(col("doc_id") >= 15)))
+      }
+    },
+    // the scrub's minDf knob measured: per threshold the flagged-line
+    // count, the chars a scrub would remove, and the docs touched —
+    // ALL thresholds ride the one df-join pass (conditional
+    // aggregates stacked to rows, the nprobe side of the per-setting
+    // contrast)
+    Entry("text_boilerplate_curve",
+      blCurveSql("documents", Seq(2L, 3L, 5L, 10L))) {
+      (s, d) => ordered(TextStats.boilerplateCurve(docs(s, d),
+        thresholds = Seq(2L, 3L, 5L, 10L)))
+    },
+    // the multi-line fixture twin at thresholds that BRACKET the
+    // planted dfs (header 30, footer 15): 2 flags both, 16 flags the
+    // header only, 31 flags nothing — the knob's full contrast on 3
+    // rows
+    Entry("text_boilerplate_curve_fixture",
+      s"""WITH $BLFX,
+         |${blCurveSql("bfx", Seq(2L, 16L, 31L)).stripPrefix("WITH ")}""".stripMargin) {
+      (s, _) => ordered(TextStats.boilerplateCurve(blFx(s),
+        thresholds = Seq(2L, 16L, 31L)))
     },
     // the RefinedWeb NEAR-duplicate variant: whitespace-collapsed +
     // digit-masked keys unify "Page N of 30" footers and the

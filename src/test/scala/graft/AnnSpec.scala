@@ -204,6 +204,56 @@ class AnnSpec extends AnyFunSuite {
       s"1-bit codes must lose more geometry than 8-bit: $real")
   }
 
+  test("pqCurve: mse monotone non-increasing in m; an exactly-representable corpus reads 0 at every m; bytes are the layout") {
+    import spark.implicits._
+    // finer subspace splits (same ks) can only tighten reconstruction
+    // on the clustered corpus — the rate-distortion trade the curve
+    // tables against the bytes column
+    val rows = Ann.pqCurve(corpus, mList = Seq(4, 8, 16), ks = 16,
+      iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(7)))).toMap
+    assert(rows.keySet === Set(4L, 8L, 16L))
+    // (n_vectors, bytes_raw = dim·8, bytes_code = m, compression)
+    assert(rows(4L)._1 === 120L && rows(4L)._2 === 128L &&
+      rows(4L)._3 === 4L && rows(4L)._4 === 32L, rows.toString)
+    assert(rows(16L)._3 === 16L && rows(16L)._4 === 8L, rows.toString)
+    assert(rows(4L)._5 >= rows(8L)._5 && rows(8L)._5 >= rows(16L)._5,
+      s"mse must be non-increasing in m: $rows")
+    assert(rows(4L)._5 > 0L, rows.toString)
+    // 16 grid-valued vectors with ks=16: every subvector IS an init
+    // centroid in its subspace, so assignment is dist-0, the exact
+    // integer-sum mean of identical members reproduces the grid value
+    // (×2^30 quantization of integers is exact), and the error reads
+    // 0 at EVERY m
+    val grid = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 16 + j) % 5).toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val z = Ann.pqCurve(grid, mList = Seq(4, 8, 16), ks = 16, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(6), r.getLong(7),
+        r.getLong(8)))).toMap
+    assert(z.values.forall(_ === ((0L, 0L, 0L))),
+      s"grid corpus must be exactly representable at every m: $z")
+  }
+
+  test("autoBits: the log2(N/30) occupancy rule, floored at 1; lshTopK's default applies it") {
+    // the shipped sf0.01 corpus (500 vectors) lands exactly on the
+    // measured-best 4, so the default's output is unchanged at the
+    // correctness SF; 100× the data moves the setting (the lshCurve's
+    // whole point), small corpora floor at 1
+    assert(Ann.autoBits(500) === 4)
+    assert(Ann.autoBits(5000) === 7)
+    assert(Ann.autoBits(120) === 2)
+    assert(Ann.autoBits(30) === 1 && Ann.autoBits(1) === 1)
+    // the default call IS the explicit autoBits(count) call
+    val d = Ann.lshTopK(corpus, nQueries = 6, k = 5, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e = Ann.lshTopK(corpus, nQueries = 6, k = 5,
+      bits = Ann.autoBits(120), tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(d === e)
+  }
+
   test("nprobeCurve: recall monotone in nprobe, full probe reads exactly 1e6 and scans the corpus") {
     val rows = Ann.nprobeCurve(corpus, nQueries = 6, k = 5,
       nlist = 6, iters = 2, nprobes = Seq(1, 3, 6)).collect()

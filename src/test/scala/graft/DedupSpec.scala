@@ -293,6 +293,49 @@ class DedupSpec extends AnyFunSuite {
       un.view.mapValues(v => (v._1, v._2, v._3)).toMap)
   }
 
+  test("bandCurve: nested refinements are pointwise supersets; planted mid-J pairs show the banding contrast; high-J catches everything") {
+    // 30 planted pairs at J = 13/23 ≈ 0.565 — the near-θ decile where
+    // banding choice matters (the dedup_band_curve_fixture corpus):
+    // docs (2k, 2k+1) share a 15-token prefix, 13 of 18 shingles
+    val midJ = (0 until 60).map { id =>
+      val k = id / 2
+      val shared = (0 until 15).map(j => s"s${k}x$j").mkString(" ")
+      val unique = (0 until 5).map(j => s"u${id}y$j").mkString(" ")
+      (id.toLong, s"$shared $unique")
+    }.toDF("doc_id", "text")
+    val rows = Dedup.bandCurve(midJ, n = 3, numHashes = 128,
+      bandsList = Seq(16, 32, 64), theta = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(6)))).toMap
+    // every true pair sits in decile 5; truth is setting-independent
+    assert(rows.keySet === Set(16L, 32L, 64L))
+    assert(rows.values.forall(v => v._1 === 5L && v._2 === 30L),
+      rows.toString)
+    // 128 splits into CONTIGUOUS slices with rows halving, so band
+    // sets are nested refinements: agreeing on an 8-row band implies
+    // agreeing on both its 4-row halves — candidates and catches are
+    // monotone nondecreasing in bands POINTWISE, not just on average
+    assert(rows(16L)._3 <= rows(32L)._3 && rows(32L)._3 <= rows(64L)._3,
+      rows.toString)
+    assert(rows(16L)._4 <= rows(32L)._4 && rows(32L)._4 <= rows(64L)._4,
+      rows.toString)
+    // the measured contrast the formula caveat predicted: (16,8)
+    // misses most near-θ pairs, (64,2) catches them all (measured
+    // 6 / 29 / 30 — the values the Curate docstring cites)
+    assert(rows(16L)._3 < rows(32L)._3, rows.toString)
+    assert(rows(64L)._3 === 30L, rows.toString)
+    // high-J consistency with the recall audit's certified-full
+    // MinHash column: the identical-cluster corpus's 21 J=1.0 pairs
+    // share EVERY minhash, so every banding catches all of band 9 —
+    // certainty, not probability
+    val hi = Dedup.bandCurve(megaCorpus, n = 3, numHashes = 128,
+      bandsList = Seq(16, 32, 64), theta = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val band9 = hi.filter(_._2 === 9L)
+    assert(band9.length === 3 && band9.forall(v => v._4 === v._3),
+      hi.toString)
+  }
+
   test("recall audit capped-Jaccard column: the df cap loses exactly the hot cluster's band") {
     // the 7-doc identical cluster gives every one of its shingles
     // df = 7: a cap of 3 drops them ALL from the inverted index, so

@@ -273,6 +273,37 @@ class PlanSpec extends AnyFunSuite {
       reranks = Seq(4, 8, 16)))
     assert(rThree - rOne <= 2 * 8,
       s"extra rerank depths must not re-scan signatures: $rOne -> $rThree")
+    // pqCurve sits on the nlistCurve side: m is baked into the
+    // codebook geometry, so each extra setting brings its own Lloyd
+    // chain. The chain itself is EAGER-checkpointed (trainPq
+    // truncates lineage per round), so the final plan shows each
+    // setting's post-training assignment + error-agg exchanges —
+    // strictly positive per setting, where the nprobe-side curves
+    // share them
+    val pOne = shuffles(graft.llm.Ann.pqCurve(emb, mList = Seq(4),
+      ks = 4, iters = 2))
+    val pTwo = shuffles(graft.llm.Ann.pqCurve(emb, mList = Seq(4, 8),
+      ks = 4, iters = 2))
+    assert(pTwo - pOne >= 2,
+      s"a pq m setting re-assigns and re-aggregates by design: $pOne -> $pTwo")
+  }
+
+  test("boilerplateCurve: every threshold rides the ONE df-join pass — extra settings add zero exchanges") {
+    import spark.implicits._
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      "Exchange hashpartitioning".r
+        .findAllIn(plan(df).split("== Initial Plan ==").head).size
+    }
+    val docs = (0L until 40L)
+      .map(i => (i, s"shared header\nbody $i text\nfooter ${i % 2}"))
+      .toDF("doc_id", "text")
+    val one = shuffles(graft.llm.TextStats.boilerplateCurve(docs,
+      thresholds = Seq(2L)))
+    val four = shuffles(graft.llm.TextStats.boilerplateCurve(docs,
+      thresholds = Seq(2L, 3L, 5L, 10L)))
+    assert(four === one,
+      s"thresholds are conditional aggregates, not passes: $one -> $four")
   }
 
   test("LM-score/BM25/PMI: corpus stats broadcast, no windows, no global sort") {

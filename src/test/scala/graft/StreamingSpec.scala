@@ -1006,11 +1006,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(q.lastProgress.stateOperators.isEmpty,
         "stream-static boilerplate must not create a state store")
     } finally q.stop()
-    // the operational loop: the motto has since repeated in the seen
-    // corpus, the index is rebuilt, the stream restarts against it —
-    // the SAME arrival now flags the motto
-    val idx2 = graft.llm.TextStats.boilerplateIndex(seen1.unionAll(
-      Seq((4L, "our motto\nmore text")).toDF("doc_id", "text")))
+    // the operational loop: the motto has since repeated in a DELTA,
+    // the daily job MERGES the delta's counts into the standing index
+    // (mergeBoilerplateIndex — no corpus re-read), the stream
+    // restarts against it — the SAME arrival now flags the motto
+    val delta = Seq((4L, "our motto\nmore text")).toDF("doc_id", "text")
+    val idx2 = graft.llm.TextStats.mergeBoilerplateIndex(idx1, delta)
+    // the merge IS the rebuild over seen ∪ delta (disjoint doc_ids)
+    val rebuilt = graft.llm.TextStats.boilerplateIndex(
+        seen1.unionAll(delta))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(idx2.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === rebuilt, "merged index must equal the full rebuild")
     val ms2 = MemoryStream[(Long, String)]
     val q2 = graft.llm.TextStats.streamingBoilerplate(
         ms2.toDF().toDF("doc_id", "text"), idx2)
