@@ -815,7 +815,12 @@ object Ann {
     * but each pass is one narrow codegen'd projection, not a Lloyd
     * chain. The exact truth is the same checkpointed query-bounded
     * scan as the other curves; candidate counting reuses the
-    * two-long pair frame, never re-attached vectors. */
+    * two-long pair frame, never re-attached vectors.
+    *
+    * This curve is the calibration evidence behind [[autoBits]],
+    * [[lshTopK]]'s corpus-sized default: its sf10 sweep measured the
+    * coarse fixed settings' candidate counts growing 5.6× at 100×
+    * data — the mistuning the occupancy rule exists to prevent. */
   def lshCurve(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       bitsList: Seq[Int] = Seq(2, 4, 6, 8), tables: Int = 16): DataFrame = {
     require(bitsList.nonEmpty && bitsList.forall(b => b >= 1 && b <= 30),
