@@ -92,13 +92,13 @@ object Bench {
     // canary and the precision fixture stay out (constant-size)
     "ann_rerank_curve", "ann_lsh_curve", "sample_temperature_curve",
     "text_pii_precision",
-    // round-17 additions: the PQ rate-distortion (compression-knob)
-    // and MinHash banding (recall-knob) tuning curves, the standing
-    // boilerplate-index merge, and the scrub minDf curve — the
-    // mid-J banding fixture and the other constant-size fixture
-    // twins stay out
-    "ann_pq_curve", "dedup_band_curve", "text_boilerplate_index_merge",
-    "text_boilerplate_curve",
+    // round-17 additions: the PQ rate-distortion (compression-knob),
+    // MinHash banding (recall-knob) and bucket-cap (skew-guard)
+    // tuning curves, the standing boilerplate-index merge, and the
+    // scrub minDf curve — the mid-J banding / occupancy fixtures and
+    // the other constant-size twins stay out
+    "ann_pq_curve", "dedup_band_curve", "dedup_bucket_curve",
+    "text_boilerplate_index_merge", "text_boilerplate_curve",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

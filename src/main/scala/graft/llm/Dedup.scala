@@ -825,12 +825,13 @@ object Dedup {
     * aggregation feeds every setting (bands only re-slice the
     * checkpointed 128-long rows — nothing per-setting touches
     * shingles, the nprobe side of the per-setting contrast). */
-  def bandCurve(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
-      bandsList: Seq[Int] = Seq(16, 32, 64), theta: Double = 0.5,
-      sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
-    require(bandsList.nonEmpty &&
-      bandsList.forall(b => b >= 1 && numHashes % b == 0),
-      "each bands setting must divide numHashes")
+  /** Shared prep for the two portable-minhash curves ([[bandCurve]] /
+    * [[bucketCurve]]): the adaptive slice, ONE shingle pass feeding
+    * both the exact pair truth and the portable signatures, both
+    * checkpointed (each curve consumes them once per setting). */
+  private def portableCurvePrep(docs: DataFrame, n: Int,
+      numHashes: Int, theta: Double, sampleMod: Long,
+      sampleTarget: Long): (DataFrame, DataFrame) = {
     val mod = Adaptive.modulus(docs, sampleMod, sampleTarget)
     val slice = Adaptive.sliceAt(docs, "doc_id", mod)
     val sh = shingles(slice, n)
@@ -843,31 +844,105 @@ object Dedup {
       .groupBy(col("doc_id")).agg(sigAgg(col("h0p")).as("sig"))
       .localCheckpoint(eager = true)
     sh.unpersist(blocking = true)
+    (truth, sig)
+  }
+
+  /** (doc_id, bpos, bkey) band keys over a portable signature frame:
+    * md5 of the comma-joined decimal band slice (engine-identical
+    * strings on both sides of the differential). */
+  private def portableBandKeys(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  md5(array_join(transform(sequence(0, ${rows - 1}),
+           |    r -> CAST(sig[b * $rows + r] AS STRING)), ',')))"""
+          .stripMargin)).as(Seq("bpos", "bkey")))
+  }
+
+  /** The per-Jaccard-decile grade shared by the two curves: deduped
+    * candidate pairs vs the checkpointed truth, plus the measured
+    * candidate count attached to every decile row. */
+  private def gradeCandidates(truth: DataFrame, bk: DataFrame): DataFrame = {
+    val cands = bk.as("a")
+      .join(bk.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct().localCheckpoint(eager = true)
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+    truth
+      .join(cands.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+        .as("band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+      .crossJoin(broadcast(nCand))
+      .withColumn("recall_q6", expr("n_caught * 1000000L DIV n_true"))
+  }
+
+  def bandCurve(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+      bandsList: Seq[Int] = Seq(16, 32, 64), theta: Double = 0.5,
+      sampleMod: Long = 0L, sampleTarget: Long = 2500L): DataFrame = {
+    require(bandsList.nonEmpty &&
+      bandsList.forall(b => b >= 1 && numHashes % b == 0),
+      "each bands setting must divide numHashes")
+    val (truth, sig) = portableCurvePrep(docs, n, numHashes, theta,
+      sampleMod, sampleTarget)
     bandsList.map { bands =>
-      val rows = numHashes / bands
-      val bk = sig.select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(0, ${bands - 1}), b ->
-             |  md5(array_join(transform(sequence(0, ${rows - 1}),
-             |    r -> CAST(sig[b * $rows + r] AS STRING)), ',')))"""
-            .stripMargin)).as(Seq("bpos", "bkey")))
-      val cands = bk.as("a")
-        .join(bk.as("b"),
-          col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct().localCheckpoint(eager = true)
-      val nCand = cands.agg(count(lit(1)).as("n_candidates"))
-      truth
-        .join(cands.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
-        .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
-          .as("band"))
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
-        .crossJoin(broadcast(nCand))
+      gradeCandidates(truth, portableBandKeys(sig, numHashes, bands))
         .select(lit(bands.toLong).as("bands"),
-          lit(rows.toLong).as("rows_per_band"), col("band"),
-          col("n_true"), col("n_caught"),
-          expr("n_caught * 1000000L DIV n_true").as("recall_q6"),
+          lit((numHashes / bands).toLong).as("rows_per_band"), col("band"),
+          col("n_true"), col("n_caught"), col("recall_q6"),
+          col("n_candidates"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** MinHash bucket-cap tuning curve — [[minhashLshPairs]]'s OTHER
+    * knob (`maxBucket`, the skew guard) measured like [[bandCurve]]
+    * measures banding: per cap, the per-Jaccard-decile recall of the
+    * band-bucket candidate stage after dropping over-cap buckets,
+    * plus the measured candidate count the cap actually admitted —
+    * the table that justifies a production cap (16 in
+    * [[graft.llm.Curate.sourceQualityReport]]) with evidence instead
+    * of the docstring's mega-cluster argument. cap 0 = uncapped.
+    *
+    * Same portable family and shared prep as [[bandCurve]] (the
+    * DuckDB oracle recomputes the exact buckets, occupancies and
+    * drops); band keys are built ONCE at the fixed `bands` setting
+    * and each cap only anti-joins the over-cap buckets away — a
+    * SUBSET of a larger cap's buckets, so candidates and catches are
+    * POINTWISE monotone nondecreasing in the cap (DedupSpec pins it,
+    * plus the planted contrast: a 20-doc identical cluster's C(20,2)
+    * pairs vanish under both real caps, an 8-doc cluster's survive
+    * cap 16 but not cap 4, occupancy-2 near-dup pairs survive every
+    * cap). Recall cost is confined to identical MEGA-groups exactly
+    * as [[minhashLshPairs]] documents — this curve is that claim,
+    * measured. */
+  def bucketCurve(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, caps: Seq[Long] = Seq(0L, 4L, 16L),
+      theta: Double = 0.5, sampleMod: Long = 0L,
+      sampleTarget: Long = 2500L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(caps.nonEmpty && caps.forall(_ >= 0L),
+      "each cap must be >= 0 (0 = uncapped)")
+    val (truth, sig) = portableCurvePrep(docs, n, numHashes, theta,
+      sampleMod, sampleTarget)
+    val bk = portableBandKeys(sig, numHashes, bands)
+      .localCheckpoint(eager = true)
+    // occupancy per bucket once — every cap filters the same table
+    val occ = bk.groupBy(col("bpos"), col("bkey"))
+      .agg(count(lit(1)).as("m")).localCheckpoint(eager = true)
+    caps.map { cap =>
+      val kept =
+        if (cap <= 0L) bk
+        else bk.join(occ.where(col("m") > cap)
+            .select(col("bpos"), col("bkey")),
+          Seq("bpos", "bkey"), "left_anti")
+      gradeCandidates(truth, kept)
+        .select(lit(cap).as("max_bucket"),
+          lit(bands.toLong).as("bands"), col("band"),
+          col("n_true"), col("n_caught"), col("recall_q6"),
           col("n_candidates"))
     }.reduce(_ unionAll _)
   }

@@ -291,31 +291,14 @@ object DataOpsQueries {
     * affine family mod 2³¹−1 — every product < 2⁶², exact int64 in
     * both engines), per-setting band-key/candidate CTEs, and the
     * per-Jaccard-decile recall grade against the exact pair truth. */
-  private def bandCurveSql(src: String): String = {
+  /** The shared WITH-body of the two portable-minhash curve oracles
+    * (band / bucket): adaptive slice, shingles, md5-low-60 hash
+    * values, the 128 portable affine minhashes, and the exact pair
+    * truth — everything up to the per-setting candidate CTEs. */
+  private def portableCurvePrefixSql(src: String): String = {
     val aList = (0 until 128).map(Dedup.mhA).mkString("[", ", ", "]")
     val bList = (0 until 128).map(Dedup.mhB).mkString("[", ", ", "]")
-    val settings = Seq(16, 32, 64)
-    val perSetting = settings.map { bands =>
-      val rows = 128 / bands
-      s"""bk_$bands AS (SELECT doc_id, i // $rows AS band,
-         |  md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bkey
-         |  FROM mh GROUP BY doc_id, i // $rows),
-         |cd_$bands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk_$bands a JOIN bk_$bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |r_$bands AS (SELECT CAST($bands AS BIGINT) AS bands,
-         |  CAST($rows AS BIGINT) AS rows_per_band,
-         |  CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
-         |  count(*) AS n_true,
-         |  CAST(count(cd_$bands.id_a) AS BIGINT) AS n_caught,
-         |  count(cd_$bands.id_a) * 1000000 // count(*) AS recall_q6,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM cd_$bands) AS n_candidates
-         |  FROM tru LEFT JOIN cd_$bands USING (id_a, id_b)
-         |  GROUP BY 1, 2, 3)""".stripMargin
-    }.mkString(",\n")
-    val union = settings.map(b => s"SELECT * FROM r_$b")
-      .mkString(" UNION ALL ")
-    s"""WITH sdocs AS (SELECT * FROM $src
+    s"""sdocs AS (SELECT * FROM $src
        |  WHERE (CAST(list_sum(list_transform(range(15), k ->
        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
        |        << (4*(14-k)))) AS BIGINT))
@@ -330,8 +313,67 @@ object DataOpsQueries {
        |ab AS (SELECT $aList AS al, $bList AS bl),
        |mh AS (SELECT doc_id, i, min((al[i+1] * h0p + bl[i+1]) % 2147483647) AS mv
        |       FROM hx, ab, range(128) r(i) GROUP BY 1, 2),
-       |tru AS (SELECT id_a, id_b, jaccard FROM (${JACCARD_SQL.replace("FROM documents", "FROM sdocs")}) j),
+       |tru AS (SELECT id_a, id_b, jaccard FROM (${JACCARD_SQL.replace("FROM documents", "FROM sdocs")}) j)""".stripMargin
+  }
+
+  /** One grade CTE trio (candidates → decile recall row) over a named
+    * kept-band-keys CTE — shared by the band and bucket curve
+    * oracles. `head` lists the setting's leading literal columns. */
+  private def curveGradeSql(tag: String, keptCte: String,
+      head: String): String =
+    s"""cd_$tag AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM $keptCte a JOIN $keptCte b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |r_$tag AS (SELECT $head,
+       |  CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS band,
+       |  count(*) AS n_true,
+       |  CAST(count(cd_$tag.id_a) AS BIGINT) AS n_caught,
+       |  count(cd_$tag.id_a) * 1000000 // count(*) AS recall_q6,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cd_$tag) AS n_candidates
+       |  FROM tru LEFT JOIN cd_$tag USING (id_a, id_b)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private def bandKeysCteSql(tag: String, rows: Int): String =
+    s"""bk_$tag AS (SELECT doc_id, i // $rows AS band,
+       |  md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bkey
+       |  FROM mh GROUP BY doc_id, i // $rows)""".stripMargin
+
+  private def bandCurveSql(src: String): String = {
+    val settings = Seq(16, 32, 64)
+    val perSetting = settings.map { bands =>
+      val rows = 128 / bands
+      bandKeysCteSql(s"$bands", rows) + ",\n" +
+        curveGradeSql(s"$bands", s"bk_$bands",
+          s"CAST($bands AS BIGINT) AS bands, CAST($rows AS BIGINT) AS rows_per_band")
+    }.mkString(",\n")
+    val union = settings.map(b => s"SELECT * FROM r_$b")
+      .mkString(" UNION ALL ")
+    s"""WITH ${portableCurvePrefixSql(src)},
        |$perSetting
+       |SELECT * FROM ($union) u ORDER BY ALL""".stripMargin
+  }
+
+  /** The dedup_bucket_curve oracle: band keys ONCE at fixed 32 bands,
+    * occupancy once, each cap anti-joins over-cap buckets before the
+    * shared grade. */
+  private def bucketCurveSql(src: String,
+      caps: Seq[Long] = Seq(0L, 4L, 16L)): String = {
+    val perCap = caps.map { cap =>
+      val tag = s"c$cap"
+      val kept =
+        if (cap <= 0L) s"kp_$tag AS (SELECT * FROM bk_32)"
+        else
+          s"""kp_$tag AS (SELECT bk_32.* FROM bk_32
+             |  ANTI JOIN (SELECT band, bkey FROM occ WHERE m > $cap) h
+             |  USING (band, bkey))""".stripMargin
+      kept + ",\n" + curveGradeSql(tag, s"kp_$tag",
+        s"CAST($cap AS BIGINT) AS max_bucket, CAST(32 AS BIGINT) AS bands")
+    }.mkString(",\n")
+    val union = caps.map(c => s"SELECT * FROM r_c$c").mkString(" UNION ALL ")
+    s"""WITH ${portableCurvePrefixSql(src)},
+       |${bandKeysCteSql("32", 4)},
+       |occ AS (SELECT band, bkey, count(*) AS m FROM bk_32 GROUP BY 1, 2),
+       |$perCap
        |SELECT * FROM ($union) u ORDER BY ALL""".stripMargin
   }
 
@@ -355,6 +397,42 @@ object DataOpsQueries {
       |  ' ' ||
       |  array_to_string(list_transform(range(0, 5), j -> 'u' || CAST(i AS VARCHAR) || 'y' || CAST(j AS VARCHAR)), ' ') AS text
       |  FROM range(60) t(i))""".stripMargin
+
+  /** The bucket-cap fixture: a 20-doc identical MEGA cluster (over
+    * both real caps), an 8-doc identical MID cluster (inside cap 16,
+    * over cap 4), and 15 near-dup pairs at J = 15/21 ≈ 0.714 whose
+    * buckets hold 2 docs (inside every cap) — the three occupancy
+    * regimes a production cap must separate. */
+  private def bkFx(s: SparkSession): DataFrame = {
+    def cluster(from: Long, until: Long, tok: String) =
+      s.range(from, until).selectExpr("id AS doc_id",
+        s"array_join(transform(sequence(0, 19), j -> concat('$tok', CAST(j AS STRING))), ' ') AS text")
+    val pairs = s.range(100, 130).selectExpr("id AS doc_id",
+      "concat(" +
+        "array_join(transform(sequence(0, 16), j -> concat('p', CAST((id - 100) DIV 2 AS STRING), 'x', CAST(j AS STRING))), ' '), " +
+        "' ', " +
+        "array_join(transform(sequence(0, 2), j -> concat('q', CAST(id AS STRING), 'y', CAST(j AS STRING))), ' ')) AS text")
+    cluster(0L, 20L, "mega").unionAll(cluster(50L, 58L, "mid"))
+      .unionAll(pairs)
+  }
+
+  /** The DuckDB twin of [[bkFx]] — one CTE named `bkfx`. (No line may
+    * start with `||` — the stripMargin re-interpolation rule.) */
+  private val BKFX =
+    """bkfx AS (
+      |  SELECT i AS doc_id,
+      |    array_to_string(list_transform(range(0, 20), j -> 'mega' || CAST(j AS VARCHAR)), ' ') AS text
+      |  FROM range(20) t(i)
+      |  UNION ALL
+      |  SELECT i AS doc_id,
+      |    array_to_string(list_transform(range(0, 20), j -> 'mid' || CAST(j AS VARCHAR)), ' ') AS text
+      |  FROM range(50, 58) t(i)
+      |  UNION ALL
+      |  SELECT i AS doc_id,
+      |    array_to_string(list_transform(range(0, 17), j -> 'p' || CAST((i - 100) // 2 AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ') ||
+      |    ' ' ||
+      |    array_to_string(list_transform(range(0, 3), j -> 'q' || CAST(i AS VARCHAR) || 'y' || CAST(j AS VARCHAR)), ' ') AS text
+      |  FROM range(100, 130) t(i))""".stripMargin
 
   /** Exact all-pairs replay of Dedup.simhashPairs (the banded search
     * has pigeonhole-complete recall at maxDist < bands, so the two
@@ -1465,6 +1543,28 @@ object DataOpsQueries {
          |${bandCurveSql("bcfx").stripPrefix("WITH ")}""".stripMargin) {
       (s, _) => ordered(Dedup.bandCurve(bcFx(s), n = 3, numHashes = 128,
         bandsList = Seq(16, 32, 64), theta = 0.5))
+    },
+    // minhashLshPairs' OTHER knob (the maxBucket skew guard) measured
+    // the same way: per cap the decile recall after dropping over-cap
+    // buckets + the candidate count the cap admitted — the evidence
+    // behind the production cap 16 (Curate.sourceQualityReport); band
+    // keys built once, each cap an anti-join over the shared
+    // occupancy table
+    Entry("dedup_bucket_curve", bucketCurveSql("documents")) {
+      (s, d) => ordered(Dedup.bucketCurve(docs(s, d), n = 3,
+        numHashes = 128, bands = 32, caps = Seq(0L, 4L, 16L),
+        theta = 0.5))
+    },
+    // the planted occupancy twin: 20-doc + 8-doc identical clusters +
+    // occupancy-2 near-dup pairs — cap 0 catches everything, cap 16
+    // drops exactly the mega cluster's 190 pairs, cap 4 drops both
+    // clusters' 218 while the pair band rides through every cap
+    Entry("dedup_bucket_curve_fixture",
+      s"""WITH $BKFX,
+         |${bucketCurveSql("bkfx").stripPrefix("WITH ")}""".stripMargin) {
+      (s, _) => ordered(Dedup.bucketCurve(bkFx(s), n = 3,
+        numHashes = 128, bands = 32, caps = Seq(0L, 4L, 16L),
+        theta = 0.5))
     },
     // SemDeDup recall audit: exact all-pairs cosine truth vs the
     // celled pair stage over the same adaptive md5 slice, recall per

@@ -336,6 +336,47 @@ class DedupSpec extends AnyFunSuite {
       hi.toString)
   }
 
+  test("bucketCurve: caps keep bucket subsets (pointwise monotone); planted clusters separate the three occupancy regimes") {
+    // 20-doc + 8-doc identical clusters + 15 occupancy-2 near-dup
+    // pairs at J = 15/21 (the dedup_bucket_curve_fixture corpus)
+    def cluster(from: Int, until: Int, tok: String) =
+      (from until until).map(id =>
+        (id.toLong, (0 until 20).map(j => s"$tok$j").mkString(" ")))
+    val pairs = (100 until 130).map { id =>
+      val k = (id - 100) / 2
+      val shared = (0 until 17).map(j => s"p${k}x$j").mkString(" ")
+      val unique = (0 until 3).map(j => s"q${id}y$j").mkString(" ")
+      (id.toLong, s"$shared $unique")
+    }
+    val docs = (cluster(0, 20, "mega") ++ cluster(50, 58, "mid") ++ pairs)
+      .toDF("doc_id", "text")
+    val rows = Dedup.bucketCurve(docs, n = 3, numHashes = 128, bands = 32,
+      caps = Seq(0L, 4L, 16L), theta = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(3),
+        r.getLong(4), r.getLong(6)))).toMap
+    // truth is cap-independent: 218 identical-cluster pairs at band
+    // 9 (C(20,2) + C(8,2)), 15 planted pairs at band 7
+    assert(rows((0L, 9L))._1 === 218L && rows((0L, 7L))._1 === 15L,
+      rows.toString)
+    // a smaller cap keeps a SUBSET of buckets — catches and
+    // candidates monotone nondecreasing in cap, band by band
+    for (b <- Seq(7L, 9L)) {
+      assert(rows((4L, b))._2 <= rows((16L, b))._2 &&
+        rows((16L, b))._2 <= rows((0L, b))._2, rows.toString)
+      assert(rows((4L, b))._3 <= rows((16L, b))._3 &&
+        rows((16L, b))._3 <= rows((0L, b))._3, rows.toString)
+    }
+    // the three regimes: uncapped catches everything; cap 16 loses
+    // EXACTLY the 20-doc cluster's 190 pairs (the 8-doc cluster is
+    // inside the cap); cap 4 loses both clusters; the occupancy-2
+    // pair band rides through every cap
+    assert(rows((0L, 9L))._2 === 218L, rows.toString)
+    assert(rows((16L, 9L))._2 === 28L, rows.toString)
+    assert(rows((4L, 9L))._2 === 0L, rows.toString)
+    assert(Seq(0L, 4L, 16L).forall(c => rows((c, 7L))._2 === 15L),
+      rows.toString)
+  }
+
   test("recall audit capped-Jaccard column: the df cap loses exactly the hot cluster's band") {
     // the 7-doc identical cluster gives every one of its shingles
     // df = 7: a cap of 3 drops them ALL from the inverted index, so
