@@ -99,6 +99,9 @@ object Bench {
     // the other constant-size twins stay out
     "ann_pq_curve", "dedup_band_curve", "dedup_bucket_curve",
     "text_boilerplate_index_merge", "text_boilerplate_curve",
+    // the SemDeDup θ curve (one celled pass + θ-independent
+    // cell-share grading; its planted-sim fixture stays out)
+    "dedup_semdedup_curve",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

@@ -515,6 +515,103 @@ object Dedup {
       .withColumn("recall_q6", expr("n_caught * 1000000L div n_true"))
   }
 
+  /** SemDeDup threshold (θ) tuning curve — the semantic family's own
+    * knob measured like the banding/bucket/nprobe knobs (the last
+    * dedup knob still picked from the paper's sweep instead of a
+    * measurement on the corpus at hand): per θ, what the celled
+    * operator would DO (candidate pairs found, documents touched by
+    * ≥1 pair — the population a dedup at that θ clusters) and what it
+    * would MISS (recall of the cell-restricted pair stage against the
+    * exact all-pairs truth over the shared adaptive slice). One row
+    * per θ: (theta_q2, n_pairs, n_docs_dup, n_true, n_caught,
+    * recall_q6) — the table a corpus owner picks a SemDeDup θ from.
+    *
+    * Single-pass by construction: the celled pair stage computes sims
+    * UNthresholded-down-to-min(θ) ONCE and every θ is a conditional
+    * aggregate over that frame (each pair explodes into its two
+    * endpoints inline, so the expensive cell join executes exactly
+    * once); on the audit side CELL-SHARING IS θ-INDEPENDENT — a truth
+    * pair is caught at θ iff the two vectors share a cell, so the
+    * whole grid grades off ONE truth⟕cell-share join with no
+    * per-setting pair recompute (the nprobe side of the per-setting
+    * contrast; PlanSpec pins one celled join each side). Monotonicity
+    * is pointwise, not statistical: raising θ filters the SAME sim
+    * column, so n_pairs / n_docs_dup / n_true / n_caught are all
+    * non-increasing in θ by construction (DedupSpec pins it).
+    * recall_q6 reads 1e6 when a θ band has no truth pairs on the
+    * slice (vacuously complete — nothing to miss; documented, not
+    * NULL, so the row stays comparable).
+    *
+    * Scale shape: the full-corpus side is the [[semanticPairs]]
+    * occupancy-bounded cell join (linear at fixed `targetCell`); the
+    * truth side is the [[semanticRecallAudit]] adaptive slice
+    * (~`sampleTarget` vectors at ANY corpus size) and its cell-share
+    * partner needs NO dot products at all. */
+  def semanticThetaCurve(emb: DataFrame,
+      thetas: Seq[Double] = Seq(0.45, 0.6, 0.75, 0.9),
+      targetCell: Int = 256, sampleMod: Long = 0L,
+      sampleTarget: Long = 1000L): DataFrame = {
+    require(thetas.nonEmpty && thetas.forall(t => t > 0.0 && t <= 1.0),
+      "each theta must be in (0, 1]")
+    val tmin = thetas.min
+    // full corpus: ONE celled pair pass with sims kept down to min(θ)
+    val e = Cells.celled(emb, targetCell)
+    val a = e.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+      col("v"), col("nrm"))
+    val p = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 9))
+      .where(col("sim") >= lit(tmin))
+      // inline endpoint explode: the join lineage executes ONCE and
+      // feeds both the pair counts (each pair seen twice -> DIV 2)
+      // and the touched-documents counts
+      .select(explode(array(
+        struct(col("id_a").as("doc_id"), col("sim")),
+        struct(col("id_b").as("doc_id"), col("sim")))).as("x"))
+      .select(col("x.doc_id").as("doc_id"), col("x.sim").as("sim"))
+    val pcCols = thetas.zipWithIndex.map { case (th, i) =>
+      sum(when(col("sim") >= lit(th), 1L).otherwise(0L)).as(s"pc_$i")
+    }
+    val perDoc = p.groupBy(col("doc_id")).agg(pcCols.head, pcCols.tail: _*)
+    val fullCols = thetas.indices.flatMap { i => Seq(
+      expr(s"coalesce(sum(pc_$i), 0L) DIV 2").as(s"np_$i"),
+      coalesce(sum(when(col(s"pc_$i") > 0L, 1L).otherwise(0L)), lit(0L))
+        .as(s"nd_$i"))
+    }
+    val fullAgg = perDoc.agg(fullCols.head, fullCols.tail: _*)
+    // audit: exact truth over the adaptive slice vs θ-independent
+    // cell-sharing (hit ⇔ same cell — no dot products on this side)
+    val slice = Adaptive.slice(emb, "vec_id", sampleMod, sampleTarget)
+    val truth = Ann.cosinePairs(slice, tmin)
+    val ec = Cells.celled(slice, targetCell)
+    val cs = ec.select(col("cell"), col("vec_id").as("id_a"))
+      .join(ec.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    val tf = truth.join(cs, Seq("id_a", "id_b"), "left")
+    val sliceCols = thetas.zipWithIndex.flatMap { case (th, i) => Seq(
+      coalesce(sum(when(col("sim") >= lit(th), 1L).otherwise(0L)), lit(0L))
+        .as(s"nt_$i"),
+      coalesce(sum(when(col("sim") >= lit(th) && col("__hit").isNotNull,
+        1L).otherwise(0L)), lit(0L)).as(s"nc_$i"))
+    }
+    val sliceAgg = tf.agg(sliceCols.head, sliceCols.tail: _*)
+    val rows = thetas.zipWithIndex.map { case (th, i) =>
+      struct(lit(math.round(th * 100)).as("theta_q2"),
+        col(s"np_$i").as("n_pairs"), col(s"nd_$i").as("n_docs_dup"),
+        col(s"nt_$i").as("n_true"), col(s"nc_$i").as("n_caught"))
+    }
+    fullAgg.crossJoin(sliceAgg)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.theta_q2").as("theta_q2"), col("r.n_pairs").as("n_pairs"),
+        col("r.n_docs_dup").as("n_docs_dup"), col("r.n_true").as("n_true"),
+        col("r.n_caught").as("n_caught"))
+      .withColumn("recall_q6", when(col("n_true") === 0L, lit(1000000L))
+        .otherwise(expr("n_caught * 1000000L DIV n_true")))
+  }
+
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -284,36 +284,64 @@ object TextStats {
     * α = 1); w_max = max(w) equals pow(max n) bitwise (pow is
     * monotone and both engines compute it from the same integer).
     * Everything past the two IEEE ops (pow, the w/w_max·1e9 scale) is
-    * exact int64 `·1e6 DIV`. Per setting: the narrow draw filter +
-    * ONE source-sized drawn-count agg — the draw total is a window
-    * sum over that frame (every drawn row's source exists in cnt, so
-    * Σ n_sampled IS the total: no second corpus pass), and the weight
-    * window-sums ride the same source-sized frame (the
-    * [[mixtureReport]] shape). */
+    * exact int64 `·1e6 DIV`. SINGLE-PASS over the whole grid: every
+    * per-α quantity is a per-(α, source) CONSTANT, so the curve
+    * builds one broadcast threshold table on the source-sized count
+    * frame (α × sources rows — w, t = min n/w, and
+    * [[sampleTemperature]]'s threshold ((w·t)/n)·2⁶⁰ in the identical
+    * operation order) and drives ONE corpus scan against it: the
+    * md5 draw is computed once per document, the broadcast join fans
+    * each row across the α settings, and the narrow filter + ONE
+    * (α × source)-sized count aggregate finish the draw side (the
+    * draw total is a per-α window sum over that frame — every drawn
+    * row's source exists in cnt, so Σ n_sampled IS the total; the
+    * weight window-sums ride the same frame, the [[mixtureReport]]
+    * shape). Growing the α grid adds broadcast rows, never corpus
+    * passes — the replay-per-α form this replaced scanned the corpus
+    * 3× per setting. */
   def temperatureCurve(docs: DataFrame,
       alphas: Seq[Double] = Seq(0.3, 0.5, 0.7, 1.0)): DataFrame = {
     require(alphas.nonEmpty && alphas.forall(a => a > 0.0 && a <= 1.0),
       "each alpha must be in (0, 1]")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    alphas.map { a =>
-      val aq = math.round(a * 100)
-      val sampled = sampleTemperature(docs, a)
-      val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("wd", expr(s"pow(CAST(n_docs AS DOUBLE), ${a}D)"))
-      val sc = sampled.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_sampled"))
-      cnt.join(sc, Seq("source"), "left")
-        .na.fill(0L, Seq("n_sampled"))
-        .withColumn("n_total", sum(col("n_sampled")).over(wAll))
-        .withColumn("wq", expr(
-          "CAST(floor(wd / max(wd) OVER () * 1e9) AS BIGINT)"))
-        .withColumn("swq", sum(col("wq")).over(wAll))
-        .select(lit(aq).as("alpha_q2"), col("source"), col("n_docs"),
-          col("n_sampled"),
-          expr("wq * 1000000L DIV swq").as("target_q6"),
-          expr("n_sampled * 1000000L DIV n_total").as("achieved_q6"))
-        .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
-    }.reduce(_ unionAll _)
+    val hv = expr(
+      "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)")
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy("alpha_q2")
+    // per-(α, source) constants on ONE source-sized count frame × an
+    // inline α table (lit(a) is the same IEEE double the replay's
+    // interpolated literal parsed to, and the threshold's operation
+    // order is identical to sampleTemperature's — the single-pass
+    // filter keeps exactly the documents the per-α replay kept)
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val aTab = alphas.map(a =>
+      struct(lit(math.round(a * 100)).as("alpha_q2"), lit(a).as("alpha")))
+    val perA = cnt
+      .select(col("source"), col("n_docs"),
+        explode(array(aTab: _*)).as("a"))
+      .select(col("source"), col("n_docs"),
+        col("a.alpha_q2").as("alpha_q2"), col("a.alpha").as("alpha"))
+      .withColumn("wd", expr("pow(CAST(n_docs AS DOUBLE), alpha)"))
+      .withColumn("t", min(col("n_docs").cast("double") / col("wd")).over(wA))
+    val thr = perA.select(col("alpha_q2"), col("source"),
+      (col("wd") * col("t") / col("n_docs").cast("double")
+        * lit(1152921504606846976.0)).as("thr"))
+    // THE one corpus pass: draw once, fan across settings, filter, count
+    val drawn = docs.select(col("doc_id"), col("source"))
+      .withColumn("hv", hv)
+      .join(broadcast(thr), Seq("source"))
+      .where(col("hv") < col("thr"))
+      .groupBy(col("alpha_q2"), col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+    perA.join(drawn, Seq("alpha_q2", "source"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .withColumn("n_total", sum(col("n_sampled")).over(wA))
+      .withColumn("wq", expr(
+        "CAST(floor(wd / max(wd) OVER (PARTITION BY alpha_q2) * 1e9) AS BIGINT)"))
+      .withColumn("swq", sum(col("wq")).over(wA))
+      .select(col("alpha_q2"), col("source"), col("n_docs"),
+        col("n_sampled"),
+        expr("wq * 1000000L DIV swq").as("target_q6"),
+        expr("n_sampled * 1000000L DIV n_total").as("achieved_q6"))
+      .withColumn("err_q6", col("achieved_q6") - col("target_q6"))
   }
 
   /** Mixture-quality report — the trust-gate row for the sampling

@@ -434,6 +434,111 @@ object DataOpsQueries {
       |    array_to_string(list_transform(range(0, 3), j -> 'q' || CAST(i AS VARCHAR) || 'y' || CAST(j AS VARCHAR)), ' ') AS text
       |  FROM range(100, 130) t(i))""".stripMargin
 
+  /** Oracle for [[graft.llm.Dedup.semanticThetaCurve]] over `src`
+    * (a table/CTE with vec_id, label, embedding): ONE celled pair
+    * frame with sims kept down to min(θ) feeds every θ's conditional
+    * aggregates; the slice truth is graded by θ-INDEPENDENT cell
+    * sharing (hit ⇔ same cell), replaying the Spark side's exact
+    * integer cells and rounded sims. */
+  private def semanticThetaSql(src: String): String = {
+    val ths = Seq(45 -> "0.45", 60 -> "0.60", 75 -> "0.75", 90 -> "0.90")
+    val pdCols = ths.zipWithIndex.map { case ((_, th), i) =>
+      s"count(*) FILTER (WHERE sim >= $th) AS pc_$i" }.mkString(", ")
+    val fullCols = ths.indices.map { i =>
+      s"CAST(coalesce(sum(pc_$i), 0) // 2 AS BIGINT) AS np_$i, " +
+        s"CAST(count(*) FILTER (WHERE pc_$i > 0) AS BIGINT) AS nd_$i"
+    }.mkString(", ")
+    val sliceCols = ths.zipWithIndex.map { case ((_, th), i) =>
+      s"CAST(count(*) FILTER (WHERE sim >= $th) AS BIGINT) AS nt_$i, " +
+        s"CAST(count(*) FILTER (WHERE sim >= $th AND hit) AS BIGINT) AS nc_$i"
+    }.mkString(", ")
+    val union = ths.zipWithIndex.map { case ((q2, _), i) =>
+      s"""SELECT CAST($q2 AS BIGINT) AS theta_q2, np_$i AS n_pairs,
+         |  nd_$i AS n_docs_dup, nt_$i AS n_true, nc_$i AS n_caught,
+         |  CASE WHEN nt_$i = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE nc_$i * 1000000 // nt_$i END AS recall_q6
+         |FROM fullagg, sliceagg""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM $src),
+       |c AS (SELECT count(*) AS n, count(DISTINCT label) AS l FROM e0),
+       |bsel AS (SELECT coalesce(min(b), 32) AS bits FROM range(0, 33) r(b), c
+       |         WHERE l * 256 * (1::BIGINT << b) >= n),
+       |n0 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |        label::BIGINT * (1::BIGINT << bits) + coalesce(list_sum(
+       |          list_transform(range(1, bits + 1), i ->
+       |            CASE WHEN v[i] >= 0 THEN (1::BIGINT << (bits - i)) ELSE 0 END)), 0) AS cell
+       |       FROM e0, bsel),
+       |p AS (SELECT * FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS sim
+       |  FROM n0 a JOIN n0 b ON a.cell = b.cell AND a.vec_id < b.vec_id) WHERE sim >= 0.45),
+       |ep AS (SELECT id_a AS doc_id, sim FROM p UNION ALL SELECT id_b AS doc_id, sim FROM p),
+       |pd AS (SELECT doc_id, $pdCols FROM ep GROUP BY 1),
+       |fullagg AS (SELECT $fullCols FROM pd),
+       |semb AS (SELECT * FROM $src
+       |  WHERE (CAST(list_sum(list_transform(range(15), k ->
+       |      CAST(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), k+1, 1)) - 1 AS BIGINT)
+       |        << (4*(14-k)))) AS BIGINT))
+       |    % greatest(1, (SELECT count(*) FROM $src) // 1000) = 0),
+       |se0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM semb),
+       |sn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM se0),
+       |tru AS (SELECT * FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) AS sim
+       |  FROM sn a JOIN sn b ON a.vec_id < b.vec_id) WHERE sim >= 0.45),
+       |sc AS (SELECT count(*) AS n, count(DISTINCT label) AS l FROM se0),
+       |sbsel AS (SELECT coalesce(min(b), 32) AS bits FROM range(0, 33) r(b), sc
+       |          WHERE l * 256 * (1::BIGINT << b) >= n),
+       |sn0 AS (SELECT vec_id,
+       |         label::BIGINT * (1::BIGINT << bits) + coalesce(list_sum(
+       |           list_transform(range(1, bits + 1), i ->
+       |             CASE WHEN v[i] >= 0 THEN (1::BIGINT << (bits - i)) ELSE 0 END)), 0) AS cell
+       |        FROM se0, sbsel),
+       |cs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM sn0 a JOIN sn0 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |tf AS (SELECT tru.sim, (cs.id_a IS NOT NULL) AS hit
+       |       FROM tru LEFT JOIN cs USING (id_a, id_b)),
+       |sliceagg AS (SELECT $sliceCols FROM tf)
+       |SELECT * FROM ($union) u ORDER BY ALL""".stripMargin
+  }
+
+  /** Planted-sim embedding fixture for the θ curve: the real corpus's
+    * random vectors put almost all truth mass in the lowest band, so
+    * the high-θ rows would be vacuous (the band-curve fixture
+    * precedent). 18 dim-4 integer vectors plant: a 10-identical
+    * cluster (sim 1.0, caught at every θ), a 0.8 pair with OPPOSITE
+    * second-dim signs, a sim-1.0 pair SPLIT ACROSS LABELS (ids 12/13
+    * — missed at every θ: the paper's own cross-cluster blind spot,
+    * visible as recall < 1e6 clear up to θ = 0.9), and 0.707 / 0.5
+    * moderate pairs that drop out as θ rises. Integer components →
+    * exact doubles in both engines. */
+  private def stFx(s: SparkSession): DataFrame =
+    s.range(18).selectExpr("id AS vec_id",
+      "CASE WHEN id <= 12 THEN 0L ELSE 1L END AS label",
+      """CASE WHEN id <= 9 THEN array(1D, 0D, 0D, 0D)
+        |     WHEN id = 10 THEN array(3D, 1D, 0D, 0D)
+        |     WHEN id = 11 THEN array(3D, -1D, 0D, 0D)
+        |     WHEN id IN (12, 13) THEN array(2D, 1D, 0D, 0D)
+        |     WHEN id = 14 THEN array(1D, 1D, 0D, 0D)
+        |     WHEN id = 15 THEN array(1D, 0D, 0D, 0D)
+        |     WHEN id = 16 THEN array(1D, 0D, 1D, 0D)
+        |     ELSE array(1D, 0D, 0D, 1D) END AS embedding""".stripMargin)
+
+  /** The DuckDB twin of [[stFx]] — one CTE named `stfx`. (No line may
+    * start with `||` — the stripMargin re-interpolation rule.) */
+  private val STFX =
+    """stfx AS (SELECT i AS vec_id,
+      |  CASE WHEN i <= 12 THEN 0 ELSE 1 END AS label,
+      |  CASE WHEN i <= 9 THEN [1.0, 0.0, 0.0, 0.0]
+      |       WHEN i = 10 THEN [3.0, 1.0, 0.0, 0.0]
+      |       WHEN i = 11 THEN [3.0, -1.0, 0.0, 0.0]
+      |       WHEN i IN (12, 13) THEN [2.0, 1.0, 0.0, 0.0]
+      |       WHEN i = 14 THEN [1.0, 1.0, 0.0, 0.0]
+      |       WHEN i = 15 THEN [1.0, 0.0, 0.0, 0.0]
+      |       WHEN i = 16 THEN [1.0, 0.0, 1.0, 0.0]
+      |       ELSE [1.0, 0.0, 0.0, 1.0] END AS embedding
+      |  FROM range(18) t(i))""".stripMargin
+
   /** Exact all-pairs replay of Dedup.simhashPairs (the banded search
     * has pigeonhole-complete recall at maxDist < bands, so the two
     * forms coincide) — shared by the standalone entry and the
@@ -1605,6 +1710,26 @@ object DataOpsQueries {
         |GROUP BY 1 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(Dedup.semanticRecallAudit(emb(s, d),
         theta = 0.45, sampleTarget = 1000L))
+    },
+    // SemDeDup θ tuning curve: per θ what the celled dedup would DO
+    // (pairs, touched docs) and MISS (recall vs the exact slice
+    // truth) — one celled pass carries every θ (conditional
+    // aggregates) and cell-sharing is θ-independent on the audit
+    // side, so the grid costs one join each side (the nprobe side of
+    // the per-setting contrast)
+    Entry("dedup_semdedup_curve", semanticThetaSql("embeddings")) {
+      (s, d) => ordered(Dedup.semanticThetaCurve(emb(s, d)))
+    },
+    // the planted-sim twin: random corpus vectors leave the θ ≥ 0.6
+    // truth bands empty, so the real-corpus row is vacuous up there
+    // (the band-curve fixture precedent); 18 integer vectors plant an
+    // identical cluster, a cross-LABEL sim-1.0 pair (the paper's own
+    // blind spot — recall < 1e6 at every θ), and 0.8 / 0.707 / 0.5
+    // pairs that drop out of the counts as θ rises
+    Entry("dedup_semdedup_curve_fixture",
+      s"""WITH $STFX,
+         |${semanticThetaSql("stfx").stripPrefix("WITH ")}""".stripMargin) {
+      (s, _) => ordered(Dedup.semanticThetaCurve(stFx(s)))
     },
     // SemDeDup (Abbas et al. 2023): the paper's actual shape —
     // cluster first (upstream k-means `label` + an adaptive

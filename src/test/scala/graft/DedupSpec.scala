@@ -470,6 +470,49 @@ class DedupSpec extends AnyFunSuite {
     assert(sampled === replay, s"$sampled vs $replay")
   }
 
+  test("semanticThetaCurve: counts pointwise non-increasing in theta; cross-label sim-1 pairs missed at every theta; top-theta row hand-traced") {
+    // the entry fixture's 18 integer dim-4 vectors (2 labels, bits=0
+    // -> cell = label): a 10-identical cluster (ids 0-9, label 0),
+    // B=[3,1]/C=[3,-1] (sim 0.8), D=[2,1] duplicated across labels
+    // (ids 12/13 — the cross-cluster blind spot), E=[1,1], F=[1,0]
+    // (label-1 copy of the cluster vector), G/H orthogonal-ish
+    val emb = spark.range(18).selectExpr("id AS vec_id",
+      "CASE WHEN id <= 12 THEN 0L ELSE 1L END AS label",
+      """CASE WHEN id <= 9 THEN array(1D, 0D, 0D, 0D)
+        |     WHEN id = 10 THEN array(3D, 1D, 0D, 0D)
+        |     WHEN id = 11 THEN array(3D, -1D, 0D, 0D)
+        |     WHEN id IN (12, 13) THEN array(2D, 1D, 0D, 0D)
+        |     WHEN id = 14 THEN array(1D, 1D, 0D, 0D)
+        |     WHEN id = 15 THEN array(1D, 0D, 0D, 0D)
+        |     WHEN id = 16 THEN array(1D, 0D, 1D, 0D)
+        |     ELSE array(1D, 0D, 0D, 1D) END AS embedding""".stripMargin)
+    val out = Dedup.semanticThetaCurve(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val qs = Seq(45L, 60L, 75L, 90L)
+    assert(out.keySet === qs.toSet, out.toString)
+    // raising theta filters the SAME sim column -> every count is
+    // pointwise non-increasing
+    for (Seq(lo, hi) <- qs.sliding(2)) {
+      assert(out(lo)._1 >= out(hi)._1, s"n_pairs $lo->$hi: $out")
+      assert(out(lo)._2 >= out(hi)._2, s"n_docs_dup $lo->$hi: $out")
+      assert(out(lo)._3 >= out(hi)._3, s"n_true $lo->$hi: $out")
+      assert(out(lo)._4 >= out(hi)._4, s"n_caught $lo->$hi: $out")
+    }
+    // cross-label sim-1.0 pairs (12,13) and (0-9,15) sit in truth at
+    // every theta but can never share a cell
+    for (q <- qs) assert(out(q)._5 < 1000000L, s"recall at $q: $out")
+    // theta = 0.9 hand-trace: truth = 45 (cluster) + 10 (A-B at
+    // 3/sqrt10) + 10 (A-C) + 10 (A-F cross-label 1.0) + B-D 0.9899 +
+    // B-D' + B-F + C-F + D-D' 1.0 + D-E + D'-E = 82; within-cell =
+    // 45 + 10 + 10 + B-D + D'-E = 67 -> recall 67e6 DIV 82
+    assert(out(90L)._1 === 67L, s"n_pairs@90: $out")
+    assert(out(90L)._2 === 15L, s"n_docs_dup@90: $out")
+    assert(out(90L)._3 === 82L, s"n_true@90: $out")
+    assert(out(90L)._4 === 67L, s"n_caught@90: $out")
+    assert(out(90L)._5 === 817073L, s"recall@90: $out")
+  }
+
   test("substring dup-spans: shared passages counted exactly, disjoint docs zero") {
     // corpus: docs 0..19 have disjoint vocabularies (zero shared
     // windows); 100..104 are near-copies of 0..4 with token 20

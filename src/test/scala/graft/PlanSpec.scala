@@ -306,6 +306,39 @@ class PlanSpec extends AnyFunSuite {
       s"thresholds are conditional aggregates, not passes: $one -> $four")
   }
 
+  test("temperatureCurve and semanticThetaCurve: the whole setting grid rides one corpus pass — extra settings add zero exchanges") {
+    import spark.implicits._
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      "Exchange hashpartitioning".r
+        .findAllIn(plan(df).split("== Initial Plan ==").head).size
+    }
+    // temperature: α settings are broadcast threshold rows over the
+    // one count frame; the md5 draw is computed once per document and
+    // fanned across settings by the broadcast join
+    val docs = (0L until 60L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val aOne = shuffles(graft.llm.TextStats.temperatureCurve(docs,
+      alphas = Seq(0.5)))
+    val aFour = shuffles(graft.llm.TextStats.temperatureCurve(docs,
+      alphas = Seq(0.3, 0.5, 0.7, 1.0)))
+    assert(aFour === aOne,
+      s"alphas are broadcast rows, not corpus passes: $aOne -> $aFour")
+    // semantic θ: one celled pair pass carries every θ as conditional
+    // aggregates, and the audit side's cell-share grading is
+    // θ-independent by construction
+    val rnd = new scala.util.Random(11)
+    val emb = Seq.tabulate(120)(i =>
+        (i.toLong, i % 2, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val tTwo = shuffles(graft.llm.Dedup.semanticThetaCurve(emb,
+      thetas = Seq(0.45, 0.9)))
+    val tFour = shuffles(graft.llm.Dedup.semanticThetaCurve(emb,
+      thetas = Seq(0.45, 0.6, 0.75, 0.9)))
+    assert(tFour === tTwo,
+      s"thetas are conditional aggregates, not passes: $tTwo -> $tFour")
+  }
+
   test("LM-score/BM25/PMI: corpus stats broadcast, no windows, no global sort") {
     import spark.implicits._
     val docs = (0L until 64L)
