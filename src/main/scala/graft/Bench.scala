@@ -100,8 +100,13 @@ object Bench {
     "ann_pq_curve", "dedup_band_curve", "dedup_bucket_curve",
     "text_boilerplate_index_merge", "text_boilerplate_curve",
     // the SemDeDup θ curve (one celled pass + θ-independent
-    // cell-share grading; its planted-sim fixture stays out)
-    "dedup_semdedup_curve",
+    // cell-share grading; its planted-sim fixture stays out) and the
+    // sessionize gap curve (one lag pass, per-setting conditional
+    // aggregates riding the series exchange)
+    "dedup_semdedup_curve", "ts_sessionize_curve",
+    // index-only incremental dedup (history via the standing portable
+    // signature index, estimated-Jaccard verify)
+    "dedup_incremental_index",
     // the same ranged select as ql_select_sum_between through a REAL
     // 2-pool cluster (physical pool stores, merged-union plan) — the
     // fan-out overhead is a per-round number, not a claim

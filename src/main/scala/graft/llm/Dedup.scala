@@ -351,6 +351,70 @@ object Dedup {
     out
   }
 
+  /** Standing PORTABLE MinHash signature index — the persisted state
+    * [[incrementalFromIndex]] matches daily deltas against: one row
+    * per document, `numHashes` int64 minhash components under the
+    * [[mhA]]/[[mhB]] affine family mod 2³¹−1 (exact int64 in any
+    * engine, so a SQL oracle recomputes it bit-for-bit). This is the
+    * "#docs × numHashes longs, ~1000× smaller than the text" standing
+    * index [[incrementalMinhash]]'s docstring describes, as a
+    * first-class frame: disjoint-delta refresh is a plain UNION
+    * (signatures are per-doc rows — the [[graft.llm.TextStats]]
+    * boilerplate-index analog with no shared keys to merge).
+    * Documents with fewer than n tokens have no shingles and no row —
+    * they can never near-dup match anyway. */
+  def minhashIndex(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 128): DataFrame = {
+    val sigAgg = udaf(new PortableMinHashSig(numHashes))
+    shingles(docs, n)
+      .withColumn("h0p", expr(
+        s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MH_P"))
+      .groupBy(col("doc_id")).agg(sigAgg(col("h0p")).as("sig"))
+  }
+
+  /** Incremental near-dup match against the standing signature index
+    * ONLY — the daily loop at the scale where history's TEXT cannot
+    * be re-read: the delta computes its own signatures, candidates
+    * come from the seen×new band-bucket join exactly as
+    * [[incrementalMinhash]] (no side self-joins), but verification is
+    * the ESTIMATED Jaccard — the fraction of agreeing signature
+    * components, an unbiased estimator of true Jaccard with
+    * sd = sqrt(J(1−J)/numHashes) (≈ 0.035 at J = 0.8, 128 hashes) —
+    * so the seen side touches `seenIndex` and NOTHING else. The
+    * exact-verify twin [[incrementalMinhash]] re-reads seen shingles
+    * and is the correctness reference; this form is the one a 100 TB
+    * corpus actually runs, trading the estimator's quantized ±1/128
+    * steps for never re-scanning history. Returns (seen_id, new_id,
+    * est_jaccard_q6) for estimates ≥ theta; everything is integer
+    * arithmetic on the portable components, so the oracle replays the
+    * exact candidate set AND the exact estimates. */
+  def incrementalFromIndex(newDocs: DataFrame, seenIndex: DataFrame,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      theta: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val thrQ6 = math.round(theta * 1000000)
+    // delta-sized; checkpointed so band keys + the estimate join
+    // don't re-run the shingle aggregation
+    val sigNew = minhashIndex(newDocs, n, numHashes)
+      .localCheckpoint(eager = true)
+    val cands = portableBandKeys(seenIndex, numHashes, bands).as("a")
+      .join(portableBandKeys(sigNew, numHashes, bands).as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("seen_id"), col("b.doc_id").as("new_id"))
+      .distinct()
+    cands
+      .join(seenIndex.select(col("doc_id").as("seen_id"),
+        col("sig").as("sig_a")), Seq("seen_id"))
+      .join(sigNew.select(col("doc_id").as("new_id"),
+        col("sig").as("sig_b")), Seq("new_id"))
+      .withColumn("est_jaccard_q6", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> " +
+          "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)" +
+          s" * 1000000L DIV $numHashes"))
+      .where(col("est_jaccard_q6") >= lit(thrQ6))
+      .select(col("seen_id"), col("new_id"), col("est_jaccard_q6"))
+  }
+
   /** Cross-source overlap matrix — the corpus-curation view of WHERE
     * duplication lives: for every source pair, the n-gram-set Jaccard
     * and containment (inter / min size) between the sources' distinct

@@ -1365,10 +1365,13 @@ object TextStats {
     * the source-sized frame) so no planned-but-absent source strands
     * its share — under the all-plan Σwq a planned source absent from
     * the corpus would silently strand its slice of the budget, the
-    * exact under-allocation a mixture board exists to catch. (The
-    * per-source floor divisions still leave a remainder of at most
-    * #present-sources − 1 tokens unallocated — deterministic,
-    * bounded, and negligible against any real budget.) Allocation
+    * exact under-allocation a mixture board exists to catch. The
+    * per-source floor divisions leave a remainder of at most
+    * #present-sources − 1 tokens; it is assigned to the
+    * LARGEST-weight present source (ties → lexicographically first —
+    * deterministic, and least share-distorting there), so
+    * Σ target_tokens equals the budget EXACTLY and epochs/rate read
+    * the adjusted allocation. Allocation
     * uses the SPLIT floor-division identity `B DIV s · wq +
     * (B % s) · wq DIV s` (exact, no overflow at any budget: both
     * addends stay under B and ~1e15 respectively), the epochs/rate
@@ -1393,6 +1396,16 @@ object TextStats {
       .withColumn("target_tokens", expr(
         s"${budgetTokens}L DIV swqp * wq" +
           s" + ${budgetTokens}L % swqp * wq DIV swqp"))
+      // flooring remainder → the largest-wq source (ties → first
+      // source name): Σ target_tokens == budget exactly; both windows
+      // ride the same source-sized frame
+      .withColumn("__alloc", sum(col("target_tokens")).over(wAll))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("wq").desc, col("source"))))
+      .withColumn("target_tokens", when(col("__rn") === 1,
+          col("target_tokens") + lit(budgetTokens) - col("__alloc"))
+        .otherwise(col("target_tokens")))
       .withColumn("epochs_q6", expr(
         "target_tokens DIV n_tokens * 1000000L" +
           " + (target_tokens % n_tokens) * 1000000L DIV n_tokens"))

@@ -1041,6 +1041,49 @@ object DataOpsQueries {
           all.where(col("doc_id") >= 250), all.where(col("doc_id") < 250)))
       }
     },
+    // the index-only incremental: the same seen/new split matched
+    // using ONLY the standing portable signature index for history
+    // (estimated-Jaccard verify = agreeing components / 128 — seen
+    // text never re-read; the exact-verify entry above is its
+    // correctness reference). The portable affine family is exact
+    // int64 in both engines, so the oracle replays the exact
+    // signatures, band collisions, AND estimates
+    Entry("dedup_incremental_index", {
+      val aList = (0 until 128).map(Dedup.mhA).mkString("[", ", ", "]")
+      val bList = (0 until 128).map(Dedup.mhB).mkString("[", ", ", "]")
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |shg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 2),
+         |                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+         |       FROM toks WHERE len(w) >= 3),
+         |hx AS (SELECT doc_id, (CAST(list_sum(list_transform(range(15), k ->
+         |      CAST(strpos('0123456789abcdef', substring(md5(shingle), k+1, 1)) - 1 AS BIGINT)
+         |        << (4*(14-k)))) AS BIGINT)) % 2147483647 AS h0p FROM shg),
+         |ab AS (SELECT $aList AS al, $bList AS bl),
+         |mh AS (SELECT doc_id, i, min((al[i+1] * h0p + bl[i+1]) % 2147483647) AS mv
+         |       FROM hx, ab, range(128) r(i) GROUP BY 1, 2),
+         |bk AS (SELECT doc_id, i // 4 AS band,
+         |        md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bkey
+         |       FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS seen_id, b.doc_id AS new_id
+         |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+         |         WHERE a.doc_id < 250 AND b.doc_id >= 250),
+         |ag AS (SELECT c.seen_id, c.new_id,
+         |        CAST(count(*) FILTER (WHERE ma.mv = mb.mv) AS BIGINT) AS k
+         |       FROM cand c
+         |       JOIN mh ma ON ma.doc_id = c.seen_id
+         |       JOIN mh mb ON mb.doc_id = c.new_id AND mb.i = ma.i
+         |       GROUP BY 1, 2)
+         |SELECT seen_id, new_id,
+         |  CAST(k * 1000000 // 128 AS BIGINT) AS est_jaccard_q6
+         |FROM ag WHERE k * 1000000 // 128 >= 800000 ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => {
+        val all = docs(s, d)
+        ordered(Dedup.incrementalFromIndex(
+          all.where(col("doc_id") >= 250),
+          Dedup.minhashIndex(all.where(col("doc_id") < 250))))
+      }
+    },
     // per-source duplication report: contribution + near-dup fraction
     // per source (the drop/down-weight decision table); same cluster
     // walk as dedup_clusters, counts exact, rate floor-quantized
@@ -1291,8 +1334,10 @@ object DataOpsQueries {
     // literals on BOTH sides (the quantWeights mirror above),
     // normalized over the PRESENT planned sources engine-side (exact
     // int64 — the full budget is allocated even when a planned source
-    // is absent); allocation and epochs/rate use the split
-    // floor-division identity, capped AFTER the scaled division
+    // is absent, and the flooring remainder goes to the largest-wq
+    // source so the targets sum to the budget EXACTLY); allocation
+    // and epochs/rate use the split floor-division identity, capped
+    // AFTER the scaled division
     Entry("text_mixture_plan", {
       val inList = mixWq.map { case (k, _) => s"'$k'" }.mkString(", ")
       s"""WITH per AS (SELECT source, count(*) AS n_docs,
@@ -1307,10 +1352,16 @@ object DataOpsQueries {
          |        CAST(100000 // swp.s * wt.wq
          |          + 100000 % swp.s * wt.wq // swp.s AS BIGINT) AS target_tokens
          |      FROM wt CROSS JOIN swp),
-         |g AS (SELECT a.*,
+         |al AS (SELECT CAST(coalesce(sum(target_tokens), 0) AS BIGINT) AS alloc FROM a),
+         |b AS (SELECT a.*, row_number() OVER (ORDER BY wq DESC, source) AS rn FROM a),
+         |b2 AS (SELECT source, n_docs, n_tokens, target_share_q6,
+         |        CAST(CASE WHEN rn = 1 THEN target_tokens + 100000 - al.alloc
+         |             ELSE target_tokens END AS BIGINT) AS target_tokens
+         |       FROM b CROSS JOIN al),
+         |g AS (SELECT b2.*,
          |        CAST(target_tokens // n_tokens * 1000000
          |          + (target_tokens % n_tokens) * 1000000 // n_tokens AS BIGINT) AS epochs_q6
-         |      FROM a)
+         |      FROM b2)
          |SELECT source, n_docs, n_tokens, target_share_q6, target_tokens,
          |  least(epochs_q6, 1000000) AS rate_q6,
          |  epochs_q6

@@ -1677,6 +1677,36 @@ object EngineQueries {
          |FROM s GROUP BY 1, 2 ORDER BY ALL""".stripMargin) {
       (s, d) => ordered(graft.engine.Sessionize.sessions(F(s, d), gap = 900L))
     },
+    // the gap knob measured: per candidate gap, sessions / silences /
+    // silent seconds / availability — ONE lag pass, every setting a
+    // conditional aggregate riding the window's series exchange
+    Entry("ts_sessionize_curve", {
+      val gs = Seq(300L, 900L, 3600L, 21600L)
+      val psCols = gs.zipWithIndex.map { case (g, i) =>
+        s"CAST(count(*) FILTER (WHERE d > $g) AS BIGINT) AS nb_$i, " +
+          s"CAST(coalesce(sum(d) FILTER (WHERE d > $g), 0) AS BIGINT) AS sl_$i"
+      }.mkString(", ")
+      val totCols = gs.indices.map { i =>
+        s"CAST(coalesce(sum(nb_$i), 0) AS BIGINT) AS nbt_$i, " +
+          s"CAST(coalesce(sum(sl_$i), 0) AS BIGINT) AS slt_$i"
+      }.mkString(", ")
+      val union = gs.zipWithIndex.map { case (g, i) =>
+        s"""SELECT CAST($g AS BIGINT) AS gap, ns AS n_series,
+           |  ns + nbt_$i AS n_sessions, nbt_$i AS n_gaps,
+           |  slt_$i AS silent_seconds, span AS span_seconds,
+           |  CASE WHEN span = 0 THEN CAST(1000000 AS BIGINT)
+           |       ELSE (span - slt_$i) * 1000000 // span END AS avail_q6
+           |FROM tot""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH p AS (SELECT series, ts, pid FROM ($PF)),
+         |l AS (SELECT series, ts, ts - lag(ts) OVER (PARTITION BY series ORDER BY ts, pid) AS d FROM p),
+         |ps AS (SELECT series, max(ts) - min(ts) AS span, $psCols FROM l GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+         |        CAST(coalesce(sum(span), 0) AS BIGINT) AS span, $totCols FROM ps)
+         |SELECT * FROM ($union) u ORDER BY ALL""".stripMargin
+    }) {
+      (s, d) => ordered(graft.engine.Sessionize.gapCurve(F(s, d)))
+    },
     // the inverse report: every silence > 900 s per series (the
     // "no data" alert edge); gap-sized output, one window pass
     Entry("ts_gaps",

@@ -470,6 +470,26 @@ class DedupSpec extends AnyFunSuite {
     assert(sampled === replay, s"$sampled vs $replay")
   }
 
+  test("incrementalFromIndex: identical delta doc estimates exactly 1e6; near-dups match through the index alone; disjoint docs silent") {
+    // seen = bases 0..19 via their standing signature INDEX only;
+    // delta = the 5 near-copies (J = 35/41 ≈ 0.854) + an identical
+    // copy of doc 7 (every minhash component equal -> est exactly 1e6)
+    val seen = corpus.where(expr("doc_id < 100"))
+    val delta = corpus.where(expr("doc_id >= 100"))
+      .unionAll(Seq((300L, baseText(7))).toDF("doc_id", "text"))
+    val idx = Dedup.minhashIndex(seen)
+    val out = Dedup.incrementalFromIndex(delta, idx, theta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out((7L, 300L)) === 1000000L,
+      s"identical copy agrees on every component: $out")
+    for (d <- 0L until 5L)
+      assert(out.contains((d, 100L + d)) &&
+        out((d, 100L + d)) >= 600000L && out((d, 100L + d)) < 1000000L,
+        s"near-dup $d: $out")
+    assert(out.size === 6, s"disjoint-vocabulary docs never pair: $out")
+  }
+
   test("semanticThetaCurve: counts pointwise non-increasing in theta; cross-label sim-1 pairs missed at every theta; top-theta row hand-traced") {
     // the entry fixture's 18 integer dim-4 vectors (2 labels, bits=0
     // -> cell = label): a 10-identical cluster (ids 0-9, label 0),

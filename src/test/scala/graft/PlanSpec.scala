@@ -337,6 +337,17 @@ class PlanSpec extends AnyFunSuite {
       thetas = Seq(0.45, 0.6, 0.75, 0.9)))
     assert(tFour === tTwo,
       s"thetas are conditional aggregates, not passes: $tTwo -> $tFour")
+    // sessionize gap curve: every candidate gap is a conditional
+    // aggregate over the one lag pass, and the per-series groupBy
+    // rides the window's own series exchange
+    val pts = (0L until 120L).map(i => (s"s${i % 4}", i * 37L, i))
+      .toDF("series", "ts", "pid")
+    val gOne = shuffles(graft.engine.Sessionize.gapCurve(pts,
+      gaps = Seq(300L)))
+    val gFour = shuffles(graft.engine.Sessionize.gapCurve(pts,
+      gaps = Seq(60L, 300L, 900L, 3600L)))
+    assert(gFour === gOne,
+      s"gaps are conditional aggregates, not passes: $gOne -> $gFour")
   }
 
   test("LM-score/BM25/PMI: corpus stats broadcast, no windows, no global sort") {
@@ -679,16 +690,19 @@ class PlanSpec extends AnyFunSuite {
 
     // mixturePlan: the weighted-source predicate reaches the parquet
     // scan as a data filter, and the only shuffles are the
-    // source-sized aggregation + the SinglePartition hop for the
-    // present-weight window-sum — both carry <= #sources rows
+    // source-sized aggregation + the SinglePartition hop shared by
+    // the windows — both carry <= #sources rows
     val mp = graft.llm.TextStats.mixturePlan(docs,
       Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
       100000L)
     mp.collect()
     val mpp = plan(mp)
-    // exactly ONE window, sitting on the POST-aggregation frame (its
-    // input is the source-keyed HashAggregate, never the corpus scan)
-    assert("Window \\[".r.findAllIn(finalPlan(mpp)).size === 1, mpp)
+    // at most THREE windows (present-weight sum; allocation sum +
+    // row_number for the flooring remainder), ALL on the
+    // POST-aggregation source-sized frame (their input is the
+    // source-keyed HashAggregate, never the corpus scan) and all
+    // riding ONE SinglePartition hop
+    assert("Window \\[".r.findAllIn(finalPlan(mpp)).size <= 3, mpp)
     assert(exchanges(mpp) <= 2, mpp)
     assert(finalPlan(mpp).linesIterator.filter(_.contains("FileScan"))
       .forall(_.contains("DataFilters: [CASE WHEN")), mpp)

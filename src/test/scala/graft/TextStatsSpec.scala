@@ -447,6 +447,24 @@ class TextStatsSpec extends AnyFunSuite {
       "the full budget is allocated across the present sources")
   }
 
+  test("mixturePlan: the flooring remainder lands on the largest-weight source — targets sum to the budget exactly") {
+    // three equal-weight present sources, budget 1000: floors give
+    // 333 each (999); the 1-token remainder goes to the wq-tie's
+    // lexicographically first source ("a"), and its epochs read the
+    // ADJUSTED 334 (a has 2400 tokens -> floor(334/2400 * 1e6))
+    val plan = TextStats.mixturePlan(mixCorpus,
+        Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), budgetTokens = 1000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(6)))).toMap
+    assert(plan.keySet === Set("a", "b", "c"))
+    assert(plan("a")._1 === 334L, s"remainder to 'a': $plan")
+    assert(plan("b")._1 === 333L && plan("c")._1 === 333L, plan.toString)
+    assert(plan.values.map(_._1).sum === 1000L,
+      "targets sum to the budget EXACTLY")
+    assert(plan("a")._2 === floorQ6(334.0 / 2400.0),
+      "epochs read the adjusted allocation")
+  }
+
   test("packEfficiency: hand-traced fills, oversize and straddle counts per stream") {
     import spark.implicits._
     // stream 0 (ids 0,2,4): 3,4,6 tokens → cums 3,7,13, bins 0,0,1;

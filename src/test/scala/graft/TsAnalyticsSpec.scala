@@ -811,6 +811,34 @@ class TsAnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("s", 5L, 30L, 25L)))
   }
 
+  test("gapCurve: per-gap sessions/silences hand-traced; pointwise monotone; n_sessions agrees with sessions() at each setting") {
+    // s0: ts 0,100,500,2000 (deltas 100,400,1500; span 2000)
+    // s1: ts 0,5000 (delta 5000; span 5000). Totals span 7000.
+    val pts = Seq(
+      ("s0", 0L, 0L), ("s0", 100L, 1L), ("s0", 500L, 2L),
+      ("s0", 2000L, 3L), ("s1", 0L, 4L), ("s1", 5000L, 5L)
+    ).toDF("series", "ts", "pid")
+    val out = graft.engine.Sessionize.gapCurve(pts,
+        gaps = Seq(200L, 1000L, 10000L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // g=200: breaks 400,1500,5000 -> 3 gaps, silence 6900,
+    // avail = 100e6 DIV 7000
+    assert(out(200L) === ((2L, 5L, 3L, 6900L, 7000L, 14285L)), out.toString)
+    assert(out(1000L) === ((2L, 4L, 2L, 6500L, 7000L, 71428L)), out.toString)
+    assert(out(10000L) === ((2L, 2L, 0L, 0L, 7000L, 1000000L)), out.toString)
+    // raising the gap filters the SAME delta column: sessions/gaps/
+    // silence non-increasing, availability non-decreasing
+    for (Seq(lo, hi) <- Seq(200L, 1000L, 10000L).sliding(2)) {
+      assert(out(lo)._2 >= out(hi)._2 && out(lo)._3 >= out(hi)._3)
+      assert(out(lo)._4 >= out(hi)._4 && out(lo)._6 <= out(hi)._6)
+    }
+    // the curve's session count IS the sessions() operator's row count
+    for (g <- Seq(200L, 1000L, 10000L))
+      assert(out(g)._2 === graft.engine.Sessionize.sessions(pts, g).count(),
+        s"gap $g")
+  }
+
   test("ewma: truncated geometric weights renormalize over short heads; floor-quantized") {
     val pts = Seq(
       ("s", 1L, 1L, 6L), ("s", 2L, 2L, 3L), ("s", 3L, 3L, 9L),
