@@ -39,9 +39,12 @@ object Correlate {
   def pairwisePearson(points: DataFrame, bucket: Long = 3600L,
       minBuckets: Long = 24L, groupExpr: Option[String] = None): DataFrame = {
     val grp = groupExpr.getOrElse("''")
-    val h = points.groupBy(expr(grp).as("grp"), col("series"),
-        expr(s"ts DIV $bucket").as("bucket"))
+    // grp is a function of series: derive it on the rollup (one
+    // evaluation per (series, bucket) row), never per raw point —
+    // the rollup itself is the bit-identical integer aggregation
+    val h = points.groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
       .agg(sum(col("val")).as("x"))
+      .withColumn("grp", expr(grp))
     val pairs = h.as("a").join(h.as("b"),
         col("a.grp") === col("b.grp") &&
           col("a.bucket") === col("b.bucket") && col("a.series") < col("b.series"))

@@ -34,12 +34,18 @@ object SeriesMath {
   def shareOfTotal(points: DataFrame, bucket: Long = 3600L,
       famExpr: String = "regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")
       : DataFrame = {
-    val h = points.groupBy(expr(famExpr).as("family"), col("series"),
-        expr(s"ts DIV $bucket").as("bucket"))
+    // family is a FUNCTION of series: derive it on the rollup (one
+    // regexp per (series, bucket) row), not per raw point — grouping
+    // by (series, bucket) first is the identical integer rollup, and
+    // the family total becomes a window sum over the rollup instead
+    // of a second aggregation + join (3 exchanges → 2, and the point
+    // stream never pays the regexp)
+    val h = points.groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
       .agg(sum(col("val")).as("x"))
-    val tot = h.groupBy(col("family"), col("bucket"))
-      .agg(sum(col("x")).as("total"))
-    h.join(tot, Seq("family", "bucket"))
+      .withColumn("family", expr(famExpr))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("family"), col("bucket"))
+    h.withColumn("total", sum(col("x")).over(w))
       .where(col("total") =!= 0L)
       .select(col("family"), col("series"), col("bucket"), col("x"),
         col("total"), expr("x * 1000000 DIV total").as("share_q6"))
@@ -68,9 +74,12 @@ object SeriesMath {
       maxLag: Int = 2, minBuckets: Long = 24L,
       groupExpr: String = "regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")
       : DataFrame = {
-    val h = points.groupBy(expr(groupExpr).as("grp"), col("series"),
-        expr(s"ts DIV $bucket").as("bucket"))
+    // grp is a function of series: derive it on the rollup (one
+    // regexp per rollup row), never per raw point (shareOfTotal's
+    // same cut — the rollup is bit-identical)
+    val h = points.groupBy(col("series"), expr(s"ts DIV $bucket").as("bucket"))
       .agg(sum(col("val")).as("x"))
+      .withColumn("grp", expr(groupExpr))
     val lags = (-maxLag to maxLag).map(l => s"${l}L").mkString(", ")
     val b = h.select(col("grp"), col("series"), col("bucket"), col("x"))
       .withColumn("lag", explode(expr(s"array($lags)")))

@@ -330,10 +330,16 @@ object Ann {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
       "each nprobe must be in [1, nlist]")
     val e = withNorm(emb)
-    val cent = trainCoarse(e, nlist, iters, trainMod)
+    // training and the exact-truth scan are independent eager chains:
+    // overlap them (Par.all) — the search-time settings stay lazy
+    // inside the one unioned query below, unchanged
+    val eager = Par.all[DataFrame](Seq(
+      () => trainCoarse(e, nlist, iters, trainMod),
+      () => cosineTopK(emb, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)))
+    val cent = eager(0)
+    val exact = eager(1)
     val assigned = coarseAssign(e, cent)
-    val exact = cosineTopK(emb, nQueries, k)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val truth = exact.agg(count(lit(1)).as("n_truth"))
     nprobes.map { p =>
       val scored = probeScored(assigned, cent, nQueries, p)
@@ -380,14 +386,23 @@ object Ann {
     require(nlists.nonEmpty && nlists.forall(_ >= 1), "nlists must be >= 1")
     require(probeFrac > 0.0 && probeFrac <= 1.0, "probeFrac in (0, 1]")
     val e = withNorm(emb)
-    val exact = cosineTopK(emb, nQueries, k)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    // the exact-truth scan and the per-nlist Lloyd chains are all
+    // independent eager materializations: submit them concurrently
+    // (Par.all) so the curve pays the longest chain, not the sum —
+    // per-setting retraining itself stays the operator's semantics
+    // (nlist is baked into the quantizer; PlanSpec pins the contrast)
+    val eager = Par.all[DataFrame](
+      (() => cosineTopK(emb, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)) +:
+      nlists.map(nl => () => trainCoarse(e, nl, iters, trainMod)))
+    val exact = eager.head
+    val cents = nlists.zip(eager.tail).toMap
     val truth = exact.agg(count(lit(1)).as("n_truth"))
     val nTrain = trainSample(e, trainMod)
       .agg(count(lit(1)).as("n_train_vectors"))
     nlists.map { nl =>
       val np = math.max(1, math.ceil(nl * probeFrac).toInt)
-      val cent = trainCoarse(e, nl, iters, trainMod)
+      val cent = cents(nl)
       val scored = probeScored(coarseAssign(e, cent), cent, nQueries, np)
       val scanned = scored.agg(count(lit(1)).as("n_scanned"))
       val hits = exact
@@ -681,9 +696,16 @@ object Ann {
     val e = withNorm(emb)
     val dim = emb.where(col("embedding").isNotNull)
       .select(size(col("embedding")).as("d")).head().getInt(0)
-    mList.map { m =>
-      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-      val per = pqSeQ9(pqSubs(e, m, dim / m), ks, iters, trainMod)
+    mList.foreach(m =>
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces"))
+    // the per-m Lloyd chains are independent (m is baked into the
+    // codebook geometry, nothing is shared past the normed frame):
+    // submit them concurrently so the curve's wall-clock is the
+    // longest training, not the sum (Par.all — each chain is
+    // deterministic in isolation, results are position-stable)
+    val pers = Par.all(mList.map(m =>
+      () => pqSeQ9(pqSubs(e, m, dim / m), ks, iters, trainMod)))
+    mList.zip(pers).map { case (m, per) =>
       per.agg(count(lit(1)).as("n_vectors"), sum(col("se")).as("sum_se_q9"),
           max(col("se")).as("max_se_q9"))
         .select(lit(m.toLong).as("m"), lit(ks.toLong).as("ks"),
@@ -1017,31 +1039,16 @@ object Ann {
     val d = dim / m
     // the coarse quantizer and the PQ codebooks are INDEPENDENT
     // trainings over the same corpus: submit both Lloyd loops
-    // concurrently so their (driver-synchronized, individually small)
-    // per-round jobs interleave instead of serializing — at any scale
-    // this halves the training wall-clock without changing a single
-    // result (each loop is deterministic in isolation)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.util.Try
-    // a dedicated 2-thread pool, not the shared global EC (library
-    // code must not contend for it), and BOTH trainings are awaited to
-    // completion even when one fails — awaiting only the failure would
-    // leave the sibling's Spark jobs running detached
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // concurrently (Par.all — the pattern this operator introduced,
+    // now shared by every tuning curve) so their per-round jobs
+    // interleave instead of serializing; each loop is deterministic
+    // in isolation, so no result changes
     val sv = pqSubs(e, m, d)
-    val (cent, book) =
-      try {
-        val centF = Future(Try(trainCoarse(e, nlist, iters, trainMod)))
-        val bookF = Future(Try(trainPq(sv, pqNlist, pqIters, trainMod)))
-        // the Try-wrapped futures always complete: await BOTH before
-        // unwrapping, so a failure never leaves the sibling detached
-        val centT = Await.result(centF, Duration.Inf)
-        val bookT = Await.result(bookF, Duration.Inf)
-        (centT.get, bookT.get)
-      } finally pool.shutdown()
+    val eager = Par.all[DataFrame](Seq(
+      () => trainCoarse(e, nlist, iters, trainMod),
+      () => trainPq(sv, pqNlist, pqIters, trainMod)))
+    val cent = eager(0)
+    val book = eager(1)
     val assigned = coarseAssign(e, cent).select(col("vec_id"), col("cell"))
     val codes = pqAssign(sv, book).select(col("vec_id"), col("sub"), col("cid"))
     // probe the nprobe nearest cells per query (tiny centroid table)
@@ -1448,10 +1455,14 @@ object Ann {
     require(reranks.nonEmpty && reranks.forall(_ >= k),
       "each rerank depth must be >= k (fewer candidates than results)")
     val e = withNorm(emb).where(col("embedding").isNotNull)
-    val cand = rankedHamming(e, reranks.max, nQueries)
-      .localCheckpoint(true)
-    val exact = cosineTopK(emb, nQueries, k)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    // the max-depth Hamming scan and the exact-truth scan are
+    // independent eager chains: overlap them (Par.all)
+    val eager = Par.all[DataFrame](Seq(
+      () => rankedHamming(e, reranks.max, nQueries).localCheckpoint(true),
+      () => cosineTopK(emb, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)))
+    val cand = eager(0)
+    val exact = eager(1)
     val truth = exact.agg(count(lit(1)).as("n_truth"))
     reranks.map { d =>
       val sel = cand.where(col("r") <= d)

@@ -855,8 +855,11 @@ object Dedup {
     // audit's dominant stage)
     val sh = shingles(slice, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = jaccardPairsFrom(sh, theta, maxDf)
-      .localCheckpoint(eager = true)
+    // the four graded paths are independent eager chains — the two
+    // Jaccard walks consume the persisted shingle frame, the SimHash
+    // and MinHash paths re-derive their own state from the slice —
+    // so they are submitted concurrently (Par.all) and the audit pays
+    // the longest path, not the sum of all four.
     // the capped-Jaccard column grades the EXACT family's own scale
     // knob (maxDf — hot shingles dropped from the inverted index): a
     // pair whose capped intersection falls below θ is the cap's real
@@ -865,22 +868,27 @@ object Dedup {
     // the uniform draw), so the graded cap scales proportionally —
     // max(1, jcMaxDf/mod) bites on the slice where jcMaxDf would on
     // the corpus in expectation; below the sample target the slice IS
-    // the corpus and the cap is exact
-    val jcaught = jaccardPairsFrom(sh, theta,
-        math.max(1L, jcMaxDf / mod))
-      .select(col("id_a"), col("id_b"), lit(1L).as("__jhit"))
-      .localCheckpoint(eager = true)
-    sh.unpersist(blocking = true)
-    val caught = simhashPairs(slice, maxDist, bands)
-      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    // the corpus and the cap is exact.
     // the MinHash column audits the operator whose recall knobs a
     // curation run actually tunes: the REAL banded-LSH path (signature
     // -> band buckets -> occupancy cap -> candidate join -> exact
     // verification) over the same slice — any banding or maxBucket
     // miss decrements mh_recall_q6 against the same truth set
-    val mcaught = minhashLshPairs(slice, n, mhHashes, mhBands, theta,
-        mhMaxBucket)
-      .select(col("id_a"), col("id_b"), lit(1L).as("__mhit"))
+    val eager = Par.all[DataFrame](Seq(
+      () => jaccardPairsFrom(sh, theta, maxDf).localCheckpoint(eager = true),
+      () => jaccardPairsFrom(sh, theta, math.max(1L, jcMaxDf / mod))
+        .select(col("id_a"), col("id_b"), lit(1L).as("__jhit"))
+        .localCheckpoint(eager = true),
+      () => simhashPairs(slice, maxDist, bands)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__hit")),
+      () => minhashLshPairs(slice, n, mhHashes, mhBands, theta,
+          mhMaxBucket)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__mhit"))))
+    sh.unpersist(blocking = true)
+    val truth = eager(0)
+    val jcaught = eager(1)
+    val caught = eager(2)
+    val mcaught = eager(3)
     truth.join(caught, Seq("id_a", "id_b"), "left")
       .join(mcaught, Seq("id_a", "id_b"), "left")
       .join(jcaught, Seq("id_a", "id_b"), "left")
@@ -997,15 +1005,19 @@ object Dedup {
     val slice = Adaptive.sliceAt(docs, "doc_id", mod)
     val sh = shingles(slice, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = jaccardPairsFrom(sh, theta, 0L).localCheckpoint(eager = true)
     val sigAgg = udaf(new PortableMinHashSig(numHashes))
-    val sig = sh
-      .withColumn("h0p", expr(
-        s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MH_P"))
-      .groupBy(col("doc_id")).agg(sigAgg(col("h0p")).as("sig"))
-      .localCheckpoint(eager = true)
+    // truth and signatures are independent consumers of the persisted
+    // shingle frame: materialize them concurrently (Par.all) so the
+    // prep pays the longer of the two chains, not their sum
+    val eager = Par.all[DataFrame](Seq(
+      () => jaccardPairsFrom(sh, theta, 0L).localCheckpoint(eager = true),
+      () => sh
+        .withColumn("h0p", expr(
+          s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $MH_P"))
+        .groupBy(col("doc_id")).agg(sigAgg(col("h0p")).as("sig"))
+        .localCheckpoint(eager = true)))
     sh.unpersist(blocking = true)
-    (truth, sig)
+    (eager(0), eager(1))
   }
 
   /** (doc_id, bpos, bkey) band keys over a portable signature frame:
@@ -1050,12 +1062,17 @@ object Dedup {
       "each bands setting must divide numHashes")
     val (truth, sig) = portableCurvePrep(docs, n, numHashes, theta,
       sampleMod, sampleTarget)
-    bandsList.map { bands =>
-      gradeCandidates(truth, portableBandKeys(sig, numHashes, bands))
-        .select(lit(bands.toLong).as("bands"),
-          lit((numHashes / bands).toLong).as("rows_per_band"), col("band"),
-          col("n_true"), col("n_caught"), col("recall_q6"),
-          col("n_candidates"))
+    // each setting's candidate checkpoint is an independent eager
+    // chain over the checkpointed signatures: run them concurrently
+    // (Par.all; results are position-stable, so the output rows and
+    // their order are unchanged)
+    val graded = Par.all(bandsList.map(bands =>
+      () => gradeCandidates(truth, portableBandKeys(sig, numHashes, bands))))
+    bandsList.zip(graded).map { case (bands, g) =>
+      g.select(lit(bands.toLong).as("bands"),
+        lit((numHashes / bands).toLong).as("rows_per_band"), col("band"),
+        col("n_true"), col("n_caught"), col("recall_q6"),
+        col("n_candidates"))
     }.reduce(_ unionAll _)
   }
 
@@ -1094,17 +1111,21 @@ object Dedup {
     // occupancy per bucket once — every cap filters the same table
     val occ = bk.groupBy(col("bpos"), col("bkey"))
       .agg(count(lit(1)).as("m")).localCheckpoint(eager = true)
-    caps.map { cap =>
+    // per-cap candidate checkpoints are independent eager chains over
+    // the checkpointed band keys/occupancies: run them concurrently
+    val graded = Par.all(caps.map { cap => () =>
       val kept =
         if (cap <= 0L) bk
         else bk.join(occ.where(col("m") > cap)
             .select(col("bpos"), col("bkey")),
           Seq("bpos", "bkey"), "left_anti")
       gradeCandidates(truth, kept)
-        .select(lit(cap).as("max_bucket"),
-          lit(bands.toLong).as("bands"), col("band"),
-          col("n_true"), col("n_caught"), col("recall_q6"),
-          col("n_candidates"))
+    })
+    caps.zip(graded).map { case (cap, g) =>
+      g.select(lit(cap).as("max_bucket"),
+        lit(bands.toLong).as("bands"), col("band"),
+        col("n_true"), col("n_caught"), col("recall_q6"),
+        col("n_candidates"))
     }.reduce(_ unionAll _)
   }
 

@@ -41,6 +41,41 @@ private[llm] object Adaptive {
     sliceAt(df, idCol, modulus(df, sampleMod, sampleTarget))
 }
 
+/** Concurrent submission of INDEPENDENT, individually-deterministic
+  * Spark materializations (guide-§2.6 "overlap independent jobs"):
+  * the tuning curves and audits build several per-setting chains
+  * (Lloyd trainings, candidate checkpoints, truth lists) whose eager
+  * jobs are many small sequential stages — submitted from one thread
+  * they serialize end to end and leave most executor slots idle, so
+  * wall-clock is the SUM of the chains; submitted from a small pool
+  * they interleave and wall-clock drops toward the longest chain.
+  * Each chain is deterministic in isolation (every result the curves
+  * consume is checkpointed/aggregated per chain), so concurrency
+  * cannot change a single output row — the [[Ann.ivfPqTopK]] dual-
+  * training pattern generalized.
+  *
+  * A dedicated pool per call (never the shared global EC — library
+  * code must not contend for it), and EVERY thunk is awaited even
+  * when one fails: awaiting only the failure would leave the
+  * siblings' Spark jobs running detached. */
+private[graft] object Par {
+  def all[T](thunks: Seq[() => T]): Seq[T] = {
+    if (thunks.size <= 1) thunks.map(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      import scala.util.Try
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = thunks.map(t => Future(Try(t())))
+        fs.map(Await.result(_, Duration.Inf)).map(_.get)
+      } finally pool.shutdown()
+    }
+  }
+}
+
 /** The deterministic embedding cell shared by the SemDeDup family
   * ([[Dedup.semanticPairs]]) and the kNN graph ([[Ann.knnJoin]]):
   * upstream k-means `label` × an adaptive sign-bit prefix sized so
