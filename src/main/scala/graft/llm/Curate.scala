@@ -78,23 +78,38 @@ object Curate {
   def sourceQualityReport(docs: DataFrame, n: Int = 3,
       theta: Double = 0.5, minFreq: Long = 2L,
       maxBucket: Long = 16L): DataFrame = {
-    val dup = Dedup.dupClusters(Dedup.minhashLshPairs(docs, n,
-        numHashes = 128, bands = 32, theta = theta, maxBucket = maxBucket))
-      .where(!col("keep")).select(col("doc_id"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy(col("source")).agg(count(lit(1)).as("dup_dups"))
-    val gates = TextStats.gopherGates(docs)
-      .select(col("doc_id"), col("passes"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"))
-      .select(col("source"), col("n_docs"), col("n_pass"),
-        expr("n_pass * 1000000L DIV n_docs").as("pass_rate_q6"))
-    val zipf = TextStats.zipfFit(docs, minFreq, keyCol = "source")
-    // both right sides are ≤ #sources rows; the dup stage ends in a
-    // localCheckpoint (no stats), so Catalyst would sort-merge it —
-    // say broadcast explicitly
+    // the three per-source rollups are INDEPENDENT corpus passes (the
+    // dup stage's eager MinHash+cluster chain, the gate scan, the
+    // Zipf vocabulary scan): materialize them concurrently (Par.all,
+    // each checkpointed at ≤ #sources rows) so the report pays the
+    // longest pass — the gate/Zipf scans back-fill the executor slots
+    // the dup chain's many small sequential stages leave idle. Each
+    // rollup is a deterministic aggregation, so the report's rows are
+    // unchanged.
+    val eager = Par.all[DataFrame](Seq(
+      () => Dedup.dupClusters(Dedup.minhashLshPairs(docs, n,
+          numHashes = 128, bands = 32, theta = theta, maxBucket = maxBucket))
+        .where(!col("keep")).select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("dup_dups"))
+        .localCheckpoint(true),
+      () => TextStats.gopherGates(docs)
+        .select(col("doc_id"), col("passes"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          expr("n_pass * 1000000L DIV n_docs").as("pass_rate_q6"))
+        .localCheckpoint(true),
+      () => TextStats.zipfFit(docs, minFreq, keyCol = "source")
+        .localCheckpoint(true)))
+    val dup = eager(0)
+    val gates = eager(1)
+    val zipf = eager(2)
+    // both right sides are ≤ #sources rows; checkpointed frames carry
+    // no stats, so Catalyst would sort-merge them — say broadcast
+    // explicitly
     gates.join(broadcast(zipf), Seq("source"), "left")
       .join(broadcast(dup), Seq("source"), "left")
       .withColumn("dup_dups", coalesce(col("dup_dups"), lit(0L)))

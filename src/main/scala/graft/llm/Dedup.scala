@@ -688,12 +688,18 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.unionByName(viaNeighbors)
+      // the convergence signal rides the round's OWN checkpoint: the
+      // (id, lbl, old) join materializes in the same job as the new
+      // labels (labels' id set is exactly next's — ids never appear
+      // or vanish mid-loop — so the inner join drops nothing), and
+      // the isEmpty check then scans checkpointed partitions instead
+      // of running a second join job per round
+      val step = labels.unionByName(viaNeighbors)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .where(col("lbl") < col("old")).isEmpty
-      labels = next
+      converged = step.where(col("lbl") < col("old")).isEmpty
+      labels = step.select(col("id"), col("lbl"))
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
