@@ -436,33 +436,66 @@ object Ann {
     * tiny centroid table + one narrow assignment pass + one partial-
     * aggregated groupBy — the textbook scalable k-means shape; the
     * centroid table never leaves executor-broadcast size. */
+  /** The collected nlist-row centroid table — the codebook-sized
+    * collect [[coarseAssign]] compiles into its per-row expression
+    * (the [[streamingIvfAssign]] pattern; centroid tables are
+    * broadcast-sized by construction, so this is a metadata-class
+    * read, never a data-path collect). Non-finite components would
+    * render as 'NaND'/'InfinityD' and fail the SQL parse far from the
+    * cause — fail HERE with the actual reason instead. */
+  private def collectCents(centroids: DataFrame): Array[(Int, Seq[Double], Double)] = {
+    val cents = centroids.select(col("cell"), col("cv"), col("cnrm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "coarse assignment needs a trained centroid table")
+    require(cents.forall { case (_, cv, cnrm) =>
+      java.lang.Double.isFinite(cnrm) && cv.forall(java.lang.Double.isFinite)
+    }, "coarse assignment: centroid table contains non-finite " +
+      "components (corrupt or zero-norm training corpus?)")
+    cents
+  }
+
   /** Nearest-centroid assignment by round-9 cosine, ties → lowest
-    * cell. argmax by max_by over the broadcast-expanded (vec, cell)
-    * rows: partial aggregation collapses the nlist-way expansion
-    * map-side, so nothing vector-sized shuffles beyond one row per
-    * vec_id (a row_number window here would shuffle corpus × nlist
-    * rows). */
-  private def coarseAssign(e: DataFrame, centroids: DataFrame): DataFrame = e
-    .crossJoin(broadcast(centroids))
+    * cell — a pure NARROW map, no shuffle: the nlist-row centroid
+    * table is collected once and compiled into a greatest() over
+    * per-cell (csim, -cell) structs against literal centroid arrays
+    * (Double.toString round-trips exactly, so the compiled literals
+    * are bit-identical to the trained centroids; graft_dot is the
+    * same sequential fold as the zip_with HOF, so every csim is
+    * bit-identical to the previous broadcast-join + max_by form —
+    * StreamingSpec pins exactly this equivalence for the streaming
+    * twin). The previous shape expanded every vector nlist-way and
+    * re-shuffled one (vec_id, v, nrm) row per vector through a
+    * groupBy: at 100 TB that exchange moves the whole corpus's
+    * vector payloads once per assignment pass; this form moves
+    * nothing. */
+  private def coarseAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCents(centroids)
     // a zero-norm side (possible for PQ SUBvectors — a block-sparse
     // vector's subspace slice can be exactly zero) has no cosine:
     // score it -2, below any real similarity, so assignment stays
     // deterministic (ties → lowest cell). Unguarded, the 0/0 double
     // divide yields NaN (double division never ANSI-faults), and a
-    // NaN csim would win max_by nondeterministically.
+    // NaN csim would win the comparison nondeterministically.
     // The oracle replays omit the branch: the shipped embedding
     // corpora have no zero-norm (sub)vectors, so it is unreachable
     // there — it exists for corpora that do.
-    .withColumn("csim", when(col("nrm") * col("cnrm") === 0d, lit(-2d))
-      .otherwise(round(
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (col("nrm") * col("cnrm")), 9)))
-    .groupBy(col("vec_id"))
-    .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-      // highest csim, ties → lowest cell (the -cell struct field)
-      max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc")))
-        .as("cell"))
-    .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val structs = cents.map { case (cell, cv, cnrm) =>
+      val cvLit = cv.map(x => s"${x}D").mkString("array(", ", ", ")")
+      struct(
+        when(col("nrm") * lit(cnrm) === 0d, lit(-2d))
+          .otherwise(round(expr(s"graft_dot(v, $cvLit)") /
+            (col("nrm") * lit(cnrm)), 9)).as("s"),
+        lit(-cell).as("nc"))
+    }
+    val best =
+      if (structs.length == 1) structs.head
+      else greatest(structs.toIndexedSeq: _*)
+    e.withColumn("__best", best)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("__best.nc")).as("cell"))
+  }
 
   /** Distributed spherical k-means over a normed corpus — returns the
     * trained (cell, cv, cnrm) centroid table (nlist rows). Centroids
@@ -917,7 +950,12 @@ object Ann {
 
   /** Nearest codebook entry per (vec, sub) by rounded L2, ties →
     * lowest cid; min_by keeps the m-way-expanded rows collapsing
-    * map-side. */
+    * map-side. (A literal-compiled narrow-map form — the
+    * [[coarseAssign]] shape — was measured SLOWER here: the L2
+    * distance has no native codegen'd expression like graft_dot, and
+    * a zip_with fold over per-sub literal arrays inside a CASE chain
+    * leaves whole-stage codegen, so the r17 optimization round
+    * reverted it; see OPTIMIZATION_r17.md.) */
   private def pqAssign(sv: DataFrame, bk: DataFrame): DataFrame = sv
     .join(broadcast(bk.select(col("sub"), col("cid"), col("cv"))), Seq("sub"))
     .withColumn("dist", round(expr(
