@@ -172,14 +172,19 @@ object Bench {
       if (times.isEmpty) None
       else Some((name, times(times.size / 2), times.last - times.head))
     }
-    // the round driver captures only the LAST 2000 chars of output, so
-    // the layout is tail-critical: spreads go on their own EARLIER
-    // line (diagnostic, truncation-tolerated), and the final contract
-    // line ends with a compact fixed-order median ARRAY ("q", indexed
-    // by graft.Bench.headline) + metadata — ~850 chars, so every
-    // entry's median survives in the captured tail even though the
-    // full name→median map ("queries", kept for untruncated parsing)
-    // overflows the window (BENCH_r12 lost the first ~50 entries).
+    // the round driver parses the LAST JSON line of stdout and keeps
+    // only the final ~2000 chars of output, so the layout is
+    // tail-critical: the full name→median map ("queries", ~6 KB at
+    // 149 entries) goes on its own EARLIER line for untruncated
+    // parsers, and the FINAL line is a self-contained ≤ ~1800-char
+    // JSON object — the compact fixed-order median ARRAY ("q",
+    // indexed by graft.Bench.headline) + total + metadata. Rounds
+    // 14-17 put the map and the array on ONE line: the line grew past
+    // the capture window, the driver's parser saw a string starting
+    // mid-JSON, and PERF per_query ran blind (parsed: null) four
+    // rounds straight — VERDICT r17 "What's wrong" #1 prescribes
+    // exactly this split. No number changed: same medians, same
+    // order, same action, one line break moved.
     def f3(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     val qjson = results.map { case (k, med, _) => "\"" + k + "\":" + f3(med) }
       .mkString("{", ",", "}")
@@ -191,11 +196,11 @@ object Bench {
     val arr = headline.map(n => med.get(n).map(f3).getOrElse("null"))
       .mkString("[", ",", "]")
     println(s"""{"metric":"spread","unit":"sec","spread":$sjson,"note":"max-min over $reps reps per entry; per-query value = median; action = bit_xor(xxhash64(all columns)): full materialization, overflow-free"}""")
-    // "value" (the headline total) sits AFTER the large "queries" map
-    // and the "q" array: the tail capture keeps the END of the line,
-    // so the total must land inside the final ~900 chars, not before
-    // the map that overflows the window (round-13 lost it).
-    println(s"""{"metric":"total","unit":"sec","queries":$qjson,"q":$arr,"value":$total,"order":"graft.Bench.headline","reps":$reps,"sf":"$sfDir","failed":$failedJson}""")
+    println(s"""{"metric":"total_by_name","unit":"sec","queries":$qjson,"note":"full name->median map; final line carries the same medians as the fixed-order q array"}""")
+    val line = s"""{"metric":"total","unit":"sec","q":$arr,"value":$total,"order":"graft.Bench.headline","reps":$reps,"sf":"$sfDir","failed":$failedJson}"""
+    if (line.length > 1800) System.err.println(
+      s"BENCH WARNING: contract line ${line.length} chars > 1800 — trim metadata or the q array precision before the driver's capture window truncates it")
+    println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -85,6 +85,15 @@ object Tables {
             classOf[graft.functions.DotProduct].getName, "graft_dot"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.DotProduct(children(0), children(1))))
+        // native codegen'd squared-L2 — the PQ assigner's inner loop
+        // (graft.functions.SquaredDistance; same HOF-fold equivalence
+        // contract as graft_dot)
+        ext.injectFunction((
+          new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dist2"),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[graft.functions.SquaredDistance].getName, "graft_dist2"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.SquaredDistance(children(0), children(1))))
         ext.injectFunction((
           new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_sigs"),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -28,7 +28,9 @@ object Correlate {
   /** (series_a, series_b, n, r_q6) for every series pair sharing
     * >= minBuckets `bucket`-second rollup buckets.
     *
-    * `groupExpr` (SQL over the point columns, e.g. a metric-family
+    * `groupExpr` (SQL over `series` ONLY — it is evaluated on the
+    * (series, bucket) rollup, where ts/val no longer exist, so an
+    * expression over them fails analysis; e.g. a metric-family
     * prefix of `series`) blocks the pairing: only series in the SAME
     * group pair, so the per-bucket fan-out drops from S² to
     * Σ groupSize² — the blocking that keeps correlation discovery

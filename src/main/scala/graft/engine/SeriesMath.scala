@@ -20,8 +20,10 @@ object SeriesMath {
 
   /** Share-of-family: each series' per-bucket fraction of its metric
     * family's total — "what fraction of cluster CPU is this host",
-    * the binary `a / sum(group)` form of series math. `famExpr` (SQL
-    * over the point columns) names the family; the rollup joins its
+    * the binary `a / sum(group)` form of series math. `famExpr` names
+    * the family and MUST be a function of `series` only (it is
+    * evaluated on the (series, bucket) rollup, where ts/val no longer
+    * exist — an expression over them fails analysis); the rollup joins its
     * own per-(family, bucket) totals on the SAME key it was grouped
     * by, so the join is co-partitioned and shuffle-free after the two
     * aggregations (the totals side is family-cardinality tiny —
@@ -70,6 +72,9 @@ object SeriesMath {
     * does NOT buy headroom here (n shrinks but the sums grow in step);
     * the remedies are a shorter time range or pre-scaled values
     * (val DIV s before the rollup). */
+  /** `groupExpr` must be a function of `series` only — it is
+    * evaluated on the (series, bucket) rollup (see [[shareOfTotal]]),
+    * so an expression over ts/val fails analysis. */
   def laggedPearson(points: DataFrame, bucket: Long = 3600L,
       maxLag: Int = 2, minBuckets: Long = 24L,
       groupExpr: String = "regexp_extract(series, '^[^.]+\\\\.[^.]+', 0)")

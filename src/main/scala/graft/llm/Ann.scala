@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,7 +25,7 @@ object Ann {
   def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
   /** Sequential-fold dot product via the native codegen'd expression
     * (graft.functions.DotProduct, registered by
@@ -254,7 +254,7 @@ object Ann {
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"),
       col("label").as("cell"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     probeAndScore(e, centroidsOf(e), nQueries, k, nprobe)
   }
 
@@ -268,7 +268,7 @@ object Ann {
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
       .groupBy(col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cv"))
-      .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
+      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
 
   /** IVF probe + exact scoring over a cell-assigned corpus: each query
     * scores only the `nprobe` cells whose centroids are nearest. */
@@ -294,7 +294,7 @@ object Ann {
     // probe selection must not hinge on the last ulp of the dot
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("csim", round(
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+        expr("graft_dot(qv, cv)") /
           (col("qn") * col("cnrm")), 9))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nprobe)
@@ -386,15 +386,27 @@ object Ann {
     require(nlists.nonEmpty && nlists.forall(_ >= 1), "nlists must be >= 1")
     require(probeFrac > 0.0 && probeFrac <= 1.0, "probeFrac in (0, 1]")
     val e = withNorm(emb)
+    // the per-nlist Lloyd chains all train on the SAME trainMod
+    // sample: persist it ONCE here and run the chains on trainCoarseOn
+    // (per-chain trainCoarse persists collide — CacheManager keys by
+    // canonicalized plan, so the siblings share one cache entry and
+    // the first finisher's unpersist would evict it mid-training for
+    // the rest), released after every chain has returned
+    val doPersist = trainMod > 1
+    val te0 = trainSample(e, trainMod)
+    val te = if (doPersist)
+      te0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else te0
     // the exact-truth scan and the per-nlist Lloyd chains are all
     // independent eager materializations: submit them concurrently
     // (Par.all) so the curve pays the longest chain, not the sum —
     // per-setting retraining itself stays the operator's semantics
     // (nlist is baked into the quantizer; PlanSpec pins the contrast)
-    val eager = Par.all[DataFrame](
+    val eager = try Par.all[DataFrame](
       (() => cosineTopK(emb, nQueries, k)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)) +:
-      nlists.map(nl => () => trainCoarse(e, nl, iters, trainMod)))
+      nlists.map(nl => () => trainCoarseOn(te, nl, iters, trainMod)))
+    finally if (doPersist) te.unpersist(blocking = true)
     val exact = eager.head
     val cents = nlists.zip(eager.tail).toMap
     val truth = exact.agg(count(lit(1)).as("n_truth"))
@@ -456,22 +468,49 @@ object Ann {
     cents
   }
 
+  /** Literal-compile budget for the narrow-map assigners
+    * ([[coarseAssign]], [[pqAssign]]): the maximum number of compiled
+    * double literals (#codebook entries × their dim) before the
+    * assigner falls back to the broadcast-join + max_by/min_by form.
+    * The compiled form is ideal at codebook sizes (zero shuffle,
+    * whole-stage codegen), but its expression grows O(entries·dim):
+    * past a few thousand literals the generated compare chain risks
+    * Janino's 64 KB method limit — Spark falls back to INTERPRETED
+    * evaluation, silently slower than the join it replaced — and at
+    * 100 TB-scale settings (nlist ≈ √N, thousands of cells) the
+    * driver would pay a multi-megabyte expression re-analysis per
+    * Lloyd round. 4096 sits comfortably above every shipped setting
+    * (coarse: nlist ≤ 16 × dim 64 = 1024; PQ: m·ks·d ≤ 1024) and
+    * comfortably below the codegen cliff, so sf plans are unchanged
+    * and large-nlist callers get the join shape that actually scales.
+    * AnnSpec pins that both forms assign identically across the
+    * threshold. */
+  private[graft] val compiledAssignBudget = 4096
+
   /** Nearest-centroid assignment by round-9 cosine, ties → lowest
     * cell — a pure NARROW map, no shuffle: the nlist-row centroid
     * table is collected once and compiled into a greatest() over
     * per-cell (csim, -cell) structs against literal centroid arrays
-    * (Double.toString round-trips exactly, so the compiled literals
-    * are bit-identical to the trained centroids; graft_dot is the
-    * same sequential fold as the zip_with HOF, so every csim is
-    * bit-identical to the previous broadcast-join + max_by form —
-    * StreamingSpec pins exactly this equivalence for the streaming
-    * twin). The previous shape expanded every vector nlist-way and
-    * re-shuffled one (vec_id, v, nrm) row per vector through a
-    * groupBy: at 100 TB that exchange moves the whole corpus's
-    * vector payloads once per assignment pass; this form moves
-    * nothing. */
-  private def coarseAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    * (the literals are the collected doubles themselves, bit-identical
+    * to the trained centroids; graft_dot is the same sequential fold
+    * as the zip_with HOF, so every csim is bit-identical to the
+    * broadcast-join + max_by form — StreamingSpec pins exactly this
+    * equivalence for the streaming twin). The join shape expanded
+    * every vector nlist-way and re-shuffled one (vec_id, v, nrm) row
+    * per vector through a groupBy: at 100 TB that exchange moves the
+    * whole corpus's vector payloads once per assignment pass; the
+    * compiled form moves nothing. Codebooks over
+    * [[compiledAssignBudget]] literals keep the join shape — see the
+    * budget's docstring. */
+  private[graft] def coarseAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = collectCents(centroids)
+    if (cents.length.toLong * cents.head._2.size <= compiledAssignBudget)
+      coarseAssignCompiled(e, cents)
+    else coarseAssignJoin(e, centroids)
+  }
+
+  private[graft] def coarseAssignCompiled(e: DataFrame,
+      cents: Array[(Int, Seq[Double], Double)]): DataFrame = {
     // a zero-norm side (possible for PQ SUBvectors — a block-sparse
     // vector's subspace slice can be exactly zero) has no cosine:
     // score it -2, below any real similarity, so assignment stays
@@ -481,11 +520,14 @@ object Ann {
     // The oracle replays omit the branch: the shipped embedding
     // corpora have no zero-norm (sub)vectors, so it is unreachable
     // there — it exists for corpora that do.
+    // Columns are built directly (array(lit(x)…) + call_function), not
+    // string-rendered SQL: same expression tree, none of the per-call
+    // re-parse cost a multi-round Lloyd driver would otherwise pay.
     val structs = cents.map { case (cell, cv, cnrm) =>
-      val cvLit = cv.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val cvLit = array(cv.map(lit).toIndexedSeq: _*)
       struct(
         when(col("nrm") * lit(cnrm) === 0d, lit(-2d))
-          .otherwise(round(expr(s"graft_dot(v, $cvLit)") /
+          .otherwise(round(call_function("graft_dot", col("v"), cvLit) /
             (col("nrm") * lit(cnrm)), 9)).as("s"),
         lit(-cell).as("nc"))
     }
@@ -496,6 +538,24 @@ object Ann {
       .select(col("vec_id"), col("v"), col("nrm"),
         (-col("__best.nc")).as("cell"))
   }
+
+  /** The broadcast-expand + map-side max_by assignment shape — the
+    * over-budget fallback (see [[compiledAssignBudget]]): partial
+    * aggregation collapses the nlist-way expansion map-side, so
+    * nothing vector-sized shuffles beyond one row per vec_id. Same
+    * round-9 cosine, same -2 zero-norm guard, same lowest-cell
+    * tie-break — bit-identical output to the compiled form. */
+  private[graft] def coarseAssignJoin(e: DataFrame,
+      centroids: DataFrame): DataFrame = e
+    .crossJoin(broadcast(centroids))
+    .withColumn("csim", when(col("nrm") * col("cnrm") === 0d, lit(-2d))
+      .otherwise(round(call_function("graft_dot", col("v"), col("cv")) /
+        (col("nrm") * col("cnrm")), 9)))
+    .groupBy(col("vec_id"))
+    .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+      max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc")))
+        .as("cell"))
+    .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
 
   /** Distributed spherical k-means over a normed corpus — returns the
     * trained (cell, cv, cnrm) centroid table (nlist rows). Centroids
@@ -536,9 +596,25 @@ object Ann {
     val te = if (doPersist)
       te0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else te0
+    try trainCoarseOn(te, nlist, iters, trainMod)
+    finally if (doPersist) te.unpersist(blocking = true)
+  }
+
+  /** The Lloyd loop over an ALREADY-PREPARED training sample, with no
+    * persist management of its own — split out so concurrent
+    * multi-nlist callers ([[nlistCurve]]) can persist the sample ONCE
+    * and share it. Inside [[trainCoarse]] each call owned its persist,
+    * but Spark's CacheManager keys cache entries by canonicalized
+    * plan: concurrent trainCoarse siblings over the same trainMod all
+    * mapped to ONE shared entry, and the first chain to finish
+    * unpersisted it (blocking) out from under the still-training
+    * rest, silently re-scanning the embedding parquet every remaining
+    * Lloyd round — exactly the cost the persist exists to avoid. */
+  private def trainCoarseOn(te: DataFrame, nlist: Int, iters: Int,
+      trainMod: Int): DataFrame = {
     var cent = te.where(col("vec_id") < nlist.toLong * trainMod)
       .select(expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cell"), col("v").as("cv"))
-      .withColumn("cnrm", expr("sqrt(aggregate(cv, 0D, (a, x) -> a + x * x))"))
+      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
     for (_ <- 1 to iters) {
       val next = centroidsOf(coarseAssign(te, cent))
       // empty cells keep their previous centroid (deterministic in
@@ -553,7 +629,6 @@ object Ann {
           coalesce(col("n.cnrm"), col("o.cnrm")).as("cnrm"))
         .localCheckpoint(true)
     }
-    if (doPersist) te.unpersist(blocking = true)
     cent
   }
 
@@ -611,7 +686,7 @@ object Ann {
   def quantizedTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val recon = int8Codes(emb)
       .select(col("vec_id"), expr("transform(qv, c -> c * scale)").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val q = withNorm(emb).where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -948,18 +1023,81 @@ object Ann {
         s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $d + 1, $d))"))
         .as(Seq("sub", "sv")))
 
+  /** The collected (sub, cid, cv) codebook — the m·ks-row collect
+    * [[pqAssign]] compiles into its per-row expression (the
+    * [[collectCents]] pattern: codebooks are broadcast-sized by
+    * construction, so this is a metadata-class read). Non-finite
+    * components fail HERE with the actual reason. */
+  private def collectBook(bk: DataFrame): Array[(Int, Int, Seq[Double])] = {
+    val entries = bk.select(col("sub"), col("cid"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(e => (e._1, e._2))
+    require(entries.nonEmpty, "PQ assignment needs a trained codebook")
+    require(entries.forall(_._3.forall(java.lang.Double.isFinite)),
+      "PQ assignment: codebook contains non-finite components " +
+        "(corrupt training corpus?)")
+    entries
+  }
+
   /** Nearest codebook entry per (vec, sub) by rounded L2, ties →
-    * lowest cid; min_by keeps the m-way-expanded rows collapsing
-    * map-side. (A literal-compiled narrow-map form — the
-    * [[coarseAssign]] shape — was measured SLOWER here: the L2
-    * distance has no native codegen'd expression like graft_dot, and
-    * a zip_with fold over per-sub literal arrays inside a CASE chain
-    * leaves whole-stage codegen, so the r17 optimization round
-    * reverted it; see OPTIMIZATION_r17.md.) */
-  private def pqAssign(sv: DataFrame, bk: DataFrame): DataFrame = sv
+    * lowest cid — a pure NARROW map, no shuffle (the [[coarseAssign]]
+    * shape): the m·ks-row codebook is collected once and compiled
+    * into a per-sub least() over (dist, cid) structs against literal
+    * centroid arrays, branch-selected by the `sub` column. The r17
+    * round measured this literal-compile 3× SLOWER without a native
+    * L2 kernel (a zip_with fold over literal arrays inside a CASE
+    * chain leaves whole-stage codegen) and reverted it; graft_dist2
+    * (graft.functions.SquaredDistance — the graft_dot of squared L2,
+    * bit-identical to the HOF's sequential fold) is that kernel, so
+    * the compile now wins: the broadcast-join shape expanded every
+    * subvector ks-way and collapsed it through a min_by groupBy —
+    * per assignment pass (every Lloyd round, every code pass) the
+    * m-exploded corpus crossed a partial-agg boundary; this form
+    * moves nothing. least() over (round-9 dist, cid) structs is the
+    * same lexicographic min as min_by(cid, struct(dist, cid)), so
+    * codes are bit-identical. Codebooks over [[compiledAssignBudget]]
+    * literals keep the join shape (same rationale as coarseAssign). */
+  private[graft] def pqAssign(sv: DataFrame, bk: DataFrame): DataFrame = {
+    val entries = collectBook(bk)
+    if (entries.length.toLong * entries.head._3.size <= compiledAssignBudget)
+      pqAssignCompiled(sv, entries)
+    else pqAssignJoin(sv, bk)
+  }
+
+  private[graft] def pqAssignCompiled(sv: DataFrame,
+      entries: Array[(Int, Int, Seq[Double])]): DataFrame = {
+    def bestOf(cells: Array[(Int, Int, Seq[Double])]): Column = {
+      val structs = cells.map { case (_, cid, cv) =>
+        val cvLit = array(cv.map(lit).toIndexedSeq: _*)
+        struct(
+          round(call_function("graft_dist2", col("sv"), cvLit), 9).as("d"),
+          lit(cid).as("c"))
+      }
+      if (structs.length == 1) structs.head
+      else least(structs.toIndexedSeq: _*)
+    }
+    val bySub = entries.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, cells) => (s, bestOf(cells)) }
+    // branch on the band-constant `sub`: one least() chain per
+    // subspace, the last as the default branch (sub values are
+    // exactly the codebook's by construction)
+    val best = bySub.init.foldRight(bySub.last._2) {
+      case ((s, b), acc) => when(col("sub") === lit(s), b).otherwise(acc)
+    }
+    sv.withColumn("__best", best)
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("__best.c").as("cid"))
+  }
+
+  /** The broadcast-join + map-side min_by assignment shape — the
+    * over-budget fallback (see [[compiledAssignBudget]]): min_by
+    * keeps the ks-way-expanded rows collapsing map-side. Same
+    * round-9 L2, same lowest-cid tie-break — bit-identical codes. */
+  private[graft] def pqAssignJoin(sv: DataFrame, bk: DataFrame): DataFrame = sv
     .join(broadcast(bk.select(col("sub"), col("cid"), col("cv"))), Seq("sub"))
-    .withColumn("dist", round(expr(
-      "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"), 9))
+    .withColumn("dist",
+      round(call_function("graft_dist2", col("sv"), col("cv")), 9))
     .groupBy(col("vec_id"), col("sub"))
     .agg(first(col("sv")).as("sv"),
       min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
@@ -994,7 +1132,15 @@ object Ann {
       // (or another engine's fold) order the members. A raw avg()
       // here was the repo's last engine-folded double feeding the
       // q9-floored distortion audit (VERDICT r14 What's-wrong #2).
-      val next = pqAssign(tsv, books)
+      // Lloyd rounds assign the trainMod-BOUNDED sample, not the
+      // corpus: the join's sample-sized expansion is cheap there,
+      // while the compiled form would pay a collect + a fresh
+      // codebook-sized codegen per round (measured +38% on the
+      // 3-concurrent-chain pq curve at sf0.1) — the narrow map is
+      // reserved for the corpus-wide assignments, where the exchange
+      // it removes is corpus-sized (ann_pq_curve solo 2.8 s either
+      // way at sf0.1; the split wins on both ends)
+      val next = pqAssignJoin(tsv, books)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cid"), col("pos"))
         .agg(expr("CAST(sum(CAST(floor(x * 1073741824D) AS BIGINT)) AS DOUBLE)" +
@@ -1009,7 +1155,7 @@ object Ann {
     }
     if (doPersist) tsv.unpersist(blocking = true)
     books.withColumn("cn2q", expr(
-      "CAST(round(aggregate(cv, 0D, (a, x) -> a + x * x) * 1073741824D) AS BIGINT)"))
+      "CAST(round(graft_dot(cv, cv) * 1073741824D) AS BIGINT)"))
   }
 
   /** ADC scoring of a (…, vec_id, sub, cid) code stream: per-subspace
@@ -1024,7 +1170,7 @@ object Ann {
       Seq("sub", "cid"))
     .join(broadcast(qsubs), Seq("query_id", "sub"))
     .withColumn("pdq", expr(
-      "CAST(round(aggregate(zip_with(qsv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x) * 1073741824D) AS BIGINT)"))
+      "CAST(round(graft_dot(qsv, cv) * 1073741824D) AS BIGINT)"))
     .groupBy(col("query_id"), col("vec_id"))
     .agg(sum(col("pdq")).as("pd"), sum(col("cn2q")).as("rn2"),
       first(col("qn")).as("qn"))
@@ -1096,7 +1242,7 @@ object Ann {
       .orderBy(col("csim").desc, col("cell").asc)
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("csim", round(
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+        expr("graft_dot(qv, cv)") /
           (col("qn") * col("cnrm")), 9))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nprobe)
@@ -1190,7 +1336,7 @@ object Ann {
       .select(col("vec_id"),
         expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS double))")
           .as("t"))
-      .withColumn("n", expr("sqrt(aggregate(t, 0D, (a, x) -> a + x * x))"))
+      .withColumn("n", expr("sqrt(graft_dot(t, t))"))
       .select(col("vec_id"), posexplode(expr(
         "transform(t, x -> CASE WHEN n = 0D THEN 0D ELSE round(x / n, 6) END)"))
         .as(Seq("pos", "x")))
@@ -1302,7 +1448,7 @@ object Ann {
     // moment aggregation and the final join — materialize it once
     val dist = e.join(broadcast(cents), Seq("label"))
       .withColumn("dist", round(expr(
-        "sqrt(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"), 6))
+        "sqrt(graft_dist2(v, cv))"), 6))
       .select(col("vec_id"), col("label"),
         col("dist"), expr("CAST(floor(dist * 1000D + 0.5D) AS BIGINT)").as("di"))
       .localCheckpoint(true)
@@ -1350,9 +1496,8 @@ object Ann {
     }, "streamingIvfAssign: centroid table contains non-finite " +
       "components (corrupt or zero-norm training corpus?)")
     val v = expr("transform(embedding, x -> CAST(x AS double))")
-    val nrm = expr(
-      "sqrt(aggregate(transform(embedding, x -> CAST(x AS double)), 0D, (a, x) -> a + x * x))")
-    val withV = vectors.withColumn("__v", v).withColumn("__nrm", nrm)
+    val withV = vectors.withColumn("__v", v)
+      .withColumn("__nrm", expr("sqrt(graft_dot(__v, __v))"))
     // per-cell (csim, -cell) structs against literal centroid arrays —
     // Double.toString round-trips exactly, so the compiled literals
     // are bit-identical to the trained centroids; the dot is the same

@@ -65,7 +65,14 @@ private[graft] object Par {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       import scala.util.Try
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      // cap the pool: curve grids are caller-supplied on public APIs,
+      // and N concurrent eager checkpoint chains each materialize
+      // corpus-scale stages — an uncapped width oversubscribes the
+      // scheduler and executor memory with no backpressure. Results
+      // are position-stable regardless of pool width, so the cap is
+      // pure admission control.
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(thunks.size, 8))
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       try {
@@ -101,7 +108,7 @@ private[llm] object Cells {
         "x -> CASE WHEN x >= 0 THEN 1L ELSE 0L END), 0L, (a, x) -> a * 2 + x)")
     emb.select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .withColumn("cell", col("label").cast("long") * (1L << bits) + prefix)
   }
 }

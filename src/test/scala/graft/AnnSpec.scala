@@ -579,4 +579,88 @@ class AnnSpec extends AnyFunSuite {
     assert(out(0L) === ((5L, 5L, Some(math.floor(z * 1e6).toLong))), out.toString)
     assert(out(1L) === ((5L, 5L, None)), "constant dim has no variance")
   }
+
+  test("graft_dist2 equals the zip_with squared-L2 fold bit-for-bit; NULL on mismatched dimensions") {
+    val df = Seq(
+      (Array(1.0, 2.5, -3.0), Array(4.0, -5.5, 6.25)), // matched
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0))          // malformed: NULL
+    ).toDF("a", "b")
+    val out = df.select(
+      expr("graft_dist2(a, b)").as("d2"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+        .as("hof")).collect()
+    assert(java.lang.Double.doubleToLongBits(out(0).getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(out(0).getDouble(1)),
+      "native kernel must reproduce the HOF's sequential fold exactly")
+    assert(out(1).isNullAt(0), "graft_dist2 must not truncate to the shorter array")
+    assert(out(1).isNullAt(1)) // the documented-equivalent HOF agrees
+  }
+
+  test("coarseAssign: compiled and join forms agree; an over-budget codebook dispatches to the join shape and still assigns correctly") {
+    val e = Ann.withNorm(corpus)
+    // trained in-budget codebook: the two forms must agree cell-for-cell
+    val cent = Ann.trainCentroids(corpus, nlist = 6, iters = 2)
+      .localCheckpoint(true)
+    val cents = cent.select(col("cell"), col("cv"), col("cnrm")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val compiled = cellsOf(Ann.coarseAssignCompiled(e, cents))
+    val joined = cellsOf(Ann.coarseAssignJoin(e, cent))
+    assert(compiled === joined)
+    assert(compiled.size === 120)
+    // synthetic 300-cell × 16-dim codebook (4800 literals > the 4096
+    // budget): the dispatcher must take the join shape — and its
+    // assignment must still match the compiled form's output
+    assert(300 * 16 > Ann.compiledAssignBudget)
+    val bigRows = (0 until 300).map { c =>
+      val cv = Array.tabulate(16)(d =>
+        (((c * 13 + d * 7) % 29) - 14) / 10.0 + (if (d % 6 == c % 6) 1.0 else 0.0))
+      (c, cv, math.sqrt(cv.map(x => x * x).sum))
+    }
+    val bigCent = bigRows.toDF("cell", "cv", "cnrm")
+    val viaDispatch = Ann.coarseAssign(e, bigCent)
+    assert(viaDispatch.queryExecution.analyzed.toString.contains("max_by"),
+      "over-budget codebook must keep the broadcast-join + max_by shape")
+    val bigCents = bigRows.map { case (c, cv, n) => (c, cv.toSeq, n) }.toArray
+    assert(cellsOf(viaDispatch) === cellsOf(Ann.coarseAssignCompiled(e, bigCents)))
+  }
+
+  test("pqAssign: compiled and join forms pick identical codes, ties to the lowest cid") {
+    // synthetic subvector stream (2 subs × 8 dims) with an EXACT-tie
+    // vector: cells 0 and 1 of sub 0 are equidistant from it
+    val sv = Seq(
+      (0L, 1.0, 0, Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (0L, 1.0, 1, Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, 1.0, 0, Array(0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)), // tie: cid 0 vs 1
+      (1L, 1.0, 1, Array(0.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (2L, 1.0, 0, Array(-1.0, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (2L, 1.0, 1, Array(0.0, 0.0, 0.0, 0.75, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "nrm", "sub", "sv")
+    val bk = Seq(
+      (0, 0, Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (0, 1, Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1, 0, Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1, 1, Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("sub", "cid", "cv")
+    val entries = bk.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(x => (x._1, x._2))
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("sub"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val compiled = codesOf(Ann.pqAssignCompiled(sv, entries))
+    val joined = codesOf(Ann.pqAssignJoin(sv, bk))
+    assert(compiled === joined)
+    // the planted tie resolves to the LOWEST cid in both forms
+    assert(compiled.contains((1L, 0, 0)))
+    // in-budget dispatch takes the compiled (narrow-map, no-shuffle)
+    // shape: no aggregation in the plan
+    assert(4 * 8 <= Ann.compiledAssignBudget)
+    assert(!Ann.pqAssign(sv, bk).queryExecution.analyzed.toString
+      .contains("min_by"),
+      "in-budget codebook must compile to the narrow map, not the join")
+  }
 }
