@@ -468,23 +468,23 @@ object Ann {
     cents
   }
 
-  /** Literal-compile budget for the narrow-map assigners
-    * ([[coarseAssign]], [[pqAssign]]): the maximum number of compiled
-    * double literals (#codebook entries × their dim) before the
-    * assigner falls back to the broadcast-join + max_by/min_by form.
-    * The compiled form is ideal at codebook sizes (zero shuffle,
-    * whole-stage codegen), but its expression grows O(entries·dim):
-    * past a few thousand literals the generated compare chain risks
-    * Janino's 64 KB method limit — Spark falls back to INTERPRETED
-    * evaluation, silently slower than the join it replaced — and at
-    * 100 TB-scale settings (nlist ≈ √N, thousands of cells) the
-    * driver would pay a multi-megabyte expression re-analysis per
-    * Lloyd round. 4096 sits comfortably above every shipped setting
-    * (coarse: nlist ≤ 16 × dim 64 = 1024; PQ: m·ks·d ≤ 1024) and
-    * comfortably below the codegen cliff, so sf plans are unchanged
-    * and large-nlist callers get the join shape that actually scales.
+  /** Literal-compile budget for [[coarseAssign]]'s narrow-map form:
+    * the maximum number of compiled double literals (#centroids × dim)
+    * before the assigner falls back to the broadcast-join + max_by
+    * shape. The compiled form is ideal at codebook sizes (zero
+    * shuffle, whole-stage codegen), but its expression grows
+    * O(nlist·dim): past a few thousand literals the generated compare
+    * chain risks Janino's 64 KB method limit — Spark falls back to
+    * INTERPRETED evaluation, silently slower than the join it
+    * replaced — and at 100 TB-scale settings (nlist ≈ √N, thousands
+    * of cells) the driver would pay a multi-megabyte expression
+    * re-analysis per Lloyd round. 4096 sits comfortably above every
+    * shipped setting (nlist ≤ 16 × dim 64 = 1024) and comfortably
+    * below the codegen cliff, so sf plans are unchanged and
+    * large-nlist callers get the join shape that actually scales.
     * AnnSpec pins that both forms assign identically across the
-    * threshold. */
+    * threshold. ([[pqAssign]] ships the join shape outright — its
+    * compiled twin lost twice; see its docstring.) */
   private[graft] val compiledAssignBudget = 4096
 
   /** Nearest-centroid assignment by round-9 cosine, ties → lowest
@@ -1023,47 +1023,30 @@ object Ann {
         s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $d + 1, $d))"))
         .as(Seq("sub", "sv")))
 
-  /** The collected (sub, cid, cv) codebook — the m·ks-row collect
-    * [[pqAssign]] compiles into its per-row expression (the
-    * [[collectCents]] pattern: codebooks are broadcast-sized by
-    * construction, so this is a metadata-class read). Non-finite
-    * components fail HERE with the actual reason. */
-  private def collectBook(bk: DataFrame): Array[(Int, Int, Seq[Double])] = {
-    val entries = bk.select(col("sub"), col("cid"), col("cv"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      .sortBy(e => (e._1, e._2))
-    require(entries.nonEmpty, "PQ assignment needs a trained codebook")
-    require(entries.forall(_._3.forall(java.lang.Double.isFinite)),
-      "PQ assignment: codebook contains non-finite components " +
-        "(corrupt training corpus?)")
-    entries
-  }
-
   /** Nearest codebook entry per (vec, sub) by rounded L2, ties →
-    * lowest cid — a pure NARROW map, no shuffle (the [[coarseAssign]]
-    * shape): the m·ks-row codebook is collected once and compiled
-    * into a per-sub least() over (dist, cid) structs against literal
-    * centroid arrays, branch-selected by the `sub` column. The r17
-    * round measured this literal-compile 3× SLOWER without a native
-    * L2 kernel (a zip_with fold over literal arrays inside a CASE
-    * chain leaves whole-stage codegen) and reverted it; graft_dist2
-    * (graft.functions.SquaredDistance — the graft_dot of squared L2,
-    * bit-identical to the HOF's sequential fold) is that kernel, so
-    * the compile now wins: the broadcast-join shape expanded every
-    * subvector ks-way and collapsed it through a min_by groupBy —
-    * per assignment pass (every Lloyd round, every code pass) the
-    * m-exploded corpus crossed a partial-agg boundary; this form
-    * moves nothing. least() over (round-9 dist, cid) structs is the
-    * same lexicographic min as min_by(cid, struct(dist, cid)), so
-    * codes are bit-identical. Codebooks over [[compiledAssignBudget]]
-    * literals keep the join shape (same rationale as coarseAssign). */
-  private[graft] def pqAssign(sv: DataFrame, bk: DataFrame): DataFrame = {
-    val entries = collectBook(bk)
-    if (entries.length.toLong * entries.head._3.size <= compiledAssignBudget)
-      pqAssignCompiled(sv, entries)
-    else pqAssignJoin(sv, bk)
-  }
+    * lowest cid — the broadcast-join + map-side min_by shape, with
+    * the distance as the native codegen'd graft_dist2 kernel
+    * (bit-identical to the previous zip_with HOF fold, which ran
+    * INTERPRETED once per ks-way-expanded row — the r17-measured cost
+    * of this operator was mostly that interpreter loop, not the
+    * expansion).
+    *
+    * SECOND negative result on the literal-compiled narrow-map form
+    * (the [[coarseAssign]] trick), kept as [[pqAssignCompiled]] and
+    * pinned equivalent by AnnSpec: r17 measured it 3× slower WITHOUT
+    * a native L2 kernel; r18 re-applied it WITH graft_dist2 and it
+    * still lost — sf0.1 subset bench +11% (ann_pq_topk), sf1 +69%,
+    * one 10 s scan stage absorbing the whole ADC pipeline. Unlike
+    * coarseAssign (one greatest() consumed by cell-keyed probes), the
+    * PQ codes feed a query crossJoin and two broadcast joins; fusing
+    * the un-materialized per-sub CASE/least chain into that stage
+    * re-evaluates it downstream and drops out of whole-stage codegen,
+    * where the join's groupBy materializes codes ONCE into compact
+    * rows. The min_by exchange carries one (vec_id, sub, sv, cid) row
+    * per subvector — the subvector stream itself, not an expansion —
+    * so the join shape is also the honest 100 TB plan. */
+  private[graft] def pqAssign(sv: DataFrame, bk: DataFrame): DataFrame =
+    pqAssignJoin(sv, bk)
 
   private[graft] def pqAssignCompiled(sv: DataFrame,
       entries: Array[(Int, Int, Seq[Double])]): DataFrame = {
@@ -1132,14 +1115,6 @@ object Ann {
       // (or another engine's fold) order the members. A raw avg()
       // here was the repo's last engine-folded double feeding the
       // q9-floored distortion audit (VERDICT r14 What's-wrong #2).
-      // Lloyd rounds assign the trainMod-BOUNDED sample, not the
-      // corpus: the join's sample-sized expansion is cheap there,
-      // while the compiled form would pay a collect + a fresh
-      // codebook-sized codegen per round (measured +38% on the
-      // 3-concurrent-chain pq curve at sf0.1) — the narrow map is
-      // reserved for the corpus-wide assignments, where the exchange
-      // it removes is corpus-sized (ann_pq_curve solo 2.8 s either
-      // way at sf0.1; the split wins on both ends)
       val next = pqAssignJoin(tsv, books)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cid"), col("pos"))

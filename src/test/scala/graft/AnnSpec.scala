@@ -656,11 +656,11 @@ class AnnSpec extends AnyFunSuite {
     assert(compiled === joined)
     // the planted tie resolves to the LOWEST cid in both forms
     assert(compiled.contains((1L, 0, 0)))
-    // in-budget dispatch takes the compiled (narrow-map, no-shuffle)
-    // shape: no aggregation in the plan
-    assert(4 * 8 <= Ann.compiledAssignBudget)
-    assert(!Ann.pqAssign(sv, bk).queryExecution.analyzed.toString
+    // the OPERATOR ships the join shape (min_by) — the compiled form
+    // is the r17/r18 twice-measured negative result (see pqAssign's
+    // docstring), kept only as the equivalence reference above
+    assert(Ann.pqAssign(sv, bk).queryExecution.analyzed.toString
       .contains("min_by"),
-      "in-budget codebook must compile to the narrow map, not the join")
+      "pqAssign must keep the broadcast-join + min_by shape")
   }
 }
