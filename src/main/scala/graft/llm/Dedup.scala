@@ -225,7 +225,7 @@ object Dedup {
     * 0.9, so verified output matches the exact pair set.
     * Returns (id_a, id_b, jaccard) like [[ngramJaccardPairs]]. */
   /** `maxBucket` (0 = off) caps a band bucket's occupancy before the
-    * candidate self-join — the LSH analog of [[ngramJaccardPairs]]'s
+    * candidate pair expansion — the LSH analog of [[ngramJaccardPairs]]'s
     * maxDf: a bucket of m docs fans out m²/2 candidate rows, and the
     * scale run measured exactly this term (candidate density on a
     * duplicate-dense corpus made minhash the 4.0× worst ratio at 10×
@@ -237,26 +237,45 @@ object Dedup {
     * identical docs (their buckets coincide in all bands; DedupSpec
     * pins this). Production pipelines run exact dedup first, which
     * removes identical groups before minhash ever sees them. */
+  /** Within-bucket candidate pairs (id_a < id_b, deduped) from a
+    * (doc_id, <bandCol>, bkey) band-key stream, via ONE aggregation:
+    * each bucket's members are grouped (collect_list) and the ordered
+    * pairs expand in a single expression. The equivalent band-key
+    * SELF-join derives and SHUFFLES the band-key stream twice — the
+    * planner does not reuse the exchange across the join's alias
+    * boundary (probed r18: ReusedExchange absent, 2 Exchange nodes) —
+    * so this shape halves the exchanged band-key bytes on the hottest
+    * dedup primitive. The pair SET is identical: every pair sharing a
+    * bucket appears exactly as with the join (pairs filter to
+    * id_a < id_b from the full in-bucket cross, so the collect_list
+    * order cannot matter), and the downstream distinct dedups
+    * multi-bucket collisions as before. `maxBucket` > 0 drops buckets
+    * larger than the cap — a free size() filter on the SAME
+    * aggregation, replacing the separate occupancy aggregation +
+    * anti-join the capped variants paid. Skew story unchanged: a
+    * bucket of m docs expands its m²/2 pairs in the one task that
+    * owns its key — exactly where the join's hash partitioning put
+    * them — and the cap is the documented guard in both shapes. */
+  private def bucketPairs(bandKeys: DataFrame, bandCol: String,
+      maxBucket: Long = 0L): DataFrame = {
+    val buckets = bandKeys.groupBy(col(bandCol), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+    val kept =
+      if (maxBucket <= 0L) buckets
+      else buckets.where(size(col("ids")) <= maxBucket)
+    kept.where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """filter(flatten(transform(ids, x -> transform(ids, y ->
+          |  named_struct('id_a', x, 'id_b', y)))), p -> p.id_a < p.id_b)"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
       bands: Int = 32, theta: Double = 0.5, maxBucket: Long = 0L): DataFrame = {
     val (sh, sig) = minhashPrep(docs, n, numHashes)
-    val allBandKeys = bandKeysOf(sig, numHashes, bands)
-    val bandKeys =
-      if (maxBucket <= 0) allBandKeys
-      else {
-        // occupancy per bucket is one hash aggregation; the anti-join
-        // removes over-cap buckets before they can fan out
-        val hot = allBandKeys.groupBy(col("band"), col("bkey"))
-          .agg(count(lit(1)).as("m")).where(col("m") > maxBucket)
-          .select(col("band"), col("bkey"))
-        allBandKeys.join(hot, Seq("band", "bkey"), "left_anti")
-      }
-    val cands = bandKeys.as("a")
-      .join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cands = bucketPairs(bandKeysOf(sig, numHashes, bands), "band", maxBucket)
     // exact verification restricted to candidate pairs
     val sizes = sig.select(col("doc_id"), col("sz"))
     val inter = cands
@@ -1041,14 +1060,14 @@ object Dedup {
 
   /** The per-Jaccard-decile grade shared by the two curves: deduped
     * candidate pairs vs the checkpointed truth, plus the measured
-    * candidate count attached to every decile row. */
-  private def gradeCandidates(truth: DataFrame, bk: DataFrame): DataFrame = {
-    val cands = bk.as("a")
-      .join(bk.as("b"),
-        col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct().localCheckpoint(eager = true)
+    * candidate count attached to every decile row. `maxBucket` > 0
+    * drops over-cap buckets inside the ONE [[bucketPairs]]
+    * aggregation (the bucketCurve cap, previously a separate
+    * occupancy table + per-cap anti-join). */
+  private def gradeCandidates(truth: DataFrame, bk: DataFrame,
+      maxBucket: Long = 0L): DataFrame = {
+    val cands = bucketPairs(bk, "bpos", maxBucket)
+      .localCheckpoint(eager = true)
     val nCand = cands.agg(count(lit(1)).as("n_candidates"))
     truth
       .join(cands.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
@@ -1094,7 +1113,8 @@ object Dedup {
     * Same portable family and shared prep as [[bandCurve]] (the
     * DuckDB oracle recomputes the exact buckets, occupancies and
     * drops); band keys are built ONCE at the fixed `bands` setting
-    * and each cap only anti-joins the over-cap buckets away — a
+    * and each cap only filters over-cap buckets inside its one
+    * bucket aggregation — a
     * SUBSET of a larger cap's buckets, so candidates and catches are
     * POINTWISE monotone nondecreasing in the cap (DedupSpec pins it,
     * plus the planted contrast: a 20-doc identical cluster's C(20,2)
@@ -1114,18 +1134,14 @@ object Dedup {
       sampleMod, sampleTarget)
     val bk = portableBandKeys(sig, numHashes, bands)
       .localCheckpoint(eager = true)
-    // occupancy per bucket once — every cap filters the same table
-    val occ = bk.groupBy(col("bpos"), col("bkey"))
-      .agg(count(lit(1)).as("m")).localCheckpoint(eager = true)
     // per-cap candidate checkpoints are independent eager chains over
-    // the checkpointed band keys/occupancies: run them concurrently
+    // the checkpointed band keys: run them concurrently. Each cap is
+    // one bucketPairs aggregation with the cap as a size() filter —
+    // the previous shape built a shared occupancy table and per-cap
+    // anti-joined it away before a band-key SELF-join (two more
+    // exchanges of the band-key stream per cap)
     val graded = Par.all(caps.map { cap => () =>
-      val kept =
-        if (cap <= 0L) bk
-        else bk.join(occ.where(col("m") > cap)
-            .select(col("bpos"), col("bkey")),
-          Seq("bpos", "bkey"), "left_anti")
-      gradeCandidates(truth, kept)
+      gradeCandidates(truth, bk, cap)
     })
     caps.zip(graded).map { case (cap, g) =>
       g.select(lit(cap).as("max_bucket"),
