@@ -108,6 +108,11 @@ object Tables {
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.Shingles(children(0), children(1))))
       }
+      // push count/min/max over raw parquet down to footer metadata:
+      // the adaptive audits (Adaptive.modulus) pay an eager full-table
+      // count at plan-construction time — with pushdown that probe is
+      // a metadata read at ANY corpus size instead of a scan job
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

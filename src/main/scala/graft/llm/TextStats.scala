@@ -696,7 +696,13 @@ object TextStats {
     * at sf1 → 3.3 s pinned) — so that caller pins: both frames
     * persisted for the one pass, the DOC-sized output checkpointed
     * eagerly, caches released before return (the minhashPrep
-    * pattern). */
+    * pattern). Re-profiled r18 (graft.tools.Prof, sf0.1 warm rep:
+    * 2.7 s): the unigram/pair aggregations and the broadcast build
+    * already run as CONCURRENT stages of the one checkpoint job —
+    * per-job times overlap (three ~0.4 s jobs completing out of
+    * submission order) — and everything downstream is
+    * dependency-sequential on both, so there is no independent chain
+    * left for a Par.all to overlap; closed as a measured no-op. */
   private def pairNll(docs: DataFrame, pin: Boolean): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val t = docs.select(col("doc_id"), expr(tok).as("w"))
