@@ -256,7 +256,7 @@ object Dedup {
     * bucket of m docs expands its m²/2 pairs in the one task that
     * owns its key — exactly where the join's hash partitioning put
     * them — and the cap is the documented guard in both shapes. */
-  private def bucketPairs(bandKeys: DataFrame, bandCol: String,
+  private[graft] def bucketPairs(bandKeys: DataFrame, bandCol: String,
       maxBucket: Long = 0L): DataFrame = {
     val buckets = bandKeys.groupBy(col(bandCol), col("bkey"))
       .agg(collect_list(col("doc_id")).as("ids"))

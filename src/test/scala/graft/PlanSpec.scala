@@ -484,6 +484,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("bucketPairs: LSH candidates ride ONE band-key exchange — no self-join, cap adds nothing") {
+    import spark.implicits._
+    // band keys shaped like minhashLshPairs' stream: 3 buckets, one
+    // with 3 members (3 pairs), one with 2, one singleton (dropped)
+    val bk = Seq(
+      (0L, 0, 11L), (1L, 0, 11L), (2L, 0, 11L),
+      (3L, 1, 22L), (4L, 1, 22L),
+      (5L, 2, 33L)
+    ).toDF("doc_id", "band", "bkey")
+    val pairs = graft.llm.Dedup.bucketPairs(bk, "band")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+    // the candidate stage is ONE aggregation over the band-key stream
+    // plus the pair-dedup distinct — the band keys are derived and
+    // exchanged ONCE. The self-join shape this replaced derived and
+    // shuffled them twice (probed r18: ReusedExchange does not fire
+    // across the join's alias boundary).
+    val p = plan(pairs).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"band-key agg + pair distinct only:\n$p")
+    // the occupancy cap is a size() filter on the SAME aggregation —
+    // same plan shape, over-cap bucket dropped
+    val capped = graft.llm.Dedup.bucketPairs(bk, "band", maxBucket = 2L)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((3L, 4L)))
+    val cp = plan(capped).split("== Initial Plan ==").head
+    assert(!cp.contains("Join"), cp)
+    assert("Exchange hashpartitioning".r.findAllIn(cp).size <= 2, cp)
+  }
+
   test("shingle frames run once: jaccard/overlap outputs are pinned and caches released") {
     import spark.implicits._
     val docs = (0L until 64L)
