@@ -94,6 +94,15 @@ object Tables {
             classOf[graft.functions.SquaredDistance].getName, "graft_dist2"),
           (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
             graft.functions.SquaredDistance(children(0), children(1))))
+        // native unary squared norm — the self-dot of every withNorm
+        // pass (one child evaluation; graft_dot(v, v) would inline
+        // the producing transform twice under CollapseProject)
+        ext.injectFunction((
+          new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_norm2"),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[graft.functions.SquaredNorm].getName, "graft_norm2"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.SquaredNorm(children(0))))
         ext.injectFunction((
           new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_sigs"),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -25,7 +25,7 @@ object Ann {
   def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("nrm", expr("sqrt(graft_norm2(v))"))
 
   /** Sequential-fold dot product via the native codegen'd expression
     * (graft.functions.DotProduct, registered by
@@ -254,7 +254,7 @@ object Ann {
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"),
       col("label").as("cell"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("nrm", expr("sqrt(graft_norm2(v))"))
     probeAndScore(e, centroidsOf(e), nQueries, k, nprobe)
   }
 
@@ -268,7 +268,7 @@ object Ann {
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
       .groupBy(col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cv"))
-      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
+      .withColumn("cnrm", expr("sqrt(graft_norm2(cv))"))
 
   /** IVF probe + exact scoring over a cell-assigned corpus: each query
     * scores only the `nprobe` cells whose centroids are nearest. */
@@ -614,7 +614,7 @@ object Ann {
       trainMod: Int): DataFrame = {
     var cent = te.where(col("vec_id") < nlist.toLong * trainMod)
       .select(expr(s"CAST(vec_id DIV $trainMod AS INT)").as("cell"), col("v").as("cv"))
-      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
+      .withColumn("cnrm", expr("sqrt(graft_norm2(cv))"))
     for (_ <- 1 to iters) {
       val next = centroidsOf(coarseAssign(te, cent))
       // empty cells keep their previous centroid (deterministic in
@@ -686,7 +686,7 @@ object Ann {
   def quantizedTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val recon = int8Codes(emb)
       .select(col("vec_id"), expr("transform(qv, c -> c * scale)").as("v"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("nrm", expr("sqrt(graft_norm2(v))"))
     val q = withNorm(emb).where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -1130,7 +1130,7 @@ object Ann {
     }
     if (doPersist) tsv.unpersist(blocking = true)
     books.withColumn("cn2q", expr(
-      "CAST(round(graft_dot(cv, cv) * 1073741824D) AS BIGINT)"))
+      "CAST(round(graft_norm2(cv) * 1073741824D) AS BIGINT)"))
   }
 
   /** ADC scoring of a (…, vec_id, sub, cid) code stream: per-subspace
@@ -1311,7 +1311,7 @@ object Ann {
       .select(col("vec_id"),
         expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS double))")
           .as("t"))
-      .withColumn("n", expr("sqrt(graft_dot(t, t))"))
+      .withColumn("n", expr("sqrt(graft_norm2(t))"))
       .select(col("vec_id"), posexplode(expr(
         "transform(t, x -> CASE WHEN n = 0D THEN 0D ELSE round(x / n, 6) END)"))
         .as(Seq("pos", "x")))
@@ -1472,7 +1472,7 @@ object Ann {
       "components (corrupt or zero-norm training corpus?)")
     val v = expr("transform(embedding, x -> CAST(x AS double))")
     val withV = vectors.withColumn("__v", v)
-      .withColumn("__nrm", expr("sqrt(graft_dot(__v, __v))"))
+      .withColumn("__nrm", expr("sqrt(graft_norm2(__v))"))
     // per-cell (csim, -cell) structs against literal centroid arrays —
     // Double.toString round-trips exactly, so the compiled literals
     // are bit-identical to the trained centroids; the dot is the same

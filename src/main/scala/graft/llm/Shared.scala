@@ -108,7 +108,7 @@ private[llm] object Cells {
         "x -> CASE WHEN x >= 0 THEN 1L ELSE 0L END), 0L, (a, x) -> a * 2 + x)")
     emb.select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("nrm", expr("sqrt(graft_norm2(v))"))
       .withColumn("cell", col("label").cast("long") * (1L << bits) + prefix)
   }
 }

@@ -596,6 +596,18 @@ class AnnSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1)) // the documented-equivalent HOF agrees
   }
 
+  test("graft_norm2 equals the self-dot fold bit-for-bit") {
+    val df = Seq((Array(1.5, -2.25, 3.0, 0.125), 0)).toDF("a", "i")
+    val out = df.select(
+      expr("graft_norm2(a)").as("n2"),
+      expr("aggregate(a, 0D, (acc, x) -> acc + x * x)").as("hof"),
+      expr("graft_dot(a, a)").as("dd")).collect()(0)
+    assert(java.lang.Double.doubleToLongBits(out.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(out.getDouble(1)))
+    assert(java.lang.Double.doubleToLongBits(out.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(out.getDouble(2)))
+  }
+
   test("coarseAssign: compiled and join forms agree; an over-budget codebook dispatches to the join shape and still assigns correctly") {
     val e = Ann.withNorm(corpus)
     // trained in-budget codebook: the two forms must agree cell-for-cell
