@@ -241,11 +241,15 @@ object Dedup {
     * (doc_id, <bandCol>, bkey) band-key stream, via ONE aggregation:
     * each bucket's members are grouped (collect_list) and the ordered
     * pairs expand in a single expression. The equivalent band-key
-    * SELF-join derives and SHUFFLES the band-key stream twice — the
-    * planner does not reuse the exchange across the join's alias
-    * boundary (probed r18: ReusedExchange absent, 2 Exchange nodes) —
-    * so this shape halves the exchanged band-key bytes on the hottest
-    * dedup primitive. The pair SET is identical: every pair sharing a
+    * SELF-join plans as a SortMergeJoin at corpus scale (a band-key
+    * stream is never broadcastable there): AQE's final plan reuses
+    * the partitioning exchange across the alias boundary, but the
+    * join still pays TWO full sorts of the corpus-sized band-key
+    * stream plus the merge itself — plans/r18/lsh_candidate_stage_
+    * {before,after}.txt show the contrast (SMJ + 2 Sorts + Reused-
+    * Exchange vs one sortless ObjectHashAggregate). This shape
+    * replaces all of that with the hash aggregation the exchange
+    * already feeds. The pair SET is identical: every pair sharing a
     * bucket appears exactly as with the join (pairs filter to
     * id_a < id_b from the full in-bucket cross, so the collect_list
     * order cannot matter), and the downstream distinct dedups

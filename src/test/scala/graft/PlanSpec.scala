@@ -496,11 +496,12 @@ class PlanSpec extends AnyFunSuite {
     val pairs = graft.llm.Dedup.bucketPairs(bk, "band")
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
-    // the candidate stage is ONE aggregation over the band-key stream
-    // plus the pair-dedup distinct — the band keys are derived and
-    // exchanged ONCE. The self-join shape this replaced derived and
-    // shuffled them twice (probed r18: ReusedExchange does not fire
-    // across the join's alias boundary).
+    // the candidate stage is ONE sortless aggregation over the
+    // band-key stream plus the pair-dedup distinct. The self-join
+    // shape this replaced plans as a SortMergeJoin at corpus scale
+    // (band keys are never broadcastable there): AQE reuses the
+    // partitioning exchange but still pays TWO full sorts of the
+    // stream + the merge (plans/r18/lsh_candidate_stage_*.txt).
     val p = plan(pairs).split("== Initial Plan ==").head
     assert(!p.contains("Join"), p)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
